@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions._
+
+/** Session bootstrap: registers the graft function surface into the
+  * session's FunctionRegistry so every operator (and plain `spark.sql`)
+  * can use it. Idempotent — call at the top of every entry point.
+  */
+object Graft {
+
+  private def lit2int(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def lit2bool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2", es => L2Dist(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2_normalize", es => L2Normalize(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("vec_hamming", es => HammingDist(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      es => TopKAgg(es(0), es(1), lit2int(es(2), "k"), lit2bool(es(3), "asc")),
+      "built-in")
+  }
+
+  /** Column-level API over the registered functions. */
+  object F {
+    def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+    def vecL2Sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+    def vecL2(a: Column, b: Column): Column = call_function("vec_l2", a, b)
+    def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+    def vecNorm(a: Column): Column = call_function("vec_norm", a)
+    def l2Normalize(a: Column): Column = call_function("vec_l2_normalize", a)
+    def hamming(a: Column, b: Column): Column = call_function("vec_hamming", a, b)
+    def topK(score: Column, item: Column, k: Int, asc: Boolean): Column =
+      call_function("graft_topk", score, item,
+        org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(asc))
+  }
+
+  /** Standard session for tools/tests (local mode, shuffle partitions sized
+    * to cores — NOT the 200 default, which is wrong for local[N]).
+    */
+  def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp —
+      // read as epoch-ns long and convert explicitly where µs suffices.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
+    spark
+  }
+}

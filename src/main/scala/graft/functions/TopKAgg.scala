@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.util.{Comparator, PriorityQueue}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Entry held by the bounded heap. */
+private[graft] final case class ScoredItem(score: Double, item: Any)
+
+/** Bounded top-k heap keyed by a Double score.
+  *
+  * `asc = true` keeps the k SMALLEST scores (L2 metric), `asc = false` the k
+  * LARGEST (inner product / cosine). The heap root is always the current
+  * evictable (worst-kept) element.
+  *
+  * This is the Spark-native analog of vearch's per-partition top-k +
+  * router k-way merge (reference internal/router/document/doc_service.go
+  * merge path, internal/client/client.go:1497-1576): Spark's partial
+  * aggregation runs one heap per partition (map-side), the shuffle moves at
+  * most k rows per group per partition, and merge() is the k-way combine.
+  * Unlike a window `row_number() <= k`, nothing ever materializes a full
+  * per-group sort — this is what keeps per-query KNN viable at 100 TB.
+  */
+private[graft] final class TopKBuffer(val k: Int, val asc: Boolean) {
+  private val cmp: Comparator[ScoredItem] =
+    if (asc) new Comparator[ScoredItem] { // keep smallest => evict largest => max-heap
+      def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(y.score, x.score)
+    } else new Comparator[ScoredItem] {
+      def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(x.score, y.score)
+    }
+  val heap = new PriorityQueue[ScoredItem](math.max(k, 1), cmp)
+
+  def add(score: Double, item: Any): Unit = {
+    if (heap.size < k) heap.offer(ScoredItem(score, item))
+    else {
+      val worst = heap.peek()
+      val better = if (asc) score < worst.score else score > worst.score
+      if (better) { heap.poll(); heap.offer(ScoredItem(score, item)) }
+    }
+  }
+
+  /** Best-first (query result order: L2 asc, IP desc). */
+  def sorted: Array[ScoredItem] = {
+    val arr = heap.toArray(new Array[ScoredItem](heap.size))
+    val bestFirst: Comparator[ScoredItem] =
+      if (asc) new Comparator[ScoredItem] {
+        def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(x.score, y.score)
+      } else new Comparator[ScoredItem] {
+        def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(y.score, x.score)
+      }
+    java.util.Arrays.sort(arr, bestFirst)
+    arr
+  }
+}
+
+/** topk(score, item, k, asc) → array<struct<score double, item ITEM_TYPE>>
+  * best-first. Registered as SQL function `graft_topk`.
+  */
+case class TopKAgg(
+    score: Expression,
+    payload: Expression,
+    k: Int,
+    asc: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"topk k must be > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(score, payload)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), payload = newChildren(1))
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("item", payload.dataType, payload.nullable))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, asc)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    if (s != null) {
+      val p = payload.eval(input)
+      buf.add(s.asInstanceOf[Double], InternalRow.copyValue(p))
+    }
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val e = it.next(); buf.add(e.score, e.item) }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows: Array[Any] = buf.sorted.map { e =>
+      new GenericInternalRow(Array[Any](e.score, e.item)): Any
+    }
+    new GenericArrayData(rows)
+  }
+
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array[DataType](DoubleType, payload.dataType))
+  @transient private lazy val serRow = new GenericInternalRow(2)
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.heap.size)
+    val it = buf.heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      serRow.update(0, e.score)
+      serRow.update(1, e.item)
+      val ur = serProj(serRow)
+      out.writeInt(ur.getSizeInBytes)
+      out.write(ur.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val buf = new TopKBuffer(k, asc)
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    var i = 0
+    while (i < n) {
+      val len = in.getInt
+      val rowBytes = new Array[Byte](len)
+      in.get(rowBytes)
+      val ur = new UnsafeRow(2)
+      ur.pointTo(rowBytes, len)
+      val item = InternalRow.copyValue(ur.get(1, payload.dataType))
+      buf.add(ur.getDouble(0), item)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_topk"
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Primitive float-vector kernels invoked from generated code.
+  *
+  * All accumulate in Double with strict left-to-right order so results are
+  * bit-identical to a sequential oracle (DuckDB `list_dot_product` over
+  * DOUBLE[]) regardless of Spark partitioning. Loops read elements via
+  * `ArrayData.getFloat` (no boxing, no copy for UnsafeArrayData).
+  *
+  * Capability parity: vearch metric_type InnerProduct / L2
+  * (reference: internal/engine/index/index_model.h:21, optional l2_sqrt
+  * internal/router/document/doc_query.go:1404).
+  */
+object VecKernels {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def l2(a: ArrayData, b: ArrayData): Double = math.sqrt(l2sq(a, b))
+
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    val d = math.sqrt(aa) * math.sqrt(bb)
+    if (d == 0.0) 0.0 else ab / d
+  }
+
+  /** L2-normalize to unit length, Float output (vearch `format:
+    * normalization` is applied on float vectors at ingest,
+    * internal/router/client.go:359-380). Zero vector passes through.
+    */
+  def l2normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    val nm = norm(a)
+    var i = 0
+    if (nm == 0.0) {
+      while (i < n) { out(i) = a.getFloat(i); i += 1 }
+    } else {
+      while (i < n) { out(i) = (a.getFloat(i).toDouble / nm).toFloat; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance over packed binary codes (vearch BINARYIVF operates on
+    * uint8 codes of dim/8 bytes, internal/engine/index/impl/gamma_index_binary_ivf.cc).
+    */
+  def hamming(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+      i += 1
+    }
+    // length mismatch counts remaining bits as differing
+    val longer = if (a.length > n) a else b
+    i = n
+    while (i < longer.length) {
+      s += java.lang.Integer.bitCount(longer(i) & 0xff)
+      i += 1
+    }
+    s
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd scalar distance expressions — the vearch "metric" surface
+  * (InnerProduct / L2 / Cosine, reference internal/engine/index/index_model.h:21)
+  * plus normalization (internal/router/client.go:603-665) and Hamming for
+  * binary codes. Each generates a single static-kernel call so it stays
+  * inside whole-stage codegen (no virtual eval dispatch, no boxing).
+  */
+abstract class BinaryVecExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def kernel: String // method name on VecKernels
+
+  override def nullSafeEval(a: Any, b: Any): Any = evalKernel(
+    a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalKernel(a: ArrayData, b: ArrayData): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.$kernel($a, $b)")
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryVecExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def kernel: String = "dot"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = VecKernels.dot(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Sq(left: Expression, right: Expression) extends BinaryVecExpression {
+  override def prettyName: String = "vec_l2sq"
+  override protected def kernel: String = "l2sq"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = VecKernels.l2sq(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Dist(left: Expression, right: Expression) extends BinaryVecExpression {
+  override def prettyName: String = "vec_l2"
+  override protected def kernel: String = "l2"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = VecKernels.l2(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CosineSim(left: Expression, right: Expression) extends BinaryVecExpression {
+  override def prettyName: String = "vec_cosine"
+  override protected def kernel: String = "cosine"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Any = VecKernels.cosine(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_norm"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = VecKernels.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.norm($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_l2_normalize"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(a: Any): Any = VecKernels.l2normalize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.l2normalize($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "vec_hamming"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.hamming(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.hamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.F
+
+/** Brute-force (FLAT) KNN search — the vearch hot path re-expressed as a
+  * declarative Spark plan (reference: Engine::Search
+  * internal/engine/search/engine.cc:248-408, FLAT scan
+  * internal/engine/index/impl/gamma_index_flat.cc).
+  *
+  * Execution shape at scale: `filter → score → TakeOrderedAndProject`.
+  * Spark's TakeOrderedAndProject IS the distributed analog of vearch's
+  * per-partition top-k heap + router k-way merge (client.go:1497-1576):
+  * each partition keeps a bounded heap of k rows, the driver merges P×k
+  * rows. No full sort, no big shuffle — survives 100 TB scans.
+  *
+  * Scalar filter-first (engine.cc:355-373) is free here: a `filter` before
+  * the score is pushed to the parquet scan by Catalyst, so the distance
+  * kernel only runs on candidate rows.
+  */
+object Knn {
+
+  /** Score column for a vearch metric. `ip` and `cosine` are
+    * higher-is-better, `l2`/`l2sq` lower-is-better (doc_query.go:1526-1528
+    * forces the sort direction from the metric).
+    */
+  def score(metric: String, vec: Column, query: Column): Column = metric match {
+    case "ip"     => F.vecDot(vec, query)
+    case "l2"     => F.vecL2(vec, query)
+    case "l2sq"   => F.vecL2Sq(vec, query)
+    case "cosine" => F.vecCosine(vec, query)
+    case other    => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  def ascending(metric: String): Boolean = metric.startsWith("l2")
+
+  def queryLit(q: Seq[Float]): Column = typedLit(q).cast("array<float>")
+
+  /** Single-query top-k. Result = input columns + `_score`, best-first.
+    * `filter` = vearch scalar pre-filter; `minScore`/`maxScore` = the
+    * score-range gate (doc_query.go:67-78, applied in-scan
+    * gamma_common_data.h:94-96).
+    */
+  def search(
+      df: DataFrame,
+      vecCol: Column,
+      query: Seq[Float],
+      k: Int,
+      metric: String = "l2",
+      filter: Option[Column] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
+      tieBreak: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    val filtered = filter.map(df.filter).getOrElse(df)
+    val scored = filtered.withColumn("_score", score(metric, vecCol, queryLit(query)))
+    val gated = (minScore, maxScore) match {
+      case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))
+      case (Some(lo), None)     => scored.filter(col("_score") >= lo)
+      case (None, Some(hi))     => scored.filter(col("_score") <= hi)
+      case _                    => scored
+    }
+    val rounded = roundTo.map(d => gated.withColumn("_score", round(col("_score"), d)))
+      .getOrElse(gated)
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val order = primary +: tieBreak.map(_.asc).toSeq
+    rounded.orderBy(order: _*).limit(k)
+  }
+
+  /** Batched multi-query KNN (vearch `req_num` query vectors per request,
+    * doc_query.go:296-318): the query set is broadcast against the corpus,
+    * then a bounded-heap aggregate keeps top-k per query id.
+    *
+    * Scale: shuffle volume is |queries| × k rows (partial aggregation
+    * reduces each partition to k per qid map-side) — independent of corpus
+    * size.
+    *
+    * @param queries small DataFrame with columns (qidCol, qvecCol)
+    * @return columns: qid, item struct fields..., _score — best-first per qid
+    */
+  def searchBatch(
+      corpus: DataFrame,
+      vecCol: Column,
+      payload: Column,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      metric: String = "l2"): DataFrame = {
+    val q = queries.select(col(qidCol).as("_qid"), col(qvecCol).as("_qvec"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("_qid"),
+        score(metric, vecCol, col("_qvec")).as("_score"),
+        payload.as("_item"))
+    scored.groupBy(col("_qid"))
+      .agg(F.topK(col("_score"), col("_item"), k, ascending(metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item").as("_item"), col("_e.score").as("_score"))
+  }
+
+  /** Multi-vector conjunctive search (vearch: N vector conditions on
+    * different fields; per-field top-k, docid INTERSECTION, combined score
+    * = Σ wᵢ·scoreᵢ — vector_manager.cc:859,1024-1087; WeightedRanker
+    * doc_query.go:201-216, default weight 1/N).
+    *
+    * Inner join on the id ≡ their sorted-docid seek-merge intersection.
+    */
+  def multiVectorSearch(
+      df: DataFrame,
+      idCol: String,
+      fields: Seq[(Column, Seq[Float])], // (vector column, query vector) per field
+      perFieldK: Int,
+      k: Int,
+      metric: String = "l2",
+      weights: Option[Seq[Double]] = None): DataFrame = {
+    require(fields.nonEmpty)
+    val w = weights.getOrElse(Seq.fill(fields.size)(1.0 / fields.size))
+    require(w.size == fields.size)
+    val perField = fields.zipWithIndex.map { case ((vc, qv), i) =>
+      df.select(col(idCol), score(metric, vc, queryLit(qv)).as(s"_s$i"))
+        .orderBy(if (ascending(metric)) col(s"_s$i").asc else col(s"_s$i").desc)
+        .limit(perFieldK)
+    }
+    val joined = perField.reduceLeft((a, b) => a.join(b, Seq(idCol), "inner"))
+    val combined = fields.indices
+      .map(i => col(s"_s$i") * lit(w(i)))
+      .reduceLeft(_ + _)
+    val ranked = joined.withColumn("_score", combined)
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    ranked.orderBy(primary, col(idCol).asc).limit(k)
+      .select((col(idCol) +: fields.indices.map(i => col(s"_s$i")) :+ col("_score")): _*)
+  }
+}
