@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.F
-import graft.operators.Knn
+import graft.operators.{Dedup, Documents, IvfIndex, Knn, TextOps, VearchFilters}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -153,6 +153,227 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+
+    // ── §2.1 upsert: insert-or-replace by id (MERGE semantics) ──
+    "q_upsert" -> ((s, dir) => {
+      init(s)
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val updates = base.filter(col("vec_id") < 10)
+        .select(col("vec_id"), (col("label") + 100).as("label"))
+        .unionByName(base.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("label")))
+      Documents.upsert(base, updates, "vec_id").orderBy(col("vec_id"))
+    }),
+
+    // ── §2.1 delete-by-query ──
+    "q_delete_by_query" -> ((s, dir) => {
+      init(s)
+      Documents.deleteByQuery(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        col("label") === 3 || col("vec_id") >= 400)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── §2.1/§2.5 get-by-ids preserving request order ──
+    "q_get_by_ids_ordered" -> ((s, dir) => {
+      init(s)
+      Documents.getByIds(t(s, dir, "embeddings"), "vec_id", Seq(42L, 7L, 99L, 3L))
+        .select(col("_ord").as("ord"), col("vec_id"), col("label"))
+    }),
+
+    // ── §2.3 vearch filter-JSON DSL compiled to a Catalyst predicate ──
+    "q_filter_json" -> ((s, dir) => {
+      init(s)
+      val pred = VearchFilters.parse(
+        """{"operator":"AND","conditions":[
+             {"operator":">=","field":"value","value":10},
+             {"operator":"<","field":"value","value":20},
+             {"operator":"IN","field":"event_type","value":["click","view"]}]}""")
+      t(s, dir, "events").filter(pred)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.3 stringArray term-match (IN = any element matches) ──
+    "q_term_filter" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents").withColumn("words", split(col("text"), " "))
+      val pred = VearchFilters.parse(
+        """{"operator":"AND","conditions":[
+             {"operator":"IN","field":"words","value":["vector","spark"]},
+             {"operator":"=","field":"lang","value":"en"}]}""",
+        arrayFields = Set("words"))
+      docs.filter(pred).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ── §2.4 batched KNN: req_num query vectors, per-qid top-k ──
+    "q_knn_batch" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.searchBatch(emb, col("embedding"), struct(col("vec_id")), queries,
+        "qid", "qv", k = 5, metric = "l2")
+        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
+    // ── §2.4 multi-vector conjunctive search + WeightedRanker ──
+    "q_knn_multivec" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val two = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      val q = qvec(s, dir)
+      Knn.multiVectorSearch(two, "vec_id",
+        Seq((col("v1"), q.take(32)), (col("v2"), q.drop(32))),
+        perFieldK = 100, k = 10, metric = "ip")
+        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
+          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
+    }),
+
+    // ── beyond-reference: 3-table join (broadcast dim, shuffled fact) ──
+    "q3_join" -> ((s, dir) => {
+      init(s)
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ── beyond-reference: window top-N per group ──
+    "q_window_topn" -> ((s, dir) => {
+      init(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // ── beyond-reference: event-time tumbling-window aggregation ──
+    "q_events_hourly" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // ── beyond-reference: exact distinct aggregation ──
+    "q_distinct" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── pipeline: exact dedup by content hash ──
+    "q_dedup_exact" -> ((s, dir) => {
+      init(s)
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+    // ── pipeline: EXACT n-gram Jaccard similarity join (inverted index) ──
+    "q_dedup_jaccard" -> ((s, dir) => {
+      init(s)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── pipeline: exact embedding near-dup (cosine ≥ t) ──
+    "q_embed_neardup" -> ((s, dir) => {
+      init(s)
+      Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── pipeline: token counting ──
+    "q_token_count" -> ((s, dir) => {
+      init(s)
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: quality scoring ──
+    "q_text_quality" -> ((s, dir) => {
+      init(s)
+      val q = TextOps.qualityFeatures(col("text"), TextOps.EnStopwords)
+      t(s, dir, "documents")
+        .select(col("doc_id"), q.as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").cast("long").as("n_tokens"),
+          round(col("q.avg_token_len"), 4).as("avg_token_len"),
+          round(col("q.stopword_ratio"), 4).as("stopword_ratio"),
+          round(col("q.punct_ratio"), 4).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: language distribution ──
+    "q_lang_count" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt")).orderBy(col("lang"))
+    }),
+
+    // ── pipeline (rows-only): MinHash-LSH near-dup, exact-verified ──
+    "q_minhash_lsh" -> ((s, dir) => {
+      init(s)
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── pipeline (rows-only): SimHash near-dup (hamming ≤ 3) ──
+    "q_simhash_pairs" -> ((s, dir) => {
+      init(s)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── pipeline (rows-only): embedding near-dup via hyperplane LSH ──
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      init(s)
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numPlanes = 4, numTables = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── §2.4 (rows-only): IVF index build + nprobe-pruned search ──
+    "q_ivf_search" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = IvfIndex.train(emb, "embedding", ncentroids = 16)
+      val assigned = IvfIndex.assign(emb, "embedding", model)
+      IvfIndex.search(assigned, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = 4, tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── pipeline (rows-only): full text profile (lang-id, fingerprints) ──
+    "q_text_profile" -> ((s, dir) => {
+      init(s)
+      TextOps.profile(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          col("lang_pred"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -231,5 +452,143 @@ object SparkEntry {
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_upsert" ->
+      """WITH upd AS (
+           SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id < 10
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, label FROM embeddings WHERE vec_id < 5)
+         SELECT vec_id, label FROM (
+           SELECT vec_id, label FROM embeddings
+           WHERE vec_id NOT IN (SELECT vec_id FROM upd)
+           UNION ALL SELECT vec_id, label FROM upd)
+         ORDER BY vec_id""",
+
+    "q_delete_by_query" ->
+      """SELECT vec_id, label FROM embeddings
+         WHERE NOT (label = 3 OR vec_id >= 400) ORDER BY vec_id""",
+
+    "q_get_by_ids_ordered" ->
+      """SELECT t.ord, e.vec_id, e.label
+         FROM (VALUES (0, 42), (1, 7), (2, 99), (3, 3)) AS t(ord, id)
+         JOIN embeddings e ON e.vec_id = t.id
+         ORDER BY t.ord""",
+
+    "q_filter_json" ->
+      """SELECT event_id, event_type FROM events
+         WHERE value >= 10 AND value < 20 AND event_type IN ('click','view')
+         ORDER BY event_id""",
+
+    "q_term_filter" ->
+      """SELECT doc_id FROM documents
+         WHERE list_has_any(string_split(text, ' '), ['vector','spark'])
+           AND lang = 'en'
+         ORDER BY doc_id""",
+
+    "q_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.qid, e.vec_id,
+                      list_distance(e.embedding::DOUBLE[], q.v) AS d
+               FROM embeddings e CROSS JOIN q),
+         r AS (SELECT qid, vec_id, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM s)
+         SELECT qid, vec_id, round(d, 4) AS score
+         FROM r WHERE rn <= 5
+         ORDER BY qid, round(d, 4), vec_id""",
+
+    "q_knn_multivec" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+                FROM b ORDER BY s0 DESC LIMIT 100),
+         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+                FROM b ORDER BY s1 DESC LIMIT 100),
+         j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
+                round(sc, 4) AS score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
+
+    "q3_join" ->
+      """SELECT o.o_orderkey, c.c_name,
+                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY o.o_orderkey, c.c_name
+         ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+
+    "q_events_hourly" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+                count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type, hr ORDER BY event_type, hr""",
+
+    "q_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS dup_cnt
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+
+    "q_dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                FOR i IN range(1, len(w) - 1)])
+                            ELSE [array_to_string(w, ' ')] END AS s
+                FROM t),
+         e AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         z AS (SELECT doc_id, len(s) AS sz FROM sh)
+         SELECT id_a, id_b,
+                round(common::DOUBLE / (za.sz + zb.sz - common), 4) AS jaccard
+         FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+         WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                length(text) AS len_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents)
+         SELECT doc_id,
+                len(w) AS n_tokens,
+                round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                      / len(w), 4) AS avg_token_len,
+                round(CAST(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+                      / len(w), 4) AS stopword_ratio,
+                round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                      / length(text), 4) AS punct_ratio
+         FROM t ORDER BY doc_id""",
+
+    "q_lang_count" ->
+      """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

@@ -76,6 +76,31 @@ object VecKernels {
     new GenericArrayData(out)
   }
 
+  /** Nearest-centroid assignment (squared L2): the IVF coarse quantizer
+    * (reference gamma_index_ivfflat.cc uses a faiss L1 quantizer; here the
+    * centroid table is a small broadcast literal and assignment is a tight
+    * per-row loop inside codegen).
+    */
+  def argminL2(a: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(a.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cent(i).toDouble
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Hamming distance over packed binary codes (vearch BINARYIVF operates on
     * uint8 codes of dim/8 bytes, internal/engine/index/impl/gamma_index_binary_ivf.cc).
     */

@@ -73,6 +73,24 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF coarse quantizer: nearest-centroid id for a vector against a fixed
+  * (broadcast-literal) centroid table. The centroid array rides along as a
+  * referenced object in generated code — one virtual call per row, loop
+  * stays primitive.
+  */
+case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def prettyName: String = "ivf_assign"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.argminL2(a.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.argminL2($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_hamming"

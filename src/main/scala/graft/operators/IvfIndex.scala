@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IvfAssign
+import graft.operators.Knn
+
+/** IVF index as physical layout, not a runtime object (SURVEY §1.4, §2.4):
+  * the reference's IVFFLAT (gamma_index_ivfflat.cc, faiss coarse KMeans +
+  * nprobe list scan) becomes
+  *
+  *   build:  MLlib KMeans → `list_id` column → table partitioned by it
+  *   search: driver picks `nprobe` nearest centroids (tiny local compute,
+  *           = faiss quantizer search) → `list_id IN (...)` filter →
+  *           partition pruning → exact scoring inside the probed lists.
+  *
+  * At 100 TB the probe filter prunes (ncentroids - nprobe)/ncentroids of
+  * all parquet partitions BEFORE any IO — the same IO-skipping the
+  * reference gets from its inverted lists. Training samples at most
+  * `maxTrainRows` (vearch `training_threshold`, space.go:352-374) — KMeans
+  * on a bounded sample, never the full corpus.
+  */
+object IvfIndex {
+
+  /** Trained coarse quantizer. Tiny (ncentroids × dim floats); broadcast
+    * by value inside expressions.
+    */
+  final case class Model(centroids: Array[Array[Float]], metric: String) {
+    def ncentroids: Int = centroids.length
+
+    /** Quantizer search on the driver: nprobe nearest centroid ids for a
+      * query vector — mirrors faiss's quantizer->search before list scan.
+      */
+    def nearestCentroids(q: Seq[Float], nprobe: Int): Seq[Int] = {
+      val qa = q.toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var s = 0.0
+        var d = 0
+        val n = math.min(c.length, qa.length)
+        while (d < n) { val x = c(d) - qa(d); s += x * x; d += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+  }
+
+  /** Train the coarse quantizer on (a bounded sample of) the corpus. */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      ncentroids: Int,
+      metric: String = "l2",
+      seed: Long = 42L,
+      maxTrainRows: Long = 1000000L): Model = {
+    val total = df.count()
+    val sampled =
+      if (total > maxTrainRows) df.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      else df
+    val feats = sampled.select(array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(ncentroids).setSeed(seed).setMaxIter(20).fit(feats)
+    val centers = km.clusterCenters.map(_.toArray.map(_.toFloat))
+    Model(centers, metric)
+  }
+
+  /** Add `list_id` (codegen'd argmin over the centroid table) to a corpus.
+    * The centroid table registers as a session function so the expression
+    * composes with plain Columns.
+    */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val fname = s"ivf_assign_${math.abs(System.identityHashCode(model))}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, es => IvfAssign(es.head, model.centroids), "built-in")
+    df.withColumn("list_id", call_function(fname, col(vecCol)))
+  }
+
+  /** Build the physical index: corpus + list_id written partitioned by
+    * list_id → searches touch only probed partitions (partition pruning).
+    */
+  def buildTable(df: DataFrame, vecCol: String, model: Model, path: String): Unit =
+    assign(df, vecCol, model)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** IVF search over an assigned corpus: probe filter then exact scoring.
+    * `isBruteSearch` mirrors vearch's 0=index / 1=brute / 2=auto planner
+    * switch (engine.cc:280-308): brute mode skips the probe filter.
+    */
+  def search(
+      corpus: DataFrame,
+      vecCol: Column,
+      model: Model,
+      q: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      isBruteSearch: Int = 0,
+      filter: Option[Column] = None,
+      tieBreak: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    val brute = isBruteSearch == 1
+    val probed =
+      if (brute) corpus
+      else {
+        val lists = model.nearestCentroids(q, nprobe)
+        corpus.filter(col("list_id").isin(lists: _*))
+      }
+    Knn.search(probed, vecCol, q, k, model.metric, filter, None, None, tieBreak, roundTo)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (beyond-reference
+  * surface): token counting, quality features, n-gram-heuristic language
+  * ID, and document fingerprinting. All pure codegen'd column expressions
+  * — per-row work only, embarrassingly parallel at any scale.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count: splits on whitespace AND word/punct
+    * boundaries the way byte-pair tokenizers coarsely do; a cheap,
+    * deterministic proxy for "LLM tokens" (≈ chars/4 heuristics are worse).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  private val punctRe = "[^a-zA-Z0-9\\s]"
+
+  /** Quality features (length / punctuation / stopword ratios — the usual
+    * pre-training quality-filter signals).
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val punctChars = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    val stopCnt = size(filter(toks, t => t.isInCollection(stopwords)))
+    val totalTokLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    struct(
+      nTok.as("n_tokens"),
+      nChar.as("n_chars"),
+      (totalTokLen.cast("double") / nTok).as("avg_token_len"),
+      (stopCnt.cast("double") / nTok).as("stopword_ratio"),
+      (punctChars.cast("double") / nChar).as("punct_ratio"))
+  }
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** Per-language marker stopword lists for the n-gram/stopword language
+    * heuristic. Tiny on purpose: language ID at corpus scale wants a
+    * cheap, fully-codegen'd discriminator, not a model.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "por", "para", "que", "no"))
+
+  /** Heuristic language ID: the language whose marker set overlaps the
+    * token set most wins; ties and zero evidence → "und" (undetermined).
+    * One pass, pure expressions: max_by over a literal language array.
+    */
+  def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val toks = tokens(text)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*)) // struct compare: hits first, lang tiebreak
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing-style document fingerprint: min-k sketch over n-gram
+    * shingle hashes. Two docs sharing content share sketch entries; the
+    * full 64-bit xxhash of the text is an exact-match fingerprint.
+    */
+  def fingerprintSketch(text: Column, n: Int, k: Int): Column =
+    slice(array_sort(transform(Dedup.shingles(text, n), s => xxhash64(s))), 1, k)
+
+  def exactFingerprint(text: Column): Column = xxhash64(text)
+
+  /** Full profile DataFrame helper. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      qualityFeatures(t, EnStopwords).as("quality"),
+      langId(t).as("lang_pred"),
+      exactFingerprint(t).as("fingerprint"))
+  }
+}

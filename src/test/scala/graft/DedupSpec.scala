@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+
+  test("shingles: counts and short-doc fallback") {
+    val d = Seq("a b c d", "a b").toDF("text")
+    val r = d.select(Dedup.shingles($"text", 3).as("s")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) == Seq("a b")) // shorter than n → whole doc
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val r = Dedup.exact(d, "id", "text").orderBy("keep_id")
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds planted near-dups, exact values") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .orderBy("id_a").collect()
+    assert(pairs.nonEmpty, "fixture should contain planted near-duplicates")
+    pairs.foreach(p => assert(p.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("minhash LSH: no false positives, high recall vs exact join") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 8, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH output is exact-verified — no false positives")
+    assert(lsh.size >= (exact.size * 0.9).toInt,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("jaccardPairs maxShingleDf cap drops only hot shingles") {
+    // with a cap of 1 every shared shingle is dropped → no pairs
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxShingleDf = Some(1))
+    assert(capped.isEmpty)
+  }
+
+  test("simhash: identical text → same hash; near-dup → small hamming") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now"))
+      .toDF("id", "text")
+    val h = d.select($"id", Dedup.simhash($"text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 12)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 12)
+  }
+
+  test("simhashPairs finds planted near-dups via chunk join") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(p => assert(p.getAs[Number]("hamming").longValue <= 3))
+  }
+
+  test("embedding LSH near-dup: subset of exact, usable recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4,
+      numPlanes = 4, numTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) assert(lsh.nonEmpty, "LSH found nothing")
+  }
+
+  test("candidate generation is equi-join, not cartesian") {
+    val plan = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 8, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+  }
+}

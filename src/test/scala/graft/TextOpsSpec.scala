@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / subwordCount") {
+    val d = Seq(("hello world foo", 3), ("one,two; three!", 3)).toDF("text", "nws")
+    val r = d.select(TextOps.tokenCount($"text"), TextOps.subwordCount($"text")).collect()
+    assert(r(0).getInt(0) == 3)
+    assert(r(1).getInt(0) == 2)       // whitespace: "one,two;" "three!"
+    assert(r(1).getInt(1) == 6)       // subwords: one , two ; three !
+    assert(r(0).getInt(1) == 3)
+  }
+
+  test("qualityFeatures on a known string") {
+    val r = Seq("the cat, and a dog!").toDF("text")
+      .select(TextOps.qualityFeatures($"text", TextOps.EnStopwords).as("q"))
+      .select($"q.n_tokens", $"q.avg_token_len", $"q.stopword_ratio", $"q.punct_ratio")
+      .head()
+    assert(r.getInt(0) == 5)                              // the cat, and a dog!
+    assert(math.abs(r.getDouble(2) - 3.0 / 5) < 1e-9)     // the, and, a
+    assert(math.abs(r.getDouble(3) - 2.0 / 19) < 1e-9)    // ',' and '!'
+  }
+
+  test("langId picks the dominant marker language") {
+    val d = Seq(
+      "the cat is on the mat and it was good",
+      "der hund ist nicht mit der katze und das haus",
+      "le chat est dans la maison pour les amis",
+      "el perro es una mascota para los amigos que no",
+      "xyzzy plugh quux").toDF("text")
+    val r = d.select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(r == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprints: exact equality and sketch overlap") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q w e r t y u i"))
+      .toDF("id", "text")
+    val fp = d.select($"id", TextOps.exactFingerprint($"text").as("f")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    val sk = d.select($"id", TextOps.fingerprintSketch($"text", 3, 4).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L).intersect(sk(3L)).isEmpty)
+  }
+
+  test("profile runs over the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = TextOps.profile(docs, "doc_id", "text")
+    assert(p.count() == docs.count())
+    // word-soup corpus is english-flavored: no de/fr/es predictions dominate
+    val langs = p.groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.keySet.subsetOf(Set("en", "und", "de", "fr", "es")))
+  }
+}
