@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.F
-import graft.operators.{Dedup, Documents, IvfIndex, Knn, TextOps, VearchFilters}
+import graft.operators.{Dedup, Documents, IvfIndex, Knn, Multimodal, PqIndex, TextOps, VearchFilters}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -373,6 +373,42 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
           col("lang_pred"), col("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── §2.4 (rows-only): PQ/ADC two-stage search with recall_num rerank ──
+    "q_pq_search" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val model = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16)
+      val encoded = PqIndex.encode(emb, "embedding", model)
+      PqIndex.search(encoded, col("embedding"), model, qvec(s, dir),
+        k = 10, recallNum = 50, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): binary codes + Hamming top-k (BINARYIVF class) ──
+    "q_knn_hamming" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val coded = emb.withColumn("code", F.signBits(col("embedding")))
+      val qCode = coded.filter(col("vec_id") === 0).select("code").head().getAs[Array[Byte]](0)
+      coded.withColumn("hamming", F.hamming(col("code"), lit(qCode)))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("hamming"))
+    }),
+
+    // ── multimodal (rows-only): binary payload → stub features → KNN ──
+    "q_media_pipeline" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val media = Multimodal.synthesize(s, emb.select(col("vec_id")), "vec_id")
+      val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("feature").cast("array<float>").as("feature"))
+      val q = feats.filter(col("media_id") === 0).select("feature").head().getSeq[Float](0)
+      Knn.search(feats, col("feature"), q, 10, "cosine",
+        tieBreak = Some(col("media_id")), roundTo = Some(4))
+        .select(col("media_id"), col("_score").as("score"))
     }),
   )
 

@@ -101,6 +101,72 @@ object VecKernels {
     best
   }
 
+  /** Pack sign bits of a float vector into bytes (dim/8 bytes, MSB-first) —
+    * produces the binary codes the BINARYIVF path searches with Hamming
+    * distance (reference doc_query.go:296-301: binary vectors are uint8
+    * arrays of dim/8 bytes).
+    */
+  def signBits(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (a.getFloat(i) >= 0f) {
+        out(i >> 3) = (out(i >> 3) | (0x80 >> (i & 7))).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Product-quantization encode: for each of the m subvectors, the id of
+    * the nearest sub-codebook centroid (reference IVFPQ stores nbytes=m
+    * codes per vector, gamma_index_ivfpq.cc).
+    */
+  def pqEncode(a: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var sub = 0
+    var offset = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val cent = cb(k)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = a.getFloat(offset + i).toDouble - cent(i).toDouble
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = k }
+        k += 1
+      }
+      out(sub) = best
+      offset += dsub
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC (asymmetric distance computation): score = Σ_sub lut(sub)(code).
+    * The lookup table is precomputed per query on the driver.
+    */
+  def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    val m = math.min(codes.numElements(), lut.length)
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut(sub)(codes.getInt(sub))
+      sub += 1
+    }
+    s
+  }
+
   /** Hamming distance over packed binary codes (vearch BINARYIVF operates on
     * uint8 codes of dim/8 bytes, internal/engine/index/impl/gamma_index_binary_ivf.cc).
     */

@@ -91,6 +91,45 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign-bit binarization: float vector → packed binary code (dim/8 bytes). */
+case class SignBits(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_sign_bits"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.signBits(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.signBits($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ encode: vector → m sub-codebook code ids (array<int>). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.pqEncode(a.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.pqEncode($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score of a code array against a per-query lookup table. */
+case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.pqAdc(a.asInstanceOf[ArrayData], lut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.pqAdc($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_hamming"

@@ -79,15 +79,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: numHashes column array, element j =
-    * min over shingles of xxhash64(shingle, seed=j). Entirely inside
-    * higher-order functions — one pass per doc, no explosion.
+  /** MinHash signature as a per-row expression: element j = min over
+    * shingles of xxhash64(shingle, seed=j). Takes the shingle ARRAY column
+    * so the (expensive) shingle tree is computed once, not numHashes times.
+    * For corpus-scale signatures prefer the explode+groupBy plan inside
+    * [[minhashLshPairs]] (hashes each shingle exactly once, map-side
+    * combine keeps the shuffle at one row per doc).
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
+  def minhashSignatureFromShingles(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map(j =>
-      array_min(transform(sh, s => xxhash64(s, lit(j))))): _*)
-  }
+      array_min(transform(shingleArr, s => xxhash64(s, lit(j))))): _*)
+
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minhashSignatureFromShingles(shingles(text, n), numHashes)
 
   /** MinHash-LSH near-dup pairs: signatures are cut into `bands` bands of
     * numHashes/bands rows; docs sharing any band hash become candidates
@@ -106,19 +110,29 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val base = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))): _*)
-    val banded = base.select(col("id"), col("sh"), posexplode(bandHashes))
+    // shingle sets computed once; signatures via explode + min-aggregate so
+    // every shingle is hashed exactly once and the map-side combine reduces
+    // the shuffle to one (id, 16 longs) row per doc per partition.
+    val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val ex = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val sig = ex.groupBy(col("id")).agg(
+      min(xxhash64(col("s"), lit(0))).as("h0"),
+      (1 until numHashes).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j")): _*)
+    val bandHashes = array((0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
+      xxhash64(concat_ws(",", cols: _*))
+    }: _*)
+    // candidates travel as narrow (id, band, bh) rows; shingle sets are
+    // re-joined by id only for the exact-verify stage.
+    val banded = sig.select(col("id"), posexplode(bandHashes))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media as opaque
+  * `binary` columns + typed metadata structs, with decode / feature
+  * extraction / resize / frame-sampling as batch-shaped partition-local
+  * transforms.
+  *
+  * ── STUB NOTICE ─────────────────────────────────────────────────────
+  * The actual codec work (JPEG decode, audio resample, video demux) needs
+  * native libraries that are NOT in this container. Every `*Stub` kernel
+  * below is a clearly-marked DETERMINISTIC FAKE (derives its output from
+  * a hash of the bytes). The Spark-side plumbing — schema, partitioning,
+  * batched mapPartitions shape, output contract — is real and tested;
+  * swapping a stub for a real codec changes only the kernel body.
+  * ────────────────────────────────────────────────────────────────────
+  *
+  * Scale shape: decode runs inside `mapPartitions`, i.e. one JVM-local
+  * batch loop per partition — the Scala analog of `mapInPandas` batch
+  * processing. No shuffle; media bytes never leave their partition until
+  * reduced to small features.
+  */
+object Multimodal {
+
+  /** Canonical media schema: id + payload + declared type + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType), StructField("n_frames", IntegerType),
+      StructField("mime", StringType))))))
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, pixel_checksum: Long)
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  private def hashBytes(b: Array[Byte]): Long = {
+    // FNV-1a 64 — deterministic, dependency-free
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** STUB decode: pretends to decode an image, emitting deterministic
+    * dimensions/checksum from the payload hash. Real implementation:
+    * ImageIO/libjpeg-turbo here, same signature and batch shape.
+    */
+  def decodeImages(df: DataFrame): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch => // partition-local batch loop = decode batch
+        batch.map { case (id, bytes) =>
+          val h = hashBytes(if (bytes == null) Array.emptyByteArray else bytes)
+          // STUB: fake dims derived from the content hash
+          DecodedImage(id, width = 64 + (math.abs(h) % 512).toInt,
+            height = 64 + (math.abs(h >> 9) % 512).toInt,
+            channels = 3, pixel_checksum = h)
+        }
+      }
+  }
+
+  /** STUB feature extraction: a deterministic pseudo-embedding from the
+    * payload (real impl: CLIP/CNN inference per batch). Output feeds
+    * directly into Knn/Dedup operators.
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val h0 = hashBytes(if (bytes == null) Array.emptyByteArray else bytes)
+          val f = new Array[Float](dim)
+          var h = h0
+          var i = 0
+          while (i < dim) { h = h * 6364136223846793005L + 1442695040888963407L
+            f(i) = ((h >>> 40).toInt / 16777216.0f) - 0.5f; i += 1 }
+          MediaFeature(id, f)
+        }
+      }
+  }
+
+  /** STUB resize: passthrough payload with rewritten metadata (real impl:
+    * scale pixels). Shows the withColumn/struct-rewrite contract.
+    */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("meta", struct(
+      lit(w).as("width"), lit(h).as("height"),
+      col("meta.sample_rate").as("sample_rate"),
+      col("meta.n_frames").as("n_frames"),
+      col("meta.mime").as("mime")))
+
+  /** STUB frame sampling: emits `n` pseudo-frames per video row (real
+    * impl: demux keyframes). One row in → n small rows out, the flatMap
+    * shape of real frame extraction.
+    */
+  def sampleFrames(df: DataFrame, n: Int): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("media_type") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val src = if (bytes == null) Array.emptyByteArray else bytes
+        (0 until n).map { i =>
+          // STUB: a "frame" is a deterministic slice of the payload
+          val start = if (src.isEmpty) 0 else (i * src.length / n)
+          val end = if (src.isEmpty) 0 else math.min(src.length, start + 8)
+          Frame(id, i, java.util.Arrays.copyOfRange(src, start, end))
+        }
+      }
+  }
+
+  /** Synthesize a deterministic media table over any id column — lets the
+    * multimodal plumbing be exercised against the standard fixtures.
+    */
+  def synthesize(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload",
+        // deterministic pseudo-bytes from the id
+        sha2(concat(lit("media"), col("media_id")), 256).cast("binary"))
+      .withColumn("media_type",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("media_id"), lit(3)) + 1).cast("int")))
+      .withColumn("meta", struct(
+        lit(640).as("width"), lit(480).as("height"),
+        lit(16000).as("sample_rate"), lit(120).as("n_frames"),
+        lit("application/octet-stream").as("mime")))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PqAdcScore, PqEncode}
+
+/** Product quantization — the reference's IVFPQ code path
+  * (gamma_index_ivfpq.cc: nbytes sub-codebooks, ADC scoring, `recall_num`
+  * exact rerank at :262-273) as a two-stage Spark plan:
+  *
+  *   build:  m per-subvector KMeans codebooks (MLlib, bounded sample) →
+  *           `pq_code: array<int>` column. Codes are m ints instead of
+  *           dim floats — the scan for stage 1 reads ~m/(4·dim) of the
+  *           vector bytes (e.g. 8 codes vs 64 floats = 32× less IO).
+  *   search: ADC top-`recallNum` over codes (per-query LUT, codegen'd
+  *           lookup-sum) → join raw vectors for the survivors → exact
+  *           top-k. Matches faiss/vearch rerank semantics.
+  *
+  * Composes with IvfIndex: probe filter first, ADC within probed lists.
+  */
+object PqIndex {
+
+  /** codebooks(sub)(code)(dim_within_sub) */
+  final case class Model(
+      m: Int, ksub: Int, dsub: Int,
+      codebooks: Array[Array[Array[Float]]],
+      metric: String) {
+
+    /** Per-query ADC lookup table: lut(sub)(code) = that subvector's
+      * contribution to the (squared-L2 or negated-IP) distance.
+      */
+    def lut(q: Seq[Float]): Array[Array[Double]] = {
+      val qa = q.toArray
+      Array.tabulate(m) { sub =>
+        val off = sub * dsub
+        Array.tabulate(codebooks(sub).length) { k =>
+          val cent = codebooks(sub)(k)
+          var s = 0.0
+          var i = 0
+          if (metric == "ip") {
+            while (i < dsub) { s += qa(off + i).toDouble * cent(i).toDouble; i += 1 }
+            -s // negate so "smaller is better" uniformly for ADC
+          } else {
+            while (i < dsub) {
+              val d = qa(off + i).toDouble - cent(i).toDouble
+              s += d * d; i += 1
+            }
+            s
+          }
+        }
+      }
+    }
+  }
+
+  /** Train m sub-codebooks (ksub centroids each) on a bounded sample. */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int = 256,
+      metric: String = "l2",
+      seed: Long = 42L,
+      maxTrainRows: Long = 200000L): Model = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    val total = df.count()
+    val sampled =
+      if (total > maxTrainRows) df.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      else df
+    val cached = sampled.select(col(vecCol).as("v")).cache()
+    try {
+      val codebooks = Array.tabulate(m) { sub =>
+        val feats = cached.select(
+          array_to_vector(slice(col("v"), sub * dsub + 1, dsub)).as("features"))
+        val km = new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(15).fit(feats)
+        km.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+      Model(m, ksub, dsub, codebooks, metric)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Add the `pq_code` column (codegen'd per-subvector argmin). */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val fname = s"pq_encode_${math.abs(System.identityHashCode(model))}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, es => PqEncode(es.head, model.codebooks), "built-in")
+    df.withColumn("pq_code", call_function(fname, col(vecCol)))
+  }
+
+  /** ADC score column for a query (lower is better for both metrics; IP is
+    * negated inside the LUT).
+    */
+  def adcScore(model: Model, q: Seq[Float], codesCol: Column, spark: org.apache.spark.sql.SparkSession): Column = {
+    val table = model.lut(q)
+    val fname = s"pq_adc_${math.abs(java.util.Arrays.deepHashCode(table.asInstanceOf[Array[AnyRef]]))}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, es => PqAdcScore(es.head, table), "built-in")
+    call_function(fname, codesCol)
+  }
+
+  /** Two-stage search: ADC top-recallNum → exact rerank to top-k.
+    * `corpus` must carry both `pq_code` and the raw vector column.
+    */
+  def search(
+      corpus: DataFrame,
+      vecCol: Column,
+      model: Model,
+      q: Seq[Float],
+      k: Int,
+      recallNum: Int,
+      idCol: Column,
+      roundTo: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
+    val approx = corpus
+      .withColumn("_adc", adcScore(model, q, col("pq_code"), spark))
+      .orderBy(col("_adc").asc, idCol.asc)
+      .limit(recallNum)
+    Knn.search(approx.drop("_adc"), vecCol, q, k, model.metric,
+      tieBreak = Some(idCol), roundTo = roundTo)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The vearch space (= table) schema model: JSON space definition ⇄ typed
+  * ADT ⇄ Spark StructType, with the reference's validation rules
+  * (internal/entity/space.go:389-559: name rules, reserved fields, vector
+  * dimension > 0, index/type compatibility, partition/replica bounds).
+  *
+  * Storage mapping (SURVEY §1.3): a space is a columnar Parquet/Delta
+  * table; `partition_num` → bucket/shuffle count; `replica_num` is a
+  * storage-layer concern with no Spark equivalent; vector fields are
+  * `array<float>` columns (binary vectors `binary`).
+  */
+object FieldKind extends Enumeration {
+  val StringK, IntK, LongK, FloatK, DoubleK, BoolK, DateK, StringArrayK, VectorK = Value
+}
+
+final case class VectorOptions(
+    dimension: Int,
+    metric: String = "l2",          // InnerProduct | L2 (index_model.h:21)
+    normalized: Boolean = false,    // format: normalization (space.go:496-499)
+    valueType: String = "float")    // float | binary | int8 (index_model.h:19)
+
+final case class SpaceField(
+    name: String,
+    kind: FieldKind.Value,
+    indexed: Boolean = false,
+    vector: Option[VectorOptions] = None)
+
+final case class Space(
+    name: String,
+    fields: Seq[SpaceField],
+    partitionNum: Int = 1,
+    replicaNum: Int = 1) {
+
+  /** `_id` is implicit and reserved (entity/space.go:30-31). */
+  def toStructType: StructType = {
+    val idField = StructField("_id", StringType, nullable = false)
+    val rest = fields.map { f =>
+      val dt: DataType = f.kind match {
+        case FieldKind.StringK      => StringType
+        case FieldKind.IntK         => IntegerType
+        case FieldKind.LongK        => LongType
+        case FieldKind.FloatK       => FloatType
+        case FieldKind.DoubleK      => DoubleType
+        case FieldKind.BoolK        => BooleanType
+        // vearch dates are int64 UnixNano (doc_query.go:1033-1045); Spark
+        // timestamps are µs — store the ns long to preserve semantics.
+        case FieldKind.DateK        => LongType
+        case FieldKind.StringArrayK => ArrayType(StringType)
+        case FieldKind.VectorK =>
+          if (f.vector.exists(_.valueType == "binary")) BinaryType
+          else ArrayType(FloatType)
+      }
+      StructField(f.name, dt, nullable = true)
+    }
+    StructType(idField +: rest)
+  }
+
+  def vectorFields: Seq[SpaceField] = fields.filter(_.kind == FieldKind.VectorK)
+}
+
+object Space {
+
+  private val Reserved = Set("_id", "_score") // entity/space.go:30-31
+  private val NameRe = "^[a-zA-Z][a-zA-Z0-9_-]*$".r // space.go name rules
+
+  /** Parse + validate a vearch space-definition JSON:
+    * {"name": ..., "partition_num": N, "replica_num": N,
+    *  "fields": [{"name","type","index":{...},"dimension",...}]}
+    */
+  def fromJson(json: String): Space = {
+    val j = JsonMethods.parse(json)
+    val name = (j \ "name") match {
+      case JString(s) => s
+      case _ => fail("space name is required")
+    }
+    if (NameRe.findFirstIn(name).isEmpty) fail(s"invalid space name: $name")
+    val partitionNum = (j \ "partition_num") match {
+      case JInt(n) => n.toInt; case _ => 1
+    }
+    val replicaNum = (j \ "replica_num") match {
+      case JInt(n) => n.toInt; case _ => 1
+    }
+    if (partitionNum < 1) fail("partition_num must be >= 1")
+    if (replicaNum < 1) fail("replica_num must be >= 1")
+    val fields = (j \ "fields") match {
+      case JArray(fs) if fs.nonEmpty => fs.map(parseField)
+      case _ => fail("space needs at least one field")
+    }
+    val dupes = fields.groupBy(_.name).filter(_._2.size > 1).keys
+    if (dupes.nonEmpty) fail(s"duplicate fields: ${dupes.mkString(",")}")
+    Space(name, fields, partitionNum, replicaNum)
+  }
+
+  private def parseField(f: JValue): SpaceField = {
+    val name = (f \ "name") match {
+      case JString(s) => s; case _ => fail("field name required")
+    }
+    if (Reserved.contains(name)) fail(s"$name is reserved") // space.go:441-446
+    val tpe = (f \ "type") match {
+      case JString(s) => s; case _ => fail(s"field $name: type required")
+    }
+    val indexed = (f \ "index") != JNothing
+    // type map mirrors entity/space.go:464-504
+    tpe.toLowerCase match {
+      case "string" | "keyword" | "text" =>
+        SpaceField(name, FieldKind.StringK, indexed)
+      case "integer" | "short" | "byte" => SpaceField(name, FieldKind.IntK, indexed)
+      case "long"     => SpaceField(name, FieldKind.LongK, indexed)
+      case "float"    => SpaceField(name, FieldKind.FloatK, indexed)
+      case "double"   => SpaceField(name, FieldKind.DoubleK, indexed)
+      case "boolean"  => SpaceField(name, FieldKind.BoolK, indexed)
+      case "date"     => SpaceField(name, FieldKind.DateK, indexed)
+      case "stringarray" => SpaceField(name, FieldKind.StringArrayK, indexed)
+      case "vector" =>
+        val dim = (f \ "dimension") match {
+          case JInt(d) => d.toInt
+          case _ => fail(s"vector field $name: dimension required") // space.go:485-488
+        }
+        if (dim <= 0) fail(s"vector field $name: dimension must be > 0")
+        val metric = (f \ "index" \ "params" \ "metric_type") match {
+          case JString(m) if m.equalsIgnoreCase("innerproduct") => "ip"
+          case JString(m) if m.equalsIgnoreCase("l2") => "l2"
+          case JNothing => "l2"
+          case JString(other) => fail(s"unknown metric_type: $other")
+          case _ => "l2"
+        }
+        val normalized = (f \ "format") match {
+          case JString("normalization") => true; case _ => false
+        }
+        SpaceField(name, FieldKind.VectorK, indexed,
+          Some(VectorOptions(dim, metric, normalized)))
+      case other => fail(s"field $name: unknown type $other")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"invalid space: $msg")
+}

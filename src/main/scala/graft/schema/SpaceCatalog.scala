@@ -1,0 +1,109 @@
+package graft.schema
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The master's admin surface (SURVEY §2.10: db/space/alias CRUD) mapped to
+  * catalog operations: a database is a directory namespace, a space is a
+  * parquet table under it (registered as a view `db.space` name), an alias
+  * is another view. `partition_num` becomes the write-side bucket count
+  * via repartition on hash(_id) — the murmur3-slot layout of the reference
+  * (internal/entity/space.go:210-236) expressed as Spark hash partitioning.
+  */
+final class SpaceCatalog(spark: SparkSession, root: String) {
+
+  private def dir(db: String, space: String) = s"$root/$db/$space"
+  private def viewName(db: String, space: String) = s"${db}__$space"
+
+  def createDb(db: String): Unit = { Files.createDirectories(Paths.get(s"$root/$db")); () }
+
+  def listDbs(): Seq[String] = {
+    val d = Paths.get(root).toFile
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  /** Create a space: persists an empty table with the declared schema and
+    * registers the view. Fails if it exists (like the reference's 409).
+    */
+  def createSpace(db: String, space: Space): Unit = {
+    val path = dir(db, space.name)
+    require(!Files.exists(Paths.get(path)), s"space ${space.name} already exists")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], space.toStructType)
+    empty.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    refreshView(db, space.name)
+  }
+
+  /** Upsert a batch into a space (id-hash partitioned like vearch's slot
+    * routing). Rewrites the table — a transactional format would MERGE.
+    */
+  def upsert(db: String, spaceName: String, batch: DataFrame, partitionNum: Int = 1): Unit = {
+    val path = dir(db, spaceName)
+    val base = spark.read.parquet(path)
+    val merged = graft.operators.Documents.upsert(base, batch, "_id")
+      .repartition(partitionNum, col("_id"))
+    val tmp = s"$path.tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    replace(path, tmp)
+    refreshView(db, spaceName)
+  }
+
+  def deleteByQuery(db: String, spaceName: String, pred: org.apache.spark.sql.Column): Unit = {
+    val path = dir(db, spaceName)
+    val remaining = spark.read.parquet(path).filter(!pred)
+    val tmp = s"$path.tmp"
+    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+    replace(path, tmp)
+    refreshView(db, spaceName)
+  }
+
+  def read(db: String, spaceName: String): DataFrame =
+    spark.read.parquet(dir(db, spaceName))
+
+  def dropSpace(db: String, spaceName: String): Unit = {
+    deleteRecursively(Paths.get(dir(db, spaceName)))
+    spark.catalog.dropTempView(viewName(db, spaceName))
+    ()
+  }
+
+  /** Alias CRUD (internal/entity/alias.go; resolved per request at
+    * doc_service.go:131-136) — a view over the target space's view.
+    */
+  def createAlias(alias: String, db: String, spaceName: String): Unit =
+    spark.read.parquet(dir(db, spaceName)).createOrReplaceTempView(alias)
+
+  def dropAlias(alias: String): Unit = { spark.catalog.dropTempView(alias); () }
+
+  /** Space "stats" (GetDocsNum, engine.cc:1138). */
+  def docCount(db: String, spaceName: String): Long = read(db, spaceName).count()
+
+  /** Backup = CREATE TABLE AS (internal/ps/backup/). */
+  def backup(db: String, spaceName: String, targetPath: String): Unit =
+    read(db, spaceName).write.mode(SaveMode.ErrorIfExists).parquet(targetPath)
+
+  def restore(db: String, spaceName: String, sourcePath: String): Unit = {
+    val path = dir(db, spaceName)
+    require(!Files.exists(Paths.get(path)), s"space $spaceName already exists")
+    spark.read.parquet(sourcePath).write.parquet(path)
+    refreshView(db, spaceName)
+  }
+
+  private def refreshView(db: String, spaceName: String): Unit =
+    spark.read.parquet(dir(db, spaceName)).createOrReplaceTempView(viewName(db, spaceName))
+
+  private def replace(path: String, tmp: String): Unit = {
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    ()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The vearch realtime-search capability (SURVEY §2.8: `enable_realtime` —
+  * freshly ingested vectors live in a FLAT-scanned memory buffer, searches
+  * scan main index ∪ buffer, a background loop folds the buffer into the
+  * index every `refresh_interval` ms, vector_manager.cc:941-1176,
+  * engine.cc:1084-1137) re-expressed with Structured Streaming:
+  *
+  *   ingest:  readStream → writeStream(parquet) into a TAIL table
+  *   query:   indexed BASE table ∪ brute-forced TAIL (dedup by id,
+  *            tail wins — matches buffer-over-index merge order)
+  *   compact: fold tail into base + clear tail (= their Indexing loop);
+  *            trigger cadence = refresh_interval.
+  *
+  * The tail stays small (one refresh interval of ingest), so its
+  * brute-force scan cost is bounded regardless of base size.
+  */
+final class RealtimeTail(
+    spark: SparkSession,
+    val basePath: String,
+    val tailPath: String,
+    checkpointPath: String,
+    idCol: String) {
+
+  /** Start streaming ingest into the tail table. */
+  def startIngest(source: DataFrame, intervalMs: Long = 1000L): StreamingQuery =
+    source.writeStream
+      .format("parquet")
+      .option("path", tailPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+
+  private def readOrEmpty(path: String, schema: StructType): DataFrame =
+    try {
+      val df = spark.read.schema(schema).parquet(path)
+      df
+    } catch { case _: Exception => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
+
+  /** Unified view: base rows not superseded by tail, plus all tail rows
+    * (id-level last-write-wins, the upsert merge semantics).
+    */
+  def snapshot(schema: StructType): DataFrame = {
+    val base = readOrEmpty(basePath, schema)
+    val tail = readOrEmpty(tailPath, schema)
+    graft.operators.Documents.upsert(base, tail.dropDuplicates(idCol), idCol)
+  }
+
+  /** Fold the tail into the base (the reference's background Indexing
+    * loop, engine.cc:1084-1137) and clear the tail. `assign` is where IVF
+    * list_id assignment for the new rows happens (IvfIndex.assign) before
+    * the append. Call between ingest runs (stream stopped or paused) —
+    * with a transactional table format this becomes a single MERGE +
+    * truncate; on plain parquet we swap directories.
+    */
+  def compact(schema: StructType, assign: DataFrame => DataFrame = identity): Unit = {
+    val merged = assign(snapshot(schema))
+    val tmp = s"$basePath.compact.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val tailP = new org.apache.hadoop.fs.Path(tailPath)
+    fs.delete(baseP, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), baseP)
+    fs.delete(tailP, true)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Knn, PqIndex}
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val model = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16)
+  private lazy val encoded = PqIndex.encode(emb, "embedding", model).cache()
+  private lazy val q0 = emb.filter($"vec_id" === 0)
+    .select("embedding").head().getSeq[Float](0)
+
+  test("codes have m entries in [0, ksub)") {
+    val codes = encoded.select($"pq_code").head().getSeq[Int](0)
+    assert(codes.size == 8)
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("ADC ordering correlates with true L2: self is best") {
+    val spark2 = spark
+    val adc = encoded
+      .withColumn("_adc", PqIndex.adcScore(model, q0, col("pq_code"), spark2))
+      .orderBy($"_adc".asc).select($"vec_id").limit(5).as[Long].collect()
+    assert(adc.contains(0L), s"self not in ADC top-5: ${adc.toSeq}")
+  }
+
+  test("recall_num = N degenerates to exact search") {
+    val n = encoded.count().toInt
+    val viaPq = PqIndex.search(encoded, $"embedding", model, q0,
+      k = 10, recallNum = n, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(emb, $"embedding", q0, 10, "l2", tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(viaPq == exact)
+  }
+
+  test("two-stage rerank hits the recall gate at modest recall_num") {
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    var hits = 0; var total = 0
+    for ((_, q) <- queries) {
+      val exact = Knn.search(emb, $"embedding", q, 10, "l2", tieBreak = Some($"vec_id"))
+        .select($"vec_id").as[Long].collect().toSet
+      // random-ish fixture vectors have no cluster structure, the hardest
+      // case for PQ — a deeper rerank pool (20% of N) recovers the gate
+      val got = PqIndex.search(encoded, $"embedding", model, q,
+        k = 10, recallNum = 100, idCol = $"vec_id")
+        .select($"vec_id").as[Long].collect().toSet
+      hits += got.intersect(exact).size; total += exact.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"PQ rerank recall@10 = $recall")
+  }
+
+  test("ip metric: ADC uses negated dot, search still ranks self first") {
+    val mIp = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16, metric = "ip")
+    val encIp = PqIndex.encode(emb, "embedding", mIp)
+    val r = PqIndex.search(encIp, $"embedding", mIp, q0,
+      k = 3, recallNum = 50, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect()
+    assert(r.head == 0L)
+  }
+}

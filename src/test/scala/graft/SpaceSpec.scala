@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.schema.{FieldKind, Space, SpaceCatalog}
+
+class SpaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodJson =
+    """{"name": "ts_space", "partition_num": 2, "replica_num": 1,
+        "fields": [
+          {"name": "field_int", "type": "integer", "index": {"type": "SCALAR"}},
+          {"name": "field_str", "type": "string"},
+          {"name": "tags", "type": "stringArray"},
+          {"name": "created", "type": "date"},
+          {"name": "field_vector", "type": "vector", "dimension": 8,
+           "format": "normalization",
+           "index": {"type": "IVFFLAT", "params": {"metric_type": "InnerProduct"}}}
+        ]}"""
+
+  test("space JSON parses to the right StructType") {
+    val sp = Space.fromJson(goodJson)
+    val st = sp.toStructType
+    assert(st.fieldNames.toSeq ==
+      Seq("_id", "field_int", "field_str", "tags", "created", "field_vector"))
+    assert(st("field_int").dataType == IntegerType)
+    assert(st("tags").dataType == ArrayType(StringType))
+    assert(st("created").dataType == LongType) // ns-epoch semantics
+    assert(st("field_vector").dataType == ArrayType(FloatType))
+    val vf = sp.vectorFields.head
+    assert(vf.vector.get.dimension == 8)
+    assert(vf.vector.get.metric == "ip")
+    assert(vf.vector.get.normalized)
+  }
+
+  test("validation: reserved names, bad dim, dupes, bad type") {
+    def bad(json: String) = assertThrows[IllegalArgumentException](Space.fromJson(json))
+    bad("""{"name":"x","fields":[{"name":"_id","type":"string"}]}""")
+    bad("""{"name":"x","fields":[{"name":"v","type":"vector","dimension":0}]}""")
+    bad("""{"name":"x","fields":[{"name":"v","type":"vector"}]}""")
+    bad("""{"name":"x","fields":[{"name":"a","type":"long"},{"name":"a","type":"long"}]}""")
+    bad("""{"name":"x","fields":[{"name":"a","type":"uuid"}]}""")
+    bad("""{"name":"9bad","fields":[{"name":"a","type":"long"}]}""")
+    bad("""{"name":"x","fields":[]}""")
+  }
+
+  test("catalog: create/upsert/query/alias/count/backup/restore/drop") {
+    val root = java.nio.file.Files.createTempDirectory("spaces").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("db1")
+    val sp = Space.fromJson(
+      """{"name":"s1","fields":[{"name":"n","type":"long"}]}""")
+    cat.createSpace("db1", sp)
+    assertThrows[IllegalArgumentException](cat.createSpace("db1", sp))
+
+    val batch = Seq(("a", 1L), ("b", 2L)).toDF("_id", "n")
+    cat.upsert("db1", "s1", batch)
+    assert(cat.docCount("db1", "s1") == 2)
+
+    cat.upsert("db1", "s1", Seq(("b", 20L), ("c", 3L)).toDF("_id", "n"))
+    val rows = cat.read("db1", "s1").orderBy("_id")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+
+    cat.createAlias("s1_alias", "db1", "s1")
+    assert(spark.table("s1_alias").count() == 3)
+
+    cat.deleteByQuery("db1", "s1", org.apache.spark.sql.functions.col("n") > 10)
+    assert(cat.docCount("db1", "s1") == 2)
+
+    val bdir = s"$root/backup1"
+    cat.backup("db1", "s1", bdir)
+    cat.dropSpace("db1", "s1")
+    cat.restore("db1", "s1", bdir)
+    assert(cat.docCount("db1", "s1") == 2)
+  }
+}
