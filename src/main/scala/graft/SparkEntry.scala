@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft.F
+import graft.api.SearchApi
 import graft.operators.{Dedup, Documents, IvfIndex, Knn, Multimodal, PqIndex, TextOps, VearchFilters}
+import graft.schema.Space
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +26,17 @@ object SparkEntry {
       .select("embedding").head().getSeq[Float](0)
 
   private def init(s: SparkSession): SparkSession = { Graft.registerFunctions(s); s }
+
+  /** The F1-style space over the embeddings fixture for API-level queries. */
+  private val embSpace = Space.fromJson(
+    """{"name":"emb_space","fields":[
+        {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+        {"name":"embedding","type":"vector","dimension":64,
+         "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id").cast("string").as("_id"), col("label"), col("embedding"))
 
   /** Flagship: hybrid search — scalar-filtered brute-force KNN, the vearch
     * hot path (SURVEY §3.1). Driver smoke-checks rows > 0 on sf0.001.
@@ -398,6 +411,25 @@ object SparkEntry {
         .select(col("vec_id"), col("hamming"))
     }),
 
+    // ── §3.1 the full REST request surface: search verb end-to-end ──
+    "q_api_search" -> ((s, dir) => {
+      init(s)
+      val q = qvec(s, dir).mkString("[", ",", "]")
+      SearchApi.search(embCorpus(s, dir), embSpace,
+        s"""{"vectors":[{"field":"embedding","feature":$q}],
+             "filters":{"operator":"AND","conditions":[
+               {"operator":"IN","field":"label","value":[1,3,5]}]},
+             "limit":12}""")
+        .select(col("_id"), col("label"), round(col("_score"), 4).as("score"))
+    }),
+
+    // ── §3.2 the query verb: document_ids path, request order ──
+    "q_api_query_ids" -> ((s, dir) => {
+      init(s)
+      SearchApi.query(embCorpus(s, dir), embSpace,
+        """{"document_ids":["42","7","99"],"limit":50}""")
+    }),
+
     // ── multimodal (rows-only): binary payload → stub features → KNN ──
     "q_media_pipeline" -> ((s, dir) => {
       init(s)
@@ -626,5 +658,20 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_api_search" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT CAST(vec_id AS VARCHAR) AS _id, label, embedding FROM embeddings)
+         SELECT c._id, c.label,
+                round(list_dot_product(c.embedding::DOUBLE[], q.v), 4) AS score
+         FROM c, q WHERE c.label IN (1,3,5)
+         ORDER BY list_dot_product(c.embedding::DOUBLE[], q.v) DESC, c._id
+         LIMIT 12""",
+
+    "q_api_query_ids" ->
+      """SELECT CAST(e.vec_id AS VARCHAR) AS _id, e.label
+         FROM (VALUES ('42', 0), ('7', 1), ('99', 2)) AS t(id, ord)
+         JOIN embeddings e ON CAST(e.vec_id AS VARCHAR) = t.id
+         ORDER BY t.ord""",
   )
 }

@@ -1,0 +1,121 @@
+package graft.api
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** Index lifecycle verbs (SURVEY §2.8): rebuild / force-merge / add /
+  * remove with the BUILDING→READY/FAILED state machine the reference keeps
+  * in RocksDB (scalar_index_manager.h:75-125, engine.cc:1561-1666). Here
+  * state is a sidecar JSON next to the index table — atomic because each
+  * build writes to a fresh directory and the state file flips last
+  * (crash before the flip leaves the previous READY index in place, the
+  * same recovery contract as their BUILDING marker).
+  */
+final class IndexLifecycle(spark: SparkSession, spacePath: String) {
+
+  private def statePath = s"$spacePath.index_state.json"
+  private def indexPath(gen: Long) = s"$spacePath.index.g$gen"
+
+  sealed trait State
+  case object Missing extends State
+  final case class Building(gen: Long) extends State
+  final case class Ready(gen: Long, ncentroids: Int) extends State
+  final case class Failed(gen: Long, reason: String) extends State
+
+  def state: State = {
+    val p = Paths.get(statePath)
+    if (!Files.exists(p)) Missing
+    else {
+      val s = new String(Files.readAllBytes(p))
+      val parts = s.trim.split(":", 3)
+      parts(0) match {
+        case "BUILDING" => Building(parts(1).toLong)
+        case "READY"    => Ready(parts(1).toLong, parts(2).toInt)
+        case "FAILED"   => Failed(parts(1).toLong, parts(2))
+        case _          => Missing
+      }
+    }
+  }
+
+  private def writeState(s: String): Unit = {
+    val tmp = Paths.get(s"$statePath.tmp")
+    Files.write(tmp, s.getBytes)
+    Files.move(tmp, Paths.get(statePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Build (or rebuild) the IVF index: train on the current space
+    * contents, write an assigned+partitioned copy under a new generation,
+    * flip READY last. `dropBeforeRebuild=false` keeps serving the old
+    * generation until the flip (the rebuild semantics of
+    * POST /index/rebuild, engine.cc:1013-1083).
+    */
+  def rebuild(vecCol: String, ncentroids: Int): Ready = {
+    val gen = System.currentTimeMillis()
+    writeState(s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val model = IvfIndex.train(corpus, vecCol, ncentroids)
+      IvfIndex.buildTable(corpus, vecCol, model, indexPath(gen))
+      // persist centroids alongside for query-time probe selection
+      val centroids = model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+      import spark.implicits._
+      centroids.toDF("list_id", "centroid").write
+        .mode("overwrite").parquet(s"${indexPath(gen)}.centroids")
+      writeState(s"READY:$gen:$ncentroids")
+      Ready(gen, ncentroids)
+    } catch {
+      case e: Exception =>
+        writeState(s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The current READY index table, or None while missing/building. */
+  def readyIndex(): Option[DataFrame] = state match {
+    case Ready(gen, _) => Some(spark.read.parquet(indexPath(gen)))
+    case _             => None
+  }
+
+  def loadModel(metric: String = "l2"): Option[IvfIndex.Model] = state match {
+    case Ready(gen, _) =>
+      val rows = spark.read.parquet(s"${indexPath(gen)}.centroids")
+        .orderBy("list_id").collect()
+      val cents = rows.map(_.getSeq[Float](1).toArray)
+      Some(IvfIndex.Model(cents, metric))
+    case _ => None
+  }
+
+  /** Force-merge ≡ compaction: rewrite the space with a target file count
+    * (POST /index/forcemerge → Optimize(), handler_document.go:468-476).
+    */
+  def forceMerge(targetFiles: Int = 1): Unit = {
+    val df = spark.read.parquet(spacePath).coalesce(targetFiles)
+    val tmp = s"$spacePath.merge.tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(spacePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(spacePath))
+    ()
+  }
+
+  /** Remove the index (state + generations). */
+  def drop(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    state match {
+      case Ready(gen, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(indexPath(gen)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"${indexPath(gen)}.centroids"), true)
+      case _ =>
+    }
+    Files.deleteIfExists(Paths.get(statePath))
+    ()
+  }
+}

@@ -1,0 +1,239 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.{Documents, Knn, VearchFilters}
+import graft.schema.{FieldKind, Space}
+
+/** Request-level API parity: the vearch REST verbs
+  * `POST /document/search` and `POST /document/query` compiled from their
+  * request JSON straight to a DataFrame plan (reference parse path:
+  * requestToPb internal/router/document/doc_query.go:1402-1584,
+  * queryRequestToPb :1254-1400).
+  *
+  * Covered request surface:
+  *  - `vectors`: per-field query vector(s); a flat feature array of
+  *    req_num×dim becomes a BATCH of req_num queries (doc_query.go:296-318)
+  *  - multi-field vector conditions → docid intersection + WeightedRanker
+  *  - `filters` (AND/OR range/term tree) → scalar pre-filter
+  *  - `min_score`/`max_score` per vector condition
+  *  - `limit` (default 50, doc_query.go:43), `offset` / page_size+page_num
+  *  - `fields` projection: default all scalars, `_id` always included,
+  *    vectors only when `vector_value:true` (doc_query.go:1416-1459)
+  *  - `is_brute_search` accepted (0/1/2 — this FLAT path is always exact)
+  *  - normalization of query vectors for fields with format=normalization
+  *    (client.go:603-665)
+  *  - `document_ids` point lookups preserving request order
+  * L2 sorts ascending, IP descending (doc_query.go:1526-1528).
+  */
+object SearchApi {
+
+  final case class VecCond(
+      field: String,
+      queries: Seq[Seq[Float]],
+      minScore: Option[Double],
+      maxScore: Option[Double])
+
+  final case class SearchRequest(
+      vectors: Seq[VecCond],
+      filter: Option[String],     // raw filters JSON subtree
+      fields: Option[Seq[String]],
+      vectorValue: Boolean,
+      limit: Int,
+      offset: Int,
+      weights: Option[Seq[Double]],
+      isBruteSearch: Int)
+
+  /** Slow-search classification (doc_query.go:218-234): big topN, deep
+    * probing, or many filters → isolate in a separate scheduler pool.
+    * Returns the pool name to set via
+    * sparkContext.setLocalProperty("spark.scheduler.pool", _).
+    */
+  def classifyPool(limit: Int, nprobe: Int, ncentroids: Int, nFilters: Int): String =
+    if (limit >= 500 || (ncentroids > 0 && nprobe >= ncentroids / 10) || nFilters >= 3)
+      "slow"
+    else "default"
+
+  private def doubleOf(v: JValue): Option[Double] = v match {
+    case JDouble(d) => Some(d)
+    case JInt(i)    => Some(i.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _ => None
+  }
+
+  def parseSearch(json: String, space: Space): SearchRequest = {
+    val j = JsonMethods.parse(json)
+    val dims: Map[String, Int] = space.vectorFields
+      .map(f => f.name -> f.vector.get.dimension).toMap
+    val vecs = (j \ "vectors") match {
+      case JArray(vs) => vs.map { v =>
+        val field = (v \ "field") match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException("vector condition needs field")
+        }
+        val dim = dims.getOrElse(field,
+          throw new IllegalArgumentException(s"$field is not a vector field"))
+        val flat = (v \ "feature") match {
+          case JArray(xs) => xs.map {
+            case JDouble(d) => d.toFloat
+            case JInt(i)    => i.toFloat
+            case JDecimal(d) => d.toFloat
+            case other => throw new IllegalArgumentException(s"bad feature value $other")
+          }
+          case _ => throw new IllegalArgumentException("vector condition needs feature")
+        }
+        // req_num queries ride in one flat array (doc_query.go:296-318)
+        if (flat.isEmpty || flat.size % dim != 0)
+          throw new IllegalArgumentException(
+            s"feature length ${flat.size} not a multiple of dimension $dim")
+        VecCond(field, flat.grouped(dim).toSeq,
+          doubleOf(v \ "min_score"), doubleOf(v \ "max_score"))
+      }
+      case _ => Seq.empty
+    }
+    val filter = (j \ "filters") match {
+      case JNothing => None
+      case f => Some(JsonMethods.compact(JsonMethods.render(f)))
+    }
+    val fields = (j \ "fields") match {
+      case JArray(fs) => Some(fs.collect { case JString(s) => s })
+      case _ => None
+    }
+    val vectorValue = (j \ "vector_value") match {
+      case JBool(b) => b; case _ => false
+    }
+    val limit = (j \ "limit") match { case JInt(n) => n.toInt; case _ => 50 }
+    // page_size/page_num slicing (client.go:888-899) or plain offset
+    val offset = ((j \ "page_size"), (j \ "page_num")) match {
+      case (JInt(ps), JInt(pn)) if pn.toInt > 0 => ps.toInt * (pn.toInt - 1)
+      case _ => (j \ "offset") match { case JInt(o) => o.toInt; case _ => 0 }
+    }
+    val weights = (j \ "ranker" \ "params" \ "weights") match {
+      case JArray(ws) => Some(ws.flatMap(doubleOf))
+      case _ => None
+    }
+    val brute = (j \ "is_brute_search") match { case JInt(b) => b.toInt; case _ => 2 }
+    SearchRequest(vecs, filter, fields, vectorValue, limit, offset, weights, brute)
+  }
+
+  private def arrayFields(space: Space): Set[String] =
+    space.fields.filter(_.kind == FieldKind.StringArrayK).map(_.name).toSet
+
+  private def metricOf(space: Space, field: String): String =
+    space.vectorFields.find(_.name == field)
+      .flatMap(_.vector).map(_.metric).getOrElse("l2")
+
+  private def maybeNormalize(space: Space, field: String, q: Seq[Float]): Seq[Float] = {
+    val normalized = space.vectorFields.find(_.name == field)
+      .flatMap(_.vector).exists(_.normalized)
+    if (!normalized) q
+    else {
+      val n = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) q else q.map(x => (x / n).toFloat)
+    }
+  }
+
+  /** Projection per the reference rules: requested fields (plus `_id`), or
+    * all scalar fields; vector columns only when vector_value.
+    */
+  private def projection(space: Space, req: SearchRequest, extra: Seq[String]): Seq[Column] = {
+    val vectorNames = space.vectorFields.map(_.name).toSet
+    val base = req.fields match {
+      case Some(fs) =>
+        val withId = if (fs.contains("_id")) fs else "_id" +: fs
+        withId.filterNot(f => vectorNames.contains(f) && !req.vectorValue)
+      case None =>
+        val scalars = space.fields.filterNot(f => vectorNames.contains(f.name)).map(_.name)
+        val all = "_id" +: scalars
+        if (req.vectorValue) all ++ space.vectorFields.map(_.name) else all
+    }
+    (base ++ extra).map(col)
+  }
+
+  /** `POST /document/search` → DataFrame. Output carries `_score` (and
+    * `_qid` for batched requests).
+    */
+  def search(corpus: DataFrame, space: Space, requestJson: String): DataFrame = {
+    val req = parseSearch(requestJson, space)
+    require(req.vectors.nonEmpty, "search request needs at least one vector condition")
+    val pred = req.filter.map(VearchFilters.parse(_, arrayFields(space)))
+
+    if (req.vectors.size == 1 && req.vectors.head.queries.size == 1) {
+      val vc = req.vectors.head
+      val q = maybeNormalize(space, vc.field, vc.queries.head)
+      val result = Knn.search(corpus, col(vc.field), q,
+        req.limit + req.offset, metricOf(space, vc.field),
+        filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
+        tieBreak = Some(col("_id")))
+      val sliced = if (req.offset > 0) result.offset(req.offset) else result
+      sliced.select(projection(space, req, Seq("_score")): _*)
+    } else if (req.vectors.size > 1) {
+      // multi-field conjunctive: per-field top-k, id intersection, weighted
+      require(req.vectors.forall(_.queries.size == 1),
+        "batched multi-field search is not in the reference surface")
+      val metric = metricOf(space, req.vectors.head.field)
+      val filtered = pred.map(corpus.filter).getOrElse(corpus)
+      val fields = req.vectors.map(vc =>
+        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head)))
+      // perFieldK scales with limit like the engine's per-index topn
+      val ranked = Knn.multiVectorSearch(filtered, "_id", fields,
+        perFieldK = math.max(req.limit * 10, 200), k = req.limit + req.offset,
+        metric = metric, weights = req.weights)
+      val sliced = if (req.offset > 0) ranked.offset(req.offset) else ranked
+      sliced.select(col("_id"), col("_score"))
+    } else {
+      // one field, req_num > 1 → batch: one result block per query id
+      val vc = req.vectors.head
+      val metric = metricOf(space, vc.field)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val queries = vc.queries.zipWithIndex
+        .map { case (q, i) => (i, maybeNormalize(space, vc.field, q)) }
+        .toDF("_qid", "_qv")
+        .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+      val filtered = pred.map(corpus.filter).getOrElse(corpus)
+      val payload = struct(corpus.columns.map(col).toIndexedSeq: _*)
+      val res = Knn.searchBatch(filtered, col(vc.field), payload, queries,
+        "_qid", "_qv", req.limit, metric)
+      val gated = (vc.minScore, vc.maxScore) match {
+        case (Some(lo), Some(hi)) => res.filter(col("_score").between(lo, hi))
+        case (Some(lo), None)     => res.filter(col("_score") >= lo)
+        case (None, Some(hi))     => res.filter(col("_score") <= hi)
+        case _                    => res
+      }
+      val flat = gated.select(col("_qid"), col("_score"), col("_item.*"))
+      flat.select(projection(space, req, Seq("_qid", "_score")): _*)
+    }
+  }
+
+  /** `POST /document/query` → DataFrame: document_ids path (request order)
+    * or filtered scan with limit/offset. No scoring, no defined global
+    * order beyond the reference's (we sort by `_id` for determinism only
+    * when neither ids nor filters demand an order).
+    */
+  def query(corpus: DataFrame, space: Space, requestJson: String): DataFrame = {
+    val j = JsonMethods.parse(requestJson)
+    val req = parseSearch(
+      JsonMethods.compact(JsonMethods.render(j removeField {
+        case ("document_ids", _) => true; case _ => false })), space)
+    (j \ "document_ids") match {
+      case JArray(ids) if ids.nonEmpty =>
+        val idSeq = ids.collect { case JString(s) => s }
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val reqDf = idSeq.zipWithIndex.map { case (id, i) => (i, id) }.toDF("_ord", "_id")
+        corpus.join(broadcast(reqDf), Seq("_id")).orderBy(col("_ord"))
+          .limit(req.limit)
+          .select(projection(space, req, Seq.empty): _*)
+      case _ =>
+        val pred = req.filter.map(VearchFilters.parse(_, arrayFields(space)))
+        val filtered = pred.map(corpus.filter).getOrElse(corpus)
+        val ordered = filtered.orderBy(col("_id"))
+        val sliced = if (req.offset > 0) ordered.offset(req.offset) else ordered
+        sliced.limit(req.limit).select(projection(space, req, Seq.empty): _*)
+    }
+  }
+}

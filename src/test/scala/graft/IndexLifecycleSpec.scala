@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.api.IndexLifecycle
+import graft.operators.{IvfIndex, Knn}
+
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rebuild: BUILDING -> READY, searchable generation, force-merge, drop") {
+    val root = Files.createTempDirectory("lifecycle").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .repartition(4).write.parquet(spacePath)
+
+    val lc = new IndexLifecycle(spark, spacePath)
+    assert(lc.state == lc.Missing)
+    assert(lc.readyIndex().isEmpty)
+
+    val ready = lc.rebuild("embedding", ncentroids = 8)
+    assert(lc.state == lc.Ready(ready.gen, 8))
+
+    // the READY generation serves IVF searches that match in-memory results
+    val model = lc.loadModel().get
+    assert(model.ncentroids == 8)
+    val idx = lc.readyIndex().get
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0)
+    val viaIndex = IvfIndex.search(idx, $"embedding", model, q, 5, nprobe = 8,
+      tieBreak = Some($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(spark.read.parquet(s"$sf/embeddings.parquet"),
+      $"embedding", q, 5, "l2", tieBreak = Some($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex == exact) // nprobe = ncentroids ⇒ exhaustive
+
+    // rebuild again: new generation becomes READY
+    val ready2 = lc.rebuild("embedding", ncentroids = 4)
+    assert(ready2.gen >= ready.gen)
+    assert(lc.loadModel().get.ncentroids == 4)
+
+    // force-merge compacts the space to one file
+    lc.forceMerge(targetFiles = 1)
+    val files = new java.io.File(spacePath).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(spacePath).count() > 0)
+
+    lc.drop()
+    assert(lc.state == lc.Missing)
+  }
+
+  test("failed build leaves FAILED state and no ready index") {
+    val root = Files.createTempDirectory("lifecycle2").toString
+    val spacePath = s"$root/space"
+    Seq((1L, "no-vector")).toDF("id", "s").write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    assertThrows[Exception](lc.rebuild("embedding", 4))
+    assert(lc.state.isInstanceOf[lc.Failed])
+    assert(lc.readyIndex().isEmpty)
+  }
+}

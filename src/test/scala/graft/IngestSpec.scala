@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.api.Ingest
+import graft.schema.Space
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val space = Space.fromJson(
+    """{"name":"s","fields":[
+        {"name":"n","type":"long"},
+        {"name":"v","type":"vector","dimension":4,"format":"normalization"}]}""")
+
+  test("conform: id defaulting, missing column fill, normalization, dim check") {
+    val batch = Seq(
+      (Some("doc1"), 1L, Seq(3f, 0f, 4f, 0f)),
+      (None, 2L, Seq(1f, 1f, 1f, 1f)),
+      (None, 3L, Seq(1f, 2f))) // wrong dim → nulled
+      .toDF("_id", "n", "v")
+      .select($"_id", $"n", $"v".cast("array<float>").as("v"))
+    val out = Ingest.conform(batch, space).orderBy("n").collect()
+    assert(out.forall(!_.isNullAt(0)))                    // every row has an _id
+    assert(out(0).getString(0) == "doc1")                 // provided id kept
+    val v0 = out(0).getSeq[Float](2)
+    assert(math.abs(v0.map(x => x * x).sum - 1f) < 1e-5)  // normalized
+    assert(out(2).isNullAt(2))                            // bad dim → null vector
+    // unknown column rejected
+    assertThrows[IllegalArgumentException] {
+      Ingest.conform(batch.withColumn("extra", lit(1)), space)
+    }
+  }
+
+  test("range rule: validation and first-bound-exceeding routing") {
+    assertThrows[IllegalArgumentException] {
+      Ingest.RangeRule("d", Seq(("p1", 100L), ("p0", 50L))) // not increasing
+    }
+    val rule = Ingest.RangeRule("d", Seq(("p1", 100L), ("p2", 200L), ("p3", 300L)))
+    val batch = Seq((1L, 10L), (2L, 100L), (3L, 250L), (4L, 999L)).toDF("id", "d")
+    val (ok, bad) = Ingest.routeByRange(batch, rule)
+    val routed = ok.select("id", "_partition").as[(Long, String)].collect().toMap
+    assert(routed == Map(1L -> "p1", 2L -> "p2", 3L -> "p3"))
+    assert(bad.select("id").as[Long].collect().toSeq == Seq(4L)) // ≥ last bound
+  }
+
+  test("range-partitioned table prunes partitions on the date predicate") {
+    val rule = Ingest.RangeRule("d", Seq(("p1", 100L), ("p2", 200L)))
+    val dir = Files.createTempDirectory("rangetbl").toString + "/t"
+    val batch = (0L until 100L).map(i => (i, i * 2)).toDF("id", "d")
+    Ingest.writeRangePartitioned(batch, rule, dir)
+    val read = spark.read.parquet(dir)
+    val plan = read.filter($"_partition" === "p1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("_partition"),
+      s"no partition pruning:\n$plan")
+    assert(read.filter($"_partition" === "p1").count() == 50)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.SearchApi
+import graft.schema.Space
+
+/** Mirrors the reference's E2E request shapes
+  * (test/test_document_search.py, test_document_query.py).
+  */
+class SearchApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val space = Space.fromJson(
+    """{"name":"emb_space","fields":[
+        {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+        {"name":"embedding","type":"vector","dimension":64,
+         "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+
+  private lazy val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").cast("string").as("_id"), col("label"), col("embedding"))
+    .cache()
+
+  private lazy val q0: Seq[Float] = corpus.filter($"_id" === "0")
+    .select("embedding").head().getSeq[Float](0)
+
+  private def fjson(q: Seq[Float]) = q.mkString("[", ",", "]")
+
+  test("single-vector search: filter + limit + projection + _score desc") {
+    val r = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "filters":{"operator":"AND","conditions":[
+             {"operator":"IN","field":"label","value":[1,3,5]}]},
+           "limit":7}""")
+    val rows = r.collect()
+    assert(rows.length == 7)
+    assert(r.columns.toSeq == Seq("_id", "label", "_score")) // scalars + _id + score
+    val scores = rows.map(_.getAs[Double]("_score")).toSeq
+    assert(scores == scores.sorted.reverse) // IP ⇒ desc
+    assert(rows.forall(x => Set(1, 3, 5).contains(x.getAs[Int]("label"))))
+  }
+
+  test("fields projection: explicit list, vectors only with vector_value") {
+    val r1 = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "fields":["label","embedding"],"limit":3}""")
+    assert(r1.columns.toSeq == Seq("_id", "label", "_score")) // vector suppressed
+    val r2 = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "fields":["label","embedding"],"vector_value":true,"limit":3}""")
+    assert(r2.columns.toSeq == Seq("_id", "label", "embedding", "_score"))
+  }
+
+  test("default limit is 50") {
+    val r = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}]}""")
+    assert(r.count() == 50)
+  }
+
+  test("min_score gate") {
+    val r = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "min_score":0.99}],"limit":50}""")
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("_score") >= 0.99))
+  }
+
+  test("req_num batch: flat feature of 2x dim returns per-qid blocks") {
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val r = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q1).mkString("[", ",", "]")}}],
+           "limit":4}""")
+    val byQid = r.collect().groupBy(_.getAs[Int]("_qid"))
+    assert(byQid.keySet == Set(0, 1))
+    assert(byQid(0).length == 4 && byQid(1).length == 4)
+    // each query's own row ranks first (normalized corpus ⇒ self IP max)
+    val best0 = byQid(0).maxBy(_.getAs[Double]("_score"))
+    val best1 = byQid(1).maxBy(_.getAs[Double]("_score"))
+    assert(best0.getAs[String]("_id") == "0")
+    assert(best1.getAs[String]("_id") == "1")
+  }
+
+  test("bad feature length is rejected like the router's dim check") {
+    assertThrows[IllegalArgumentException] {
+      SearchApi.search(corpus, space,
+        """{"vectors":[{"field":"embedding","feature":[1.0,2.0,3.0]}]}""")
+    }
+  }
+
+  test("pagination via page_size/page_num matches offset slicing") {
+    val all = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}""")
+      .select("_id").as[String].collect().toSeq
+    val page2 = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "limit":3,"page_size":3,"page_num":2}""")
+      .select("_id").as[String].collect().toSeq
+    assert(page2 == all.slice(3, 6))
+  }
+
+  test("query verb: document_ids path preserves request order") {
+    val r = SearchApi.query(corpus, space,
+      """{"document_ids":["42","7","99"],"limit":50}""")
+    assert(r.select("_id").as[String].collect().toSeq == Seq("42", "7", "99"))
+    assert(r.columns.toSeq == Seq("_id", "label"))
+  }
+
+  test("query verb: filtered scan with limit+offset") {
+    val r = SearchApi.query(corpus, space,
+      """{"filters":{"operator":"AND","conditions":[
+           {"operator":"=","field":"label","value":2}]},
+         "limit":5,"offset":2}""")
+    val rows = r.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Int]("label") == 2))
+  }
+
+  test("multi-field conjunctive search with WeightedRanker") {
+    val two = corpus
+      .withColumn("v1", slice($"embedding", 1, 32))
+      .withColumn("v2", slice($"embedding", 33, 32))
+      .drop("embedding")
+    val sp2 = Space.fromJson(
+      """{"name":"two_vec","fields":[
+          {"name":"label","type":"integer"},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
+          {"name":"v2","type":"vector","dimension":32,
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+    val r = SearchApi.search(two, sp2,
+      s"""{"vectors":[
+            {"field":"v1","feature":${fjson(q0.take(32))}},
+            {"field":"v2","feature":${fjson(q0.drop(32))}}],
+          "ranker":{"type":"WeightedRanker","params":{"weights":[0.7,0.3]}},
+          "limit":5}""")
+    val rows = r.collect()
+    assert(rows.length == 5)
+    assert(rows.head.getAs[String]("_id") == "0") // self wins the intersection
+  }
+
+  test("slow-search classification (doc_query.go:218-234)") {
+    assert(SearchApi.classifyPool(500, 1, 1024, 0) == "slow")   // big topN
+    assert(SearchApi.classifyPool(10, 120, 1024, 0) == "slow")  // deep probe
+    assert(SearchApi.classifyPool(10, 1, 1024, 3) == "slow")    // many filters
+    assert(SearchApi.classifyPool(50, 10, 1024, 2) == "default")
+  }
+}
