@@ -392,7 +392,8 @@ object SparkEntry {
     "q_pq_search" -> ((s, dir) => {
       init(s)
       val emb = t(s, dir, "embeddings")
-      val model = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16)
+      val model = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16,
+        maxTrainRows = 2000L, maxIter = 8)
       val encoded = PqIndex.encode(emb, "embedding", model)
       PqIndex.search(encoded, col("embedding"), model, qvec(s, dir),
         k = 10, recallNum = 50, idCol = col("vec_id"), roundTo = Some(4))

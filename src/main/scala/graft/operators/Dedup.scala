@@ -58,14 +58,19 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sharr"))
+    // join on 64-bit shingle hashes: 8-byte shuffle keys instead of strings
+    // (collision odds ~|shingles|²/2⁶⁵ — immaterial to the count)
+    val sh0 = shingled.select(col("id"),
+      explode(transform(col("sharr"), s => xxhash64(s))).as("sh"))
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
         sh0.join(hot, Seq("sh"), "left_anti")
       case None => sh0
     }
-    val sizes = sh0.groupBy("id").agg(count(lit(1)).as("sz"))
+    // |A| is just the (distinct) shingle-array size — no aggregation pass
+    val sizes = shingled.select(col("id"), size(col("sharr")).as("sz"))
     val common = sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

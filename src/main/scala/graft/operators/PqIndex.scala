@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -55,7 +53,15 @@ object PqIndex {
     }
   }
 
-  /** Train m sub-codebooks (ksub centroids each) on a bounded sample. */
+  /** Train m sub-codebooks (ksub centroids each) on a bounded sample.
+    *
+    * PQ training is a small-sample computation by design (faiss trains on
+    * ≤ a few hundred K rows regardless of corpus size; vearch's
+    * training_threshold caps it the same way) — so the sample is collected
+    * once and Lloyd's iterations run driver-local per subspace. One Spark
+    * job total instead of m MLlib fits; the corpus itself is never
+    * scanned beyond the sample.
+    */
   def train(
       df: DataFrame,
       vecCol: String,
@@ -64,23 +70,79 @@ object PqIndex {
       ksub: Int = 256,
       metric: String = "l2",
       seed: Long = 42L,
-      maxTrainRows: Long = 200000L): Model = {
+      maxTrainRows: Long = 200000L,
+      maxIter: Int = 15): Model = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val dsub = dim / m
     val total = df.count()
     val sampled =
       if (total > maxTrainRows) df.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
       else df
-    val cached = sampled.select(col(vecCol).as("v")).cache()
-    try {
-      val codebooks = Array.tabulate(m) { sub =>
-        val feats = cached.select(
-          array_to_vector(slice(col("v"), sub * dsub + 1, dsub)).as("features"))
-        val km = new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(15).fit(feats)
-        km.clusterCenters.map(_.toArray.map(_.toFloat))
+    val rows: Array[Array[Float]] = sampled.select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "no training rows")
+    val codebooks = Array.tabulate(m) { sub =>
+      val slice = rows.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      localKMeans(slice, ksub, maxIter, seed + sub)
+    }
+    Model(m, ksub, dsub, codebooks, metric)
+  }
+
+  /** Plain Lloyd's with seeded random init on an in-memory sample. */
+  private[operators] def localKMeans(
+      points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val d = points(0).length
+    val n = points.length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, n)
+    // init: distinct random points
+    val centroids = rnd.shuffle(points.indices.toList).take(kk)
+      .map(i => points(i).clone()).toArray
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cent = centroids(c)
+          var s = 0.0; var j = 0
+          while (j < d) { val x = p(j) - cent(j); s += x * x; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
       }
-      Model(m, ksub, dsub, codebooks, metric)
-    } finally { cached.unpersist(); () }
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      var i2 = 0
+      while (i2 < n) {
+        val c = assign(i2); counts(c) += 1
+        val p = points(i2); var j = 0
+        while (j < d) { sums(c)(j) += p(j); j += 1 }
+        i2 += 1
+      }
+      var c2 = 0
+      while (c2 < kk) {
+        if (counts(c2) > 0) {
+          var j = 0
+          while (j < d) { centroids(c2)(j) = (sums(c2)(j) / counts(c2)).toFloat; j += 1 }
+        } else {
+          // empty cluster: reseed from a random point
+          centroids(c2) = points(rnd.nextInt(n)).clone()
+          moved = true
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    // pad if k > n (degenerate tiny samples)
+    if (kk < k) centroids ++ Array.fill(k - kk)(centroids(0).clone()) else centroids
   }
 
   /** Add the `pq_code` column (codegen'd per-subvector argmin). */
