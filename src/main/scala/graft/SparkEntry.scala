@@ -38,22 +38,19 @@ object SparkEntry {
     t(s, dir, "embeddings").select(
       col("vec_id").cast("string").as("_id"), col("label"), col("embedding"))
 
-  /** Flagship: hybrid search — scalar-filtered brute-force KNN, the vearch
-    * hot path (SURVEY §3.1). Driver smoke-checks rows > 0 on sf0.001.
+  /** Flagship: hybrid search through the full request surface — the
+    * vearch hot path (SURVEY §3.1) from REST-request JSON to plan.
+    * Driver smoke-checks rows > 0 on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame = {
     init(spark)
     val dir = "/root/testdata/sf0.001"
-    Knn.search(
-      t(spark, dir, "embeddings"),
-      vecCol = col("embedding"),
-      query = qvec(spark, dir),
-      k = 10,
-      metric = "ip",
-      filter = Some(col("label").isin(1, 3, 5, 7, 9)),
-      tieBreak = Some(col("vec_id")),
-      roundTo = Some(4))
-      .select(col("vec_id"), col("label"), col("_score"))
+    val q = qvec(spark, dir).mkString("[", ",", "]")
+    SearchApi.search(embCorpus(spark, dir), embSpace,
+      s"""{"vectors":[{"field":"embedding","feature":$q}],
+           "filters":{"operator":"AND","conditions":[
+             {"operator":"IN","field":"label","value":[1,3,5,7,9]}]},
+           "limit":10}""")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -412,6 +409,66 @@ object SparkEntry {
         .select(col("vec_id"), col("hamming"))
     }),
 
+    // ── beyond-reference: 5-table star join, dims broadcast ──
+    "q5_join" -> ((s, dir) => {
+      init(s)
+      val dims = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ── beyond-reference: semi join (EXISTS) ──
+    "q_semi_join" -> ((s, dir) => {
+      init(s)
+      val withP = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer").join(withP, Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ── beyond-reference: anti join (NOT EXISTS) ──
+    "q_anti_join" -> ((s, dir) => {
+      init(s)
+      val withP = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer").join(withP, Seq("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ── beyond-reference: HAVING + conditional aggregation ──
+    "q_having_case" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("o_totalprice") > 150000.0, 1).otherwise(0)).as("big_orders"))
+        .filter(col("cnt") >= 100)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── beyond-reference: gap-based sessionization (lag + cumsum window) ──
+    "q_sessionize" -> ((s, dir) => {
+      init(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── §3.1 the full REST request surface: search verb end-to-end ──
     "q_api_search" -> ((s, dir) => {
       init(s)
@@ -659,6 +716,49 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q5_join" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_semi_join" ->
+      """SELECT count(*) AS cnt FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""",
+
+    "q_anti_join" ->
+      """SELECT count(*) AS cnt FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""",
+
+    "q_having_case" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders
+         FROM orders GROUP BY o_orderpriority
+         HAVING count(*) >= 100 ORDER BY o_orderpriority""",
+
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) AS tsn,
+                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT user_id, tsn,
+                  CASE WHEN prev_ts IS NULL OR tsn - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsn
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM f)
+         SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
 
     "q_api_search" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),

@@ -165,6 +165,28 @@ object PqIndex {
     call_function(fname, codesCol)
   }
 
+  /** Full IVFPQ: coarse probe (partition pruning on `list_id`) → ADC
+    * top-recallNum within the probed lists → exact rerank to top-k. This
+    * is the reference's actual IVFPQ search shape
+    * (gamma_index_ivfpq.cc: quantizer probe, ADC over list codes,
+    * recall_num rerank).
+    */
+  def searchIvf(
+      corpus: DataFrame, // carries list_id + pq_code + raw vectors
+      vecCol: Column,
+      ivf: IvfIndex.Model,
+      pq: Model,
+      q: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      recallNum: Int,
+      idCol: Column,
+      roundTo: Option[Int] = None): DataFrame = {
+    val lists = ivf.nearestCentroids(q, nprobe)
+    search(corpus.filter(col("list_id").isin(lists: _*)),
+      vecCol, pq, q, k, recallNum, idCol, roundTo)
+  }
+
   /** Two-stage search: ADC top-recallNum → exact rerank to top-k.
     * `corpus` must carry both `pq_code` and the raw vector column.
     */
