@@ -26,6 +26,12 @@ object Graft {
   }
 
   def registerFunctions(spark: SparkSession): Unit = {
+    // probe-folding optimizer rule (idempotent); production deployments
+    // can instead set spark.sql.extensions=graft.plans.GraftExtensions
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteIvfProbe)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteIvfProbe
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")

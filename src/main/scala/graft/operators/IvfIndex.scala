@@ -83,6 +83,21 @@ object IvfIndex {
     assign(df, vecCol, model)
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** Declarative probe predicate over `list_id` — correct row-wise on its
+    * own; with [[graft.plans.RewriteIvfProbe]] installed it folds to a
+    * static IN that becomes partition pruning. Prefer this form when the
+    * probe should travel inside a larger plan (views, SQL).
+    */
+  def probeFilter(df: DataFrame, model: Model, q: Seq[Float], nprobe: Int): Column = {
+    val spark = df.sparkSession
+    val fname = s"ivf_probe_${math.abs(System.identityHashCode(model))}_$nprobe"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      es => graft.plans.IvfProbe(es.head, model.centroids, q, nprobe),
+      "built-in")
+    call_function(fname, col("list_id"))
+  }
+
   /** IVF search over an assigned corpus: probe filter then exact scoring.
     * `isBruteSearch` mirrors vearch's 0=index / 1=brute / 2=auto planner
     * switch (engine.cc:280-308): brute mode skips the probe filter.
