@@ -24,9 +24,38 @@ import org.json4s.jackson.JsonMethods
   */
 object VearchFilters {
 
-  /** `arrayFields`: fields with stringArray semantics (IN → overlap). */
-  def parse(json: String, arrayFields: Set[String] = Set.empty): Column =
-    compile(JsonMethods.parse(json), arrayFields)
+  /** `arrayFields`: fields with stringArray semantics (IN → overlap).
+    * `dateFields`: fields with vearch date semantics — range values that
+    * are numbers are epoch SECONDS scaled ×1e9 to UnixNano, strings are
+    * parsed as dates/timestamps (doc_query.go:1033-1045); the column
+    * itself stores the ns-epoch long (schema.Space date mapping).
+    */
+  def parse(
+      json: String,
+      arrayFields: Set[String] = Set.empty,
+      dateFields: Set[String] = Set.empty): Column =
+    compile(JsonMethods.parse(json), arrayFields, dateFields)
+
+  /** vearch date-value coercion → UnixNano (doc_query.go:1033-1045). */
+  private[operators] def toUnixNano(v: Any): Long = v match {
+    case l: Long   => l * 1000000000L // epoch seconds ×1e9
+    case d: Double => (d * 1e9).toLong
+    case s: String =>
+      val inst =
+        try java.time.Instant.parse(s)
+        catch {
+          case _: Exception =>
+            try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+            catch {
+              case _: Exception =>
+                java.time.LocalDate.parse(s).atStartOfDay
+                  .toInstant(java.time.ZoneOffset.UTC)
+            }
+        }
+      inst.getEpochSecond * 1000000000L + inst.getNano
+    case other => throw new IllegalArgumentException(s"bad date value: $other")
+  }
 
   private def literal(v: JValue): Any = v match {
     case JInt(x)     => x.toLong
@@ -43,18 +72,22 @@ object VearchFilters {
     case single     => Seq(literal(single))
   }
 
-  private def condition(c: JValue, arrayFields: Set[String]): Column = {
+  private def condition(
+      c: JValue, arrayFields: Set[String], dateFields: Set[String]): Column = {
     val JString(op) = (c \ "operator"): @unchecked
     val JString(field) = (c \ "field"): @unchecked
     val value = c \ "value"
     val f = col(field)
+    def rangeLit(v: JValue): Column =
+      if (dateFields.contains(field)) lit(toUnixNano(literal(v)))
+      else lit(literal(v))
     op.toUpperCase match {
-      case ">"          => f > lit(literal(value))
-      case ">="         => f >= lit(literal(value))
-      case "<"          => f < lit(literal(value))
-      case "<="         => f <= lit(literal(value))
-      case "="          => f === lit(literal(value))
-      case "!=" | "<>"  => f =!= lit(literal(value))
+      case ">"          => f > rangeLit(value)
+      case ">="         => f >= rangeLit(value)
+      case "<"          => f < rangeLit(value)
+      case "<="         => f <= rangeLit(value)
+      case "="          => f === rangeLit(value)
+      case "!=" | "<>"  => f =!= rangeLit(value)
       case "IN" =>
         if (arrayFields.contains(field))
           arrays_overlap(f, array(literals(value).map(lit): _*))
@@ -67,14 +100,15 @@ object VearchFilters {
     }
   }
 
-  private def compile(j: JValue, arrayFields: Set[String]): Column = {
+  private def compile(
+      j: JValue, arrayFields: Set[String], dateFields: Set[String]): Column = {
     val combine = (j \ "operator") match {
       case JString(op) if op.equalsIgnoreCase("OR") => (a: Column, b: Column) => a || b
       case _ => (a: Column, b: Column) => a && b // AND is the default
     }
     (j \ "conditions") match {
       case JArray(cs) if cs.nonEmpty =>
-        cs.map(condition(_, arrayFields)).reduceLeft(combine)
+        cs.map(condition(_, arrayFields, dateFields)).reduceLeft(combine)
       case _ => lit(true)
     }
   }

@@ -51,6 +51,26 @@ class VearchFiltersSpec extends SparkSpec {
     assert(ids(nj, Set("tags")) == Seq(2L))
   }
 
+  test("date fields: epoch seconds ×1e9 and date strings → UnixNano") {
+    // column stores ns-epoch longs, the vearch date convention
+    val d = Seq((1L, 1700000000L * 1000000000L), (2L, 1800000000L * 1000000000L))
+      .toDF("id", "created")
+    // numeric value = epoch SECONDS (doc_query.go:1043-1045 scales ×1e9)
+    val byEpoch = d.filter(VearchFilters.parse(
+      """{"operator":"AND","conditions":[
+           {"operator":">","field":"created","value":1750000000}]}""",
+      dateFields = Set("created")))
+      .select("id").as[Long].collect().toSeq
+    assert(byEpoch == Seq(2L))
+    // string value parsed as a date
+    val byString = d.filter(VearchFilters.parse(
+      """{"operator":"AND","conditions":[
+           {"operator":"<","field":"created","value":"2024-01-01"}]}""",
+      dateFields = Set("created")))
+      .select("id").as[Long].collect().toSeq
+    assert(byString == Seq(1L)) // 1700000000 ≈ 2023-11; 1800000000 ≈ 2027-01
+  }
+
   test("empty conditions matches everything; bad operator throws") {
     assert(ids("""{"operator":"AND","conditions":[]}""") == Seq(1L, 2L, 3L, 4L))
     assertThrows[IllegalArgumentException] {
