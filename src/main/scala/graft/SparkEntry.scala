@@ -488,6 +488,19 @@ object SparkEntry {
         """{"document_ids":["42","7","99"],"limit":50}""")
     }),
 
+    // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank ──
+    "q_ivfpq_search" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val ivf = IvfIndex.train(emb, "embedding", ncentroids = 8)
+      val pq = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16,
+        maxTrainRows = 2000L, maxIter = 8)
+      val indexed = PqIndex.encode(IvfIndex.assign(emb, "embedding", ivf), "embedding", pq)
+      PqIndex.searchIvf(indexed, col("embedding"), ivf, pq, qvec(s, dir),
+        k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── multimodal (rows-only): binary payload → stub features → KNN ──
     "q_media_pipeline" -> ((s, dir) => {
       init(s)

@@ -138,6 +138,26 @@ class SearchApiSpec extends SparkSpec {
     assert(rows.head.getAs[String]("_id") == "0") // self wins the intersection
   }
 
+  test("error paths: non-vector field, missing feature, unknown filter op") {
+    assertThrows[IllegalArgumentException] {
+      SearchApi.search(corpus, space,
+        """{"vectors":[{"field":"label","feature":[1.0]}]}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      SearchApi.search(corpus, space, """{"vectors":[{"field":"embedding"}]}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      SearchApi.search(corpus, space,
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+             "filters":{"operator":"AND","conditions":[
+               {"operator":"LIKE","field":"label","value":1}]}}""")
+    }
+    // search with no vector condition at all is a request error
+    assertThrows[IllegalArgumentException] {
+      SearchApi.search(corpus, space, """{"limit":10}""")
+    }
+  }
+
   test("slow-search classification (doc_query.go:218-234)") {
     assert(SearchApi.classifyPool(500, 1, 1024, 0) == "slow")   // big topN
     assert(SearchApi.classifyPool(10, 120, 1024, 0) == "slow")  // deep probe

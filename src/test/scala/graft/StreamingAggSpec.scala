@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming coverage beyond the realtime tail: watermarked
+  * event-time windows and custom state via flatMapGroupsWithState — the
+  * streaming surface a training-data pipeline needs (the reference has no
+  * streams at all, SURVEY §2.9).
+  */
+class StreamingAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked tumbling-window aggregation drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "etype", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"etype")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("v"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_agg").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "click", 1.0), (t(1), "click", 2.0), (t(6), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the first windows so they close
+    mem.addData((t(40), "click", 9.0))
+    q.processAllAvailable()
+    // late event for an already-closed window must be dropped
+    mem.addData((t(2), "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_agg")
+      .select($"etype", $"cnt", $"v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains(("click", 2L, 3.0)), s"got $rows") // 1.0+2.0, late 100.0 dropped
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("flatMapGroupsWithState: custom per-key running state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.map(_._2).sum
+          state.update(next)
+          Iterator((key, next))
+      }
+    val q = counted.toDF("k", "running").writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("state_out").start()
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    q.processAllAvailable()
+    mem.addData(("a", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("state_out").as[(String, Long)].collect().toSet
+    assert(out.contains(("a", 3L)) && out.contains(("a", 6L)) && out.contains(("b", 10L)),
+      s"got $out") // state persists across micro-batches
+  }
+}
