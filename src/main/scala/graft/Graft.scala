@@ -41,6 +41,7 @@ object Graft {
     reg.createOrReplaceTempFunction("vec_l2_normalize", es => L2Normalize(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vec_hamming", es => HammingDist(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_sign_bits", es => SignBits(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_simhash", es => SimHash64(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       es => TopKAgg(es(0), es(1), lit2int(es(2), "k"), lit2bool(es(3), "asc")),
       "built-in")
@@ -56,6 +57,7 @@ object Graft {
     def l2Normalize(a: Column): Column = call_function("vec_l2_normalize", a)
     def hamming(a: Column, b: Column): Column = call_function("vec_hamming", a, b)
     def signBits(a: Column): Column = call_function("vec_sign_bits", a)
+    def simhash64(tokens: Column): Column = call_function("text_simhash", tokens)
     def topK(score: Column, item: Column, k: Int, asc: Boolean): Column =
       call_function("graft_topk", score, item,
         org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(asc))

@@ -101,6 +101,35 @@ object VecKernels {
     best
   }
 
+  /** 64-bit SimHash over a token array: per-token xxhash64 (same XXH64,
+    * seed 42 as Spark's `xxhash64`), each bit votes ±1, sign forms the
+    * fingerprint. One tight loop per row — the higher-order-function
+    * formulation of the same computation cannot enter codegen and
+    * allocates a 64-element array per token.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Pack sign bits of a float vector into bytes (dim/8 bytes, MSB-first) —
     * produces the binary codes the BINARYIVF path searches with Hamming
     * distance (reference doc_query.go:296-301: binary vectors are uint8

@@ -91,6 +91,17 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash of a token array (bit votes of per-token xxhash64). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "text_simhash"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.simhash64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.simhash64($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-bit binarization: float vector → packed binary code (dim/8 bytes). */
 case class SignBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_sign_bits"

@@ -145,25 +145,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1, sign of the vote vector forms the fingerprint. One
-    * aggregate over the token array — no explosion, fully codegen'd.
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64 (Spark's
+    * XXH64 seed 42), each bit votes ±1, sign of the vote vector forms the
+    * fingerprint. A single codegen'd kernel call per row
+    * ([[graft.functions.SimHash64]]) — the HOF formulation of the same
+    * computation allocates a 64-element array per token and can't codegen.
     */
-  def simhash(text: Column): Column = {
-    val bitVotes = aggregate(
-      tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
-        acc,
-        array((0 until 64).map(b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(bitVotes,
-        array((0 until 64).map(b => lit(1L << b)): _*),
-        (v, p) => when(v > 0L, p).otherwise(0L)),
-      lit(0L), (a, x) => a.bitwiseXOR(x))
-  }
+  def simhash(text: Column): Column = graft.Graft.F.simhash64(tokens(text))
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming ≤ 3: pigeonhole over
     * 4×16-bit chunks — pairs within distance 3 must agree on ≥1 chunk, so
@@ -223,22 +211,26 @@ object Dedup {
     val planes: Seq[Seq[Array[Float]]] =
       Seq.fill(numTables)(Seq.fill(numPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat)))
     val v = col(vecCol)
-    val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
+    val bucketCols = planes.map { tbl =>
       val bits = tbl.zipWithIndex.map { case (p, i) =>
         val d = graft.Graft.F.vecDot(v, typedLit(p.toSeq).cast("array<float>"))
         when(d >= 0, lit(1L << i)).otherwise(0L)
       }
-      bits.reduceLeft((a, b) => a.bitwiseXOR(b)).as(s"bucket_$t")
+      bits.reduceLeft((a, b) => a.bitwiseXOR(b))
     }
-    val keyed = df.select((col(idCol).as("id") +: v.as("v") +: bucketCols): _*)
-    val tablePairs = (0 until numTables).map { tIdx =>
-      keyed.as("a").join(keyed.as("b"), col(s"a.bucket_$tIdx") === col(s"b.bucket_$tIdx"))
-        .filter(col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.v").as("v_a"), col("b.v").as("v_b"))
-    }
-    tablePairs.reduceLeft(_ unionByName _)
+    // one exploded (table_idx, bucket) join instead of numTables
+    // self-joins: buckets computed once per side, the join key is
+    // (table, bucket) — identical candidate set, 1/numTables the scans.
+    val keyed = df.select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("t", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), v.as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", graft.Graft.F.vecCosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
