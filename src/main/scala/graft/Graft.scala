@@ -42,6 +42,10 @@ object Graft {
     reg.createOrReplaceTempFunction("vec_hamming", es => HammingDist(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_sign_bits", es => SignBits(es(0)), "built-in")
     reg.createOrReplaceTempFunction("text_simhash", es => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_shingle_hashes",
+      es => ShingleHashes(es(0), lit2int(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("text_minhash_sig",
+      es => MinHashSig(es(0), lit2int(es(1), "n"), lit2int(es(2), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       es => TopKAgg(es(0), es(1), lit2int(es(2), "k"), lit2bool(es(3), "asc")),
       "built-in")
@@ -58,6 +62,11 @@ object Graft {
     def hamming(a: Column, b: Column): Column = call_function("vec_hamming", a, b)
     def signBits(a: Column): Column = call_function("vec_sign_bits", a)
     def simhash64(tokens: Column): Column = call_function("text_simhash", tokens)
+    def shingleHashes(tokens: Column, n: Int): Column =
+      call_function("text_shingle_hashes", tokens, org.apache.spark.sql.functions.lit(n))
+    def minhashSig(tokens: Column, n: Int, numHashes: Int): Column =
+      call_function("text_minhash_sig", tokens,
+        org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(numHashes))
     def topK(score: Column, item: Column, k: Int, asc: Boolean): Column =
       call_function("graft_topk", score, item,
         org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(asc))

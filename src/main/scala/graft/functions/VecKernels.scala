@@ -130,6 +130,79 @@ object VecKernels {
     out
   }
 
+  /** Distinct xxhash64 values of the n-word shingles of a token array,
+    * sorted. The hash equals Spark's `xxhash64("w1 w2 … wn")` (same XXH64
+    * seed 42 over the space-joined bytes), so joins built on these keys
+    * match string-shingle semantics exactly (modulo 64-bit collisions).
+    * Shorter-than-n docs hash their full token join — every doc yields
+    * ≥ 1 shingle. One kernel call per row, no per-shingle string objects
+    * surviving the loop.
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      val s = tokens.getUTF8String(i)
+      toks(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    val nsh = math.max(cnt - n + 1, 1)
+    val width = math.min(n, cnt)
+    val out = new Array[Long](nsh)
+    var buf = new Array[Byte](64)
+    var si = 0
+    while (si < nsh) {
+      var len = 0
+      var j = 0
+      while (j < width) {
+        val t = toks(si + j)
+        val need = len + t.length + 1
+        if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length)
+        len += t.length
+        j += 1
+      }
+      out(si) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      si += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedup in place (array_distinct semantics)
+    var w = 0
+    var r = 0
+    while (r < nsh) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** MinHash signature from a token array: element j = min over distinct
+    * shingle hashes h of XXH64(h, seed = base-hash chained with j) — the
+    * whole signature in one pass.
+    */
+  def minhashSig(tokens: ArrayData, n: Int, numHashes: Int): ArrayData = {
+    val hashes = shingleHashes(tokens, n)
+    val m = hashes.numElements()
+    val out = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < m) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(hashes.getLong(i), j.toLong)
+        if (h < best) best = h
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Pack sign bits of a float vector into bytes (dim/8 bytes, MSB-first) —
     * produces the binary codes the BINARYIVF path searches with Hamming
     * distance (reference doc_query.go:296-301: binary vectors are uint8

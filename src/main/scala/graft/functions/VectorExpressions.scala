@@ -91,6 +91,28 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct sorted xxhash64 shingle hashes of a token array. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "text_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.shingleHashes(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.shingleHashes($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass MinHash signature over a token array. */
+case class MinHashSig(child: Expression, n: Int, numHashes: Int) extends UnaryExpression {
+  override def prettyName: String = "text_minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.minhashSig(a.asInstanceOf[ArrayData], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.minhashSig($a, $n, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of a token array (bit votes of per-token xxhash64). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_simhash"

@@ -58,11 +58,12 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sharr"))
-    // join on 64-bit shingle hashes: 8-byte shuffle keys instead of strings
-    // (collision odds ~|shingles|²/2⁶⁵ — immaterial to the count)
-    val sh0 = shingled.select(col("id"),
-      explode(transform(col("sharr"), s => xxhash64(s))).as("sh"))
+    // one codegen'd kernel per row: distinct sorted 64-bit shingle hashes
+    // (== xxhash64 of the space-joined shingle strings) — 8-byte shuffle
+    // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵
+    val shingled = df.select(col(idCol).as("id"),
+      graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
+    val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
@@ -115,14 +116,14 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // shingle sets computed once; signatures via explode + min-aggregate so
-    // every shingle is hashed exactly once and the map-side combine reduces
-    // the shuffle to one (id, 16 longs) row per doc per partition.
-    val shingled = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val ex = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val sig = ex.groupBy(col("id")).agg(
-      min(xxhash64(col("s"), lit(0))).as("h0"),
-      (1 until numHashes).map(j => min(xxhash64(col("s"), lit(j))).as(s"h$j")): _*)
+    // one kernel call per doc computes the whole signature (and the
+    // distinct shingle-hash set used for exact verification)
+    val shingled = df.select(col(idCol).as("id"),
+      graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sh"),
+      graft.Graft.F.minhashSig(tokens(col(textCol)), n, numHashes).as("sig"))
+    val sigCols: Seq[Column] = col("id") +:
+      (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j"))
+    val sig = shingled.select(sigCols: _*)
     val bandHashes = array((0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
       xxhash64(concat_ws(",", cols: _*))
