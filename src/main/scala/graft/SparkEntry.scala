@@ -469,6 +469,48 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── beyond-reference: ROLLUP hierarchy aggregation ──
+    "q_rollup" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // ── beyond-reference: UNION + DISTINCT set semantics ──
+    "q_union_distinct" -> ((s, dir) => {
+      init(s)
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .union(e.filter(col("value") > 90.0).select(col("user_id")))
+        .distinct()
+        .orderBy(col("user_id"))
+    }),
+
+    // ── beyond-reference: explode + re-aggregate (word frequencies) ──
+    "q_explode_words" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word"))
+    }),
+
+    // ── beyond-reference: correlated-average filter (window form) ──
+    "q_above_avg" -> ((s, dir) => {
+      init(s)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── §3.1 the full REST request surface: search verb end-to-end ──
     "q_api_search" -> ((s, dir) => {
       init(s)
@@ -729,6 +771,31 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT user_id FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           UNION ALL SELECT user_id FROM events WHERE value > 90.0)
+         ORDER BY user_id""",
+
+    "q_explode_words" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+         GROUP BY word ORDER BY word""",
+
+    "q_above_avg" ->
+      """WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                           avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+                    FROM orders)
+         SELECT o_orderkey, o_custkey FROM w
+         WHERE o_totalprice > cust_avg * 1.5 ORDER BY o_orderkey""",
 
     "q5_join" ->
       """SELECT n_name,
