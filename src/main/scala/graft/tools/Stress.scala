@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.Graft.F
+import graft.operators.Knn
+
+/** Scale evidence: synthetic N×dim corpus generated distributively
+  * (spark.range + hash-derived floats, no driver materialization), then
+  * timed brute-force KNN and batch KNN. Prints vectors/sec scored — the
+  * number that projects to a 1000-executor cluster (the scan is
+  * embarrassingly parallel; the top-k merge moves P×k rows).
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STRESS_N", "2000000").toLong
+    val dim = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIM", "64").toInt
+    val spark = Graft.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    // deterministic pseudo-vectors: float_j(id) from a hash chain
+    val vecExpr = array((0 until dim).map(j =>
+      (pmod(hash($"id" * 31 + lit(j)), lit(1000)).cast("float") / 500f - 1f)): _*)
+    val corpus = spark.range(0, n).select($"id", vecExpr.cast("array<float>").as("v"))
+      .repartition(32).cache()
+    corpus.count() // materialize
+
+    val q = corpus.filter($"id" === 0).select("v").head().getSeq[Float](0)
+
+    def time[A](what: String, vectors: Long)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stress":"$what","n":$n,"dim":$dim,"sec":$sec%.2f,"vec_per_sec":${(vectors / sec).toLong}}""")
+    }
+
+    time("knn_single_top10", n) {
+      Knn.search(corpus, $"v", q, 10, "ip", tieBreak = Some($"id")).collect()
+    }
+    time("knn_single_l2_top100", n) {
+      Knn.search(corpus, $"v", q, 100, "l2", tieBreak = Some($"id")).collect()
+    }
+    val queries = corpus.filter($"id" < 16).select($"id".as("qid"), $"v".as("qv"))
+    time("knn_batch16_top10", n * 16) {
+      Knn.searchBatch(corpus, $"v", struct($"id"), queries, "qid", "qv", 10, "ip").collect()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.Graft.F
+import graft.operators.Dedup
+
+/** Property tests pinning the codegen'd kernels to their reference
+  * formulations (the HOF/built-in versions they replaced for speed).
+  * scalatestplus-scalacheck is not in the offline cache, so sampling is
+  * hand-rolled with fixed seeds for reproducibility.
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], count: Int): Seq[A] =
+    (1 to count).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val doc = Gen.chooseNum(1, 30).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+  private val vec = Gen.chooseNum(1, 16).flatMap(d =>
+    Gen.listOfN(d, Gen.chooseNum(-100, 100).map(_ / 10.0f)))
+
+  test("shingleHashes == sorted distinct xxhash64 of string shingles") {
+    samples(Gen.listOfN(8, doc), 8).foreach { docs =>
+      {
+        val df = docs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+        val viaKernel = df.select($"id",
+          F.shingleHashes(Dedup.tokens($"text"), 3).as("h"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+        val viaStrings = df.select($"id",
+          array_sort(transform(Dedup.shingles($"text", 3), s => xxhash64(s))).as("h"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+        assert(viaKernel == viaStrings)
+      }
+    }
+  }
+
+  test("simhash64 kernel == HOF bit-vote formulation") {
+    samples(Gen.listOfN(6, doc), 6).foreach { docs =>
+      {
+        val df = docs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+        val toks = Dedup.tokens($"text")
+        val hof = aggregate(
+          zip_with(
+            aggregate(toks, array_repeat(lit(0L), 64),
+              (acc, t) => zip_with(acc,
+                array((0 until 64).map(b =>
+                  when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L)
+                    .otherwise(-1L)): _*),
+                (a, v) => a + v)),
+            array((0 until 64).map(b => lit(1L << b)): _*),
+            (v, p) => when(v > 0L, p).otherwise(0L)),
+          lit(0L), (a, x) => a.bitwiseXOR(x))
+        val rows = df.select($"id", Dedup.simhash($"text").as("k"), hof.as("h"))
+          .collect()
+        rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getInt(0)}"))
+      }
+    }
+  }
+
+  test("vec_dot/l2sq kernels match scala fold on random vectors") {
+    samples(Gen.zip(vec, vec), 20).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+      val r = df.select(F.vecDot($"a", $"b"), F.vecL2Sq($"a", $"b")).head()
+      val n = math.min(a.size, b.size)
+      val dot = (0 until n).foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      val l2 = (0 until n).foldLeft(0.0) { (s, i) =>
+        val d = a(i).toDouble - b(i).toDouble; s + d * d
+      }
+      assert(r.getDouble(0) == dot)
+      assert(r.getDouble(1) == l2)
+    }
+  }
+
+  test("topk agg == sort-take on random groups") {
+    samples(Gen.zip(Gen.chooseNum(1, 6), Gen.chooseNum(50, 200)), 5).foreach { case (k, n) =>
+      val df = spark.range(0, n).repartition(5)
+        .select(($"id" % 3).as("g"), $"id",
+          (($"id" * 2654435761L) % 9973).cast("double").as("s"))
+      val agg = df.groupBy($"g")
+        .agg(F.topK($"s", struct($"id"), k, asc = true).as("tk"))
+        .select($"g", explode($"tk.score").as("s"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (g, rows) => g -> rows.map(_.getDouble(1)).toSeq }
+      val expected = df.collect().groupBy(_.getLong(0)).map { case (g, rows) =>
+        g -> rows.map(_.getDouble(2)).sorted.take(k).toSeq
+      }
+      assert(agg == expected)
+    }
+  }
+}
