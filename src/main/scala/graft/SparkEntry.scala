@@ -543,6 +543,15 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 (rows-only): 1-bit quantization shortlist + exact rerank ──
+    "q_binary_rerank" -> ((s, dir) => {
+      init(s)
+      val coded = graft.operators.BinaryIndex.encode(t(s, dir, "embeddings"), "embedding")
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 100, tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── multimodal (rows-only): binary payload → stub features → KNN ──
     "q_media_pipeline" -> ((s, dir) => {
       init(s)

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BinaryIndex, Knn}
+
+class BinaryIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val coded = BinaryIndex.encode(emb, "embedding").cache()
+
+  private def q(id: Long): Seq[Float] =
+    emb.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0)
+
+  test("shortlist = N degenerates to exact search") {
+    val n = emb.count().toInt
+    val got = BinaryIndex.search(coded, $"embedding", q(0), 10, shortlist = n,
+      tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(emb, $"embedding", q(0), 10, "l2", tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("code is 64x smaller and hamming shortlist keeps recall@10 >= 0.8") {
+    val codeBytes = coded.select(length($"bcode")).head().getInt(0)
+    assert(codeBytes == 8) // 64 dims / 8
+    var hits = 0; var total = 0
+    for (id <- 0L until 15L) {
+      val exact = Knn.search(emb, $"embedding", q(id), 10, "l2", tieBreak = Some($"vec_id"))
+        .select($"vec_id").as[Long].collect().toSet
+      val got = BinaryIndex.search(coded, $"embedding", q(id), 10, shortlist = 100,
+        tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect().toSet
+      hits += got.intersect(exact).size; total += exact.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"binary shortlist recall@10 = $recall")
+  }
+
+  test("self is always found (hamming 0 to itself)") {
+    val r = BinaryIndex.search(coded, $"embedding", q(7), 3, shortlist = 50,
+      tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect()
+    assert(r.head == 7L)
+  }
+}
