@@ -40,6 +40,21 @@ class StreamingAggSpec extends SparkSpec {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("streaming exact dedup: dropDuplicates holds state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDF().toDF("doc_id", "text").dropDuplicates("doc_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    mem.addData((2L, "b-dup-later-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // each id exactly once, across batches
+  }
+
   test("flatMapGroupsWithState: custom per-key running state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
