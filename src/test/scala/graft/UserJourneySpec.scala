@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.api.{IndexLifecycle, Ingest, SearchApi}
+import graft.operators.IvfIndex
+import graft.schema.{Space, SpaceCatalog}
+
+/** End-to-end journey of a vearch user switching to this engine: every
+  * step is the graft equivalent of a REST call they make today
+  * (create space → upsert → search → filtered search → delete-by-query →
+  * index rebuild → probed search → realtime tail).
+  */
+class UserJourneySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full vearch workflow: space → ingest → search → delete → index → search") {
+    val root = Files.createTempDirectory("journey").toString
+    val cat = new SpaceCatalog(spark, root)
+
+    // 1. PUT /dbs/:db + POST /dbs/:db/spaces — schema'd space
+    cat.createDb("demo")
+    val space = Space.fromJson(
+      """{"name":"docs","partition_num":2,"fields":[
+          {"name":"category","type":"string","index":{"type":"SCALAR"}},
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,"format":"normalization",
+           "index":{"type":"IVFFLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+    cat.createSpace("demo", space)
+
+    // 2. POST /document/upsert — batch with a missing _id and a raw vector
+    def v(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 31 + i) % 10 - 5).toFloat)
+    val batch = (1 to 40).map { i =>
+      (if (i % 10 == 0) null else s"doc$i", s"cat${i % 4}", i % 5, v(i))
+    }.toDF("_id", "category", "stars", "vec")
+      .select($"_id", $"category", $"stars", $"vec".cast("array<float>").as("vec"))
+    val conformed = Ingest.conform(batch, space)
+    cat.upsert("demo", "docs", conformed, partitionNum = 2)
+    assert(cat.docCount("demo", "docs") == 40)
+    // normalization-at-ingest happened
+    val norm = cat.read("demo", "docs").select(Graft.F.vecNorm($"vec")).head().getDouble(0)
+    assert(math.abs(norm - 1.0) < 1e-5)
+
+    // 3. POST /document/search — hybrid search through the request JSON
+    val corpus = cat.read("demo", "docs")
+    val qv = corpus.filter($"_id" === "doc1").select("vec").head().getSeq[Float](0)
+    val res = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],
+           "filters":{"operator":"AND","conditions":[
+             {"operator":">=","field":"stars","value":2}]},
+           "limit":5}""")
+    val rows = res.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Int]("stars") >= 2))
+    assert(res.columns.contains("_score"))
+
+    // 4. POST /document/query — point lookups in request order
+    val pts = SearchApi.query(corpus, space,
+      """{"document_ids":["doc3","doc1"],"limit":10}""")
+    assert(pts.select("_id").as[String].collect().toSeq == Seq("doc3", "doc1"))
+
+    // 5. POST /document/delete (by query)
+    cat.deleteByQuery("demo", "docs", col("category") === "cat0")
+    assert(cat.docCount("demo", "docs") == 30)
+
+    // 6. POST /index/rebuild — BUILDING→READY, then probed search
+    val lc = new IndexLifecycle(spark, s"$root/demo/docs")
+    lc.rebuild("vec", ncentroids = 4)
+    val model = lc.loadModel("ip").get
+    val idx = lc.readyIndex().get
+    val probed = IvfIndex.search(idx, $"vec", model, qv, k = 3,
+      nprobe = 4, tieBreak = Some($"_id"))
+    assert(probed.count() == 3)
+    assert(probed.select("_id").as[String].head() == "doc1") // self on full probe
+
+    // 7. alias + count (admin surface)
+    cat.createAlias("docs_alias", "demo", "docs")
+    assert(spark.table("docs_alias").count() == 30)
+
+    // 8. drop
+    cat.dropSpace("demo", "docs")
+    assertThrows[Exception](cat.read("demo", "docs").collect())
+  }
+}
