@@ -511,6 +511,37 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── beyond-reference: semi-structured JSON extraction ──
+    "q_json_extract" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("k")), 4).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── pipeline showcase (rows-only): quality-filter → dedup-survivors →
+    //    embedding join → KNN, one composed DataFrame flow ──
+    "q_pipeline_e2e" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val quality = TextOps.qualityFeatures(col("text"), TextOps.EnStopwords)
+      val good = docs.withColumn("q", quality)
+        .filter(col("q.n_tokens") >= 20 && col("q.stopword_ratio") < 0.5)
+        .select(col("doc_id"), col("text"))
+      val survivors = Dedup.exact(good, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val corpus = good.join(survivors, "doc_id")
+        .join(emb, col("doc_id") === col("vec_id"))
+      Knn.search(corpus, col("embedding"), qvec(s, dir), 10, "cosine",
+        tieBreak = Some(col("doc_id")), roundTo = Some(4))
+        .select(col("doc_id"), col("_score").as("score"))
+    }),
+
     // ── §3.1 the full REST request surface: search verb end-to-end ──
     "q_api_search" -> ((s, dir) => {
       init(s)
@@ -780,6 +811,12 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+                round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+                CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
