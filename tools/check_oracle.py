@@ -45,6 +45,13 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1; continue
+        # pre-normalization dtype check (driver compare may be stricter)
+        raw_got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        raw_want = con.execute(sql).fetchdf()
+        for c in sorted(raw_got.columns):
+            dg, dw = str(raw_got[c].dtype), str(raw_want[c].dtype)
+            if dg != dw:
+                print(f"  WARN {name}.{c}: spark dtype {dg} vs duckdb {dw}")
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         if not got.equals(want):
