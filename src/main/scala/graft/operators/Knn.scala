@@ -62,11 +62,15 @@ object Knn {
       case (None, Some(hi))     => scored.filter(col("_score") <= hi)
       case _                    => scored
     }
-    val rounded = roundTo.map(d => gated.withColumn("_score", round(col("_score"), d)))
-      .getOrElse(gated)
+    // order by the RAW score (bit-stable, matches a sequential oracle);
+    // rounding is display-only and must happen AFTER selection — rounding
+    // first would flip rank for scores that collide at the rounded
+    // precision but differ in raw value.
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
     val order = primary +: tieBreak.map(_.asc).toSeq
-    rounded.orderBy(order: _*).limit(k)
+    val selected = gated.orderBy(order: _*).limit(k)
+    roundTo.map(d => selected.withColumn("_score", round(col("_score"), d)))
+      .getOrElse(selected)
   }
 
   /** Batched multi-query KNN (vearch `req_num` query vectors per request,
