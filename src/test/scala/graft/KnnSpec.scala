@@ -78,6 +78,17 @@ class KnnSpec extends SparkSpec {
     assert(r.head.getLong(0) == 0L)
   }
 
+  test("roundTo is display-only: selection/order follow the RAW score") {
+    // two scores that collide at 4 decimals but differ in raw value
+    val d = Seq((1L, Seq(1.00001f)), (2L, Seq(1.00004f)), (3L, Seq(0.5f)))
+      .toDF("id", "v").select($"id", $"v".cast("array<float>").as("v"))
+    val r = Knn.search(d, $"v", Seq(1.0f), 2, "ip",
+      tieBreak = Some($"id"), roundTo = Some(4)).collect()
+    // raw order: id=2 (1.00004) before id=1 (1.00001), despite equal rounding
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(r.map(_.getAs[Double]("_score")).toSeq == Seq(1.0, 1.0)) // displayed rounded
+  }
+
   test("single knn plan is TakeOrderedAndProject (bounded heap, no global sort)") {
     val plan = Knn.search(emb, $"embedding", q0, 10, "ip")
       .queryExecution.executedPlan.toString
