@@ -55,11 +55,14 @@ object IvfIndex {
       seed: Long = 42L,
       maxTrainRows: Long = 1000000L): Model = {
     val total = df.count()
+    require(total > 0, "cannot train an IVF index on an empty corpus")
     val sampled =
       if (total > maxTrainRows) df.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
       else df
     val feats = sampled.select(array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(ncentroids).setSeed(seed).setMaxIter(20).fit(feats)
+    // degenerate corpora: never ask for more centroids than rows
+    val k = math.min(ncentroids.toLong, total).toInt
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feats)
     val centers = km.clusterCenters.map(_.toArray.map(_.toFloat))
     Model(centers, metric)
   }

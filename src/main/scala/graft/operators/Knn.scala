@@ -55,7 +55,10 @@ object Knn {
       tieBreak: Option[Column] = None,
       roundTo: Option[Int] = None): DataFrame = {
     val filtered = filter.map(df.filter).getOrElse(df)
+    // null vectors score null; drop them explicitly — `asc` sorts NULLS
+    // FIRST in Spark, so they would otherwise head every L2 top-k
     val scored = filtered.withColumn("_score", score(metric, vecCol, queryLit(query)))
+      .filter(col("_score").isNotNull)
     val gated = (minScore, maxScore) match {
       case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))
       case (Some(lo), None)     => scored.filter(col("_score") >= lo)
