@@ -40,6 +40,7 @@ object BinaryIndex {
     val order = col("_hamming").asc +: tieBreak.map(_.asc).toSeq
     val cand = corpus
       .withColumn("_hamming", F.hamming(col(codeCol), lit(qCode)))
+      .filter(col("_hamming").isNotNull) // null codes must not head the shortlist
       .orderBy(order: _*)
       .limit(shortlist)
       .drop("_hamming")

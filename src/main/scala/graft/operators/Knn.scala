@@ -127,6 +127,7 @@ object Knn {
     require(w.size == fields.size)
     val perField = fields.zipWithIndex.map { case ((vc, qv), i) =>
       df.select(col(idCol), score(metric, vc, queryLit(qv)).as(s"_s$i"))
+        .filter(col(s"_s$i").isNotNull) // null vectors must not head asc order
         .orderBy(if (ascending(metric)) col(s"_s$i").asc else col(s"_s$i").desc)
         .limit(perFieldK)
     }

@@ -203,6 +203,7 @@ object PqIndex {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val approx = corpus
       .withColumn("_adc", adcScore(model, q, col("pq_code"), spark))
+      .filter(col("_adc").isNotNull) // null codes must not head the asc shortlist
       .orderBy(col("_adc").asc, idCol.asc)
       .limit(recallNum)
     Knn.search(approx.drop("_adc"), vecCol, q, k, model.metric,

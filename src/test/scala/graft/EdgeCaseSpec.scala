@@ -40,6 +40,23 @@ class EdgeCaseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](IvfIndex.train(empty, "v", 4))
   }
 
+  test("null vectors excluded from multi-vector and shortlist paths too") {
+    val d = Seq((1L, Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      (2L, None, Some(Seq(0f, 1f))), (3L, Some(Seq(0.5f, 0.5f)), None))
+      .toDF("id", "v1", "v2")
+      .select($"id", $"v1".cast("array<float>").as("v1"), $"v2".cast("array<float>").as("v2"))
+    val mv = Knn.multiVectorSearch(d, "id",
+      Seq(($"v1", Seq(1f, 0f)), ($"v2", Seq(1f, 0f))), 10, 10, "l2")
+    // intersection requires both fields non-null → only id=1 survives
+    assert(mv.select($"id").as[Long].collect().toSeq == Seq(1L))
+
+    val coded = graft.operators.BinaryIndex.encode(
+      d.select($"id", $"v1".as("v")), "v")
+    val bs = graft.operators.BinaryIndex.search(coded, $"v", Seq(1f, 0f),
+      k = 5, shortlist = 5, tieBreak = Some($"id"))
+    assert(!bs.select($"id").as[Long].collect().contains(2L))
+  }
+
   test("batch knn with an empty query set returns empty") {
     val d = Seq((1L, Seq(1f, 0f))).toDF("id", "v")
       .select($"id", $"v".cast("array<float>").as("v"))
