@@ -51,6 +51,17 @@ object Graft {
       "built-in")
   }
 
+  /** Direct Expression ⇄ Column bridges (Spark 4 classic API) — used for
+    * expressions that capture per-query state (centroid tables, ADC LUTs):
+    * constructing the Column directly avoids registering a temp function
+    * per query (a session-lifetime registry leak, and a hash-name
+    * collision would silently rebind an existing plan to the wrong state).
+    */
+  def columnOf(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+  def exprOf(c: Column): Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+
   /** Column-level API over the registered functions. */
   object F {
     def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

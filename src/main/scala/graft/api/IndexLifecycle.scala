@@ -100,9 +100,14 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     val tmp = s"$spacePath.merge.tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(spacePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(spacePath))
+    // move-aside swap: a crash mid-merge never loses the table (data is at
+    // spacePath or spacePath.old at every instant)
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val old = new org.apache.hadoop.fs.Path(s"$spacePath.old")
+    fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
     ()
   }
 

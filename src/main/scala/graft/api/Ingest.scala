@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 import graft.Graft.F
 import graft.operators.Documents
@@ -16,12 +17,14 @@ import graft.schema.{FieldKind, Space}
   */
 object Ingest {
 
-  /** Validate + conform a batch to a space schema: unknown columns
-    * rejected, missing nullable columns filled with null, vector dims
-    * checked, normalized vector fields L2-normalized, missing `_id`s
-    * assigned deterministically.
+  /** Validate + conform a batch to a space schema, splitting out rows the
+    * reference would reject per-item (doc_parse.go:465-515's dimension
+    * check): returns (conformed-ok, rejected). Ok rows get missing
+    * nullable columns filled, normalized vector fields L2-normalized, and
+    * missing `_id`s assigned deterministically. Unknown columns reject
+    * the whole batch (a schema error, not a row error).
     */
-  def conform(batch: DataFrame, space: Space): DataFrame = {
+  def conformSplit(batch: DataFrame, space: Space): (DataFrame, DataFrame) = {
     val target = space.toStructType
     val unknown = batch.columns.toSet -- target.fieldNames.toSet
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
@@ -34,24 +37,35 @@ object Ingest {
       .filter(_.vector.exists(_.normalized)).map(_.name).toSet
     val dims = space.vectorFields.map(f => f.name -> f.vector.get.dimension).toMap
 
+    // a row is rejected if ANY present vector field has the wrong size —
+    // never silently nulled (a nulled vector would just vanish from every
+    // KNN result with no signal to the writer)
+    val badVec = dims.toSeq.collect {
+      case (name, dim) if withId.columns.contains(name) =>
+        col(name).isNotNull && size(col(name).cast(ArrayType(FloatType))) =!= dim
+    }
+    val isBad = badVec.reduceOption(_ || _).getOrElse(lit(false))
+    val rejected = withId.filter(isBad)
+    val okRows = withId.filter(!isBad)
+
     val cols: Seq[Column] = target.fields.toSeq.map { sf =>
       if (!withId.columns.contains(sf.name)) lit(null).cast(sf.dataType).as(sf.name)
       else {
         val c = col(sf.name).cast(sf.dataType)
-        dims.get(sf.name) match {
-          case Some(dim) =>
-            // dimension check at ingest (doc_parse.go:465-515): a wrong-size
-            // vector poisons the row rather than the batch → null + assert
-            val checked = when(c.isNull || size(c) === dim, c)
-            val maybeNorm =
-              if (normalizedNames.contains(sf.name)) F.l2Normalize(checked)
-              else checked
-            maybeNorm.as(sf.name)
-          case None => c.as(sf.name)
-        }
+        if (normalizedNames.contains(sf.name)) F.l2Normalize(c).as(sf.name)
+        else c.as(sf.name)
       }
     }
-    Documents.withDefaultIds(withId.select(cols: _*), "_id")
+    (Documents.withDefaultIds(okRows.select(cols: _*), "_id"), rejected)
+  }
+
+  /** Strict conformance: rejects the batch if any row fails (use
+    * [[conformSplit]] for the reference's per-item error semantics).
+    */
+  def conform(batch: DataFrame, space: Space): DataFrame = {
+    val (ok, bad) = conformSplit(batch, space)
+    require(bad.isEmpty, "batch contains rows with wrong-dimension vectors")
+    ok
   }
 
   /** RANGE partition rule: named, strictly-increasing upper bounds on a

@@ -196,15 +196,12 @@ object SearchApi {
         .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
       val payload = struct(corpus.columns.map(col).toIndexedSeq: _*)
+      // gates + pagination inside the batch operator (pre-selection gate,
+      // per-qid offset slice) — same semantics as the single-query path
       val res = Knn.searchBatch(filtered, col(vc.field), payload, queries,
-        "_qid", "_qv", req.limit, metric)
-      val gated = (vc.minScore, vc.maxScore) match {
-        case (Some(lo), Some(hi)) => res.filter(col("_score").between(lo, hi))
-        case (Some(lo), None)     => res.filter(col("_score") >= lo)
-        case (None, Some(hi))     => res.filter(col("_score") <= hi)
-        case _                    => res
-      }
-      val flat = gated.select(col("_qid"), col("_score"), col("_item.*"))
+        "_qid", "_qv", req.limit, metric,
+        minScore = vc.minScore, maxScore = vc.maxScore, offset = req.offset)
+      val flat = res.select(col("_qid"), col("_score"), col("_item.*"))
       flat.select(projection(space, req, Seq("_qid", "_score")): _*)
     }
   }

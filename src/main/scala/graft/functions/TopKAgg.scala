@@ -10,8 +10,33 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Entry held by the bounded heap. */
-private[graft] final case class ScoredItem(score: Double, item: Any)
+/** Entry held by the bounded heap. `tieBytes` lazily serializes the item
+  * for deterministic ordering when scores are exactly equal.
+  */
+private[graft] final class ScoredItem(
+    val score: Double, val item: Any, tieBytesFn: Any => Array[Byte]) {
+  lazy val tieBytes: Array[Byte] = tieBytesFn(item)
+}
+
+private[graft] object ScoredItem {
+  /** Unsigned lexicographic byte compare — a total, run-stable order. */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  /** (score, tieBytes) ordering, ascending. */
+  def compareFull(x: ScoredItem, y: ScoredItem): Int = {
+    val c = java.lang.Double.compare(x.score, y.score)
+    if (c != 0) c else compareBytes(x.tieBytes, y.tieBytes)
+  }
+}
 
 /** Bounded top-k heap keyed by a Double score.
   *
@@ -27,33 +52,31 @@ private[graft] final case class ScoredItem(score: Double, item: Any)
   * Unlike a window `row_number() <= k`, nothing ever materializes a full
   * per-group sort — this is what keeps per-query KNN viable at 100 TB.
   */
-private[graft] final class TopKBuffer(val k: Int, val asc: Boolean) {
-  private val cmp: Comparator[ScoredItem] =
-    if (asc) new Comparator[ScoredItem] { // keep smallest => evict largest => max-heap
-      def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(y.score, x.score)
+private[graft] final class TopKBuffer(
+    val k: Int, val asc: Boolean, tieBytesFn: Any => Array[Byte]) {
+  // full (score, tieBytes) ordering: k-boundary decisions on exactly-equal
+  // scores are otherwise partition-arrival-order dependent (nondeterministic
+  // across runs — the same bug class as rounding-before-ordering)
+  private val bestFirst: Comparator[ScoredItem] =
+    if (asc) new Comparator[ScoredItem] {
+      def compare(x: ScoredItem, y: ScoredItem): Int = ScoredItem.compareFull(x, y)
     } else new Comparator[ScoredItem] {
-      def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(x.score, y.score)
+      def compare(x: ScoredItem, y: ScoredItem): Int = ScoredItem.compareFull(y, x)
     }
-  val heap = new PriorityQueue[ScoredItem](math.max(k, 1), cmp)
+  // heap root = evictable (worst kept) => reverse of bestFirst
+  val heap = new PriorityQueue[ScoredItem](math.max(k, 1), bestFirst.reversed())
 
   def add(score: Double, item: Any): Unit = {
-    if (heap.size < k) heap.offer(ScoredItem(score, item))
-    else {
-      val worst = heap.peek()
-      val better = if (asc) score < worst.score else score > worst.score
-      if (better) { heap.poll(); heap.offer(ScoredItem(score, item)) }
+    val cand = new ScoredItem(score, item, tieBytesFn)
+    if (heap.size < k) { heap.offer(cand); () }
+    else if (bestFirst.compare(cand, heap.peek()) < 0) {
+      heap.poll(); heap.offer(cand); ()
     }
   }
 
   /** Best-first (query result order: L2 asc, IP desc). */
   def sorted: Array[ScoredItem] = {
     val arr = heap.toArray(new Array[ScoredItem](heap.size))
-    val bestFirst: Comparator[ScoredItem] =
-      if (asc) new Comparator[ScoredItem] {
-        def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(x.score, y.score)
-      } else new Comparator[ScoredItem] {
-        def compare(x: ScoredItem, y: ScoredItem): Int = java.lang.Double.compare(y.score, x.score)
-      }
     java.util.Arrays.sort(arr, bestFirst)
     arr
   }
@@ -85,7 +108,16 @@ case class TopKAgg(
       StructField("item", payload.dataType, payload.nullable))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, asc)
+  @transient private lazy val itemProj =
+    UnsafeProjection.create(Array[DataType](payload.dataType))
+  @transient private lazy val itemRow = new GenericInternalRow(1)
+  private def tieBytesOf(item: Any): Array[Byte] = {
+    itemRow.update(0, item)
+    itemProj(itemRow).getBytes.clone()
+  }
+
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, asc, tieBytesOf)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
@@ -131,7 +163,7 @@ case class TopKAgg(
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val buf = new TopKBuffer(k, asc)
+    val buf = new TopKBuffer(k, asc, tieBytesOf)
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
     var i = 0

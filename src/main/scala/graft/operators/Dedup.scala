@@ -70,8 +70,14 @@ object Dedup {
         sh0.join(hot, Seq("sh"), "left_anti")
       case None => sh0
     }
-    // |A| is just the (distinct) shingle-array size — no aggregation pass
-    val sizes = shingled.select(col("id"), size(col("sharr")).as("sz"))
+    // |A|: with no cap it is just the distinct-shingle array size; with a
+    // cap, sizes must be computed over the SAME capped set as the
+    // intersection — mixing capped numerator with uncapped denominator
+    // would underestimate jaccard and silently miss true duplicates
+    val sizes = maxShingleDf match {
+      case Some(_) => sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      case None    => shingled.select(col("id"), size(col("sharr")).as("sz"))
+    }
     val common = sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -39,16 +39,21 @@ object Documents {
   }
 
   /** Soft-delete-by-ids ≡ anti-filter (engine.cc:869-899 sets a bitmap;
-    * relationally the rows just stop matching).
+    * relationally the rows just stop matching). NULL-safe: a null id
+    * matches nothing, so the row survives (SQL DELETE deletes only rows
+    * where the predicate IS TRUE).
     */
   def deleteByIds(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame =
-    df.filter(!col(idCol).isin(ids: _*))
+    df.filter(!coalesce(col(idCol).isin(ids: _*), lit(false)))
 
   /** Delete-by-query: runs the filter, removes matches
     * (handler_document.go:498-555 does query→ids→delete; relationally one
-    * negated predicate — same result, no id round-trip).
+    * negated predicate — same result, no id round-trip). NULL predicate
+    * results keep the row: plain `!pred` would silently delete every row
+    * where the predicate evaluates to NULL (e.g. a null-valued field).
     */
-  def deleteByQuery(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)
+  def deleteByQuery(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
 
   /** Point lookups preserving request order (router re-orders responses to
     * match the request id list, internal/client/client.go:1154-1170).

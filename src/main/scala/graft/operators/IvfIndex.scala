@@ -68,16 +68,12 @@ object IvfIndex {
   }
 
   /** Add `list_id` (codegen'd argmin over the centroid table) to a corpus.
-    * The centroid table registers as a session function so the expression
-    * composes with plain Columns.
+    * The centroid table rides inside the expression — no per-model
+    * function registration (those leak and can collide).
     */
-  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    val fname = s"ivf_assign_${math.abs(System.identityHashCode(model))}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, es => IvfAssign(es.head, model.centroids), "built-in")
-    df.withColumn("list_id", call_function(fname, col(vecCol)))
-  }
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("list_id",
+      graft.Graft.columnOf(IvfAssign(graft.Graft.exprOf(col(vecCol)), model.centroids)))
 
   /** Build the physical index: corpus + list_id written partitioned by
     * list_id → searches touch only probed partitions (partition pruning).
@@ -91,15 +87,9 @@ object IvfIndex {
     * static IN that becomes partition pruning. Prefer this form when the
     * probe should travel inside a larger plan (views, SQL).
     */
-  def probeFilter(df: DataFrame, model: Model, q: Seq[Float], nprobe: Int): Column = {
-    val spark = df.sparkSession
-    val fname = s"ivf_probe_${math.abs(System.identityHashCode(model))}_$nprobe"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname,
-      es => graft.plans.IvfProbe(es.head, model.centroids, q, nprobe),
-      "built-in")
-    call_function(fname, col("list_id"))
-  }
+  def probeFilter(df: DataFrame, model: Model, q: Seq[Float], nprobe: Int): Column =
+    graft.Graft.columnOf(graft.plans.IvfProbe(
+      graft.Graft.exprOf(col("list_id")), model.centroids, q, nprobe))
 
   /** IVF search over an assigned corpus: probe filter then exact scoring.
     * `isBruteSearch` mirrors vearch's 0=index / 1=brute / 2=auto planner

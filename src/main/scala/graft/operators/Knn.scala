@@ -95,14 +95,30 @@ object Knn {
       qidCol: String,
       qvecCol: String,
       k: Int,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2",
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
+      offset: Int = 0): DataFrame = {
     val q = queries.select(col(qidCol).as("_qid"), col(qvecCol).as("_qvec"))
     val scored = corpus.crossJoin(broadcast(q))
       .select(col("_qid"),
         score(metric, vecCol, col("_qvec")).as("_score"),
         payload.as("_item"))
-    scored.groupBy(col("_qid"))
-      .agg(F.topK(col("_score"), col("_item"), k, ascending(metric)).as("_tk"))
+    // gates apply BEFORE selection — vearch's in-scan score gate
+    // (gamma_common_data.h:94-96); gating after top-k would return fewer
+    // than k rows even when enough in-range docs exist
+    val gated = (minScore, maxScore) match {
+      case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))
+      case (Some(lo), None)     => scored.filter(col("_score") >= lo)
+      case (None, Some(hi))     => scored.filter(col("_score") <= hi)
+      case _                    => scored
+    }
+    val agged = gated.groupBy(col("_qid"))
+      .agg(F.topK(col("_score"), col("_item"), k + offset, ascending(metric)).as("_tk"))
+    // per-qid pagination = slicing the already-sorted top array
+    val sliced = if (offset > 0) agged.withColumn("_tk", slice(col("_tk"), offset + 1, k))
+      else agged
+    sliced
       .select(col("_qid"), explode(col("_tk")).as("_e"))
       .select(col("_qid"), col("_e.item").as("_item"), col("_e.score").as("_score"))
   }
@@ -128,7 +144,9 @@ object Knn {
     val perField = fields.zipWithIndex.map { case ((vc, qv), i) =>
       df.select(col(idCol), score(metric, vc, queryLit(qv)).as(s"_s$i"))
         .filter(col(s"_s$i").isNotNull) // null vectors must not head asc order
-        .orderBy(if (ascending(metric)) col(s"_s$i").asc else col(s"_s$i").desc)
+        .orderBy(
+          if (ascending(metric)) col(s"_s$i").asc else col(s"_s$i").desc,
+          col(idCol).asc) // deterministic k-boundary on exactly-equal scores
         .limit(perFieldK)
     }
     val joined = perField.reduceLeft((a, b) => a.join(b, Seq(idCol), "inner"))

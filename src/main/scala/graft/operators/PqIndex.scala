@@ -145,25 +145,20 @@ object PqIndex {
     if (kk < k) centroids ++ Array.fill(k - kk)(centroids(0).clone()) else centroids
   }
 
-  /** Add the `pq_code` column (codegen'd per-subvector argmin). */
-  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    val fname = s"pq_encode_${math.abs(System.identityHashCode(model))}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, es => PqEncode(es.head, model.codebooks), "built-in")
-    df.withColumn("pq_code", call_function(fname, col(vecCol)))
-  }
+  /** Add the `pq_code` column (codegen'd per-subvector argmin). The
+    * codebook rides inside the expression directly — no per-model
+    * function registration.
+    */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("pq_code",
+      graft.Graft.columnOf(PqEncode(graft.Graft.exprOf(col(vecCol)), model.codebooks)))
 
   /** ADC score column for a query (lower is better for both metrics; IP is
-    * negated inside the LUT).
+    * negated inside the LUT). The per-query LUT is carried by the
+    * expression itself.
     */
-  def adcScore(model: Model, q: Seq[Float], codesCol: Column, spark: org.apache.spark.sql.SparkSession): Column = {
-    val table = model.lut(q)
-    val fname = s"pq_adc_${math.abs(java.util.Arrays.deepHashCode(table.asInstanceOf[Array[AnyRef]]))}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, es => PqAdcScore(es.head, table), "built-in")
-    call_function(fname, codesCol)
-  }
+  def adcScore(model: Model, q: Seq[Float], codesCol: Column): Column =
+    graft.Graft.columnOf(PqAdcScore(graft.Graft.exprOf(codesCol), model.lut(q)))
 
   /** Full IVFPQ: coarse probe (partition pruning on `list_id`) → ADC
     * top-recallNum within the probed lists → exact rerank to top-k. This
@@ -199,10 +194,9 @@ object PqIndex {
       recallNum: Int,
       idCol: Column,
       roundTo: Option[Int] = None): DataFrame = {
-    val spark = corpus.sparkSession
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val approx = corpus
-      .withColumn("_adc", adcScore(model, q, col("pq_code"), spark))
+      .withColumn("_adc", adcScore(model, q, col("pq_code")))
       .filter(col("_adc").isNotNull) // null codes must not head the asc shortlist
       .orderBy(col("_adc").asc, idCol.asc)
       .limit(recallNum)

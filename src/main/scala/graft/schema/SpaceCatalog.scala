@@ -16,6 +16,11 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
 
   private def dir(db: String, space: String) = s"$root/$db/$space"
   private def viewName(db: String, space: String) = s"${db}__$space"
+  // alias registry so writes can refresh alias views (the reference
+  // resolves aliases per request; a view bound to a point-in-time file
+  // listing would go stale after the first table rewrite)
+  private val aliases =
+    scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.Set[String]]
 
   def createDb(db: String): Unit = { Files.createDirectories(Paths.get(s"$root/$db")); () }
 
@@ -53,7 +58,8 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
 
   def deleteByQuery(db: String, spaceName: String, pred: org.apache.spark.sql.Column): Unit = {
     val path = dir(db, spaceName)
-    val remaining = spark.read.parquet(path).filter(!pred)
+    val remaining =
+      graft.operators.Documents.deleteByQuery(spark.read.parquet(path), pred)
     val tmp = s"$path.tmp"
     remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
     replace(path, tmp)
@@ -70,12 +76,21 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   }
 
   /** Alias CRUD (internal/entity/alias.go; resolved per request at
-    * doc_service.go:131-136) — a view over the target space's view.
+    * doc_service.go:131-136) — a view over the target space, re-registered
+    * on every table rewrite so it never serves deleted files.
     */
-  def createAlias(alias: String, db: String, spaceName: String): Unit =
+  def createAlias(alias: String, db: String, spaceName: String): Unit = {
     spark.read.parquet(dir(db, spaceName)).createOrReplaceTempView(alias)
+    aliases.getOrElseUpdate((db, spaceName),
+      scala.collection.mutable.Set.empty) += alias
+    ()
+  }
 
-  def dropAlias(alias: String): Unit = { spark.catalog.dropTempView(alias); () }
+  def dropAlias(alias: String): Unit = {
+    spark.catalog.dropTempView(alias)
+    aliases.values.foreach(_ -= alias)
+    ()
+  }
 
   /** Space "stats" (GetDocsNum, engine.cc:1138). */
   def docCount(db: String, spaceName: String): Long = read(db, spaceName).count()
@@ -91,12 +106,24 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     refreshView(db, spaceName)
   }
 
-  private def refreshView(db: String, spaceName: String): Unit =
-    spark.read.parquet(dir(db, spaceName)).createOrReplaceTempView(viewName(db, spaceName))
+  private def refreshView(db: String, spaceName: String): Unit = {
+    val df = spark.read.parquet(dir(db, spaceName))
+    df.createOrReplaceTempView(viewName(db, spaceName))
+    aliases.getOrElse((db, spaceName), Set.empty)
+      .foreach(a => df.createOrReplaceTempView(a))
+  }
 
+  /** Swap with no lost-table crash window: the old table moves aside
+    * first, the new one moves into place, then the old is deleted. A
+    * crash mid-swap leaves the data under `path` or `path.old` — never
+    * gone (delete-then-rename would lose everything between the two).
+    */
   private def replace(path: String, tmp: String): Unit = {
-    deleteRecursively(Paths.get(path))
+    val old = Paths.get(s"$path.old")
+    deleteRecursively(old)
+    Files.move(Paths.get(path), old)
     Files.move(Paths.get(tmp), Paths.get(path))
+    deleteRecursively(old)
     ()
   }
 

@@ -25,7 +25,11 @@ final class RealtimeTail(
     val basePath: String,
     val tailPath: String,
     checkpointPath: String,
-    idCol: String) {
+    idCol: String,
+    // column that orders writes to the same id (event time / sequence);
+    // without it, id collisions WITHIN the tail resolve arbitrarily — pass
+    // one whenever the stream can re-deliver an id
+    orderCol: Option[String] = None) {
 
   /** Start streaming ingest into the tail table. */
   def startIngest(source: DataFrame, intervalMs: Long = 1000L): StreamingQuery =
@@ -49,7 +53,11 @@ final class RealtimeTail(
   def snapshot(schema: StructType): DataFrame = {
     val base = readOrEmpty(basePath, schema)
     val tail = readOrEmpty(tailPath, schema)
-    graft.operators.Documents.upsert(base, tail.dropDuplicates(idCol), idCol)
+    val dedupedTail = orderCol match {
+      case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
+      case None     => tail.dropDuplicates(idCol) // arbitrary winner — see ctor note
+    }
+    graft.operators.Documents.upsert(base, dedupedTail, idCol)
   }
 
   /** Fold the tail into the base (the reference's background Indexing
@@ -66,9 +74,14 @@ final class RealtimeTail(
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val oldP = new org.apache.hadoop.fs.Path(s"$basePath.old")
     val tailP = new org.apache.hadoop.fs.Path(tailPath)
-    fs.delete(baseP, true)
+    // move-aside swap (no crash window that loses the base), tail cleared
+    // only after the new base is in place
+    fs.delete(oldP, true)
+    fs.rename(baseP, oldP)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), baseP)
+    fs.delete(oldP, true)
     fs.delete(tailP, true)
   }
 }

@@ -14,22 +14,27 @@ class IngestSpec extends SparkSpec {
         {"name":"n","type":"long"},
         {"name":"v","type":"vector","dimension":4,"format":"normalization"}]}""")
 
-  test("conform: id defaulting, missing column fill, normalization, dim check") {
+  test("conformSplit: id defaulting, normalization, per-item dim rejection") {
     val batch = Seq(
       (Some("doc1"), 1L, Seq(3f, 0f, 4f, 0f)),
       (None, 2L, Seq(1f, 1f, 1f, 1f)),
-      (None, 3L, Seq(1f, 2f))) // wrong dim → nulled
+      (None, 3L, Seq(1f, 2f))) // wrong dim → rejected row, not nulled
       .toDF("_id", "n", "v")
       .select($"_id", $"n", $"v".cast("array<float>").as("v"))
-    val out = Ingest.conform(batch, space).orderBy("n").collect()
+    val (ok, bad) = Ingest.conformSplit(batch, space)
+    val out = ok.orderBy("n").collect()
+    assert(out.length == 2)
     assert(out.forall(!_.isNullAt(0)))                    // every row has an _id
     assert(out(0).getString(0) == "doc1")                 // provided id kept
     val v0 = out(0).getSeq[Float](2)
     assert(math.abs(v0.map(x => x * x).sum - 1f) < 1e-5)  // normalized
-    assert(out(2).isNullAt(2))                            // bad dim → null vector
-    // unknown column rejected
+    assert(bad.select("n").as[Long].collect().toSeq == Seq(3L)) // per-item error
+    // strict conform rejects the whole batch; clean batch passes
+    assertThrows[IllegalArgumentException](Ingest.conform(batch, space))
+    assert(Ingest.conform(batch.filter($"n" < 3), space).count() == 2)
+    // unknown column rejects the batch (schema error)
     assertThrows[IllegalArgumentException] {
-      Ingest.conform(batch.withColumn("extra", lit(1)), space)
+      Ingest.conformSplit(batch.withColumn("extra", lit(1)), space)
     }
   }
 

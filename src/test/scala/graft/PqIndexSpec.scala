@@ -19,9 +19,8 @@ class PqIndexSpec extends SparkSpec {
   }
 
   test("ADC ordering correlates with true L2: self is best") {
-    val spark2 = spark
     val adc = encoded
-      .withColumn("_adc", PqIndex.adcScore(model, q0, col("pq_code"), spark2))
+      .withColumn("_adc", PqIndex.adcScore(model, q0, col("pq_code")))
       .orderBy($"_adc".asc).select($"vec_id").limit(5).as[Long].collect()
     assert(adc.contains(0L), s"self not in ADC top-5: ${adc.toSeq}")
   }
