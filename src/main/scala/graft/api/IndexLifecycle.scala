@@ -77,6 +77,22 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
+  /** Incremental maintenance: assign list_ids for a delta batch with the
+    * CURRENT model and append it to the READY generation — the reference's
+    * background Indexing loop (engine.cc:1084-1137 folds new vectors into
+    * the live index without retraining). Centroids drift is handled by the
+    * next rebuild; until then new rows are immediately probe-searchable.
+    */
+  def appendDelta(delta: DataFrame, vecCol: String): Unit = state match {
+    case Ready(gen, _) =>
+      val model = loadModel().getOrElse(
+        throw new IllegalStateException("READY state without centroids"))
+      IvfIndex.assign(delta, vecCol, model)
+        .write.mode("append").partitionBy("list_id").parquet(indexPath(gen))
+    case other =>
+      throw new IllegalStateException(s"no READY index to append to (state: $other)")
+  }
+
   /** The current READY index table, or None while missing/building. */
   def readyIndex(): Option[DataFrame] = state match {
     case Ready(gen, _) => Some(spark.read.parquet(indexPath(gen)))

@@ -51,6 +51,31 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.state == lc.Missing)
   }
 
+  test("appendDelta: new vectors searchable without a rebuild") {
+    val root = Files.createTempDirectory("lifecycle3").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    lc.rebuild("embedding", ncentroids = 8)
+
+    // delta: one synthetic vector very close to vec_id 0
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val delta = Seq((999999L, q.map(x => x + 1e-4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    lc.appendDelta(delta, "embedding")
+
+    val model = lc.loadModel().get
+    val idx = lc.readyIndex().get
+    val top2 = IvfIndex.search(idx, $"embedding", model, q, 2, nprobe = 1,
+      tieBreak = Some($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    assert(top2.contains(999999L), s"appended vector not found: $top2")
+    // state unchanged — still the same READY generation
+    assert(lc.state.isInstanceOf[lc.Ready])
+    lc.drop()
+  }
+
   test("failed build leaves FAILED state and no ready index") {
     val root = Files.createTempDirectory("lifecycle2").toString
     val spacePath = s"$root/space"
