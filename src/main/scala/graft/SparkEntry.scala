@@ -511,6 +511,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ── beyond-reference: scalar string functions ──
+    "q_string_funcs" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_type"), 1, 5).as("t5"),
+          regexp_replace(col("p_brand"), "#", "-").as("brand2"),
+          length(col("p_name")).cast("long").as("ln"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ── beyond-reference: NULL-semantics expressions (nullif/coalesce) ──
+    "q_null_semantics" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("d"))
+        // (orderkey, linenumber) is NOT unique in this fixture — order by
+        // every output column so the sort is total over row content
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("d"))
+        .limit(500)
+    }),
+
+    // ── beyond-reference: date-part extraction + aggregation ──
+    "q_date_parts" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+          month(col("l_shipdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("y"), col("m"))
+    }),
+
     // ── beyond-reference: semi-structured JSON extraction ──
     "q_json_extract" -> ((s, dir) => {
       init(s)
@@ -811,6 +845,21 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
+                replace(p_brand, '#', '-') AS brand2, length(p_name) AS ln
+         FROM part ORDER BY p_partkey""",
+
+    "q_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+                coalesce(nullif(l_discount, 0.0), -1.0) AS d
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, d LIMIT 500""",
+
+    "q_date_parts" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+                CAST(month(l_shipdate) AS BIGINT) AS m, count(*) AS cnt
+         FROM lineitem GROUP BY y, m ORDER BY y, m""",
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
