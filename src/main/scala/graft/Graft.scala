@@ -33,6 +33,9 @@ object Graft {
         spark.experimental.extraOptimizations :+ graft.plans.RewriteIvfProbe
     }
     val reg = spark.sessionState.functionRegistry
+    // register once per session: re-registering emits a replacement warning
+    // per function per call, which buries the bench's JSON output in noise
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) return
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2", es => L2Dist(es(0), es(1)), "built-in")

@@ -35,14 +35,24 @@ object Ingest {
 
     val normalizedNames = space.vectorFields
       .filter(_.vector.exists(_.normalized)).map(_.name).toSet
-    val dims = space.vectorFields.map(f => f.name -> f.vector.get.dimension).toMap
 
     // a row is rejected if ANY present vector field has the wrong size —
     // never silently nulled (a nulled vector would just vanish from every
-    // KNN result with no signal to the writer)
-    val badVec = dims.toSeq.collect {
-      case (name, dim) if withId.columns.contains(name) =>
-        col(name).isNotNull && size(col(name).cast(ArrayType(FloatType))) =!= dim
+    // KNN result with no signal to the writer). Size semantics follow the
+    // value type (doc_query.go:296-301): float = `dimension` elements,
+    // binary = dimension/8 packed bytes, int8 = dimension bytes.
+    val badVec = space.vectorFields.collect {
+      case f if withId.columns.contains(f.name) =>
+        val vo = f.vector.get
+        vo.valueType match {
+          case "binary" =>
+            col(f.name).isNotNull && length(col(f.name)) =!= vo.dimension / 8
+          case "int8" =>
+            col(f.name).isNotNull && length(col(f.name)) =!= vo.dimension
+          case _ =>
+            col(f.name).isNotNull &&
+              size(col(f.name).cast(ArrayType(FloatType))) =!= vo.dimension
+        }
     }
     val isBad = badVec.reduceOption(_ || _).getOrElse(lit(false))
     val rejected = withId.filter(isBad)

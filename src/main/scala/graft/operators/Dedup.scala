@@ -49,7 +49,14 @@ object Dedup {
     * shingle is near-universal. `maxShingleDf` drops shingles that occur
     * in more than that many documents (frequency cap = the standard skew
     * guard for similarity joins; a shingle shared by a million docs
-    * carries no discriminating signal but would dominate the join).
+    * carries no discriminating signal but would dominate the join). On by
+    * default: one boilerplate shingle (license header, nav bar) at corpus
+    * scale makes the candidate join quadratic in its document frequency.
+    * The recall trade: a TRUE near-dup pair whose only shared shingles are
+    * all above the cap is missed — jaccard for such a pair is computed
+    * over the sub-cap shingle sets on BOTH numerator and denominator
+    * (consistently), so pairs that share any discriminating content
+    * survive. Pass None to disable for small corpora.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -57,7 +64,7 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     // one codegen'd kernel per row: distinct sorted 64-bit shingle hashes
     // (== xxhash64 of the space-joined shingle strings) — 8-byte shuffle
     // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵

@@ -54,11 +54,14 @@ object IvfIndex {
       metric: String = "l2",
       seed: Long = 42L,
       maxTrainRows: Long = 1000000L): Model = {
-    val total = df.count()
+    // ingest conformance passes null vectors through (only wrong-dim rows
+    // reject) — they must not reach KMeans (MLlib NPEs on null features)
+    val clean = df.filter(col(vecCol).isNotNull)
+    val total = clean.count()
     require(total > 0, "cannot train an IVF index on an empty corpus")
     val sampled =
-      if (total > maxTrainRows) df.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
-      else df
+      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      else clean
     val feats = sampled.select(array_to_vector(col(vecCol)).as("features"))
     // degenerate corpora: never ask for more centroids than rows
     val k = math.min(ncentroids.toLong, total).toInt

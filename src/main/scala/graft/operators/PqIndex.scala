@@ -74,10 +74,12 @@ object PqIndex {
       maxIter: Int = 15): Model = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val dsub = dim / m
-    val total = df.count()
+    // null vectors pass ingest conformance; keep them out of the sample
+    val clean = df.filter(col(vecCol).isNotNull)
+    val total = clean.count()
     val sampled =
-      if (total > maxTrainRows) df.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
-      else df
+      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      else clean
     val rows: Array[Array[Float]] = sampled.select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(rows.nonEmpty, "no training rows")
@@ -182,8 +184,16 @@ object PqIndex {
       vecCol, pq, q, k, recallNum, idCol, roundTo)
   }
 
-  /** Two-stage search: ADC top-recallNum → exact rerank to top-k.
-    * `corpus` must carry both `pq_code` and the raw vector column.
+  /** Two-stage search: ADC top-recallNum over CODES ONLY → id shortlist →
+    * broadcast-semi-join back to the corpus for the exact rerank.
+    *
+    * Stage 1 projects (id, pq_code) immediately, so parquet column pruning
+    * drops the raw vector bytes from the shortlist scan — the scan reads
+    * ~m/(4·dim) of the vector IO (8 code bytes vs 256 float bytes at
+    * dim=64/m=8). Only the recallNum survivors' raw vectors are fetched,
+    * by the stage-2 semi-join — the reference's recall_num rerank shape
+    * (gamma_index_ivfpq.cc:262-273: ADC shortlist ids → raw-vector fetch →
+    * exact top-k).
     */
   def search(
       corpus: DataFrame,
@@ -195,12 +205,15 @@ object PqIndex {
       idCol: Column,
       roundTo: Option[Int] = None): DataFrame = {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
-    val approx = corpus
+    val shortlist = corpus
+      .select(idCol.as("_sid"), col("pq_code"))
       .withColumn("_adc", adcScore(model, q, col("pq_code")))
       .filter(col("_adc").isNotNull) // null codes must not head the asc shortlist
-      .orderBy(col("_adc").asc, idCol.asc)
+      .orderBy(col("_adc").asc, col("_sid").asc)
       .limit(recallNum)
-    Knn.search(approx.drop("_adc"), vecCol, q, k, model.metric,
+      .select(col("_sid"))
+    val rerank = corpus.join(broadcast(shortlist), idCol === col("_sid"), "left_semi")
+    Knn.search(rerank, vecCol, q, k, model.metric,
       tieBreak = Some(idCol), roundTo = roundTo)
   }
 }

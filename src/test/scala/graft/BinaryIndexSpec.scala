@@ -15,7 +15,7 @@ class BinaryIndexSpec extends SparkSpec {
   test("shortlist = N degenerates to exact search") {
     val n = emb.count().toInt
     val got = BinaryIndex.search(coded, $"embedding", q(0), 10, shortlist = n,
-      tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect().toSeq
+      idCol = $"vec_id").select($"vec_id").as[Long].collect().toSeq
     val exact = Knn.search(emb, $"embedding", q(0), 10, "l2", tieBreak = Some($"vec_id"))
       .select($"vec_id").as[Long].collect().toSeq
     assert(got == exact)
@@ -29,7 +29,7 @@ class BinaryIndexSpec extends SparkSpec {
       val exact = Knn.search(emb, $"embedding", q(id), 10, "l2", tieBreak = Some($"vec_id"))
         .select($"vec_id").as[Long].collect().toSet
       val got = BinaryIndex.search(coded, $"embedding", q(id), 10, shortlist = 100,
-        tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect().toSet
+        idCol = $"vec_id").select($"vec_id").as[Long].collect().toSet
       hits += got.intersect(exact).size; total += exact.size
     }
     val recall = hits.toDouble / total
@@ -38,7 +38,7 @@ class BinaryIndexSpec extends SparkSpec {
 
   test("self is always found (hamming 0 to itself)") {
     val r = BinaryIndex.search(coded, $"embedding", q(7), 3, shortlist = 50,
-      tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect()
+      idCol = $"vec_id").select($"vec_id").as[Long].collect()
     assert(r.head == 7L)
   }
 }

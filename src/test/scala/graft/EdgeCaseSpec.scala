@@ -53,7 +53,7 @@ class EdgeCaseSpec extends SparkSpec {
     val coded = graft.operators.BinaryIndex.encode(
       d.select($"id", $"v1".as("v")), "v")
     val bs = graft.operators.BinaryIndex.search(coded, $"v", Seq(1f, 0f),
-      k = 5, shortlist = 5, tieBreak = Some($"id"))
+      k = 5, shortlist = 5, idCol = $"id")
     assert(!bs.select($"id").as[Long].collect().contains(2L))
   }
 
