@@ -613,7 +613,7 @@ object SparkEntry {
       init(s)
       val coded = graft.operators.BinaryIndex.encode(t(s, dir, "embeddings"), "embedding")
       graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
-        k = 10, shortlist = 100, tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
