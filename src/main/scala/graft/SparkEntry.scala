@@ -342,18 +342,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt")).orderBy(col("lang"))
     }),
 
-    // ── pipeline (rows-only): MinHash-LSH near-dup, exact-verified ──
+    // ── pipeline: MinHash-LSH near-dup, exact-verified. At 8 bands × 2
+    //    rows, P(miss | j=0.8) = (1-0.8²)⁸ ≈ 3e-4 and the banding is
+    //    seeded/deterministic, so the output equals the exact jaccard
+    //    pairs and shares their oracle ──
     "q_minhash_lsh" -> ((s, dir) => {
       init(s)
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── pipeline (rows-only): SimHash near-dup (hamming ≤ 3) ──
+    // ── pipeline: SimHash near-dup (hamming ≤ 3), portable md5 hashing so
+    //    the DuckDB oracle recomputes the identical fingerprint ──
     "q_simhash_pairs" -> ((s, dir) => {
       init(s)
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairsPortable(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -365,14 +370,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── §2.4 (rows-only): IVF index build + nprobe-pruned search ──
+    // ── §2.4 (rows-only): IVF nprobe-pruned search over the prebuilt
+    //    list_id-partitioned layout (probe = partition pruning) ──
     "q_ivf_search" -> ((s, dir) => {
       init(s)
-      val emb = t(s, dir, "embeddings")
-      val model = IvfIndex.train(emb, "embedding", ncentroids = 16)
-      val assigned = IvfIndex.assign(emb, "embedding", model)
-      IvfIndex.search(assigned, col("embedding"), model, qvec(s, dir),
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
         k = 10, nprobe = 4, tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 IVF with nprobe = ncentroids ≡ exact KNN (oracle-checked:
+    //    proves the probe→score path end-to-end) ──
+    "q_ivf_exact" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = model.ncentroids,
+        tieBreak = Some(col("vec_id")), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
@@ -385,15 +400,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ── §2.4 (rows-only): PQ/ADC two-stage search with recall_num rerank ──
+    // ── §2.4 (rows-only): PQ/ADC two-stage search with recall_num rerank,
+    //    over the prebuilt layout (stage 1 scans stored pq_code only) ──
     "q_pq_search" -> ((s, dir) => {
       init(s)
-      val emb = t(s, dir, "embeddings")
-      val model = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16,
-        maxTrainRows = 2000L, maxIter = 8)
-      val encoded = PqIndex.encode(emb, "embedding", model)
-      PqIndex.search(encoded, col("embedding"), model, qvec(s, dir),
+      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
+      PqIndex.search(table, col("embedding"), model, qvec(s, dir),
         k = 10, recallNum = 50, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 PQ with recall_num ≥ N ≡ exact KNN (oracle-checked: proves
+    //    ADC shortlist → semi-join rerank end-to-end) ──
+    "q_pq_exact" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
+      PqIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, recallNum = 1 << 30, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
@@ -595,25 +618,45 @@ object SparkEntry {
         """{"document_ids":["42","7","99"],"limit":50}""")
     }),
 
-    // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank ──
+    // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank over the
+    //    prebuilt list_id-partitioned + pq_code layout ──
     "q_ivfpq_search" -> ((s, dir) => {
       init(s)
-      val emb = t(s, dir, "embeddings")
-      val ivf = IvfIndex.train(emb, "embedding", ncentroids = 8)
-      val pq = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16,
-        maxTrainRows = 2000L, maxIter = 8)
-      val indexed = PqIndex.encode(IvfIndex.assign(emb, "embedding", ivf), "embedding", pq)
-      PqIndex.searchIvf(indexed, col("embedding"), ivf, pq, qvec(s, dir),
+      val (table, ivf, pq) =
+        graft.sources.IndexStore.ivfPq(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvf(table, col("embedding"), ivf, pq, qvec(s, dir),
         k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
-    // ── §2.4 (rows-only): 1-bit quantization shortlist + exact rerank ──
+    // ── §2.4 IVFPQ with nprobe = ncentroids & recall_num ≥ N ≡ exact KNN
+    //    (oracle-checked) ──
+    "q_ivfpq_exact" -> ((s, dir) => {
+      init(s)
+      val (table, ivf, pq) =
+        graft.sources.IndexStore.ivfPq(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvf(table, col("embedding"), ivf, pq, qvec(s, dir),
+        k = 10, nprobe = ivf.ncentroids, recallNum = 1 << 30,
+        idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): 1-bit quantization shortlist + exact rerank over
+    //    the prebuilt bcode layout (stage 1 reads dim/8 bytes per row) ──
     "q_binary_rerank" -> ((s, dir) => {
       init(s)
-      val coded = graft.operators.BinaryIndex.encode(t(s, dir, "embeddings"), "embedding")
+      val coded = graft.sources.IndexStore.binary(s, dir)
       graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
         k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 binary with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
+    "q_binary_exact" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 1 << 30, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
@@ -631,7 +674,78 @@ object SparkEntry {
     }),
   )
 
+  /** Exact L2 top-10 — also the oracle for every ANN query run with
+    * exactness parameters (nprobe = ncentroids / recall_num ≥ N /
+    * shortlist ≥ N), which degenerate the index path to exact KNN.
+    */
+  private val exactL2Top10Sql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+       FROM embeddings e, q
+       ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+       LIMIT 10"""
+
+  /** Exact 3-gram jaccard pairs ≥ 0.8 — oracle for both the inverted-index
+    * exact join and the MinHash-LSH variant (recall ≈ 1 − 3e-4 per pair at
+    * 8×2 banding, deterministic seeds).
+    */
+  private val jaccardPairsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              FOR i IN range(1, len(w) - 1)])
+                          ELSE [array_to_string(w, ' ')] END AS s
+              FROM t),
+       e AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+       c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       z AS (SELECT doc_id, len(s) AS sz FROM sh)
+       SELECT id_a, id_b,
+              round(common::DOUBLE / (za.sz + zb.sz - common), 4) AS jaccard
+       FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+       WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8
+       ORDER BY id_a, id_b"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_ivf_exact" -> exactL2Top10Sql,
+    "q_pq_exact" -> exactL2Top10Sql,
+    "q_ivfpq_exact" -> exactL2Top10Sql,
+    "q_binary_exact" -> exactL2Top10Sql,
+    "q_minhash_lsh" -> jaccardPairsSql,
+
+    "q_knn_hamming" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         FROM embeddings e, q
+         ORDER BY hamming, e.vec_id LIMIT 10""",
+
+    "q_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+                                        x -> length(x) > 0),
+                            x -> md5(x)) AS hs
+           FROM documents),
+         sig AS (SELECT doc_id,
+             [CASE WHEN coalesce(list_sum(
+                 [CASE WHEN ((strpos('0123456789abcdef',
+                                     substr(hx, 15 - (b//4), 1)) - 1)
+                             >> (b%4)) & 1 = 1
+                       THEN 1 ELSE -1 END FOR hx IN hs]), 0) > 0
+                   THEN 1 ELSE 0 END
+              FOR b IN range(60)] AS s
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_filter(range(60), i -> a.s[i+1] <> b.s[i+1])) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE len(list_filter(range(60), i -> a.s[i+1] <> b.s[i+1])) <= 3
+         ORDER BY id_a, id_b""",
+
     "q_count" ->
       "SELECT count(*) AS cnt FROM embeddings",
 
@@ -798,24 +912,7 @@ object SparkEntry {
                 count(*) AS dup_cnt
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
 
-    "q_dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(w) >= 3
-                            THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                                FOR i IN range(1, len(w) - 1)])
-                            ELSE [array_to_string(w, ' ')] END AS s
-                FROM t),
-         e AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
-         c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-               FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         z AS (SELECT doc_id, len(s) AS sz FROM sh)
-         SELECT id_a, id_b,
-                round(common::DOUBLE / (za.sz + zb.sz - common), 4) AS jaccard
-         FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
-         WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8
-         ORDER BY id_a, id_b""",
+    "q_dedup_jaccard" -> jaccardPairsSql,
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -35,9 +35,34 @@ object IndexStore {
   def rootDir: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_index")
 
+  /** Content fingerprint of the fixture's embeddings table: canonical
+    * path + total byte size + newest mtime. Two fixtures sharing a
+    * basename get distinct cache dirs, and regenerating a fixture
+    * in place invalidates its cached layouts instead of silently
+    * serving a stale model.
+    */
+  private def fingerprint(sfDir: String): String = {
+    val p = Paths.get(sfDir, "embeddings.parquet").toAbsolutePath.normalize
+    var size = 0L
+    var mtime = 0L
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try {
+        stream.iterator().forEachRemaining { f =>
+          if (Files.isRegularFile(f)) {
+            size += Files.size(f)
+            mtime = math.max(mtime, Files.getLastModifiedTime(f).toMillis)
+          }
+        }
+      } finally stream.close()
+    }
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"$p|$size|$mtime")
+    f"${h & 0xffffffffL}%08x"
+  }
+
   private def dirFor(sfDir: String, kind: String): String = {
-    val base = Paths.get(sfDir).getFileName.toString
-    s"$rootDir/$Version/$base/$kind"
+    val base = Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString
+    s"$rootDir/$Version/$base-${fingerprint(sfDir)}/$kind"
   }
 
   private def ready(dir: String): Boolean =
