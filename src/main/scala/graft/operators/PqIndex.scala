@@ -83,10 +83,19 @@ object PqIndex {
     val rows: Array[Array[Float]] = sampled.select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     require(rows.nonEmpty, "no training rows")
-    val codebooks = Array.tabulate(m) { sub =>
-      val slice = rows.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-      localKMeans(slice, ksub, maxIter, seed + sub)
-    }
+    // the m sub-codebooks are independent — train them concurrently
+    // (m=64 at nbytes-64 settings would otherwise serialize 64 Lloyd runs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).toList.map { sub =>
+        Future {
+          val slice = rows.map(v =>
+            java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+          localKMeans(slice, ksub, maxIter, seed + sub)
+        }
+      }), Duration.Inf).toArray
     Model(m, ksub, dsub, codebooks, metric)
   }
 

@@ -42,32 +42,97 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     refreshView(db, space.name)
   }
 
-  /** Upsert a batch into a space (id-hash partitioned like vearch's slot
-    * routing). Rewrites the table — a transactional format would MERGE.
+  /** Bucket count of a bucketed table (absent = legacy flat layout). */
+  private def bucketsOf(path: String): Option[Int] = {
+    val p = Paths.get(path, "_graft_buckets")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toInt) else None
+  }
+
+  private def withBucket(df: DataFrame, nb: Int): DataFrame =
+    df.withColumn("_bucket", pmod(hash(col("_id")), lit(nb)))
+
+  /** Upsert a batch into a space. The table lives as `partitionNum`
+    * id-hash buckets (`_bucket=N/` partition dirs — vearch's murmur3 slot
+    * routing, internal/entity/space.go:210-236, as a physical layout):
+    * only the buckets the batch's ids hash into are read, merged, and
+    * swapped; every other bucket's files are untouched bytes. Write
+    * amplification is O(|batch| · table/buckets), not O(table) —
+    * the property that keeps continuous ingest viable at 100 TB.
+    *
+    * A legacy flat table (or a `partitionNum` change) takes the one-time
+    * full-rewrite migration path.
     */
   def upsert(db: String, spaceName: String, batch: DataFrame, partitionNum: Int = 1): Unit = {
     val path = dir(db, spaceName)
-    val base = spark.read.parquet(path)
-    val merged = graft.operators.Documents.upsert(base, batch, "_id")
-      .repartition(partitionNum, col("_id"))
     val tmp = s"$path.tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    replace(path, tmp)
+    bucketsOf(path) match {
+      case Some(nb) if nb == partitionNum =>
+        val touched = withBucket(batch, nb)
+          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+        val base = spark.read.parquet(path)
+        val baseTouched = base
+          .filter(col("_bucket").isin(touched: _*)) // partition pruning: only touched dirs read
+          .drop("_bucket")
+        val merged = withBucket(
+          graft.operators.Documents.upsert(baseTouched, batch, "_id"), nb)
+        merged.repartition(math.max(touched.size, 1), col("_bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
+        touched.foreach(b => replaceBucket(path, tmp, b))
+        deleteRecursively(Paths.get(tmp))
+      case _ =>
+        val base = readPath(path)
+        val merged = withBucket(
+          graft.operators.Documents.upsert(base, batch, "_id"), partitionNum)
+        merged.repartition(partitionNum, col("_bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
+        Files.write(Paths.get(tmp, "_graft_buckets"), partitionNum.toString.getBytes)
+        replace(path, tmp)
+    }
     refreshView(db, spaceName)
   }
 
   def deleteByQuery(db: String, spaceName: String, pred: org.apache.spark.sql.Column): Unit = {
     val path = dir(db, spaceName)
-    val remaining =
-      graft.operators.Documents.deleteByQuery(spark.read.parquet(path), pred)
     val tmp = s"$path.tmp"
-    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
-    replace(path, tmp)
+    bucketsOf(path) match {
+      case Some(nb) =>
+        // only buckets that contain matching rows are rewritten
+        val base = spark.read.parquet(path)
+        val touched = base.filter(pred)
+          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          val remaining = graft.operators.Documents.deleteByQuery(
+            base.filter(col("_bucket").isin(touched: _*)).drop("_bucket"), pred)
+          withBucket(remaining, nb)
+            .repartition(math.max(touched.size, 1), col("_bucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
+          touched.foreach(b => replaceBucket(path, tmp, b))
+          deleteRecursively(Paths.get(tmp))
+          // a delete that emptied every bucket must leave a readable
+          // (schema-carrying) table behind, not a bare meta file
+          if (!Files.list(Paths.get(path)).anyMatch(p =>
+              p.getFileName.toString.startsWith("_bucket="))) {
+            base.drop("_bucket").limit(0)
+              .write.mode(SaveMode.Overwrite).parquet(tmp)
+            replace(path, tmp)
+          }
+        }
+      case None =>
+        val remaining =
+          graft.operators.Documents.deleteByQuery(spark.read.parquet(path), pred)
+        remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+        replace(path, tmp)
+    }
     refreshView(db, spaceName)
   }
 
-  def read(db: String, spaceName: String): DataFrame =
-    spark.read.parquet(dir(db, spaceName))
+  /** Read a space — the physical `_bucket` routing column stays internal. */
+  def read(db: String, spaceName: String): DataFrame = readPath(dir(db, spaceName))
+
+  private def readPath(path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("_bucket")) df.drop("_bucket") else df
+  }
 
   def dropSpace(db: String, spaceName: String): Unit = {
     deleteRecursively(Paths.get(dir(db, spaceName)))
@@ -80,7 +145,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     * on every table rewrite so it never serves deleted files.
     */
   def createAlias(alias: String, db: String, spaceName: String): Unit = {
-    spark.read.parquet(dir(db, spaceName)).createOrReplaceTempView(alias)
+    readPath(dir(db, spaceName)).createOrReplaceTempView(alias)
     aliases.getOrElseUpdate((db, spaceName),
       scala.collection.mutable.Set.empty) += alias
     ()
@@ -107,10 +172,26 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   }
 
   private def refreshView(db: String, spaceName: String): Unit = {
-    val df = spark.read.parquet(dir(db, spaceName))
+    val df = readPath(dir(db, spaceName))
     df.createOrReplaceTempView(viewName(db, spaceName))
     aliases.getOrElse((db, spaceName), Set.empty)
       .foreach(a => df.createOrReplaceTempView(a))
+  }
+
+  /** Per-bucket move-aside swap (same crash-safety argument as [[replace]],
+    * scoped to one bucket dir). The aside dir lives OUTSIDE the table path
+    * so a crash never leaves a non-partition dir inside it (which would
+    * break parquet partition discovery).
+    */
+  private def replaceBucket(path: String, tmp: String, b: Int): Unit = {
+    val dst = Paths.get(path, s"_bucket=$b")
+    val src = Paths.get(tmp, s"_bucket=$b")
+    val old = Paths.get(s"$path.oldbucket.$b")
+    deleteRecursively(old)
+    if (Files.exists(dst)) Files.move(dst, old)
+    if (Files.exists(src)) Files.move(src, dst)
+    deleteRecursively(old)
+    ()
   }
 
   /** Swap with no lost-table crash window: the old table moves aside

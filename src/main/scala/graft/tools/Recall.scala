@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
@@ -7,69 +8,199 @@ import graft.operators.{IvfIndex, Knn, PqIndex}
 
 /** Recall harness replicating the reference CI gates
   * (test/test_recall_baseline.py:301-303: recall@1 ≥ 0.5, @10 ≥ 0.8,
-  * @100 ≥ 0.9 vs exact ground truth) over the embeddings fixture.
+  * @100 ≥ 0.9 vs exact ground truth), at two scales:
+  *
+  *  - fixture mode (default): the sf embeddings table, scaled params;
+  *  - synthetic mode (`SPARK_GRAFT_RECALL_SYNTH=1000000x128`): a
+  *    deterministic clustered corpus at the reference's published
+  *    benchmark params (ncentroids=1024, nprobe=40, nbytes=64 ⇒ m=64 —
+  *    internal/engine/benchs/README.md:70-92), held-out queries.
+  *
+  * Every stage is BATCHED — one Spark job scores all queries at once
+  * (broadcast queries × probed candidates → bounded top-k aggregate), the
+  * shape a 1000-executor cluster needs; no per-query driver loop.
   * Prints one JSON line per index configuration.
   */
 object Recall {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val nQueries = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "50").toInt
-    val spark = Graft.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+  /** Deterministic mixture-of-clusters corpus: `nClusters` centers with
+    * components uniform in [-2,2) (hash-derived), per-point noise uniform
+    * in [-0.2,0.2). ids < n are the corpus; ids in [n, n+nQueries) are
+    * held-out queries drawn from the same mixture. All columnar,
+    * codegen'd, no driver-side data generation.
+    */
+  def synthetic(spark: SparkSession, n: Long, dim: Int,
+      nClusters: Int, nQueries: Int): DataFrame = {
     import spark.implicits._
+    spark.range(n + nQueries).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(xxhash64(pmod($"id", lit(nClusters.toLong)), j), lit(2000L))
+            .cast("double") / 500.0 - 2.0) +
+         (pmod(xxhash64($"id", j + lit(1000000)), lit(2000L))
+            .cast("double") / 5000.0 - 0.2)
+        ).cast("float")).as("embedding"))
+  }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
-    val n = emb.count()
-    val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id", $"embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-
-    // exact ground truth @100 per query (one batched pass)
-    val qDf = queries.toSeq.toDF("qid", "qv")
-      .select($"qid", $"qv".cast("array<float>").as("qv"))
-    val gt: Map[Long, Seq[Long]] = Knn.searchBatch(
-      emb, $"embedding", struct($"vec_id"), qDf, "qid", "qv", 100, "l2")
+  /** Exact L2 ground truth @k for every query in one batched pass. */
+  def groundTruth(corpus: DataFrame, queries: DataFrame, k: Int): Map[Long, Seq[Long]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Knn.searchBatch(corpus, $"embedding", struct($"vec_id"), queries, "qid", "qv", k, "l2")
       .select($"_qid", $"_item.vec_id", $"_score")
       .collect().groupBy(_.getLong(0))
       .map { case (qid, rows) =>
         qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
       }
+  }
 
-    def report(name: String, got: Map[Long, Seq[Long]]): Unit = {
-      def recallAt(k: Int): Double = {
-        val per = queries.map { case (qid, _) =>
-          val g = gt(qid).take(k).toSet
-          got.getOrElse(qid, Nil).take(k).count(g.contains).toDouble / math.min(k, g.size)
-        }
-        per.sum / per.length
+  /** Batched IVFFLAT search: per-query probe lists ride in a broadcast
+    * queries table; one join + one bounded top-k aggregate covers all
+    * queries (shuffle = |queries|·k rows, independent of corpus size).
+    */
+  def evalIvf(assigned: DataFrame, ivf: IvfIndex.Model,
+      queries: Array[(Long, Seq[Float])], nprobe: Int, k: Int): Map[Long, Seq[Long]] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qDf = queries.toSeq
+      .map { case (qid, q) => (qid, q, ivf.nearestCentroids(q, nprobe)) }
+      .toDF("qid", "qv", "lists")
+      .select($"qid", $"qv".cast("array<float>").as("qv"), $"lists")
+    val cand = assigned.join(broadcast(qDf), array_contains($"lists", $"list_id"))
+    topkPerQuery(
+      cand.select($"qid", Knn.score("l2", $"embedding", $"qv").as("_s"),
+        struct($"vec_id").as("_i")), k)
+  }
+
+  /** Batched IVFPQ: per-query ADC lookup tables are broadcast as DATA
+    * (m·ksub doubles per query), stage 1 scores codes via element_at
+    * lookups and keeps top-recallNum per query, stage 2 fetches only the
+    * survivors' raw vectors (broadcast semi-join) for the exact rerank.
+    */
+  def evalIvfPq(encoded: DataFrame, ivf: IvfIndex.Model, pq: PqIndex.Model,
+      queries: Array[(Long, Seq[Float])], nprobe: Int, recallNum: Int,
+      k: Int): Map[Long, Seq[Long]] = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qDf = queries.toSeq
+      .map { case (qid, q) =>
+        (qid, q, ivf.nearestCentroids(q, nprobe), pq.lut(q).flatten.toSeq)
       }
-      println(f"""{"index":"$name","n":$n,"queries":${queries.length},"recall@1":${recallAt(1)}%.4f,"recall@10":${recallAt(10)}%.4f,"recall@100":${recallAt(100)}%.4f}""")
+      .toDF("qid", "qv", "lists", "lut")
+      .select($"qid", $"qv".cast("array<float>").as("qv"), $"lists", $"lut")
+    val ksub = pq.ksub
+    // stage 1: ADC over codes only — no raw vectors touched
+    val adc = encoded.select($"vec_id", $"list_id", $"pq_code")
+      .join(broadcast(qDf.select($"qid", $"lists", $"lut")),
+        array_contains($"lists", $"list_id"))
+      .select($"qid",
+        aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
+          (acc, sub) => acc +
+            element_at($"lut", sub * ksub + element_at($"pq_code", sub + 1) + 1))
+          .as("_s"),
+        struct($"vec_id").as("_i"))
+    val short = topkPerQuery(adc, recallNum).toSeq
+      .flatMap { case (qid, ids) => ids.map(id => (qid, id)) }
+    val shortDf = spark.createDataset(short).toDF("qid", "vec_id")
+    // stage 2: exact rerank of the survivors only
+    val rerank = encoded.join(broadcast(shortDf), Seq("vec_id"))
+      .join(broadcast(qDf.select($"qid", $"qv")), Seq("qid"))
+      .select($"qid", Knn.score("l2", $"embedding", $"qv").as("_s"),
+        struct($"vec_id").as("_i"))
+    topkPerQuery(rerank, k)
+  }
+
+  private def topkPerQuery(scored: DataFrame, k: Int): Map[Long, Seq[Long]] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.filter($"_s".isNotNull)
+      .groupBy($"qid").agg(Graft.F.topK($"_s", $"_i", k, asc = true).as("_tk"))
+      .select($"qid", explode($"_tk").as("_e"))
+      .select($"qid", $"_e.item.vec_id", $"_e.score")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+      }
+  }
+
+  def recallAt(gt: Map[Long, Seq[Long]], got: Map[Long, Seq[Long]], k: Int): Double = {
+    val per = gt.toSeq.map { case (qid, g0) =>
+      val g = g0.take(k).toSet
+      got.getOrElse(qid, Nil).take(k).count(g.contains).toDouble / math.min(k, g0.size)
     }
+    per.sum / per.length
+  }
 
-    // FLAT (must be 1.0 by construction)
-    report("FLAT", gt)
+  /** The reference's CI thresholds. */
+  val Gates: Seq[(Int, Double)] = Seq(1 -> 0.5, 10 -> 0.8, 100 -> 0.9)
 
-    // IVFFLAT at a few nprobe settings
-    val ncent = math.max(4, math.min(64, (math.sqrt(n.toDouble) / 2).toInt))
-    val ivf = IvfIndex.train(emb, "embedding", ncent)
-    val assigned = IvfIndex.assign(emb, "embedding", ivf).cache()
-    for (nprobe <- Seq(ncent / 8 max 1, ncent / 4 max 1, ncent / 2 max 1)) {
-      val got = queries.map { case (qid, q) =>
-        qid -> IvfIndex.search(assigned, $"embedding", ivf, q, 100, nprobe,
-          tieBreak = Some($"vec_id")).select($"vec_id").as[Long].collect().toSeq
-      }.toMap
-      report(s"IVFFLAT_nc${ncent}_np$nprobe", got)
+  def report(name: String, n: Long, gt: Map[Long, Seq[Long]],
+      got: Map[Long, Seq[Long]]): Boolean = {
+    val r = Map(1 -> recallAt(gt, got, 1), 10 -> recallAt(gt, got, 10),
+      100 -> recallAt(gt, got, 100))
+    val pass = Gates.forall { case (k, g) => r(k) >= g }
+    println(f"""{"index":"$name","n":$n,"queries":${gt.size},"recall@1":${r(1)}%.4f,"recall@10":${r(10)}%.4f,"recall@100":${r(100)}%.4f,"gates_pass":$pass}""")
+    pass
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    val synth = sys.env.get("SPARK_GRAFT_RECALL_SYNTH")
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "100").toInt
+
+    val (corpus, queriesDf) = synth match {
+      case Some(spec) =>
+        val Array(nStr, dStr) = spec.split("x")
+        val (n, d) = (nStr.toLong, dStr.toInt)
+        val all = synthetic(spark, n, d, nClusters = 4096, nQueries = nQueries)
+        (all.filter($"vec_id" < n),
+          all.filter($"vec_id" >= n)
+            .select($"vec_id".as("qid"), $"embedding".as("qv")))
+      case None =>
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        (emb, emb.filter($"vec_id" < nQueries)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")))
     }
+    val cached = corpus.select($"vec_id", $"embedding").cache()
+    val n = cached.count()
 
-    // IVFPQ: probe + ADC + rerank
-    val pq = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16,
-      maxTrainRows = 5000L, maxIter = 10)
+    val queries = queriesDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qDf = queries.toSeq.toDF("qid", "qv")
+      .select($"qid", $"qv".cast("array<float>").as("qv"))
+
+    val gt = groundTruth(cached, qDf, 100)
+    report("FLAT", n, gt, gt) // 1.0 by construction
+
+    val dim = queries.head._2.length
+    val ncent = sys.env.get("SPARK_GRAFT_RECALL_NCENT").map(_.toInt)
+      .getOrElse(if (synth.isDefined) 1024
+        else math.max(4, math.min(64, (math.sqrt(n.toDouble) / 2).toInt)))
+    val nprobes = sys.env.getOrElse("SPARK_GRAFT_RECALL_NPROBE",
+      if (synth.isDefined) "40" else s"${ncent / 8 max 1},${ncent / 4 max 1},${ncent / 2 max 1}")
+      .split(",").map(_.trim.toInt).toSeq
+
+    val ivf = IvfIndex.train(cached, "embedding", ncent,
+      maxTrainRows = 300000L)
+    val assigned = IvfIndex.assign(cached, "embedding", ivf).cache()
+    assigned.count()
+    for (np <- nprobes)
+      report(s"IVFFLAT_nc${ncent}_np$np", n, gt, evalIvf(assigned, ivf, queries, np, 100))
+
+    // nbytes=64 at 128d ⇒ m = dim/2 (dsub=2, 1 byte per sub-code)
+    val m = math.min(dim / 2, 64)
+    val ksub = if (synth.isDefined) 256 else 16
+    val pq = PqIndex.train(cached, "embedding", dim = dim, m = m, ksub = ksub,
+      maxTrainRows = if (synth.isDefined) 50000L else 5000L, maxIter = 10)
     val encoded = PqIndex.encode(assigned, "embedding", pq).cache()
-    val got = queries.map { case (qid, q) =>
-      qid -> PqIndex.searchIvf(encoded, $"embedding", ivf, pq, q,
-        k = 100, nprobe = ncent / 2 max 1, recallNum = 300, idCol = $"vec_id")
-        .select($"vec_id").as[Long].collect().toSeq
-    }.toMap
-    report(s"IVFPQ_nc${ncent}_np${ncent / 2 max 1}_m8", got)
+    encoded.count()
+    val np = nprobes.max
+    val recallNum = sys.env.getOrElse("SPARK_GRAFT_RECALL_RERANK", "300").toInt
+    report(s"IVFPQ_nc${ncent}_np${np}_m$m", n, gt,
+      evalIvfPq(encoded, ivf, pq, queries, np, recallNum, 100))
 
     spark.stop()
   }

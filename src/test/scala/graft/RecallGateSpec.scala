@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{IvfIndex, PqIndex}
+import graft.tools.Recall
+
+/** The reference's recall CI gates (test/test_recall_baseline.py:301-303:
+  * recall@{1,10,100} ≥ {0.5, 0.8, 0.9}) enforced in-suite on a scaled-down
+  * version of the 1M×128d benchmark config (same nprobe/ncentroids ratio
+  * as ncentroids=1024/nprobe=40; same dsub=2 PQ geometry as nbytes=64).
+  * The full-size run (`SPARK_GRAFT_RECALL_SYNTH=1000000x128`) is reported
+  * in README.md.
+  */
+class RecallGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVFFLAT and IVFPQ meet the reference recall gates on clustered data") {
+    val n = 40000L
+    val dim = 64
+    val all = Recall.synthetic(spark, n, dim, nClusters = 256, nQueries = 30)
+    val corpus = all.filter($"vec_id" < n).cache()
+    corpus.count()
+    val qDf = all.filter($"vec_id" >= n)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val queries = qDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val gt = Recall.groundTruth(corpus, qDf, 100)
+
+    val ncent = 64
+    val nprobe = 3 // ≈ the published 40/1024 probe ratio
+    val ivf = IvfIndex.train(corpus, "embedding", ncent)
+    val assigned = IvfIndex.assign(corpus, "embedding", ivf).cache()
+    assigned.count()
+    val gotIvf = Recall.evalIvf(assigned, ivf, queries, nprobe, 100)
+    assert(Recall.report(s"spec_IVFFLAT_nc${ncent}_np$nprobe", n, gt, gotIvf),
+      "IVFFLAT recall gates failed")
+
+    val pq = PqIndex.train(corpus, "embedding", dim = dim, m = dim / 2, ksub = 64,
+      maxTrainRows = 10000L, maxIter = 8)
+    val encoded = PqIndex.encode(assigned, "embedding", pq).cache()
+    encoded.count()
+    val gotPq = Recall.evalIvfPq(encoded, ivf, pq, queries, nprobe,
+      recallNum = 300, k = 100)
+    assert(Recall.report(s"spec_IVFPQ_nc${ncent}_np${nprobe}_m${dim / 2}", n, gt, gotPq),
+      "IVFPQ recall gates failed")
+
+    corpus.unpersist(); assigned.unpersist(); encoded.unpersist()
+    ()
+  }
+}

@@ -74,4 +74,59 @@ class SpaceSpec extends SparkSpec {
     cat.restore("db1", "s1", bdir)
     assert(cat.docCount("db1", "s1") == 2)
   }
+
+  test("bucketed upsert rewrites only touched buckets") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("spaces_b").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("db1")
+    cat.createSpace("db1", Space.fromJson(
+      """{"name":"s2","fields":[{"name":"n","type":"long"}]}"""))
+
+    val nb = 8
+    val init = (0 until 200).map(i => (s"id$i", i.toLong)).toDF("_id", "n")
+    cat.upsert("db1", "s2", init, partitionNum = nb)
+    assert(cat.docCount("db1", "s2") == 200)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      val base = Paths.get(s"$root/db1/s2")
+      Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.contains("_bucket="))
+        .map(p => base.relativize(p).toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val before = fileState()
+    assert(before.nonEmpty)
+
+    // a single-id batch touches exactly one bucket
+    cat.upsert("db1", "s2", Seq(("id7", 999L)).toDF("_id", "n"), partitionNum = nb)
+    val after = fileState()
+    val touched = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(
+        org.apache.spark.sql.functions.lit("id7")),
+      org.apache.spark.sql.functions.lit(nb))
+    val touchedBucket = init.sparkSession.range(1)
+      .select(touched.as("b")).head().getInt(0)
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"_bucket=$touchedBucket/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"_bucket=$touchedBucket/"))
+    // untouched buckets: identical file names, sizes, mtimes (never rewritten)
+    assert(untouchedAfter == untouchedBefore)
+    assert(after.keys.exists(_.startsWith(s"_bucket=$touchedBucket/")))
+
+    val rows = cat.read("db1", "s2").filter($"_id" === "id7")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("id7", 999L)))
+    assert(cat.docCount("db1", "s2") == 200)
+
+    // bucket-pruned delete: only buckets holding matches rewritten
+    val beforeDel = fileState()
+    cat.deleteByQuery("db1", "s2", $"_id" === "id7")
+    val afterDel = fileState()
+    assert(cat.docCount("db1", "s2") == 199)
+    val untouchedBeforeDel = beforeDel.filterNot(_._1.startsWith(s"_bucket=$touchedBucket/"))
+    val untouchedAfterDel = afterDel.filterNot(_._1.startsWith(s"_bucket=$touchedBucket/"))
+    assert(untouchedAfterDel == untouchedBeforeDel)
+  }
 }
