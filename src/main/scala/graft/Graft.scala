@@ -44,6 +44,10 @@ object Graft {
     reg.createOrReplaceTempFunction("vec_l2_normalize", es => L2Normalize(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vec_hamming", es => HammingDist(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_sign_bits", es => SignBits(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("vec_quantize_i8", es => QuantizeI8(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("vec_i8_dot", es => Int8Dot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_i8_l2", es => Int8L2(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_i8_l2sq", es => Int8L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("text_simhash", es => SimHash64(es(0)), "built-in")
     reg.createOrReplaceTempFunction("text_shingle_hashes",
       es => ShingleHashes(es(0), lit2int(es(1), "n")), "built-in")
@@ -75,6 +79,10 @@ object Graft {
     def l2Normalize(a: Column): Column = call_function("vec_l2_normalize", a)
     def hamming(a: Column, b: Column): Column = call_function("vec_hamming", a, b)
     def signBits(a: Column): Column = call_function("vec_sign_bits", a)
+    def quantizeI8(a: Column): Column = call_function("vec_quantize_i8", a)
+    def i8Dot(a: Column, b: Column): Column = call_function("vec_i8_dot", a, b)
+    def i8L2(a: Column, b: Column): Column = call_function("vec_i8_l2", a, b)
+    def i8L2Sq(a: Column, b: Column): Column = call_function("vec_i8_l2sq", a, b)
     def simhash64(tokens: Column): Column = call_function("text_simhash", tokens)
     def shingleHashes(tokens: Column, n: Int): Column =
       call_function("text_shingle_hashes", tokens, org.apache.spark.sql.functions.lit(n))

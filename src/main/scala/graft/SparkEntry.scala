@@ -651,6 +651,20 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 int8 value type (index_model.h:19): quantize → integer-
+    //    accumulate IP search, oracle-checked against the same floor-based
+    //    quantizer in SQL ──
+    "q_knn_int8" -> ((s, dir) => {
+      init(s)
+      val coded = t(s, dir, "embeddings")
+        .withColumn("iv", F.quantizeI8(col("embedding")))
+      val q = coded.filter(col("vec_id") === 0)
+        .select("iv").head().getAs[Array[Byte]](0)
+      Knn.searchInt8(coded, col("iv"), q, k = 10, metric = "ip",
+        tieBreak = Some(col("vec_id")))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── §2.4 binary with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
     "q_binary_exact" -> ((s, dir) => {
       init(s)
@@ -715,6 +729,18 @@ object SparkEntry {
     "q_ivfpq_exact" -> exactL2Top10Sql,
     "q_binary_exact" -> exactL2Top10Sql,
     "q_minhash_lsh" -> jaccardPairsSql,
+
+    "q_knn_int8" ->
+      """WITH c AS (SELECT vec_id,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS score
+         FROM c, q
+         ORDER BY score DESC, c.vec_id LIMIT 10""",
 
     "q_knn_hamming" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -31,12 +31,7 @@ private[graft] object ScoredItem {
     java.lang.Integer.compare(a.length, b.length)
   }
 
-  /** (score, tieBytes) ordering, ascending. */
-  def compareFull(x: ScoredItem, y: ScoredItem): Int = {
-    val c = java.lang.Double.compare(x.score, y.score)
-    if (c != 0) c else compareBytes(x.tieBytes, y.tieBytes)
   }
-}
 
 /** Bounded top-k heap keyed by a Double score.
   *
@@ -53,16 +48,21 @@ private[graft] object ScoredItem {
   * per-group sort — this is what keeps per-query KNN viable at 100 TB.
   */
 private[graft] final class TopKBuffer(
-    val k: Int, val asc: Boolean, tieBytesFn: Any => Array[Byte]) {
-  // full (score, tieBytes) ordering: k-boundary decisions on exactly-equal
+    val k: Int, val asc: Boolean, tieBytesFn: Any => Array[Byte],
+    tieCompare: Comparator[ScoredItem]) {
+  // full (score, tie) ordering: k-boundary decisions on exactly-equal
   // scores are otherwise partition-arrival-order dependent (nondeterministic
-  // across runs — the same bug class as rounding-before-ordering)
-  private val bestFirst: Comparator[ScoredItem] =
-    if (asc) new Comparator[ScoredItem] {
-      def compare(x: ScoredItem, y: ScoredItem): Int = ScoredItem.compareFull(x, y)
-    } else new Comparator[ScoredItem] {
-      def compare(x: ScoredItem, y: ScoredItem): Int = ScoredItem.compareFull(y, x)
+  // across runs — the same bug class as rounding-before-ordering). The tie
+  // always orders items ASCENDING regardless of score direction — matching
+  // SQL's `ORDER BY score DESC, id` (id still ascending).
+  private val bestFirst: Comparator[ScoredItem] = new Comparator[ScoredItem] {
+    def compare(x: ScoredItem, y: ScoredItem): Int = {
+      val c =
+        if (asc) java.lang.Double.compare(x.score, y.score)
+        else java.lang.Double.compare(y.score, x.score)
+      if (c != 0) c else tieCompare.compare(x, y)
     }
+  }
   // heap root = evictable (worst kept) => reverse of bestFirst
   val heap = new PriorityQueue[ScoredItem](math.max(k, 1), bestFirst.reversed())
 
@@ -116,8 +116,26 @@ case class TopKAgg(
     itemProj(itemRow).getBytes.clone()
   }
 
+  /** Tie-break on exactly-equal scores: the payload's NATIVE ordering
+    * (numeric for numbers, SQL struct order for structs — what an oracle's
+    * `ORDER BY score, id` produces) when the type is orderable; the
+    * unsigned-lexicographic serialized-bytes order (still total and
+    * run-stable, but not numeric) only for non-orderable payloads.
+    */
+  @transient private lazy val tieComparator: Comparator[ScoredItem] =
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payload.dataType)) {
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(payload.dataType)
+      new Comparator[ScoredItem] {
+        def compare(x: ScoredItem, y: ScoredItem): Int = ord.compare(x.item, y.item)
+      }
+    } else new Comparator[ScoredItem] {
+      def compare(x: ScoredItem, y: ScoredItem): Int =
+        ScoredItem.compareBytes(x.tieBytes, y.tieBytes)
+    }
+
   override def createAggregationBuffer(): TopKBuffer =
-    new TopKBuffer(k, asc, tieBytesOf)
+    new TopKBuffer(k, asc, tieBytesOf, tieComparator)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
@@ -163,7 +181,7 @@ case class TopKAgg(
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val buf = new TopKBuffer(k, asc, tieBytesOf)
+    val buf = new TopKBuffer(k, asc, tieBytesOf, tieComparator)
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
     var i = 0

@@ -289,4 +289,41 @@ object VecKernels {
     }
     s
   }
+
+  /** Symmetric int8 quantization (value_type=INT8, index_model.h:19):
+    * round(x·127) clamped to [-127,127], one signed byte per dim. The
+    * round is floor(x·127 + 0.5) computed in DOUBLE so a pure-SQL oracle
+    * (DuckDB floor over ::DOUBLE) reproduces it bit-for-bit — Math.round's
+    * float path could disagree at exact .5 boundaries.
+    */
+  def quantizeI8(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = math.floor(a.getFloat(i).toDouble * 127.0 + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, v)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Inner product over int8-encoded vectors (integer accumulate). */
+  def i8Dot(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i); i += 1 }
+    s.toDouble
+  }
+
+  def i8L2Sq(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d.toLong * d; i += 1 }
+    s.toDouble
+  }
+
+  def i8L2(a: Array[Byte], b: Array[Byte]): Double = math.sqrt(i8L2Sq(a, b))
 }

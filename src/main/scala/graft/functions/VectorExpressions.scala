@@ -163,6 +163,55 @@ case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** float vector → symmetric int8 code (dim signed bytes — the INT8 value
+  * type, index_model.h:19).
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_quantize_i8"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.quantizeI8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.quantizeI8($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inner product over int8-encoded vectors (integer accumulate — the
+  * reference's INT8 distance path).
+  */
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_i8_dot"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.i8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.i8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class Int8L2(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_i8_l2"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.i8L2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.i8L2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class Int8L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_i8_l2sq"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.i8L2Sq(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.i8L2Sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_hamming"

@@ -76,6 +76,40 @@ object Knn {
       .getOrElse(selected)
   }
 
+  /** Score column for int8-encoded (binary) vectors — the INT8 value type
+    * (index_model.h:19): integer-accumulate kernels over signed bytes.
+    */
+  def scoreInt8(metric: String, vec: Column, query: Column): Column = metric match {
+    case "ip"   => F.i8Dot(vec, query)
+    case "l2"   => F.i8L2(vec, query)
+    case "l2sq" => F.i8L2Sq(vec, query)
+    case other  => throw new IllegalArgumentException(s"unknown int8 metric: $other")
+  }
+
+  /** Brute-force top-k over int8-encoded vectors. Same plan shape as
+    * [[search]] (filter → score → TakeOrderedAndProject) with 1/4 the
+    * scan bytes per vector.
+    */
+  def searchInt8(
+      df: DataFrame,
+      vecCol: Column,
+      query: Array[Byte],
+      k: Int,
+      metric: String = "ip",
+      filter: Option[Column] = None,
+      tieBreak: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    val filtered = filter.map(df.filter).getOrElse(df)
+    val scored = filtered
+      .withColumn("_score", scoreInt8(metric, vecCol, lit(query)))
+      .filter(col("_score").isNotNull)
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val order = primary +: tieBreak.map(_.asc).toSeq
+    val selected = scored.orderBy(order: _*).limit(k)
+    roundTo.map(d => selected.withColumn("_score", round(col("_score"), d)))
+      .getOrElse(selected)
+  }
+
   /** Batched multi-query KNN (vearch `req_num` query vectors per request,
     * doc_query.go:296-318): the query set is broadcast against the corpus,
     * then a bounded-heap aggregate keeps top-k per query id.

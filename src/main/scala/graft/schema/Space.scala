@@ -145,6 +145,14 @@ object Space {
           case JString(other) => fail(s"vector field $name: unknown value_type $other")
           case _ => if (indexType == "BINARYIVF") "binary" else "float"
         }
+        // binary codes pack 8 dims/byte — a non-multiple-of-8 dimension
+        // would make Ingest's length = dim/8 check accept truncated codes
+        if (valueType == "binary" && dim % 8 != 0)
+          fail(s"vector field $name: binary value_type requires dimension % 8 == 0, got $dim")
+        // l2-normalization is a float-vector transform; on a packed
+        // binary/int8 column it would fail at analysis time deep in Ingest
+        if (normalized && valueType != "float")
+          fail(s"vector field $name: format=normalization requires value_type=float, got $valueType")
         SpaceField(name, FieldKind.VectorK, indexed,
           Some(VectorOptions(dim, metric, normalized, valueType)))
       case other => fail(s"field $name: unknown type $other")

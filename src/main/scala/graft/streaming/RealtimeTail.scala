@@ -41,11 +41,14 @@ final class RealtimeTail(
       .start()
 
   private def readOrEmpty(path: String, schema: StructType): DataFrame =
-    try {
-      val df = spark.read.schema(schema).parquet(path)
-      df
-    } catch { case _: Exception => spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
+    // only a MISSING path means "no data yet"; any other failure (corrupt
+    // footer, permission, schema clash) must propagate — swallowing it
+    // would silently turn a hybrid search into a tail-only search
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        path.stripPrefix("file:"))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
 
   /** Unified view: base rows not superseded by tail, plus all tail rows
     * (id-level last-write-wins, the upsert merge semantics).

@@ -49,6 +49,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.map(_.getLong(0)).toSeq == Seq(2L, 8L))
   }
 
+  test("int8 quantize + integer-accumulate distances") {
+    val d = Seq((0L, Seq(1.0f, -1.0f, 0.5f, 0.0f)), (1L, Seq(0.5f, 0.5f, -0.25f, 1.0f)))
+      .toDF("id", "v")
+      .withColumn("iv", F.quantizeI8($"v"))
+    // quantize: round(x*127) clamped — 1.0→127, -1.0→-127, 0.5→64 (floor(63.5+0.5)), 0→0
+    val codes = d.orderBy($"id").select($"iv").collect().map(_.getAs[Array[Byte]](0))
+    assert(codes(0).toSeq == Seq[Byte](127, -127, 64, 0))
+    assert(codes(1).toSeq == Seq[Byte](64, 64, -32, 127))
+    // dot = 127*64 + (-127)*64 + 64*(-32) + 0*127 = -2048
+    val dot = d.filter($"id" === 0).select(
+      F.i8Dot($"iv", org.apache.spark.sql.functions.lit(codes(1))).as("s"))
+      .head().getDouble(0)
+    assert(dot == (127 * 64 + (-127) * 64 + 64 * (-32) + 0).toDouble)
+    // l2sq = sum of squared int diffs
+    val l2sq = d.filter($"id" === 0).select(
+      F.i8L2Sq($"iv", org.apache.spark.sql.functions.lit(codes(1))).as("s"))
+      .head().getDouble(0)
+    val expect = Seq(127 - 64, -127 - 64, 64 + 32, 0 - 127).map(x => x.toLong * x).sum
+    assert(l2sq == expect.toDouble)
+  }
+
   test("functions are SQL-callable and null-safe") {
     val r = spark.sql(
       "SELECT vec_dot(CAST(array(1.0,2.0) AS array<float>), CAST(NULL AS array<float>))")
