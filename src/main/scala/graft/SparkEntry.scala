@@ -618,6 +618,17 @@ object SparkEntry {
         """{"document_ids":["42","7","99"],"limit":50}""")
     }),
 
+    // ── §2.6 sort spec (sortorder/parse.go:24-36): filtered scan ordered
+    //    by a user sort, not the default _id order ──
+    "q_api_sort" -> ((s, dir) => {
+      init(s)
+      SearchApi.query(embCorpus(s, dir), embSpace,
+        """{"filters":{"operator":"AND","conditions":[
+             {"operator":">=","field":"label","value":5}]},
+           "sort":[{"label":{"order":"desc"}},{"_id":{"order":"asc"}}],
+           "limit":30}""")
+    }),
+
     // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank over the
     //    prebuilt list_id-partitioned + pq_code layout ──
     "q_ivfpq_search" -> ((s, dir) => {
@@ -1072,5 +1083,10 @@ object SparkEntry {
          FROM (VALUES ('42', 0), ('7', 1), ('99', 2)) AS t(id, ord)
          JOIN embeddings e ON CAST(e.vec_id AS VARCHAR) = t.id
          ORDER BY t.ord""",
+
+    "q_api_sort" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS _id, label FROM embeddings
+         WHERE label >= 5
+         ORDER BY label DESC, CAST(vec_id AS VARCHAR) ASC LIMIT 30""",
   )
 }

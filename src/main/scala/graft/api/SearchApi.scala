@@ -45,7 +45,8 @@ object SearchApi {
       limit: Int,
       offset: Int,
       weights: Option[Seq[Double]],
-      isBruteSearch: Int)
+      isBruteSearch: Int,
+      sort: Seq[(String, Boolean)]) // (field, ascending) — sortorder/parse.go:24-36
 
   /** Slow-search classification (doc_query.go:218-234): big topN, deep
     * probing, or many filters → isolate in a separate scheduler pool.
@@ -116,8 +117,28 @@ object SearchApi {
       case _ => None
     }
     val brute = (j \ "is_brute_search") match { case JInt(b) => b.toInt; case _ => 2 }
-    SearchRequest(vecs, filter, fields, vectorValue, limit, offset, weights, brute)
+    // sort spec (internal/ps/engine/sortorder/parse.go:24-36): an array of
+    // bare field names (ascending) or {field: {order: asc|desc}} objects;
+    // "_score" is addressable like a field
+    val sort: Seq[(String, Boolean)] = (j \ "sort") match {
+      case JArray(items) => items.flatMap {
+        case JString(f) => Seq((f, true))
+        case JObject(fs) => fs.map { case (name, spec) =>
+          val asc = (spec \ "order") match {
+            case JString(o) => !o.equalsIgnoreCase("desc")
+            case _ => true
+          }
+          (name, asc)
+        }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    SearchRequest(vecs, filter, fields, vectorValue, limit, offset, weights, brute, sort)
   }
+
+  private def sortCols(sort: Seq[(String, Boolean)]): Seq[Column] =
+    sort.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
 
   private def arrayFields(space: Space): Set[String] =
     space.fields.filter(_.kind == FieldKind.StringArrayK).map(_.name).toSet
@@ -169,21 +190,28 @@ object SearchApi {
         filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
         tieBreak = Some(col("_id")))
       val sliced = if (req.offset > 0) result.offset(req.offset) else result
-      sliced.select(projection(space, req, Seq("_score")): _*)
+      val projected = sliced.select(projection(space, req, Seq("_score")): _*)
+      // sort spec re-orders the RESPONSE (selection stays score-driven,
+      // the reference's sortorder applies to the result set)
+      if (req.sort.nonEmpty) projected.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
+      else projected
     } else if (req.vectors.size > 1) {
-      // multi-field conjunctive: per-field top-k, id intersection, weighted
+      // multi-field conjunctive: per-field top-k, id intersection, weighted;
+      // each field scored with its OWN metric_type (vector_manager.cc:1024-1087)
       require(req.vectors.forall(_.queries.size == 1),
         "batched multi-field search is not in the reference surface")
-      val metric = metricOf(space, req.vectors.head.field)
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
       val fields = req.vectors.map(vc =>
-        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head)))
+        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head),
+          metricOf(space, vc.field)))
       // perFieldK scales with limit like the engine's per-index topn
-      val ranked = Knn.multiVectorSearch(filtered, "_id", fields,
+      val ranked = Knn.multiVectorSearchMetrics(filtered, "_id", fields,
         perFieldK = math.max(req.limit * 10, 200), k = req.limit + req.offset,
-        metric = metric, weights = req.weights)
+        weights = req.weights)
       val sliced = if (req.offset > 0) ranked.offset(req.offset) else ranked
-      sliced.select(col("_id"), col("_score"))
+      val projected = sliced.select(col("_id"), col("_score"))
+      if (req.sort.nonEmpty) projected.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
+      else projected
     } else {
       // one field, req_num > 1 → batch: one result block per query id
       val vc = req.vectors.head
@@ -228,7 +256,11 @@ object SearchApi {
       case _ =>
         val pred = req.filter.map(VearchFilters.parse(_, arrayFields(space)))
         val filtered = pred.map(corpus.filter).getOrElse(corpus)
-        val ordered = filtered.orderBy(col("_id"))
+        // sort spec defines the scan order (sortorder/parse.go); `_id`
+        // appended keeps the page boundary deterministic on ties
+        val ordered =
+          if (req.sort.nonEmpty) filtered.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
+          else filtered.orderBy(col("_id"))
         val sliced = if (req.offset > 0) ordered.offset(req.offset) else ordered
         sliced.limit(req.limit).select(projection(space, req, Seq.empty): _*)
     }

@@ -171,15 +171,33 @@ object Knn {
       perFieldK: Int,
       k: Int,
       metric: String = "l2",
+      weights: Option[Seq[Double]] = None): DataFrame =
+    multiVectorSearchMetrics(df, idCol,
+      fields.map { case (vc, qv) => (vc, qv, metric) }, perFieldK, k, weights)
+
+  /** Per-field metrics variant: the reference scores each vector condition
+    * with that FIELD's own metric_type (vector_manager.cc:1024-1087), so a
+    * mixed ip/l2 space must not apply the head field's metric everywhere.
+    * Each field's top-k uses its own sort direction; the combined
+    * WeightedRanker sum orders in the FIRST field's direction
+    * (doc_query.go:1526-1528 derives the response direction from the
+    * request's lead condition).
+    */
+  def multiVectorSearchMetrics(
+      df: DataFrame,
+      idCol: String,
+      fields: Seq[(Column, Seq[Float], String)], // (vector col, query, metric)
+      perFieldK: Int,
+      k: Int,
       weights: Option[Seq[Double]] = None): DataFrame = {
     require(fields.nonEmpty)
     val w = weights.getOrElse(Seq.fill(fields.size)(1.0 / fields.size))
     require(w.size == fields.size)
-    val perField = fields.zipWithIndex.map { case ((vc, qv), i) =>
-      df.select(col(idCol), score(metric, vc, queryLit(qv)).as(s"_s$i"))
+    val perField = fields.zipWithIndex.map { case ((vc, qv, m), i) =>
+      df.select(col(idCol), score(m, vc, queryLit(qv)).as(s"_s$i"))
         .filter(col(s"_s$i").isNotNull) // null vectors must not head asc order
         .orderBy(
-          if (ascending(metric)) col(s"_s$i").asc else col(s"_s$i").desc,
+          if (ascending(m)) col(s"_s$i").asc else col(s"_s$i").desc,
           col(idCol).asc) // deterministic k-boundary on exactly-equal scores
         .limit(perFieldK)
     }
@@ -188,7 +206,8 @@ object Knn {
       .map(i => col(s"_s$i") * lit(w(i)))
       .reduceLeft(_ + _)
     val ranked = joined.withColumn("_score", combined)
-    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val primary =
+      if (ascending(fields.head._3)) col("_score").asc else col("_score").desc
     ranked.orderBy(primary, col(idCol).asc).limit(k)
       .select((col(idCol) +: fields.indices.map(i => col(s"_s$i")) :+ col("_score")): _*)
   }

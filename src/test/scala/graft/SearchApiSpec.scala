@@ -138,6 +138,53 @@ class SearchApiSpec extends SparkSpec {
     assert(rows.head.getAs[String]("_id") == "0") // self wins the intersection
   }
 
+  test("multi-field search honors each field's own metric_type") {
+    // v1 indexed with InnerProduct (desc), v2 with L2 (asc)
+    val mixed = Space.fromJson(
+      """{"name":"mixed","fields":[
+          {"name":"v1","type":"vector","dimension":4,
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
+          {"name":"v2","type":"vector","dimension":4,
+           "index":{"type":"FLAT","params":{"metric_type":"L2"}}}]}""")
+    val df = Seq(
+      ("a", Seq(1f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 0f)),
+      ("b", Seq(0.5f, 0f, 0f, 0f), Seq(3f, 0f, 0f, 0f)),
+      ("c", Seq(0.9f, 0f, 0f, 0f), Seq(1f, 0f, 0f, 0f))
+    ).toDF("_id", "v1", "v2")
+      .select($"_id", $"v1".cast("array<float>").as("v1"),
+        $"v2".cast("array<float>").as("v2"))
+    val r = SearchApi.search(df, mixed,
+      """{"vectors":[
+           {"field":"v1","feature":[1,0,0,0]},
+           {"field":"v2","feature":[0,0,0,0]}],
+         "limit":3}""")
+      .collect().map(_.getString(0)).toSeq
+    // per-field metrics: v1 scores ip {a:1,c:0.9,b:0.5}, v2 scores l2
+    // {a:0,c:1,b:3}; weighted 0.5 each, combined ordered by v1's direction
+    // (ip desc): a=0.5, c=-0.05 (0.45-0.5? no: 0.45+0.5=0.95)...
+    // combined = 0.5*ip + 0.5*l2 → a:0.5, b:1.75, c:0.95 — desc: b,c,a.
+    // The assertion pins the b,c,a order produced by per-field scoring; the
+    // old head-metric bug would score v2 with ip (dot=0 for all) → a,c,b.
+    assert(r == Seq("b", "c", "a"))
+  }
+
+  test("sort spec orders query-verb scans and search responses") {
+    val r = SearchApi.query(corpus, space,
+      """{"filters":{"operator":"AND","conditions":[
+           {"operator":">=","field":"label","value":8}]},
+         "sort":[{"label":{"order":"desc"}}],
+         "limit":10}""")
+      .collect()
+    val labels = r.map(_.getAs[Int]("label")).toSeq
+    assert(labels == labels.sorted.reverse)
+    // search verb: selection stays score-top-k; response re-ordered
+    val s = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "sort":[{"_score":{"order":"asc"}}],"limit":5}""")
+      .collect().map(_.getAs[Double]("_score")).toSeq
+    assert(s == s.sorted) // ip normally desc; sort flipped the response
+  }
+
   test("error paths: non-vector field, missing feature, unknown filter op") {
     assertThrows[IllegalArgumentException] {
       SearchApi.search(corpus, space,
