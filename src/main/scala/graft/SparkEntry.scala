@@ -685,6 +685,25 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 (rows-only): RaBitQ-class qb=4 — asymmetric quantized-query
+    //    estimator over 1-bit corpus codes, exact rerank ──
+    "q_rabitq_search" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4), qb = 4)
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 RaBitQ qb=4 with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
+    "q_rabitq_exact" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 1 << 30, idCol = col("vec_id"), roundTo = Some(4), qb = 4)
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── multimodal (rows-only): binary payload → stub features → KNN ──
     "q_media_pipeline" -> ((s, dir) => {
       init(s)
@@ -739,6 +758,7 @@ object SparkEntry {
     "q_pq_exact" -> exactL2Top10Sql,
     "q_ivfpq_exact" -> exactL2Top10Sql,
     "q_binary_exact" -> exactL2Top10Sql,
+    "q_rabitq_exact" -> exactL2Top10Sql,
     "q_minhash_lsh" -> jaccardPairsSql,
 
     "q_knn_int8" ->

@@ -58,6 +58,19 @@ object SearchApi {
       "slow"
     else "default"
 
+  /** Space-aware classification: the per-space `slow_search_time`
+    * (space.go:156-164, default 1000 ms) scales the big-topN bar — a space
+    * that declares a tighter latency budget isolates sooner.
+    */
+  def classifyPool(space: Space, limit: Int, nprobe: Int, ncentroids: Int,
+      nFilters: Int): String = {
+    val scaledLimit = math.max(1L,
+      500L * space.config.slowSearchTimeMs / 1000L)
+    if (limit >= scaledLimit || (ncentroids > 0 && nprobe >= ncentroids / 10) ||
+        nFilters >= 3) "slow"
+    else "default"
+  }
+
   private def doubleOf(v: JValue): Option[Double] = v match {
     case JDouble(d) => Some(d)
     case JInt(i)    => Some(i.toDouble)
@@ -195,11 +208,11 @@ object SearchApi {
       // the reference's sortorder applies to the result set)
       if (req.sort.nonEmpty) projected.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
       else projected
-    } else if (req.vectors.size > 1) {
+    } else if (req.vectors.size > 1 && req.vectors.head.queries.size == 1) {
       // multi-field conjunctive: per-field top-k, id intersection, weighted;
       // each field scored with its OWN metric_type (vector_manager.cc:1024-1087)
       require(req.vectors.forall(_.queries.size == 1),
-        "batched multi-field search is not in the reference surface")
+        "all vector conditions must carry the same req_num")
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
       val fields = req.vectors.map(vc =>
         (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head),
@@ -212,6 +225,43 @@ object SearchApi {
       val projected = sliced.select(col("_id"), col("_score"))
       if (req.sort.nonEmpty) projected.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
       else projected
+    } else if (req.vectors.size > 1) {
+      // batched (req_num > 1) multi-field: per-field BATCH top-k with that
+      // field's metric → (qid, id) intersection → WeightedRanker → per-qid
+      // top-k. One result block per query id, like the single-field batch.
+      val reqNum = req.vectors.head.queries.size
+      require(req.vectors.forall(_.queries.size == reqNum),
+        "all vector conditions must carry the same req_num")
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val filtered = pred.map(corpus.filter).getOrElse(corpus)
+      val nf = req.vectors.size
+      val w = req.weights.getOrElse(Seq.fill(nf)(1.0 / nf))
+      require(w.size == nf, "weights arity must match vector conditions")
+      val perFieldK = math.max(req.limit * 10, 200)
+      val perField = req.vectors.zipWithIndex.map { case (vc, i) =>
+        val m = metricOf(space, vc.field)
+        val queries = vc.queries.zipWithIndex
+          .map { case (q, qi) => (qi, maybeNormalize(space, vc.field, q)) }
+          .toDF("_qid", "_qv")
+          .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+        Knn.searchBatch(filtered, col(vc.field), struct(col("_id")), queries,
+          "_qid", "_qv", perFieldK, m,
+          minScore = vc.minScore, maxScore = vc.maxScore)
+          .select(col("_qid"), col("_item._id").as("_id"), col("_score").as(s"_s$i"))
+      }
+      val joined = perField.reduceLeft((a, b) => a.join(b, Seq("_qid", "_id")))
+      val combined = (0 until nf).map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
+      val headAsc = Knn.ascending(metricOf(space, req.vectors.head.field))
+      val agged = joined.withColumn("_score", combined)
+        .groupBy(col("_qid"))
+        .agg(graft.Graft.F.topK(col("_score"), struct(col("_id")),
+          req.limit + req.offset, headAsc).as("_tk"))
+      val sliced =
+        if (req.offset > 0) agged.withColumn("_tk", slice(col("_tk"), req.offset + 1, req.limit))
+        else agged
+      sliced.select(col("_qid"), explode(col("_tk")).as("_e"))
+        .select(col("_qid"), col("_e.item._id").as("_id"), col("_e.score").as("_score"))
     } else {
       // one field, req_num > 1 → batch: one result block per query id
       val vc = req.vectors.head

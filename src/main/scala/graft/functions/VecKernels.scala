@@ -326,4 +326,22 @@ object VecKernels {
   }
 
   def i8L2(a: Array[Byte], b: Array[Byte]): Double = math.sqrt(i8L2Sq(a, b))
+
+  /** Asymmetric sign-code dot (the RaBitQ qb>0 estimator shape,
+    * gamma_index_ivfrabitq.cc:214-223): corpus side is 1-bit sign codes,
+    * query side keeps qb-bit-quantized real values — Σᵢ bitᵢ ? +qᵢ : −qᵢ.
+    * Recovers magnitude information the symmetric Hamming estimator
+    * (both sides 1-bit) throws away.
+    */
+  def signAdot(code: Array[Byte], q: Array[Float]): Double = {
+    val n = math.min(q.length, code.length * 8)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val bit = (code(i >> 3) >> (7 - (i & 7))) & 1
+      s += (if (bit == 1) q(i) else -q(i))
+      i += 1
+    }
+    s
+  }
 }

@@ -212,6 +212,21 @@ case class Int8L2Sq(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** Asymmetric sign-code dot against a fixed (per-query) quantized query —
+  * the RaBitQ qb>0 estimator (gamma_index_ivfrabitq.cc:214-223).
+  */
+case class SignAdot(child: Expression, q: Array[Float]) extends UnaryExpression {
+  override def prettyName: String = "vec_sign_adot"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.signAdot(a.asInstanceOf[Array[Byte]], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("q", q, "float[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.signAdot($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_hamming"

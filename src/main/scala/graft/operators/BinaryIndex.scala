@@ -22,7 +22,35 @@ object BinaryIndex {
   def encode(df: DataFrame, vecCol: String, codeCol: String = "bcode"): DataFrame =
     df.withColumn(codeCol, F.signBits(col(vecCol)))
 
-  /** Hamming shortlist over CODES ONLY → id shortlist → semi-join rerank.
+  /** Quantize the query to qb bits per dimension (uniform min–max scalar
+    * quantization — the RaBitQ query-side SQ step,
+    * gamma_index_ivfrabitq.cc:105,214-223). Values are returned
+    * DEQUANTIZED (floats snapped to their 2^qb levels), so the estimator
+    * kernel stays a plain float dot; qb only controls the fidelity.
+    */
+  def quantizeQuery(q: Seq[Float], qb: Int): Array[Float] = {
+    require(qb >= 1 && qb <= 8, s"qb must be in [1,8], got $qb")
+    val arr = q.toArray
+    val mn = arr.min
+    val mx = arr.max
+    if (mx == mn) arr
+    else {
+      val levels = (1 << qb) - 1
+      arr.map { x =>
+        val l = math.round((x - mn) / (mx - mn) * levels)
+        (l.toFloat / levels) * (mx - mn) + mn
+      }
+    }
+  }
+
+  /** Code-only shortlist → id shortlist → semi-join rerank.
+    *
+    * Stage-1 estimator (per `qb`, the RaBitQ query-quantization bits):
+    *  - qb = 1: symmetric Hamming over packed codes (both sides 1-bit);
+    *  - qb in [2,8]: asymmetric sign-dot — corpus bits vs the qb-bit
+    *    quantized query (keeps per-dim magnitudes, strictly better
+    *    candidate ranking for the same corpus bytes; descending order,
+    *    larger dot = closer for angle-preserving data).
     *
     * Stage 1 projects (id, code) immediately so parquet column pruning
     * drops the raw float vectors from the shortlist scan — dim/8 bytes per
@@ -39,18 +67,27 @@ object BinaryIndex {
       idCol: Column,
       metric: String = "l2",
       codeCol: String = "bcode",
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      qb: Int = 1): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    val qCode = VecKernels.signBits(
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-      .asInstanceOf[Array[Byte]]
-    val cand = corpus
-      .select(idCol.as("_sid"), col(codeCol))
-      .withColumn("_hamming", F.hamming(col(codeCol), lit(qCode)))
-      .filter(col("_hamming").isNotNull) // null codes must not head the shortlist
-      .orderBy(col("_hamming").asc, col("_sid").asc)
-      .limit(shortlist)
-      .select(col("_sid"))
+    val scored =
+      if (qb <= 1) {
+        val qCode = VecKernels.signBits(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          .asInstanceOf[Array[Byte]]
+        corpus.select(idCol.as("_sid"), col(codeCol))
+          .withColumn("_est", F.hamming(col(codeCol), lit(qCode)))
+          .filter(col("_est").isNotNull) // null codes must not head the shortlist
+          .orderBy(col("_est").asc, col("_sid").asc)
+      } else {
+        val qq = quantizeQuery(q, qb)
+        corpus.select(idCol.as("_sid"), col(codeCol))
+          .withColumn("_est", graft.Graft.columnOf(
+            graft.functions.SignAdot(graft.Graft.exprOf(col(codeCol)), qq)))
+          .filter(col("_est").isNotNull)
+          .orderBy(col("_est").desc, col("_sid").asc)
+      }
+    val cand = scored.limit(shortlist).select(col("_sid"))
     val rerank = corpus.join(broadcast(cand), idCol === col("_sid"), "left_semi")
     Knn.search(rerank, vecCol, q, k, metric, tieBreak = Some(idCol), roundTo = roundTo)
   }

@@ -30,11 +30,22 @@ final case class SpaceField(
     indexed: Boolean = false,
     vector: Option[VectorOptions] = None)
 
+/** Per-space engine config (internal/entity/space.go:156-164):
+  * `refresh_interval` drives the realtime-tail trigger cadence,
+  * `cache_size` (MB) whether a space's table is pinned in executor cache,
+  * `slow_search_time` (ms) the slow-pool classification threshold.
+  */
+final case class SpaceConfig(
+    refreshIntervalMs: Long = 1000L,
+    cacheSizeMb: Int = 0,
+    slowSearchTimeMs: Long = 1000L)
+
 final case class Space(
     name: String,
     fields: Seq[SpaceField],
     partitionNum: Int = 1,
-    replicaNum: Int = 1) {
+    replicaNum: Int = 1,
+    config: SpaceConfig = SpaceConfig()) {
 
   /** `_id` is implicit and reserved (entity/space.go:30-31). */
   def toStructType: StructType = {
@@ -95,7 +106,22 @@ object Space {
     }
     val dupes = fields.groupBy(_.name).filter(_._2.size > 1).keys
     if (dupes.nonEmpty) fail(s"duplicate fields: ${dupes.mkString(",")}")
-    Space(name, fields, partitionNum, replicaNum)
+    // engine block (space.go:156-164); accepts both the nested
+    // {"engine": {...}} form and top-level keys
+    def longAt(paths: JValue*): Option[Long] = paths.collectFirst {
+      case JInt(n) => n.toLong
+      case JString(s) if s.matches("\\d+") => s.toLong
+    }
+    val cfg = SpaceConfig(
+      refreshIntervalMs = longAt(j \ "engine" \ "refresh_interval",
+        j \ "refresh_interval").getOrElse(1000L),
+      cacheSizeMb = longAt(j \ "engine" \ "cache_size",
+        j \ "cache_size").getOrElse(0L).toInt,
+      slowSearchTimeMs = longAt(j \ "engine" \ "slow_search_time",
+        j \ "slow_search_time").getOrElse(1000L))
+    if (cfg.refreshIntervalMs < 0 || cfg.cacheSizeMb < 0 || cfg.slowSearchTimeMs < 0)
+      fail("engine config values must be >= 0")
+    Space(name, fields, partitionNum, replicaNum, cfg)
   }
 
   private def parseField(f: JValue): SpaceField = {

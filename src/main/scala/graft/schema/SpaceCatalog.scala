@@ -21,6 +21,9 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   // listing would go stale after the first table rewrite)
   private val aliases =
     scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.Set[String]]
+  // declared space definitions: per-space engine config (cache_size) is
+  // honored when the view is (re)registered
+  private val spaces = scala.collection.mutable.Map.empty[(String, String), Space]
 
   def createDb(db: String): Unit = { Files.createDirectories(Paths.get(s"$root/$db")); () }
 
@@ -39,6 +42,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], space.toStructType)
     empty.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    spaces((db, space.name)) = space
     refreshView(db, space.name)
   }
 
@@ -172,7 +176,11 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   }
 
   private def refreshView(db: String, spaceName: String): Unit = {
-    val df = readPath(dir(db, spaceName))
+    val df0 = readPath(dir(db, spaceName))
+    // cache_size > 0 (space.go:156-164): pin the space's view in executor
+    // cache — every query through the view shares the cached plan
+    val df = if (spaces.get((db, spaceName)).exists(_.config.cacheSizeMb > 0))
+      df0.cache() else df0
     df.createOrReplaceTempView(viewName(db, spaceName))
     aliases.getOrElse((db, spaceName), Set.empty)
       .foreach(a => df.createOrReplaceTempView(a))

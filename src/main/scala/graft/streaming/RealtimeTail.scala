@@ -31,6 +31,12 @@ final class RealtimeTail(
     // one whenever the stream can re-deliver an id
     orderCol: Option[String] = None) {
 
+  /** Start ingest at the space's configured `refresh_interval`
+    * (space.go:156-164 — the reference's buffer-fold cadence).
+    */
+  def startIngest(source: DataFrame, space: graft.schema.Space): StreamingQuery =
+    startIngest(source, space.config.refreshIntervalMs)
+
   /** Start streaming ingest into the tail table. */
   def startIngest(source: DataFrame, intervalMs: Long = 1000L): StreamingQuery =
     source.writeStream

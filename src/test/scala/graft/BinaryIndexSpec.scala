@@ -36,6 +36,34 @@ class BinaryIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"binary shortlist recall@10 = $recall")
   }
 
+  test("RaBitQ qb=4: asymmetric estimator >= symmetric hamming on recall") {
+    def recallAt(qb: Int, shortlist: Int): Double = {
+      var hits = 0; var total = 0
+      for (id <- 0L until 15L) {
+        val exact = Knn.search(emb, $"embedding", q(id), 10, "l2", tieBreak = Some($"vec_id"))
+          .select($"vec_id").as[Long].collect().toSet
+        val got = BinaryIndex.search(coded, $"embedding", q(id), 10,
+          shortlist = shortlist, idCol = $"vec_id", qb = qb)
+          .select($"vec_id").as[Long].collect().toSet
+        hits += got.intersect(exact).size; total += exact.size
+      }
+      hits.toDouble / total
+    }
+    val r1 = recallAt(1, 50)
+    val r4 = recallAt(4, 50)
+    // deterministic fixture: the magnitude-aware estimator must not lose
+    // to plain hamming at the same shortlist budget
+    assert(r4 >= r1, s"qb=4 recall $r4 < qb=1 recall $r1")
+    assert(r4 >= 0.8, s"qb=4 shortlist recall@10 = $r4")
+    // qb=4 with full shortlist is still exact
+    val n = emb.count().toInt
+    val got = BinaryIndex.search(coded, $"embedding", q(3), 10, shortlist = n,
+      idCol = $"vec_id", qb = 4).select($"vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(emb, $"embedding", q(3), 10, "l2", tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
   test("self is always found (hamming 0 to itself)") {
     val r = BinaryIndex.search(coded, $"embedding", q(7), 3, shortlist = 50,
       idCol = $"vec_id").select($"vec_id").as[Long].collect()

@@ -185,6 +185,36 @@ class SearchApiSpec extends SparkSpec {
     assert(s == s.sorted) // ip normally desc; sort flipped the response
   }
 
+  test("batched multi-field search: req_num blocks x field intersection") {
+    // two fields = two halves of the embedding (like q_knn_multivec), two
+    // query vectors each → 2 result blocks, each the weighted intersection
+    val two = corpus.select($"_id",
+      slice($"embedding", 1, 32).as("h1"), slice($"embedding", 33, 32).as("h2"))
+    val sp2 = Space.fromJson(
+      """{"name":"two","fields":[
+          {"name":"h1","type":"vector","dimension":32,
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
+          {"name":"h2","type":"vector","dimension":32,
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val f1 = (q0.take(32) ++ q1.take(32)).mkString("[", ",", "]")
+    val f2 = (q0.drop(32) ++ q1.drop(32)).mkString("[", ",", "]")
+    val r = SearchApi.search(two, sp2,
+      s"""{"vectors":[
+            {"field":"h1","feature":$f1},
+            {"field":"h2","feature":$f2}],
+          "limit":5}""")
+      .collect()
+    val byQid = r.groupBy(_.getAs[Int]("_qid"))
+    assert(byQid.keySet == Set(0, 1))
+    assert(byQid.values.forall(_.length == 5))
+    // each block is its own query: block 0 must rank _id=0 first (self),
+    // block 1 must rank _id=1 first
+    def top(qid: Int) = byQid(qid).maxBy(_.getAs[Double]("_score")).getAs[String]("_id")
+    assert(top(0) == "0")
+    assert(top(1) == "1")
+  }
+
   test("error paths: non-vector field, missing feature, unknown filter op") {
     assertThrows[IllegalArgumentException] {
       SearchApi.search(corpus, space,

@@ -44,6 +44,25 @@ class SpaceSpec extends SparkSpec {
     bad("""{"name":"x","fields":[]}""")
   }
 
+  test("per-space engine config: refresh_interval/cache_size/slow_search_time") {
+    val sp = Space.fromJson(
+      """{"name":"cfg","engine":{"refresh_interval":250,"cache_size":512,
+          "slow_search_time":200},
+         "fields":[{"name":"n","type":"long"}]}""")
+    assert(sp.config.refreshIntervalMs == 250L)
+    assert(sp.config.cacheSizeMb == 512)
+    assert(sp.config.slowSearchTimeMs == 200L)
+    // defaults mirror the reference's (space.go:156-164)
+    val d = Space.fromJson("""{"name":"dflt","fields":[{"name":"n","type":"long"}]}""")
+    assert(d.config == graft.schema.SpaceConfig())
+    // tighter slow_search_time lowers the slow-pool big-topN bar
+    import graft.api.SearchApi
+    assert(SearchApi.classifyPool(sp, limit = 150, nprobe = 0, ncentroids = 0,
+      nFilters = 0) == "slow") // bar = 500*200/1000 = 100
+    assert(SearchApi.classifyPool(d, limit = 150, nprobe = 0, ncentroids = 0,
+      nFilters = 0) == "default")
+  }
+
   test("catalog: create/upsert/query/alias/count/backup/restore/drop") {
     val root = java.nio.file.Files.createTempDirectory("spaces").toString
     val cat = new SpaceCatalog(spark, root)
