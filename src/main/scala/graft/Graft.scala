@@ -49,6 +49,7 @@ object Graft {
     reg.createOrReplaceTempFunction("vec_i8_l2", es => Int8L2(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_i8_l2sq", es => Int8L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("text_simhash", es => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_simhash_md5", es => SimHashMd5(es(0)), "built-in")
     reg.createOrReplaceTempFunction("text_shingle_hashes",
       es => ShingleHashes(es(0), lit2int(es(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("text_minhash_sig",
@@ -84,6 +85,7 @@ object Graft {
     def i8L2(a: Column, b: Column): Column = call_function("vec_i8_l2", a, b)
     def i8L2Sq(a: Column, b: Column): Column = call_function("vec_i8_l2sq", a, b)
     def simhash64(tokens: Column): Column = call_function("text_simhash", tokens)
+    def simhashMd5(tokens: Column): Column = call_function("text_simhash_md5", tokens)
     def shingleHashes(tokens: Column, n: Int): Column =
       call_function("text_shingle_hashes", tokens, org.apache.spark.sql.functions.lit(n))
     def minhashSig(tokens: Column, n: Int, numHashes: Int): Column =

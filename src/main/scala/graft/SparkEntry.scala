@@ -342,6 +342,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt")).orderBy(col("lang"))
     }),
 
+    // ── pipeline: n-gram-heuristic language ID per document ──
+    "q_lang_id" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: MinHash-LSH near-dup, exact-verified. At 8 bands × 2
     //    rows, P(miss | j=0.8) = (1-0.8²)⁸ ≈ 3e-4 and the banding is
     //    seeded/deterministic, so the output equals the exact jaccard
@@ -999,6 +1007,25 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    // marker-overlap language heuristic; ties resolve to the
+    // lexicographically greatest language (Spark array_max struct order)
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         s AS (SELECT doc_id,
+           len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
+           len(list_intersect(w, ['the','and','of','to','is','that','it','with','for','was'])) AS h_en,
+           len(list_intersect(w, ['el','la','los','y','es','una','por','para','que','no'])) AS h_es,
+           len(list_intersect(w, ['le','la','les','et','est','une','pour','dans','que','pas'])) AS h_fr
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM s ORDER BY doc_id""",
 
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,

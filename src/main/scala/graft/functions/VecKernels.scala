@@ -327,6 +327,49 @@ object VecKernels {
 
   def i8L2(a: Array[Byte], b: Array[Byte]): Double = math.sqrt(i8L2Sq(a, b))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 60-bit SimHash over a token array: per-token hash = the
+    * first 15 hex chars of md5 (== the first 60 bits of the digest),
+    * exactly what a SQL oracle computes from `md5(token)` — unlike
+    * xxhash64, which no other engine reproduces. Empty tokens are skipped
+    * (split() artifacts). One kernel call per row: vote vector + pack, no
+    * per-token array allocation.
+    */
+  def simhashMd5(toks: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t)
+        if (s.numBytes() > 0) {
+          md.reset()
+          val h = md.digest(s.getBytes)
+          // first 15 hex chars of the digest = bytes[0..7] >>> 4
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+          v = v >>> 4
+          var b = 0
+          while (b < 60) {
+            if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      t += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sh |= 1L << b; b += 1 }
+    sh
+  }
+
   /** Asymmetric sign-code dot (the RaBitQ qb>0 estimator shape,
     * gamma_index_ivfrabitq.cc:214-223): corpus side is 1-bit sign codes,
     * query side keeps qb-bit-quantized real values — Σᵢ bitᵢ ? +qᵢ : −qᵢ.

@@ -124,6 +124,17 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Portable 60-bit SimHash (md5 token hashes — SQL-oracle-reproducible). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "text_simhash_md5"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.simhashMd5(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.simhashMd5($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-bit binarization: float vector → packed binary code (dim/8 bytes). */
 case class SignBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_sign_bits"

@@ -169,30 +169,12 @@ object Dedup {
 
   /** Portable 60-bit SimHash: per-token hash = the top 15 hex chars of
     * md5 (a function DuckDB shares bit-for-bit, unlike Spark's XXH64), so
-    * the whole fingerprint is re-computable by the SQL oracle. One pass
-    * over the token-hash array: a 60-element vote vector accumulates ±1
-    * per (token, bit), the sign of each vote sets the packed bit.
-    *
-    * [[simhash]] (codegen'd xxhash64 kernel) is the 100 TB path; this
-    * variant exists so SimHash correctness is oracle-checkable.
+    * the whole fingerprint is re-computable by the SQL oracle. A single
+    * codegen'd kernel call per row ([[graft.functions.SimHashMd5]]) —
+    * same speed class as [[simhash]], portable hash.
     */
-  def simhashPortable(tokenHashes: Column): Column = {
-    val powers = typedLit((0 until 60).map(b => 1L << b))
-    val votes = aggregate(tokenHashes, typedLit(Seq.fill(60)(0L)),
-      (acc, h) => zip_with(acc, powers,
-        (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, powers, (v, p) => when(v > 0L, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
-
-  /** md5-derived 60-bit token hashes for [[simhashPortable]]: non-empty
-    * whitespace tokens → first 15 md5 hex chars → long.
-    */
-  def portableTokenHashes(text: Column): Column =
-    transform(
-      filter(tokens(text), t => length(t) > 0),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+  def simhashPortable(text: Column): Column =
+    graft.Graft.F.simhashMd5(tokens(text))
 
   /** SimHash near-dup pairs over the PORTABLE fingerprint, Hamming ≤ 3:
     * pigeonhole over 4×15-bit chunks (a pair within distance 3 agrees on
@@ -207,9 +189,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
-    val sh = df
-      .select(col(idCol).as("id"), portableTokenHashes(col(textCol)).as("_th"))
-      .select(col("id"), simhashPortable(col("_th")).as("sh"))
+    val sh = df.select(col(idCol).as("id"), simhashPortable(col(textCol)).as("sh"))
     val chunks = array((0 until 4).map(c =>
       shiftright(col("sh"), c * 15).bitwiseAND(lit(0x7fffL))): _*)
     val chunked = sh.select(col("id"), col("sh"), posexplode(chunks))
