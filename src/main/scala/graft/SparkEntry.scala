@@ -388,6 +388,21 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 batched IVF (req_num queries, one probe-join pass) with
+    //    nprobe = ncentroids ≡ exact batch KNN (oracle-checked) ──
+    "q_ivf_batch" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      IvfIndex.searchBatch(table, col("embedding"), struct(col("vec_id")),
+        queries, model, k = 5, nprobe = model.ncentroids)
+        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
     // ── §2.4 IVF with nprobe = ncentroids ≡ exact KNN (oracle-checked:
     //    proves the probe→score path end-to-end) ──
     "q_ivf_exact" -> ((s, dir) => {
@@ -918,6 +933,19 @@ object SparkEntry {
          WHERE list_has_any(string_split(text, ' '), ['vector','spark'])
            AND lang = 'en'
          ORDER BY doc_id""",
+
+    "q_ivf_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q.qid, e.vec_id,
+                      list_distance(e.embedding::DOUBLE[], q.v) AS d
+               FROM embeddings e CROSS JOIN q),
+         r AS (SELECT qid, vec_id, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM s)
+         SELECT qid, vec_id, round(d, 4) AS score
+         FROM r WHERE rn <= 5
+         ORDER BY qid, round(d, 4), vec_id""",
 
     "q_knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v

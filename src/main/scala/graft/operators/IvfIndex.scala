@@ -94,6 +94,43 @@ object IvfIndex {
     graft.Graft.columnOf(graft.plans.IvfProbe(
       graft.Graft.exprOf(col("list_id")), model.centroids, q, nprobe))
 
+  /** Batched IVF search (vearch `req_num` batch over an index): each
+    * query's probe lists are computed driver-side (tiny quantizer search)
+    * and ride in a broadcast queries table; ONE join
+    * (`array_contains(lists, list_id)`) scores every query's probed
+    * candidates in a single pass, and the bounded top-k aggregate keeps
+    * the shuffle at |queries|·k rows — independent of corpus size. The
+    * per-query-driver-loop formulation this replaces scans the corpus
+    * once per query.
+    *
+    * Output: (_qid, _item, _score), best-first within each qid group.
+    */
+  def searchBatch(
+      corpus: DataFrame, // carries list_id + the vector column
+      vecCol: Column,
+      payload: Column,
+      queries: Seq[(Long, Seq[Float])],
+      model: Model,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qDf = queries
+      .map { case (qid, q) => (qid, q, model.nearestCentroids(q, nprobe)) }
+      .toDF("_qid", "_qv", "_lists")
+      .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"), col("_lists"))
+    val cand = corpus.join(broadcast(qDf), array_contains(col("_lists"), col("list_id")))
+    val scored = cand
+      .select(col("_qid"), Knn.score(model.metric, vecCol, col("_qv")).as("_score"),
+        payload.as("_item"))
+      .filter(col("_score").isNotNull)
+    scored.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
+        Knn.ascending(model.metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item").as("_item"), col("_e.score").as("_score"))
+  }
+
   /** IVF search over an assigned corpus: probe filter then exact scoring.
     * `isBruteSearch` mirrors vearch's 0=index / 1=brute / 2=auto planner
     * switch (engine.cc:280-308): brute mode skips the probe filter.

@@ -54,22 +54,21 @@ object Recall {
       }
   }
 
-  /** Batched IVFFLAT search: per-query probe lists ride in a broadcast
-    * queries table; one join + one bounded top-k aggregate covers all
-    * queries (shuffle = |queries|·k rows, independent of corpus size).
+  /** Batched IVFFLAT search via [[IvfIndex.searchBatch]] — one probe-join
+    * pass for all queries (shuffle = |queries|·k rows, independent of
+    * corpus size).
     */
   def evalIvf(assigned: DataFrame, ivf: IvfIndex.Model,
       queries: Array[(Long, Seq[Float])], nprobe: Int, k: Int): Map[Long, Seq[Long]] = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val qDf = queries.toSeq
-      .map { case (qid, q) => (qid, q, ivf.nearestCentroids(q, nprobe)) }
-      .toDF("qid", "qv", "lists")
-      .select($"qid", $"qv".cast("array<float>").as("qv"), $"lists")
-    val cand = assigned.join(broadcast(qDf), array_contains($"lists", $"list_id"))
-    topkPerQuery(
-      cand.select($"qid", Knn.score("l2", $"embedding", $"qv").as("_s"),
-        struct($"vec_id").as("_i")), k)
+    IvfIndex.searchBatch(assigned, $"embedding", struct($"vec_id"),
+      queries.toSeq, ivf, k, nprobe)
+      .select($"_qid", $"_item.vec_id", $"_score")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+      }
   }
 
   /** Batched IVFPQ: per-query ADC lookup tables are broadcast as DATA
