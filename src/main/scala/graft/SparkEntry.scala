@@ -663,6 +663,22 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 batched IVFPQ (req_num queries, ADC LUTs as broadcast data)
+    //    at exactness params ≡ exact batch KNN (oracle-checked) ──
+    "q_ivfpq_batch" -> ((s, dir) => {
+      init(s)
+      val (table, ivf, pq) =
+        graft.sources.IndexStore.ivfPq(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      PqIndex.searchBatchIvf(table, col("embedding"), ivf, pq, queries,
+        k = 5, nprobe = ivf.ncentroids, recallNum = 1 << 30, idCol = col("vec_id"))
+        .select(col("_qid").as("qid"), col("_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
     // ── §2.4 IVFPQ with nprobe = ncentroids & recall_num ≥ N ≡ exact KNN
     //    (oracle-checked) ──
     "q_ivfpq_exact" -> ((s, dir) => {
@@ -775,6 +791,22 @@ object SparkEntry {
        FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
        WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8
        ORDER BY id_a, id_b"""
+
+  /** Exact batch L2 top-5 for queries vec_id<5 — the oracle for batched
+    * index searches run at exactness parameters.
+    */
+  private val exactBatchL2Sql =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 5),
+       s AS (SELECT q.qid, e.vec_id,
+                    list_distance(e.embedding::DOUBLE[], q.v) AS d
+             FROM embeddings e CROSS JOIN q),
+       r AS (SELECT qid, vec_id, d,
+                    row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+             FROM s)
+       SELECT qid, vec_id, round(d, 4) AS score
+       FROM r WHERE rn <= 5
+       ORDER BY qid, round(d, 4), vec_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q_ivf_exact" -> exactL2Top10Sql,
@@ -934,18 +966,8 @@ object SparkEntry {
            AND lang = 'en'
          ORDER BY doc_id""",
 
-    "q_ivf_batch" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
-                    FROM embeddings WHERE vec_id < 5),
-         s AS (SELECT q.qid, e.vec_id,
-                      list_distance(e.embedding::DOUBLE[], q.v) AS d
-               FROM embeddings e CROSS JOIN q),
-         r AS (SELECT qid, vec_id, d,
-                      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
-               FROM s)
-         SELECT qid, vec_id, round(d, 4) AS score
-         FROM r WHERE rn <= 5
-         ORDER BY qid, round(d, 4), vec_id""",
+    "q_ivf_batch" -> exactBatchL2Sql,
+    "q_ivfpq_batch" -> exactBatchL2Sql,
 
     "q_knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v

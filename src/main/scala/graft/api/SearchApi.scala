@@ -160,6 +160,10 @@ object SearchApi {
     space.vectorFields.find(_.name == field)
       .flatMap(_.vector).map(_.metric).getOrElse("l2")
 
+  private def valueTypeOf(space: Space, field: String): String =
+    space.vectorFields.find(_.name == field)
+      .flatMap(_.vector).map(_.valueType).getOrElse("float")
+
   private def maybeNormalize(space: Space, field: String, q: Seq[Float]): Seq[Float] = {
     val normalized = space.vectorFields.find(_.name == field)
       .flatMap(_.vector).exists(_.normalized)
@@ -198,10 +202,28 @@ object SearchApi {
     if (req.vectors.size == 1 && req.vectors.head.queries.size == 1) {
       val vc = req.vectors.head
       val q = maybeNormalize(space, vc.field, vc.queries.head)
-      val result = Knn.search(corpus, col(vc.field), q,
-        req.limit + req.offset, metricOf(space, vc.field),
-        filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
-        tieBreak = Some(col("_id")))
+      // the field's value_type picks the distance path (index_model.h:19):
+      // float → metric kernels; int8 → request floats quantized with the
+      // SAME symmetric quantizer as ingest, integer-accumulate kernels;
+      // binary → request floats sign-binarized, Hamming ascending
+      val result = valueTypeOf(space, vc.field) match {
+        case "int8" =>
+          val qBytes = graft.functions.VecKernels.quantizeI8(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          Knn.searchInt8(corpus, col(vc.field), qBytes,
+            req.limit + req.offset, metricOf(space, vc.field),
+            filter = pred, tieBreak = Some(col("_id")))
+        case "binary" =>
+          val qCode = graft.functions.VecKernels.signBits(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          Knn.searchBinary(corpus, col(vc.field), qCode,
+            req.limit + req.offset, filter = pred, tieBreak = Some(col("_id")))
+        case _ =>
+          Knn.search(corpus, col(vc.field), q,
+            req.limit + req.offset, metricOf(space, vc.field),
+            filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
+            tieBreak = Some(col("_id")))
+      }
       val sliced = if (req.offset > 0) result.offset(req.offset) else result
       val projected = sliced.select(projection(space, req, Seq("_score")): _*)
       // sort spec re-orders the RESPONSE (selection stays score-driven,

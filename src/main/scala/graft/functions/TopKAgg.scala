@@ -63,8 +63,12 @@ private[graft] final class TopKBuffer(
       if (c != 0) c else tieCompare.compare(x, y)
     }
   }
-  // heap root = evictable (worst kept) => reverse of bestFirst
-  val heap = new PriorityQueue[ScoredItem](math.max(k, 1), bestFirst.reversed())
+  // heap root = evictable (worst kept) => reverse of bestFirst.
+  // initial CAPACITY is clamped — a degenerate "exactness" k (recall_num =
+  // 1<<30) must not preallocate a k-element array; the queue grows to
+  // min(k, observed rows) on its own
+  val heap = new PriorityQueue[ScoredItem](
+    math.min(math.max(k, 1), 1024), bestFirst.reversed())
 
   def add(score: Double, item: Any): Unit = {
     val cand = new ScoredItem(score, item, tieBytesFn)

@@ -110,6 +110,25 @@ object Knn {
       .getOrElse(selected)
   }
 
+  /** Brute-force top-k over packed binary codes (value_type=BINARY /
+    * BINARYIVF class): Hamming distance, ascending. The stored value IS
+    * the code — there are no raw floats to rerank against.
+    */
+  def searchBinary(
+      df: DataFrame,
+      vecCol: Column,
+      qCode: Array[Byte],
+      k: Int,
+      filter: Option[Column] = None,
+      tieBreak: Option[Column] = None): DataFrame = {
+    val filtered = filter.map(df.filter).getOrElse(df)
+    val scored = filtered
+      .withColumn("_score", F.hamming(vecCol, lit(qCode)).cast("double"))
+      .filter(col("_score").isNotNull)
+    val order = col("_score").asc +: tieBreak.map(_.asc).toSeq
+    scored.orderBy(order: _*).limit(k)
+  }
+
   /** Batched multi-query KNN (vearch `req_num` query vectors per request,
     * doc_query.go:296-318): the query set is broadcast against the corpus,
     * then a bounded-heap aggregate keeps top-k per query id.

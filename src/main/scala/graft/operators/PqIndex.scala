@@ -193,6 +193,64 @@ object PqIndex {
       vecCol, pq, q, k, recallNum, idCol, roundTo)
   }
 
+  /** Batched IVFPQ (req_num queries in one plan, no driver round-trips):
+    * per-query probe lists AND flattened ADC lookup tables travel as DATA
+    * in a broadcast queries table (m·ksub doubles per query). Stage 1
+    * joins codes to queries on `array_contains(lists, list_id)` and scores
+    * via element_at LUT lookups — one pass over the probed codes for ALL
+    * queries; a bounded top-recallNum aggregate forms each query's
+    * shortlist; stage 2 semi-joins the (qid, id) shortlist back to the
+    * corpus for the exact rerank. Shuffle: Q·recallNum then Q·k rows.
+    */
+  def searchBatchIvf(
+      corpus: DataFrame, // carries list_id + pq_code + raw vectors
+      vecCol: Column,
+      ivf: IvfIndex.Model,
+      pq: Model,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      nprobe: Int,
+      recallNum: Int,
+      idCol: Column): DataFrame = {
+    require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qDf = queries
+      .map { case (qid, q) =>
+        (qid, q, ivf.nearestCentroids(q, nprobe), pq.lut(q).flatten.toSeq)
+      }
+      .toDF("_qid", "_qv", "_lists", "_lut")
+      .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"),
+        col("_lists"), col("_lut"))
+    val ksub = pq.ksub
+    val adc = corpus.select(idCol.as("_sid"), col("list_id"), col("pq_code"))
+      .join(broadcast(qDf.select(col("_qid"), col("_lists"), col("_lut"))),
+        array_contains(col("_lists"), col("list_id")))
+      .select(col("_qid"),
+        aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
+          (acc, sub) => acc +
+            element_at(col("_lut"), sub * ksub + element_at(col("pq_code"), sub + 1) + 1))
+          .as("_adc"),
+        col("_sid"))
+      .filter(col("_adc").isNotNull)
+    val short = adc.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_adc"), struct(col("_sid")), recallNum,
+        asc = true).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item._sid").as("_sid"))
+      .join(broadcast(qDf.select(col("_qid"), col("_qv"))), Seq("_qid"))
+    val rerank = corpus.join(broadcast(short), idCol === col("_sid"))
+      .select(col("_qid"),
+        Knn.score(pq.metric, vecCol, col("_qv")).as("_score"),
+        struct(idCol.as("id")).as("_item"))
+      .filter(col("_score").isNotNull)
+    rerank.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
+        Knn.ascending(pq.metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item.id").as("_id"), col("_e.score").as("_score"))
+  }
+
   /** Two-stage search: ADC top-recallNum over CODES ONLY → id shortlist →
     * broadcast-semi-join back to the corpus for the exact rerank.
     *

@@ -71,51 +71,16 @@ object Recall {
       }
   }
 
-  /** Batched IVFPQ: per-query ADC lookup tables are broadcast as DATA
-    * (m·ksub doubles per query), stage 1 scores codes via element_at
-    * lookups and keeps top-recallNum per query, stage 2 fetches only the
-    * survivors' raw vectors (broadcast semi-join) for the exact rerank.
+  /** Batched IVFPQ via [[PqIndex.searchBatchIvf]] — per-query ADC LUTs
+    * broadcast as data, one code pass for all queries, semi-join rerank.
     */
   def evalIvfPq(encoded: DataFrame, ivf: IvfIndex.Model, pq: PqIndex.Model,
       queries: Array[(Long, Seq[Float])], nprobe: Int, recallNum: Int,
       k: Int): Map[Long, Seq[Long]] = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    val qDf = queries.toSeq
-      .map { case (qid, q) =>
-        (qid, q, ivf.nearestCentroids(q, nprobe), pq.lut(q).flatten.toSeq)
-      }
-      .toDF("qid", "qv", "lists", "lut")
-      .select($"qid", $"qv".cast("array<float>").as("qv"), $"lists", $"lut")
-    val ksub = pq.ksub
-    // stage 1: ADC over codes only — no raw vectors touched
-    val adc = encoded.select($"vec_id", $"list_id", $"pq_code")
-      .join(broadcast(qDf.select($"qid", $"lists", $"lut")),
-        array_contains($"lists", $"list_id"))
-      .select($"qid",
-        aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
-          (acc, sub) => acc +
-            element_at($"lut", sub * ksub + element_at($"pq_code", sub + 1) + 1))
-          .as("_s"),
-        struct($"vec_id").as("_i"))
-    val short = topkPerQuery(adc, recallNum).toSeq
-      .flatMap { case (qid, ids) => ids.map(id => (qid, id)) }
-    val shortDf = spark.createDataset(short).toDF("qid", "vec_id")
-    // stage 2: exact rerank of the survivors only
-    val rerank = encoded.join(broadcast(shortDf), Seq("vec_id"))
-      .join(broadcast(qDf.select($"qid", $"qv")), Seq("qid"))
-      .select($"qid", Knn.score("l2", $"embedding", $"qv").as("_s"),
-        struct($"vec_id").as("_i"))
-    topkPerQuery(rerank, k)
-  }
-
-  private def topkPerQuery(scored: DataFrame, k: Int): Map[Long, Seq[Long]] = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored.filter($"_s".isNotNull)
-      .groupBy($"qid").agg(Graft.F.topK($"_s", $"_i", k, asc = true).as("_tk"))
-      .select($"qid", explode($"_tk").as("_e"))
-      .select($"qid", $"_e.item.vec_id", $"_e.score")
+    PqIndex.searchBatchIvf(encoded, $"embedding", ivf, pq, queries.toSeq,
+      k, nprobe, recallNum, $"vec_id")
       .collect().groupBy(_.getLong(0))
       .map { case (qid, rows) =>
         qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq

@@ -215,6 +215,32 @@ class SearchApiSpec extends SparkSpec {
     assert(top(1) == "1")
   }
 
+  test("value_type int8 and binary fields search through the request surface") {
+    import graft.Graft.F
+    val spI8 = Space.fromJson(
+      """{"name":"i8sp","fields":[
+          {"name":"v","type":"vector","dimension":64,"value_type":"int8",
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+    val codedI8 = corpus.select($"_id", F.quantizeI8($"embedding").as("v"))
+    val r = SearchApi.search(codedI8, spI8,
+      s"""{"vectors":[{"field":"v","feature":${fjson(q0)}}],"limit":5}""").collect()
+    assert(r.length == 5)
+    assert(r.head.getString(0) == "0") // self ranks first under int8 IP
+    val scores = r.map(_.getAs[Double]("_score")).toSeq
+    assert(scores == scores.sorted.reverse) // ip ⇒ desc
+
+    val spB = Space.fromJson(
+      """{"name":"bsp","fields":[
+          {"name":"v","type":"vector","dimension":64,"value_type":"binary",
+           "index":{"type":"BINARYIVF"}}]}""")
+    val codedB = corpus.select($"_id", F.signBits($"embedding").as("v"))
+    val rb = SearchApi.search(codedB, spB,
+      s"""{"vectors":[{"field":"v","feature":${fjson(q0)}}],"limit":5}""").collect()
+    assert(rb.head.getString(0) == "0") // hamming 0 to itself
+    val hs = rb.map(_.getAs[Double]("_score")).toSeq
+    assert(hs == hs.sorted) // hamming ⇒ asc
+  }
+
   test("error paths: non-vector field, missing feature, unknown filter op") {
     assertThrows[IllegalArgumentException] {
       SearchApi.search(corpus, space,
