@@ -57,6 +57,49 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!bs.select($"id").as[Long].collect().contains(2L))
   }
 
+  test("int8 and RaBitQ paths: nulls excluded, parameter bounds enforced") {
+    val d = Seq((1L, Some(Seq(1f, 0f, 0f, 0f))), (2L, None), (3L, Some(Seq(0f, 1f, 0f, 0f))))
+      .toDF("id", "v").select($"id", $"v".cast("array<float>").as("v"))
+    val coded = d.withColumn("iv", graft.Graft.F.quantizeI8($"v"))
+    val q = Array[Byte](127, 0, 0, 0)
+    val got = Knn.searchInt8(coded, $"iv", q, k = 5, metric = "ip",
+      tieBreak = Some($"id")).select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L)) // null vector never appears
+    // RaBitQ qb bounds
+    val bcoded = graft.operators.BinaryIndex.encode(d, "v")
+    assertThrows[IllegalArgumentException](
+      graft.operators.BinaryIndex.search(bcoded, $"v", Seq(1f, 0f, 0f, 0f),
+        k = 1, shortlist = 1, idCol = $"id", qb = 9))
+    // constant query vector: quantizeQuery must not divide by zero
+    val qq = graft.operators.BinaryIndex.quantizeQuery(Seq(0.5f, 0.5f), qb = 4)
+    assert(qq.toSeq == Seq(0.5f, 0.5f))
+    // qb=4 with nulls: null code rows never shortlist
+    val bs = graft.operators.BinaryIndex.search(bcoded, $"v", Seq(1f, 0f, 0f, 0f),
+      k = 5, shortlist = 5, idCol = $"id", qb = 4)
+    assert(!bs.select($"id").as[Long].collect().contains(2L))
+  }
+
+  test("sort spec referencing an unknown field fails at analysis, not silently") {
+    val space = graft.schema.Space.fromJson(
+      """{"name":"s","fields":[{"name":"n","type":"long"}]}""")
+    val corpus = Seq(("a", 1L), ("b", 2L)).toDF("_id", "n")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      graft.api.SearchApi.query(corpus, space,
+        """{"sort":[{"nope":{"order":"desc"}}],"limit":10}""").collect()
+    }
+  }
+
+  test("batched IVF search with an empty query set returns empty") {
+    val d = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val model = IvfIndex.train(d, "embedding", 2)
+    val assigned = IvfIndex.assign(d, "embedding", model)
+    val r = IvfIndex.searchBatch(assigned, $"embedding", struct($"vec_id"),
+      Seq.empty, model, k = 3, nprobe = 2)
+    assert(r.count() == 0)
+  }
+
   test("batch knn with an empty query set returns empty") {
     val d = Seq((1L, Seq(1f, 0f))).toDF("id", "v")
       .select($"id", $"v".cast("array<float>").as("v"))
