@@ -414,11 +414,14 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
-    // ── pipeline (rows-only): full text profile (lang-id, fingerprints) ──
+    // ── pipeline: full text profile (tokens, subwords, lang-id,
+    //    fingerprint) — every column portable, fully oracle-checked ──
     "q_text_profile" -> ((s, dir) => {
       init(s)
       TextOps.profile(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_subwords").cast("long").as("n_subwords"),
           col("lang_pred"), col("fingerprint"))
         .orderBy(col("doc_id"))
     }),
@@ -603,8 +606,8 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // ── pipeline showcase (rows-only): quality-filter → dedup-survivors →
-    //    embedding join → KNN, one composed DataFrame flow ──
+    // ── pipeline showcase: quality-filter → dedup-survivors → embedding
+    //    join → KNN, one composed DataFrame flow (fully oracle-checked) ──
     "q_pipeline_e2e" -> ((s, dir) => {
       init(s)
       val docs = t(s, dir, "documents")
@@ -1057,6 +1060,43 @@ object SparkEntry {
 
     "q_lang_count" ->
       """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_text_profile" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id, text, w,
+           len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
+           len(list_intersect(w, ['the','and','of','to','is','that','it','with','for','was'])) AS h_en,
+           len(list_intersect(w, ['el','la','los','y','es','una','por','para','que','no'])) AS h_es,
+           len(list_intersect(w, ['le','la','les','et','est','une','pour','dans','que','pas'])) AS h_fr
+           FROM t)
+         SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+              + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subwords,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+         FROM s ORDER BY doc_id""",
+
+    "q_pipeline_e2e" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         f AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS w FROM documents),
+         good AS (SELECT doc_id, text FROM f
+                  WHERE len(w) >= 20
+                    AND CAST(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+                        / len(w) < 0.5),
+         surv AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text))
+         SELECT g.doc_id,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM good g JOIN surv s ON g.doc_id = s.doc_id
+         JOIN embeddings e ON e.vec_id = g.doc_id, q
+         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, g.doc_id
+         LIMIT 10""",
 
     // marker-overlap language heuristic; ties resolve to the
     // lexicographically greatest language (Spark array_max struct order)

@@ -14,13 +14,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word count: splits on whitespace AND word/punct
-    * boundaries the way byte-pair tokenizers coarsely do; a cheap,
-    * deterministic proxy for "LLM tokens" (≈ chars/4 heuristics are worse).
+  /** BPE-ish sub-word count: alphanumeric runs + individual punctuation
+    * characters — the way byte-pair tokenizers coarsely segment; a cheap,
+    * deterministic proxy for "LLM tokens" (≈ chars/4 heuristics are
+    * worse). Formulated without lookarounds so an RE2-based SQL engine
+    * (the oracle) computes the identical number.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[a-zA-Z0-9]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
 
   private val punctRe = "[^a-zA-Z0-9\\s]"
 
@@ -76,7 +78,13 @@ object TextOps {
   def fingerprintSketch(text: Column, n: Int, k: Int): Column =
     slice(array_sort(transform(Dedup.shingles(text, n), s => xxhash64(s))), 1, k)
 
-  def exactFingerprint(text: Column): Column = xxhash64(text)
+  /** Exact-match fingerprint: the first 60 bits of md5 as a long —
+    * portable (a SQL oracle recomputes it from `md5(text)` hex), and at
+    * 60 bits collision odds stay ~n²/2⁶¹. The xxhash64 alternative is
+    * marginally faster but reproducible by nothing else.
+    */
+  def exactFingerprint(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
   /** Full profile DataFrame helper. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
