@@ -46,6 +46,26 @@ object Stress {
       Knn.searchBatch(corpus, $"v", struct($"id"), queries, "qid", "qv", 10, "ip").collect()
     }
 
+    // value-type scan economics (index_model.h:19): int8 reads 1/4 the
+    // vector bytes, binary 1/32 — the quantized types should scan
+    // correspondingly faster once IO-bound (in-memory they show the
+    // kernel-cost floor)
+    val qArr = new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)
+    val i8 = corpus.select($"id", F.quantizeI8($"v").as("iv")).cache()
+    i8.count()
+    val qI8 = graft.functions.VecKernels.quantizeI8(qArr)
+    time("int8_ip_top10", n) {
+      Knn.searchInt8(i8, $"iv", qI8, 10, "ip", tieBreak = Some($"id")).collect()
+    }
+    i8.unpersist()
+    val bin = corpus.select($"id", F.signBits($"v").as("b")).cache()
+    bin.count()
+    val qCode = graft.functions.VecKernels.signBits(qArr)
+    time("binary_hamming_top10", n) {
+      Knn.searchBinary(bin, $"b", qCode, 10, tieBreak = Some($"id")).collect()
+    }
+    bin.unpersist()
+
     // IVF over its REAL deployment shape — a partitionBy(list_id) parquet
     // table — so the probe's partition pruning actually skips IO. (Over a
     // cached in-memory corpus the probe filter only adds per-row work:

@@ -82,4 +82,56 @@ class UserJourneySpec extends SparkSpec {
     cat.dropSpace("demo", "docs")
     assertThrows[Exception](cat.read("demo", "docs").collect())
   }
+
+  test("quantized-space journey: engine config → int8 ingest → search → sort") {
+    val root = Files.createTempDirectory("journey_i8").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("demo")
+    // a space declaring int8 storage and a tight latency budget
+    val space = Space.fromJson(
+      """{"name":"qdocs","partition_num":4,
+          "engine":{"refresh_interval":500,"slow_search_time":200},
+          "fields":[
+            {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"vec","type":"vector","dimension":8,"value_type":"int8",
+             "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+    cat.createSpace("demo", space)
+    assert(space.config.slowSearchTimeMs == 200L)
+
+    // ingest carries pre-quantized int8 codes (dim bytes, per Ingest rules)
+    def vf(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 31 + i) % 10 - 5) / 5f)
+    val raw = (1 to 30).map(i => (s"d$i", i % 5, vf(i)))
+      .toDF("_id", "stars", "vraw")
+      .select($"_id", $"stars", $"vraw".cast("array<float>").as("vraw"))
+    val coded = raw.select($"_id", $"stars", Graft.F.quantizeI8($"vraw").as("vec"))
+    cat.upsert("demo", "qdocs", Ingest.conform(coded, space), partitionNum = 4)
+    assert(cat.docCount("demo", "qdocs") == 30)
+
+    // search: float feature in the request, int8 path under the hood
+    val corpus = cat.read("demo", "qdocs")
+    val q = vf(1)
+    val res = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],
+           "limit":5}""").collect()
+    assert(res.length == 5)
+    // top score must equal the independently computed int8-IP maximum
+    val qB = graft.functions.VecKernels.quantizeI8(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+    val bestScore = corpus.select($"vec").collect()
+      .map(r => graft.functions.VecKernels.i8Dot(r.getAs[Array[Byte]](0), qB)).max
+    assert(res.head.getAs[Double]("_score") == bestScore)
+    val resScores = res.map(_.getAs[Double]("_score")).toSeq
+    assert(resScores == resScores.sorted.reverse) // ip ⇒ desc
+
+    // query verb with a sort spec over the scalar field
+    val sorted = SearchApi.query(corpus, space,
+      """{"sort":[{"stars":{"order":"desc"}}],"limit":10}""")
+      .select($"stars").as[Int].collect().toSeq
+    assert(sorted == sorted.sorted.reverse)
+
+    // bucketed upsert: one id touches one bucket, rest byte-stable
+    cat.upsert("demo", "qdocs",
+      Ingest.conform(coded.filter($"_id" === "d7"), space), partitionNum = 4)
+    assert(cat.docCount("demo", "qdocs") == 30)
+  }
 }
