@@ -746,6 +746,27 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 (rows-only): full IVFRABITQ — coarse probe (partition
+    //    pruning) ∘ per-list residual-code estimator ∘ exact rerank ──
+    "q_rabitq_ivf" -> ((s, dir) => {
+      init(s)
+      val (table, ivf) = graft.sources.IndexStore.binaryIvf(s, dir, ncentroids = 16)
+      graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
+        qvec(s, dir), k = 10, nprobe = 4, shortlist = 100,
+        idCol = col("vec_id"), qb = 4, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 IVFRABITQ at exactness params ≡ exact KNN (oracle-checked) ──
+    "q_rabitq_ivf_exact" -> ((s, dir) => {
+      init(s)
+      val (table, ivf) = graft.sources.IndexStore.binaryIvf(s, dir, ncentroids = 16)
+      graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
+        qvec(s, dir), k = 10, nprobe = ivf.ncentroids, shortlist = 1 << 30,
+        idCol = col("vec_id"), qb = 4, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── multimodal (rows-only): binary payload → stub features → KNN ──
     "q_media_pipeline" -> ((s, dir) => {
       init(s)
@@ -817,6 +838,7 @@ object SparkEntry {
     "q_ivfpq_exact" -> exactL2Top10Sql,
     "q_binary_exact" -> exactL2Top10Sql,
     "q_rabitq_exact" -> exactL2Top10Sql,
+    "q_rabitq_ivf_exact" -> exactL2Top10Sql,
     "q_minhash_lsh" -> jaccardPairsSql,
 
     "q_knn_int8" ->

@@ -370,6 +370,41 @@ object VecKernels {
     sh
   }
 
+  /** Sign bits of the RESIDUAL v − centroid(listId) — the IVF+RaBitQ
+    * layout (gamma_index_ivfrabitq.cc: codes quantize residuals against
+    * the coarse quantizer, not raw vectors): residual directions are far
+    * less correlated within a list than raw directions, so 1 bit/dim
+    * keeps more discriminating signal.
+    */
+  def residualSignBits(a: ArrayData, listId: Int, centroids: Array[Array[Float]]): Array[Byte] = {
+    val n = a.numElements()
+    val c = centroids(listId)
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      val r = a.getFloat(i) - (if (i < c.length) c(i) else 0f)
+      if (r >= 0f) out(i >> 3) = (out(i >> 3) | (0x80 >> (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[signAdot]] with the query side as row data (per-list residual
+    * queries ride in a joined column).
+    */
+  def signAdotDyn(code: Array[Byte], q: ArrayData): Double = {
+    val n = math.min(q.numElements(), code.length * 8)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val bit = (code(i >> 3) >> (7 - (i & 7))) & 1
+      val v = q.getFloat(i)
+      s += (if (bit == 1) v else -v)
+      i += 1
+    }
+    s
+  }
+
   /** Asymmetric sign-code dot (the RaBitQ qb>0 estimator shape,
     * gamma_index_ivfrabitq.cc:214-223): corpus side is 1-bit sign codes,
     * query side keeps qb-bit-quantized real values — Σᵢ bitᵢ ? +qᵢ : −qᵢ.

@@ -238,6 +238,37 @@ case class SignAdot(child: Expression, q: Array[Float]) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign bits of v − centroid(listId): the IVF+RaBitQ residual code. */
+case class ResidualSignBits(vec: Expression, listId: Expression,
+    centroids: Array[Array[Float]]) extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = listId
+  override def prettyName: String = "vec_residual_sign_bits"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.residualSignBits(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.residualSignBits($a, $b, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, listId = r)
+}
+
+/** Asymmetric sign-dot with the query as row data (per-list residuals). */
+case class SignAdotDyn(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_sign_adot"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.signAdotDyn(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.signAdotDyn($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_hamming"

@@ -22,6 +22,63 @@ object BinaryIndex {
   def encode(df: DataFrame, vecCol: String, codeCol: String = "bcode"): DataFrame =
     df.withColumn(codeCol, F.signBits(col(vecCol)))
 
+  /** IVF+RaBitQ residual codes (gamma_index_ivfrabitq.cc: the binary code
+    * quantizes v − coarse_centroid, not v): add `codeCol` = sign bits of
+    * each row's residual against its assigned list's centroid. Residual
+    * directions decorrelate within a list, so the same 1 bit/dim carries
+    * more discriminating signal than global sign codes.
+    */
+  def encodeResidual(assigned: DataFrame, vecCol: String, ivf: IvfIndex.Model,
+      codeCol: String = "rbcode"): DataFrame =
+    assigned.withColumn(codeCol, graft.Graft.columnOf(
+      graft.functions.ResidualSignBits(
+        graft.Graft.exprOf(col(vecCol)),
+        graft.Graft.exprOf(col("list_id")), ivf.centroids)))
+
+  /** Full IVFRABITQ search: coarse probe (partition pruning on `list_id`)
+    * → asymmetric residual estimator over codes only (each probed list
+    * scores against ITS residual query q − c_list, qb-bit quantized,
+    * joined in as data) → exact rerank of the shortlist survivors.
+    */
+  def searchIvfResidual(
+      corpus: DataFrame, // carries list_id + codeCol + raw vectors
+      vecCol: Column,
+      ivf: IvfIndex.Model,
+      q: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      shortlist: Int,
+      idCol: Column,
+      metric: String = "l2",
+      codeCol: String = "rbcode",
+      qb: Int = 4,
+      roundTo: Option[Int] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lists = ivf.nearestCentroids(q, nprobe)
+    val qres = lists.map { l =>
+      val c = ivf.centroids(l)
+      val r = q.toArray.zipWithIndex.map { case (x, i) =>
+        x - (if (i < c.length) c(i) else 0f)
+      }
+      (l, quantizeQuery(r.toSeq, qb).toSeq)
+    }
+    val qDf = qres.toDF("list_id", "_qres")
+      .select(col("list_id"), col("_qres").cast("array<float>").as("_qres"))
+    val probed = corpus.filter(col("list_id").isin(lists: _*))
+    val cand = probed
+      .select(idCol.as("_sid"), col("list_id"), col(codeCol))
+      .join(broadcast(qDf), Seq("list_id"))
+      .withColumn("_est", F.signAdot(col(codeCol), col("_qres")))
+      .filter(col("_est").isNotNull)
+      .orderBy(col("_est").desc, col("_sid").asc)
+      .limit(shortlist)
+      .select(col("_sid"))
+    val rerank = probed.join(broadcast(cand), idCol === col("_sid"), "left_semi")
+    Knn.search(rerank, vecCol, q, k, metric, tieBreak = Some(idCol), roundTo = roundTo)
+  }
+
   /** Quantize the query to qb bits per dimension (uniform min–max scalar
     * quantization — the RaBitQ query-side SQ step,
     * gamma_index_ivfrabitq.cc:105,214-223). Values are returned

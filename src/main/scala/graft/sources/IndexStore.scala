@@ -150,6 +150,23 @@ object IndexStore {
     spark.read.parquet(s"$dir/table")
   }
 
+  /** IVF+RaBitQ layout: `list_id`-partitioned table carrying residual
+    * sign codes (`rbcode`) + raw vectors for the rerank.
+    */
+  def binaryIvf(spark: SparkSession, sfDir: String,
+      ncentroids: Int = 16): (DataFrame, IvfIndex.Model) = {
+    val dir = dirFor(sfDir, s"rbivf$ncentroids")
+    if (!ready(dir)) {
+      val e = emb(spark, sfDir)
+      val ivf = IvfIndex.train(e, "embedding", ncentroids)
+      BinaryIndex.encodeResidual(IvfIndex.assign(e, "embedding", ivf), "embedding", ivf)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
+      writeObj(s"$dir/ivf.bin", ivf)
+      markReady(dir)
+    }
+    (spark.read.parquet(s"$dir/table"), readObj[IvfIndex.Model](s"$dir/ivf.bin"))
+  }
+
   /** Build every layout the declared queries use — called from Bench's
     * untimed warmup so builds never pollute per-query timings.
     */
@@ -158,5 +175,6 @@ object IndexStore {
     ivfPq(spark, sfDir)
     pqFlat(spark, sfDir)
     binary(spark, sfDir)
+    binaryIvf(spark, sfDir)
   }
 }

@@ -64,6 +64,35 @@ class BinaryIndexSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("IVFRABITQ: residual codes, exact at degenerate params, recall holds") {
+    val ivf = graft.operators.IvfIndex.train(emb, "embedding", 8)
+    val assigned = graft.operators.IvfIndex.assign(emb, "embedding", ivf)
+    val coded2 = BinaryIndex.encodeResidual(assigned, "embedding", ivf).cache()
+    // nprobe = ncentroids & shortlist = N degenerates to exact KNN
+    val n = emb.count().toInt
+    val got = BinaryIndex.searchIvfResidual(coded2, $"embedding", ivf, q(0), 10,
+      nprobe = ivf.ncentroids, shortlist = n, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(emb, $"embedding", q(0), 10, "l2", tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == exact)
+    // probed + shortlisted recall vs exact at the same budget as the
+    // global-code test (nprobe=4/8 halves candidate IO on top)
+    var hits = 0; var total = 0
+    for (id <- 0L until 15L) {
+      val ex = Knn.search(emb, $"embedding", q(id), 10, "l2", tieBreak = Some($"vec_id"))
+        .select($"vec_id").as[Long].collect().toSet
+      val g = BinaryIndex.searchIvfResidual(coded2, $"embedding", ivf, q(id), 10,
+        nprobe = 4, shortlist = 100, idCol = $"vec_id")
+        .select($"vec_id").as[Long].collect().toSet
+      hits += g.intersect(ex).size; total += ex.size
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.7, s"ivf-residual recall@10 = $recall")
+    coded2.unpersist()
+    ()
+  }
+
   test("self is always found (hamming 0 to itself)") {
     val r = BinaryIndex.search(coded, $"embedding", q(7), 3, shortlist = 50,
       idCol = $"vec_id").select($"vec_id").as[Long].collect()
