@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BinaryIndex, IvfIndex, PqIndex}
+
+/** Plan-shape regression locks for the index-search IO claims (the
+  * PLANS.md evidence, enforced): stage-1 shortlist scans over MATERIALIZED
+  * layouts must read codes — never the raw vector column — and the IVF
+  * probe must reach partition pruning. These only hold when codes are
+  * stored columns, which is why the declared queries read IndexStore
+  * layouts; this spec rebuilds minimal layouts and asserts the plans.
+  */
+class PlanEvidenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def q0: Seq[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+
+  /** AdaptiveSparkPlanExec is a LEAF node — it hides the join subtree from
+    * collect() until execution. Plans are inspected with AQE off so the
+    * static tree exposes every scan.
+    */
+  private def scansOf(df: => org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("PQ stage-1 scan reads (id, pq_code) only — no embedding bytes") {
+    val pq = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16,
+      maxTrainRows = 2000L, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("pe_pq").toString + "/tbl"
+    PqIndex.encode(emb, "embedding", pq).write.parquet(dir)
+    val table = spark.read.parquet(dir)
+    val plan = PqIndex.search(table, $"embedding", pq, q0, k = 5,
+      recallNum = 50, idCol = $"vec_id")
+    // the rerank scan reads everything; the CLAIM is that a code-only
+    // stage-1 scan exists (codes without the raw vector column)
+    val stage1 = scansOf(plan).filter { s =>
+      val f = s.requiredSchema.fieldNames
+      f.contains("pq_code") && !f.contains("embedding")
+    }
+    assert(stage1.nonEmpty,
+      s"no code-only stage-1 scan in:\n${plan.queryExecution.executedPlan}")
+  }
+
+  test("binary stage-1 scan reads (id, bcode) only") {
+    val dir = java.nio.file.Files.createTempDirectory("pe_bin").toString + "/tbl"
+    BinaryIndex.encode(emb, "embedding").write.parquet(dir)
+    val table = spark.read.parquet(dir)
+    val plan = BinaryIndex.search(table, $"embedding", q0, k = 5,
+      shortlist = 50, idCol = $"vec_id")
+    val stage1 = scansOf(plan).filter { s =>
+      val f = s.requiredSchema.fieldNames
+      f.contains("bcode") && !f.contains("embedding")
+    }
+    assert(stage1.nonEmpty,
+      s"no code-only stage-1 scan in:\n${plan.queryExecution.executedPlan}")
+  }
+
+  test("IVF probe reaches partition pruning on the list_id layout") {
+    val model = IvfIndex.train(emb, "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("pe_ivf").toString + "/tbl"
+    IvfIndex.buildTable(emb, "embedding", model, dir)
+    val table = spark.read.parquet(dir)
+    val plan = IvfIndex.search(table, $"embedding", model, q0, k = 5,
+      nprobe = 2, tieBreak = Some($"vec_id"))
+    val pruned = scansOf(plan).filter(_.partitionFilters.nonEmpty)
+    assert(pruned.nonEmpty,
+      s"probe did not become a PartitionFilter:\n${plan.queryExecution.executedPlan}")
+  }
+}
