@@ -41,22 +41,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** EXACT n-gram Jaccard similarity self-join via an inverted shingle
-    * index: explode shingles, equi-join on the shingle, count common
-    * shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+  /** EXACT n-gram Jaccard similarity self-join with PREFIX FILTERING
+    * (AllPairs/PPJoin): shingle-hash sets are kept sorted (a global total
+    * order); for threshold t only each set's first |S| − ⌈t·|S|⌉ + 1
+    * hashes can witness a qualifying pair — if jacc(a,b) ≥ t and the
+    * prefixes were disjoint, the overlap would fit inside one suffix of
+    * size ⌈t·|S|⌉ − 1 < ⌈t·|S|⌉ ≤ |a∩b|, a contradiction. So the
+    * candidate equi-join explodes only prefixes (~(1−t)·|S| hashes per
+    * doc; candidate PAIRS shrink ~(1−t)²), and exact verification runs
+    * `array_intersect` over the full sorted sets for candidates only.
+    * Zero false negatives by the lemma; zero false positives by the
+    * verify.
     *
-    * Shuffle volume is Σ per-shingle df² over shingles — fine while no
-    * shingle is near-universal. `maxShingleDf` drops shingles that occur
-    * in more than that many documents (frequency cap = the standard skew
-    * guard for similarity joins; a shingle shared by a million docs
-    * carries no discriminating signal but would dominate the join). On by
-    * default: one boilerplate shingle (license header, nav bar) at corpus
-    * scale makes the candidate join quadratic in its document frequency.
-    * The recall trade: a TRUE near-dup pair whose only shared shingles are
-    * all above the cap is missed — jaccard for such a pair is computed
-    * over the sub-cap shingle sets on BOTH numerator and denominator
-    * (consistently), so pairs that share any discriminating content
-    * survive. Pass None to disable for small corpora.
+    * `maxShingleDf` drops shingles occurring in more than that many
+    * documents (skew guard: one boilerplate shingle at corpus scale makes
+    * any candidate join quadratic in its document frequency). Sizes AND
+    * intersections are computed over the same capped sets — a pair whose
+    * only shared shingles are hot is missed by design (they carry no
+    * discriminating signal). Pass None to disable for small corpora.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -65,33 +67,33 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
-    // one codegen'd kernel per row: distinct sorted 64-bit shingle hashes
+    // one codegen'd kernel per row: distinct SORTED 64-bit shingle hashes
     // (== xxhash64 of the space-joined shingle strings) — 8-byte shuffle
     // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵
     val shingled = df.select(col(idCol).as("id"),
       graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
-    val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
-    val sh = maxShingleDf match {
+    val sets = maxShingleDf match {
       case Some(cap) =>
+        // capped sets: drop hot shingles, regroup to sorted arrays
+        val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
         sh0.join(hot, Seq("sh"), "left_anti")
-      case None => sh0
+          .groupBy("id").agg(sort_array(collect_list(col("sh"))).as("ss"))
+      case None => shingled.select(col("id"), col("sharr").as("ss"))
     }
-    // |A|: with no cap it is just the distinct-shingle array size; with a
-    // cap, sizes must be computed over the SAME capped set as the
-    // intersection — mixing capped numerator with uncapped denominator
-    // would underestimate jaccard and silently miss true duplicates
-    val sizes = maxShingleDf match {
-      case Some(_) => sh.groupBy("id").agg(count(lit(1)).as("sz"))
-      case None    => shingled.select(col("id"), size(col("sharr")).as("sz"))
-    }
-    val common = sh.as("a").join(sh.as("b"), "sh")
+    val withSz = sets.withColumn("sz", size(col("ss")))
+    // prefix = first sz - ceil(t*sz) + 1 elements of the sorted set
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    val pre = withSz.select(col("id"),
+      explode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))).as("psh"))
+    val cand = pre.as("a").join(pre.as("b"), Seq("psh"))
       .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(withSz.select(col("id").as("id_a"), col("ss").as("ss_a"), col("sz").as("sz_a")), "id_a")
+      .join(withSz.select(col("id").as("id_b"), col("ss").as("ss_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("ss_a"), col("ss_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
