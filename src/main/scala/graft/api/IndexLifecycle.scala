@@ -83,6 +83,19 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     * the live index without retraining). Centroids drift is handled by the
     * next rebuild; until then new rows are immediately probe-searchable.
     */
+  /** Auto-build trigger (engine.cc:759-769,972-1012: the index is built
+    * when doc_num reaches `training_threshold`; below it searches stay
+    * brute-force over the raw table). Returns true iff a build ran.
+    */
+  def maybeAutoBuild(vecCol: String, ncentroids: Int,
+      trainingThreshold: Long): Boolean = state match {
+    case _: Ready | _: Building => false
+    case _ =>
+      val n = spark.read.parquet(spacePath).count()
+      if (n >= trainingThreshold) { rebuild(vecCol, ncentroids); true }
+      else false
+  }
+
   def appendDelta(delta: DataFrame, vecCol: String): Unit = state match {
     case Ready(gen, _) =>
       val model = loadModel().getOrElse(

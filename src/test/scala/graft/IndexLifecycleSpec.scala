@@ -76,6 +76,24 @@ class IndexLifecycleSpec extends SparkSpec {
     lc.drop()
   }
 
+  test("auto-build triggers at training_threshold, not below") {
+    val root = Files.createTempDirectory("lifecycle3").toString
+    val spacePath = s"$root/space"
+    (0 until 50).map(i => (i.toLong, Seq(i.toFloat, -i.toFloat)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    // below threshold: stays brute-force (no state)
+    assert(!lc.maybeAutoBuild("embedding", 4, trainingThreshold = 100))
+    assert(lc.readyIndex().isEmpty)
+    // at/above threshold: builds to READY
+    assert(lc.maybeAutoBuild("embedding", 4, trainingThreshold = 50))
+    assert(lc.readyIndex().isDefined)
+    // idempotent once READY
+    assert(!lc.maybeAutoBuild("embedding", 4, trainingThreshold = 1))
+  }
+
   test("failed build leaves FAILED state and no ready index") {
     val root = Files.createTempDirectory("lifecycle2").toString
     val spacePath = s"$root/space"
