@@ -125,6 +125,21 @@ object SparkEntry {
         .offset(40).limit(20)
     }),
 
+    // ── SQL dialect surface: the same KNN expressed in pure spark.sql
+    //    over a registered view + the registered graft functions ──
+    "q_knn_sql" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql_v")
+      val q = qvec(s, dir).mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id,
+                   round(vec_l2(embedding, CAST($q AS array<float>)), 4) AS score
+            FROM emb_sql_v
+            WHERE vec_l2(embedding, CAST($q AS array<float>)) IS NOT NULL
+            ORDER BY vec_l2(embedding, CAST($q AS array<float>)) ASC, vec_id
+            LIMIT 10""")
+    }),
+
     // ── §2.4 KNN brute-force, InnerProduct (desc) ──
     "q_knn_ip" -> ((s, dir) => {
       init(s)
@@ -855,6 +870,7 @@ object SparkEntry {
     "q_binary_exact" -> exactL2Top10Sql,
     "q_rabitq_exact" -> exactL2Top10Sql,
     "q_rabitq_ivf_exact" -> exactL2Top10Sql,
+    "q_knn_sql" -> exactL2Top10Sql,
     "q_minhash_lsh" -> jaccardPairsSql,
 
     "q_knn_int8" ->
