@@ -84,6 +84,26 @@ object Stress {
       graft.operators.IvfIndex.search(table, $"v", ivf, q, 100, nprobe = 64,
         tieBreak = Some($"id")).collect()
     }
+
+    // exact jaccard near-dup at corpus scale: template-structured docs
+    // (10 docs share a template, ~2 of 80 words perturbed per doc →
+    // within-template jaccard ≈ 0.86) — exercises the prefix-filtered
+    // candidate join where shared shingles are DENSE, the regime the
+    // naive inverted index goes quadratic in
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "100000").toLong
+    val words = transform(sequence(lit(0), lit(79)), i =>
+      when(pmod(xxhash64($"id", i, lit("perturb")), lit(40)) === 0,
+        concat(lit("u"), $"id", lit("_"), i))
+        .otherwise(concat(lit("w"),
+          pmod(xxhash64(expr("id div 10"), i), lit(200000)))))
+    val docs = spark.range(0, nDocs)
+      .select($"id", concat_ws(" ", words).as("text")).cache()
+    docs.count()
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Dedup
+      .jaccardPairs(docs, "id", "text", n = 3, threshold = 0.8).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stress":"jaccard_prefix_join","docs":$nDocs,"pairs":$pairs,"sec":$sec%.2f,"docs_per_sec":${(nDocs / sec).toLong}}""")
     spark.stop()
   }
 }
