@@ -434,6 +434,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("score"), col("vec_id"))
     }),
 
+    // ── §2.4 hybrid filtered ANN over the index: scalar pre-filter
+    //    evaluated INSIDE the probed partitions (filter + probe both reach
+    //    the scan); exactness params ≡ filtered exact KNN (oracle) ──
+    "q_ivf_filtered" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = model.ncentroids,
+        filter = Some(col("label").isin(1, 3, 5) && col("vec_id") =!= 0),
+        tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("label"), col("_score").as("score"))
+    }),
+
     // ── §2.4 IVF with nprobe = ncentroids ≡ exact KNN (oracle-checked:
     //    proves the probe→score path end-to-end) ──
     "q_ivf_exact" -> ((s, dir) => {
@@ -871,6 +884,15 @@ object SparkEntry {
     "q_rabitq_exact" -> exactL2Top10Sql,
     "q_rabitq_ivf_exact" -> exactL2Top10Sql,
     "q_knn_sql" -> exactL2Top10Sql,
+
+    "q_ivf_filtered" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
     "q_minhash_lsh" -> jaccardPairsSql,
 
     "q_knn_int8" ->
