@@ -87,6 +87,59 @@ object Recall {
       }
   }
 
+  /** Batched IVFRABITQ: per-(query, probed-list) residual queries ride as
+    * broadcast data; one join on list_id scores every probed candidate's
+    * residual code, bounded top-shortlist per qid, exact rerank of the
+    * survivors — the same shape as [[PqIndex.searchBatchIvf]] with the
+    * sign-dot estimator in stage 1.
+    */
+  def evalIvfRabitq(coded: DataFrame, ivf: IvfIndex.Model,
+      queries: Array[(Long, Seq[Float])], nprobe: Int, shortlist: Int,
+      k: Int, qb: Int = 4): Map[Long, Seq[Long]] = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    import graft.operators.BinaryIndex
+    val qRows = queries.toSeq.flatMap { case (qid, q) =>
+      ivf.nearestCentroids(q, nprobe).map { l =>
+        val c = ivf.centroids(l)
+        val r = q.toArray.zipWithIndex.map { case (x, i) =>
+          x - (if (i < c.length) c(i) else 0f)
+        }
+        (qid, l, BinaryIndex.quantizeQuery(r.toSeq, qb).toSeq)
+      }
+    }
+    val qDf = qRows.toDF("qid", "list_id", "qres")
+      .select($"qid", $"list_id", $"qres".cast("array<float>").as("qres"))
+    // stage 1: residual codes only; negate the dot so topK(asc) keeps best
+    val stage1 = coded.select($"vec_id", $"list_id", $"rbcode")
+      .join(broadcast(qDf), Seq("list_id"))
+      .select($"qid", (-Graft.F.signAdot($"rbcode", $"qres")).as("_s"),
+        struct($"vec_id").as("_i"))
+    val short = topkPerQuery(stage1, shortlist).toSeq
+      .flatMap { case (qid, ids) => ids.map(id => (qid, id)) }
+    val qvDf = queries.toSeq.toDF("qid", "qv")
+      .select($"qid", $"qv".cast("array<float>").as("qv"))
+    val rerank = coded.join(
+        broadcast(spark.createDataset(short).toDF("qid", "vec_id")), Seq("vec_id"))
+      .join(broadcast(qvDf), Seq("qid"))
+      .select($"qid", Knn.score("l2", $"embedding", $"qv").as("_s"),
+        struct($"vec_id").as("_i"))
+    topkPerQuery(rerank, k)
+  }
+
+  private def topkPerQuery(scored: DataFrame, k: Int): Map[Long, Seq[Long]] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.filter($"_s".isNotNull)
+      .groupBy($"qid").agg(Graft.F.topK($"_s", $"_i", k, asc = true).as("_tk"))
+      .select($"qid", explode($"_tk").as("_e"))
+      .select($"qid", $"_e.item.vec_id", $"_e.score")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+      }
+  }
+
   def recallAt(gt: Map[Long, Seq[Long]], got: Map[Long, Seq[Long]], k: Int): Double = {
     val per = gt.toSeq.map { case (qid, g0) =>
       val g = g0.take(k).toSet
@@ -165,6 +218,14 @@ object Recall {
     val recallNum = sys.env.getOrElse("SPARK_GRAFT_RECALL_RERANK", "300").toInt
     report(s"IVFPQ_nc${ncent}_np${np}_m$m", n, gt,
       evalIvfPq(encoded, ivf, pq, queries, np, recallNum, 100))
+    encoded.unpersist()
+
+    // IVFRABITQ: residual sign codes over the same coarse quantizer
+    val coded = graft.operators.BinaryIndex
+      .encodeResidual(assigned, "embedding", ivf).cache()
+    coded.count()
+    report(s"IVFRABITQ_nc${ncent}_np${np}_qb4", n, gt,
+      evalIvfRabitq(coded, ivf, queries, np, shortlist = recallNum, k = 100))
 
     spark.stop()
   }
