@@ -77,12 +77,6 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
-  /** Incremental maintenance: assign list_ids for a delta batch with the
-    * CURRENT model and append it to the READY generation — the reference's
-    * background Indexing loop (engine.cc:1084-1137 folds new vectors into
-    * the live index without retraining). Centroids drift is handled by the
-    * next rebuild; until then new rows are immediately probe-searchable.
-    */
   /** Auto-build trigger (engine.cc:759-769,972-1012: the index is built
     * when doc_num reaches `training_threshold`; below it searches stay
     * brute-force over the raw table). Returns true iff a build ran.
@@ -96,6 +90,12 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       else false
   }
 
+  /** Incremental maintenance: assign list_ids for a delta batch with the
+    * CURRENT model and append it to the READY generation — the reference's
+    * background Indexing loop (engine.cc:1084-1137 folds new vectors into
+    * the live index without retraining). Centroids drift is handled by the
+    * next rebuild; until then new rows are immediately probe-searchable.
+    */
   def appendDelta(delta: DataFrame, vecCol: String): Unit = state match {
     case Ready(gen, _) =>
       val model = loadModel().getOrElse(

@@ -54,19 +54,20 @@ object SearchApi {
     * sparkContext.setLocalProperty("spark.scheduler.pool", _).
     */
   def classifyPool(limit: Int, nprobe: Int, ncentroids: Int, nFilters: Int): String =
-    if (limit >= 500 || (ncentroids > 0 && nprobe >= ncentroids / 10) || nFilters >= 3)
-      "slow"
-    else "default"
+    classify(limit, nprobe, ncentroids, nFilters, slowMs = 1000L)
 
   /** Space-aware classification: the per-space `slow_search_time`
     * (space.go:156-164, default 1000 ms) scales the big-topN bar — a space
     * that declares a tighter latency budget isolates sooner.
     */
   def classifyPool(space: Space, limit: Int, nprobe: Int, ncentroids: Int,
-      nFilters: Int): String = {
-    val scaledLimit = math.max(1L,
-      500L * space.config.slowSearchTimeMs / 1000L)
-    if (limit >= scaledLimit || (ncentroids > 0 && nprobe >= ncentroids / 10) ||
+      nFilters: Int): String =
+    classify(limit, nprobe, ncentroids, nFilters, space.config.slowSearchTimeMs)
+
+  private def classify(limit: Int, nprobe: Int, ncentroids: Int,
+      nFilters: Int, slowMs: Long): String = {
+    val bigTopN = math.max(1L, 500L * slowMs / 1000L)
+    if (limit >= bigTopN || (ncentroids > 0 && nprobe >= ncentroids / 10) ||
         nFilters >= 3) "slow"
     else "default"
   }
@@ -212,12 +213,15 @@ object SearchApi {
             new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
           Knn.searchInt8(corpus, col(vc.field), qBytes,
             req.limit + req.offset, metricOf(space, vc.field),
-            filter = pred, tieBreak = Some(col("_id")))
+            filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
+            tieBreak = Some(col("_id")))
         case "binary" =>
           val qCode = graft.functions.VecKernels.signBits(
             new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
           Knn.searchBinary(corpus, col(vc.field), qCode,
-            req.limit + req.offset, filter = pred, tieBreak = Some(col("_id")))
+            req.limit + req.offset, filter = pred,
+            minScore = vc.minScore, maxScore = vc.maxScore,
+            tieBreak = Some(col("_id")))
         case _ =>
           Knn.search(corpus, col(vc.field), q,
             req.limit + req.offset, metricOf(space, vc.field),
@@ -282,8 +286,12 @@ object SearchApi {
       val sliced =
         if (req.offset > 0) agged.withColumn("_tk", slice(col("_tk"), req.offset + 1, req.limit))
         else agged
-      sliced.select(col("_qid"), explode(col("_tk")).as("_e"))
+      val out = sliced.select(col("_qid"), explode(col("_tk")).as("_e"))
         .select(col("_qid"), col("_e.item._id").as("_id"), col("_e.score").as("_score"))
+      // sort spec re-orders rows WITHIN each query's block
+      if (req.sort.nonEmpty)
+        out.orderBy(col("_qid").asc +: (sortCols(req.sort) :+ col("_id").asc): _*)
+      else out
     } else {
       // one field, req_num > 1 → batch: one result block per query id
       val vc = req.vectors.head
@@ -302,7 +310,11 @@ object SearchApi {
         "_qid", "_qv", req.limit, metric,
         minScore = vc.minScore, maxScore = vc.maxScore, offset = req.offset)
       val flat = res.select(col("_qid"), col("_score"), col("_item.*"))
-      flat.select(projection(space, req, Seq("_qid", "_score")): _*)
+      val projected = flat.select(projection(space, req, Seq("_qid", "_score")): _*)
+      // sort spec re-orders rows WITHIN each query's block
+      if (req.sort.nonEmpty)
+        projected.orderBy(col("_qid").asc +: (sortCols(req.sort) :+ col("_id").asc): _*)
+      else projected
     }
   }
 

@@ -131,7 +131,16 @@ case class TopKAgg(
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(payload.dataType)
       new Comparator[ScoredItem] {
-        def compare(x: ScoredItem, y: ScoredItem): Int = ord.compare(x.item, y.item)
+        // interpreted orderings don't accept null operands; null items
+        // sort FIRST (Spark's asc NULLS FIRST convention)
+        def compare(x: ScoredItem, y: ScoredItem): Int = {
+          val a = x.item
+          val b = y.item
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else ord.compare(a, b)
+        }
       }
     } else new Comparator[ScoredItem] {
       def compare(x: ScoredItem, y: ScoredItem): Int =

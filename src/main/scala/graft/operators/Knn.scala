@@ -97,18 +97,33 @@ object Knn {
       k: Int,
       metric: String = "ip",
       filter: Option[Column] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
       tieBreak: Option[Column] = None,
       roundTo: Option[Int] = None): DataFrame = {
     val filtered = filter.map(df.filter).getOrElse(df)
     val scored = filtered
       .withColumn("_score", scoreInt8(metric, vecCol, lit(query)))
       .filter(col("_score").isNotNull)
+    val gated = scoreGate(scored, minScore, maxScore)
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
     val order = primary +: tieBreak.map(_.asc).toSeq
-    val selected = scored.orderBy(order: _*).limit(k)
+    val selected = gated.orderBy(order: _*).limit(k)
     roundTo.map(d => selected.withColumn("_score", round(col("_score"), d)))
       .getOrElse(selected)
   }
+
+  /** The score-range gate (doc_query.go:67-78), shared by every value-type
+    * path — gates apply BEFORE top-k selection.
+    */
+  private def scoreGate(scored: DataFrame,
+      minScore: Option[Double], maxScore: Option[Double]): DataFrame =
+    (minScore, maxScore) match {
+      case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))
+      case (Some(lo), None)     => scored.filter(col("_score") >= lo)
+      case (None, Some(hi))     => scored.filter(col("_score") <= hi)
+      case _                    => scored
+    }
 
   /** Brute-force top-k over packed binary codes (value_type=BINARY /
     * BINARYIVF class): Hamming distance, ascending. The stored value IS
@@ -120,13 +135,16 @@ object Knn {
       qCode: Array[Byte],
       k: Int,
       filter: Option[Column] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
       tieBreak: Option[Column] = None): DataFrame = {
     val filtered = filter.map(df.filter).getOrElse(df)
     val scored = filtered
       .withColumn("_score", F.hamming(vecCol, lit(qCode)).cast("double"))
       .filter(col("_score").isNotNull)
+    val gated = scoreGate(scored, minScore, maxScore)
     val order = col("_score").asc +: tieBreak.map(_.asc).toSeq
-    scored.orderBy(order: _*).limit(k)
+    gated.orderBy(order: _*).limit(k)
   }
 
   /** Batched multi-query KNN (vearch `req_num` query vectors per request,

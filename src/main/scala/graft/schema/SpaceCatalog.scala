@@ -114,8 +114,11 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
           deleteRecursively(Paths.get(tmp))
           // a delete that emptied every bucket must leave a readable
           // (schema-carrying) table behind, not a bare meta file
-          if (!Files.list(Paths.get(path)).anyMatch(p =>
-              p.getFileName.toString.startsWith("_bucket="))) {
+          val listing = Files.list(Paths.get(path))
+          val anyBucketLeft =
+            try listing.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
+            finally listing.close()
+          if (!anyBucketLeft) {
             base.drop("_bucket").limit(0)
               .write.mode(SaveMode.Overwrite).parquet(tmp)
             replace(path, tmp)
@@ -140,6 +143,8 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
 
   def dropSpace(db: String, spaceName: String): Unit = {
     deleteRecursively(Paths.get(dir(db, spaceName)))
+    cachedViews.remove((db, spaceName)).foreach(_.unpersist())
+    spaces.remove((db, spaceName))
     spark.catalog.dropTempView(viewName(db, spaceName))
     ()
   }
@@ -175,12 +180,22 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     refreshView(db, spaceName)
   }
 
+  // live cached view per space, so a refresh can unpersist its predecessor
+  // (otherwise every upsert of a cache_size>0 space leaks one orphaned
+  // InMemoryRelation over deleted files)
+  private val cachedViews =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+
   private def refreshView(db: String, spaceName: String): Unit = {
     val df0 = readPath(dir(db, spaceName))
     // cache_size > 0 (space.go:156-164): pin the space's view in executor
     // cache — every query through the view shares the cached plan
-    val df = if (spaces.get((db, spaceName)).exists(_.config.cacheSizeMb > 0))
-      df0.cache() else df0
+    val df = if (spaces.get((db, spaceName)).exists(_.config.cacheSizeMb > 0)) {
+      cachedViews.remove((db, spaceName)).foreach(_.unpersist())
+      val c = df0.cache()
+      cachedViews((db, spaceName)) = c
+      c
+    } else df0
     df.createOrReplaceTempView(viewName(db, spaceName))
     aliases.getOrElse((db, spaceName), Set.empty)
       .foreach(a => df.createOrReplaceTempView(a))

@@ -46,15 +46,19 @@ final class RealtimeTail(
       .trigger(Trigger.ProcessingTime(intervalMs))
       .start()
 
-  private def readOrEmpty(path: String, schema: StructType): DataFrame =
+  private def readOrEmpty(path: String, schema: StructType): DataFrame = {
     // only a MISSING path means "no data yet"; any other failure (corrupt
     // footer, permission, schema clash) must propagate — swallowing it
-    // would silently turn a hybrid search into a tail-only search
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
-        path.stripPrefix("file:"))))
+    // would silently turn a hybrid search into a tail-only search. The
+    // existence check goes through the Hadoop FS for the path's scheme
+    // (java.nio would report hdfs:// or s3a:// paths as always-missing).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(path)
+  }
 
   /** Unified view: base rows not superseded by tail, plus all tail rows
     * (id-level last-write-wins, the upsert merge semantics).
