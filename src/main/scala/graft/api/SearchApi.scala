@@ -154,6 +154,20 @@ object SearchApi {
   private def sortCols(sort: Seq[(String, Boolean)]): Seq[Column] =
     sort.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
 
+  /** Re-order a (projected) search response by the sort spec, failing
+    * LOUD when a sort field is not among the result's columns — a
+    * multi-field result carries only (_id, _score), and silently ignoring
+    * the spec would differ from the single-field surface.
+    */
+  private def applySort(df: DataFrame, sort: Seq[(String, Boolean)],
+      qid: Option[Column] = None): DataFrame = {
+    val missing = sort.map(_._1).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"sort field(s) ${missing.mkString(", ")} not in result columns " +
+        s"[${df.columns.mkString(", ")}]")
+    df.orderBy(qid.map(_.asc).toSeq ++ sortCols(sort) :+ col("_id").asc: _*)
+  }
+
   private def arrayFields(space: Space): Set[String] =
     space.fields.filter(_.kind == FieldKind.StringArrayK).map(_.name).toSet
 
@@ -232,7 +246,7 @@ object SearchApi {
       val projected = sliced.select(projection(space, req, Seq("_score")): _*)
       // sort spec re-orders the RESPONSE (selection stays score-driven,
       // the reference's sortorder applies to the result set)
-      if (req.sort.nonEmpty) projected.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
+      if (req.sort.nonEmpty) applySort(projected, req.sort)
       else projected
     } else if (req.vectors.size > 1 && req.vectors.head.queries.size == 1) {
       // multi-field conjunctive: per-field top-k, id intersection, weighted;
@@ -249,7 +263,7 @@ object SearchApi {
         weights = req.weights)
       val sliced = if (req.offset > 0) ranked.offset(req.offset) else ranked
       val projected = sliced.select(col("_id"), col("_score"))
-      if (req.sort.nonEmpty) projected.orderBy(sortCols(req.sort) :+ col("_id").asc: _*)
+      if (req.sort.nonEmpty) applySort(projected, req.sort)
       else projected
     } else if (req.vectors.size > 1) {
       // batched (req_num > 1) multi-field: per-field BATCH top-k with that
@@ -289,8 +303,7 @@ object SearchApi {
       val out = sliced.select(col("_qid"), explode(col("_tk")).as("_e"))
         .select(col("_qid"), col("_e.item._id").as("_id"), col("_e.score").as("_score"))
       // sort spec re-orders rows WITHIN each query's block
-      if (req.sort.nonEmpty)
-        out.orderBy(col("_qid").asc +: (sortCols(req.sort) :+ col("_id").asc): _*)
+      if (req.sort.nonEmpty) applySort(out, req.sort, qid = Some(col("_qid")))
       else out
     } else {
       // one field, req_num > 1 → batch: one result block per query id
@@ -312,8 +325,7 @@ object SearchApi {
       val flat = res.select(col("_qid"), col("_score"), col("_item.*"))
       val projected = flat.select(projection(space, req, Seq("_qid", "_score")): _*)
       // sort spec re-orders rows WITHIN each query's block
-      if (req.sort.nonEmpty)
-        projected.orderBy(col("_qid").asc +: (sortCols(req.sort) :+ col("_id").asc): _*)
+      if (req.sort.nonEmpty) applySort(projected, req.sort, qid = Some(col("_qid")))
       else projected
     }
   }

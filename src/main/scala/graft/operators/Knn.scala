@@ -59,12 +59,7 @@ object Knn {
     // FIRST in Spark, so they would otherwise head every L2 top-k
     val scored = filtered.withColumn("_score", score(metric, vecCol, queryLit(query)))
       .filter(col("_score").isNotNull)
-    val gated = (minScore, maxScore) match {
-      case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))
-      case (Some(lo), None)     => scored.filter(col("_score") >= lo)
-      case (None, Some(hi))     => scored.filter(col("_score") <= hi)
-      case _                    => scored
-    }
+    val gated = scoreGate(scored, minScore, maxScore)
     // order by the RAW score (bit-stable, matches a sequential oracle);
     // rounding is display-only and must happen AFTER selection — rounding
     // first would flip rank for scores that collide at the rounded
@@ -178,12 +173,7 @@ object Knn {
     // gates apply BEFORE selection — vearch's in-scan score gate
     // (gamma_common_data.h:94-96); gating after top-k would return fewer
     // than k rows even when enough in-range docs exist
-    val gated = (minScore, maxScore) match {
-      case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))
-      case (Some(lo), None)     => scored.filter(col("_score") >= lo)
-      case (None, Some(hi))     => scored.filter(col("_score") <= hi)
-      case _                    => scored
-    }
+    val gated = scoreGate(scored, minScore, maxScore)
     val agged = gated.groupBy(col("_qid"))
       .agg(F.topK(col("_score"), col("_item"), k + offset, ascending(metric)).as("_tk"))
     // per-qid pagination = slicing the already-sorted top array

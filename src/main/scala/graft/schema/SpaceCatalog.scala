@@ -145,6 +145,11 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     deleteRecursively(Paths.get(dir(db, spaceName)))
     cachedViews.remove((db, spaceName)).foreach(_.unpersist())
     spaces.remove((db, spaceName))
+    // aliases die with the space — a stale entry would keep serving the
+    // deleted directory AND silently rebind to a future same-name space
+    aliases.remove((db, spaceName)).foreach(_.foreach { a =>
+      spark.catalog.dropTempView(a); ()
+    })
     spark.catalog.dropTempView(viewName(db, spaceName))
     ()
   }

@@ -84,9 +84,10 @@ final class RealtimeTail(
     val merged = assign(snapshot(schema))
     val tmp = s"$basePath.compact.tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val baseP = new org.apache.hadoop.fs.Path(basePath)
+    // the FS for basePath's SCHEME — FileSystem.get(conf) resolves the
+    // default FS and throws "Wrong FS" for s3a://-style table paths
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldP = new org.apache.hadoop.fs.Path(s"$basePath.old")
     val tailP = new org.apache.hadoop.fs.Path(tailPath)
     // move-aside swap (no crash window that loses the base), tail cleared
