@@ -92,4 +92,76 @@ class KernelPropertySpec extends SparkSpec {
       assert(agg == expected)
     }
   }
+
+  test("quantizeI8 / i8Dot kernels: bounds, symmetry, scala-fold parity") {
+    import graft.functions.VecKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (v <- samples(vec, 40)) {
+      val q = VecKernels.quantizeI8(new GenericArrayData(v.toArray))
+      // bounds: every code in [-127, 127]
+      assert(q.forall(b => b >= -127 && b <= 127))
+      // parity with the explicit double-floor formula
+      val expect = v.map(x =>
+        math.max(-127.0, math.min(127.0, math.floor(x.toDouble * 127.0 + 0.5))).toByte)
+      assert(q.toSeq == expect)
+    }
+    for (Seq(a, b) <- samples(vec, 40).grouped(2) if a.length == b.length) {
+      val qa = VecKernels.quantizeI8(new GenericArrayData(a.toArray))
+      val qb = VecKernels.quantizeI8(new GenericArrayData(b.toArray))
+      // symmetry + integer-fold parity
+      assert(VecKernels.i8Dot(qa, qb) == VecKernels.i8Dot(qb, qa))
+      val expect = qa.zip(qb).map { case (x, y) => x.toLong * y }.sum.toDouble
+      assert(VecKernels.i8Dot(qa, qb) == expect)
+      assert(VecKernels.i8L2Sq(qa, qb) ==
+        qa.zip(qb).map { case (x, y) => val d = (x - y).toLong; d * d }.sum.toDouble)
+    }
+  }
+
+  test("signAdot: fold parity, and residualSignBits(c=0) == signBits") {
+    import graft.functions.VecKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (v <- samples(vec, 40)) {
+      val ad = new GenericArrayData(v.toArray)
+      val code = VecKernels.signBits(ad)
+      // signAdot against the raw query == Σ (xᵢ>=0 ? qᵢ : -qᵢ)
+      val q = v.toArray
+      val expect = v.zipWithIndex.map { case (x, i) =>
+        if (x >= 0f) q(i).toDouble else -q(i).toDouble }.sum
+      assert(math.abs(VecKernels.signAdot(code, q) - expect) < 1e-5)
+      // residual encode against the zero centroid is plain sign bits
+      val zeroCent = Array(Array.fill(v.length)(0f))
+      assert(VecKernels.residualSignBits(ad, 0, zeroCent).toSeq == code.toSeq)
+    }
+  }
+
+  test("quantizeQuery is idempotent and level-bounded") {
+    for (v <- samples(vec, 30); qb <- Seq(1, 4, 8)) {
+      val once = graft.operators.BinaryIndex.quantizeQuery(v, qb)
+      val twice = graft.operators.BinaryIndex.quantizeQuery(once.toSeq, qb)
+      // re-quantizing snapped values is a fixpoint
+      assert(once.toSeq == twice.toSeq)
+      // no value escapes the input range
+      assert(once.forall(x => x >= v.min - 1e-4f && x <= v.max + 1e-4f))
+    }
+  }
+
+  test("simhashMd5 kernel == independent MessageDigest formulation") {
+    for (text <- samples(doc, 25)) {
+      val kernel = Seq(text).toDF("text")
+        .select(F.simhashMd5(split($"text", "\\s+")))
+        .head().getLong(0)
+      // independent: per-token md5 → first 60 bits → ±1 votes → pack
+      val votes = new Array[Int](60)
+      text.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        val v = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (h(i) & 0xffL)) >>> 4
+        (0 until 60).foreach(b =>
+          if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val expect = (0 until 60).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(kernel == expect, s"text=$text")
+    }
+  }
 }
