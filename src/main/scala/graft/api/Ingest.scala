@@ -50,8 +50,13 @@ object Ingest {
           case "int8" =>
             col(f.name).isNotNull && length(col(f.name)) =!= vo.dimension
           case _ =>
+            // wrong size OR any null element: a vector like [1.0, null,
+            // 2.0] passes a size-only check and then silently poisons
+            // every distance computation that reads it
+            val asFloats = col(f.name).cast(ArrayType(FloatType))
             col(f.name).isNotNull &&
-              size(col(f.name).cast(ArrayType(FloatType))) =!= vo.dimension
+              (size(asFloats) =!= vo.dimension ||
+                exists(asFloats, x => x.isNull))
         }
     }
     val isBad = badVec.reduceOption(_ || _).getOrElse(lit(false))
@@ -71,9 +76,14 @@ object Ingest {
 
   /** Strict conformance: rejects the batch if any row fails (use
     * [[conformSplit]] for the reference's per-item error semantics).
+    * The batch is cached for the check: the emptiness gate and the
+    * returned rows must see the SAME data — a nondeterministic source
+    * could otherwise pass the gate and still emit bad rows at write time
+    * (ingest batches are bounded, so pinning one is cheap).
     */
   def conform(batch: DataFrame, space: Space): DataFrame = {
-    val (ok, bad) = conformSplit(batch, space)
+    val pinned = batch.cache()
+    val (ok, bad) = conformSplit(pinned, space)
     require(bad.isEmpty, "batch contains rows with wrong-dimension vectors")
     ok
   }
@@ -88,6 +98,10 @@ object Ingest {
     require(ranges.map(_._2) == ranges.map(_._2).sorted &&
       ranges.map(_._2).distinct.size == ranges.size,
       "range bounds must be strictly increasing") // partition.go:128-135
+    // duplicate NAMES would silently merge two ranges into one partition
+    // directory, defeating the distinct named-partition routing
+    require(ranges.map(_._1).distinct.size == ranges.size,
+      "range names must be distinct")
 
     def partitionCol: Column = {
       val v = col(field)

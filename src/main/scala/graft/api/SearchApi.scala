@@ -171,6 +171,9 @@ object SearchApi {
   private def arrayFields(space: Space): Set[String] =
     space.fields.filter(_.kind == FieldKind.StringArrayK).map(_.name).toSet
 
+  private def dateFields(space: Space): Set[String] =
+    space.fields.filter(_.kind == FieldKind.DateK).map(_.name).toSet
+
   private def metricOf(space: Space, field: String): String =
     space.vectorFields.find(_.name == field)
       .flatMap(_.vector).map(_.metric).getOrElse("l2")
@@ -212,7 +215,8 @@ object SearchApi {
   def search(corpus: DataFrame, space: Space, requestJson: String): DataFrame = {
     val req = parseSearch(requestJson, space)
     require(req.vectors.nonEmpty, "search request needs at least one vector condition")
-    val pred = req.filter.map(VearchFilters.parse(_, arrayFields(space)))
+    val pred = req.filter.map(
+      VearchFilters.parse(_, arrayFields(space), dateFields(space)))
 
     if (req.vectors.size == 1 && req.vectors.head.queries.size == 1) {
       val vc = req.vectors.head
@@ -350,7 +354,8 @@ object SearchApi {
           .limit(req.limit)
           .select(projection(space, req, Seq.empty): _*)
       case _ =>
-        val pred = req.filter.map(VearchFilters.parse(_, arrayFields(space)))
+        val pred = req.filter.map(
+      VearchFilters.parse(_, arrayFields(space), dateFields(space)))
         val filtered = pred.map(corpus.filter).getOrElse(corpus)
         // sort spec defines the scan order (sortorder/parse.go); `_id`
         // appended keeps the page boundary deterministic on ties

@@ -30,11 +30,15 @@ object Documents {
       .unionByName(updates.select(base.columns.map(col).toIndexedSeq: _*))
 
   /** Collapse a batch with repeated ids to its last occurrence (vearch
-    * applies items sequentially, last write wins).
+    * applies items sequentially, last write wins). Ties on `orderCol`
+    * (same-timestamp writes) break on a content hash so the winner is a
+    * function of the DATA, not partition arrival order — re-running the
+    * same compact surfaces the same document version.
     */
   def lastWinsById(updates: DataFrame, idCol: String, orderCol: String): DataFrame = {
+    val contentTie = xxhash64(struct(updates.columns.map(col).toIndexedSeq: _*))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col(orderCol).desc)
+      .partitionBy(col(idCol)).orderBy(col(orderCol).desc, contentTie.desc)
     updates.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
@@ -57,21 +61,42 @@ object Documents {
 
   /** Point lookups preserving request order (router re-orders responses to
     * match the request id list, internal/client/client.go:1154-1170).
-    * The id list becomes a broadcast inner join + order column.
+    * The id list (any id type — the canonical `_id` is a string) becomes a
+    * broadcast inner join. CONTRACT: the result carries an extra `_ord`
+    * int column (the request position) and is sorted by it — callers that
+    * need the bare document schema drop it.
     */
-  def getByIds(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame = {
+  def getByIds(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val req = ids.zipWithIndex.map { case (id, i) => (i, id) }.toDF("_ord", idCol)
+    val rows = ids.zipWithIndex.map { case (id, i) =>
+      org.apache.spark.sql.Row(i, id)
+    }
+    val idType = df.schema(idCol).dataType
+    val req = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_ord",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(idCol, idType, nullable = true))))
     df.join(broadcast(req), Seq(idCol), "inner").orderBy(col("_ord"))
   }
 
   /** Default missing ids (vearch generates a UUID when `_id` is absent,
     * client.go:1197-1221). Deterministic flavor: content hash, so re-runs
-    * of the same batch converge — the property the UUID path lacks.
+    * of the same batch converge — the property the UUID path lacks. But
+    * content-IDENTICAL rows in one batch must still get DISTINCT ids
+    * (vearch's UUIDs are always distinct; duplicate _ids would make a
+    * later upsert of that id silently collapse both copies), so the 2nd+
+    * occurrence of the same content gets an occurrence suffix. The
+    * common case (unique content) keeps the bare 32-char md5.
     */
   def withDefaultIds(df: DataFrame, idCol: String): DataFrame = {
     val others = df.columns.filter(_ != idCol).map(col).toIndexedSeq
-    df.withColumn(idCol, coalesce(col(idCol), md5(to_json(struct(others: _*)))))
+    val h = md5(to_json(struct(others: _*)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(h).orderBy(h)
+    df.withColumn("_occ", row_number().over(w))
+      .withColumn(idCol, coalesce(col(idCol),
+        when(col("_occ") === 1, h).otherwise(concat(h, lit("-"), col("_occ")))))
+      .drop("_occ")
   }
 }

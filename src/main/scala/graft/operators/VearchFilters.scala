@@ -103,8 +103,16 @@ object VearchFilters {
   private def compile(
       j: JValue, arrayFields: Set[String], dateFields: Set[String]): Column = {
     val combine = (j \ "operator") match {
-      case JString(op) if op.equalsIgnoreCase("OR") => (a: Column, b: Column) => a || b
-      case _ => (a: Column, b: Column) => a && b // AND is the default
+      case JString(op) if op.equalsIgnoreCase("OR")  => (a: Column, b: Column) => a || b
+      case JString(op) if op.equalsIgnoreCase("AND") => (a: Column, b: Column) => a && b
+      // absent operator defaults to AND; an UNKNOWN one must fail loud —
+      // a typo ("ORR", "NOT") silently compiling to AND returns
+      // confidently wrong results (condition-level ops already throw)
+      case JNothing | JNull => (a: Column, b: Column) => a && b
+      case JString(other) =>
+        throw new IllegalArgumentException(s"unsupported logical operator: $other")
+      case other =>
+        throw new IllegalArgumentException(s"bad logical operator: $other")
     }
     (j \ "conditions") match {
       case JArray(cs) if cs.nonEmpty =>

@@ -22,7 +22,17 @@ final case class VectorOptions(
     dimension: Int,
     metric: String = "l2",          // InnerProduct | L2 (index_model.h:21)
     normalized: Boolean = false,    // format: normalization (space.go:496-499)
-    valueType: String = "float")    // float | binary | int8 (index_model.h:19)
+    valueType: String = "float") {  // float | binary | int8 (index_model.h:19)
+  // these invariants must hold for programmatically constructed Spaces
+  // too, not only the JSON parse path: Ingest's length = dim/8 check uses
+  // integer division, so a non-multiple-of-8 binary dim would silently
+  // accept truncated codes
+  require(dimension > 0, s"vector dimension must be > 0, got $dimension")
+  require(valueType != "binary" || dimension % 8 == 0,
+    s"binary value_type requires dimension % 8 == 0, got $dimension")
+  require(!normalized || valueType == "float",
+    s"format=normalization requires value_type=float, got $valueType")
+}
 
 final case class SpaceField(
     name: String,
