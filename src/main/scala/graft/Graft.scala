@@ -34,8 +34,13 @@ object Graft {
     }
     val reg = spark.sessionState.functionRegistry
     // register once per session: re-registering emits a replacement warning
-    // per function per call, which buries the bench's JSON output in noise
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) return
+    // per function per call, which buries the bench's JSON output in noise.
+    // The short-circuit checks the NEWEST function, not just vec_dot — a
+    // session registered by an older library version (or a user function
+    // coincidentally named vec_dot) must still get the full current set
+    def has(n: String) =
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (has("vec_dot") && has("vec_sign_adot") && has("text_simhash_md5")) return
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2", es => L2Dist(es(0), es(1)), "built-in")

@@ -113,7 +113,10 @@ object VecKernels {
     var i = 0
     while (i < n) {
       val s = tokens.getUTF8String(i)
-      if (s != null) {
+      // empty tokens (split() artifacts on ragged whitespace) must not
+      // vote — one "" flips every near-zero bit and breaks near-dup
+      // pairing for otherwise-identical docs (simhashMd5 skips them too)
+      if (s != null && s.numBytes > 0) {
         val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
           s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var b = 0
@@ -227,6 +230,7 @@ object VecKernels {
     */
   def pqEncode(a: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
     val m = codebooks.length
+    val nElems = a.numElements()
     val out = new Array[Int](m)
     var sub = 0
     var offset = 0
@@ -241,7 +245,11 @@ object VecKernels {
         var s = 0.0
         var i = 0
         while (i < dsub) {
-          val d = a.getFloat(offset + i).toDouble - cent(i).toDouble
+          // guard short vectors (wrong-dim rows that bypassed validation):
+          // missing dims read as 0 instead of walking off the array —
+          // UnsafeArrayData would otherwise return adjacent-row garbage
+          val x = if (offset + i < nElems) a.getFloat(offset + i).toDouble else 0.0
+          val d = x - cent(i).toDouble
           s += d * d
           i += 1
         }

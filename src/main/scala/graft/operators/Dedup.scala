@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Canonical tokenizer — non-empty whitespace tokens, shared with
+    * [[TextOps.tokens]] so dedup fingerprints and profile metrics see the
+    * same token stream (an untrimmed split leaks a "" token for text with
+    * leading whitespace, which would vote on every simhash bit).
+    */
+  def tokens(text: Column): Column = TextOps.tokens(text)
 
   /** Distinct n-word shingles of a document, as "w1 w2 ... wn" strings.
     * Documents shorter than n words yield their full token join (so every

@@ -23,7 +23,12 @@ object Skew {
       partialAggs: Seq[Column],
       finalAggs: Seq[Column]): DataFrame = {
     require(salts > 1, "salts must be > 1")
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // the salt is a SHUFFLE KEY, so it must be a deterministic function of
+    // the ROW: spark_partition_id/monotonically_increasing_id change on a
+    // stage retry, re-routing rows into salt partitions whose reducers
+    // already finished — silent double-counts/losses under fault recovery
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     salted
       .groupBy((keys :+ col("_salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -50,7 +55,8 @@ object Skew {
 
     val leftSalted = left.withColumn("_salt",
       when(col(key).cast("string").isin(hotKeys.map(_.toString): _*),
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+        // deterministic per-row salt (see saltedAgg): retry-safe shuffle key
+        pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
         .otherwise(lit(0)))
     val saltRange = spark.range(0, salts).select(col("id").cast("int").as("_salt"))
     val rightHot = right

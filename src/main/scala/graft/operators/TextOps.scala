@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Canonical tokenizer (shared with [[Dedup.tokens]]): non-empty
+    * whitespace tokens. The empty-string filter matters only for
+    * empty/whitespace-only text, where split(trim("")) yields [""] and a
+    * size-based token count would report 1 token for an empty document.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -23,8 +29,6 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z0-9]+"), lit(0))) +
       size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
-
-  private val punctRe = "[^a-zA-Z0-9\\s]"
 
   /** Quality features (length / punctuation / stopword ratios — the usual
     * pre-training quality-filter signals).
@@ -58,7 +62,9 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "por", "para", "que", "no"))
 
   /** Heuristic language ID: the language whose marker set overlaps the
-    * token set most wins; ties and zero evidence → "und" (undetermined).
+    * token set most wins; zero evidence → "und" (undetermined); equal-hit
+    * ties resolve to the lexicographically greatest language code (the
+    * struct ordering of array_max — the SQL oracle mirrors this exactly).
     * One pass, pure expressions: max_by over a literal language array.
     */
   def langId(text: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
