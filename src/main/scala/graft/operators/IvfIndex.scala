@@ -31,18 +31,36 @@ object IvfIndex {
   final case class Model(centroids: Array[Array[Float]], metric: String) {
     def ncentroids: Int = centroids.length
 
-    /** Quantizer search on the driver: nprobe nearest centroid ids for a
+    /** Quantizer search on the driver: nprobe best centroid ids for a
       * query vector — mirrors faiss's quantizer->search before list scan.
+      * METRIC-AWARE: an ip/cosine index ranks centroids by inner product
+      * (an L2-ranked probe would skip the list holding a high-IP match
+      * with a large norm); l2 ranks by squared distance.
       */
     def nearestCentroids(q: Seq[Float], nprobe: Int): Seq[Int] = {
       val qa = q.toArray
-      centroids.zipWithIndex.map { case (c, i) =>
-        var s = 0.0
-        var d = 0
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
         val n = math.min(c.length, qa.length)
-        while (d < n) { val x = c(d) - qa(d); s += x * x; d += 1 }
-        (s, i)
-      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+        var d = 0
+        if (metric == "ip" || metric == "cosine") {
+          var dot = 0.0
+          while (d < n) { dot += c(d).toDouble * qa(d); d += 1 }
+          // cosine: normalize by the centroid norm (the query norm is a
+          // constant factor that cannot change the ranking)
+          if (metric == "cosine") {
+            var cc = 0.0
+            var j = 0
+            while (j < c.length) { cc += c(j).toDouble * c(j); j += 1 }
+            val nrm = math.sqrt(cc)
+            (-(if (nrm == 0.0) 0.0 else dot / nrm), i)
+          } else (-dot, i) // negate: best-first under the ascending sort
+        } else {
+          var s = 0.0
+          while (d < n) { val x = c(d) - qa(d); s += x * x; d += 1 }
+          (s, i)
+        }
+      }
+      scored.sortBy(_._1).take(nprobe).map(_._2).toSeq
     }
   }
 
@@ -115,11 +133,20 @@ object IvfIndex {
       nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qDf = queries
-      .map { case (qid, q) => (qid, q, model.nearestCentroids(q, nprobe)) }
+    val perQueryLists = queries.map { case (qid, q) =>
+      (qid, q, model.nearestCentroids(q, nprobe))
+    }
+    val qDf = perQueryLists
       .toDF("_qid", "_qv", "_lists")
       .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"), col("_lists"))
-    val cand = corpus.join(broadcast(qDf), array_contains(col("_lists"), col("list_id")))
+    // static pre-filter on the UNION of all probed lists: the
+    // array_contains join condition alone is non-equi and cannot prune
+    // partitions — without this, the batched path scans the whole table
+    val union = perQueryLists.flatMap(_._3).distinct
+    val pruned =
+      if (union.isEmpty) corpus.limit(0)
+      else corpus.filter(col("list_id").isin(union: _*))
+    val cand = pruned.join(broadcast(qDf), array_contains(col("_lists"), col("list_id")))
     val scored = cand
       .select(col("_qid"), Knn.score(model.metric, vecCol, col("_qv")).as("_score"),
         payload.as("_item"))

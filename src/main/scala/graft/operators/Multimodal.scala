@@ -113,8 +113,10 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         val src = if (bytes == null) Array.emptyByteArray else bytes
         (0 until n).map { i =>
-          // STUB: a "frame" is a deterministic slice of the payload
-          val start = if (src.isEmpty) 0 else (i * src.length / n)
+          // STUB: a "frame" is a deterministic slice of the payload.
+          // The offset math multiplies in LONG — i * length overflows Int
+          // beyond ~134 MB payloads and negative offsets crash copyOfRange
+          val start = if (src.isEmpty) 0 else (i.toLong * src.length / n).toInt
           val end = if (src.isEmpty) 0 else math.min(src.length, start + 8)
           Frame(id, i, java.util.Arrays.copyOfRange(src, start, end))
         }

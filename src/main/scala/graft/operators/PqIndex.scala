@@ -215,15 +215,21 @@ object PqIndex {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qDf = queries
-      .map { case (qid, q) =>
-        (qid, q, ivf.nearestCentroids(q, nprobe), pq.lut(q).flatten.toSeq)
-      }
+    val perQuery = queries.map { case (qid, q) =>
+      (qid, q, ivf.nearestCentroids(q, nprobe), pq.lut(q).flatten.toSeq)
+    }
+    val qDf = perQuery
       .toDF("_qid", "_qv", "_lists", "_lut")
       .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"),
         col("_lists"), col("_lut"))
     val ksub = pq.ksub
-    val adc = corpus.select(idCol.as("_sid"), col("list_id"), col("pq_code"))
+    // static pre-filter on the union of probed lists = partition pruning;
+    // the array_contains join alone cannot prune (non-equi condition)
+    val union = perQuery.flatMap(_._3).distinct
+    val pruned =
+      if (union.isEmpty) corpus.limit(0)
+      else corpus.filter(col("list_id").isin(union: _*))
+    val adc = pruned.select(idCol.as("_sid"), col("list_id"), col("pq_code"))
       .join(broadcast(qDf.select(col("_qid"), col("_lists"), col("_lut"))),
         array_contains(col("_lists"), col("list_id")))
       .select(col("_qid"),

@@ -42,25 +42,46 @@ case class IvfProbe(
   @transient lazy val probedLists: Set[Int] =
     IvfIndex.Model(centroids, "l2").nearestCentroids(query, nprobe).toSet
 
-  override def nullSafeEval(l: Any): Any =
-    probedLists.contains(l.asInstanceOf[Int])
+  override def nullSafeEval(l: Any): Any = l match {
+    // externally assigned coarse columns may be bigint — accept any
+    // integral id rather than ClassCastException-ing per row
+    case i: Int   => probedLists.contains(i)
+    case j: Long  => j >= Int.MinValue && j <= Int.MaxValue && probedLists.contains(j.toInt)
+    case s: Short => probedLists.contains(s.toInt)
+    case other    => throw new IllegalArgumentException(
+      s"ivf_probe expects an integral list_id, got ${other.getClass.getName}")
+  }
+
+  /** Row-wise membership for generated code (keeps the integral-type
+    * tolerance of [[nullSafeEval]]).
+    */
+  def containsId(l: Long): Boolean =
+    l >= Int.MinValue && l <= Int.MaxValue && probedLists.contains(l.toInt)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("probe", this, classOf[IvfProbe].getName)
     nullSafeCodeGen(ctx, ev, l =>
-      s"${ev.value} = $ref.probedLists().contains($l);")
+      s"${ev.value} = $ref.containsId((long) $l);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(listId = c)
 }
 
-/** Optimizer rule: fold ivf_probe into a static IN over list ids. */
+/** Optimizer rule: fold ivf_probe into a static IN over list ids. The
+  * literals take the child's integral type — Int literals against a
+  * bigint column would make In's ordering throw at execution.
+  */
 object RewriteIvfProbe extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case p: IvfProbe =>
-        In(p.listId, p.probedLists.toSeq.sorted.map(i => Literal(i)))
+        val mk: Int => Literal = p.listId.dataType match {
+          case org.apache.spark.sql.types.LongType  => i => Literal(i.toLong)
+          case org.apache.spark.sql.types.ShortType => i => Literal(i.toShort)
+          case _                                    => i => Literal(i)
+        }
+        In(p.listId, p.probedLists.toSeq.sorted.map(mk))
     }
 }
 

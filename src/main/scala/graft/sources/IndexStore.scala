@@ -71,6 +71,36 @@ object IndexStore {
   private def markReady(dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(dir, "_GRAFT_READY"), "ok")
+    ()
+  }
+
+  /** Build-once guard across PROCESSES: `Files.createDirectory` on a lock
+    * dir is atomic, so exactly one JVM builds while others wait for the
+    * READY marker (two concurrent overwrite-writes into one table dir
+    * interleave deletes and part-files). A stale lock (crashed builder)
+    * is aged out after `staleMs`.
+    */
+  private def buildOnce(dir: String, staleMs: Long = 600000L)(build: => Unit): Unit = {
+    if (ready(dir)) return
+    val lock = Paths.get(s"$dir.lock")
+    Files.createDirectories(Paths.get(dir).getParent)
+    val acquired =
+      try { Files.createDirectory(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (acquired) {
+      try { if (!ready(dir)) build }
+      finally { Files.deleteIfExists(lock); () }
+    } else {
+      // another process is building: wait for its READY marker; if the
+      // lock goes stale (crashed builder), build ourselves
+      val deadline = System.currentTimeMillis() + staleMs
+      while (!ready(dir) && Files.exists(lock) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      if (!ready(dir)) {
+        try build
+        finally { Files.deleteIfExists(lock); () }
+      }
+    }
   }
 
   private def writeObj(path: String, o: AnyRef): Unit = {
@@ -91,7 +121,7 @@ object IndexStore {
   def ivfFlat(spark: SparkSession, sfDir: String,
       ncentroids: Int = 16): (DataFrame, IvfIndex.Model) = {
     val dir = dirFor(sfDir, s"ivf$ncentroids")
-    if (!ready(dir)) {
+    buildOnce(dir) {
       val e = emb(spark, sfDir)
       val model = IvfIndex.train(e, "embedding", ncentroids)
       IvfIndex.buildTable(e, "embedding", model, s"$dir/table")
@@ -107,10 +137,13 @@ object IndexStore {
   def ivfPq(spark: SparkSession, sfDir: String, ncentroids: Int = 8,
       m: Int = 8, ksub: Int = 16): (DataFrame, IvfIndex.Model, PqIndex.Model) = {
     val dir = dirFor(sfDir, s"ivfpq${ncentroids}_${m}_$ksub")
-    if (!ready(dir)) {
+    buildOnce(dir) {
       val e = emb(spark, sfDir)
+      // dim from the data, not a constant — a 128-d fixture would
+      // otherwise get codebooks over its first 64 components only
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
       val ivf = IvfIndex.train(e, "embedding", ncentroids)
-      val pq = PqIndex.train(e, "embedding", dim = 64, m = m, ksub = ksub,
+      val pq = PqIndex.train(e, "embedding", dim = dim, m = m, ksub = ksub,
         maxTrainRows = 200000L, maxIter = 8)
       PqIndex.encode(IvfIndex.assign(e, "embedding", ivf), "embedding", pq)
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
@@ -127,9 +160,10 @@ object IndexStore {
   def pqFlat(spark: SparkSession, sfDir: String,
       m: Int = 8, ksub: Int = 16): (DataFrame, PqIndex.Model) = {
     val dir = dirFor(sfDir, s"pq${m}_$ksub")
-    if (!ready(dir)) {
+    buildOnce(dir) {
       val e = emb(spark, sfDir)
-      val pq = PqIndex.train(e, "embedding", dim = 64, m = m, ksub = ksub,
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pq = PqIndex.train(e, "embedding", dim = dim, m = m, ksub = ksub,
         maxTrainRows = 200000L, maxIter = 8)
       PqIndex.encode(e, "embedding", pq)
         .write.mode("overwrite").parquet(s"$dir/table")
@@ -142,7 +176,7 @@ object IndexStore {
   /** Binary (sign-bit) layout: embeddings + packed `bcode`. */
   def binary(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = dirFor(sfDir, "binary")
-    if (!ready(dir)) {
+    buildOnce(dir) {
       BinaryIndex.encode(emb(spark, sfDir), "embedding")
         .write.mode("overwrite").parquet(s"$dir/table")
       markReady(dir)
@@ -156,9 +190,11 @@ object IndexStore {
   def binaryIvf(spark: SparkSession, sfDir: String,
       ncentroids: Int = 16): (DataFrame, IvfIndex.Model) = {
     val dir = dirFor(sfDir, s"rbivf$ncentroids")
-    if (!ready(dir)) {
+    buildOnce(dir) {
       val e = emb(spark, sfDir)
-      val ivf = IvfIndex.train(e, "embedding", ncentroids)
+      // reuse ivfFlat's trained quantizer (same data, same params) —
+      // retraining an identical KMeans doubled the dominant warmup cost
+      val ivf = ivfFlat(spark, sfDir, ncentroids)._2
       BinaryIndex.encodeResidual(IvfIndex.assign(e, "embedding", ivf), "embedding", ivf)
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
       writeObj(s"$dir/ivf.bin", ivf)

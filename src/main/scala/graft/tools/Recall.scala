@@ -110,8 +110,14 @@ object Recall {
     }
     val qDf = qRows.toDF("qid", "list_id", "qres")
       .select($"qid", $"list_id", $"qres".cast("array<float>").as("qres"))
+    // static pre-filter on the union of probed lists (partition pruning
+    // on a stored layout; the join alone reads every partition)
+    val union = qRows.map(_._2).distinct
+    val pruned =
+      if (union.isEmpty) coded.limit(0)
+      else coded.filter($"list_id".isin(union: _*))
     // stage 1: residual codes only; negate the dot so topK(asc) keeps best
-    val stage1 = coded.select($"vec_id", $"list_id", $"rbcode")
+    val stage1 = pruned.select($"vec_id", $"list_id", $"rbcode")
       .join(broadcast(qDf), Seq("list_id"))
       .select($"qid", (-Graft.F.signAdot($"rbcode", $"qres")).as("_s"),
         struct($"vec_id").as("_i"))
