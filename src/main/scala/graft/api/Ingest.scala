@@ -76,16 +76,25 @@ object Ingest {
 
   /** Strict conformance: rejects the batch if any row fails (use
     * [[conformSplit]] for the reference's per-item error semantics).
-    * The batch is cached for the check: the emptiness gate and the
+    * The batch is pinned for the check: the emptiness gate and the
     * returned rows must see the SAME data — a nondeterministic source
     * could otherwise pass the gate and still emit bad rows at write time
-    * (ingest batches are bounded, so pinning one is cheap).
+    * (ingest batches are bounded, so pinning one is cheap). The pin is
+    * released before returning: the ok rows are snapshotted via an eager
+    * localCheckpoint (lineage cut, blocks freed on GC by the context
+    * cleaner), so repeated ingest batches don't accumulate CacheManager
+    * entries for the session lifetime.
     */
   def conform(batch: DataFrame, space: Space): DataFrame = {
     val pinned = batch.cache()
-    val (ok, bad) = conformSplit(pinned, space)
-    require(bad.isEmpty, "batch contains rows with wrong-dimension vectors")
-    ok
+    try {
+      val (ok, bad) = conformSplit(pinned, space)
+      require(bad.isEmpty, "batch contains rows with wrong-dimension vectors")
+      ok.localCheckpoint(eager = true)
+    } finally {
+      pinned.unpersist(blocking = true)
+      ()
+    }
   }
 
   /** RANGE partition rule: named, strictly-increasing upper bounds on a

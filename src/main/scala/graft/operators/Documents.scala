@@ -93,7 +93,13 @@ object Documents {
   def withDefaultIds(df: DataFrame, idCol: String): DataFrame = {
     val others = df.columns.filter(_ != idCol).map(col).toIndexedSeq
     val h = md5(to_json(struct(others: _*)))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(h).orderBy(h)
+    // occurrence slots are counted over NULL-id rows only (the null flag is
+    // part of the partition key): an explicit-id row with identical content
+    // never consumes a slot, so generated suffixes don't shift with its
+    // arrival order. Rows inside one (hash, null) group are content-identical
+    // by construction, so slot assignment among them is multiset-deterministic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(h, col(idCol).isNull).orderBy(h)
     df.withColumn("_occ", row_number().over(w))
       .withColumn(idCol, coalesce(col(idCol),
         when(col("_occ") === 1, h).otherwise(concat(h, lit("-"), col("_occ")))))

@@ -120,6 +120,13 @@ object Space {
     // {"engine": {...}} form and top-level keys
     def longAt(paths: JValue*): Option[Long] = paths.collectFirst {
       case JInt(n) => n.toLong
+      // JSON serializers commonly emit 1000.0 for integral config values;
+      // accept integral doubles, fail loud on fractional ones (consistent
+      // with the fail-loud stance for unknown operators)
+      case JDouble(d) if d.isWhole => d.toLong
+      case JDouble(d) => fail(s"engine config value must be integral, got $d")
+      case JDecimal(d) if d.isWhole => d.toLong
+      case JDecimal(d) => fail(s"engine config value must be integral, got $d")
       case JString(s) if s.matches("\\d+") => s.toLong
     }
     val cfg = SpaceConfig(

@@ -69,6 +69,10 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   def upsert(db: String, spaceName: String, batch: DataFrame, partitionNum: Int = 1): Unit = {
     val path = dir(db, spaceName)
     val tmp = s"$path.tmp"
+    // recover BEFORE reading the base: merging against a table missing a
+    // crashed-aside bucket and then rewriting that bucket would orphan the
+    // aside (dst exists → recovery drops it) and lose its rows for good
+    recover(path)
     bucketsOf(path) match {
       case Some(nb) if nb == partitionNum =>
         val touched = withBucket(batch, nb)
@@ -98,6 +102,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   def deleteByQuery(db: String, spaceName: String, pred: org.apache.spark.sql.Column): Unit = {
     val path = dir(db, spaceName)
     val tmp = s"$path.tmp"
+    recover(path) // same argument as in upsert
     bucketsOf(path) match {
       case Some(nb) =>
         // only buckets that contain matching rows are rewritten
@@ -137,8 +142,41 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   def read(db: String, spaceName: String): DataFrame = readPath(dir(db, spaceName))
 
   private def readPath(path: String): DataFrame = {
+    recover(path)
     val df = spark.read.parquet(path)
     if (df.columns.contains("_bucket")) df.drop("_bucket") else df
+  }
+
+  /** Crash recovery on open: a crash inside [[replace]] can leave the whole
+    * table under `path.old` with `path` gone; a crash inside
+    * [[replaceBucket]] (between move-aside and move-in) leaves a bucket's
+    * rows under `path.oldbucket.N` with no `_bucket=N` dir — data that
+    * would otherwise silently vanish from every read. Restore aside dirs
+    * whose destination is absent; drop aside dirs whose swap completed.
+    */
+  private def recover(path: String): Unit = {
+    val p = Paths.get(path)
+    val old = Paths.get(s"$path.old")
+    if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+    val parent = p.toAbsolutePath.getParent
+    val base = p.getFileName.toString
+    if (parent != null && Files.exists(parent)) {
+      val listing = Files.list(parent)
+      val asides =
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          listing.forEach { f =>
+            if (f.getFileName.toString.startsWith(s"$base.oldbucket.")) buf += f
+          }
+          buf.toList
+        } finally listing.close()
+      asides.foreach { aside =>
+        val b = aside.getFileName.toString.stripPrefix(s"$base.oldbucket.")
+        val dst = p.resolve(s"_bucket=$b")
+        if (Files.exists(dst)) deleteRecursively(aside) // swap completed; aside is leftover
+        else Files.move(aside, dst) // crash mid-swap: restore the bucket's rows
+      }
+    }
   }
 
   def dropSpace(db: String, spaceName: String): Unit = {

@@ -77,28 +77,77 @@ object IndexStore {
   /** Build-once guard across PROCESSES: `Files.createDirectory` on a lock
     * dir is atomic, so exactly one JVM builds while others wait for the
     * READY marker (two concurrent overwrite-writes into one table dir
-    * interleave deletes and part-files). A stale lock (crashed builder)
-    * is aged out after `staleMs`.
+    * interleave deletes and part-files). Liveness is judged by the LOCK'S
+    * OWN MTIME, which the builder heartbeats while it works — a slow but
+    * alive builder is never raced; only a builder whose heartbeat stopped
+    * for `staleMs` is presumed dead. A waiter that declares the lock stale
+    * must still win `createDirectory` on the lock before building — no
+    * code path ever writes the table dir without holding the lock.
     */
-  private def buildOnce(dir: String, staleMs: Long = 600000L)(build: => Unit): Unit = {
+  private[graft] def buildOnce(dir: String, staleMs: Long = 600000L)(build: => Unit): Unit = {
     if (ready(dir)) return
     val lock = Paths.get(s"$dir.lock")
+    val owner = lock.resolve("owner")
+    val token = java.util.UUID.randomUUID().toString
     Files.createDirectories(Paths.get(dir).getParent)
-    val acquired =
-      try { Files.createDirectory(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (acquired) {
+
+    def tryAcquire(): Boolean =
+      try {
+        Files.createDirectory(lock)
+        Files.writeString(owner, token)
+        true
+      } catch { case _: java.io.IOException => false }
+
+    def deleteLock(): Unit =
+      try { Files.deleteIfExists(owner); Files.deleteIfExists(lock); () }
+      catch { case _: java.io.IOException => () }
+
+    def buildLocked(): Unit = {
+      // heartbeat: advance the lock's mtime so waiters age it by builder
+      // liveness, not by their own wall-clock wait
+      val hb = new Thread(() => {
+        try {
+          while (true) {
+            Thread.sleep(math.max(staleMs / 4, 50L))
+            Files.setLastModifiedTime(lock,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          }
+        } catch { case _: InterruptedException | _: java.io.IOException => () }
+      })
+      hb.setDaemon(true)
+      hb.start()
       try { if (!ready(dir)) build }
-      finally { Files.deleteIfExists(lock); () }
-    } else {
-      // another process is building: wait for its READY marker; if the
-      // lock goes stale (crashed builder), build ourselves
-      val deadline = System.currentTimeMillis() + staleMs
-      while (!ready(dir) && Files.exists(lock) &&
-          System.currentTimeMillis() < deadline) Thread.sleep(200)
-      if (!ready(dir)) {
-        try build
-        finally { Files.deleteIfExists(lock); () }
+      finally {
+        hb.interrupt()
+        // release only if the lock is still OURS: a builder that was
+        // presumed dead (paused > staleMs) and raced by a waiter must not
+        // delete the new owner's lock on the way out
+        val mine =
+          try Files.readString(owner) == token
+          catch { case _: java.io.IOException => false }
+        if (mine) deleteLock()
+      }
+    }
+
+    if (tryAcquire()) { buildLocked(); return }
+    while (true) {
+      if (ready(dir)) return
+      val mtime =
+        try Some(Files.getLastModifiedTime(lock).toMillis)
+        catch { case _: java.io.IOException => None } // lock just vanished
+      mtime match {
+        case None =>
+          // builder finished (READY) or crashed between create and first
+          // heartbeat — loop re-checks READY, then contends for the lock
+          if (ready(dir)) return
+          if (tryAcquire()) { buildLocked(); return }
+        case Some(t) if System.currentTimeMillis() - t > staleMs =>
+          // heartbeat stopped: presumed dead. Remove the corpse and
+          // CONTEND for the lock — whoever wins createDirectory builds;
+          // no code path ever builds without holding the lock
+          deleteLock()
+          if (tryAcquire()) { buildLocked(); return }
+        case _ => Thread.sleep(200)
       }
     }
   }

@@ -46,4 +46,23 @@ class DocumentsSpec extends SparkSpec {
     assert(r1(1) == "keep")
     assert(r1(0).length == 32) // md5 hex
   }
+
+  test("withDefaultIds: explicit-id rows never consume occurrence slots") {
+    // ADVICE r3: a batch mixing an explicit-id row with content-identical
+    // null-id rows must give the null rows the SAME generated ids no
+    // matter which partition-arrival order the rows land in
+    val d = Seq(("keep", "x"), (null.asInstanceOf[String], "x"),
+      (null.asInstanceOf[String], "x")).toDF("_id", "v")
+    val expected = {
+      val h = d.sparkSession.range(1)
+        .select(md5(to_json(struct(lit("x").as("v"))))).head().getString(0)
+      Set("keep", h, s"$h-2")
+    }
+    // repartition shuffles arrival order; the id multiset must not move
+    (1 to 4).foreach { n =>
+      val ids = Documents.withDefaultIds(d.repartition(n), "_id")
+        .select("_id").as[String].collect().toSet
+      assert(ids == expected, s"with $n partitions")
+    }
+  }
 }

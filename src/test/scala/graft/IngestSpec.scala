@@ -38,6 +38,17 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("conform releases its cache pin (no CacheManager growth per batch)") {
+    // ADVICE r3: repeated ingest batches must not accumulate pinned
+    // entries for the session lifetime
+    val batch = Seq((Some("a"), 1L, Seq(3f, 0f, 4f, 0f)))
+      .toDF("_id", "n", "v")
+      .select($"_id", $"n", $"v".cast("array<float>").as("v"))
+    val out = Ingest.conform(batch, space)
+    assert(out.count() == 1) // result stays readable after the pin is gone
+    assert(batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("range rule: validation and first-bound-exceeding routing") {
     assertThrows[IllegalArgumentException] {
       Ingest.RangeRule("d", Seq(("p1", 100L), ("p0", 50L))) // not increasing

@@ -63,6 +63,53 @@ class SpaceSpec extends SparkSpec {
       nFilters = 0) == "default")
   }
 
+  test("engine config accepts integral JSON doubles, rejects fractional") {
+    // serializers commonly emit 1000.0 for integral values (ADVICE r3)
+    val sp = Space.fromJson(
+      """{"name":"cfgd","engine":{"refresh_interval":250.0,"cache_size":512.0},
+         "fields":[{"name":"n","type":"long"}]}""")
+    assert(sp.config.refreshIntervalMs == 250L)
+    assert(sp.config.cacheSizeMb == 512)
+    assertThrows[IllegalArgumentException](Space.fromJson(
+      """{"name":"cfgf","engine":{"refresh_interval":250.5},
+         "fields":[{"name":"n","type":"long"}]}"""))
+  }
+
+  test("crash recovery: aside bucket dirs are restored on open") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("spaces_r").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("db1")
+    cat.createSpace("db1", Space.fromJson(
+      """{"name":"s3","fields":[{"name":"n","type":"long"}]}"""))
+    val init = (0 until 100).map(i => (s"id$i", i.toLong)).toDF("_id", "n")
+    cat.upsert("db1", "s3", init, partitionNum = 4)
+    val path = s"$root/db1/s3"
+
+    // simulate a crash inside replaceBucket: bucket moved aside, new one
+    // never moved in — without recovery these rows silently disappear
+    val victim = Files.list(Paths.get(path)).filter(
+      p => p.getFileName.toString.startsWith("_bucket=")).findFirst().get()
+    val b = victim.getFileName.toString.stripPrefix("_bucket=")
+    Files.move(victim, Paths.get(s"$path.oldbucket.$b"))
+    assert(cat.docCount("db1", "s3") == 100) // read recovered the bucket
+    assert(!Files.exists(Paths.get(s"$path.oldbucket.$b")))
+
+    // leftover aside whose swap DID complete (dst exists) is just dropped
+    val some = Files.list(Paths.get(path)).filter(
+      p => p.getFileName.toString.startsWith("_bucket=")).findFirst().get()
+    val b2 = some.getFileName.toString.stripPrefix("_bucket=")
+    Files.createDirectories(Paths.get(s"$path.oldbucket.$b2"))
+    Files.writeString(Paths.get(s"$path.oldbucket.$b2", "stale.txt"), "junk")
+    assert(cat.docCount("db1", "s3") == 100)
+    assert(!Files.exists(Paths.get(s"$path.oldbucket.$b2")))
+
+    // crash inside replace(): whole table under path.old, path gone
+    Files.move(Paths.get(path), Paths.get(s"$path.old"))
+    assert(cat.docCount("db1", "s3") == 100)
+    assert(Files.exists(Paths.get(path)) && !Files.exists(Paths.get(s"$path.old")))
+  }
+
   test("catalog: create/upsert/query/alias/count/backup/restore/drop") {
     val root = java.nio.file.Files.createTempDirectory("spaces").toString
     val cat = new SpaceCatalog(spark, root)
