@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.F
 import graft.api.SearchApi
-import graft.operators.{Dedup, Documents, IvfIndex, Knn, Multimodal, PqIndex, TextOps, VearchFilters}
+import graft.operators.{Dedup, Documents, IvfIndex, Knn, KnnJoin, Multimodal, PqIndex, Sampling, TextOps, VearchFilters}
 import graft.schema.Space
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -823,6 +823,82 @@ object SparkEntry {
         tieBreak = Some(col("media_id")), roundTo = Some(4))
         .select(col("media_id"), col("_score").as("score"))
     }),
+
+    // ── pipeline: distributed k-NN JOIN at exactness params (nprobe =
+    //    ncentroids ≡ exact): the query side stays a TABLE — per-row
+    //    quantizer expression computes probe lists, equi-join on list_id,
+    //    bounded-heap top-k per query. No driver collect of either side ──
+    "q_knn_join" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      KnnJoin.ivf(queries, "vec_id", "embedding",
+        table, col("embedding"), struct(col("vec_id")), model,
+        k = 5, nprobe = model.ncentroids)
+        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
+    // ── pipeline (rows-only): the same k-NN join with pruned probes
+    //    (nprobe = 4 of 16) — the 100 TB ANN-join shape; exact twin
+    //    q_knn_join shares its oracle ──
+    "q_knn_join_ann" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+      KnnJoin.ivf(queries, "vec_id", "embedding",
+        table, col("embedding"), struct(col("vec_id")), model,
+        k = 5, nprobe = 4)
+        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
+    // ── pipeline: near-dup CLUSTERING — exact jaccard pairs → connected
+    //    components (min-label propagation) → canonical survivor flag.
+    //    Answers "which copies form one group" when duplicates chain
+    //    A~B~C without A~C qualifying directly ──
+    "q_dedup_clusters" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.clusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("is_canonical").cast("int").as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: deterministic hash sample — content-keyed membership,
+    //    map-side only (re-runs and stage retries pick identical rows) ──
+    "q_sample_hash" -> ((s, dir) => {
+      init(s)
+      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 0.3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: stratified cap — every lang stratum capped at 20 rows
+    //    chosen by key hash (the class-balancing step of a data recipe) ──
+    "q_sample_stratified" -> ((s, dir) => {
+      init(s)
+      Sampling.stratifiedCap(t(s, dir, "documents"), col("lang"), col("doc_id"),
+        cap = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: per-language quality quantiles (threshold picking for a
+    //    filtering recipe); exact percentile shares DuckDB quantile_cont's
+    //    p·(n−1) linear interpolation, so values oracle-check ──
+    "q_quality_quantiles" -> ((s, dir) => {
+      init(s)
+      TextOps.qualityQuantiles(t(s, dir, "documents"), col("lang"),
+        length(col("text")), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Exact L2 top-10 — also the oracle for every ANN query run with
@@ -837,12 +913,11 @@ object SparkEntry {
        ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
        LIMIT 10"""
 
-  /** Exact 3-gram jaccard pairs ≥ 0.8 — oracle for both the inverted-index
-    * exact join and the MinHash-LSH variant (recall ≈ 1 − 3e-4 per pair at
-    * 8×2 banding, deterministic seeds).
+  /** Shared CTE chain deriving exact 3-gram jaccard candidates: reused by
+    * the pairs oracle and the clustering oracle.
     */
-  private val jaccardPairsSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private val jaccardCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id,
                      CASE WHEN len(w) >= 3
                           THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -853,12 +928,48 @@ object SparkEntry {
        c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
              FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
              GROUP BY 1, 2),
-       z AS (SELECT doc_id, len(s) AS sz FROM sh)
+       z AS (SELECT doc_id, len(s) AS sz FROM sh)"""
+
+  /** Exact 3-gram jaccard pairs ≥ 0.8 — oracle for both the inverted-index
+    * exact join and the MinHash-LSH variant (recall ≈ 1 − 3e-4 per pair at
+    * 8×2 banding, deterministic seeds).
+    */
+  private val jaccardPairsSql =
+    s"""WITH $jaccardCtes
        SELECT id_a, id_b,
               round(common::DOUBLE / (za.sz + zb.sz - common), 4) AS jaccard
        FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
        WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8
        ORDER BY id_a, id_b"""
+
+  /** Near-dup clustering oracle: qualifying pairs → undirected reachability
+    * (recursive CTE) → min reachable id per vertex; unpaired docs are their
+    * own singleton cluster.
+    */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       p AS (SELECT id_a, id_b
+             FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+             WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8),
+       edges AS (SELECT id_a AS u, id_b AS v FROM p
+                 UNION SELECT id_b, id_a FROM p),
+       reach AS (SELECT u, v FROM edges
+                 UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       lbl AS (SELECT u AS id, least(u, min(v)) AS cl FROM reach GROUP BY u)
+       SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id,
+              CAST(coalesce(l.cl, d.doc_id) = d.doc_id AS INT) AS is_canonical
+       FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  /** The portable 60-bit uniform: reassemble conv(substr(md5(key),1,15),16,10)
+    * from the md5 hex digits — bit-identical to the Spark column in
+    * [[graft.operators.Sampling.portableUniform]].
+    */
+  private def portableUniformSql(keyExpr: String): String =
+    s"""(list_sum([(strpos('0123456789abcdef',
+            substr(md5($keyExpr), i + 1, 1)) - 1)::BIGINT
+            * (1::BIGINT << (4 * (14 - i))) FOR i IN range(15)])::DOUBLE
+         / 1152921504606846976.0)"""
 
   /** Exact batch L2 top-5 for queries vec_id<5 — the oracle for batched
     * index searches run at exactness parameters.
@@ -877,6 +988,33 @@ object SparkEntry {
        ORDER BY qid, round(d, 4), vec_id"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_knn_join" -> exactBatchL2Sql,
+
+    "q_dedup_clusters" -> dedupClustersSql,
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${portableUniformSql("doc_id::VARCHAR")} < 0.3
+         ORDER BY doc_id""",
+
+    "q_sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+                ${portableUniformSql("doc_id::VARCHAR")} AS u
+              FROM documents),
+         r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+              FROM h)
+         SELECT doc_id, lang FROM r WHERE rn <= 20
+         ORDER BY doc_id""",
+
+    "q_quality_quantiles" ->
+      """WITH t AS (SELECT lang, length(text) AS n FROM documents)
+         SELECT lang, count(*) AS cnt,
+                round(quantile_cont(n::DOUBLE, 0.5), 4) AS p50,
+                round(quantile_cont(n::DOUBLE, 0.9), 4) AS p90,
+                round(quantile_cont(n::DOUBLE, 0.99), 4) AS p99
+         FROM t GROUP BY lang ORDER BY lang""",
+
     "q_ivf_exact" -> exactL2Top10Sql,
     "q_pq_exact" -> exactL2Top10Sql,
     "q_ivfpq_exact" -> exactL2Top10Sql,

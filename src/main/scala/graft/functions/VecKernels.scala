@@ -101,6 +101,63 @@ object VecKernels {
     best
   }
 
+  /** Top-`nprobe` centroid ids for a vector — the quantizer search as a
+    * PER-ROW kernel, so a k-NN JOIN can compute every query's probe lists
+    * distributed (the driver-side Model.nearestCentroids formulation
+    * requires collecting the query side). Metric-aware like the driver
+    * version: ip/cosine rank by (normalized) inner product, l2 by squared
+    * distance. Selection is a simple partial sort over ncentroids scores —
+    * centroid tables are small (≤ a few thousand entries).
+    */
+  def probeLists(a: ArrayData, centroids: Array[Array[Float]],
+      nprobe: Int, ip: Boolean, cos: Boolean): ArrayData = {
+    val nc = centroids.length
+    val scores = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cent = centroids(c)
+      val n = math.min(a.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      if (ip || cos) {
+        while (i < n) { s += a.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+        if (cos) {
+          var cc = 0.0
+          var j = 0
+          while (j < cent.length) { cc += cent(j).toDouble * cent(j); j += 1 }
+          val nrm = math.sqrt(cc)
+          s = if (nrm == 0.0) 0.0 else s / nrm
+        }
+        scores(c) = -s // negate: best-first under ascending selection
+      } else {
+        while (i < n) {
+          val d = a.getFloat(i).toDouble - cent(i).toDouble
+          s += d * d
+          i += 1
+        }
+        scores(c) = s
+      }
+      c += 1
+    }
+    val k = math.min(nprobe, nc)
+    val idx = Array.range(0, nc)
+    // selection sort of the first k positions (k ≪ nc in practice);
+    // ties break on centroid id so the probe set is deterministic
+    var out = 0
+    while (out < k) {
+      var best = out
+      var p = out + 1
+      while (p < nc) {
+        if (scores(idx(p)) < scores(idx(best)) ||
+          (scores(idx(p)) == scores(idx(best)) && idx(p) < idx(best))) best = p
+        p += 1
+      }
+      val t = idx(out); idx(out) = idx(best); idx(best) = t
+      out += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(idx, k))
+  }
+
   /** 64-bit SimHash over a token array: per-token xxhash64 (same XXH64,
     * seed 42 as Spark's `xxhash64`), each bit votes ±1, sign forms the
     * fingerprint. One tight loop per row — the higher-order-function

@@ -91,6 +91,26 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF quantizer search as a row expression: top-`nprobe` centroid ids for
+  * a vector (metric-aware). Lets a k-NN JOIN compute probe lists for a
+  * DISTRIBUTED query side — no driver collect of the queries.
+  */
+case class IvfProbeLists(child: Expression, centroids: Array[Array[Float]],
+    nprobe: Int, metric: String) extends UnaryExpression {
+  override def prettyName: String = "ivf_probe_lists"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private val ip = metric == "ip"
+  private val cos = metric == "cosine"
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.probeLists(a.asInstanceOf[ArrayData], centroids, nprobe, ip, cos)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VecKernels.probeLists($a, $ref, $nprobe, $ip, $cos)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct sorted xxhash64 shingle hashes of a token array. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "text_shingle_hashes"

@@ -78,11 +78,20 @@ object Dedup {
       graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
     val sets = maxShingleDf match {
       case Some(cap) =>
-        // capped sets: drop hot shingles, regroup to sorted arrays
+        // capped sets = per-doc set minus the hot-shingle set. Finding the
+        // hot set costs one explode→groupBy shuffle (unavoidable — df is a
+        // corpus-wide count), but the SUBTRACTION is map-side: the hot set
+        // is collapsed to a single sorted-array row (distinct shingles
+        // with df > cap — bounded by total-occurrences/cap, tiny for any
+        // real cap) and broadcast, and `array_except` preserves the sorted
+        // order the prefix lemma needs. The previous anti-join + regroup
+        // formulation re-shuffled EVERY (id, shingle) row twice more even
+        // when zero shingles were hot.
         val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        sh0.join(hot, Seq("sh"), "left_anti")
-          .groupBy("id").agg(sort_array(collect_list(col("sh"))).as("ss"))
+        val hotArr = hot.agg(sort_array(collect_list(col("sh"))).as("_hot"))
+        shingled.crossJoin(broadcast(hotArr))
+          .select(col("id"), array_except(col("sharr"), col("_hot")).as("ss"))
       case None => shingled.select(col("id"), col("sharr").as("ss"))
     }
     val withSz = sets.withColumn("sz", size(col("ss")))
@@ -289,5 +298,66 @@ object Dedup {
       .withColumn("cos", graft.Graft.F.vecCosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Connected components over a near-dup pair list: every vertex gets the
+    * MIN id reachable from it — the cluster label dedup canonicalization
+    * needs (pairs alone don't answer "which copies form one group" when
+    * duplicates chain A~B~C without A~C qualifying directly).
+    *
+    * Algorithm: iterative min-label propagation. Each round is two
+    * shuffle-bounded equi-joins + an aggregate — no driver-resident graph
+    * state; the driver only runs the convergence loop. Rounds needed =
+    * the longest shortest-path to a component's min vertex; for dedup
+    * clusters (small, dense clumps) that is 1–3. A pathological long-chain
+    * graph would want the O(log n)-round large-star/small-star variant —
+    * out of scope while clusters are clumps, guarded by `maxIter` failing
+    * loud instead of silently returning half-merged labels.
+    * `localCheckpoint` per round truncates the growing lineage (an
+    * iterative plan otherwise re-derives every prior round on each
+    * action).
+    *
+    * Output: (id, cc) for every id that appears in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cc", col("id")).localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges.join(labels.select(col("id").as("v"), col("cc").as("_vcc")), "v")
+        .groupBy(col("u")).agg(min(col("_vcc")).as("_nbrcc"))
+      // old and new label in ONE checkpointed pass: the convergence count
+      // then reads checkpoint blocks instead of re-joining the round
+      val upd = labels
+        .join(nbr.select(col("u").as("id"), col("_nbrcc")), Seq("id"), "left")
+        .select(col("id"), col("cc"),
+          least(col("cc"), coalesce(col("_nbrcc"), col("cc"))).as("_ncc"))
+        .localCheckpoint(eager = true)
+      changed = upd.filter(col("_ncc") =!= col("cc")).count()
+      labels = upd.select(col("id"), col("_ncc").as("cc"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster every document by its near-dup component: cluster_id = min id
+    * in the component (docs in no pair are their own singleton cluster),
+    * is_canonical marks the one row per cluster a dedup pass keeps.
+    */
+  def clusters(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    df.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cc"), col("id")).as("cluster_id"))
+      .withColumn("is_canonical", col("id") === col("cluster_id"))
   }
 }

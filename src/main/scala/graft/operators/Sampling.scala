@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-data
+  * pipelines (beyond-reference surface, builder brief). Everything keys
+  * off a CONTENT-DERIVED 60-bit hash, never a RNG:
+  *
+  *  - re-runs (and retried stages) pick the exact same rows — a stage
+  *    retry under `sample()`'s per-partition RNG yields a different
+  *    subset mid-job;
+  *  - the sample is reproducible cross-engine (the hash is md5-based and
+  *    bit-identical in DuckDB, so the oracle re-derives it);
+  *  - membership is a pure per-row predicate → [[hashSample]] is
+  *    map-side only, no shuffle, and composes with partition pruning.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) from the top 60 bits of md5(key) — portable
+    * bit-for-bit to the SQL oracle (DuckDB reassembles the same 60-bit
+    * integer from the md5 hex and divides by the same 2^60 constant).
+    */
+  def portableUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") /
+      lit(1152921504606846976.0) // 2^60
+
+  /** Keep a deterministic `fraction` of rows by key hash. Map-side only. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    df.filter(portableUniform(key) < fraction)
+  }
+
+  /** Cap every stratum (e.g. language, source, quality bucket) at `cap`
+    * rows, chosen deterministically by key hash — the class-balancing
+    * step of a data-mixing pipeline.
+    *
+    * Scale shape: a naive window sends EVERY row of a hot stratum through
+    * one task's sort. With `salt > 1` selection runs in two phases: phase
+    * 1 windows over (stratum, hash-salt) keeping `cap` per salt — the
+    * global cap-smallest rows of a stratum are a subset of its per-salt
+    * cap-smallest, so no qualifying row is lost — and phase 2 re-windows
+    * the ≤ salt·cap survivors per stratum. The hot stratum's full sort
+    * never happens; phase-2 input is bounded by strata·salt·cap.
+    */
+  def stratifiedCap(
+      df: DataFrame, stratum: Column, key: Column, cap: Int,
+      salt: Int = 16): DataFrame = {
+    require(cap > 0, s"cap must be > 0: $cap")
+    val u = portableUniform(key)
+    val pre =
+      if (salt > 1) {
+        val w1 = Window.partitionBy(stratum, pmod(hash(key), lit(salt)))
+          .orderBy(u.asc, key.asc)
+        df.withColumn("_prn", row_number().over(w1))
+          .filter(col("_prn") <= cap).drop("_prn")
+      } else df
+    val w2 = Window.partitionBy(stratum).orderBy(u.asc, key.asc)
+    pre.withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= cap).drop("_rn")
+  }
+
+  /** Weighted mix of sources: each source contributes a deterministic
+    * hash-sampled fraction, unioned by name — the "data recipe" step
+    * (e.g. 100% curated + 30% web + 5% synthetic). Schemas must align.
+    */
+  def mix(sources: Seq[(DataFrame, Double)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "mix needs at least one source")
+    sources.map { case (d, f) => hashSample(d, col(keyCol), f) }
+      .reduce(_.unionByName(_))
+  }
+}

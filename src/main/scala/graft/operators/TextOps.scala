@@ -102,4 +102,24 @@ object TextOps {
       langId(t).as("lang_pred"),
       exactFingerprint(t).as("fingerprint"))
   }
+
+  /** Per-stratum quantiles of a quality metric — the threshold-picking
+    * step of a filtering pipeline ("keep docs above the p10 quality of
+    * their language"). `exact = true` uses `percentile` (linear
+    * interpolation at index p·(n−1) — the definition DuckDB's
+    * `quantile_cont` shares, so results oracle-check bit-for-bit);
+    * at 100 TB switch `exact = false` for `approx_percentile`, whose
+    * sketch memory is bounded per group while exact percentile holds a
+    * per-group value-count map.
+    */
+  def qualityQuantiles(
+      df: DataFrame, strata: Column, value: Column, ps: Seq[Double],
+      exact: Boolean = true): DataFrame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val qs = ps.map { p =>
+      round(call_function(fn, value.cast("double"), lit(p)), 4).as(s"p${(p * 100).toInt}")
+    }
+    df.groupBy(strata)
+      .agg(count(lit(1)).as("cnt"), qs: _*)
+  }
 }

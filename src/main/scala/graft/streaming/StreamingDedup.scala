@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact dedup — the ingest-time twin of [[graft.operators.Dedup.exact]]:
+  * drop content-identical documents as they arrive, keeping the first-seen
+  * copy. Built on `dropDuplicatesWithinWatermark` over the content hash, so
+  * per-key state is EVICTED once the watermark passes it — state size is
+  * bounded by one watermark horizon of distinct content, not by stream
+  * lifetime (a plain `dropDuplicates` on an unbounded stream grows state
+  * forever, which is the 100 TB failure mode).
+  *
+  * Duplicates farther apart than the horizon are not caught here by
+  * design — the periodic batch pass ([[graft.operators.Dedup.exact]] /
+  * `Dedup.clusters` over the landed table) owns cross-horizon dedup, the
+  * same split the reference draws between its realtime buffer and the
+  * background indexer (SURVEY §2.8).
+  */
+object StreamingDedup {
+
+  /** @param stream    streaming DataFrame with an event-time column
+    * @param textCol   content column deduped on (hashed, not compared raw)
+    * @param tsCol     event-time column the watermark rides on
+    * @param watermark horizon, e.g. "10 minutes"
+    */
+  def exactWithinWatermark(
+      stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("_chash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_chash")
+      .drop("_chash")
+}

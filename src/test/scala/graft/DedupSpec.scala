@@ -80,4 +80,32 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
   }
+
+  test("connectedComponents: chains merge, components stay separate") {
+    // A~B~C chain (A-C not paired directly) + isolated pair D~E
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents works on string ids and longer chains") {
+    val pairs = Seq(("d", "c"), ("c", "b"), ("b", "a"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("clusters: every doc labeled, singletons canonical, groups collapse") {
+    val universe = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(universe, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(cl == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+    // dedup keep-set = canonical rows: one per cluster
+    assert(cl.count(_._3) == 3)
+  }
 }

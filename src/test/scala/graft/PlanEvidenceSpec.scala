@@ -72,4 +72,21 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(pruned.nonEmpty,
       s"probe did not become a PartitionFilter:\n${plan.queryExecution.executedPlan}")
   }
+
+  test("k-NN join candidates are an equi-join on list_id — no cartesian") {
+    val model = IvfIndex.train(emb, "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("pe_kj").toString + "/tbl"
+    IvfIndex.buildTable(emb, "embedding", model, dir)
+    val table = spark.read.parquet(dir)
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.KnnJoin.ivf(queries, "vec_id", "embedding",
+        table, $"embedding", struct($"vec_id"), model, k = 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in knn-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in knn-join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -40,6 +40,27 @@ class StreamingAggSpec extends SparkSpec {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("StreamingDedup: content dedup within watermark, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.StreamingDedup.exactWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sdedup_out").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // same content twice in one batch + once in the next (inside horizon):
+    // only the first copy survives; distinct content passes
+    mem.addData((t(0), 1L, "same text"), (t(1), 2L, "same text"),
+      (t(1), 3L, "other text"))
+    q.processAllAvailable()
+    mem.addData((t(4), 4L, "same text"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup_out").select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(1L, 3L), s"got $ids")
+    q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]

@@ -57,4 +57,21 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(langs.keySet.subsetOf(Set("en", "und", "de", "fr", "es")))
   }
+
+  test("qualityQuantiles: exact percentile = hand-computed interpolation") {
+    import org.apache.spark.sql.functions.col
+    // 5 values in one stratum: p50 of [1,2,3,4,100] = 3; p75 = 4·0.? →
+    // index 0.75·(5−1)=3 → 4+0·(100−4)=4... use p90: index 3.6 → 4 + 0.6·96
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0))
+      .toDF("s", "v")
+    val r = TextOps.qualityQuantiles(d, col("s"), col("v"), Seq(0.5, 0.9))
+      .head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0)          // p50
+    assert(math.abs(r.getDouble(3) - (4.0 + 0.6 * 96.0)) < 1e-9) // p90 interpolated
+    // the approx path runs and stays within the value range
+    val a = TextOps.qualityQuantiles(d, col("s"), col("v"), Seq(0.5),
+      exact = false).head().getDouble(2)
+    assert(a >= 1.0 && a <= 100.0)
+  }
 }
