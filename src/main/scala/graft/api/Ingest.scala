@@ -97,6 +97,42 @@ object Ingest {
     }
   }
 
+  /** JSON-lines bulk ingest — the reference's only wire format
+    * (POST /document/upsert carries JSON docs, parsed field-by-field in
+    * doc_parse.go:56-128). The space schema DRIVES the read
+    * (`spark.read.schema(...)`), so fields arrive typed, unknown keys are
+    * dropped by the reader (never silently widen the schema), and rows
+    * whose values cannot coerce surface as all-null `_corrupt`-style rows
+    * in the rejected split instead of poisoning the table. Returns
+    * (conformed-ok, rejected) like [[conformSplit]].
+    */
+  def fromJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      space: Space): (DataFrame, DataFrame) = {
+    val schema = space.toStructType
+    // PERMISSIVE + a corrupt-record column: a malformed line must become a
+    // rejected ROW (the reference returns a per-item error), not an
+    // exception killing the batch
+    val corrupt = "_graft_corrupt"
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        corrupt, org.apache.spark.sql.types.StringType, nullable = true))
+    // materialize the parse before splitting: Spark refuses corrupt-column-
+    // only queries over a raw JSON source (and the gate + returned rows
+    // must see one consistent parse anyway — same argument as conform's pin)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .localCheckpoint(eager = true)
+    val bad = raw.filter(col(corrupt).isNotNull).drop(corrupt)
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val (ok, rejected) = conformSplit(good, space)
+    (ok, rejected.unionByName(bad.select(rejected.columns.map(col).toIndexedSeq: _*)))
+  }
+
   /** RANGE partition rule: named, strictly-increasing upper bounds on a
     * long (ns-date) field; a row routes to the FIRST range whose bound
     * exceeds its value (space.go:255-285). Out-of-range rows get null —

@@ -94,7 +94,14 @@ object Dedup {
           .select(col("id"), array_except(col("sharr"), col("_hot")).as("ss"))
       case None => shingled.select(col("id"), col("sharr").as("ss"))
     }
+    // the set relation feeds THREE plan branches (prefix explode + the two
+    // verify joins) — without a materialization Spark re-runs the
+    // tokenize→shingle→hash kernel over the corpus once per branch. One
+    // eager localCheckpoint (spillable blocks, freed on GC) computes it
+    // once; a deployment doing repeated dedup passes would persist the
+    // shingle-set table as a layout instead (IndexStore-style).
     val withSz = sets.withColumn("sz", size(col("ss")))
+      .localCheckpoint(eager = true)
     // prefix = first sz - ceil(t*sz) + 1 elements of the sorted set
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
     val pre = withSz.select(col("id"),
@@ -145,10 +152,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // one kernel call per doc computes the whole signature (and the
-    // distinct shingle-hash set used for exact verification)
+    // distinct shingle-hash set used for exact verification); materialized
+    // once — banding and both verify joins read it (same argument as the
+    // localCheckpoint in jaccardPairs)
     val shingled = df.select(col(idCol).as("id"),
       graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sh"),
       graft.Graft.F.minhashSig(tokens(col(textCol)), n, numHashes).as("sig"))
+      .localCheckpoint(eager = true)
     val sigCols: Seq[Column] = col("id") +:
       (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j"))
     val sig = shingled.select(sigCols: _*)

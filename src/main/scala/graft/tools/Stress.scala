@@ -85,6 +85,16 @@ object Stress {
         tieBreak = Some($"id")).collect()
     }
 
+    // distributed k-NN JOIN: the query side is a TABLE (per-row probe
+    // lists, equi-join on list_id, bounded top-k per query) — work ≈
+    // Q·(nprobe/ncentroids)·n query·vector scores, zero driver collect
+    val qn = sys.env.getOrElse("SPARK_GRAFT_STRESS_QJOIN", "2000").toLong
+    val qTab = spark.range(0, qn).select($"id", vecExpr.cast("array<float>").as("v"))
+    time(s"knn_join_q${qn}_np8of64_top10", qn * (n / 8)) {
+      graft.operators.KnnJoin.ivf(qTab, "id", "v", table, $"v",
+        struct(col("id")), ivf, k = 10, nprobe = 8).count()
+    }
+
     // exact jaccard near-dup at corpus scale: template-structured docs
     // (10 docs share a template, ~2 of 80 words perturbed per doc →
     // within-template jaccard ≈ 0.86) — exercises the prefix-filtered

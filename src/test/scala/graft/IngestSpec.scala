@@ -38,6 +38,27 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("fromJsonl: schema-driven parse, per-item rejects, corrupt lines survive") {
+    val dir = Files.createTempDirectory("jsonl")
+    val f = dir.resolve("batch.jsonl")
+    Files.writeString(f,
+      """{"_id":"a","n":1,"v":[3.0,0.0,4.0,0.0]}
+        |{"n":2,"v":[1.0,1.0,1.0,1.0]}
+        |{"_id":"short","n":3,"v":[1.0,2.0]}
+        |this line is not json at all
+        |""".stripMargin)
+    val (ok, bad) = Ingest.fromJsonl(spark, f.toString, space)
+    val okRows = ok.orderBy("n").collect()
+    assert(okRows.length == 2)
+    assert(okRows(0).getString(0) == "a")          // explicit id kept
+    assert(!okRows(1).isNullAt(0))                 // missing id defaulted
+    val v0 = okRows(0).getSeq[Float](2)
+    assert(math.abs(v0.map(x => x * x).sum - 1f) < 1e-5) // normalized
+    // the wrong-dim row AND the malformed line both land in rejected
+    assert(bad.count() == 2)
+    assert(bad.filter($"_id" === "short").count() == 1)
+  }
+
   test("conform releases its cache pin (no CacheManager growth per batch)") {
     // ADVICE r3: repeated ingest batches must not accumulate pinned
     // entries for the session lifetime
