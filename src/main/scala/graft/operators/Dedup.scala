@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-shingle sets up to this many distinct entries are collapsed to a
+    * broadcast array for a map-side `array_except` subtract (~32 MB of
+    * longs at the bound); beyond it the anti-join formulation takes over.
+    */
+  private val MaxHotBroadcast = 4000000L
+
   /** Canonical tokenizer — non-empty whitespace tokens, shared with
     * [[TextOps.tokens]] so dedup fingerprints and profile metrics see the
     * same token stream (an untrimmed split leaks a "" token for text with
@@ -73,35 +79,42 @@ object Dedup {
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
     // one codegen'd kernel per row: distinct SORTED 64-bit shingle hashes
     // (== xxhash64 of the space-joined shingle strings) — 8-byte shuffle
-    // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵
+    // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵.
+    // Materialized once: the hot-set count, the prefix explode and both
+    // verify joins all read it — without the checkpoint each branch
+    // re-runs the tokenize→shingle→hash kernel over the corpus.
     val shingled = df.select(col(idCol).as("id"),
       graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
+      .localCheckpoint(eager = true)
     val sets = maxShingleDf match {
       case Some(cap) =>
         // capped sets = per-doc set minus the hot-shingle set. Finding the
         // hot set costs one explode→groupBy shuffle (unavoidable — df is a
-        // corpus-wide count), but the SUBTRACTION is map-side: the hot set
-        // is collapsed to a single sorted-array row (distinct shingles
-        // with df > cap — bounded by total-occurrences/cap, tiny for any
-        // real cap) and broadcast, and `array_except` preserves the sorted
-        // order the prefix lemma needs. The previous anti-join + regroup
-        // formulation re-shuffled EVERY (id, shingle) row twice more even
-        // when zero shingles were hot.
+        // corpus-wide count); the SUBTRACTION is map-side when the hot set
+        // is broadcast-sized: collapsed to one sorted-array row and
+        // subtracted with `array_except` (order-preserving, which the
+        // prefix lemma needs). The common no-hot-shingles case skips the
+        // subtract entirely. A pathological corpus (Zipfian shingles with
+        // a tiny cap) can make the hot set itself huge — collect_list of
+        // millions of hashes into one row would OOM where a join degrades
+        // gracefully — so past `MaxHotBroadcast` distinct hot shingles the
+        // anti-join + regroup formulation takes over.
         val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
-        val hotArr = hot.agg(sort_array(collect_list(col("sh"))).as("_hot"))
-        shingled.crossJoin(broadcast(hotArr))
-          .select(col("id"), array_except(col("sharr"), col("_hot")).as("ss"))
+          .select(col("sh")).localCheckpoint(eager = true)
+        val nHot = hot.count()
+        if (nHot == 0L) shingled.select(col("id"), col("sharr").as("ss"))
+        else if (nHot <= MaxHotBroadcast) {
+          val hotArr = hot.agg(sort_array(collect_list(col("sh"))).as("_hot"))
+          shingled.crossJoin(broadcast(hotArr))
+            .select(col("id"), array_except(col("sharr"), col("_hot")).as("ss"))
+        } else {
+          sh0.join(hot, Seq("sh"), "left_anti")
+            .groupBy("id").agg(sort_array(collect_list(col("sh"))).as("ss"))
+        }
       case None => shingled.select(col("id"), col("sharr").as("ss"))
     }
-    // the set relation feeds THREE plan branches (prefix explode + the two
-    // verify joins) — without a materialization Spark re-runs the
-    // tokenize→shingle→hash kernel over the corpus once per branch. One
-    // eager localCheckpoint (spillable blocks, freed on GC) computes it
-    // once; a deployment doing repeated dedup passes would persist the
-    // shingle-set table as a layout instead (IndexStore-style).
     val withSz = sets.withColumn("sz", size(col("ss")))
-      .localCheckpoint(eager = true)
     // prefix = first sz - ceil(t*sz) + 1 elements of the sorted set
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
     val pre = withSz.select(col("id"),

@@ -26,7 +26,13 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") /
       lit(1152921504606846976.0) // 2^60
 
-  /** Keep a deterministic `fraction` of rows by key hash. Map-side only. */
+  /** Keep a deterministic `fraction` of rows by key hash. Map-side only.
+    * NULL-key rows are EXCLUDED at every fraction (membership needs an
+    * identity; `null < f` is null → dropped) — the SQL oracle agrees
+    * (`WHERE NULL < f` keeps nothing). Pre-assign ids (e.g.
+    * [[graft.operators.Documents.withDefaultIds]]) if null-key rows must
+    * participate.
+    */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
     df.filter(portableUniform(key) < fraction)
@@ -49,14 +55,18 @@ object Sampling {
       salt: Int = 16): DataFrame = {
     require(cap > 0, s"cap must be > 0: $cap")
     val u = portableUniform(key)
+    // null-key rows rank LAST (Spark `asc` is NULLS FIRST — unguarded
+    // they'd preferentially consume every stratum's cap slots, and
+    // disagree with SQL engines whose ASC defaults to NULLS LAST)
+    val order = Seq(u.asc_nulls_last, key.asc_nulls_last)
     val pre =
       if (salt > 1) {
         val w1 = Window.partitionBy(stratum, pmod(hash(key), lit(salt)))
-          .orderBy(u.asc, key.asc)
+          .orderBy(order: _*)
         df.withColumn("_prn", row_number().over(w1))
           .filter(col("_prn") <= cap).drop("_prn")
       } else df
-    val w2 = Window.partitionBy(stratum).orderBy(u.asc, key.asc)
+    val w2 = Window.partitionBy(stratum).orderBy(order: _*)
     pre.withColumn("_rn", row_number().over(w2))
       .filter(col("_rn") <= cap).drop("_rn")
   }

@@ -116,8 +116,17 @@ object TextOps {
       df: DataFrame, strata: Column, value: Column, ps: Seq[Double],
       exact: Boolean = true): DataFrame = {
     val fn = if (exact) "percentile" else "approx_percentile"
-    val qs = ps.map { p =>
-      round(call_function(fn, value.cast("double"), lit(p)), 4).as(s"p${(p * 100).toInt}")
+    // name by rounded per-mille when not a whole percent: (p*100).toInt
+    // truncates float error (0.29*100 → 28) and collides 0.99/0.999
+    def nameOf(p: Double): String = {
+      val mille = math.round(p * 1000).toInt
+      if (mille % 10 == 0) s"p${mille / 10}" else s"p${mille}m"
+    }
+    val names = ps.map(nameOf)
+    require(names.distinct.size == names.size,
+      s"duplicate quantile names from $ps: $names")
+    val qs = ps.zip(names).map { case (p, nm) =>
+      round(call_function(fn, value.cast("double"), lit(p)), 4).as(nm)
     }
     df.groupBy(strata)
       .agg(count(lit(1)).as("cnt"), qs: _*)

@@ -142,10 +142,18 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   def read(db: String, spaceName: String): DataFrame = readPath(dir(db, spaceName))
 
   private def readPath(path: String): DataFrame = {
-    recover(path)
+    // readers only touch aside dirs old enough that no LIVE swap can own
+    // them — a reader acting on an in-flight writer's aside would
+    // resurrect just-deleted rows or make the writer's move-in collide
+    recover(path, minAgeMs = ReadRecoveryGraceMs)
     val df = spark.read.parquet(path)
     if (df.columns.contains("_bucket")) df.drop("_bucket") else df
   }
+
+  /** A live replaceBucket/replace completes its swap in well under this;
+    * an aside older than it can only be a crash leftover.
+    */
+  private val ReadRecoveryGraceMs = 60000L
 
   /** Crash recovery on open: a crash inside [[replace]] can leave the whole
     * table under `path.old` with `path` gone; a crash inside
@@ -153,11 +161,24 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     * rows under `path.oldbucket.N` with no `_bucket=N` dir — data that
     * would otherwise silently vanish from every read. Restore aside dirs
     * whose destination is absent; drop aside dirs whose swap completed.
+    *
+    * `minAgeMs` guards READERS against racing a live writer's swap (the
+    * catalog's write contract is single-writer — the reference serializes
+    * writes through one raft leader — but reads are concurrent): only
+    * asides older than the grace window are touched. Write paths pass 0 —
+    * when a writer starts, no other swap can be in flight.
     */
-  private def recover(path: String): Unit = {
+  private def recover(path: String, minAgeMs: Long = 0L): Unit = {
+    val now = System.currentTimeMillis()
+    def oldEnough(f: java.nio.file.Path): Boolean =
+      try now - Files.getLastModifiedTime(f).toMillis >= minAgeMs
+      catch { case _: java.io.IOException => false }
     val p = Paths.get(path)
     val old = Paths.get(s"$path.old")
-    if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+    if (!Files.exists(p) && Files.exists(old) && oldEnough(old)) {
+      try Files.move(old, p)
+      catch { case _: java.io.IOException => () } // another recoverer won
+    }
     val parent = p.toAbsolutePath.getParent
     val base = p.getFileName.toString
     if (parent != null && Files.exists(parent)) {
@@ -170,11 +191,15 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
           }
           buf.toList
         } finally listing.close()
-      asides.foreach { aside =>
+      asides.filter(oldEnough).foreach { aside =>
         val b = aside.getFileName.toString.stripPrefix(s"$base.oldbucket.")
         val dst = p.resolve(s"_bucket=$b")
-        if (Files.exists(dst)) deleteRecursively(aside) // swap completed; aside is leftover
-        else Files.move(aside, dst) // crash mid-swap: restore the bucket's rows
+        // concurrent readers may race the same aside: losing the move /
+        // delete to another recoverer is success, not failure
+        try {
+          if (Files.exists(dst)) deleteRecursively(aside) // swap completed; aside is leftover
+          else Files.move(aside, dst) // crash mid-swap: restore the bucket's rows
+        } catch { case _: java.io.IOException => () }
       }
     }
   }

@@ -142,11 +142,54 @@ object IndexStore {
           if (ready(dir)) return
           if (tryAcquire()) { buildLocked(); return }
         case Some(t) if System.currentTimeMillis() - t > staleMs =>
-          // heartbeat stopped: presumed dead. Remove the corpse and
-          // CONTEND for the lock — whoever wins createDirectory builds;
-          // no code path ever builds without holding the lock
-          deleteLock()
-          if (tryAcquire()) { buildLocked(); return }
+          // heartbeat stopped: presumed dead. Takeover must be atomic —
+          // two waiters observing staleness in the same poll window must
+          // not both "delete corpse + re-acquire" (the loser's delete
+          // would remove the winner's FRESH lock and let two builders
+          // interleave writes). Claim = createFile of a takeover marker
+          // INSIDE the stale lock (atomic, single winner), then verify
+          // the owner token is still the one observed at the staleness
+          // check (a live builder re-acquiring in between changes it).
+          val takeover = lock.resolve("takeover")
+          val observed =
+            try Some(Files.readString(owner))
+            catch { case _: java.io.IOException => None }
+          val claimed =
+            try { Files.createFile(takeover); true }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                // marker from a claimant that died mid-takeover: remove it
+                // only once IT has aged too (a live claim completes in
+                // milliseconds, so this never yanks an in-flight one)
+                val markerStale =
+                  try System.currentTimeMillis() -
+                    Files.getLastModifiedTime(takeover).toMillis > staleMs
+                  catch { case _: java.io.IOException => false }
+                if (markerStale) {
+                  try { Files.deleteIfExists(takeover); () }
+                  catch { case _: java.io.IOException => () }
+                }
+                false
+              case _: java.io.IOException => false // lock vanished; loop re-checks
+            }
+          if (claimed) {
+            val still =
+              try Some(Files.readString(owner))
+              catch { case _: java.io.IOException => None }
+            if (still == observed) {
+              // corpse confirmed: adopt the lock under OUR token and build
+              try {
+                Files.writeString(owner, token)
+                Files.deleteIfExists(takeover)
+                buildLocked()
+                return
+              } catch { case _: java.io.IOException => () }
+            } else {
+              // a live builder re-acquired between observation and claim
+              try { Files.deleteIfExists(takeover); () }
+              catch { case _: java.io.IOException => () }
+            }
+          }
         case _ => Thread.sleep(200)
       }
     }

@@ -23,13 +23,19 @@ object StreamingDedup {
     * @param textCol   content column deduped on (hashed, not compared raw)
     * @param tsCol     event-time column the watermark rides on
     * @param watermark horizon, e.g. "10 minutes"
+    *
+    * NULL-content rows pass through UNDEDUPED: md5(null) is null, and a
+    * null dedup key would make every null-content document after the
+    * first vanish as a "duplicate" of documents it shares nothing with.
     */
   def exactWithinWatermark(
       stream: DataFrame, textCol: String, tsCol: String,
-      watermark: String): DataFrame =
-    stream
+      watermark: String): DataFrame = {
+    val marked = stream.withWatermark(tsCol, watermark)
+    val deduped = marked.filter(col(textCol).isNotNull)
       .withColumn("_chash", md5(col(textCol)))
-      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_chash")
       .drop("_chash")
+    deduped.unionByName(marked.filter(col(textCol).isNull))
+  }
 }

@@ -77,6 +77,7 @@ class SpaceSpec extends SparkSpec {
 
   test("crash recovery: aside bucket dirs are restored on open") {
     import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
     val root = Files.createTempDirectory("spaces_r").toString
     val cat = new SpaceCatalog(spark, root)
     cat.createDb("db1")
@@ -85,6 +86,14 @@ class SpaceSpec extends SparkSpec {
     val init = (0 until 100).map(i => (s"id$i", i.toLong)).toDF("_id", "n")
     cat.upsert("db1", "s3", init, partitionNum = 4)
     val path = s"$root/db1/s3"
+    // crash leftovers are MINUTES old by the time anything reads them;
+    // readers deliberately ignore asides younger than the grace window
+    // (those may belong to a live writer's in-flight swap)
+    def age(p: java.nio.file.Path): Unit = {
+      Files.setLastModifiedTime(p,
+        FileTime.fromMillis(System.currentTimeMillis() - 300000L))
+      ()
+    }
 
     // simulate a crash inside replaceBucket: bucket moved aside, new one
     // never moved in — without recovery these rows silently disappear
@@ -92,7 +101,12 @@ class SpaceSpec extends SparkSpec {
       p => p.getFileName.toString.startsWith("_bucket=")).findFirst().get()
     val b = victim.getFileName.toString.stripPrefix("_bucket=")
     Files.move(victim, Paths.get(s"$path.oldbucket.$b"))
-    assert(cat.docCount("db1", "s3") == 100) // read recovered the bucket
+    // a FRESH aside (possible live swap) is left alone by readers…
+    assert(cat.docCount("db1", "s3") < 100)
+    assert(Files.exists(Paths.get(s"$path.oldbucket.$b")))
+    age(Paths.get(s"$path.oldbucket.$b"))
+    // …an aged one is restored on open
+    assert(cat.docCount("db1", "s3") == 100)
     assert(!Files.exists(Paths.get(s"$path.oldbucket.$b")))
 
     // leftover aside whose swap DID complete (dst exists) is just dropped
@@ -101,13 +115,25 @@ class SpaceSpec extends SparkSpec {
     val b2 = some.getFileName.toString.stripPrefix("_bucket=")
     Files.createDirectories(Paths.get(s"$path.oldbucket.$b2"))
     Files.writeString(Paths.get(s"$path.oldbucket.$b2", "stale.txt"), "junk")
+    age(Paths.get(s"$path.oldbucket.$b2"))
     assert(cat.docCount("db1", "s3") == 100)
     assert(!Files.exists(Paths.get(s"$path.oldbucket.$b2")))
 
     // crash inside replace(): whole table under path.old, path gone
     Files.move(Paths.get(path), Paths.get(s"$path.old"))
+    age(Paths.get(s"$path.old"))
     assert(cat.docCount("db1", "s3") == 100)
     assert(Files.exists(Paths.get(path)) && !Files.exists(Paths.get(s"$path.old")))
+
+    // a writer, by contrast, recovers even fresh asides (single-writer
+    // contract: nothing can be in flight when it starts)
+    val third = Files.list(Paths.get(path)).filter(
+      p => p.getFileName.toString.startsWith("_bucket=")).findFirst().get()
+    val b3 = third.getFileName.toString.stripPrefix("_bucket=")
+    Files.move(third, Paths.get(s"$path.oldbucket.$b3"))
+    cat.upsert("db1", "s3", Seq(("id0", 999L)).toDF("_id", "n"), partitionNum = 4)
+    assert(cat.docCount("db1", "s3") == 100)
+    assert(!Files.exists(Paths.get(s"$path.oldbucket.$b3")))
   }
 
   test("catalog: create/upsert/query/alias/count/backup/restore/drop") {
