@@ -77,6 +77,28 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
+    val (out, intermediates) = jaccardPairsPlan(df, idCol, textCol, n, threshold, maxShingleDf)
+    // materialize the (output-sized) pair list, then deterministically free
+    // the corpus-scale shingle/hot-set checkpoints — the returned
+    // checkpoint's own blocks go to the context cleaner on GC (same
+    // contract as Ingest.conform).
+    try out.localCheckpoint(eager = true)
+    finally intermediates.foreach(Checkpoints.free)
+  }
+
+  /** Lazy-plan variant of [[jaccardPairs]]: returns the un-materialized
+    * pair plan (its prefix-filter equi-join + verify structure stays
+    * inspectable for plan evidence) plus the corpus-scale checkpoints the
+    * plan reads. Callers MUST materialize the plan at most once and then
+    * free each returned checkpoint via [[Checkpoints.free]].
+    */
+  private[graft] def jaccardPairsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = Some(10000)): (DataFrame, Seq[DataFrame]) = {
     // one codegen'd kernel per row: distinct SORTED 64-bit shingle hashes
     // (== xxhash64 of the space-joined shingle strings) — 8-byte shuffle
     // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵.
@@ -86,6 +108,7 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
       graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
       .localCheckpoint(eager = true)
+    var hotCp: Option[DataFrame] = None
     val sets = maxShingleDf match {
       case Some(cap) =>
         // capped sets = per-doc set minus the hot-shingle set. Finding the
@@ -102,6 +125,7 @@ object Dedup {
         val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
           .select(col("sh")).localCheckpoint(eager = true)
+        hotCp = Some(hot)
         val nHot = hot.count()
         if (nHot == 0L) shingled.select(col("id"), col("sharr").as("ss"))
         else if (nHot <= MaxHotBroadcast) {
@@ -123,7 +147,7 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val out = cand
       .join(withSz.select(col("id").as("id_a"), col("ss").as("ss_a"), col("sz").as("sz_a")), "id_a")
       .join(withSz.select(col("id").as("id_b"), col("ss").as("ss_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("common", size(array_intersect(col("ss_a"), col("ss_b"))))
@@ -131,6 +155,7 @@ object Dedup {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, shingled +: hotCp.toSeq)
   }
 
   /** MinHash signature as a per-row expression: element j = min over
@@ -162,12 +187,31 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    val (out, intermediates) =
+      minhashLshPairsPlan(df, idCol, textCol, n, numHashes, bands, threshold)
+    // same lifecycle as jaccardPairs: materialize the output-sized pair
+    // list, then free the corpus-scale signature checkpoint.
+    try out.localCheckpoint(eager = true)
+    finally intermediates.foreach(Checkpoints.free)
+  }
+
+  /** Lazy-plan variant of [[minhashLshPairs]] — see [[jaccardPairsPlan]]
+    * for the contract.
+    */
+  private[graft] def minhashLshPairsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // one kernel call per doc computes the whole signature (and the
     // distinct shingle-hash set used for exact verification); materialized
     // once — banding and both verify joins read it (same argument as the
-    // localCheckpoint in jaccardPairs)
+    // localCheckpoint in jaccardPairs).
     val shingled = df.select(col(idCol).as("id"),
       graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sh"),
       graft.Graft.F.minhashSig(tokens(col(textCol)), n, numHashes).as("sig"))
@@ -187,7 +231,7 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val out = cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -195,6 +239,7 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, Seq(shingled))
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64 (Spark's
@@ -338,7 +383,9 @@ object Dedup {
     * loud instead of silently returning half-merged labels.
     * `localCheckpoint` per round truncates the growing lineage (an
     * iterative plan otherwise re-derives every prior round on each
-    * action).
+    * action); round N−1's blocks are freed as soon as round N
+    * materializes, and the edge table's on exit, so the loop holds at
+    * most two generations of executor storage at any moment.
     *
     * Output: (id, cc) for every id that appears in `pairs`.
     */
@@ -347,27 +394,35 @@ object Dedup {
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(eager = true)
-    var labels = edges.select(col("u").as("id")).distinct()
+    var cur = edges.select(col("u").as("id")).distinct()
       .withColumn("cc", col("id")).localCheckpoint(eager = true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbr = edges.join(labels.select(col("id").as("v"), col("cc").as("_vcc")), "v")
-        .groupBy(col("u")).agg(min(col("_vcc")).as("_nbrcc"))
-      // old and new label in ONE checkpointed pass: the convergence count
-      // then reads checkpoint blocks instead of re-joining the round
-      val upd = labels
-        .join(nbr.select(col("u").as("id"), col("_nbrcc")), Seq("id"), "left")
-        .select(col("id"), col("cc"),
-          least(col("cc"), coalesce(col("_nbrcc"), col("cc"))).as("_ncc"))
-        .localCheckpoint(eager = true)
-      changed = upd.filter(col("_ncc") =!= col("cc")).count()
-      labels = upd.select(col("id"), col("_ncc").as("cc"))
-      iter += 1
+    try {
+      var labels: DataFrame = cur
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbr = edges.join(labels.select(col("id").as("v"), col("cc").as("_vcc")), "v")
+          .groupBy(col("u")).agg(min(col("_vcc")).as("_nbrcc"))
+        // old and new label in ONE checkpointed pass: the convergence count
+        // then reads checkpoint blocks instead of re-joining the round
+        val upd = labels
+          .join(nbr.select(col("u").as("id"), col("_nbrcc")), Seq("id"), "left")
+          .select(col("id"), col("cc"),
+            least(col("cc"), coalesce(col("_nbrcc"), col("cc"))).as("_ncc"))
+          .localCheckpoint(eager = true)
+        changed = upd.filter(col("_ncc") =!= col("cc")).count()
+        Checkpoints.free(cur) // round N−1, fully consumed by upd's materialization
+        cur = upd
+        labels = upd.select(col("id"), col("_ncc").as("cc"))
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIter rounds")
+      labels.localCheckpoint(eager = true)
+    } finally {
+      Checkpoints.free(edges)
+      Checkpoints.free(cur)
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds")
-    labels
   }
 
   /** Cluster every document by its near-dup component: cluster_id = min id

@@ -76,9 +76,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("candidate generation is equi-join, not cartesian") {
-    val plan = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 8, 0.8)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+    // lazy-plan variant: the public API returns a materialized checkpoint
+    // (whose plan is an opaque RDD scan), so plan evidence reads the
+    // un-materialized plan and frees the intermediates itself.
+    val (lsh, cps) = Dedup.minhashLshPairsPlan(docs, "doc_id", "text", 3, 16, 8, 0.8)
+    try {
+      val plan = lsh.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+    } finally cps.foreach(graft.operators.Checkpoints.free)
   }
 
   test("connectedComponents: chains merge, components stay separate") {
@@ -96,6 +101,25 @@ class DedupSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
       "x" -> "x", "y" -> "x"))
+  }
+
+  test("dedup operators free their checkpoint blocks (storage lifecycle)") {
+    // Each pairs operator may leave ONE persisted RDD behind — its own
+    // output-sized result checkpoint (freed by the context cleaner when
+    // unreachable, the Ingest.conform contract) — never the corpus-scale
+    // shingle/signature intermediates or per-round CC state.
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    docs.count() // settle the shared fixture cache before baselining
+    val base = persisted()
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).collect()
+    assert(persisted() <= base + 1, "jaccardPairs leaked checkpoint blocks")
+    val base2 = persisted()
+    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 8, 0.8).collect()
+    assert(persisted() <= base2 + 1, "minhashLshPairs leaked checkpoint blocks")
+    val base3 = persisted()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(persisted() <= base3 + 1, "connectedComponents leaked per-round checkpoints")
   }
 
   test("clusters: every doc labeled, singletons canonical, groups collapse") {
