@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * extraction / resize / frame-sampling as batch-shaped partition-local
   * transforms.
   *
-  * ── STUB NOTICE ─────────────────────────────────────────────────────
-  * The actual codec work (JPEG decode, audio resample, video demux) needs
-  * native libraries that are NOT in this container. Every `*Stub` kernel
-  * below is a clearly-marked DETERMINISTIC FAKE (derives its output from
-  * a hash of the bytes). The Spark-side plumbing — schema, partitioning,
-  * batched mapPartitions shape, output contract — is real and tested;
-  * swapping a stub for a real codec changes only the kernel body.
+  * ── STUB NOTICE (audio/video only) ──────────────────────────────────
+  * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
+  * (ships in the JDK) and emits true dimensions/components plus a
+  * checksum over the decoded sRGB pixels; payloads no reader accepts
+  * degrade to a content-fingerprint row (width/height/channels = 0).
+  * Audio resample and video demux still need native codecs NOT in this
+  * container, so those kernels remain clearly-marked DETERMINISTIC
+  * FAKES (output derived from a hash of the bytes). The Spark-side
+  * plumbing — schema, partitioning, batched mapPartitions shape, output
+  * contract — is real and tested for all of them; swapping a remaining
+  * stub for a real codec changes only the kernel body.
   * ────────────────────────────────────────────────────────────────────
   *
   * Scale shape: decode runs inside `mapPartitions`, i.e. one JVM-local
@@ -48,9 +52,15 @@ object Multimodal {
     h
   }
 
-  /** STUB decode: pretends to decode an image, emitting deterministic
-    * dimensions/checksum from the payload hash. Real implementation:
-    * ImageIO/libjpeg-turbo here, same signature and batch shape.
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP readers ship
+    * in the JDK): true width/height/color components plus an FNV-1a
+    * checksum over the decoded pixels in sRGB INT_ARGB order — a
+    * colorspace-normalized fingerprint, stable across source pixel
+    * layouts. Payloads no registered reader accepts (corrupt bytes,
+    * unsupported containers) degrade to a content-fingerprint row with
+    * width/height/channels = 0 instead of failing the partition — at
+    * corpus scale a scattering of bad files must not kill the job, and
+    * the 0-dims row is filterable downstream.
     */
   def decodeImages(df: DataFrame): Dataset[DecodedImage] = {
     val spark = df.sparkSession
@@ -59,11 +69,27 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch => // partition-local batch loop = decode batch
         batch.map { case (id, bytes) =>
-          val h = hashBytes(if (bytes == null) Array.emptyByteArray else bytes)
-          // STUB: fake dims derived from the content hash
-          DecodedImage(id, width = 64 + (math.abs(h) % 512).toInt,
-            height = 64 + (math.abs(h >> 9) % 512).toInt,
-            channels = 3, pixel_checksum = h)
+          val src = if (bytes == null) Array.emptyByteArray else bytes
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) DecodedImage(id, 0, 0, 0, hashBytes(src))
+          else {
+            var h = 0xcbf29ce484222325L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var p = img.getRGB(x, y) // sRGB INT_ARGB, layout-independent
+                var i = 0
+                while (i < 4) { h ^= (p & 0xffL); h *= 0x100000001b3L; p >>>= 8; i += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, h)
+          }
         }
       }
   }

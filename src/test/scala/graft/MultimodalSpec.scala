@@ -16,12 +16,37 @@ class MultimodalSpec extends SparkSpec {
     assert(types == Set("image", "audio", "video"))
   }
 
-  test("decode stub: deterministic, one row per media") {
+  test("decode: undecodable payloads degrade to deterministic fingerprint rows") {
     val d1 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
     val d2 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
     assert(d1.length == 90)
     assert(d1.map(_.pixel_checksum).toSeq == d2.map(_.pixel_checksum).toSeq)
-    assert(d1.forall(d => d.width >= 64 && d.height >= 64 && d.channels == 3))
+    // synthesized payloads are sha256 bytes, not images — 0-dims fallback
+    assert(d1.forall(d => d.width == 0 && d.height == 0 && d.channels == 0))
+  }
+
+  test("decode: real PNG and JPEG payloads yield true dimensions and a pixel checksum") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 31 + y * 17) % 256) << 16 | (x % 256) << 8 | (y % 256))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, encode("png", 37, 23), "image",  null.asInstanceOf[String]),
+      (2L, encode("jpg", 64, 48), "image",  null.asInstanceOf[String]))
+      .toDF("media_id", "payload", "media_type", "mime")
+    val d = Multimodal.decodeImages(rows).collect().sortBy(_.media_id)
+    assert(d(0).width == 37 && d(0).height == 23 && d(0).channels == 3)
+    assert(d(1).width == 64 && d(1).height == 48 && d(1).channels == 3)
+    // checksum covers decoded pixels: same PNG re-encoded byte-identically
+    // decodes to the same checksum, a different image to a different one
+    val again = Multimodal.decodeImages(rows).collect().sortBy(_.media_id)
+    assert(d.map(_.pixel_checksum).toSeq == again.map(_.pixel_checksum).toSeq)
+    assert(d(0).pixel_checksum != d(1).pixel_checksum)
   }
 
   test("feature stub output feeds Knn directly") {
