@@ -342,6 +342,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── pipeline: scale-safe exact embedding near-dup — IVF list_id
+    //    equi-join at nprobe=ncentroids reproduces the all-pairs result
+    //    without a BroadcastNestedLoopJoin; same oracle as q_embed_neardup ──
+    "q_embed_neardup_knn" -> ((s, dir) => {
+      init(s)
+      Dedup.embeddingNearDupKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, ncentroids = 16, nprobe = 16)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── pipeline: token counting ──
     "q_token_count" -> ((s, dir) => {
       init(s)
@@ -1247,6 +1258,16 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardPairsSql,
 
     "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    // identical result set to q_embed_neardup: nprobe = ncentroids makes
+    // the IVF candidate join exhaustive, so the exact all-pairs SQL is a
+    // true oracle for the scale-safe operator too
+    "q_embed_neardup_knn" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

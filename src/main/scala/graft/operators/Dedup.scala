@@ -323,6 +323,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Scale-safe embedding near-dup over an IVF coarse quantization: the
+    * corpus is assigned to `ncentroids` lists once; each row then probes
+    * its `nprobe` nearest lists with a per-row quantizer expression and
+    * candidates come from a plain `list_id` EQUI-JOIN — hash-partitioned
+    * on both sides, never a BroadcastNestedLoopJoin, so it survives a
+    * corpus that does not fit one executor (the failure mode of
+    * [[embeddingNearDupExact]]). Exact verification (true cosine ≥
+    * threshold) runs on candidates only, so there are no false positives;
+    * `nprobe = ncentroids` probes every list and reproduces the exact
+    * all-pairs result through the distributed join (the oracle-parity
+    * configuration), while `nprobe < ncentroids` trades recall for a
+    * (nprobe/ncentroids)-fraction of the pair work — the 100 TB path.
+    * An unordered pair can surface from both directions (a probes b's
+    * list and b probes a's); canonicalizing to id_a < id_b AFTER the
+    * threshold filter keeps the dedup shuffle output-sized.
+    */
+  def embeddingNearDupKnn(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      ncentroids: Int = 64,
+      nprobe: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val model = IvfIndex.train(df, vecCol, ncentroids, metric = "cosine", seed = seed)
+    val corpus = IvfIndex.assign(
+      df.select(col(idCol).as("_id_c"), col(vecCol).as("_v_c"))
+        .filter(col("_v_c").isNotNull), "_v_c", model)
+    val probes = df
+      .select(col(idCol).as("_id_q"), col(vecCol).as("_v_q"))
+      .filter(col("_v_q").isNotNull)
+      .withColumn("list_id", explode(graft.Graft.columnOf(
+        graft.functions.IvfProbeLists(graft.Graft.exprOf(col("_v_q")),
+          model.centroids, math.min(nprobe, model.ncentroids), model.metric))))
+    probes.join(corpus, Seq("list_id"))
+      .filter(col("_id_q") =!= col("_id_c"))
+      .withColumn("cos", graft.Graft.F.vecCosine(col("_v_q"), col("_v_c")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("_id_q"), col("_id_c")).as("id_a"),
+        greatest(col("_id_q"), col("_id_c")).as("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Random-hyperplane LSH for embedding near-dup: sign bits of dot
     * products with `numPlanes` fixed pseudo-random hyperplanes form the
     * bucket key; only within-bucket pairs are scored exactly. Recall
@@ -373,54 +416,76 @@ object Dedup {
     * needs (pairs alone don't answer "which copies form one group" when
     * duplicates chain A~B~C without A~C qualifying directly).
     *
-    * Algorithm: iterative min-label propagation. Each round is two
-    * shuffle-bounded equi-joins + an aggregate — no driver-resident graph
-    * state; the driver only runs the convergence loop. Rounds needed =
-    * the longest shortest-path to a component's min vertex; for dedup
-    * clusters (small, dense clumps) that is 1–3. A pathological long-chain
-    * graph would want the O(log n)-round large-star/small-star variant —
-    * out of scope while clusters are clumps, guarded by `maxIter` failing
-    * loud instead of silently returning half-merged labels.
-    * `localCheckpoint` per round truncates the growing lineage (an
-    * iterative plan otherwise re-derives every prior round on each
-    * action); round N−1's blocks are freed as soon as round N
-    * materializes, and the edge table's on exit, so the loop holds at
-    * most two generations of executor storage at any moment.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * rewires every vertex's strictly-larger (large-star) or
+    * smaller-or-equal (small-star) neighbors to the minimum of its
+    * neighborhood; the edge set converges to one star per component rooted
+    * at the component minimum in O(log n) rounds on ANY graph shape, where
+    * plain min-label propagation needs O(longest path to the min) — a 10k
+    * path graph converges in ~5 rounds here vs 10k there. Each round is
+    * two groupBy shuffles + one distinct; no driver-resident graph state
+    * (the driver only compares a (count, hash) convergence fingerprint).
+    * `localCheckpoint` per round truncates the growing lineage; round
+    * N−1's blocks are freed as soon as round N materializes, so the loop
+    * holds at most two generations of executor storage at any moment.
+    * Vertex ids may be any orderable type (longs, strings).
     *
     * Output: (id, cc) for every id that appears in `pairs`.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(eager = true)
-    var cur = edges.select(col("u").as("id")).distinct()
-      .withColumn("cc", col("id")).localCheckpoint(eager = true)
+    val verts = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var cur = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = true)
     try {
-      var labels: DataFrame = cur
-      var changed = 1L
+      // large-star: u's neighborhood min m = min(N(u) ∪ {u}) pulls every
+      // neighbor v > u down to (v, m) — long chains halve in one round
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+        sym.join(m, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      // small-star: orient each edge large→small, pull u and its ≤-side
+      // neighborhood onto its min — stars collapse onto their root
+      def smallStar(e: DataFrame): DataFrame = {
+        val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+        dir.join(m, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      // convergence fingerprint in ONE action over checkpoint blocks
+      // (bit_xor, not sum: a hash sum overflows Long and ANSI mode throws)
+      def fingerprint(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var fp = fingerprint(cur)
+      var converged = cur.isEmpty
       var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        val nbr = edges.join(labels.select(col("id").as("v"), col("cc").as("_vcc")), "v")
-          .groupBy(col("u")).agg(min(col("_vcc")).as("_nbrcc"))
-        // old and new label in ONE checkpointed pass: the convergence count
-        // then reads checkpoint blocks instead of re-joining the round
-        val upd = labels
-          .join(nbr.select(col("u").as("id"), col("_nbrcc")), Seq("id"), "left")
-          .select(col("id"), col("cc"),
-            least(col("cc"), coalesce(col("_nbrcc"), col("cc"))).as("_ncc"))
-          .localCheckpoint(eager = true)
-        changed = upd.filter(col("_ncc") =!= col("cc")).count()
-        Checkpoints.free(cur) // round N−1, fully consumed by upd's materialization
-        cur = upd
-        labels = upd.select(col("id"), col("_ncc").as("cc"))
+      while (!converged && iter < maxIter) {
+        val nxt = smallStar(largeStar(cur)).localCheckpoint(eager = true)
+        val nfp = fingerprint(nxt)
+        Checkpoints.free(cur) // round N−1, fully consumed by nxt
+        cur = nxt
+        converged = nfp == fp
+        fp = nfp
         iter += 1
       }
-      require(changed == 0,
-        s"connectedComponents did not converge in $maxIter rounds")
-      labels.localCheckpoint(eager = true)
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      // converged edges are (child, root) stars; roots label themselves
+      verts.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("v"), col("id")).as("cc"))
+        .localCheckpoint(eager = true)
     } finally {
-      Checkpoints.free(edges)
+      Checkpoints.free(verts)
       Checkpoints.free(cur)
     }
   }

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     if (exact.nonEmpty) assert(lsh.nonEmpty, "LSH found nothing")
   }
 
+  test("embeddingNearDupKnn: exact parity at nprobe=ncentroids") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val knn = Dedup.embeddingNearDupKnn(emb, "vec_id", "embedding", 0.4,
+      ncentroids = 8, nprobe = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(knn == exact, "full-probe IVF near-dup must reproduce the all-pairs result")
+  }
+
   test("candidate generation is equi-join, not cartesian") {
     // lazy-plan variant: the public API returns a materialized checkpoint
     // (whose plan is an opaque RDD scan), so plan evidence reads the
@@ -101,6 +111,18 @@ class DedupSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
       "x" -> "x", "y" -> "x"))
+  }
+
+  test("connectedComponents: 10k-vertex path graph converges in O(log n) rounds") {
+    // the worst case for min-label propagation (needs 10k rounds); the
+    // large-star/small-star formulation must finish within the default
+    // maxIter = 25 budget (~log2(10k) + constant)
+    val pairs = spark.range(0L, 9999L).toDF("id_a")
+      .withColumn("id_b", col("id_a") + 1)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(cc.filter(col("cc") =!= 0L).count() == 0L,
+      "every vertex of a path must label to the path minimum")
+    assert(cc.count() == 10000L)
   }
 
   test("dedup operators free their checkpoint blocks (storage lifecycle)") {

@@ -73,6 +73,18 @@ class PlanEvidenceSpec extends SparkSpec {
       s"probe did not become a PartitionFilter:\n${plan.queryExecution.executedPlan}")
   }
 
+  test("embeddingNearDupKnn candidates are an equi-join on list_id — no BNLJ") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Dedup.embeddingNearDupKnn(
+        emb, "vec_id", "embedding", 0.4, ncentroids = 8, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in near-dup:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop join in near-dup:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k-NN join candidates are an equi-join on list_id — no cartesian") {
     val model = IvfIndex.train(emb, "embedding", 8)
     val dir = java.nio.file.Files.createTempDirectory("pe_kj").toString + "/tbl"
