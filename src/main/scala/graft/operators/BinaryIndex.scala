@@ -84,13 +84,17 @@ object BinaryIndex {
     * gamma_index_ivfrabitq.cc:105,214-223). Values are returned
     * DEQUANTIZED (floats snapped to their 2^qb levels), so the estimator
     * kernel stays a plain float dot; qb only controls the fidelity.
+    * qb = 0 is the reference's "no query quantization" setting
+    * (space.go:302-319 accepts qb ∈ [0,8]): the raw query feeds the
+    * asymmetric estimator unmodified — the highest-fidelity stage-1
+    * ranking the 1-bit corpus codes can support.
     */
   def quantizeQuery(q: Seq[Float], qb: Int): Array[Float] = {
-    require(qb >= 1 && qb <= 8, s"qb must be in [1,8], got $qb")
+    require(qb >= 0 && qb <= 8, s"qb must be in [0,8], got $qb")
     val arr = q.toArray
     val mn = arr.min
     val mx = arr.max
-    if (mx == mn) arr
+    if (qb == 0 || mx == mn) arr
     else {
       val levels = (1 << qb) - 1
       arr.map { x =>
@@ -104,10 +108,12 @@ object BinaryIndex {
     *
     * Stage-1 estimator (per `qb`, the RaBitQ query-quantization bits):
     *  - qb = 1: symmetric Hamming over packed codes (both sides 1-bit);
-    *  - qb in [2,8]: asymmetric sign-dot — corpus bits vs the qb-bit
-    *    quantized query (keeps per-dim magnitudes, strictly better
-    *    candidate ranking for the same corpus bytes; descending order,
-    *    larger dot = closer for angle-preserving data).
+    *  - qb = 0 (reference "unquantized query", space.go:302-319) or
+    *    qb in [2,8]: asymmetric sign-dot — corpus bits vs the query
+    *    (raw at qb=0, qb-bit quantized otherwise; keeps per-dim
+    *    magnitudes, strictly better candidate ranking for the same
+    *    corpus bytes; descending order, larger dot = closer for
+    *    angle-preserving data).
     *
     * Stage 1 projects (id, code) immediately so parquet column pruning
     * drops the raw float vectors from the shortlist scan — dim/8 bytes per
@@ -128,7 +134,7 @@ object BinaryIndex {
       qb: Int = 1): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val scored =
-      if (qb <= 1) {
+      if (qb == 1) {
         val qCode = VecKernels.signBits(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
           .asInstanceOf[Array[Byte]]

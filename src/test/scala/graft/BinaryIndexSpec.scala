@@ -64,6 +64,38 @@ class BinaryIndexSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("qb=0 (unquantized query): accepted, exact at full shortlist, >= qb=4 recall") {
+    // reference space.go:302-319 accepts qb in [0,8]; 0 = raw query in the
+    // asymmetric estimator. Full shortlist still pins scores to exact rerank.
+    val n = emb.count().toInt
+    val got = BinaryIndex.search(coded, $"embedding", q(5), 10, shortlist = n,
+      idCol = $"vec_id", qb = 0).select($"vec_id", $"_score").as[(Long, Double)].collect().toSeq
+    val exact = Knn.search(emb, $"embedding", q(5), 10, "l2", tieBreak = Some($"vec_id"))
+      .select($"vec_id", $"_score").as[(Long, Double)].collect().toSeq
+    assert(got == exact)
+    // raw query matches its quantized form's recall in expectation; on a
+    // single fixture quantization noise can swing a result either way, so
+    // pin near-parity plus an absolute floor rather than strict dominance
+    def recallAt(qb: Int): Double = {
+      var hits = 0; var total = 0
+      for (id <- 0L until 15L) {
+        val ex = Knn.search(emb, $"embedding", q(id), 10, "l2", tieBreak = Some($"vec_id"))
+          .select($"vec_id").as[Long].collect().toSet
+        val g = BinaryIndex.search(coded, $"embedding", q(id), 10,
+          shortlist = 50, idCol = $"vec_id", qb = qb)
+          .select($"vec_id").as[Long].collect().toSet
+        hits += g.intersect(ex).size; total += ex.size
+      }
+      hits.toDouble / total
+    }
+    val (r0, r4) = (recallAt(0), recallAt(4))
+    assert(r0 >= r4 - 0.05, s"qb=0 recall $r0 far below qb=4 recall $r4")
+    assert(r0 >= 0.8, s"qb=0 shortlist recall@10 = $r0")
+    // out-of-range still rejects
+    intercept[IllegalArgumentException] { BinaryIndex.quantizeQuery(Seq(1f, 2f), 9) }
+    intercept[IllegalArgumentException] { BinaryIndex.quantizeQuery(Seq(1f, 2f), -1) }
+  }
+
   test("IVFRABITQ: residual codes, exact at degenerate params, recall holds") {
     val ivf = graft.operators.IvfIndex.train(emb, "embedding", 8)
     val assigned = graft.operators.IvfIndex.assign(emb, "embedding", ivf)
