@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -30,7 +29,7 @@ import graft.operators.{BinaryIndex, IvfIndex, PqIndex}
 object IndexStore {
 
   /** Bump to invalidate cached layouts when build code changes. */
-  private val Version = "v1"
+  private val Version = "v2"
 
   def rootDir: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_index")
@@ -195,15 +194,76 @@ object IndexStore {
     }
   }
 
-  private def writeObj(path: String, o: AnyRef): Unit = {
+  // ── model sidecars ────────────────────────────────────────────────────
+  // Versioned TEXT format, not Java serialization: a serialized case class
+  // couples the cache to the exact compiled class layout — adding a field
+  // to IvfIndex.Model would throw InvalidClassException on every cached
+  // model and force silent full rebuilds (or worse, deserialize garbage).
+  // The sidecar instead pins an explicit header the reader validates, and
+  // Float.toString/parseFloat round-trip bit-exactly, so a model written
+  // by any build of this code is readable by any other that speaks the
+  // same declared format version.
+
+  private[graft] def writeIvfModel(path: String, m: IvfIndex.Model): Unit = {
+    val sb = new StringBuilder
+    sb.append("graft-ivf 1\n")
+    sb.append("metric ").append(m.metric).append('\n')
+    sb.append("ncentroids ").append(m.centroids.length).append('\n')
+    m.centroids.foreach { c => sb.append(c.mkString(" ")).append('\n') }
     Files.createDirectories(Paths.get(path).getParent)
-    val out = new ObjectOutputStream(new FileOutputStream(path))
-    try out.writeObject(o) finally out.close()
+    Files.writeString(Paths.get(path), sb.toString)
+    ()
   }
 
-  private def readObj[T](path: String): T = {
-    val in = new ObjectInputStream(new FileInputStream(path))
-    try in.readObject().asInstanceOf[T] finally in.close()
+  private[graft] def readIvfModel(path: String): IvfIndex.Model = {
+    val lines = Files.readAllLines(Paths.get(path))
+    require(lines.get(0) == "graft-ivf 1",
+      s"unsupported ivf model format '${lines.get(0)}' in $path")
+    val metric = lines.get(1).stripPrefix("metric ").trim
+    val n = lines.get(2).stripPrefix("ncentroids ").trim.toInt
+    val cents = Array.tabulate(n) { i =>
+      val row = lines.get(3 + i).trim
+      if (row.isEmpty) Array.empty[Float] else row.split(' ').map(_.toFloat)
+    }
+    IvfIndex.Model(cents, metric)
+  }
+
+  private[graft] def writePqModel(path: String, m: PqIndex.Model): Unit = {
+    val sb = new StringBuilder
+    sb.append("graft-pq 1\n")
+    sb.append("metric ").append(m.metric).append('\n')
+    sb.append("m ").append(m.m).append(" ksub ").append(m.ksub)
+      .append(" dsub ").append(m.dsub).append('\n')
+    m.codebooks.foreach { book =>
+      sb.append("sub ").append(book.length).append('\n')
+      book.foreach { c => sb.append(c.mkString(" ")).append('\n') }
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), sb.toString)
+    ()
+  }
+
+  private[graft] def readPqModel(path: String): PqIndex.Model = {
+    val lines = Files.readAllLines(Paths.get(path))
+    require(lines.get(0) == "graft-pq 1",
+      s"unsupported pq model format '${lines.get(0)}' in $path")
+    val metric = lines.get(1).stripPrefix("metric ").trim
+    val hdr = lines.get(2).trim.split(' ')
+    require(hdr.length == 6 && hdr(0) == "m" && hdr(2) == "ksub" && hdr(4) == "dsub",
+      s"malformed pq header '${lines.get(2)}' in $path")
+    val (m, ksub, dsub) = (hdr(1).toInt, hdr(3).toInt, hdr(5).toInt)
+    var at = 3
+    val books = Array.fill(m) {
+      val sub = lines.get(at).trim.split(' ')
+      require(sub.length == 2 && sub(0) == "sub", s"malformed sub header in $path")
+      at += 1
+      Array.fill(sub(1).toInt) {
+        val row = lines.get(at).trim
+        at += 1
+        if (row.isEmpty) Array.empty[Float] else row.split(' ').map(_.toFloat)
+      }
+    }
+    PqIndex.Model(m, ksub, dsub, books, metric)
   }
 
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
@@ -217,10 +277,10 @@ object IndexStore {
       val e = emb(spark, sfDir)
       val model = IvfIndex.train(e, "embedding", ncentroids)
       IvfIndex.buildTable(e, "embedding", model, s"$dir/table")
-      writeObj(s"$dir/model.bin", model)
+      writeIvfModel(s"$dir/model.txt", model)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readObj[IvfIndex.Model](s"$dir/model.bin"))
+    (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/model.txt"))
   }
 
   /** IVFPQ layout: `list_id`-partitioned table carrying `pq_code` + raw
@@ -239,13 +299,13 @@ object IndexStore {
         maxTrainRows = 200000L, maxIter = 8)
       PqIndex.encode(IvfIndex.assign(e, "embedding", ivf), "embedding", pq)
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
-      writeObj(s"$dir/ivf.bin", ivf)
-      writeObj(s"$dir/pq.bin", pq)
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      writePqModel(s"$dir/pq.txt", pq)
       markReady(dir)
     }
     (spark.read.parquet(s"$dir/table"),
-      readObj[IvfIndex.Model](s"$dir/ivf.bin"),
-      readObj[PqIndex.Model](s"$dir/pq.bin"))
+      readIvfModel(s"$dir/ivf.txt"),
+      readPqModel(s"$dir/pq.txt"))
   }
 
   /** Flat PQ layout: `pq_code` alongside raw vectors, no coarse partition. */
@@ -259,10 +319,10 @@ object IndexStore {
         maxTrainRows = 200000L, maxIter = 8)
       PqIndex.encode(e, "embedding", pq)
         .write.mode("overwrite").parquet(s"$dir/table")
-      writeObj(s"$dir/pq.bin", pq)
+      writePqModel(s"$dir/pq.txt", pq)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readObj[PqIndex.Model](s"$dir/pq.bin"))
+    (spark.read.parquet(s"$dir/table"), readPqModel(s"$dir/pq.txt"))
   }
 
   /** Binary (sign-bit) layout: embeddings + packed `bcode`. */
@@ -289,10 +349,10 @@ object IndexStore {
       val ivf = ivfFlat(spark, sfDir, ncentroids)._2
       BinaryIndex.encodeResidual(IvfIndex.assign(e, "embedding", ivf), "embedding", ivf)
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
-      writeObj(s"$dir/ivf.bin", ivf)
+      writeIvfModel(s"$dir/ivf.txt", ivf)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readObj[IvfIndex.Model](s"$dir/ivf.bin"))
+    (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/ivf.txt"))
   }
 
   /** Build every layout the declared queries use — called from Bench's
