@@ -442,13 +442,16 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = true)
     try {
       // large-star: u's neighborhood min m = min(N(u) ∪ {u}) pulls every
-      // neighbor v > u down to (v, m) — long chains halve in one round
+      // neighbor v > u down to (v, m) — long chains halve in one round.
+      // No distinct here: duplicates are harmless to smallStar's min
+      // aggregate and its terminal distinct, so the round function stays
+      // set→set while this saves one full shuffle per round.
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
         val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
         sym.join(m, "u").filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .filter(col("u") =!= col("v")).distinct()
+          .filter(col("u") =!= col("v"))
       }
       // small-star: orient each edge large→small, pull u and its ≤-side
       // neighborhood onto its min — stars collapse onto their root

@@ -237,14 +237,45 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   /** Space "stats" (GetDocsNum, engine.cc:1138). */
   def docCount(db: String, spaceName: String): Long = read(db, spaceName).count()
 
-  /** Backup = CREATE TABLE AS (internal/ps/backup/). */
-  def backup(db: String, spaceName: String, targetPath: String): Unit =
-    read(db, spaceName).write.mode(SaveMode.ErrorIfExists).parquet(targetPath)
+  /** Backup to ANY Hadoop-FS URI — `file://`, `hdfs://`, `s3a://`… (the
+    * reference target is an S3-compatible object store,
+    * internal/ps/backup/). A byte-faithful directory copy, not a
+    * re-written parquet export: the bucketed `_bucket=N` layout and the
+    * `_graft_buckets` meta travel with the backup, so restore is a copy
+    * too — no shuffle, no re-bucketing, and the restored space keeps its
+    * O(|batch|·table/buckets) upsert property.
+    */
+  def backup(db: String, spaceName: String, targetUri: String): Unit = {
+    val path = dir(db, spaceName)
+    recover(path) // snapshot the healed table, never a mid-swap aside state
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(Paths.get(path).toUri)
+    val dst = new org.apache.hadoop.fs.Path(targetUri)
+    val dstFs = dst.getFileSystem(conf)
+    require(!dstFs.exists(dst), s"backup target $targetUri already exists")
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, dstFs, dst,
+      /* deleteSource = */ false, /* overwrite = */ false, conf)
+    require(ok, s"backup copy to $targetUri failed")
+    ()
+  }
 
-  def restore(db: String, spaceName: String, sourcePath: String): Unit = {
+  /** Restore a space from a backup URI written by [[backup]] (any
+    * Hadoop-FS scheme). Fails if the space already exists.
+    */
+  def restore(db: String, spaceName: String, sourceUri: String): Unit = {
     val path = dir(db, spaceName)
     require(!Files.exists(Paths.get(path)), s"space $spaceName already exists")
-    spark.read.parquet(sourcePath).write.parquet(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(sourceUri)
+    val srcFs = src.getFileSystem(conf)
+    require(srcFs.exists(src), s"backup source $sourceUri does not exist")
+    val dst = new org.apache.hadoop.fs.Path(Paths.get(path).toUri)
+    Files.createDirectories(Paths.get(path).getParent)
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      srcFs, src, dst.getFileSystem(conf), dst,
+      /* deleteSource = */ false, /* overwrite = */ false, conf)
+    require(ok, s"restore copy from $sourceUri failed")
     refreshView(db, spaceName)
   }
 

@@ -42,6 +42,33 @@ object Recall {
         ).cast("float")).as("embedding"))
   }
 
+  /** Second evaluation distribution (the reference CI gates run on SIFT +
+    * GloVe + NYTimes, test/test_recall_baseline.py:31-45 — clustered
+    * integer-ish, normalized word-embedding, and normalized document
+    * distributions; one synthetic mixture alone over-fits the gate
+    * evidence to one geometry): GloVe/NYTimes-shaped — every vector
+    * L2-NORMALIZED onto the unit sphere, with ANISOTROPIC per-dimension
+    * energy (component variance decays with dimension index, the spectrum
+    * word-embedding matrices exhibit) and larger relative noise than the
+    * mixture. Deterministic, columnar, held-out queries as in
+    * [[synthetic]].
+    */
+  def syntheticNormalized(spark: SparkSession, n: Long, dim: Int,
+      nClusters: Int, nQueries: Int): DataFrame = {
+    import spark.implicits._
+    val raw = transform(sequence(lit(0), lit(dim - 1)), j => {
+      // leading dims carry ~4× the energy of trailing ones
+      val decay = lit(1.0) / (lit(1.0) + j.cast("double") * lit(3.0) / lit(dim))
+      (((pmod(xxhash64(pmod($"id", lit(nClusters.toLong)), j, lit(7L)), lit(2000L))
+          .cast("double") / 500.0 - 2.0) +
+        (pmod(xxhash64($"id", j, lit(9L)), lit(2000L))
+          .cast("double") / 2500.0 - 0.4)) * decay).cast("float")
+    })
+    spark.range(n + nQueries).select(
+      $"id".as("vec_id"),
+      Graft.F.l2Normalize(raw).as("embedding"))
+  }
+
   /** Exact L2 ground truth @k for every query in one batched pass. */
   def groundTruth(corpus: DataFrame, queries: DataFrame, k: Int): Map[Long, Seq[Long]] = {
     val spark = corpus.sparkSession
@@ -173,11 +200,19 @@ object Recall {
     val synth = sys.env.get("SPARK_GRAFT_RECALL_SYNTH")
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "100").toInt
 
+    // mixture (SIFT-like clustered) | normalized (GloVe/NYTimes-like
+    // unit-sphere anisotropic) — the two CI gate distributions
+    val dist = sys.env.getOrElse("SPARK_GRAFT_RECALL_DIST", "mixture")
+
     val (corpus, queriesDf) = synth match {
       case Some(spec) =>
         val Array(nStr, dStr) = spec.split("x")
         val (n, d) = (nStr.toLong, dStr.toInt)
-        val all = synthetic(spark, n, d, nClusters = 4096, nQueries = nQueries)
+        val all = dist match {
+          case "normalized" =>
+            syntheticNormalized(spark, n, d, nClusters = 4096, nQueries = nQueries)
+          case _ => synthetic(spark, n, d, nClusters = 4096, nQueries = nQueries)
+        }
         (all.filter($"vec_id" < n),
           all.filter($"vec_id" >= n)
             .select($"vec_id".as("qid"), $"embedding".as("qv")))
@@ -196,7 +231,9 @@ object Recall {
       .select($"qid", $"qv".cast("array<float>").as("qv"))
 
     val gt = groundTruth(cached, qDf, 100)
-    report("FLAT", n, gt, gt) // 1.0 by construction
+    // distribution tag keeps the two synthetic rows distinguishable
+    val tag = if (synth.isDefined && dist != "mixture") s"${dist}_" else ""
+    report(s"${tag}FLAT", n, gt, gt) // 1.0 by construction
 
     val dim = queries.head._2.length
     val ncent = sys.env.get("SPARK_GRAFT_RECALL_NCENT").map(_.toInt)
@@ -211,7 +248,7 @@ object Recall {
     val assigned = IvfIndex.assign(cached, "embedding", ivf).cache()
     assigned.count()
     for (np <- nprobes)
-      report(s"IVFFLAT_nc${ncent}_np$np", n, gt, evalIvf(assigned, ivf, queries, np, 100))
+      report(s"${tag}IVFFLAT_nc${ncent}_np$np", n, gt, evalIvf(assigned, ivf, queries, np, 100))
 
     // nbytes=64 at 128d ⇒ m = dim/2 (dsub=2, 1 byte per sub-code)
     val m = math.min(dim / 2, 64)
@@ -222,7 +259,7 @@ object Recall {
     encoded.count()
     val np = nprobes.max
     val recallNum = sys.env.getOrElse("SPARK_GRAFT_RECALL_RERANK", "300").toInt
-    report(s"IVFPQ_nc${ncent}_np${np}_m$m", n, gt,
+    report(s"${tag}IVFPQ_nc${ncent}_np${np}_m$m", n, gt,
       evalIvfPq(encoded, ivf, pq, queries, np, recallNum, 100))
     encoded.unpersist()
 
@@ -230,7 +267,7 @@ object Recall {
     val coded = graft.operators.BinaryIndex
       .encodeResidual(assigned, "embedding", ivf).cache()
     coded.count()
-    report(s"IVFRABITQ_nc${ncent}_np${np}_qb4", n, gt,
+    report(s"${tag}IVFRABITQ_nc${ncent}_np${np}_qb4", n, gt,
       evalIvfRabitq(coded, ivf, queries, np, shortlist = recallNum, k = 100))
 
     spark.stop()

@@ -23,6 +23,33 @@ class IndexStoreSpec extends AnyFunSuite {
     ()
   }
 
+  test("model sidecars round-trip bit-exactly and survive a class change") {
+    // the failure mode being regression-locked: Java serialization would
+    // throw InvalidClassException on any Model field change; the text
+    // format depends only on its own declared header
+    val dir = tmpDir()
+    val ivf = graft.operators.IvfIndex.Model(
+      Array(Array(1.5f, -2.25f, Float.MinPositiveValue),
+        Array(0f, 3.4028235e38f, -1e-30f)), "cosine")
+    IndexStore.writeIvfModel(s"$dir/ivf.txt", ivf)
+    val ivf2 = IndexStore.readIvfModel(s"$dir/ivf.txt")
+    assert(ivf2.metric == ivf.metric)
+    assert(ivf2.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    val pq = graft.operators.PqIndex.Model(2, 4, 3,
+      Array(Array(Array(0.1f, 0.2f, 0.3f), Array(-1f, -2f, -3f)),
+        Array(Array(9f, 8f, 7f), Array(0.5f, 0.25f, 0.125f))), "l2")
+    IndexStore.writePqModel(s"$dir/pq.txt", pq)
+    val pq2 = IndexStore.readPqModel(s"$dir/pq.txt")
+    assert(pq2.m == pq.m && pq2.ksub == pq.ksub && pq2.dsub == pq.dsub
+      && pq2.metric == pq.metric)
+    assert(pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // a reader from a future format version fails loud, not garbage
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.txt"), "graft-ivf 99\nmetric l2\n")
+    intercept[IllegalArgumentException] { IndexStore.readIvfModel(s"$dir/bad.txt") }
+  }
+
   test("builds once, clears the lock, later calls are no-ops") {
     val dir = tmpDir()
     val n = new AtomicInteger(0)

@@ -46,4 +46,50 @@ class RecallGateSpec extends SparkSpec {
     corpus.unpersist(); assigned.unpersist(); encoded.unpersist()
     ()
   }
+
+  test("gates hold on the normalized anisotropic (GloVe-like) distribution") {
+    // second CI distribution (test_recall_baseline.py:31-45 evaluates
+    // SIFT + GloVe + NYTimes, not one geometry): unit-sphere vectors with
+    // decaying per-dimension energy — harder coarse quantization than the
+    // well-separated mixture
+    val n = 40000L
+    val dim = 64
+    val all = Recall.syntheticNormalized(spark, n, dim, nClusters = 256, nQueries = 30)
+    val corpus = all.filter($"vec_id" < n).cache()
+    corpus.count()
+    val qDf = all.filter($"vec_id" >= n)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val queries = qDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val gt = Recall.groundTruth(corpus, qDf, 100)
+
+    val ncent = 64
+    val nprobe = 3
+    val ivf = IvfIndex.train(corpus, "embedding", ncent)
+    val assigned = IvfIndex.assign(corpus, "embedding", ivf).cache()
+    assigned.count()
+    assert(Recall.report(s"spec_norm_IVFFLAT_nc${ncent}_np$nprobe", n, gt,
+      Recall.evalIvf(assigned, ivf, queries, nprobe, 100)),
+      "IVFFLAT recall gates failed on the normalized distribution")
+
+    val pq = PqIndex.train(corpus, "embedding", dim = dim, m = dim / 2, ksub = 64,
+      maxTrainRows = 10000L, maxIter = 8)
+    val encoded = PqIndex.encode(assigned, "embedding", pq).cache()
+    encoded.count()
+    assert(Recall.report(s"spec_norm_IVFPQ_nc${ncent}_np${nprobe}_m${dim / 2}", n, gt,
+      Recall.evalIvfPq(encoded, ivf, pq, queries, nprobe, recallNum = 300, k = 100)),
+      "IVFPQ recall gates failed on the normalized distribution")
+    encoded.unpersist()
+
+    val coded = graft.operators.BinaryIndex
+      .encodeResidual(assigned, "embedding", ivf).cache()
+    coded.count()
+    assert(Recall.report(s"spec_norm_IVFRABITQ_nc${ncent}_np${nprobe}_qb4", n, gt,
+      Recall.evalIvfRabitq(coded, ivf, queries, nprobe, shortlist = 300, k = 100)),
+      "IVFRABITQ recall gates failed on the normalized distribution")
+    coded.unpersist()
+
+    corpus.unpersist(); assigned.unpersist()
+    ()
+  }
 }

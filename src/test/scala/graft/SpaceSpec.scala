@@ -160,11 +160,20 @@ class SpaceSpec extends SparkSpec {
     cat.deleteByQuery("db1", "s1", org.apache.spark.sql.functions.col("n") > 10)
     assert(cat.docCount("db1", "s1") == 2)
 
-    val bdir = s"$root/backup1"
+    // backup/restore over a Hadoop-FS URI (file:// here; same code path
+    // serves hdfs:// or s3a://) — byte-faithful, bucket layout included
+    val bdir = s"file://$root/backup1"
     cat.backup("db1", "s1", bdir)
+    assertThrows[IllegalArgumentException](cat.backup("db1", "s1", bdir))
     cat.dropSpace("db1", "s1")
     cat.restore("db1", "s1", bdir)
     assert(cat.docCount("db1", "s1") == 2)
+    // the restored table kept its physical bucket meta (copy, not rewrite)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/db1/s1/_graft_buckets")))
+    val again = cat.read("db1", "s1").orderBy("_id")
+      .as[(String, Long)].collect().toSeq
+    assert(again == Seq(("a", 1L), ("c", 3L)))
   }
 
   test("bucketed upsert rewrites only touched buckets") {
