@@ -347,7 +347,12 @@ object Dedup {
       ncentroids: Int = 64,
       nprobe: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val model = IvfIndex.train(df, vecCol, ncentroids, metric = "cosine", seed = seed)
+    // few Lloyd iterations on purpose: centroid quality only shapes list
+    // LOAD BALANCE here — at nprobe=ncentroids every pair is examined
+    // regardless, and the exact cosine verify governs the output at any
+    // nprobe, so paying full KMeans convergence buys nothing
+    val model = IvfIndex.train(df, vecCol, ncentroids, metric = "cosine",
+      seed = seed, maxIter = 8)
     val corpus = IvfIndex.assign(
       df.select(col(idCol).as("_id_c"), col(vecCol).as("_v_c"))
         .filter(col("_v_c").isNotNull), "_v_c", model)

@@ -71,7 +71,8 @@ object IvfIndex {
       ncentroids: Int,
       metric: String = "l2",
       seed: Long = 42L,
-      maxTrainRows: Long = 1000000L): Model = {
+      maxTrainRows: Long = 1000000L,
+      maxIter: Int = 20): Model = {
     // ingest conformance passes null vectors through (only wrong-dim rows
     // reject) — they must not reach KMeans (MLlib NPEs on null features)
     val clean = df.filter(col(vecCol).isNotNull)
@@ -83,7 +84,7 @@ object IvfIndex {
     val feats = sampled.select(array_to_vector(col(vecCol)).as("features"))
     // degenerate corpora: never ask for more centroids than rows
     val k = math.min(ncentroids.toLong, total).toInt
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
     val centers = km.clusterCenters.map(_.toArray.map(_.toFloat))
     Model(centers, metric)
   }

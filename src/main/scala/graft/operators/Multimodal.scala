@@ -9,17 +9,22 @@ import org.apache.spark.sql.types._
   * extraction / resize / frame-sampling as batch-shaped partition-local
   * transforms.
   *
-  * ── STUB NOTICE (audio/video only) ──────────────────────────────────
+  * ── STUB NOTICE (feature inference + video only) ────────────────────
   * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
   * (ships in the JDK) and emits true dimensions/components plus a
-  * checksum over the decoded sRGB pixels; payloads no reader accepts
-  * degrade to a content-fingerprint row (width/height/channels = 0).
-  * Audio resample and video demux still need native codecs NOT in this
-  * container, so those kernels remain clearly-marked DETERMINISTIC
-  * FAKES (output derived from a hash of the bytes). The Spark-side
-  * plumbing — schema, partitioning, batched mapPartitions shape, output
-  * contract — is real and tested for all of them; swapping a remaining
-  * stub for a real codec changes only the kernel body.
+  * checksum over the decoded sRGB pixels. AUDIO decode is REAL for the
+  * JDK-readable containers: [[decodeAudio]] runs `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM) and emits true rate/channels/frames plus a PCM
+  * checksum. In both, payloads no reader accepts degrade to a
+  * content-fingerprint row with zeroed media fields. What remains
+  * stubbed: compressed-codec audio (mp3/aac), VIDEO demux/frame
+  * sampling, and CLIP-class feature inference — those need native
+  * codecs / an inference runtime NOT in this container, so those
+  * kernels are clearly-marked DETERMINISTIC FAKES (output derived from
+  * a hash of the bytes). The Spark-side plumbing — schema,
+  * partitioning, batched mapPartitions shape, output contract — is real
+  * and tested for all of them; swapping a remaining stub for a real
+  * codec changes only the kernel body.
   * ────────────────────────────────────────────────────────────────────
   *
   * Scale shape: decode runs inside `mapPartitions`, i.e. one JVM-local
@@ -41,6 +46,8 @@ object Multimodal {
 
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       channels: Int, pixel_checksum: Long)
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      channels: Int, n_frames: Long, pcm_checksum: Long)
   final case class MediaFeature(media_id: Long, feature: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
 
@@ -90,6 +97,45 @@ object Multimodal {
             DecodedImage(id, img.getWidth, img.getHeight,
               img.getColorModel.getNumComponents, h)
           }
+        }
+      }
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM readers
+    * ship in the JDK): true sample rate / channel count / frame count plus
+    * an FNV-1a checksum over the decoded PCM byte stream. Compressed
+    * codecs (mp3, aac, opus) have no JDK reader — those payloads, like any
+    * corrupt bytes, degrade to a content-fingerprint row with zeroed
+    * audio fields rather than failing the partition.
+    */
+  def decodeAudio(df: DataFrame): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val src = if (bytes == null) Array.emptyByteArray else bytes
+          val ais =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(src))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (ais == null) DecodedAudio(id, 0, 0, 0L, hashBytes(src))
+          else try {
+            val fmt = ais.getFormat
+            val buf = new Array[Byte](8192)
+            var h = 0xcbf29ce484222325L
+            var total = 0L
+            var n = ais.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) { h ^= (buf(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+              total += n
+              n = ais.read(buf)
+            }
+            val fs = math.max(fmt.getFrameSize, 1)
+            DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels, total / fs, h)
+          } finally ais.close()
         }
       }
   }

@@ -49,6 +49,33 @@ class MultimodalSpec extends SparkSpec {
     assert(d(0).pixel_checksum != d(1).pixel_checksum)
   }
 
+  test("decode: real WAV payloads yield true rate/channels/frames") {
+    def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      for (i <- pcm.indices) pcm(i) = ((i * 37 + 11) % 251).toByte
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(16000f, 1, 480), "audio", null.asInstanceOf[String]),
+      (2L, wav(44100f, 2, 1024), "audio", null.asInstanceOf[String]),
+      (3L, Array[Byte](1, 2, 3), "audio", null.asInstanceOf[String]))
+      .toDF("media_id", "payload", "media_type", "mime")
+    val d = Multimodal.decodeAudio(rows).collect().sortBy(_.media_id)
+    assert(d(0).sample_rate == 16000 && d(0).channels == 1 && d(0).n_frames == 480)
+    assert(d(1).sample_rate == 44100 && d(1).channels == 2 && d(1).n_frames == 1024)
+    // non-audio bytes degrade to a zeroed fingerprint row
+    assert(d(2).sample_rate == 0 && d(2).channels == 0 && d(2).n_frames == 0)
+    assert(d(0).pcm_checksum != d(1).pcm_checksum)
+    val again = Multimodal.decodeAudio(rows).collect().sortBy(_.media_id)
+    assert(d.map(_.pcm_checksum).toSeq == again.map(_.pcm_checksum).toSeq)
+  }
+
   test("feature stub output feeds Knn directly") {
     val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
       .select($"media_id", $"feature".cast("array<float>").as("feature"))
