@@ -910,6 +910,96 @@ object SparkEntry {
         length(col("text")), Seq(0.5, 0.9, 0.99))
         .orderBy(col("lang"))
     }),
+
+    // ── pipeline: Gopher-style repetition filters — per-row expressions
+    //    only (most-frequent unigram/bigram fraction, distinct-token
+    //    fraction), embarrassingly parallel at any scale ──
+    "q_rep_signals" -> ((s, dir) => {
+      init(s)
+      val r = TextOps.repetitionSignals(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").cast("long").as("n_tokens"),
+          round(col("r.distinct_frac"), 4).as("distinct_frac"),
+          round(col("r.top_unigram_frac"), 4).as("top_unigram_frac"),
+          round(col("r.top_bigram_frac"), 4).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: cross-document shingle novelty (boilerplate /
+    //    contamination fraction) — explode → df-count → re-join, both
+    //    shuffles keyed on the shingle ──
+    "q_shingle_novelty" -> ((s, dir) => {
+      init(s)
+      TextOps.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"),
+          col("n_shingles"), col("n_shared"),
+          round(col("shared_frac"), 4).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── beyond-reference: as-of join — each click picks the user's most
+    //    recent prior purchase via union + one running-window pass (one
+    //    shuffle, no time-range candidate explosion) ──
+    "q_asof_join" -> ((s, dir) => {
+      init(s)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value"), 2).as("value"))
+      graft.operators.AsOfJoin.leftAsOf(clicks, purchases,
+        keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPrefix = "p_", rightTieBreak = Some("event_id"))
+        // ns → µs for output only (DuckDB timestamps are µs-precision);
+        // the join itself ordered on full-ns values
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
+          coalesce(expr("p_ts div 1000"), lit(-1L)).as("p_ts_us"),
+          coalesce(col("p_value"), lit(-1.0)).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── beyond-reference: PIVOT — lang × source count matrix with an
+    //    explicit value list (no extra pass to discover columns; absent
+    //    cells are true zeros) ──
+    "q_pivot" -> ((s, dir) => {
+      init(s)
+      val srcs = (0 until 20).map(i => s"src$i")
+      t(s, dir, "documents").groupBy(col("lang"))
+        .pivot("source", srcs).count()
+        .na.fill(0L, srcs)
+        .orderBy(col("lang"))
+    }),
+
+    // ── beyond-reference: statistical aggregates (corr / stddev / covar —
+    //    one-pass partial-mergeable moments, map-side combined) ──
+    "q_stats" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 4).as("corr_pd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ── beyond-reference: CUBE aggregation (all grouping-set combinations
+    //    in one shuffle) ──
+    "q_cube" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("rf"), col("ls"))
+    }),
   )
 
   /** Exact L2 top-10 — also the oracle for every ANN query run with
@@ -1025,6 +1115,92 @@ object SparkEntry {
                 round(quantile_cont(n::DOUBLE, 0.9), 4) AS p90,
                 round(quantile_cont(n::DOUBLE, 0.99), 4) AS p99
          FROM t GROUP BY lang ORDER BY lang""",
+
+    // most-frequent unigram/bigram via group-by counts — same numbers as
+    // the Spark side's sorted-run-length per-row formulation
+    "q_rep_signals" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         uni AS (SELECT doc_id, max(c) AS top FROM (
+                   SELECT doc_id, tok, count(*) AS c FROM (
+                     SELECT doc_id, unnest(w) AS tok FROM t)
+                   GROUP BY doc_id, tok)
+                 GROUP BY doc_id),
+         bg AS (SELECT doc_id,
+                       [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS b
+                FROM t),
+         bi AS (SELECT doc_id, max(c) AS top FROM (
+                  SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, unnest(b) AS g FROM bg)
+                  GROUP BY doc_id, g)
+                GROUP BY doc_id)
+         SELECT t.doc_id, len(w) AS n_tokens,
+                round(len(list_distinct(w))::DOUBLE / len(w), 4) AS distinct_frac,
+                round(uni.top::DOUBLE / len(w), 4) AS top_unigram_frac,
+                round(bi.top::DOUBLE / (len(w) - 1), 4) AS top_bigram_frac
+         FROM t JOIN uni USING (doc_id) JOIN bi USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    "q_shingle_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                FOR i IN range(1, len(w) - 1)])
+                            ELSE [array_to_string(w, ' ')] END AS s
+                FROM t),
+         e AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
+         d AS (SELECT sh1, count(*) AS df FROM e GROUP BY sh1)
+         SELECT e.doc_id, count(*) AS n_shingles,
+                count(*) FILTER (WHERE d.df >= 2) AS n_shared,
+                round(count(*) FILTER (WHERE d.df >= 2)::DOUBLE / count(*), 4)
+                  AS shared_frac
+         FROM e JOIN d USING (sh1)
+         GROUP BY e.doc_id ORDER BY e.doc_id""",
+
+    // portable as-of formulation: left join on key + time bound, keep the
+    // latest right row (ties by greatest event_id — the Spark side's
+    // rightTieBreak). Unmatched clicks keep -1 sentinels, matching the
+    // Spark coalesce (avoids NULL-int → float dtype drift in the compare).
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      round(value, 2) AS value
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.event_id, c.user_id, c.ts_us,
+                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
+                      p.value AS p_value,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
+         SELECT event_id, user_id, ts_us,
+                coalesce(p_event_id, -1) AS p_event_id,
+                coalesce(p_ts_us, -1) AS p_ts_us,
+                coalesce(p_value, -1.0) AS p_value
+         FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "q_pivot" ->
+      ("""SELECT lang, """ +
+        (0 until 20).map(i =>
+          s"count(*) FILTER (WHERE source = 'src$i') AS src$i").mkString(", ") +
+        """ FROM documents GROUP BY lang ORDER BY lang"""),
+
+    "q_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                round(avg(l_extendedprice), 2) AS avg_price,
+                round(stddev_samp(l_extendedprice), 2) AS sd_price,
+                round(corr(l_extendedprice, l_discount), 4) AS corr_pd,
+                round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
 
     "q_ivf_exact" -> exactL2Top10Sql,
     "q_pq_exact" -> exactL2Top10Sql,

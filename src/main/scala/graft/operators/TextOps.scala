@@ -103,6 +103,69 @@ object TextOps {
       exactFingerprint(t).as("fingerprint"))
   }
 
+  /** Count of the most frequent element of a string array, computed as the
+    * longest run of the sorted array — one pass per row, no shuffle, no
+    * per-row hash map (the HOF state is a 3-field struct).
+    */
+  private def topCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): documents
+    * dominated by one token / one bigram, or with a low distinct-token
+    * fraction, are boilerplate or degenerate generations — the standard
+    * pre-training repetition filters. Pure per-row expressions
+    * (embarrassingly parallel): fractions of the most frequent unigram and
+    * bigram plus the distinct-token fraction, all over the canonical
+    * whitespace tokens.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    struct(
+      n.as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / n).as("distinct_frac"),
+      (topCount(toks).cast("double") / n).as("top_unigram_frac"),
+      // n=1 has no bigram — and sequence(1, 0) would DESCEND to [1, 0],
+      // so the guard must keep the branch unevaluated, not just mask it
+      when(n >= 2, topCount(bigrams).cast("double") / (n - 1))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Fraction of each document's distinct n-gram shingles occurring in at
+    * least `minDf` documents corpus-wide — the cross-document boilerplate /
+    * benchmark-contamination signal (a doc whose shingles all appear
+    * elsewhere is a copy; one sharing none is novel). Corpus-level by
+    * nature: explode → document-frequency count → re-join, both shuffles
+    * keyed on the shingle, so the plan is a pair of hash aggregations that
+    * scale out like any term-frequency job. At 100 TB swap the shingle
+    * string for xxhash64(shingle) as the shuffle key (8-byte keys, counts
+    * unchanged modulo ~n²/2⁶⁵ collisions); the string form is kept here so
+    * a SQL oracle recomputes it verbatim.
+    */
+  def shingleNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      minDf: Int = 2): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), n)).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= minDf, lit(1))).as("n_shared"))
+      .select(col("id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
+  }
+
   /** Per-stratum quantiles of a quality metric — the threshold-picking
     * step of a filtering pipeline ("keep docs above the p10 quality of
     * their language"). `exact = true` uses `percentile` (linear

@@ -74,4 +74,35 @@ class TextOpsSpec extends SparkSpec {
       exact = false).head().getDouble(2)
     assert(a >= 1.0 && a <= 100.0)
   }
+
+  test("repetitionSignals: hand-computed fractions, single-token edge") {
+    val r = Seq("a b a b a c", "x").toDF("text")
+      .select(TextOps.repetitionSignals($"text").as("r"))
+      .select($"r.n_tokens", $"r.distinct_frac", $"r.top_unigram_frac",
+        $"r.top_bigram_frac")
+      .collect()
+    // "a b a b a c": 6 tokens, 3 distinct, top unigram a×3,
+    // bigrams [a b, b a, a b, b a, a c] → top "a b"×2 of 5
+    assert(r(0).getInt(0) == 6)
+    assert(math.abs(r(0).getDouble(1) - 3.0 / 6) < 1e-9)
+    assert(math.abs(r(0).getDouble(2) - 3.0 / 6) < 1e-9)
+    assert(math.abs(r(0).getDouble(3) - 2.0 / 5) < 1e-9)
+    // single token: no bigram, fraction pinned to 0 (not a [1,0] sequence)
+    assert(r(1).getInt(0) == 1)
+    assert(r(1).getDouble(3) == 0.0)
+  }
+
+  test("shingleNovelty: shared trigrams counted against the corpus") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),      // trigrams: {w1 w2 w3, w2 w3 w4}
+      (2L, "w1 w2 w3 w9"),      // shares "w1 w2 w3" with doc 1
+      (3L, "z1 z2 z3 z4")       // shares nothing
+    ).toDF("doc_id", "text")
+    val r = TextOps.shingleNovelty(d, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 0.5)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((2L, 0L, 0.0)))
+  }
 }
