@@ -147,16 +147,19 @@ object TextOps {
     * elsewhere is a copy; one sharing none is novel). Corpus-level by
     * nature: explode → document-frequency count → re-join, both shuffles
     * keyed on the shingle, so the plan is a pair of hash aggregations that
-    * scale out like any term-frequency job. At 100 TB swap the shingle
-    * string for xxhash64(shingle) as the shuffle key (8-byte keys, counts
-    * unchanged modulo ~n²/2⁶⁵ collisions); the string form is kept here so
-    * a SQL oracle recomputes it verbatim.
+    * scale out like any term-frequency job. Shingles travel as 64-bit
+    * hashes from the codegen'd [[graft.functions.ShingleHashes]] kernel —
+    * one tokenize per row (the HOF string formulation re-tokenizes inside
+    * every lambda call: 7× slower at sf0.1) and 8-byte shuffle keys;
+    * document-frequency counts match string-shingle semantics exactly
+    * modulo ~n²/2⁶⁵ hash collisions, so a string-keyed SQL oracle
+    * reproduces every count.
     */
   def shingleNovelty(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       minDf: Int = 2): DataFrame = {
     val ex = df.select(col(idCol).as("id"),
-      explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      explode(graft.Graft.F.shingleHashes(tokens(col(textCol)), n)).as("sh"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     ex.join(dfreq, "sh")
       .groupBy("id")
