@@ -987,6 +987,33 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ── pipeline: benchmark decontamination — corpus docs sharing any
+    //    3-gram with a (deterministic) held-out benchmark subset; the
+    //    benchmark's distinct shingle hashes broadcast, corpus probe is
+    //    map-side ──
+    "q_decontaminate" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_contaminated"), col("is_contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: weighted data mix — per-source deterministic hash
+    //    sampling, map-side membership only ──
+    "q_sample_mix" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      Sampling.mix(Seq(
+        (docs.filter(col("lang") === "en"), 0.4),
+        (docs.filter(col("lang") =!= "en"), 0.1)), "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── beyond-reference: CUBE aggregation (all grouping-set combinations
     //    in one shuffle) ──
     "q_cube" -> ((s, dir) => {
@@ -1180,6 +1207,37 @@ object SparkEntry {
                 coalesce(p_ts_us, -1) AS p_ts_us,
                 coalesce(p_value, -1.0) AS p_value
          FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    // same string-shingle derivation as the jaccard oracle; the Spark side
+    // joins on kernel hashes — counts agree modulo 64-bit collisions
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                FOR i IN range(1, len(w) - 1)])
+                            ELSE [array_to_string(w, ' ')] END AS s
+                FROM t),
+         c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
+         b AS (SELECT DISTINCT g FROM
+                 (SELECT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0)),
+         hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+                  FROM c JOIN b USING (g) GROUP BY c.doc_id),
+         tot AS (SELECT doc_id, len(s) AS n_shingles FROM sh
+                 WHERE doc_id % 20 <> 0)
+         SELECT tot.doc_id, tot.n_shingles,
+                coalesce(hits.n_contaminated, 0) AS n_contaminated,
+                CAST(coalesce(hits.n_contaminated, 0) > 0 AS INT)
+                  AS is_contaminated
+         FROM tot LEFT JOIN hits USING (doc_id) ORDER BY tot.doc_id""",
+
+    // the two branches partition the table, so the mix is one filtered
+    // scan with a per-branch uniform threshold
+    "q_sample_mix" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE (lang = 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.4)
+            OR (lang <> 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.1)
+         ORDER BY doc_id""",
 
     "q_pivot" ->
       ("""SELECT lang, """ +

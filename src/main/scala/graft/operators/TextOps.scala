@@ -169,6 +169,35 @@ object TextOps {
         (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
   }
 
+  /** Benchmark decontamination (the n-gram overlap check every serious
+    * pre-training pipeline runs against its eval sets): per corpus
+    * document, how many of its distinct n-gram shingles appear anywhere in
+    * the benchmark corpus, plus a contamination flag. Shingles travel as
+    * 64-bit kernel hashes; the benchmark's distinct shingle set is
+    * broadcast (eval sets are small next to a training corpus), so the
+    * probe is a map-side broadcast join — the corpus shuffles only its
+    * (id, hit) pairs into one per-doc count. A benchmark too large to
+    * broadcast degrades to the same shuffled equi-join automatically
+    * (drop the hint); nothing in the shape is driver-resident.
+    */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val shingled = corpus.select(col(idCol).as("id"),
+      graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
+    val ex = shingled.select(col("id"), explode(col("sharr")).as("sh"))
+    val bsh = benchmark.select(
+      explode(graft.Graft.F.shingleHashes(tokens(col(benchTextCol)), n)).as("sh"))
+      .distinct()
+    val hits = ex.join(broadcast(bsh), Seq("sh"))
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    shingled.select(col("id"), size(col("sharr")).cast("long").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("is_contaminated", (col("n_contaminated") > 0).cast("int"))
+  }
+
   /** Per-stratum quantiles of a quality metric — the threshold-picking
     * step of a filtering pipeline ("keep docs above the p10 quality of
     * their language"). `exact = true` uses `percentile` (linear

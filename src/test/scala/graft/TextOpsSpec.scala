@@ -92,6 +92,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1).getDouble(3) == 0.0)
   }
 
+  test("decontaminate: benchmark overlap counts, zero for clean docs") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4"),      // trigrams {w1 w2 w3, w2 w3 w4} — 1 hits bench
+      (2L, "z1 z2 z3 z4")       // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq("w1 w2 w3 q7 q8").toDF("text")
+    val r = TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getInt(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 1)))
+    assert(r(2L) == ((2L, 0L, 0)))
+  }
+
   test("shingleNovelty: shared trigrams counted against the corpus") {
     val d = Seq(
       (1L, "w1 w2 w3 w4"),      // trigrams: {w1 w2 w3, w2 w3 w4}
