@@ -123,18 +123,26 @@ object Dedup {
         // gracefully — so past `MaxHotBroadcast` distinct hot shingles the
         // anti-join + regroup formulation takes over.
         val sh0 = shingled.select(col("id"), explode(col("sharr")).as("sh"))
-        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > cap)
-          .select(col("sh")).localCheckpoint(eager = true)
-        hotCp = Some(hot)
-        val nHot = hot.count()
+        val hotAgg = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("sh"))
+        // count BEFORE checkpointing: the common no-hot-shingles case then
+        // pays one aggregate job and no corpus-scale checkpoint write; a
+        // non-empty hot set re-runs the groupBy once (over the shingled
+        // checkpoint's blocks, not the raw corpus) to materialize it for
+        // the subtract branches
+        val nHot = hotAgg.count()
         if (nHot == 0L) shingled.select(col("id"), col("sharr").as("ss"))
-        else if (nHot <= MaxHotBroadcast) {
-          val hotArr = hot.agg(sort_array(collect_list(col("sh"))).as("_hot"))
-          shingled.crossJoin(broadcast(hotArr))
-            .select(col("id"), array_except(col("sharr"), col("_hot")).as("ss"))
-        } else {
-          sh0.join(hot, Seq("sh"), "left_anti")
-            .groupBy("id").agg(sort_array(collect_list(col("sh"))).as("ss"))
+        else {
+          val hot = hotAgg.localCheckpoint(eager = true)
+          hotCp = Some(hot)
+          if (nHot <= MaxHotBroadcast) {
+            val hotArr = hot.agg(sort_array(collect_list(col("sh"))).as("_hot"))
+            shingled.crossJoin(broadcast(hotArr))
+              .select(col("id"), array_except(col("sharr"), col("_hot")).as("ss"))
+          } else {
+            sh0.join(hot, Seq("sh"), "left_anti")
+              .groupBy("id").agg(sort_array(collect_list(col("sh"))).as("ss"))
+          }
         }
       case None => shingled.select(col("id"), col("sharr").as("ss"))
     }
