@@ -133,8 +133,11 @@ object TextOps {
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
     struct(
       n.as("n_tokens"),
-      (size(array_distinct(toks)).cast("double") / n).as("distinct_frac"),
-      (topCount(toks).cast("double") / n).as("top_unigram_frac"),
+      // empty/whitespace-only text: 0/0 would be NaN — pin to 0.0
+      when(n > 0, size(array_distinct(toks)).cast("double") / n)
+        .otherwise(lit(0.0)).as("distinct_frac"),
+      when(n > 0, topCount(toks).cast("double") / n)
+        .otherwise(lit(0.0)).as("top_unigram_frac"),
       // n=1 has no bigram — and sequence(1, 0) would DESCEND to [1, 0],
       // so the guard must keep the branch unevaluated, not just mask it
       when(n >= 2, topCount(bigrams).cast("double") / (n - 1))

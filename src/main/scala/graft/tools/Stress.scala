@@ -114,6 +114,23 @@ object Stress {
       .jaccardPairs(docs, "id", "text", n = 3, threshold = 0.8).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"stress":"jaccard_prefix_join","docs":$nDocs,"pairs":$pairs,"sec":$sec%.2f,"docs_per_sec":${(nDocs / sec).toLong}}""")
+    docs.unpersist()
+
+    // as-of join at stream scale: |L|+|R| rows through ONE key shuffle +
+    // window pass — wall-clock stays linear in rows where a range-join
+    // formulation explodes with |L|×|rows-in-range| candidates
+    val nEv = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS", "5000000").toLong
+    val asofL = spark.range(0, nEv).select(pmod($"id", lit(100000)).as("k"),
+      $"id".as("lid"), xxhash64($"id", lit("lt")).as("t"))
+    val asofR = spark.range(0, nEv / 10).select(pmod($"id", lit(100000)).as("k"),
+      $"id".as("rid"), xxhash64($"id", lit("rt")).as("t"))
+    time(s"asof_join_L${nEv}_R${nEv / 10}", nEv) {
+      // aggregate over the carried payload — a bare count() lets column
+      // pruning drop the window expression and eliminate the Window node,
+      // timing an empty plan
+      graft.operators.AsOfJoin.leftAsOf(asofL, asofR, Seq("k"), "t", "t",
+        rightPrefix = "r_").agg(count($"r_rid")).head()
+    }
     spark.stop()
   }
 }

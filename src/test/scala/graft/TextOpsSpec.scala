@@ -90,6 +90,16 @@ class TextOpsSpec extends SparkSpec {
     // single token: no bigram, fraction pinned to 0 (not a [1,0] sequence)
     assert(r(1).getInt(0) == 1)
     assert(r(1).getDouble(3) == 0.0)
+    // empty / whitespace-only text: all fractions 0, never NaN
+    val e = Seq("", "   ").toDF("text")
+      .select(TextOps.repetitionSignals($"text").as("r"))
+      .select($"r.n_tokens", $"r.distinct_frac", $"r.top_unigram_frac",
+        $"r.top_bigram_frac").collect()
+    e.foreach { row =>
+      assert(row.getInt(0) == 0)
+      assert(row.getDouble(1) == 0.0 && row.getDouble(2) == 0.0 &&
+        row.getDouble(3) == 0.0)
+    }
   }
 
   test("decontaminate: benchmark overlap counts, zero for clean docs") {
