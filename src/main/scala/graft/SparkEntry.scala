@@ -1002,6 +1002,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: unigram-LM quality score — corpus-trained token
+    //    distribution, per-doc avg log probability (perplexity proxy) ──
+    "q_lm_score" -> ((s, dir) => {
+      init(s)
+      TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: weighted data mix — per-source deterministic hash
     //    sampling, map-side membership only ──
     "q_sample_mix" -> ((s, dir) => {
@@ -1230,6 +1240,17 @@ object SparkEntry {
                 CAST(coalesce(hits.n_contaminated, 0) > 0 AS INT)
                   AS is_contaminated
          FROM tot LEFT JOIN hits USING (doc_id) ORDER BY tot.doc_id""",
+
+    "q_lm_score" ->
+      """WITH u AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM u GROUP BY tok),
+         n AS (SELECT sum(cnt)::DOUBLE AS n_total FROM c)
+         SELECT u.doc_id, count(*) AS n_tokens,
+                round(avg(log10(c.cnt / n.n_total)), 4) AS avg_logp
+         FROM u JOIN c USING (tok), n
+         GROUP BY u.doc_id ORDER BY u.doc_id""",
 
     // the two branches partition the table, so the mix is one filtered
     // scan with a per-branch uniform threshold

@@ -52,18 +52,27 @@ object AsOfJoin {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val lPayload = left.columns.toSeq.filterNot(keyCols.contains)
     val rPayload = right.columns.toSeq.filterNot(keyCols.contains)
+    val outNames = keyCols ++ lPayload ++ rPayload.map(rightPrefix + _)
+    require(outNames.distinct.size == outNames.size,
+      s"as-of join output column collision: ${outNames.diff(outNames.distinct).distinct.mkString(", ")} " +
+        "— set rightPrefix to disambiguate right payload columns")
     val tType = left.schema(leftTime).dataType
+    // _tie keeps the right tie-break column's OWN type (string ids order
+    // correctly; a long cast would null them out); left rows carry a null
+    // _tie, which never compares across sides — _side already separates
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val lSide = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTime).cast(tType).as("_t"),
         lit(1).as("_side"),
-        lit(0L).as("_tie"),
+        lit(null).cast(tieType).as("_tie"),
         struct(lPayload.map(col): _*).as("_l")): _*)
     val rSide = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTime).cast(tType).as("_t"),
         lit(0).as("_side"),
-        rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("_tie"),
+        rightTieBreak.map(col).getOrElse(lit(0L)).as("_tie"),
         struct(rPayload.map(col): _*).as("_r")): _*)
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -172,6 +172,29 @@ object TextOps {
         (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
   }
 
+  /** Unigram language-model score: average log10 probability of a
+    * document's tokens under the corpus's own unigram distribution (MLE)
+    * — the cheap perplexity proxy for ranking fluency / flagging
+    * outliers when no external LM is available (docs of rare tokens score
+    * low; repetitive common-token docs score high; combine with
+    * [[repetitionSignals]]). Corpus-level: token explode → global counts
+    * (one term-frequency shuffle), then per-doc average of log p(token)
+    * (token-keyed join + one per-doc aggregate) — the same scale shape as
+    * any TF job. The total-token scalar stays in the plan as a broadcast
+    * single-row aggregate (no driver action).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksEx = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toksEx.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalDf = counts.agg(sum(col("cnt")).cast("double").as("n_total"))
+    toksEx.join(counts, "tok")
+      .crossJoin(broadcast(totalDf))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log10(col("cnt").cast("double") / col("n_total"))).as("avg_logp"))
+  }
+
   /** Benchmark decontamination (the n-gram overlap check every serious
     * pre-training pipeline runs against its eval sets): per corpus
     * document, how many of its distinct n-gram shingles appear anywhere in

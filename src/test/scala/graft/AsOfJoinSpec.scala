@@ -37,6 +37,22 @@ class AsOfJoinSpec extends SparkSpec {
       Set("k", "lt", "ltag", "p_rt", "p_rid", "p_rtag"))
   }
 
+  test("string tie-break column orders correctly (no silent long cast)") {
+    val r2 = Seq((1L, 20L, "a", "first"), (1L, 20L, "b", "second"))
+      .toDF("k", "rt", "tid", "rtag")
+    val l2 = Seq((1L, 30L, "x")).toDF("k", "lt", "ltag")
+    val out = AsOfJoin.leftAsOf(l2, r2, Seq("k"), "lt", "rt",
+      rightTieBreak = Some("tid")).head()
+    assert(out.getAs[String]("rtag") == "second")   // max tid "b" wins
+  }
+
+  test("output name collision without a prefix fails loudly") {
+    val r2 = Seq((1L, 10L, "r")).toDF("k", "lt", "ltag") // same names as left
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, r2, Seq("k"), "lt", "lt")
+    }
+  }
+
   test("plan is one window over a union — no join node, no cartesian") {
     val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "lt", "rt")
     val plan = out.queryExecution.executedPlan.toString

@@ -102,6 +102,15 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: hand-computed MLE distribution") {
+    // corpus: a=2, b=2, c=1, N=5 → p(a)=p(b)=0.4, p(c)=0.2
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(math.abs(r(1L) - math.log10(0.4)) < 1e-9)
+    assert(math.abs(r(2L) - (math.log10(0.4) + math.log10(0.2)) / 2) < 1e-9)
+  }
+
   test("decontaminate: benchmark overlap counts, zero for clean docs") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4"),      // trigrams {w1 w2 w3, w2 w3 w4} — 1 hits bench
