@@ -134,4 +134,47 @@ class UserJourneySpec extends SparkSpec {
       Ingest.conform(coded.filter($"_id" === "d7"), space), partitionNum = 4)
     assert(cat.docCount("demo", "qdocs") == 30)
   }
+
+  test("data-recipe journey: quality gates → decontaminate → dedup → mix → LM rank") {
+    import graft.operators.{Dedup, Sampling, TextOps}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // 1. per-row quality gates: repetition + quality features
+    val rep = TextOps.repetitionSignals($"text")
+    val gated = docs
+      .withColumn("rep", rep)
+      .filter($"rep.n_tokens" >= 10 && $"rep.top_bigram_frac" < 0.9)
+      .drop("rep")
+    assert(gated.count() > 0 && gated.count() <= docs.count())
+
+    // 2. decontaminate against a held-out "benchmark" slice
+    val bench = docs.filter($"doc_id" % 17 === 0)
+    val corpus = gated.filter($"doc_id" % 17 =!= 0)
+    val clean = corpus.join(
+      TextOps.decontaminate(corpus, "doc_id", "text", bench, "text", n = 5)
+        .filter($"is_contaminated" === 0).select($"id".as("doc_id")),
+      Seq("doc_id"))
+
+    // 3. exact dedup: keep the canonical survivor per content hash
+    val survivors = clean.join(
+      Dedup.exact(clean, "doc_id", "text").select($"keep_id".as("doc_id")),
+      Seq("doc_id"))
+    assert(survivors.count() <= clean.count())
+
+    // 4. deterministic weighted mix by language
+    val mixed = Sampling.mix(Seq(
+      (survivors.filter($"lang" === "en"), 0.9),
+      (survivors.filter($"lang" =!= "en"), 0.5)), "doc_id")
+
+    // 5. rank the final recipe by unigram-LM score; re-running the whole
+    // chain yields the identical row set (every step is deterministic)
+    val ranked = TextOps.unigramLogProb(mixed, "doc_id", "text")
+      .orderBy($"avg_logp".desc, $"id")
+    val ids = ranked.select($"id").as[Long].collect().toSeq
+    assert(ids.nonEmpty)
+    val ids2 = TextOps.unigramLogProb(mixed, "doc_id", "text")
+      .orderBy($"avg_logp".desc, $"id")
+      .select($"id").as[Long].collect().toSeq
+    assert(ids == ids2)
+  }
 }
