@@ -61,4 +61,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("property: matches the brute-force latest-at-or-before reference") {
+    // randomized small tables, fixed seeds — compare against a
+    // driver-side O(|L|·|R|) reference implementation
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val lRows = Seq.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+        rnd.nextLong()))
+      val rRows = Seq.fill(25)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+        rnd.nextLong()))
+      val l = lRows.toDF("k", "lt", "lid")
+      val r = rRows.toDF("k", "rt", "rid")
+      val got = AsOfJoin.leftAsOf(l, r, Seq("k"), "lt", "rt",
+        rightPrefix = "p_", rightTieBreak = Some("rid"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+          Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long]))
+        .toMap
+      lRows.foreach { case (k, lt, lid) =>
+        // latest rt <= lt; ties on rt resolve to the greatest rid
+        val want = rRows.filter(x => x._1 == k && x._2 <= lt)
+          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+        assert(got((k, lt, lid)) == want,
+          s"k=$k lt=$lt: got ${got((k, lt, lid))}, want $want")
+      }
+    }
+  }
 }

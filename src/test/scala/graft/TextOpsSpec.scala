@@ -102,6 +102,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: repetitionSignals matches a scala reference") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "ab", "xyz")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val rows = docs.map { case (i, t) => (i, t.mkString(" ")) }
+      .toDF("id", "text")
+      .select($"id", TextOps.repetitionSignals($"text").as("r"))
+      .select($"id", $"r.n_tokens", $"r.distinct_frac",
+        $"r.top_unigram_frac", $"r.top_bigram_frac")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    docs.foreach { case (i, toks) =>
+      val n = toks.size
+      val row = rows(i)
+      assert(row.getInt(1) == n)
+      assert(math.abs(row.getDouble(2) - toks.distinct.size.toDouble / n) < 1e-9)
+      val topUni = toks.groupBy(identity).values.map(_.size).max
+      assert(math.abs(row.getDouble(3) - topUni.toDouble / n) < 1e-9)
+      val expBi =
+        if (n < 2) 0.0
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toDouble / (n - 1)
+      assert(math.abs(row.getDouble(4) - expBi) < 1e-9)
+    }
+  }
+
   test("unigramLogProb: hand-computed MLE distribution") {
     // corpus: a=2, b=2, c=1, N=5 → p(a)=p(b)=0.4, p(c)=0.2
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
