@@ -1002,6 +1002,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: global top-k n-grams — corpus boilerplate discovery
+    //    (explode → count → top-k, map-side partial aggregation) ──
+    "q_top_ngrams" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      // projection boundary: tokenize once per row, THEN shingle — the
+      // one-select formulation re-tokenizes inside the transform lambda
+      docs.select(TextOps.tokens(col("text")).as("_toks"))
+        .select(explode(Dedup.shinglesFromTokens(col("_toks"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("ngram"))
+        .limit(20)
+    }),
+
     // ── pipeline: unigram-LM quality score — corpus-trained token
     //    distribution, per-doc avg log probability (perplexity proxy) ──
     "q_lm_score" -> ((s, dir) => {
@@ -1240,6 +1254,20 @@ object SparkEntry {
                 CAST(coalesce(hits.n_contaminated, 0) > 0 AS INT)
                   AS is_contaminated
          FROM tot LEFT JOIN hits USING (doc_id) ORDER BY tot.doc_id""",
+
+    // distinct bigrams per doc (Dedup.shingles array_distinct semantics)
+    // → count = document frequency
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(w) >= 2
+                            THEN list_distinct([w[i] || ' ' || w[i+1]
+                                                FOR i IN range(1, len(w))])
+                            ELSE [array_to_string(w, ' ')] END AS s
+                FROM t),
+         e AS (SELECT unnest(s) AS ngram FROM sh)
+         SELECT ngram, count(*) AS doc_freq FROM e GROUP BY ngram
+         ORDER BY doc_freq DESC, ngram LIMIT 20""",
 
     "q_lm_score" ->
       """WITH u AS (SELECT doc_id,

@@ -34,9 +34,24 @@ object Dedup {
   /** Distinct n-word shingles of a document, as "w1 w2 ... wn" strings.
     * Documents shorter than n words yield their full token join (so every
     * doc has ≥1 shingle and dedup never silently drops short docs).
+    *
+    * NOTE the expression-reuse trap: `toks` below is an expression TREE,
+    * and the transform lambda re-evaluates it (split + trim + filter) per
+    * shingle position — interpreted HOF lambdas get no common-
+    * subexpression elimination. Fine for one-off per-row use; anything
+    * corpus-scale should either use the codegen'd
+    * [[graft.Graft.F.shingleHashes]] kernel (when 64-bit hashes suffice)
+    * or materialize tokens behind a projection boundary and call
+    * [[shinglesFromTokens]].
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-materialized token ARRAY column: with
+    * `toks` bound to an attribute (a prior `select`), the lambda's slice
+    * is O(n) array access instead of a re-tokenization of the text.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val full = array(concat_ws(" ", toks))
     val sh = transform(
       sequence(lit(1), size(toks) - (n - 1)),
