@@ -62,6 +62,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("composite key: both columns participate in the match") {
+    val r2 = Seq((1L, "x", 10L, "r1x"), (1L, "y", 10L, "r1y"), (2L, "x", 10L, "r2x"))
+      .toDF("k1", "k2", "rt", "rtag")
+    val l2 = Seq((1L, "x", 20L), (1L, "y", 20L), (2L, "y", 20L))
+      .toDF("k1", "k2", "lt")
+    val out = AsOfJoin.leftAsOf(l2, r2, Seq("k1", "k2"), "lt", "rt")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        Option(r.getAs[Any]("rtag")).orNull).toMap
+    assert(out((1L, "x")) == "r1x")
+    assert(out((1L, "y")) == "r1y")
+    assert(out((2L, "y")) == null)   // (2, y) has no right rows
+  }
+
   test("property: matches the brute-force latest-at-or-before reference") {
     // randomized small tables, fixed seeds — compare against a
     // driver-side O(|L|·|R|) reference implementation
