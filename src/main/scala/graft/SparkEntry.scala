@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.F
 import graft.api.SearchApi
-import graft.operators.{Dedup, Documents, IvfIndex, Knn, KnnJoin, Multimodal, PqIndex, Sampling, TextOps, VearchFilters}
+import graft.operators.{Dedup, Documents, IvfIndex, Knn, KnnJoin, Multimodal, PqIndex, Sampling, Skew, TextOps, VearchFilters}
 import graft.schema.Space
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1038,6 +1038,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── beyond-reference: salted two-phase aggregation — the hot-GROUP-BY
+    //    shape AQE can't split; oracle-checked against the plain GROUP BY,
+    //    proving the salt is semantics-preserving ──
+    "q_salted_agg" -> ((s, dir) => {
+      init(s)
+      Skew.saltedAgg(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        Seq(col("event_type")), salts = 8)(
+        Seq(sum(col("value")).as("_s"), count(lit(1)).as("_c")),
+        Seq(round(sum(col("_s")), 2).as("sum_value"), sum(col("_c")).as("cnt")))
+        .orderBy(col("event_type"))
+    }),
+
     // ── beyond-reference: CUBE aggregation (all grouping-set combinations
     //    in one shuffle) ──
     "q_cube" -> ((s, dir) => {
@@ -1301,6 +1314,11 @@ object SparkEntry {
                 round(corr(l_extendedprice, l_discount), 4) AS corr_pd,
                 round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+                count(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
