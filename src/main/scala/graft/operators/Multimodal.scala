@@ -16,15 +16,17 @@ import org.apache.spark.sql.types._
   * JDK-readable containers: [[decodeAudio]] runs `javax.sound.sampled`
   * (WAV/AIFF/AU PCM) and emits true rate/channels/frames plus a PCM
   * checksum. In both, payloads no reader accepts degrade to a
-  * content-fingerprint row with zeroed media fields. What remains
-  * stubbed: compressed-codec audio (mp3/aac), VIDEO demux/frame
-  * sampling, and CLIP-class feature inference — those need native
-  * codecs / an inference runtime NOT in this container, so those
-  * kernels are clearly-marked DETERMINISTIC FAKES (output derived from
-  * a hash of the bytes). The Spark-side plumbing — schema,
-  * partitioning, batched mapPartitions shape, output contract — is real
-  * and tested for all of them; swapping a remaining stub for a real
-  * codec changes only the kernel body.
+  * content-fingerprint row with zeroed media fields. IMAGE features are
+  * REAL too: [[extractFeatures]] computes color histograms + channel/
+  * luminance means over the decoded pixels for any ImageIO-decodable
+  * payload. What remains stubbed: compressed-codec audio (mp3/aac),
+  * VIDEO demux/frame sampling, and LEARNED (CLIP-class) embeddings —
+  * those need native codecs / an inference runtime NOT in this
+  * container, so those kernels are clearly-marked DETERMINISTIC FAKES
+  * (output derived from a hash of the bytes). The Spark-side plumbing —
+  * schema, partitioning, batched mapPartitions shape, output contract —
+  * is real and tested for all of them; swapping a remaining stub for a
+  * real codec changes only the kernel body.
   * ────────────────────────────────────────────────────────────────────
   *
   * Scale shape: decode runs inside `mapPartitions`, i.e. one JVM-local
@@ -140,26 +142,76 @@ object Multimodal {
       }
   }
 
-  /** STUB feature extraction: a deterministic pseudo-embedding from the
-    * payload (real impl: CLIP/CNN inference per batch). Output feeds
-    * directly into Knn/Dedup operators.
+  /** Feature extraction. For payloads `ImageIO` decodes, the feature is
+    * REAL: per-channel color histograms over the decoded sRGB pixels plus
+    * channel/luminance means — the classic pre-embedding retrieval
+    * feature, a genuine input to the Knn/Dedup operators downstream.
+    * For everything else (audio, video, corrupt bytes) the CLIP-class
+    * embedding this slot holds in production needs an inference runtime
+    * not in this container, so the fallback remains a clearly-marked
+    * deterministic pseudo-embedding derived from the payload hash.
     */
   def extractFeatures(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    require(dim >= 8, s"feature dim must be >= 8 (3 histograms + 4 moments): $dim")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          val h0 = hashBytes(if (bytes == null) Array.emptyByteArray else bytes)
-          val f = new Array[Float](dim)
-          var h = h0
-          var i = 0
-          while (i < dim) { h = h * 6364136223846793005L + 1442695040888963407L
-            f(i) = ((h >>> 40).toInt / 16777216.0f) - 0.5f; i += 1 }
-          MediaFeature(id, f)
+          val src = if (bytes == null) Array.emptyByteArray else bytes
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null) MediaFeature(id, imageColorFeature(img, dim))
+          else {
+            // STUB fallback: deterministic pseudo-embedding from the bytes
+            val f = new Array[Float](dim)
+            var h = hashBytes(src)
+            var i = 0
+            while (i < dim) { h = h * 6364136223846793005L + 1442695040888963407L
+              f(i) = ((h >>> 40).toInt / 16777216.0f) - 0.5f; i += 1 }
+            MediaFeature(id, f)
+          }
         }
       }
+  }
+
+  /** Real image feature: layout = R/G/B histograms of `(dim-4)/3` bins
+    * each (mass-normalized), then mean R, mean G, mean B, mean luminance
+    * (Rec.601 weights), all in [0,1]. Any `dim - 4 - 3·bins` remainder
+    * slots stay zero.
+    */
+  private[operators] def imageColorFeature(
+      img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val bins = (dim - 4) / 3
+    val f = new Array[Float](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = (w.toLong * h).toFloat
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >>> 16) & 0xff; val g = (p >>> 8) & 0xff; val b = p & 0xff
+        f(r * bins / 256) += 1f
+        f(bins + g * bins / 256) += 1f
+        f(2 * bins + b * bins / 256) += 1f
+        sr += r; sg += g; sb += b
+        sl += 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < 3 * bins) { f(i) /= n; i += 1 }
+    f(dim - 4) = (sr / n / 255.0).toFloat
+    f(dim - 3) = (sg / n / 255.0).toFloat
+    f(dim - 2) = (sb / n / 255.0).toFloat
+    f(dim - 1) = (sl / n / 255.0).toFloat
+    f
   }
 
   /** STUB resize: passthrough payload with rewritten metadata (real impl:

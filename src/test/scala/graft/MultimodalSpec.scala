@@ -76,6 +76,27 @@ class MultimodalSpec extends SparkSpec {
     assert(d.map(_.pcm_checksum).toSeq == again.map(_.pcm_checksum).toSeq)
   }
 
+  test("real image feature: solid-color histogram and channel means") {
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq((1L, solid(0xff0000), "image", null.asInstanceOf[String]))
+      .toDF("media_id", "payload", "media_type", "mime")
+    // dim 16 → 4 bins per channel + (meanR, meanG, meanB, meanLum)
+    val f = Multimodal.extractFeatures(rows, dim = 16).head().feature
+    assert(math.abs(f(3) - 1.0f) < 1e-6)    // all red mass in R's top bin
+    assert(math.abs(f(4) - 1.0f) < 1e-6)    // all green mass in G's 0-bin
+    assert(math.abs(f(8) - 1.0f) < 1e-6)    // all blue mass in B's 0-bin
+    assert(math.abs(f(12) - 1.0f) < 1e-6)   // mean R = 1
+    assert(f(13) == 0.0f && f(14) == 0.0f)  // mean G = mean B = 0
+    assert(math.abs(f(15) - 0.299f) < 1e-3) // Rec.601 luminance of pure red
+  }
+
   test("feature stub output feeds Knn directly") {
     val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
       .select($"media_id", $"feature".cast("array<float>").as("feature"))
