@@ -40,7 +40,7 @@ object Graft {
     // coincidentally named vec_dot) must still get the full current set
     def has(n: String) =
       reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-    if (has("vec_dot") && has("vec_sign_adot") && has("text_simhash_md5")) return
+    if (has("vec_dot") && has("vec_sign_adot") && has("text_normalize")) return
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2", es => L2Dist(es(0), es(1)), "built-in")
@@ -56,6 +56,8 @@ object Graft {
     reg.createOrReplaceTempFunction("vec_i8_l2sq", es => Int8L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("text_simhash", es => SimHash64(es(0)), "built-in")
     reg.createOrReplaceTempFunction("text_simhash_md5", es => SimHashMd5(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("text_normalize",
+      es => TextNormalize(es(0), lit2bool(es(1), "stripAccents")), "built-in")
     reg.createOrReplaceTempFunction("text_shingle_hashes",
       es => ShingleHashes(es(0), lit2int(es(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("text_minhash_sig",
@@ -93,6 +95,9 @@ object Graft {
     def i8L2Sq(a: Column, b: Column): Column = call_function("vec_i8_l2sq", a, b)
     def simhash64(tokens: Column): Column = call_function("text_simhash", tokens)
     def simhashMd5(tokens: Column): Column = call_function("text_simhash_md5", tokens)
+    def textNormalize(text: Column, stripAccents: Boolean): Column =
+      call_function("text_normalize", text,
+        org.apache.spark.sql.functions.lit(stripAccents))
     def shingleHashes(tokens: Column, n: Int): Column =
       call_function("text_shingle_hashes", tokens, org.apache.spark.sql.functions.lit(n))
     def minhashSig(tokens: Column, n: Int, numHashes: Int): Column =

@@ -1016,6 +1016,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ── pipeline: unicode normalization (NFC + accent strip + lowercase
+    //    + whitespace collapse) — custom codegen'd expression, DuckDB
+    //    recomputes the identical string ──
+    "q_text_normalize" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalize(col("text")).as("norm_text"),
+          length(TextOps.normalize(col("text"))).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: unigram-LM quality score — corpus-trained token
     //    distribution, per-doc avg log probability (perplexity proxy) ──
     "q_lm_score" -> ((s, dir) => {
@@ -1281,6 +1293,14 @@ object SparkEntry {
          e AS (SELECT unnest(s) AS ngram FROM sh)
          SELECT ngram, count(*) AS doc_freq FROM e GROUP BY ngram
          ORDER BY doc_freq DESC, ngram LIMIT 20""",
+
+    "q_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+                trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+                     '\s+', ' ', 'g')) AS norm_text
+         FROM documents)
+         SELECT doc_id, norm_text, length(norm_text) AS norm_len
+         FROM n ORDER BY doc_id""",
 
     "q_lm_score" ->
       """WITH u AS (SELECT doc_id,

@@ -487,4 +487,26 @@ object VecKernels {
     }
     s
   }
+
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** Unicode text normalization, composed to mirror the SQL oracle
+    * exactly: NFC-compose → (optionally) strip combining marks via NFD →
+    * lowercase (root locale) → trim + collapse whitespace runs. DuckDB
+    * equivalent: `trim(regexp_replace(lower(strip_accents(
+    * nfc_normalize(s))), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      stripAccents: Boolean): org.apache.spark.unsafe.types.UTF8String = {
+    import java.text.Normalizer
+    var str = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
+    if (stripAccents)
+      str = CombiningMarks.matcher(
+        Normalizer.normalize(str, Normalizer.Form.NFD)).replaceAll("")
+    str = str.toLowerCase(java.util.Locale.ROOT)
+    str = WsRun.matcher(str).replaceAll(" ").trim
+    org.apache.spark.unsafe.types.UTF8String.fromString(str)
+  }
 }

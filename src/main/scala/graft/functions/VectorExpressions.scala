@@ -155,6 +155,25 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode text normalization (NFC, optional accent strip, lowercase,
+  * whitespace collapse) — the pre-tokenization cleanup pass of a text
+  * pipeline, as one codegen'd kernel call per row. Spark has no built-in
+  * unicode normalizer; the kernel mirrors DuckDB's
+  * `nfc_normalize`/`strip_accents` composition so it oracle-checks.
+  */
+case class TextNormalize(child: Expression, stripAccents: Boolean)
+    extends UnaryExpression {
+  override def prettyName: String = "text_normalize"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.normalizeText(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stripAccents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VecKernels.normalizeText($a, $stripAccents)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-bit binarization: float vector → packed binary code (dim/8 bytes). */
 case class SignBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_sign_bits"

@@ -172,6 +172,17 @@ object TextOps {
         (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
   }
 
+  /** Unicode normalization — the pre-tokenization cleanup every text
+    * pipeline runs first: NFC compose, optional accent strip, lowercase,
+    * whitespace collapse. One codegen'd kernel call per row
+    * ([[graft.functions.TextNormalize]]; Spark has no built-in unicode
+    * normalizer), mirroring DuckDB's `nfc_normalize`/`strip_accents`
+    * composition bit-for-bit so downstream hashes/fingerprints agree
+    * across engines.
+    */
+  def normalize(text: Column, stripAccents: Boolean = true): Column =
+    graft.Graft.F.textNormalize(text, stripAccents)
+
   /** Unigram language-model score: average log10 probability of a
     * document's tokens under the corpus's own unigram distribution (MLE)
     * — the cheap perplexity proxy for ranking fluency / flagging

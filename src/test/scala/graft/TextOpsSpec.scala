@@ -129,6 +129,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("normalize: NFC, accent strip, lowercase, whitespace collapse") {
+    // decomposed (E + combining acute U+0301) and precomposed (U+00C9)
+    // normalize to the same output; accents strip; whitespace collapses
+    val d = Seq(
+      "CAFE\u0301  et  the\u0301",   // decomposed accents, double spaces
+      "CAF\u00c9 ET TH\u00c9",       // precomposed uppercase
+      "  plain   ascii\ttext  "
+    ).toDF("text")
+    val r = d.select(TextOps.normalize($"text")).as[String].collect()
+    assert(r(0) == "cafe et the")
+    assert(r(1) == "cafe et the")   // both forms converge
+    assert(r(2) == "plain ascii text")
+    // stripAccents=false keeps the accent, NFC-composed from either form
+    val keep = Seq("CAFE\u0301", "CAF\u00c9").toDF("text")
+      .select(TextOps.normalize($"text", stripAccents = false))
+      .as[String].collect()
+    assert(keep(0) == "caf\u00e9" && keep(1) == "caf\u00e9")
+  }
+
   test("unigramLogProb: hand-computed MLE distribution") {
     // corpus: a=2, b=2, c=1, N=5 → p(a)=p(b)=0.4, p(c)=0.2
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
