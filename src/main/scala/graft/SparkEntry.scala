@@ -962,6 +962,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── beyond-reference: range (point-in-interval) join — each click
+    //    matched to the purchase windows containing it via bucketed
+    //    equi-join (the naive key-only join materializes every per-key
+    //    pair before the range filter) ──
+    "q_range_join" -> ((s, dir) => {
+      init(s)
+      val hourNs = 3600000000000L
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("w_id"),
+          col("ts").as("w_start"), (col("ts") + hourNs).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(clicks, windows,
+        Seq("user_id"), "ts", "w_start", "w_end", bucketWidth = hourNs)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("w_id"),
+          expr("w_start div 1000").as("w_start_us"))
+        .orderBy(col("event_id"), col("w_id"))
+    }),
+
     // ── beyond-reference: PIVOT — lang × source count matrix with an
     //    explicit value list (no extra pass to discover columns; absent
     //    cells are true zeros) ──
@@ -1320,6 +1341,17 @@ object SparkEntry {
          WHERE (lang = 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.4)
             OR (lang <> 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.1)
          ORDER BY doc_id""",
+
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS w_id, user_id, epoch_us(ts) AS ws_us
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts_us, p.w_id,
+                p.ws_us AS w_start_us
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ws_us <= c.ts_us AND c.ts_us < p.ws_us + 3600000000
+         ORDER BY c.event_id, p.w_id""",
 
     "q_pivot" ->
       ("""SELECT lang, """ +

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join: each point row matches the interval
+  * rows with the same key whose `[start, end)` window contains the point
+  * — event-to-session attribution, validity-window lookups, IP-to-range
+  * joins.
+  *
+  * Spark plans the naive formulation (`key equality AND start <= t AND
+  * t < end`) as an equi-join ONLY on the key: every (point, interval)
+  * pair within a key is materialized before the range predicate filters
+  * — quadratic in the per-key row counts (and a BroadcastNestedLoopJoin
+  * when there is no key at all). This operator BUCKETS time instead:
+  * intervals are exploded into the fixed-width buckets they overlap,
+  * points map to exactly one bucket, and the join is a plain hash
+  * equi-join on (key, bucket) + a residual range check. Each qualifying
+  * pair meets in exactly one bucket (the point's), so the output needs
+  * no dedup. Cost: interval replication ≈ len/bucketWidth + 1 rows —
+  * pick `bucketWidth` near the typical interval length (replication
+  * ~2×) rather than far below it; intervals much longer than the width
+  * only pay proportional replication, never a per-key cross product.
+  */
+object RangeJoin {
+
+  /** @param points      point-side rows
+    * @param intervals   interval-side rows
+    * @param keyCols     equi-key columns present on both sides (may be
+    *                    empty: pure time-range join — the bucket becomes
+    *                    the only join key, which still beats the BNLJ the
+    *                    naive plan degenerates to)
+    * @param pointTime   numeric/long point column name (points side)
+    * @param startCol    interval start column name, inclusive
+    * @param endCol      interval end column name, EXCLUSIVE
+    * @param bucketWidth bucket size in the time column's own units
+    * @param intervalPrefix prefix applied to interval payload columns in
+    *                    the output (collisions with point columns fail loudly)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      intervalPrefix: String = ""): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val iPayload = intervals.columns.toSeq.filterNot(keyCols.contains)
+    val outNames = points.columns.toSeq ++ iPayload.map(intervalPrefix + _)
+    require(outNames.distinct.size == outNames.size,
+      s"range join output column collision: ${outNames.diff(outNames.distinct).distinct.mkString(", ")} " +
+        "— set intervalPrefix to disambiguate interval payload columns")
+    // floor division that is correct for negative times too (Spark's
+    // `div` truncates toward zero, which would split bucket -0.5 wrong)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val p = points.withColumn("_bucket", bucketOf(col(pointTime)))
+    // an interval [s, e) overlaps buckets floor(s/w) .. floor((e-1)/w);
+    // empty intervals (e <= s) match nothing and explode zero buckets
+    val i = intervals
+      .withColumn("_bucket", explode(when(col(endCol) > col(startCol),
+        sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1)))
+        .otherwise(array().cast("array<long>"))))
+      .select((keyCols :+ "_bucket").map(col) ++
+        iPayload.map(c => col(c).as(intervalPrefix + c)): _*)
+    p.join(i, keyCols :+ "_bucket")
+      .filter(col(intervalPrefix + startCol) <= col(pointTime) &&
+        col(pointTime) < col(intervalPrefix + endCol))
+      .drop("_bucket")
+  }
+}
