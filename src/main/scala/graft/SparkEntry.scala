@@ -962,6 +962,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── beyond-reference: INTERSECT — users who both clicked and
+    //    purchased ──
+    "q_intersect" -> ((s, dir) => {
+      init(s)
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(
+          ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── beyond-reference: EXCEPT — users who clicked but never
+    //    purchased ──
+    "q_except" -> ((s, dir) => {
+      init(s)
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .except(
+          ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
     // ── beyond-reference: range (point-in-interval) join — each click
     //    matched to the purchase windows containing it via bucketed
     //    equi-join (the naive key-only join materializes every per-key
@@ -1341,6 +1363,18 @@ object SparkEntry {
          WHERE (lang = 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.4)
             OR (lang <> 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.1)
          ORDER BY doc_id""",
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
 
     "q_range_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

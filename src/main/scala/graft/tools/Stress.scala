@@ -131,6 +131,20 @@ object Stress {
       graft.operators.AsOfJoin.leftAsOf(asofL, asofR, Seq("k"), "t", "t",
         rightPrefix = "r_").agg(count($"r_rid")).head()
     }
+
+    // bucketed range join: points × hour-wide windows over the same key
+    // domain — the naive key-only join would materialize every per-key
+    // pair (~nEv²/100k/10) before filtering
+    val rjP = spark.range(0, nEv).select(pmod($"id", lit(100000)).as("k"),
+      $"id".as("pid"), pmod(xxhash64($"id", lit("pt")), lit(1000000000L)).as("t"))
+    val rjI = spark.range(0, nEv / 10).select(pmod($"id", lit(100000)).as("k"),
+      $"id".as("iid"),
+      pmod(xxhash64($"id", lit("it")), lit(1000000000L)).as("s"))
+      .withColumn("e", $"s" + 3600000L)
+    time(s"range_join_P${nEv}_I${nEv / 10}", nEv) {
+      graft.operators.RangeJoin.pointInInterval(rjP, rjI, Seq("k"),
+        "t", "s", "e", bucketWidth = 3600000L, intervalPrefix = "i_").count()
+    }
     spark.stop()
   }
 }
