@@ -62,6 +62,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("null left time sorts before every right row — no match, row kept") {
+    val l2 = Seq((1L, Some(25L), "t25"), (1L, None, "null-t"))
+      .toDF("k", "lt", "ltag")
+    val out = AsOfJoin.leftAsOf(l2, right, Seq("k"), "lt", "rt")
+      .collect().map(r => r.getAs[String]("ltag") ->
+        Option(r.getAs[Any]("rtag")).orNull).toMap
+    assert(out.size == 2)              // left rows always survive
+    assert(out("t25") == "r20b" || out("t25") == "r20")
+    assert(out("null-t") == null)      // nulls-first: precedes all rights
+  }
+
   test("composite key: both columns participate in the match") {
     val r2 = Seq((1L, "x", 10L, "r1x"), (1L, "y", 10L, "r1y"), (2L, "x", 10L, "r2x"))
       .toDF("k1", "k2", "rt", "rtag")

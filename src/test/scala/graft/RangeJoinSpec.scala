@@ -65,6 +65,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("null times drop out (inner join on a null bucket matches nothing)") {
+    val p = Seq((1L, Some(12L), "ok"), (1L, None, "null-t"))
+      .toDF("k", "t", "p")
+    val out = RangeJoin.pointInInterval(p, intervals,
+      Seq("k"), "t", "s", "e", bucketWidth = 8, intervalPrefix = "i_")
+      .select($"p").as[String].collect().toSet
+    assert(out == Set("ok"))
+  }
+
   test("output name collision without a prefix fails loudly") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points,
