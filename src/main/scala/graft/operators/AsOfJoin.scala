@@ -57,6 +57,14 @@ object AsOfJoin {
       s"as-of join output column collision: ${outNames.diff(outNames.distinct).distinct.mkString(", ")} " +
         "— set rightPrefix to disambiguate right payload columns")
     val tType = left.schema(leftTime).dataType
+    val rTType = right.schema(rightTime).dataType
+    // a timestamp→long cast silently yields SECONDS: merging a ns-long
+    // left against a timestamp right would compare across units. Identical
+    // types always work; differing types only when both are plain numerics
+    require(rTType == tType ||
+      (tType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+        rTType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"as-of time types must match or both be numeric: left $tType vs right $rTType")
     // _tie keeps the right tie-break column's OWN type (string ids order
     // correctly; a long cast would null them out); left rows carry a null
     // _tie, which never compares across sides — _side already separates

@@ -47,15 +47,27 @@ object RangeJoin {
       bucketWidth: Long,
       intervalPrefix: String = ""): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(points.schema(pointTime), intervals.schema(startCol),
+        intervals.schema(endCol)).foreach(f => require(
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"range-join time columns must be integral (got ${f.name}: ${f.dataType}) — " +
+          "epoch-scale doubles lose sub-bucket precision past 2^53"))
+    }
     val iPayload = intervals.columns.toSeq.filterNot(keyCols.contains)
     val outNames = points.columns.toSeq ++ iPayload.map(intervalPrefix + _)
     require(outNames.distinct.size == outNames.size,
       s"range join output column collision: ${outNames.diff(outNames.distinct).distinct.mkString(", ")} " +
         "— set intervalPrefix to disambiguate interval payload columns")
-    // floor division that is correct for negative times too (Spark's
-    // `div` truncates toward zero, which would split bucket -0.5 wrong)
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / bucketWidth).cast("long")
+    // exact integer FLOOR division: `div` truncates toward zero (wrong for
+    // negative times), so subtract the non-negative pmod first; the `/`
+    // operator routes through double and rounds ns-scale epochs past 2^53,
+    // which can misplace boundary points by a whole bucket
+    def bucketOf(c: org.apache.spark.sql.Column) = {
+      val l = c.cast("long")
+      call_function("div", l - pmod(l, lit(bucketWidth)), lit(bucketWidth))
+    }
     val p = points.withColumn("_bucket", bucketOf(col(pointTime)))
     // an interval [s, e) overlaps buckets floor(s/w) .. floor((e-1)/w);
     // empty intervals (e <= s) match nothing and explode zero buckets

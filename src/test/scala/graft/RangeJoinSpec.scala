@@ -65,6 +65,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ns-scale epochs: boundary points bucket exactly (no double rounding)") {
+    // ~1.7e18 is past double's 2^53 exact range — a floor(c/w) through
+    // double arithmetic can misplace boundary points by a whole bucket
+    val w = 3600000000000L
+    val b = 472241L * w
+    val pts = Seq((1L, b, "at-boundary"), (1L, b - 1, "just-before"))
+      .toDF("k", "t", "p")
+    val ivs = Seq((1L, b - 1, b + 10, "win")).toDF("k", "s", "e", "tag")
+    val out = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "t", "s", "e",
+      bucketWidth = w, intervalPrefix = "i_")
+      .select($"p").as[String].collect().toSet
+    assert(out == Set("at-boundary", "just-before"))
+  }
+
   test("null times drop out (inner join on a null bucket matches nothing)") {
     val p = Seq((1L, Some(12L), "ok"), (1L, None, "null-t"))
       .toDF("k", "t", "p")
