@@ -962,6 +962,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── beyond-reference: grouped top-k through the custom bounded-heap
+    //    aggregate (graft_topk) — direct oracle check of the
+    //    TypedImperativeAggregate against SQL row_number ──
+    "q_group_topk" -> ((s, dir) => {
+      init(s)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(F.topK(col("value"), struct(col("event_id")), k = 3,
+          asc = false).as("_tk"))
+        .select(col("event_type"), explode(col("_tk")).as("_e"))
+        .select(col("event_type"),
+          col("_e.item.event_id").as("event_id"),
+          round(col("_e.score"), 2).as("value"))
+        .orderBy(col("event_type"), col("value").desc, col("event_id"))
+    }),
+
     // ── beyond-reference: INTERSECT — users who both clicked and
     //    purchased ──
     "q_intersect" -> ((s, dir) => {
@@ -1363,6 +1379,15 @@ object SparkEntry {
          WHERE (lang = 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.4)
             OR (lang <> 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.1)
          ORDER BY doc_id""",
+
+    "q_group_topk" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC, event_id) AS rn
+         FROM events)
+         SELECT event_type, event_id, round(value, 2) AS value
+         FROM r WHERE rn <= 3
+         ORDER BY event_type, round(value, 2) DESC, event_id""",
 
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
