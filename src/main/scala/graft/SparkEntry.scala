@@ -1087,6 +1087,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: per-doc top-3 TF-IDF keywords (salient-term
+    //    extraction; tf and df shuffles keyed on the term) ──
+    "q_tfidf" -> ((s, dir) => {
+      init(s)
+      TextOps.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          col("tf"), round(col("tfidf"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ── pipeline: unigram-LM quality score — corpus-trained token
     //    distribution, per-doc avg log probability (perplexity proxy) ──
     "q_lm_score" -> ((s, dir) => {
@@ -1360,6 +1370,26 @@ object SparkEntry {
          FROM documents)
          SELECT doc_id, norm_text, length(norm_text) AS norm_len
          FROM n ORDER BY doc_id""",
+
+    // raw-score ranking (rounding only on output); ties resolve to the
+    // lexicographically smaller term on both sides
+    "q_tfidf" ->
+      """WITH u AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM u GROUP BY term),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                      tf.tf * ln(n.n_docs / df.df) AS tfidf,
+                      row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term)
+                        AS rank
+               FROM tf JOIN df USING (term), n)
+         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+                round(tfidf, 4) AS tfidf
+         FROM s WHERE rank <= 3
+         ORDER BY doc_id, rank""",
 
     "q_lm_score" ->
       """WITH u AS (SELECT doc_id,

@@ -206,6 +206,33 @@ object TextOps {
         avg(log10(col("cnt").cast("double") / col("n_total"))).as("avg_logp"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the classic salient-term
+    * extractor (tf = in-doc term count, idf = ln(N/df) over the corpus).
+    * Corpus-level: one term-frequency shuffle for df, one (doc, term)
+    * aggregate for tf, a term-keyed join, and a per-doc top-k window.
+    * The document count N rides as a broadcast single-row aggregate.
+    * Ties at equal score resolve to the lexicographically smaller term
+    * (deterministic output).
+    */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toksEx = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toksEx.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toksEx.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Benchmark decontamination (the n-gram overlap check every serious
     * pre-training pipeline runs against its eval sets): per corpus
     * document, how many of its distinct n-gram shingles appear anywhere in

@@ -157,6 +157,20 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r(2L) - (math.log10(0.4) + math.log10(0.2)) / 2) < 1e-9)
   }
 
+  test("tfidfKeywords: hand-computed scores and deterministic ranks") {
+    // N=2; df: apple=1, banana=2, cherry=1
+    val d = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val r = TextOps.tfidfKeywords(d, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getString(2), x.getDouble(4)))).toMap
+    val ln2 = math.log(2.0)
+    assert(r((1L, 1))._1 == "apple" && math.abs(r((1L, 1))._2 - 2 * ln2) < 1e-9)
+    assert(r((1L, 2))._1 == "banana" && r((1L, 2))._2 == 0.0) // ln(2/2) = 0
+    assert(r((2L, 1))._1 == "cherry" && math.abs(r((2L, 1))._2 - ln2) < 1e-9)
+    assert(r((2L, 2))._1 == "banana")
+  }
+
   test("decontaminate: benchmark overlap counts, zero for clean docs") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4"),      // trigrams {w1 w2 w3, w2 w3 w4} — 1 hits bench
