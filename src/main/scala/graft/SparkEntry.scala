@@ -43,6 +43,50 @@ object SparkEntry {
 
   private def init(s: SparkSession): SparkSession = { Graft.registerFunctions(s); s }
 
+  /** Shared body of q_asof_join / q_asof_skew: each click picks the
+    * user's most recent prior purchase. Timestamps are truncated to µs
+    * BEFORE the join — DuckDB timestamps are µs-precision, so joining on
+    * full-ns values could disagree with the oracle near boundaries when
+    * two events share a µs (they only differ in path, not contract).
+    */
+  private val asofOracle =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'click'),
+       p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                    round(value, 2) AS value
+             FROM events WHERE event_type = 'purchase'),
+       j AS (SELECT c.event_id, c.user_id, c.ts_us,
+                    p.event_id AS p_event_id, p.ts_us AS p_ts_us,
+                    p.value AS p_value,
+                    row_number() OVER (PARTITION BY c.event_id
+                      ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+             FROM c LEFT JOIN p
+               ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
+       SELECT event_id, user_id, ts_us,
+              coalesce(p_event_id, -1) AS p_event_id,
+              coalesce(p_ts_us, -1) AS p_ts_us,
+              coalesce(p_value, -1.0) AS p_value
+       FROM j WHERE rn = 1 ORDER BY event_id"""
+
+  private def asofClicksToPurchases(
+      s: SparkSession, dir: String, skewBuckets: Int): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        round(col("value"), 2).as("value"))
+    graft.operators.AsOfJoin.leftAsOf(clicks, purchases,
+      keyCols = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
+      rightPrefix = "p_", rightTieBreak = Some("event_id"),
+      skewBuckets = skewBuckets)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
+        coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"),
+        coalesce(col("p_value"), lit(-1.0)).as("p_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** The F1-style space over the embeddings fixture for API-level queries. */
   private val embSpace = Space.fromJson(
     """{"name":"emb_space","fields":[
@@ -943,23 +987,15 @@ object SparkEntry {
     //    shuffle, no time-range candidate explosion) ──
     "q_asof_join" -> ((s, dir) => {
       init(s)
-      val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          round(col("value"), 2).as("value"))
-      graft.operators.AsOfJoin.leftAsOf(clicks, purchases,
-        keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
-        rightPrefix = "p_", rightTieBreak = Some("event_id"))
-        // ns → µs for output only (DuckDB timestamps are µs-precision);
-        // the join itself ordered on full-ns values
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
-          coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
-          coalesce(expr("p_ts div 1000"), lit(-1L)).as("p_ts_us"),
-          coalesce(col("p_value"), lit(-1.0)).as("p_value"))
-        .orderBy(col("event_id"))
+      asofClicksToPurchases(s, dir, skewBuckets = 1)
+    }),
+
+    // ── same as-of semantics through the skew-safe two-pass bucketed
+    //    carry (hot keys split across time buckets) — shares
+    //    q_asof_join's oracle, proving path equivalence ──
+    "q_asof_skew" -> ((s, dir) => {
+      init(s)
+      asofClicksToPurchases(s, dir, skewBuckets = 8)
     }),
 
     // ── beyond-reference: grouped top-k through the custom bounded-heap
@@ -1006,18 +1042,20 @@ object SparkEntry {
     //    pair before the range filter) ──
     "q_range_join" -> ((s, dir) => {
       init(s)
-      val hourNs = 3600000000000L
+      // µs-truncated BEFORE the join — matches the oracle's epoch_us
+      // precision so boundary comparisons can't disagree on ns residues
+      val hourUs = 3600000000L
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("ts"))
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
       val windows = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("w_id"),
-          col("ts").as("w_start"), (col("ts") + hourNs).as("w_end"))
+          expr("ts div 1000").as("w_start_us"),
+          expr("ts div 1000 + 3600000000").as("w_end_us"))
       graft.operators.RangeJoin.pointInInterval(clicks, windows,
-        Seq("user_id"), "ts", "w_start", "w_end", bucketWidth = hourNs)
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("w_id"),
-          expr("w_start div 1000").as("w_start_us"))
+        Seq("user_id"), "ts_us", "w_start_us", "w_end_us", bucketWidth = hourUs)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("w_id"), col("w_start_us"))
         .orderBy(col("event_id"), col("w_id"))
     }),
 
@@ -1307,24 +1345,10 @@ object SparkEntry {
     // latest right row (ties by greatest event_id — the Spark side's
     // rightTieBreak). Unmatched clicks keep -1 sentinels, matching the
     // Spark coalesce (avoids NULL-int → float dtype drift in the compare).
-    "q_asof_join" ->
-      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-                    FROM events WHERE event_type = 'click'),
-         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                      round(value, 2) AS value
-               FROM events WHERE event_type = 'purchase'),
-         j AS (SELECT c.event_id, c.user_id, c.ts_us,
-                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
-                      p.value AS p_value,
-                      row_number() OVER (PARTITION BY c.event_id
-                        ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
-               FROM c LEFT JOIN p
-                 ON c.user_id = p.user_id AND p.ts_us <= c.ts_us)
-         SELECT event_id, user_id, ts_us,
-                coalesce(p_event_id, -1) AS p_event_id,
-                coalesce(p_ts_us, -1) AS p_ts_us,
-                coalesce(p_value, -1.0) AS p_value
-         FROM j WHERE rn = 1 ORDER BY event_id""",
+    "q_asof_join" -> asofOracle,
+    // identical oracle: the skew-safe bucketed path must produce the
+    // exact same rows as the single-window path
+    "q_asof_skew" -> asofOracle,
 
     // same string-shingle derivation as the jaccard oracle; the Spark side
     // joins on kernel hashes — counts agree modulo 64-bit collisions

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,11 +17,25 @@ import org.apache.spark.sql.functions._
   * forward onto every left row. ONE shuffle on the key columns, no
   * time-range candidate explosion (a range-join formulation pays
   * |left| × |right-rows-in-range| intermediates; this pays
-  * |left| + |right| rows total), no driver state. A key whose row count
-  * dwarfs the rest concentrates one partition's sort — the carry-forward
-  * needs full key order, so the mitigation is range-partitioning within
-  * the hot key by time (coarse time bucket in the key, bucket boundaries
-  * seeded with the previous bucket's closing right row), not salting.
+  * |left| + |right| rows total), no driver state.
+  *
+  * Hot-key skew: a key whose row count dwarfs the rest concentrates one
+  * partition's sort — the carry-forward needs full key order, so salting
+  * can't help. `skewBuckets > 1` switches to a two-pass time-bucketed
+  * carry that splits every key across up to `skewBuckets` tasks:
+  * pass 1 computes each (key, bucket)'s closing right row with a plain
+  * map-side-combinable aggregate, then a tiny per-key window (≤ buckets
+  * rows per key) carries the latest closing row forward as each bucket's
+  * seed; pass 2 windows WITHIN (key, bucket) — bounded partitions — and
+  * coalesces the in-bucket running match with the seed. Results are
+  * identical to the single-window path (property-tested); the extra cost
+  * is one bounded 2-scalar driver action (min/max time for bucket
+  * boundaries) and one small equi-join.
+  *
+  * Right rows with a NULL `rightTime` are IGNORED (filtered before the
+  * merge): a null time would sort before every real row and become the
+  * "latest prior" match for left rows that precede any real right row,
+  * violating the rightTime ≤ leftTime contract.
   */
 object AsOfJoin {
 
@@ -30,13 +44,17 @@ object AsOfJoin {
     * @param keyCols       equi-join key column names (present both sides)
     * @param leftTime      left event-time column name
     * @param rightTime     right event-time column name (cast to the left
-    *                      type for the merge ordering)
+    *                      type for the merge ordering); null-time right
+    *                      rows are ignored
     * @param rightPrefix   prefix for right payload columns in the output
     *                      (use when names collide with left columns)
     * @param rightTieBreak right column ordering ties at identical
     *                      (key, time): the row with the GREATEST tie-break
     *                      value wins, making duplicate-timestamp input
     *                      deterministic. None → ties resolve arbitrarily.
+    * @param skewBuckets   1 (default) = single window per key; > 1 =
+    *                      skew-safe two-pass bucketed carry splitting each
+    *                      key across up to this many time buckets/tasks
     * Output: every left row with all its columns, plus each right payload
     * column (all non-key right columns) as `rightPrefix + name` — NULL
     * when no right row precedes the left row.
@@ -48,8 +66,10 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPrefix: String = "",
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      skewBuckets: Int = 1): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(skewBuckets >= 1, s"skewBuckets must be >= 1: $skewBuckets")
     val lPayload = left.columns.toSeq.filterNot(keyCols.contains)
     val rPayload = right.columns.toSeq.filterNot(keyCols.contains)
     val outNames = keyCols ++ lPayload ++ rPayload.map(rightPrefix + _)
@@ -76,22 +96,81 @@ object AsOfJoin {
         lit(1).as("_side"),
         lit(null).cast(tieType).as("_tie"),
         struct(lPayload.map(col): _*).as("_l")): _*)
-    val rSide = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTime).cast(tType).as("_t"),
-        lit(0).as("_side"),
-        rightTieBreak.map(col).getOrElse(lit(0L)).as("_tie"),
-        struct(rPayload.map(col): _*).as("_r")): _*)
+    val rSide = right
+      .filter(col(rightTime).isNotNull)   // see scaladoc: null-time rights ignored
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTime).cast(tType).as("_t"),
+          lit(0).as("_side"),
+          rightTieBreak.map(col).getOrElse(lit(0L)).as("_tie"),
+          struct(rPayload.map(col): _*).as("_r")): _*)
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"), col("_tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("_rm", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    val matched =
+      if (skewBuckets == 1) singleWindow(unioned, keyCols)
+      else bucketedCarry(unioned, keyCols, skewBuckets)
     matched.select(
       keyCols.map(col) ++
         lPayload.map(c => col("_l").getField(c).as(c)) ++
         rPayload.map(c => col("_rm").getField(c).as(rightPrefix + c)): _*)
+  }
+
+  /** One running window per key — optimal when no key dominates. */
+  private def singleWindow(unioned: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_rm", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+  }
+
+  /** Skew-safe two-pass carry: split each key into `nBuckets` time ranges.
+    *
+    * Bucket boundaries come from a bounded min/max driver action; the
+    * double cast is only used for bucket ASSIGNMENT, which needs
+    * monotonicity, not exactness (equal times always share a bucket; the
+    * within-bucket ordering uses the full-precision `_t`). Null `_t` rows
+    * (left rows only — null rights are pre-filtered) go to sentinel
+    * bucket -1, which orders before every real bucket and never receives
+    * a seed — preserving the single-window "null left time → no match"
+    * behavior. Key grouping is null-safe (`<=>`) to match window
+    * partitioning semantics, where null keys form a group.
+    */
+  private def bucketedCarry(
+      unioned: DataFrame, keyCols: Seq[String], nBuckets: Int): DataFrame = {
+    val bounds = unioned.agg(
+      min(col("_t").cast("double")), max(col("_t").cast("double"))).head()
+    if (bounds.isNullAt(0)) return singleWindow(unioned, keyCols) // no real times
+    val mn = bounds.getDouble(0)
+    val mx = bounds.getDouble(1)
+    val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
+    val bucket = when(col("_t").isNull, lit(-1L)).otherwise(
+      least(floor((col("_t").cast("double") - lit(mn)) / lit(width)),
+        lit(nBuckets - 1L)).cast("long"))
+    val u = unioned.withColumn("_b", bucket)
+    // pass 1: closing right row per (key, bucket) — map-side-combinable;
+    // max_by skips rows whose ordering value is null (= all left rows)
+    val kb = u.groupBy((keyCols :+ "_b").map(col): _*)
+      .agg(max_by(when(col("_side") === 0, col("_r")),
+        when(col("_side") === 0, struct(col("_t"), col("_tie")))).as("_close"))
+    // carry the latest closing row from STRICTLY EARLIER buckets — a tiny
+    // per-key frame (≤ nBuckets + 1 rows per key)
+    val wB = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = kb.withColumn("_seed", last(col("_close"), ignoreNulls = true).over(wB))
+      .select(keyCols.map(c => col(c).as(s"_sk_$c")) ++
+        Seq(col("_b").as("_sb"), col("_seed")): _*)
+    // pass 2: window within (key, bucket) — partitions bounded by the
+    // bucket split — seeded with the carry-in when the bucket has no
+    // earlier in-bucket right row
+    val cond: Column = (keyCols.map(c => col(c) <=> col(s"_sk_$c")) :+
+      (col("_b") <=> col("_sb"))).reduce(_ && _)
+    val w2 = Window.partitionBy((keyCols :+ "_b").map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.join(seeds, cond)
+      .withColumn("_rl", last(col("_r"), ignoreNulls = true).over(w2))
+      .withColumn("_rm", coalesce(col("_rl"), col("_seed")))
+      .filter(col("_side") === 1)
   }
 }

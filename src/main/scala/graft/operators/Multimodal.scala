@@ -152,7 +152,10 @@ object Multimodal {
     * deterministic pseudo-embedding derived from the payload hash.
     */
   def extractFeatures(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
-    require(dim >= 8, s"feature dim must be >= 8 (3 histograms + 4 moments): $dim")
+    // the real color-histogram layout needs >= 8 slots (3 histograms +
+    // 4 moments); smaller dims keep the pre-round-6 pseudo-embedding
+    // behavior rather than breaking existing callers
+    require(dim >= 1, s"feature dim must be positive: $dim")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id"), col("payload"))
@@ -161,7 +164,8 @@ object Multimodal {
         batch.map { case (id, bytes) =>
           val src = if (bytes == null) Array.emptyByteArray else bytes
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+            if (dim < 8) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
             catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) MediaFeature(id, imageColorFeature(img, dim))
           else {

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * pick `bucketWidth` near the typical interval length (replication
   * ~2×) rather than far below it; intervals much longer than the width
   * only pay proportional replication, never a per-key cross product.
+  *
+  * Sentinel / open-ended intervals (e.g. `end = Long.MaxValue` encoding
+  * "valid forever") would explode more bucket rows than Spark's max
+  * array length and fail the job. Intervals spanning more than
+  * `maxBucketsPerInterval` buckets are therefore routed through a
+  * SEPARATE broadcast path: they skip the explode entirely and join on
+  * the key (plus the residual range check). This assumes long intervals
+  * are FEW — the usual shape of sentinel validity rows; if most
+  * intervals exceed the cap, `bucketWidth` is misconfigured (raise it).
   */
 object RangeJoin {
 
@@ -36,6 +45,9 @@ object RangeJoin {
     * @param bucketWidth bucket size in the time column's own units
     * @param intervalPrefix prefix applied to interval payload columns in
     *                    the output (collisions with point columns fail loudly)
+    * @param maxBucketsPerInterval intervals overlapping more buckets than
+    *                    this are broadcast (not exploded) — the guard for
+    *                    open-ended sentinel intervals; assumed FEW
     */
   def pointInInterval(
       points: DataFrame,
@@ -45,7 +57,8 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketWidth: Long,
-      intervalPrefix: String = ""): DataFrame = {
+      intervalPrefix: String = "",
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     locally {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -68,18 +81,36 @@ object RangeJoin {
       val l = c.cast("long")
       call_function("div", l - pmod(l, lit(bucketWidth)), lit(bucketWidth))
     }
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be positive: $maxBucketsPerInterval")
+    val nonEmpty = col(endCol) > col(startCol)
+    val span = bucketOf(col(endCol) - 1) - bucketOf(col(startCol)) + lit(1L)
+    val rangeOk = (s: String) => col(s + startCol) <= col(pointTime) &&
+      col(pointTime) < col(s + endCol)
     val p = points.withColumn("_bucket", bucketOf(col(pointTime)))
     // an interval [s, e) overlaps buckets floor(s/w) .. floor((e-1)/w);
     // empty intervals (e <= s) match nothing and explode zero buckets
     val i = intervals
-      .withColumn("_bucket", explode(when(col(endCol) > col(startCol),
+      .filter(!nonEmpty || span <= lit(maxBucketsPerInterval.toLong))
+      .withColumn("_bucket", explode(when(nonEmpty,
         sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1)))
         .otherwise(array().cast("array<long>"))))
       .select((keyCols :+ "_bucket").map(col) ++
         iPayload.map(c => col(c).as(intervalPrefix + c)): _*)
-    p.join(i, keyCols :+ "_bucket")
-      .filter(col(intervalPrefix + startCol) <= col(pointTime) &&
-        col(pointTime) < col(intervalPrefix + endCol))
+    val viaBuckets = p.join(i, keyCols :+ "_bucket")
+      .filter(rangeOk(intervalPrefix))
       .drop("_bucket")
+    // sentinel guard: intervals too long to explode join broadcast on the
+    // key alone (constant key when keyless, keeping the plan a hash join);
+    // a pair meets in exactly one path, so the union needs no dedup
+    val iLong = intervals.filter(nonEmpty && span > lit(maxBucketsPerInterval.toLong))
+      .select(keyCols.map(col) ++ iPayload.map(c => col(c).as(intervalPrefix + c)): _*)
+    val viaBroadcast =
+      if (keyCols.nonEmpty) points.join(broadcast(iLong), keyCols)
+        .filter(rangeOk(intervalPrefix))
+      else points.withColumn("_ck", lit(0))
+        .join(broadcast(iLong.withColumn("_ck", lit(0))), Seq("_ck"))
+        .filter(rangeOk(intervalPrefix)).drop("_ck")
+    viaBuckets.unionByName(viaBroadcast)
   }
 }

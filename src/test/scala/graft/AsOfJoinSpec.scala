@@ -86,6 +86,68 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out((2L, "y")) == null)   // (2, y) has no right rows
   }
 
+  test("null right time rows are ignored — never the latest-prior match") {
+    val r2 = Seq((1L, Some(10L), "real"), (1L, Option.empty[Long], "null-rt"))
+      .toDF("k", "rt", "rtag")
+    val l2 = Seq((1L, 5L, "early"), (1L, 15L, "late")).toDF("k", "lt", "ltag")
+    for (buckets <- Seq(1, 4)) {
+      val out = AsOfJoin.leftAsOf(l2, r2, Seq("k"), "lt", "rt",
+        skewBuckets = buckets)
+        .collect().map(r => r.getAs[String]("ltag") ->
+          Option(r.getAs[Any]("rtag")).orNull).toMap
+      assert(out("early") == null, s"buckets=$buckets")  // null-rt must not match
+      assert(out("late") == "real", s"buckets=$buckets")
+    }
+  }
+
+  test("skewBuckets: nulls, ties and unmatched keys behave like the default path") {
+    val l2 = left.unionByName(Seq((1L, Option.empty[Long], "null-t"))
+      .toDF("k", "lt", "ltag"))
+    val single = AsOfJoin.leftAsOf(l2, right, Seq("k"), "lt", "rt",
+      rightTieBreak = Some("rid")).collect().map(_.toSeq).toSet
+    val bucketed = AsOfJoin.leftAsOf(l2, right, Seq("k"), "lt", "rt",
+      rightTieBreak = Some("rid"), skewBuckets = 4).collect().map(_.toSeq).toSet
+    assert(bucketed == single)
+  }
+
+  test("skewBuckets: 90%-hot-key fixture matches brute force; hot key splits tasks") {
+    val rnd = new scala.util.Random(11)
+    val hot = 0L
+    val lRows = Seq.tabulate(400) { i =>
+      val k = if (i < 360) hot else (1 + rnd.nextInt(4)).toLong
+      (k, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val rRows = Seq.tabulate(200) { i =>
+      val k = if (i < 180) hot else (1 + rnd.nextInt(4)).toLong
+      (k, rnd.nextInt(1000).toLong, (10000 + i).toLong)
+    }
+    val got = AsOfJoin.leftAsOf(lRows.toDF("k", "lt", "lid"),
+      rRows.toDF("k", "rt", "rid"), Seq("k"), "lt", "rt",
+      rightPrefix = "p_", rightTieBreak = Some("rid"), skewBuckets = 8)
+    val gotMap = got.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+        Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long])).toMap
+    assert(gotMap.size == lRows.size)
+    lRows.foreach { case (k, lt, lid) =>
+      val want = rRows.filter(x => x._1 == k && x._2 <= lt)
+        .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+      assert(gotMap((k, lt, lid)) == want, s"k=$k lt=$lt")
+    }
+    // the hot key's rows land in >1 shuffle partition (the whole point);
+    // AQE coalescing would merge these toy-sized partitions back together
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val pids = AsOfJoin.leftAsOf(lRows.toDF("k", "lt", "lid"),
+        rRows.toDF("k", "rt", "rid"), Seq("k"), "lt", "rt",
+        rightPrefix = "p_", rightTieBreak = Some("rid"), skewBuckets = 8)
+        .withColumn("pid", spark_partition_id())
+        .filter(col("k") === hot).select("pid").distinct().count()
+      assert(pids > 1, s"hot key confined to $pids partition(s)")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("property: matches the brute-force latest-at-or-before reference") {
     // randomized small tables, fixed seeds — compare against a
     // driver-side O(|L|·|R|) reference implementation
@@ -97,18 +159,20 @@ class AsOfJoinSpec extends SparkSpec {
         rnd.nextLong()))
       val l = lRows.toDF("k", "lt", "lid")
       val r = rRows.toDF("k", "rt", "rid")
-      val got = AsOfJoin.leftAsOf(l, r, Seq("k"), "lt", "rt",
-        rightPrefix = "p_", rightTieBreak = Some("rid"))
-        .collect()
-        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
-          Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long]))
-        .toMap
-      lRows.foreach { case (k, lt, lid) =>
-        // latest rt <= lt; ties on rt resolve to the greatest rid
-        val want = rRows.filter(x => x._1 == k && x._2 <= lt)
-          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
-        assert(got((k, lt, lid)) == want,
-          s"k=$k lt=$lt: got ${got((k, lt, lid))}, want $want")
+      for (buckets <- Seq(1, 3)) {
+        val got = AsOfJoin.leftAsOf(l, r, Seq("k"), "lt", "rt",
+          rightPrefix = "p_", rightTieBreak = Some("rid"), skewBuckets = buckets)
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+            Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long]))
+          .toMap
+        lRows.foreach { case (k, lt, lid) =>
+          // latest rt <= lt; ties on rt resolve to the greatest rid
+          val want = rRows.filter(x => x._1 == k && x._2 <= lt)
+            .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+          assert(got((k, lt, lid)) == want,
+            s"buckets=$buckets k=$k lt=$lt: got ${got((k, lt, lid))}, want $want")
+        }
       }
     }
   }

@@ -107,6 +107,14 @@ class MultimodalSpec extends SparkSpec {
     assert(r.length == 5)
   }
 
+  test("feature dims below 8 keep the pseudo-embedding fallback (no throw)") {
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+    assert(feats.nonEmpty && feats.forall(_.feature.length == 4))
+    intercept[IllegalArgumentException] {
+      Multimodal.extractFeatures(media, dim = 0)
+    }
+  }
+
   test("resize rewrites metadata, preserves payload") {
     val r = Multimodal.resize(media, 224, 224)
     val m = r.select($"meta.width", $"meta.height", $"meta.sample_rate").head()

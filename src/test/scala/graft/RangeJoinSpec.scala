@@ -88,6 +88,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set("ok"))
   }
 
+  test("sentinel open-ended intervals broadcast instead of exploding") {
+    // end = Long.MaxValue would explode ~2^62 bucket rows without the
+    // maxBucketsPerInterval guard; with it the interval joins broadcast
+    val ivs = Seq(
+      (1L, 10L, Long.MaxValue, "forever"),   // sentinel validity window
+      (1L, 15L, 40L, "b")                    // normal exploded interval
+    ).toDF("k", "s", "e", "tag")
+    val pts = Seq((1L, 12L, "p1"), (1L, 20L, "p2"), (1L, 1000000L, "p3"),
+      (2L, 50L, "p4")).toDF("k", "t", "p")
+    val out = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "t", "s", "e",
+      bucketWidth = 8, intervalPrefix = "i_")
+      .select($"p", $"i_tag").as[(String, String)].collect().toSet
+    assert(out == Set(("p1", "forever"), ("p2", "forever"), ("p2", "b"),
+      ("p3", "forever")))
+    // keyless variant still completes and stays a hash join (constant key)
+    val out2 = RangeJoin.pointInInterval(pts.drop("k"),
+      ivs.filter($"tag" === "forever").drop("k"), Seq.empty,
+      "t", "s", "e", bucketWidth = 8, intervalPrefix = "i_")
+    assert(out2.count() == 4)
+    val plan2 = out2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("BroadcastNestedLoopJoin") &&
+      !plan2.contains("CartesianProduct"))
+  }
+
   test("output name collision without a prefix fails loudly") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points,
