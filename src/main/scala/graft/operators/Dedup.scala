@@ -287,49 +287,116 @@ object Dedup {
     * ≥1 chunk), candidates equi-join on (chunk index, chunk value), exact
     * Hamming verifies via bit_count(xor). Output is exact — the pigeonhole
     * is lossless for maxHamming ≤ 3 — so a quadratic SQL re-implementation
-    * is a true oracle.
+    * is a true oracle. Skew-guarded: see [[simhashPairsImpl]].
     */
   def simhashPairsPortable(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
-    val sh = df.select(col(idCol).as("id"), simhashPortable(col(textCol)).as("sh"))
-    val chunks = array((0 until 4).map(c =>
-      shiftright(col("sh"), c * 15).bitwiseAND(lit(0x7fffL))): _*)
-    val chunked = sh.select(col("id"), col("sh"), posexplode(chunks))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-    chunked.as("a").join(chunked.as("b"), Seq("chunk", "cv"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
-  }
+      maxHamming: Int,
+      hotBucketCap: Int = 10000): DataFrame =
+    simhashPairsImpl(
+      df.select(col(idCol).as("id"), simhashPortable(col(textCol)).as("sh")),
+      chunkBits = 15, hammingAsLong = true, maxHamming, hotBucketCap)
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming ≤ 3: pigeonhole over
     * 4×16-bit chunks — pairs within distance 3 must agree on ≥1 chunk, so
     * the candidate join is an equi-join on (chunk index, chunk value);
-    * exact Hamming verifies via bit_count(xor).
+    * exact Hamming verifies via bit_count(xor). Skew-guarded: see
+    * [[simhashPairsImpl]].
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      hotBucketCap: Int = 10000): DataFrame =
+    simhashPairsImpl(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
+      chunkBits = 16, hammingAsLong = false, maxHamming, hotBucketCap)
+
+  /** Shared skew-safe simhash pair plan. Two quadratic failure modes of
+    * the naive (chunk, value) candidate join are removed WITHOUT changing
+    * the (exact) output:
+    *
+    *  1. Identical fingerprints (a corpus of short/near-empty docs
+    *     collapses onto few fingerprints) — the candidate join runs over
+    *     DISTINCT fingerprints only; id pairs are expanded afterwards by
+    *     joining fingerprint pairs back to the id table (intra-fingerprint
+    *     pairs via a plain equi-join on the fingerprint). Both expansions
+    *     are output-sized — a million true duplicates genuinely HAVE ~½M²
+    *     pairs; no candidate-side blowup remains.
+    *  2. A hot (chunk, value) bucket of many DISTINCT fingerprints —
+    *     buckets past `hotBucketCap` re-apply the pigeonhole: members
+    *     already agree on the bucket's `chunkBits` bits, so a qualifying
+    *     pair's ≤ 3 differing bits all lie in the remaining 3·chunkBits
+    *     bits, and splitting THOSE into 4 sub-chunks guarantees agreement
+    *     on ≥ 1 (again lossless). The hot candidate join runs on
+    *     (chunk, value, sub-chunk, sub-value) — each hot bucket splits by
+    *     the sub-value fan-out instead of going quadratic.
+    */
+  private def simhashPairsImpl(
+      sh0: DataFrame,
+      chunkBits: Int,
+      hammingAsLong: Boolean,
+      maxHamming: Int,
+      hotBucketCap: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    require(hotBucketCap >= 1, s"hotBucketCap must be positive: $hotBucketCap")
+    val ham = (a: Column, b: Column) => {
+      val h = bit_count(a.bitwiseXOR(b))
+      if (hammingAsLong) h.cast("long") else h
+    }
+    // fingerprints are recomputed by several branches below — materialize
+    // once (id+fingerprint = 16 bytes/row); freeing is the caller's
+    // contract via the returned frame (same as Ingest.conform)
+    val sh = sh0.localCheckpoint(eager = true)
+    val mask = (1L << chunkBits) - 1
+    val fps = sh.select(col("sh")).distinct()
     val chunks = array((0 until 4).map(c =>
-      shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)
-    val chunked = sh.select(col("id"), col("sh"), posexplode(chunks))
+      shiftright(col("sh"), c * chunkBits).bitwiseAND(lit(mask))): _*)
+    val chunked = fps.select(col("sh"), posexplode(chunks))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-    chunked.as("a").join(chunked.as("b"), Seq("chunk", "cv"))
+    val counts = chunked.groupBy("chunk", "cv").agg(count(lit(1)).as("_n"))
+    val withN = chunked.join(counts, Seq("chunk", "cv"))
+    val cold = withN.filter(col("_n") <= hotBucketCap)
+    val candCold = cold.as("a").join(cold.as("b"), Seq("chunk", "cv"))
+      .filter(col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("f1"), col("b.sh").as("f2"))
+    // hot buckets: drop the bucket's own chunk bits, sub-chunk the rest.
+    // shiftrightunsigned (not shiftright: 64-bit fingerprints are signed)
+    // with a column shift amount; a shift of >= 64 wraps mod 64 in Java,
+    // so the top chunk's "high remainder" is pinned to 0 explicitly.
+    val w = lit(chunkBits)
+    val subW = (3 * chunkBits + 3) / 4   // ceil(remaining / 4) sub-chunk width
+    val lowMask = call_function("shiftleft", lit(1L), col("chunk") * w) - 1
+    val high = when((col("chunk") + 1) * w >= 64, lit(0L)).otherwise(
+      call_function("shiftrightunsigned", col("sh"), (col("chunk") + 1) * w))
+    val rem = call_function("shiftleft", high, col("chunk") * w)
+      .bitwiseOR(col("sh").bitwiseAND(lowMask))
+    val subChunks = array((0 until 4).map(j =>
+      shiftrightunsigned(rem, j * subW).bitwiseAND(lit((1L << subW) - 1))): _*)
+    val hotSub = withN.filter(col("_n") > hotBucketCap)
+      .select(col("sh"), col("chunk"), col("cv"), posexplode(subChunks))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+    val candHot = hotSub.as("a").join(hotSub.as("b"), Seq("chunk", "cv", "sub", "sv"))
+      .filter(col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("f1"), col("b.sh").as("f2"))
+    val fpPairs = candCold.unionByName(candHot)
+      .dropDuplicates("f1", "f2")
+      .withColumn("hamming", ham(col("f1"), col("f2")))
+      .filter(col("hamming") <= maxHamming)
+    // expand fingerprint pairs to id pairs (output-sized joins)
+    val inter = fpPairs
+      .join(sh.select(col("sh").as("f1"), col("id").as("_ia")), "f1")
+      .join(sh.select(col("sh").as("f2"), col("id").as("_ib")), "f2")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    val intra = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
+        ham(col("sh"), col("sh")).as("hamming"))
+    inter.unionByName(intra)
   }
 
   /** Exact embedding near-dup: all pairs with cosine ≥ threshold.

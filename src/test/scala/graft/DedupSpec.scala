@@ -64,6 +64,35 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => assert(p.getAs[Number]("hamming").longValue <= 3))
   }
 
+  test("simhashPairs: many identical short docs complete without a quadratic bucket") {
+    // 300 copies of the same short doc collapse to ONE distinct
+    // fingerprint — the candidate join sees one row; the 300·299/2 true
+    // pairs come from the output-sized intra-fingerprint expansion
+    val d = ((0 until 300).map(i => (i.toLong, "tiny doc")) ++
+      Seq((1000L, "a genuinely different long document with many words here"),
+        (1001L, "a genuinely different long document with many words there")))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(d, "id", "text", 3)
+    assert(pairs.filter($"hamming" === 0).count() == 300L * 299 / 2)
+    assert(pairs.filter($"hamming" > 3).isEmpty)
+  }
+
+  test("simhashPairs: hot-bucket sub-split path is lossless (cap=1 ≡ cap=huge)") {
+    // cap=1 forces EVERY bucket through the sub-chunk path on both
+    // variants — output must be identical to the uncapped plan
+    val d = docs.limit(200)
+    val base = Dedup.simhashPairs(d, "doc_id", "text", 3, hotBucketCap = Int.MaxValue)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    val split = Dedup.simhashPairs(d, "doc_id", "text", 3, hotBucketCap = 1)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    assert(split == base)
+    val baseP = Dedup.simhashPairsPortable(d, "doc_id", "text", 3, hotBucketCap = Int.MaxValue)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    val splitP = Dedup.simhashPairsPortable(d, "doc_id", "text", 3, hotBucketCap = 1)
+      .select("id_a", "id_b", "hamming").collect().map(_.toSeq).toSet
+    assert(splitP == baseP)
+  }
+
   test("embedding LSH near-dup: subset of exact, usable recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
