@@ -871,12 +871,24 @@ object SparkEntry {
       init(s)
       val emb = t(s, dir, "embeddings")
       val media = Multimodal.synthesize(s, emb.select(col("vec_id")), "vec_id")
+      // REAL decode: synthesize emits true PNG/WAV payloads, so image rows
+      // carry genuine dims + decoded-pixel checksums and audio rows genuine
+      // rates — the fallback fingerprint only covers the declared video stub
       val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("feature").cast("array<float>").as("feature"))
       val q = feats.filter(col("media_id") === 0).select("feature").head().getSeq[Float](0)
+      val imgs = Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("pixel_checksum"))
+      val auds = Multimodal.decodeAudio(media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_frames"))
       Knn.search(feats, col("feature"), q, 10, "cosine",
         tieBreak = Some(col("media_id")), roundTo = Some(4))
-        .select(col("media_id"), col("_score").as("score"))
+        .join(imgs, Seq("media_id"))
+        .join(auds, Seq("media_id"))
+        .select(col("media_id"), col("_score").as("score"),
+          col("width"), col("height"), col("pixel_checksum"),
+          col("sample_rate"), col("n_frames"))
+        .orderBy(col("score").desc, col("media_id"))
     }),
 
     // ── pipeline: distributed k-NN JOIN at exactness params (nprobe =

@@ -251,20 +251,69 @@ object Multimodal {
       }
   }
 
+  final case class MediaMeta(width: Int, height: Int, sample_rate: Int,
+      n_frames: Int, mime: String)
+  final case class MediaRow(media_id: Long, payload: Array[Byte],
+      media_type: String, meta: MediaMeta)
+
   /** Synthesize a deterministic media table over any id column — lets the
     * multimodal plumbing be exercised against the standard fixtures.
+    *
+    * Image and audio payloads are GENUINELY DECODABLE: images are real
+    * PNGs (16×12, id-seeded pixels) encoded with `ImageIO`, audio rows
+    * are real 16-bit mono 16 kHz WAVs (400 id-seeded PCM frames) written
+    * with `javax.sound.sampled` — so pipelines over this table exercise
+    * the REAL decode + feature kernels, not just the fallback. Video
+    * payloads remain hash-derived pseudo-bytes (the video demuxer is a
+    * declared stub — no container codec ships in the JDK). Everything is
+    * a pure function of the id: byte-identical across runs.
     */
   def synthesize(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
-    ids.select(col(idCol).cast("long").as("media_id"))
-      .withColumn("payload",
-        // deterministic pseudo-bytes from the id
-        sha2(concat(lit("media"), col("media_id")), 256).cast("binary"))
-      .withColumn("media_type",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("media_id"), lit(3)) + 1).cast("int")))
-      .withColumn("meta", struct(
-        lit(640).as("width"), lit(480).as("height"),
-        lit(16000).as("sample_rate"), lit(120).as("n_frames"),
-        lit("application/octet-stream").as("mime")))
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (math.floorMod(id, 3): @unchecked) match {
+            case 0 =>
+              val w = 16; val h = 12
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = id * 1315423911L + x * 2654435761L + y * 97531L
+                  img.setRGB(x, y, (v & 0xffffff).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              MediaRow(id, out.toByteArray, "image",
+                MediaMeta(w, h, 16000, 1, "image/png"))
+            case 1 =>
+              val frames = 400
+              val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+              val pcm = new Array[Byte](frames * fmt.getFrameSize)
+              var i = 0
+              while (i < pcm.length) {
+                pcm(i) = (((id * 31 + i) * 2654435761L) >>> 16).toByte
+                i += 1
+              }
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(ais,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+              MediaRow(id, out.toByteArray, "audio",
+                MediaMeta(0, 0, 16000, frames, "audio/wav"))
+            case 2 =>
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              MediaRow(id, md.digest(s"media$id".getBytes("UTF-8")), "video",
+                MediaMeta(640, 480, 16000, 120, "application/octet-stream"))
+          }
+        }
+      }.toDF()
   }
 }

@@ -16,13 +16,21 @@ class MultimodalSpec extends SparkSpec {
     assert(types == Set("image", "audio", "video"))
   }
 
-  test("decode: undecodable payloads degrade to deterministic fingerprint rows") {
+  test("decode over synthesize: real dims for images/audio, fallback for the rest") {
     val d1 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
     val d2 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
     assert(d1.length == 90)
     assert(d1.map(_.pixel_checksum).toSeq == d2.map(_.pixel_checksum).toSeq)
-    // synthesized payloads are sha256 bytes, not images — 0-dims fallback
-    assert(d1.forall(d => d.width == 0 && d.height == 0 && d.channels == 0))
+    val (imgs, rest) = d1.partition(_.media_id % 3 == 0)
+    // image payloads are REAL PNGs now — true dims through ImageIO
+    assert(imgs.forall(d => d.width == 16 && d.height == 12 && d.channels == 3))
+    assert(rest.forall(d => d.width == 0 && d.height == 0 && d.channels == 0))
+    val a = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    val (auds, restA) = a.partition(_.media_id % 3 == 1)
+    // audio payloads are REAL WAVs — true rate/channels/frames
+    assert(auds.forall(d =>
+      d.sample_rate == 16000 && d.channels == 1 && d.n_frames == 400))
+    assert(restA.forall(d => d.sample_rate == 0 && d.n_frames == 0))
   }
 
   test("decode: real PNG and JPEG payloads yield true dimensions and a pixel checksum") {
