@@ -33,7 +33,12 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // count-then-free: dedup-family results are eager checkpoints; the
+      // release is part of the measured operator cost
+      try {
+        val df = fn(spark, sfDir)
+        try df.count() finally graft.operators.Checkpoints.free(df)
+      } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

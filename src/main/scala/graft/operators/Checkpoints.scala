@@ -30,4 +30,16 @@ object Checkpoints {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Consume-then-free: run `f` over a returned (checkpointed) frame and
+    * deterministically release its storage blocks afterwards — the
+    * closing bracket for operators whose RESULT is itself an eager
+    * checkpoint (jaccardPairs, minhashLshPairs, simhashPairs,
+    * connectedComponents). A caller looping over many corpora wraps each
+    * call so executor storage stays flat instead of re-acquiring blocks
+    * per corpus until GC. The frame must not be used after `consume`
+    * returns (its lineage was truncated at the checkpoint).
+    */
+  def consume[T](ds: Dataset[_])(f: Dataset[_] => T): T =
+    try f(ds) finally free(ds)
 }

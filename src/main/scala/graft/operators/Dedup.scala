@@ -294,10 +294,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      hotBucketCap: Int = 10000): DataFrame =
-    simhashPairsImpl(
+      hotBucketCap: Int = 10000): DataFrame = {
+    val (out, sh) = simhashPairsImpl(
       df.select(col(idCol).as("id"), simhashPortable(col(textCol)).as("sh")),
       chunkBits = 15, hammingAsLong = true, maxHamming, hotBucketCap)
+    try out.localCheckpoint(eager = true) finally Checkpoints.free(sh)
+  }
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming ≤ 3: pigeonhole over
     * 4×16-bit chunks — pairs within distance 3 must agree on ≥1 chunk, so
@@ -310,10 +312,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      hotBucketCap: Int = 10000): DataFrame =
-    simhashPairsImpl(
+      hotBucketCap: Int = 10000): DataFrame = {
+    val (out, sh) = simhashPairsImpl(
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
       chunkBits = 16, hammingAsLong = false, maxHamming, hotBucketCap)
+    try out.localCheckpoint(eager = true) finally Checkpoints.free(sh)
+  }
 
   /** Shared skew-safe simhash pair plan. Two quadratic failure modes of
     * the naive (chunk, value) candidate join are removed WITHOUT changing
@@ -335,12 +339,16 @@ object Dedup {
     *     (chunk, value, sub-chunk, sub-value) — each hot bucket splits by
     *     the sub-value fan-out instead of going quadratic.
     */
+  /** Returns the (un-materialized) pair plan plus the fingerprint
+    * checkpoint it reads; public wrappers materialize the output and free
+    * the checkpoint (the jaccardPairsPlan lifecycle).
+    */
   private def simhashPairsImpl(
       sh0: DataFrame,
       chunkBits: Int,
       hammingAsLong: Boolean,
       maxHamming: Int,
-      hotBucketCap: Int): DataFrame = {
+      hotBucketCap: Int): (DataFrame, DataFrame) = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
     require(hotBucketCap >= 1, s"hotBucketCap must be positive: $hotBucketCap")
     val ham = (a: Column, b: Column) => {
@@ -348,8 +356,8 @@ object Dedup {
       if (hammingAsLong) h.cast("long") else h
     }
     // fingerprints are recomputed by several branches below — materialize
-    // once (id+fingerprint = 16 bytes/row); freeing is the caller's
-    // contract via the returned frame (same as Ingest.conform)
+    // once (id+fingerprint = 16 bytes/row); the public wrappers free this
+    // checkpoint as soon as the output pair list materializes
     val sh = sh0.localCheckpoint(eager = true)
     val mask = (1L << chunkBits) - 1
     val fps = sh.select(col("sh")).distinct()
@@ -396,7 +404,7 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         ham(col("sh"), col("sh")).as("hamming"))
-    inter.unionByName(intra)
+    (inter.unionByName(intra), sh)
   }
 
   /** Exact embedding near-dup: all pairs with cosine ≥ threshold.

@@ -171,6 +171,28 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
     assert(persisted() <= base3 + 1, "connectedComponents leaked per-round checkpoints")
+    val base4 = persisted()
+    Dedup.simhashPairsPortable(docs, "doc_id", "text", 3).collect()
+    assert(persisted() <= base4 + 1, "simhashPairs leaked its fingerprint checkpoint")
+  }
+
+  test("consume-then-free: looping dedup calls keeps executor storage flat") {
+    import graft.operators.Checkpoints
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    docs.count()
+    val base = persisted()
+    for (i <- 1 to 3) {
+      val n = Checkpoints.consume(
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8))(_.count())
+      assert(n >= 0)
+      val m = Checkpoints.consume(
+        Dedup.simhashPairsPortable(docs, "doc_id", "text", 3))(_.count())
+      assert(m >= 0)
+      // <=: the shared session's context cleaner may concurrently collect
+      // PRIOR tests' unreferenced checkpoints, shrinking the count below
+      // the baseline — growth is the only failure mode
+      assert(persisted() <= base, s"storage grew after iteration $i")
+    }
   }
 
   test("clusters: every doc labeled, singletons canonical, groups collapse") {
