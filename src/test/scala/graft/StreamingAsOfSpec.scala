@@ -41,6 +41,38 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(out("other-key") == None)          // keys isolated
   }
 
+  test("TTL variant evicts idle keys once the event-time watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val q = StreamingAsOf.enrichWithTtl(mem.toDS(), "0 seconds", idleTtlMs = 100)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_ttl").start()
+    // two keys get state; one left row is enriched while state is live
+    mem.addData(In(1L, 1000L, isLeft = false, "r1"),
+      In(2L, 1000L, isLeft = false, "r2"),
+      In(1L, 1010L, isLeft = true, "l1"))
+    q.processAllAvailable()
+    // advance the watermark far past both keys' TTL (1000 + 100)…
+    mem.addData(In(9L, 100000L, isLeft = false, "r9"))
+    q.processAllAvailable()
+    // …and run one more batch so the timed-out groups are swept
+    mem.addData(In(9L, 100001L, isLeft = false, "r9b"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 1, s"expected only the live key's state row, got $stateRows")
+    // enrichment semantics held while the state was live
+    val out = spark.table("asof_ttl").as[Out].collect()
+      .map(o => o.payload -> o.rPayload).toMap
+    assert(out("l1") == Some("r1"))
+    // a left row for an EVICTED key starts over: no match from the past
+    mem.addData(In(1L, 100100L, isLeft = true, "l-after-evict"))
+    q.processAllAvailable()
+    val out2 = spark.table("asof_ttl").as[Out].collect()
+      .map(o => o.payload -> o.rPayload).toMap
+    assert(out2("l-after-evict") == None)
+    q.stop()
+  }
+
   test("late left rows never match a right row from their future") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[In]
