@@ -23,7 +23,11 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   sealed trait State
   case object Missing extends State
   final case class Building(gen: Long) extends State
-  final case class Ready(gen: Long, ncentroids: Int) extends State
+  /** `trainedDocs` = corpus size the model was trained on (-1 for
+    * sidecars written before the drift metric existed).
+    */
+  final case class Ready(gen: Long, ncentroids: Int, trainedDocs: Long = -1L)
+    extends State
   final case class Failed(gen: Long, reason: String) extends State
 
   def state: State = {
@@ -31,10 +35,11 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     if (!Files.exists(p)) Missing
     else {
       val s = new String(Files.readAllBytes(p))
-      val parts = s.trim.split(":", 3)
+      val parts = s.trim.split(":", 4)
       parts(0) match {
         case "BUILDING" => Building(parts(1).toLong)
-        case "READY"    => Ready(parts(1).toLong, parts(2).toInt)
+        case "READY"    => Ready(parts(1).toLong, parts(2).toInt,
+          if (parts.length > 3 && parts(3).nonEmpty) parts(3).toLong else -1L)
         case "FAILED"   => Failed(parts(1).toLong, parts(2))
         case _          => Missing
       }
@@ -60,6 +65,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     writeState(s"BUILDING:$gen:")
     try {
       val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count() // recorded for the drift metric
       val model = IvfIndex.train(corpus, vecCol, ncentroids)
       IvfIndex.buildTable(corpus, vecCol, model, indexPath(gen))
       // persist centroids alongside for query-time probe selection
@@ -68,8 +74,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       import spark.implicits._
       centroids.toDF("list_id", "centroid").write
         .mode("overwrite").parquet(s"${indexPath(gen)}.centroids")
-      writeState(s"READY:$gen:$ncentroids")
-      Ready(gen, ncentroids)
+      writeState(s"READY:$gen:$ncentroids:$trainedDocs")
+      Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
         writeState(s"FAILED:$gen:${e.getMessage}")
@@ -97,7 +103,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     * next rebuild; until then new rows are immediately probe-searchable.
     */
   def appendDelta(delta: DataFrame, vecCol: String): Unit = state match {
-    case Ready(gen, _) =>
+    case Ready(gen, _, _) =>
       val model = loadModel().getOrElse(
         throw new IllegalStateException("READY state without centroids"))
       IvfIndex.assign(delta, vecCol, model)
@@ -106,14 +112,44 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       throw new IllegalStateException(s"no READY index to append to (state: $other)")
   }
 
+  /** Staleness of the READY generation: fraction of indexed docs the
+    * model has NOT been trained on — `(indexed - trainedAt) / trainedAt`.
+    * 0 right after a rebuild, grows as [[appendDelta]] folds new vectors
+    * in under drifting centroids. None when no READY index exists or the
+    * sidecar predates the metric.
+    */
+  def staleness(): Option[Double] = state match {
+    case Ready(gen, _, trained) if trained > 0 =>
+      val indexed = spark.read.parquet(indexPath(gen)).count()
+      Some((indexed - trained).toDouble / trained)
+    case _ => None
+  }
+
+  /** Drift-triggered retrain — the maintenance twin of the reference's
+    * `training_threshold` auto-build loop (engine.cc:759-769,1084-1137):
+    * once the delta folded in since the last train exceeds
+    * `driftThreshold` (a fraction, e.g. 0.3 = 30% new docs), the index is
+    * retrained and rewritten under a fresh generation (BUILDING→READY,
+    * old generation served until the flip). Returns true iff a retrain
+    * ran. The space table is the training source, so deltas must be
+    * upserted there as well as appended to the index — the standard
+    * ingest contract.
+    */
+  def maybeRetrain(vecCol: String, driftThreshold: Double): Boolean =
+    state match {
+      case Ready(_, ncentroids, _) if staleness().exists(_ >= driftThreshold) =>
+        rebuild(vecCol, ncentroids); true
+      case _ => false
+    }
+
   /** The current READY index table, or None while missing/building. */
   def readyIndex(): Option[DataFrame] = state match {
-    case Ready(gen, _) => Some(spark.read.parquet(indexPath(gen)))
+    case Ready(gen, _, _) => Some(spark.read.parquet(indexPath(gen)))
     case _             => None
   }
 
   def loadModel(metric: String = "l2"): Option[IvfIndex.Model] = state match {
-    case Ready(gen, _) =>
+    case Ready(gen, _, _) =>
       val rows = spark.read.parquet(s"${indexPath(gen)}.centroids")
         .orderBy("list_id").collect()
       val cents = rows.map(_.getSeq[Float](1).toArray)
@@ -144,7 +180,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   def drop(): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     state match {
-      case Ready(gen, _) =>
+      case Ready(gen, _, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(indexPath(gen)), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"${indexPath(gen)}.centroids"), true)
       case _ =>

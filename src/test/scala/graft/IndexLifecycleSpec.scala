@@ -20,7 +20,10 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.readyIndex().isEmpty)
 
     val ready = lc.rebuild("embedding", ncentroids = 8)
-    assert(lc.state == lc.Ready(ready.gen, 8))
+    assert(lc.state == lc.Ready(ready.gen, 8, ready.trainedDocs))
+    assert(ready.trainedDocs ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(lc.staleness() == Some(0.0))
 
     // the READY generation serves IVF searches that match in-memory results
     val model = lc.loadModel().get
@@ -92,6 +95,48 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.readyIndex().isDefined)
     // idempotent once READY
     assert(!lc.maybeAutoBuild("embedding", 4, trainingThreshold = 1))
+  }
+
+  test("drift past the retrain threshold triggers a retrained generation") {
+    val root = Files.createTempDirectory("lifecycle4").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    val ready0 = lc.rebuild("embedding", ncentroids = 8)
+
+    // fold in a 50% delta: upsert to the space (training source) AND
+    // append to the live index — the standard ingest contract
+    val n = emb.count()
+    val delta = emb.limit((n / 2).toInt)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+    delta.write.mode("append").parquet(spacePath)
+    lc.appendDelta(delta, "embedding")
+    val st = lc.staleness().get
+    assert(st >= 0.49 && st <= 0.51, s"staleness $st")
+
+    // below the drift threshold nothing happens; at it, a retrain runs
+    assert(!lc.maybeRetrain("embedding", driftThreshold = 0.6))
+    assert(lc.state.asInstanceOf[lc.Ready].gen == ready0.gen)
+    assert(lc.maybeRetrain("embedding", driftThreshold = 0.4))
+    val ready1 = lc.state.asInstanceOf[lc.Ready]
+    assert(ready1.gen >= ready0.gen && ready1.trainedDocs == n + n / 2)
+    assert(lc.staleness() == Some(0.0)) // fresh train covers the merged layout
+    // idempotent after the retrain
+    assert(!lc.maybeRetrain("embedding", driftThreshold = 0.4))
+
+    // the retrained generation still serves exact IVF searches over the
+    // merged layout (exhaustive probe ≡ brute force)
+    val model = lc.loadModel().get
+    val idx = lc.readyIndex().get
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0)
+    val viaIndex = IvfIndex.search(idx, $"embedding", model, q, 5, nprobe = 8,
+      tieBreak = Some($"vec_id")).select("vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(spark.read.parquet(spacePath),
+      $"embedding", q, 5, "l2", tieBreak = Some($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex == exact)
+    lc.drop()
   }
 
   test("failed build leaves FAILED state and no ready index") {
