@@ -758,9 +758,11 @@ object SparkEntry {
     //    prebuilt list_id-partitioned + pq_code layout ──
     "q_ivfpq_search" -> ((s, dir) => {
       init(s)
-      val (table, ivf, pq) =
-        graft.sources.IndexStore.ivfPq(s, dir, ncentroids = 8, m = 8, ksub = 16)
-      PqIndex.searchIvf(table, col("embedding"), ivf, pq, qvec(s, dir),
+      // residual-trained codebooks (adopted after winning the
+      // RecallGateSpec head-to-head at the pruned-probe operating point)
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
         k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
     }),
@@ -769,12 +771,12 @@ object SparkEntry {
     //    at exactness params ≡ exact batch KNN (oracle-checked) ──
     "q_ivfpq_batch" -> ((s, dir) => {
       init(s)
-      val (table, ivf, pq) =
-        graft.sources.IndexStore.ivfPq(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
       val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      PqIndex.searchBatchIvf(table, col("embedding"), ivf, pq, queries,
+      PqIndex.searchBatchIvfResidual(table, col("embedding"), ivf, pq, queries,
         k = 5, nprobe = ivf.ncentroids, recallNum = 1 << 30, idCol = col("vec_id"))
         .select(col("_qid").as("qid"), col("_id").as("vec_id"),
           round(col("_score"), 4).as("score"))
@@ -785,9 +787,9 @@ object SparkEntry {
     //    (oracle-checked) ──
     "q_ivfpq_exact" -> ((s, dir) => {
       init(s)
-      val (table, ivf, pq) =
-        graft.sources.IndexStore.ivfPq(s, dir, ncentroids = 8, m = 8, ksub = 16)
-      PqIndex.searchIvf(table, col("embedding"), ivf, pq, qvec(s, dir),
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
         k = 10, nprobe = ivf.ncentroids, recallNum = 1 << 30,
         idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))

@@ -320,6 +320,50 @@ object VecKernels {
     new GenericArrayData(out)
   }
 
+  /** [[pqEncode]] over the IVF residual v − centroid(listId) — the
+    * reference's IVFPQ trains and encodes residuals
+    * (gamma_index_ivfpq.cc:221-273), which centers every list's codes
+    * around the origin and lets the same ksub codes resolve finer detail.
+    */
+  def pqEncodeResidual(a: ArrayData, listId: Int,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val nElems = a.numElements()
+    val c = centroids(listId)
+    val out = new Array[Int](m)
+    var sub = 0
+    var offset = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val cent = cb(k)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val j = offset + i
+          val x =
+            if (j < nElems)
+              a.getFloat(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0)
+            else 0.0
+          val d = x - cent(i).toDouble
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = k }
+        k += 1
+      }
+      out(sub) = best
+      offset += dsub
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC (asymmetric distance computation): score = Σ_sub lut(sub)(code).
     * The lookup table is precomputed per query on the driver.
     */

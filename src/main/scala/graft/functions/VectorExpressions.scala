@@ -199,6 +199,29 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PQ encode of the IVF residual v − centroid(listId) (reference IVFPQ
+  * trains per-subvector codebooks on residuals, gamma_index_ivfpq.cc).
+  */
+case class PqEncodeResidual(vec: Expression, listId: Expression,
+    centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = listId
+  override def prettyName: String = "pq_encode_residual"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.pqEncodeResidual(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], centroids, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val bref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.pqEncodeResidual($a, $b, $cref, $bref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, listId = r)
+}
+
 /** ADC score of a code array against a per-query lookup table. */
 case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression {

@@ -82,6 +82,47 @@ object PqIndex {
       else clean
     val rows: Array[Array[Float]] = sampled.select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
+    trainFromRows(rows, m, dsub, ksub, metric, seed, maxIter)
+  }
+
+  /** [[train]] on IVF RESIDUALS (v − centroid(list_id)) — the reference's
+    * actual IVFPQ training (gamma_index_ivfpq.cc:221-273): each list's
+    * vectors are centered on their coarse centroid before the
+    * sub-codebooks fit, so the same ksub codes model per-list detail
+    * instead of re-spending codes on the coarse structure the IVF already
+    * captured. `assigned` must carry `list_id` ([[IvfIndex.assign]]);
+    * encode with [[encodeResidual]] and search with the residual variants.
+    */
+  def trainResidual(
+      assigned: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ivf: IvfIndex.Model,
+      ksub: Int = 256,
+      metric: String = "l2",
+      seed: Long = 42L,
+      maxTrainRows: Long = 200000L,
+      maxIter: Int = 15): Model = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    val clean = assigned.filter(col(vecCol).isNotNull && col("list_id").isNotNull)
+    val total = clean.count()
+    val sampled =
+      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      else clean
+    val rows: Array[Array[Float]] = sampled
+      .select(col(vecCol), col("list_id").cast("int"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val c = ivf.centroids(r.getInt(1))
+        Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0f))
+      }
+    trainFromRows(rows, m, dsub, ksub, metric, seed, maxIter)
+  }
+
+  private def trainFromRows(rows: Array[Array[Float]], m: Int, dsub: Int,
+      ksub: Int, metric: String, seed: Long, maxIter: Int): Model = {
     require(rows.nonEmpty, "no training rows")
     // the m sub-codebooks are independent — train them concurrently
     // (m=64 at nbytes-64 settings would otherwise serialize 64 Lloyd runs)
@@ -163,6 +204,133 @@ object PqIndex {
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("pq_code",
       graft.Graft.columnOf(PqEncode(graft.Graft.exprOf(col(vecCol)), model.codebooks)))
+
+  /** Residual `pq_code`: encode v − centroid(list_id) with codebooks from
+    * [[trainResidual]]. `assigned` must carry `list_id`.
+    */
+  def encodeResidual(assigned: DataFrame, vecCol: String,
+      ivf: IvfIndex.Model, model: Model): DataFrame =
+    assigned.withColumn("pq_code", graft.Graft.columnOf(
+      graft.functions.PqEncodeResidual(
+        graft.Graft.exprOf(col(vecCol)),
+        graft.Graft.exprOf(col("list_id").cast("int")),
+        ivf.centroids, model.codebooks)))
+
+  /** Single-query IVFPQ over RESIDUAL codes: each probed list's codes
+    * score against the LUT of ITS residual query q − c_list (joined in
+    * broadcast as data), then exact rerank of the recallNum survivors —
+    * the reference's IVFPQ search over residual-trained codebooks.
+    */
+  def searchIvfResidual(
+      corpus: DataFrame, // carries list_id + residual pq_code + raw vectors
+      vecCol: Column,
+      ivf: IvfIndex.Model,
+      pq: Model,
+      q: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      recallNum: Int,
+      idCol: Column,
+      roundTo: Option[Int] = None): DataFrame = {
+    require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lists = ivf.nearestCentroids(q, nprobe)
+    val luts = lists.map { l =>
+      val c = ivf.centroids(l)
+      val qr = Array.tabulate(q.length)(i =>
+        q(i) - (if (i < c.length) c(i) else 0f)).toSeq
+      val bias =
+        if (pq.metric == "ip")
+          -(0 until math.min(q.length, c.length)).map(i => q(i).toDouble * c(i)).sum
+        else 0.0
+      (l, pq.lut(qr).flatten.toSeq, bias)
+    }
+    val lutDf = luts.toDF("list_id", "_lut", "_bias")
+    val ksub = pq.ksub
+    val shortlist = corpus.filter(col("list_id").isin(lists: _*))
+      .select(idCol.as("_sid"), col("list_id"), col("pq_code"))
+      .join(broadcast(lutDf), Seq("list_id"))
+      .withColumn("_adc",
+        col("_bias") + aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
+          (acc, sub) => acc +
+            element_at(col("_lut"), sub * ksub + element_at(col("pq_code"), sub + 1) + 1)))
+      .filter(col("_adc").isNotNull)
+      .orderBy(col("_adc").asc, col("_sid").asc)
+      .limit(recallNum)
+      .select(col("_sid"))
+    val rerank = corpus.join(broadcast(shortlist), idCol === col("_sid"), "left_semi")
+    Knn.search(rerank, vecCol, q, k, pq.metric, tieBreak = Some(idCol),
+      roundTo = roundTo)
+  }
+
+  /** Batched IVFPQ over RESIDUAL codes: stage-1 LUTs are built per
+    * (query, probed list) on the residual query q − c_list and joined in
+    * on `list_id` EQUALITY (each list's codes score against exactly its
+    * own residual LUT — the asymmetric-residual shape of
+    * [[graft.tools.Recall.evalIvfRabitq]] with ADC lookups). For IP a
+    * per-list bias q·c_list restores cross-list comparability
+    * (q·v ≈ q·c + q·r̂); L2 needs none (‖q−v‖² = ‖(q−c)−r̂‖²).
+    */
+  def searchBatchIvfResidual(
+      corpus: DataFrame, // carries list_id + residual pq_code + raw vectors
+      vecCol: Column,
+      ivf: IvfIndex.Model,
+      pq: Model,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      nprobe: Int,
+      recallNum: Int,
+      idCol: Column): DataFrame = {
+    require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qlRows = queries.flatMap { case (qid, q) =>
+      ivf.nearestCentroids(q, nprobe).map { l =>
+        val c = ivf.centroids(l)
+        val qr = Array.tabulate(q.length)(i =>
+          q(i) - (if (i < c.length) c(i) else 0f)).toSeq
+        val bias =
+          if (pq.metric == "ip")
+            -(0 until math.min(q.length, c.length)).map(i => q(i).toDouble * c(i)).sum
+          else 0.0
+        (qid, l, pq.lut(qr).flatten.toSeq, bias)
+      }
+    }
+    val qDf = qlRows.toDF("_qid", "list_id", "_lut", "_bias")
+    val union = qlRows.map(_._2).distinct
+    val pruned =
+      if (union.isEmpty) corpus.limit(0)
+      else corpus.filter(col("list_id").isin(union: _*))
+    val ksub = pq.ksub
+    val adc = pruned.select(idCol.as("_sid"), col("list_id"), col("pq_code"))
+      .join(broadcast(qDf), Seq("list_id"))
+      .select(col("_qid"),
+        (col("_bias") + aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
+          (acc, sub) => acc +
+            element_at(col("_lut"), sub * ksub + element_at(col("pq_code"), sub + 1) + 1)))
+          .as("_adc"),
+        col("_sid"))
+      .filter(col("_adc").isNotNull)
+    val qvDf = queries.toDF("_qid", "_qv")
+      .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+    val short = adc.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_adc"), struct(col("_sid")), recallNum,
+        asc = true).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item._sid").as("_sid"))
+      .join(broadcast(qvDf), Seq("_qid"))
+    val rerank = corpus.join(broadcast(short), idCol === col("_sid"))
+      .select(col("_qid"),
+        Knn.score(pq.metric, vecCol, col("_qv")).as("_score"),
+        struct(idCol.as("id")).as("_item"))
+      .filter(col("_score").isNotNull)
+    rerank.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
+        Knn.ascending(pq.metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item.id").as("_id"), col("_e.score").as("_score"))
+  }
 
   /** ADC score column for a query (lower is better for both metrics; IP is
     * negated inside the LUT). The per-query LUT is carried by the

@@ -308,6 +308,33 @@ object IndexStore {
       readPqModel(s"$dir/pq.txt"))
   }
 
+  /** Residual IVFPQ layout — codebooks trained and codes computed on
+    * v − centroid(list_id) ([[PqIndex.trainResidual]]); the adopted
+    * default for the q_ivfpq queries after winning the RecallGateSpec
+    * codebook head-to-head (+4 recall@10 points at the tight operating
+    * point on the normalized distribution).
+    */
+  def ivfPqResidual(spark: SparkSession, sfDir: String, ncentroids: Int = 8,
+      m: Int = 8, ksub: Int = 16): (DataFrame, IvfIndex.Model, PqIndex.Model) = {
+    val dir = dirFor(sfDir, s"ivfpqr${ncentroids}_${m}_$ksub")
+    buildOnce(dir) {
+      val e = emb(spark, sfDir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val ivf = IvfIndex.train(e, "embedding", ncentroids)
+      val assigned = IvfIndex.assign(e, "embedding", ivf)
+      val pq = PqIndex.trainResidual(assigned, "embedding", dim, m, ivf,
+        ksub = ksub, maxTrainRows = 200000L, maxIter = 8)
+      PqIndex.encodeResidual(assigned, "embedding", ivf, pq)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      writePqModel(s"$dir/pq.txt", pq)
+      markReady(dir)
+    }
+    (spark.read.parquet(s"$dir/table"),
+      readIvfModel(s"$dir/ivf.txt"),
+      readPqModel(s"$dir/pq.txt"))
+  }
+
   /** Flat PQ layout: `pq_code` alongside raw vectors, no coarse partition. */
   def pqFlat(spark: SparkSession, sfDir: String,
       m: Int = 8, ksub: Int = 16): (DataFrame, PqIndex.Model) = {
@@ -361,6 +388,7 @@ object IndexStore {
   def warm(spark: SparkSession, sfDir: String): Unit = {
     ivfFlat(spark, sfDir)
     ivfPq(spark, sfDir)
+    ivfPqResidual(spark, sfDir)
     pqFlat(spark, sfDir)
     binary(spark, sfDir)
     binaryIvf(spark, sfDir)

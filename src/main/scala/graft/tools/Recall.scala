@@ -114,6 +114,22 @@ object Recall {
       }
   }
 
+  /** Batched residual IVFPQ via [[PqIndex.searchBatchIvfResidual]] —
+    * per-(query, list) residual LUTs, codes from [[PqIndex.encodeResidual]].
+    */
+  def evalIvfPqResidual(encoded: DataFrame, ivf: IvfIndex.Model,
+      pq: PqIndex.Model, queries: Array[(Long, Seq[Float])], nprobe: Int,
+      recallNum: Int, k: Int): Map[Long, Seq[Long]] = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    PqIndex.searchBatchIvfResidual(encoded, $"embedding", ivf, pq,
+      queries.toSeq, k, nprobe, recallNum, $"vec_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+      }
+  }
+
   /** Batched IVFRABITQ: per-(query, probed-list) residual queries ride as
     * broadcast data; one join on list_id scores every probed candidate's
     * residual code, bounded top-shortlist per qid, exact rerank of the

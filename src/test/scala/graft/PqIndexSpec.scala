@@ -54,6 +54,39 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ rerank recall@10 = $recall")
   }
 
+  test("residual codebooks: exact parity at full probe + exhaustive rerank") {
+    import graft.operators.IvfIndex
+    val ivf = IvfIndex.train(emb, "embedding", 8)
+    val assigned = IvfIndex.assign(emb, "embedding", ivf)
+    val pqr = PqIndex.trainResidual(assigned, "embedding", dim = 64, m = 8,
+      ivf, ksub = 16)
+    val enc = PqIndex.encodeResidual(assigned, "embedding", ivf, pqr)
+    val viaRes = PqIndex.searchIvfResidual(enc, $"embedding", ivf, pqr, q0,
+      k = 10, nprobe = 8, recallNum = 1 << 30, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect().toSeq
+    val exact = Knn.search(emb, $"embedding", q0, 10, "l2", tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(viaRes == exact)
+  }
+
+  test("residual ip: per-list bias keeps cross-list shortlists usable") {
+    import graft.operators.IvfIndex
+    val ivf = IvfIndex.train(emb, "embedding", 8)
+    val assigned = IvfIndex.assign(emb, "embedding", ivf)
+    val pqr = PqIndex.trainResidual(assigned, "embedding", dim = 64, m = 8,
+      ivf, ksub = 16, metric = "ip")
+    val enc = PqIndex.encodeResidual(assigned, "embedding", ivf, pqr)
+    val exact = Knn.search(emb, $"embedding", q0, 10, "ip", tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSet
+    // a missing q·c_list bias skews the shortlist toward whole lists and
+    // tanks recall; with it a modest shortlist recovers most of top-10
+    val got = PqIndex.searchIvfResidual(enc, $"embedding", ivf, pqr, q0,
+      k = 10, nprobe = 8, recallNum = 60, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"residual-ip shortlist recall@10 = $recall")
+  }
+
   test("ip metric: ADC uses negated dot, search still ranks self first") {
     val mIp = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16, metric = "ip")
     val encIp = PqIndex.encode(emb, "embedding", mIp)

@@ -43,6 +43,22 @@ class RecallGateSpec extends SparkSpec {
     assert(Recall.report(s"spec_IVFPQ_nc${ncent}_np${nprobe}_m${dim / 2}", n, gt, gotPq),
       "IVFPQ recall gates failed")
 
+    // residual-trained codebooks at the SAME m/ksub geometry — the
+    // reference's actual IVFPQ training (gamma_index_ivfpq.cc:221-273);
+    // head-to-head against the global-sample codebooks above
+    val pqRes = PqIndex.trainResidual(assigned, "embedding", dim, m = dim / 2,
+      ivf, ksub = 64, maxTrainRows = 10000L, maxIter = 8)
+    val encodedRes = PqIndex.encodeResidual(assigned, "embedding", ivf, pqRes).cache()
+    encodedRes.count()
+    val gotRes = Recall.evalIvfPqResidual(encodedRes, ivf, pqRes, queries,
+      nprobe, recallNum = 300, k = 100)
+    assert(Recall.report(s"spec_IVFPQ_residual_nc${ncent}_np${nprobe}_m${dim / 2}",
+      n, gt, gotRes), "residual IVFPQ recall gates failed")
+    val g10 = Recall.recallAt(gt, gotPq, 10)
+    val r10 = Recall.recallAt(gt, gotRes, 10)
+    println(f"""{"compare":"IVFPQ_codebooks","global@10":$g10%.4f,"residual@10":$r10%.4f,"winner":"${if (r10 >= g10) "residual" else "global"}"}""")
+    encodedRes.unpersist()
+
     corpus.unpersist(); assigned.unpersist(); encoded.unpersist()
     ()
   }
@@ -79,6 +95,24 @@ class RecallGateSpec extends SparkSpec {
     assert(Recall.report(s"spec_norm_IVFPQ_nc${ncent}_np${nprobe}_m${dim / 2}", n, gt,
       Recall.evalIvfPq(encoded, ivf, pq, queries, nprobe, recallNum = 300, k = 100)),
       "IVFPQ recall gates failed on the normalized distribution")
+
+    // codebook head-to-head at a DISCRIMINATING operating point: tiny
+    // rerank slack (recallNum 20 → k 10) on the hard distribution, so the
+    // raw ADC shortlist quality decides — the wide-slack gate rows above
+    // saturate at 1.0 and cannot separate the two trainings
+    val pqRes = PqIndex.trainResidual(assigned, "embedding", dim, m = dim / 2,
+      ivf, ksub = 64, maxTrainRows = 10000L, maxIter = 8)
+    val encodedRes = PqIndex.encodeResidual(assigned, "embedding", ivf, pqRes).cache()
+    encodedRes.count()
+    val tightGlobal = Recall.recallAt(gt,
+      Recall.evalIvfPq(encoded, ivf, pq, queries, nprobe, recallNum = 20, k = 10), 10)
+    val tightRes = Recall.recallAt(gt,
+      Recall.evalIvfPqResidual(encodedRes, ivf, pqRes, queries, nprobe,
+        recallNum = 20, k = 10), 10)
+    println(f"""{"compare":"IVFPQ_codebooks_norm_tight","global@10":$tightGlobal%.4f,"residual@10":$tightRes%.4f,"winner":"${if (tightRes >= tightGlobal) "residual" else "global"}"}""")
+    assert(tightRes >= tightGlobal - 0.05,
+      f"residual codebooks regressed: $tightRes%.4f vs $tightGlobal%.4f")
+    encodedRes.unpersist()
     encoded.unpersist()
 
     val coded = graft.operators.BinaryIndex
