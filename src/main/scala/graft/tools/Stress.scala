@@ -106,15 +106,49 @@ object Stress {
         concat(lit("u"), $"id", lit("_"), i))
         .otherwise(concat(lit("w"),
           pmod(xxhash64(expr("id div 10"), i), lit(200000)))))
+    // storage-lifecycle evidence: every dedup result below runs through
+    // Checkpoints.consume, so the whole section must leave ZERO residual
+    // persisted RDDs (checked and printed at the end)
+    val rddsBeforeDedup = spark.sparkContext.getPersistentRDDs.size
     val docs = spark.range(0, nDocs)
       .select($"id", concat_ws(" ", words).as("text")).cache()
     docs.count()
-    val t0 = System.nanoTime()
-    val pairs = graft.operators.Dedup
-      .jaccardPairs(docs, "id", "text", n = 3, threshold = 0.8).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"stress":"jaccard_prefix_join","docs":$nDocs,"pairs":$pairs,"sec":$sec%.2f,"docs_per_sec":${(nDocs / sec).toLong}}""")
+    import graft.operators.{Checkpoints, Dedup}
+    def timeDedup(what: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stress":"$what","docs":$nDocs,"pairs":$pairs,"sec":$sec%.2f,"docs_per_sec":${(nDocs / sec).toLong}}""")
+    }
+    timeDedup("jaccard_prefix_join") {
+      Checkpoints.consume(
+        Dedup.jaccardPairs(docs, "id", "text", n = 3, threshold = 0.8))(_.count())
+    }
+    timeDedup("minhash_lsh") {
+      Checkpoints.consume(Dedup.minhashLshPairs(docs, "id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8))(_.count())
+    }
+    timeDedup("simhash_pigeonhole") {
+      Checkpoints.consume(
+        Dedup.simhashPairsPortable(docs, "id", "text", maxHamming = 3))(_.count())
+    }
+    // near-dup clustering over the LSH pair list (template corpus → ~10-doc
+    // clusters): large-star/small-star rounds over a multi-hundred-k-edge
+    // graph, per-round checkpoints freed inside, result consumed
+    locally {
+      val mh = Dedup.minhashLshPairs(docs, "id", "text",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+      val t0 = System.nanoTime()
+      val comps = Checkpoints.consume(
+        Dedup.connectedComponents(mh, "id_a", "id_b"))(
+        _.select("cc").distinct().count())
+      val sec = (System.nanoTime() - t0) / 1e9
+      Checkpoints.free(mh)
+      println(f"""{"stress":"connected_components","docs":$nDocs,"components":$comps,"sec":$sec%.2f,"docs_per_sec":${(nDocs / sec).toLong}}""")
+    }
     docs.unpersist()
+    val residual = spark.sparkContext.getPersistentRDDs.size - rddsBeforeDedup
+    println(s"""{"stress":"dedup_storage_check","residual_rdds":$residual}""")
 
     // as-of join at stream scale: |L|+|R| rows through ONE key shuffle +
     // window pass — wall-clock stays linear in rows where a range-join
