@@ -279,6 +279,17 @@ object Recall {
       evalIvfPq(encoded, ivf, pq, queries, np, recallNum, 100))
     encoded.unpersist()
 
+    // residual-trained codebooks at the same geometry (the adopted
+    // default for the q_ivfpq queries)
+    val pqRes = PqIndex.trainResidual(assigned, "embedding", dim, m, ivf,
+      ksub = ksub, maxTrainRows = if (synth.isDefined) 50000L else 5000L,
+      maxIter = 10)
+    val encodedRes = PqIndex.encodeResidual(assigned, "embedding", ivf, pqRes).cache()
+    encodedRes.count()
+    report(s"${tag}IVFPQ_residual_nc${ncent}_np${np}_m$m", n, gt,
+      evalIvfPqResidual(encodedRes, ivf, pqRes, queries, np, recallNum, 100))
+    encodedRes.unpersist()
+
     // IVFRABITQ: residual sign codes over the same coarse quantizer
     val coded = graft.operators.BinaryIndex
       .encodeResidual(assigned, "embedding", ivf).cache()
