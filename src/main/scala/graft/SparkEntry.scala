@@ -378,6 +378,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── pipeline: near-CONTAINMENT pairs (overlap/min ≥ t) — doc-inside-
+    //    doc near-dup that symmetric jaccard misses; smaller-prefix ×
+    //    full-relation equi-join, exact verify ──
+    "q_dedup_containment" -> ((s, dir) => {
+      init(s)
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── pipeline: exact embedding near-dup (cosine ≥ t) ──
     "q_embed_neardup" -> ((s, dir) => {
       init(s)
@@ -1736,6 +1748,15 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
 
     "q_dedup_jaccard" -> jaccardPairsSql,
+
+    // same shingle derivation; containment = overlap / min set size
+    "q_dedup_containment" ->
+      s"""WITH $jaccardCtes
+         SELECT id_a, id_b,
+                round(common::DOUBLE / least(za.sz, zb.sz), 4) AS containment
+         FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
+         WHERE common::DOUBLE / least(za.sz, zb.sz) >= 0.8
+         ORDER BY id_a, id_b""",
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

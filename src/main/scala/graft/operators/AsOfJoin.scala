@@ -55,6 +55,12 @@ object AsOfJoin {
     * @param skewBuckets   1 (default) = single window per key; > 1 =
     *                      skew-safe two-pass bucketed carry splitting each
     *                      key across up to this many time buckets/tasks
+    * @param skewAutoThreshold when set (and skewBuckets == 1), one extra
+    *                      map-side-combinable aggregate measures the max
+    *                      per-key row count; past the threshold the
+    *                      bucketed path triggers automatically with
+    *                      ceil(max/threshold) buckets (capped at 256) so
+    *                      each (key, bucket) task holds ~threshold rows
     * Output: every left row with all its columns, plus each right payload
     * column (all non-key right columns) as `rightPrefix + name` — NULL
     * when no right row precedes the left row.
@@ -67,7 +73,8 @@ object AsOfJoin {
       rightTime: String,
       rightPrefix: String = "",
       rightTieBreak: Option[String] = None,
-      skewBuckets: Int = 1): DataFrame = {
+      skewBuckets: Int = 1,
+      skewAutoThreshold: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(skewBuckets >= 1, s"skewBuckets must be >= 1: $skewBuckets")
     val lPayload = left.columns.toSeq.filterNot(keyCols.contains)
@@ -105,9 +112,20 @@ object AsOfJoin {
           rightTieBreak.map(col).getOrElse(lit(0L)).as("_tie"),
           struct(rPayload.map(col): _*).as("_r")): _*)
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
+    val effBuckets =
+      if (skewBuckets > 1) skewBuckets
+      else skewAutoThreshold match {
+        case Some(th) if th > 0 =>
+          // bounded 1-scalar action; the count is map-side combinable
+          val r = unioned.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
+          val mx = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (mx > th) math.min(256L, (mx + th - 1) / th).toInt else 1
+        case _ => 1
+      }
     val matched =
-      if (skewBuckets == 1) singleWindow(unioned, keyCols)
-      else bucketedCarry(unioned, keyCols, skewBuckets)
+      if (effBuckets == 1) singleWindow(unioned, keyCols)
+      else bucketedCarry(unioned, keyCols, effBuckets)
     matched.select(
       keyCols.map(col) ++
         lPayload.map(c => col("_l").getField(c).as(c)) ++

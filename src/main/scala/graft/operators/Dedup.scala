@@ -107,13 +107,17 @@ object Dedup {
     * plan reads. Callers MUST materialize the plan at most once and then
     * free each returned checkpoint via [[Checkpoints.free]].
     */
-  private[graft] def jaccardPairsPlan(
+  /** Shared front half of the shingle-set joins: per-doc distinct sorted
+    * 64-bit shingle-hash sets with the hot-shingle (document-frequency)
+    * cap applied. Returns (sets `(id, ss)`, corpus-scale checkpoints the
+    * caller must free after its output materializes).
+    */
+  private def cappedShingleSets(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double,
-      maxShingleDf: Option[Int] = Some(10000)): (DataFrame, Seq[DataFrame]) = {
+      maxShingleDf: Option[Int]): (DataFrame, Seq[DataFrame]) = {
     // one codegen'd kernel per row: distinct SORTED 64-bit shingle hashes
     // (== xxhash64 of the space-joined shingle strings) — 8-byte shuffle
     // keys, no per-shingle string objects, collision odds ~|shingles|²/2⁶⁵.
@@ -161,6 +165,18 @@ object Dedup {
         }
       case None => shingled.select(col("id"), col("sharr").as("ss"))
     }
+    (sets, shingled +: hotCp.toSeq)
+  }
+
+  private[graft] def jaccardPairsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = Some(10000)): (DataFrame, Seq[DataFrame]) = {
+    val (sets, intermediates) =
+      cappedShingleSets(df, idCol, textCol, n, maxShingleDf)
     val withSz = sets.withColumn("sz", size(col("ss")))
     // prefix = first sz - ceil(t*sz) + 1 elements of the sorted set
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
@@ -178,7 +194,53 @@ object Dedup {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (out, shingled +: hotCp.toSeq)
+    (out, intermediates)
+  }
+
+  /** Near-CONTAINMENT pairs: overlap / min(|a|, |b|) ≥ threshold — the
+    * doc-inside-doc near-dup that symmetric Jaccard misses (a short doc
+    * copied into a long one has high containment but low Jaccard).
+    *
+    * Candidate generation stays an equi-join but is necessarily
+    * asymmetric: the smallest shared shingle provably lies in the SMALLER
+    * set's prefix (if it didn't, overlap ≤ ⌈t·|s|⌉ − 1 < t·min — the
+    * prefix lemma applied to the smaller side), yet it can sit anywhere
+    * in the larger set — so each set's prefix joins against the full
+    * shingle relation, not prefix×prefix. Cost: Σ_sh prefixCount(sh) ×
+    * df(sh), bounded by the same `maxShingleDf` hot-shingle cap (which a
+    * containment join needs even more than Jaccard does). Exact output:
+    * zero false negatives by the lemma, zero false positives by the
+    * `array_intersect` verify over the full capped sets.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
+    val (sets, intermediates) =
+      cappedShingleSets(df, idCol, textCol, n, maxShingleDf)
+    val withSz = sets.withColumn("sz", size(col("ss")))
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    val pre = withSz.select(col("id"),
+      explode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))).as("psh"))
+    val inv = withSz.select(col("id"), explode(col("ss")).as("psh"))
+    val cand = pre.as("a").join(inv.as("b"), Seq("psh"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val out = cand
+      .join(withSz.select(col("id").as("id_a"), col("ss").as("ss_a"), col("sz").as("sz_a")), "id_a")
+      .join(withSz.select(col("id").as("id_b"), col("ss").as("ss_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("ss_a"), col("ss_b"))))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+    try out.localCheckpoint(eager = true)
+    finally intermediates.foreach(Checkpoints.free)
   }
 
   /** MinHash signature as a per-row expression: element j = min over

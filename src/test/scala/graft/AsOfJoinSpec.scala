@@ -148,6 +148,29 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("skewAutoThreshold: triggers the bucketed path only past the key-count bar") {
+    val rnd = new scala.util.Random(23)
+    val lRows = Seq.tabulate(300)(i => (0L, rnd.nextInt(500).toLong, i.toLong))
+    val rRows = Seq.tabulate(100)(i => (0L, rnd.nextInt(500).toLong, (5000 + i).toLong))
+    // below threshold: single-window plan (no join node)
+    val calm = AsOfJoin.leftAsOf(lRows.toDF("k", "lt", "lid"),
+      rRows.toDF("k", "rt", "rid"), Seq("k"), "lt", "rt",
+      rightPrefix = "p_", skewAutoThreshold = Some(100000L))
+    assert(!calm.queryExecution.executedPlan.toString.contains("Join"))
+    // past threshold: auto-bucketed, still matches brute force
+    val auto = AsOfJoin.leftAsOf(lRows.toDF("k", "lt", "lid"),
+      rRows.toDF("k", "rt", "rid"), Seq("k"), "lt", "rt",
+      rightPrefix = "p_", rightTieBreak = Some("rid"),
+      skewAutoThreshold = Some(50L))
+    assert(auto.queryExecution.executedPlan.toString.contains("Join"))
+    val got = auto.collect().map(x => (x.getLong(1), x.getLong(2)) ->
+      Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long])).toMap
+    lRows.foreach { case (_, lt, lid) =>
+      val want = rRows.filter(_._2 <= lt).sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+      assert(got((lt, lid)) == want, s"lt=$lt")
+    }
+  }
+
   test("property: matches the brute-force latest-at-or-before reference") {
     // randomized small tables, fixed seeds — compare against a
     // driver-side O(|L|·|R|) reference implementation

@@ -39,6 +39,36 @@ class DedupSpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("containmentPairs: catches doc-inside-doc that jaccard misses; matches brute force") {
+    // doc 2 = doc 1's text embedded in a much longer doc: containment of
+    // 1-in-2 is ~1.0 while jaccard is low
+    val long = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val short = "alpha beta gamma delta epsilon zeta"
+    val d = Seq((1L, short), (2L, s"$short $long"), (3L, "unrelated totally different words"))
+      .toDF("id", "text")
+    val cont = Dedup.containmentPairs(d, "id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((1L, 2L)))
+    val jacc = Dedup.jaccardPairs(d, "id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jacc.contains((1L, 2L)), "jaccard should miss the containment pair")
+
+    // brute-force equivalence on the fixture corpus: shingle sets via the
+    // same kernel, overlap/min computed driver-side
+    val docs200 = docs.limit(200)
+    val sets = docs200.select($"doc_id",
+      graft.Graft.F.shingleHashes(Dedup.tokens($"text"), 3).as("ss"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      common = sa.toSet.intersect(sb.toSet).size
+      if common.toDouble / math.min(sa.size, sb.size) >= 0.8
+    } yield (a, b)).toSet
+    val got = Dedup.containmentPairs(docs200, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("jaccardPairs maxShingleDf cap drops only hot shingles") {
     // with a cap of 1 every shared shingle is dropped → no pairs
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxShingleDf = Some(1))
