@@ -378,6 +378,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── pipeline: PII detection + redaction — the fixture has no natural
+    //    PII, so deterministic synthetic spans (email/phone/IP derived
+    //    from doc_id) are injected into every 10th doc IDENTICALLY here
+    //    and in the oracle, then detected and redacted; pure map-side
+    //    regex expressions ──
+    "q_pii" -> ((s, dir) => {
+      init(s)
+      val injected = when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" or call 555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit(" from 192.168."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.piiSignals(injected).as("_p"),
+          TextOps.redactPii(injected).as("redacted"))
+        .select(col("doc_id"),
+          col("_p.n_emails").cast("long").as("n_emails"),
+          col("_p.n_ips").cast("long").as("n_ips"),
+          col("_p.n_phones").cast("long").as("n_phones"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: near-CONTAINMENT pairs (overlap/min ≥ t) — doc-inside-
     //    doc near-dup that symmetric jaccard misses; smaller-prefix ×
     //    full-relation equi-join, exact verify ──
@@ -1748,6 +1773,28 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
 
     "q_dedup_jaccard" -> jaccardPairsSql,
+
+    // identical synthetic-PII injection, then RE2 equivalents of the Java
+    // patterns (restricted to the shared-dialect subset) in the same
+    // redaction order
+    "q_pii" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' contact user' || doc_id || '@example.com' ||
+                            ' or call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') ||
+                            ' from 192.168.' || (doc_id % 256) || '.7'
+                       ELSE text END AS t2
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+                len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM d ORDER BY doc_id""",
 
     // same shingle derivation; containment = overlap / min set size
     "q_dedup_containment" ->

@@ -92,6 +92,36 @@ object TextOps {
   def exactFingerprint(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
+  /** PII patterns shared by detection and redaction — restricted to
+    * syntax Java regex and RE2 (the SQL oracle's engine) interpret
+    * identically: ASCII classes, bounded repetition, `\b`, and
+    * non-capturing groups only.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII detection signals: per-row counts of email / IPv4 / phone-shaped
+    * spans. Pure codegen'd regex expressions — map-side only, the
+    * pre-redaction audit pass of a training-data pipeline.
+    */
+  def piiSignals(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(IpRe), lit(0))).as("n_ips"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"))
+
+  /** PII redaction: replace detected spans with typed placeholder tokens.
+    * Email → IP → phone, in that fixed order (order matters — redaction
+    * output feeds exact-dedup hashes, so it must be deterministic and
+    * reproducible by the SQL oracle applying the same sequence).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Full profile DataFrame helper. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -197,4 +197,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L) == ((2L, 1L, 0.5)))
     assert(r(3L) == ((2L, 0L, 0.0)))
   }
+
+  test("pii: detection counts and ordered redaction placeholders") {
+    val d = Seq(
+      (1L, "mail a.b@x.io or 10.0.0.1 call 555-1234"),
+      (2L, "two mails p@q.com r@s.net"),
+      (3L, "clean text with 1234 and a-b")
+    ).toDF("id", "text")
+    val r = d.select($"id", TextOps.piiSignals($"text").as("p"),
+        TextOps.redactPii($"text").as("red"))
+      .orderBy("id").collect()
+    assert(r(0).getStruct(1).getInt(0) == 1) // email
+    assert(r(0).getStruct(1).getInt(1) == 1) // ip
+    assert(r(0).getStruct(1).getInt(2) == 1) // phone
+    assert(r(0).getString(2) == "mail <EMAIL> or <IP> call <PHONE>")
+    assert(r(1).getStruct(1).getInt(0) == 2)
+    assert(r(1).getString(2) == "two mails <EMAIL> <EMAIL>")
+    assert(r(2).getStruct(1) == org.apache.spark.sql.Row(0, 0, 0))
+    assert(r(2).getString(2) == "clean text with 1234 and a-b")
+  }
 }
