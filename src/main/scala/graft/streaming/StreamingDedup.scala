@@ -38,4 +38,27 @@ object StreamingDedup {
       .drop("_chash")
     deduped.unionByName(marked.filter(col(textCol).isNull))
   }
+
+  /** Streaming NEAR-dup gate: dedup on the 64-bit SimHash fingerprint
+    * instead of the content hash — token-order-insensitive and robust to
+    * the whitespace/markup jitter that defeats exact hashing, so
+    * re-crawled copies with trivial differences drop at ingest. Catches
+    * fingerprint-IDENTICAL near-dups only (Hamming 0): the banded
+    * candidate joins that recover Hamming ≤ 3 need a self-join no
+    * streaming operator expresses — cross-fingerprint near-dup stays with
+    * the batch pass over the landed table ([[graft.operators.Dedup
+    * .simhashPairs]]), the same realtime/batch split as
+    * [[exactWithinWatermark]]. State: one fingerprint per watermark
+    * horizon, evicted as the watermark passes.
+    */
+  def nearWithinWatermark(
+      stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame = {
+    val marked = stream.withWatermark(tsCol, watermark)
+    val deduped = marked.filter(col(textCol).isNotNull)
+      .withColumn("_simhash", graft.operators.Dedup.simhash(col(textCol)))
+      .dropDuplicatesWithinWatermark("_simhash")
+      .drop("_simhash")
+    deduped.unionByName(marked.filter(col(textCol).isNull))
+  }
 }

@@ -61,6 +61,27 @@ class StreamingAggSpec extends SparkSpec {
     q.stop()
   }
 
+  test("StreamingDedup.near: simhash-identical jitter copies drop at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.StreamingDedup.nearWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sneardup_out").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // doc 2 differs from doc 1 only by whitespace jitter — same token
+    // stream, same simhash — while doc 3 is genuinely different content
+    mem.addData(
+      (t(0), 1L, "the quick brown fox jumps over the lazy dog"),
+      (t(1), 2L, "  the quick  brown fox jumps over the lazy dog "),
+      (t(1), 3L, "completely different words entirely unrelated here"))
+    q.processAllAvailable()
+    val ids = spark.table("sneardup_out").select($"doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(1L, 3L), s"got $ids")
+    q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
