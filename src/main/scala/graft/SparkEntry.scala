@@ -979,6 +979,25 @@ object SparkEntry {
 
     // ── pipeline: deterministic hash sample — content-keyed membership,
     //    map-side only (re-runs and stage retries pick identical rows) ──
+    // ── pipeline: keep-best dedup — the canonical flow (near-dup
+    //    clusters → one surviving representative per cluster, here the
+    //    LONGEST doc, ties by min id) composed from jaccardPairs +
+    //    clusters + a per-cluster window ──
+    "q_dedup_keep_best" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val cl = Dedup.clusters(docs, "doc_id", pairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("id").asc)
+      cl.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("id").as("keep_id"), col("n_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       init(s)
       Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 0.3)
@@ -1281,8 +1300,8 @@ object SparkEntry {
     * (recursive CTE) → min reachable id per vertex; unpaired docs are their
     * own singleton cluster.
     */
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE $jaccardCtes,
+  private val clusterCtes =
+    s"""$jaccardCtes,
        p AS (SELECT id_a, id_b
              FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
              WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.8),
@@ -1290,11 +1309,28 @@ object SparkEntry {
                  UNION SELECT id_b, id_a FROM p),
        reach AS (SELECT u, v FROM edges
                  UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
-       lbl AS (SELECT u AS id, least(u, min(v)) AS cl FROM reach GROUP BY u)
+       lbl AS (SELECT u AS id, least(u, min(v)) AS cl FROM reach GROUP BY u)"""
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $clusterCtes
        SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id,
               CAST(coalesce(l.cl, d.doc_id) = d.doc_id AS INT) AS is_canonical
        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        ORDER BY d.doc_id"""
+
+  /** Keep-best dedup oracle: same cluster labels, survivor = the longest
+    * doc per cluster (ties → smallest id).
+    */
+  private val dedupKeepBestSql =
+    s"""WITH RECURSIVE $clusterCtes,
+       cl AS (SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id, d.n_chars
+              FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+       r AS (SELECT cluster_id, doc_id, n_chars,
+                    row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY n_chars DESC, doc_id) AS rn
+             FROM cl)
+       SELECT cluster_id, doc_id AS keep_id, n_chars FROM r WHERE rn = 1
+       ORDER BY cluster_id"""
 
   /** The portable 60-bit uniform: reassemble conv(substr(md5(key),1,15),16,10)
     * from the md5 hex digits — bit-identical to the Spark column in
@@ -1326,6 +1362,7 @@ object SparkEntry {
     "q_knn_join" -> exactBatchL2Sql,
 
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
 
     "q_sample_hash" ->
       s"""SELECT doc_id, lang FROM documents
