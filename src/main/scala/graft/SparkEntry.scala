@@ -69,7 +69,8 @@ object SparkEntry {
        FROM j WHERE rn = 1 ORDER BY event_id"""
 
   private def asofClicksToPurchases(
-      s: SparkSession, dir: String, skewBuckets: Int): DataFrame = {
+      s: SparkSession, dir: String, skewBuckets: Int,
+      tolerance: Option[Long] = None): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
@@ -79,7 +80,7 @@ object SparkEntry {
     graft.operators.AsOfJoin.leftAsOf(clicks, purchases,
       keyCols = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
       rightPrefix = "p_", rightTieBreak = Some("event_id"),
-      skewBuckets = skewBuckets)
+      skewBuckets = skewBuckets, tolerance = tolerance)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
         coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"),
@@ -1068,6 +1069,15 @@ object SparkEntry {
       asofClicksToPurchases(s, dir, skewBuckets = 8)
     }),
 
+    // ── as-of with a 1-hour max-lookback tolerance (merge_asof
+    //    semantics): a latest-prior purchase older than the bound drops
+    //    to the no-match sentinel ──
+    "q_asof_tolerance" -> ((s, dir) => {
+      init(s)
+      asofClicksToPurchases(s, dir, skewBuckets = 1,
+        tolerance = Some(3600000000L))
+    }),
+
     // ── beyond-reference: grouped top-k through the custom bounded-heap
     //    aggregate (graft_topk) — direct oracle check of the
     //    TypedImperativeAggregate against SQL row_number ──
@@ -1437,6 +1447,27 @@ object SparkEntry {
     // identical oracle: the skew-safe bucketed path must produce the
     // exact same rows as the single-window path
     "q_asof_skew" -> asofOracle,
+    // tolerance bound folds into the join predicate: the latest prior row
+    // is also the nearest, so filter-then-latest ≡ latest-then-check
+    "q_asof_tolerance" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      round(value, 2) AS value
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.event_id, c.user_id, c.ts_us,
+                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
+                      p.value AS p_value,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+                    AND c.ts_us - p.ts_us <= 3600000000)
+         SELECT event_id, user_id, ts_us,
+                coalesce(p_event_id, -1) AS p_event_id,
+                coalesce(p_ts_us, -1) AS p_ts_us,
+                coalesce(p_value, -1.0) AS p_value
+         FROM j WHERE rn = 1 ORDER BY event_id""",
 
     // same string-shingle derivation as the jaccard oracle; the Spark side
     // joins on kernel hashes — counts agree modulo 64-bit collisions

@@ -55,6 +55,12 @@ object AsOfJoin {
     * @param skewBuckets   1 (default) = single window per key; > 1 =
     *                      skew-safe two-pass bucketed carry splitting each
     *                      key across up to this many time buckets/tasks
+    * @param tolerance     max lookback in the time column's own units:
+    *                      a match older than `leftTime − tolerance` is
+    *                      dropped (NULL payload) — the merge_asof
+    *                      tolerance semantics; the latest prior row is
+    *                      also the nearest, so "latest then check" equals
+    *                      "filter then latest". Numeric time types only.
     * @param skewAutoThreshold when set (and skewBuckets == 1), one extra
     *                      map-side-combinable aggregate measures the max
     *                      per-key row count; past the threshold the
@@ -74,9 +80,11 @@ object AsOfJoin {
       rightPrefix: String = "",
       rightTieBreak: Option[String] = None,
       skewBuckets: Int = 1,
-      skewAutoThreshold: Option[Long] = None): DataFrame = {
+      skewAutoThreshold: Option[Long] = None,
+      tolerance: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(skewBuckets >= 1, s"skewBuckets must be >= 1: $skewBuckets")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0: $t"))
     val lPayload = left.columns.toSeq.filterNot(keyCols.contains)
     val rPayload = right.columns.toSeq.filterNot(keyCols.contains)
     val outNames = keyCols ++ lPayload ++ rPayload.map(rightPrefix + _)
@@ -110,7 +118,10 @@ object AsOfJoin {
           col(rightTime).cast(tType).as("_t"),
           lit(0).as("_side"),
           rightTieBreak.map(col).getOrElse(lit(0L)).as("_tie"),
-          struct(rPayload.map(col): _*).as("_r")): _*)
+          // _r carries its own time so a tolerance bound can check the
+          // matched row's age after the carry
+          struct(col(rightTime).cast(tType).as("__rt"),
+            struct(rPayload.map(col): _*).as("__rp")).as("_r")): _*)
     val unioned = lSide.unionByName(rSide, allowMissingColumns = true)
     val effBuckets =
       if (skewBuckets > 1) skewBuckets
@@ -126,10 +137,17 @@ object AsOfJoin {
     val matched =
       if (effBuckets == 1) singleWindow(unioned, keyCols)
       else bucketedCarry(unioned, keyCols, effBuckets)
+    val rm = tolerance match {
+      case Some(tol) =>
+        require(tType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"tolerance requires a numeric time column (got $tType)")
+        when(col("_t") - col("_rm").getField("__rt") <= tol, col("_rm"))
+      case None => col("_rm")
+    }
     matched.select(
       keyCols.map(col) ++
         lPayload.map(c => col("_l").getField(c).as(c)) ++
-        rPayload.map(c => col("_rm").getField(c).as(rightPrefix + c)): _*)
+        rPayload.map(c => rm.getField("__rp").getField(c).as(rightPrefix + c)): _*)
   }
 
   /** One running window per key — optimal when no key dominates. */

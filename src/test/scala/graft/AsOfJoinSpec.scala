@@ -171,6 +171,29 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: matches older than the lookback drop to null, both paths") {
+    val rnd = new scala.util.Random(31)
+    val lRows = Seq.tabulate(120)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong, i.toLong))
+    val rRows = Seq.tabulate(60)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong, (7000 + i).toLong))
+    val tol = 25L
+    for (buckets <- Seq(1, 4)) {
+      val got = AsOfJoin.leftAsOf(lRows.toDF("k", "lt", "lid"),
+        rRows.toDF("k", "rt", "rid"), Seq("k"), "lt", "rt",
+        rightPrefix = "p_", rightTieBreak = Some("rid"),
+        skewBuckets = buckets, tolerance = Some(tol))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+          Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long])).toMap
+      assert(got.size == lRows.size)
+      lRows.foreach { case (k, lt, lid) =>
+        val want = rRows.filter(x => x._1 == k && x._2 <= lt && lt - x._2 <= tol)
+          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+        assert(got((k, lt, lid)) == want, s"buckets=$buckets k=$k lt=$lt")
+      }
+    }
+  }
+
   test("property: matches the brute-force latest-at-or-before reference") {
     // randomized small tables, fixed seeds — compare against a
     // driver-side O(|L|·|R|) reference implementation
