@@ -204,6 +204,9 @@ class DedupSpec extends SparkSpec {
     val base4 = persisted()
     Dedup.simhashPairsPortable(docs, "doc_id", "text", 3).collect()
     assert(persisted() <= base4 + 1, "simhashPairs leaked its fingerprint checkpoint")
+    val base5 = persisted()
+    Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8).collect()
+    assert(persisted() <= base5 + 1, "containmentPairs leaked checkpoint blocks")
   }
 
   test("consume-then-free: looping dedup calls keeps executor storage flat") {
