@@ -219,6 +219,23 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = Some(10000)): DataFrame = {
+    val (out, intermediates) =
+      containmentPairsPlan(df, idCol, textCol, n, threshold, maxShingleDf)
+    try out.localCheckpoint(eager = true)
+    finally intermediates.foreach(Checkpoints.free)
+  }
+
+  /** Lazy-plan variant of [[containmentPairs]] (plan-evidence contract of
+    * [[jaccardPairsPlan]]): materialize at most once, then free each
+    * returned checkpoint.
+    */
+  private[graft] def containmentPairsPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = Some(10000)): (DataFrame, Seq[DataFrame]) = {
     val (sets, intermediates) =
       cappedShingleSets(df, idCol, textCol, n, maxShingleDf)
     val withSz = sets.withColumn("sz", size(col("ss")))
@@ -239,8 +256,7 @@ object Dedup {
         col("common").cast("double") / least(col("sz_a"), col("sz_b")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
-    try out.localCheckpoint(eager = true)
-    finally intermediates.foreach(Checkpoints.free)
+    (out, intermediates)
   }
 
   /** MinHash signature as a per-row expression: element j = min over

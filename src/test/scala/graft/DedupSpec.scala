@@ -69,6 +69,16 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("containment candidate generation is an equi-join, not cartesian") {
+    import graft.operators.Checkpoints
+    val (plan, cps) = Dedup.containmentPairsPlan(docs, "doc_id", "text", 3, 0.8)
+    try {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    } finally cps.foreach(Checkpoints.free)
+  }
+
   test("jaccardPairs maxShingleDf cap drops only hot shingles") {
     // with a cap of 1 every shared shingle is dropped → no pairs
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxShingleDf = Some(1))
