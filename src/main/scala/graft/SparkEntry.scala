@@ -972,8 +972,12 @@ object SparkEntry {
       init(s)
       val docs = t(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
-      Dedup.clusters(docs, "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("cluster_id"),
+      val cl = Dedup.clusters(docs, "doc_id", pairs)
+      // clusters' own checkpoint has materialized by now and truncates
+      // lineage, so the final-frame free can't reach the pairs blocks —
+      // release them here (consume-then-free contract, as in Stress)
+      graft.operators.Checkpoints.free(pairs)
+      cl.select(col("id").as("doc_id"), col("cluster_id"),
           col("is_canonical").cast("int").as("is_canonical"))
         .orderBy(col("doc_id"))
     }),
@@ -989,6 +993,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       val cl = Dedup.clusters(docs, "doc_id", pairs)
+      // same consume-then-free as q_dedup_clusters: clusters has already
+      // materialized its checkpoint, pairs blocks are otherwise orphaned
+      graft.operators.Checkpoints.free(pairs)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))
         .orderBy(col("n_chars").desc, col("id").asc)

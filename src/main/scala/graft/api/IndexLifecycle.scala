@@ -40,7 +40,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
         case "BUILDING" => Building(parts(1).toLong)
         case "READY"    => Ready(parts(1).toLong, parts(2).toInt,
           if (parts.length > 3 && parts(3).nonEmpty) parts(3).toLong else -1L)
-        case "FAILED"   => Failed(parts(1).toLong, parts(2))
+        // exception messages routinely contain colons — rejoin the tail
+        case "FAILED"   => Failed(parts(1).toLong, parts.drop(2).mkString(":"))
         case _          => Missing
       }
     }

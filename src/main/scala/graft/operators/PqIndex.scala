@@ -238,13 +238,19 @@ object PqIndex {
     val lists = ivf.nearestCentroids(q, nprobe)
     val luts = lists.map { l =>
       val c = ivf.centroids(l)
-      val qr = Array.tabulate(q.length)(i =>
-        q(i) - (if (i < c.length) c(i) else 0f)).toSeq
-      val bias =
-        if (pq.metric == "ip")
+      // IP is linear (q·v ≈ q·c + q·r̂): LUT on the ORIGINAL q gives −q·r̂
+      // per code and the −q·c bias restores cross-list comparability.
+      // Using the residual query here would add a spurious +c·r̂ per code.
+      // L2 needs the residual query (‖q−v‖² = ‖(q−c)−r̂‖²) and no bias.
+      if (pq.metric == "ip") {
+        val bias =
           -(0 until math.min(q.length, c.length)).map(i => q(i).toDouble * c(i)).sum
-        else 0.0
-      (l, pq.lut(qr).flatten.toSeq, bias)
+        (l, pq.lut(q).flatten.toSeq, bias)
+      } else {
+        val qr = Array.tabulate(q.length)(i =>
+          q(i) - (if (i < c.length) c(i) else 0f)).toSeq
+        (l, pq.lut(qr).flatten.toSeq, 0.0)
+      }
     }
     val lutDf = luts.toDF("list_id", "_lut", "_bias")
     val ksub = pq.ksub
@@ -265,12 +271,12 @@ object PqIndex {
   }
 
   /** Batched IVFPQ over RESIDUAL codes: stage-1 LUTs are built per
-    * (query, probed list) on the residual query q − c_list and joined in
-    * on `list_id` EQUALITY (each list's codes score against exactly its
-    * own residual LUT — the asymmetric-residual shape of
-    * [[graft.tools.Recall.evalIvfRabitq]] with ADC lookups). For IP a
-    * per-list bias q·c_list restores cross-list comparability
-    * (q·v ≈ q·c + q·r̂); L2 needs none (‖q−v‖² = ‖(q−c)−r̂‖²).
+    * (query, probed list) and joined in on `list_id` EQUALITY (each
+    * list's codes score against exactly its own LUT — the
+    * asymmetric-residual shape of [[graft.tools.Recall.evalIvfRabitq]]
+    * with ADC lookups). L2 LUTs use the residual query q − c_list
+    * (‖q−v‖² = ‖(q−c)−r̂‖², no bias); IP LUTs use the ORIGINAL q with a
+    * per-list −q·c_list bias (q·v ≈ q·c + q·r̂ by linearity).
     */
   def searchBatchIvfResidual(
       corpus: DataFrame, // carries list_id + residual pq_code + raw vectors
@@ -288,13 +294,17 @@ object PqIndex {
     val qlRows = queries.flatMap { case (qid, q) =>
       ivf.nearestCentroids(q, nprobe).map { l =>
         val c = ivf.centroids(l)
-        val qr = Array.tabulate(q.length)(i =>
-          q(i) - (if (i < c.length) c(i) else 0f)).toSeq
-        val bias =
-          if (pq.metric == "ip")
+        // Same identity as [[searchIvfResidual]]: IP LUTs use the original
+        // q (linearity) + the −q·c bias; only L2 uses the residual query.
+        if (pq.metric == "ip") {
+          val bias =
             -(0 until math.min(q.length, c.length)).map(i => q(i).toDouble * c(i)).sum
-          else 0.0
-        (qid, l, pq.lut(qr).flatten.toSeq, bias)
+          (qid, l, pq.lut(q).flatten.toSeq, bias)
+        } else {
+          val qr = Array.tabulate(q.length)(i =>
+            q(i) - (if (i < c.length) c(i) else 0f)).toSeq
+          (qid, l, pq.lut(qr).flatten.toSeq, 0.0)
+        }
       }
     }
     val qDf = qlRows.toDF("_qid", "list_id", "_lut", "_bias")

@@ -146,6 +146,11 @@ class IndexLifecycleSpec extends SparkSpec {
     val lc = new IndexLifecycle(spark, spacePath)
     assertThrows[Exception](lc.rebuild("embedding", 4))
     assert(lc.state.isInstanceOf[lc.Failed])
+    // exception messages routinely contain colons ("java.lang.X: msg") —
+    // the persisted reason must survive the sidecar's colon-delimited
+    // format intact, not truncate at the first colon
+    val reason = lc.state.asInstanceOf[lc.Failed].reason
+    assert(reason.contains(":"), s"expected a colon-bearing reason, got '$reason'")
     assert(lc.readyIndex().isEmpty)
   }
 }

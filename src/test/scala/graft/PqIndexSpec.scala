@@ -87,6 +87,37 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.6, s"residual-ip shortlist recall@10 = $recall")
   }
 
+  test("residual ip: shortlist implements ADC = −(q·c + q·r̂) exactly") {
+    import graft.operators.IvfIndex
+    val ivf = IvfIndex.train(emb, "embedding", 8)
+    val assigned = IvfIndex.assign(emb, "embedding", ivf)
+    val pqr = PqIndex.trainResidual(assigned, "embedding", dim = 64, m = 8,
+      ivf, ksub = 16, metric = "ip")
+    val enc = PqIndex.encodeResidual(assigned, "embedding", ivf, pqr)
+    // k = recallNum: the output SET is exactly the ADC shortlist (rerank
+    // only reorders k survivors). Recompute the intended asymmetric score
+    // −(q·c_list + q·r̂) driver-side; a LUT built from the residual query
+    // instead of q would add a spurious +c·r̂ per code and diverge.
+    val rn = 25
+    val lists = ivf.nearestCentroids(q0, 4)
+    val lut = pqr.lut(q0) // ip: lut(sub)(code) = −q_sub·cent
+    val expected = enc.filter($"list_id".isin(lists.map(_.toLong): _*))
+      .select($"vec_id", $"list_id".cast("int"), $"pq_code").collect()
+      .map { r =>
+        val c = ivf.centroids(r.getInt(1))
+        val qc = (0 until math.min(q0.length, c.length))
+          .map(i => q0(i).toDouble * c(i)).sum
+        val code = r.getSeq[Int](2)
+        val adc = -qc + (0 until pqr.m).map(sub => lut(sub)(code(sub))).sum
+        (adc, r.getLong(0))
+      }.sortBy(identity).take(rn).map(_._2).toSet
+    val got = PqIndex.searchIvfResidual(enc, $"embedding", ivf, pqr, q0,
+      k = rn, nprobe = 4, recallNum = rn, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == expected,
+      s"shortlist mismatch: missing=${expected -- got}, extra=${got -- expected}")
+  }
+
   test("ip metric: ADC uses negated dot, search still ranks self first") {
     val mIp = PqIndex.train(emb, "embedding", dim = 64, m = 8, ksub = 16, metric = "ip")
     val encIp = PqIndex.encode(emb, "embedding", mIp)
