@@ -46,12 +46,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also emit to a clean file: sbt log noise on stdout made round 1's
+    // emit to a clean file: sbt log noise on stdout made round 1's
     // bench JSON unparseable for the driver (BENCH_r01 "parsed": null)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     catch { case _: Throwable => }
+    // the JSON must be the LAST stdout line of the run: round 7's driver
+    // capture was a tail window, and Spark-shutdown logs after the print
+    // pushed the JSON's front out of it ("parsed": null). Silence the
+    // stop, then print and flush as the final act.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

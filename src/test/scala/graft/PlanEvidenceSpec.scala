@@ -85,6 +85,60 @@ class PlanEvidenceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("declared query surface has no data-by-data nested-loop or cartesian join") {
+    // the whole point of demoting the quadratic baselines: no query a
+    // user can reach through SparkEntry.queries may nested-loop two
+    // corpus-derived relations (the shape that cannot survive 100 TB).
+    // A BroadcastNestedLoopJoin is ACCEPTABLE only when its broadcast
+    // side is provably bounded independent of corpus size: a grand (no
+    // grouping key) aggregate = exactly 1 row, or a driver-provided
+    // request batch (local relation, no file scan underneath) — the
+    // scalar-N attach in tfidf/lm-score and the brute-force KNN query
+    // batch are those two cases.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def boundedBuild(bnlj: BroadcastNestedLoopJoinExec): Boolean = {
+      val side = bnlj.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bnlj.left
+        case _ => bnlj.right
+      }
+      side.collectFirst { case e: BroadcastExchangeExec => e }.exists { ex =>
+        // 1 row by construction: a grand aggregate (no grouping keys) at
+        // the top of the build side...
+        val scalarAgg = ex.child.collectFirst {
+          case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }.isDefined
+        // ...or a driver-provided request batch: no corpus scan underneath
+        val corpusScan = ex.child.collectFirst {
+          case f: FileSourceScanExec => f
+        }.isDefined
+        scalarAgg || !corpusScan
+      }
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val df = fn(spark, sf)
+          val plan: SparkPlan = df.queryExecution.executedPlan
+          val badBnlj = plan.collect {
+            case j: BroadcastNestedLoopJoinExec if !boundedBuild(j) => j
+          }
+          val cart = plan.collect { case c: CartesianProductExec => c }
+          graft.operators.Checkpoints.free(df)
+          val bad =
+            (if (badBnlj.nonEmpty) Seq("unbounded-BNLJ") else Nil) ++
+            (if (cart.nonEmpty) Seq("cartesian") else Nil)
+          if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString("+")}")
+      }
+      assert(offenders.isEmpty,
+        s"declared queries with scale-hostile join plans: ${offenders.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k-NN join candidates are an equi-join on list_id — no cartesian") {
     val model = IvfIndex.train(emb, "embedding", 8)
     val dir = java.nio.file.Files.createTempDirectory("pe_kj").toString + "/tbl"
