@@ -161,24 +161,31 @@ object Multimodal {
     df.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
-          val src = if (bytes == null) Array.emptyByteArray else bytes
-          val img =
-            if (dim < 8) null
-            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
-            catch { case scala.util.control.NonFatal(_) => null }
-          if (img != null) MediaFeature(id, imageColorFeature(img, dim))
-          else {
-            // STUB fallback: deterministic pseudo-embedding from the bytes
-            val f = new Array[Float](dim)
-            var h = hashBytes(src)
-            var i = 0
-            while (i < dim) { h = h * 6364136223846793005L + 1442695040888963407L
-              f(i) = ((h >>> 40).toInt / 16777216.0f) - 0.5f; i += 1 }
-            MediaFeature(id, f)
-          }
-        }
+        batch.map { case (id, bytes) => MediaFeature(id, featureOf(bytes, dim)) }
       }
+  }
+
+  /** Driver-side single-payload feature — the request path: a query
+    * image arrives as bytes in the search request and its feature is
+    * computed once before the distributed scan (exactly the kernel
+    * [[extractFeatures]] runs per stored row). Falls back to the same
+    * deterministic pseudo-embedding for non-image payloads.
+    */
+  def featureOf(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val src = if (bytes == null) Array.emptyByteArray else bytes
+    val img =
+      if (dim < 8) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img != null) imageColorFeature(img, dim)
+    else {
+      val f = new Array[Float](dim)
+      var h = hashBytes(src)
+      var i = 0
+      while (i < dim) { h = h * 6364136223846793005L + 1442695040888963407L
+        f(i) = ((h >>> 40).toInt / 16777216.0f) - 0.5f; i += 1 }
+      f
+    }
   }
 
   /** Real image feature: layout = R/G/B histograms of `(dim-4)/3` bins
