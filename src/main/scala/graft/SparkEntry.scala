@@ -70,7 +70,8 @@ object SparkEntry {
 
   private def asofClicksToPurchases(
       s: SparkSession, dir: String, skewBuckets: Int,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      skewAutoThreshold: Option[Long] = None): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
@@ -80,7 +81,8 @@ object SparkEntry {
     graft.operators.AsOfJoin.leftAsOf(clicks, purchases,
       keyCols = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
       rightPrefix = "p_", rightTieBreak = Some("event_id"),
-      skewBuckets = skewBuckets, tolerance = tolerance)
+      skewBuckets = skewBuckets, tolerance = tolerance,
+      skewAutoThreshold = skewAutoThreshold)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
         coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"),
@@ -1119,6 +1121,16 @@ object SparkEntry {
       asofClicksToPurchases(s, dir, skewBuckets = 8)
     }),
 
+    // ── same semantics with the AUTO skew trigger live: the max-per-key
+    //    probe measures ~30-45 events/user on every fixture, so a
+    //    threshold of 20 actually FIRES the ceil(max/20)-bucket path —
+    //    trigger + bucketed carry compose under q_asof_join's oracle ──
+    "q_asof_auto_skew" -> ((s, dir) => {
+      init(s)
+      asofClicksToPurchases(s, dir, skewBuckets = 1,
+        skewAutoThreshold = Some(20L))
+    }),
+
     // ── as-of with a 1-hour max-lookback tolerance (merge_asof
     //    semantics): a latest-prior purchase older than the bound drops
     //    to the no-match sentinel ──
@@ -1497,6 +1509,10 @@ object SparkEntry {
     // identical oracle: the skew-safe bucketed path must produce the
     // exact same rows as the single-window path
     "q_asof_skew" -> asofOracle,
+    // identical oracle again with the AUTO trigger active (threshold 20 <
+    // max per-key count on every fixture): trigger detection + bucketed
+    // path must be invisible in the result
+    "q_asof_auto_skew" -> asofOracle,
     // tolerance bound folds into the join predicate: the latest prior row
     // is also the nearest, so filter-then-latest ≡ latest-then-check
     "q_asof_tolerance" ->
