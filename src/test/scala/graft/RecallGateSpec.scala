@@ -63,6 +63,42 @@ class RecallGateSpec extends SparkSpec {
     ()
   }
 
+  test("HNSW-class recall@1 is reachable by probing a small fraction of lists") {
+    // the reference's published HNSW operating point reaches recall@1 =
+    // 0.9795 on its SIFT1M-class bench (internal/engine/benchs/
+    // README.md:82-92). The engine declares graph-ANN out of scope
+    // (scan-hostile); this row closes the CAPABILITY question with a
+    // measurement instead of a disclaimer: the smallest IVF nprobe whose
+    // recall@1 meets the HNSW number, asserted to cost at most 1/4 of
+    // the lists. The full-size (1M×128d, nc=1024) sweep is recorded in
+    // README.md via the same harness.
+    val n = 40000L
+    val dim = 64
+    val all = Recall.synthetic(spark, n, dim, nClusters = 256, nQueries = 30)
+    val corpus = all.filter($"vec_id" < n).cache()
+    corpus.count()
+    val qDf = all.filter($"vec_id" >= n)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val queries = qDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val gt = Recall.groundTruth(corpus, qDf, 1)
+    val ncent = 64
+    val ivf = IvfIndex.train(corpus, "embedding", ncent)
+    val assigned = IvfIndex.assign(corpus, "embedding", ivf).cache()
+    assigned.count()
+    val target = 0.9795
+    val swept = Seq(1, 2, 3, 4, 6, 8, 12, 16).iterator.map { np =>
+      np -> Recall.recallAt(gt, Recall.evalIvf(assigned, ivf, queries, np, 1), 1)
+    }.find(_._2 >= target)
+    assert(swept.isDefined,
+      s"no nprobe <= 16 of $ncent reaches HNSW-class recall@1 >= $target")
+    val (np, r1) = swept.get
+    println(f"""{"hnsw_equiv":"IVFFLAT_nc$ncent","nprobe":$np,"probed_frac":${np.toDouble / ncent}%.4f,"recall@1":$r1%.4f,"hnsw_target":$target}""")
+    assert(np <= ncent / 4,
+      s"HNSW-class recall@1 needs nprobe=$np > ${ncent / 4} (1/4 of lists)")
+    corpus.unpersist(); assigned.unpersist()
+    ()
+  }
+
   test("gates hold on the normalized anisotropic (GloVe-like) distribution") {
     // second CI distribution (test_recall_baseline.py:31-45 evaluates
     // SIFT + GloVe + NYTimes, not one geometry): unit-sphere vectors with

@@ -82,6 +82,55 @@ class StreamingAggSpec extends SparkSpec {
     q.stop()
   }
 
+  test("StreamingDedup.banded: bit-flipped re-crawl drops inside the horizon, passes after") {
+    implicit val sqlCtx = spark.sqlContext
+    // find a variant whose simhash is 1..3 bits from the base — the case
+    // Hamming-0 dedup (nearWithinWatermark) misses and the 4-chunk
+    // pigeonhole must catch. Derived with the batch kernel so the spec
+    // stays deterministic without hardcoding hash internals.
+    val base = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val cands = (0 until 500).map(i => s"$base extra$i")
+    val fps = (base +: cands).toDF("text")
+      .select(graft.operators.Dedup.simhash($"text").as("fp"))
+      .as[Long].collect()
+    val baseFp = fps.head
+    val variant = cands.zip(fps.tail)
+      .collectFirst { case (t, f)
+        if java.lang.Long.bitCount(baseFp ^ f) >= 1 &&
+           java.lang.Long.bitCount(baseFp ^ f) <= 3 => t }
+      .getOrElse(fail("no 1..3-bit variant among 500 candidates"))
+    val unrelated = (0 until 50).map(i => s"other$i").mkString(" ")
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val dups = graft.streaming.StreamingDedup.bandedDupsWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      watermark = "10 minutes", horizonMs = 10 * 60 * 1000L)
+    val q = dups.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("banded_out").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // base + unrelated: no dups
+    mem.addData((t(0), 1L, base), (t(1), 3L, unrelated))
+    q.processAllAvailable()
+    // bit-flipped re-crawl inside the horizon: flagged against doc 1
+    mem.addData((t(4), 2L, variant))
+    q.processAllAvailable()
+    // advance the watermark far past the horizon (timeout sweep happens
+    // on the batch AFTER the watermark passes); fillers use disjoint
+    // token sets — a one-token suffix would itself be a 1-3-bit near-dup
+    mem.addData((t(40), 4L, (0 until 50).map(i => s"filler${i}a").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData((t(42), 5L, (0 until 50).map(i => s"pad${i}b").mkString(" ")))
+    q.processAllAvailable()
+    // the same re-crawl after horizon expiry is NOT flagged — state gone
+    mem.addData((t(43), 6L, variant))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("banded_out")
+      .select($"doc_id", $"matched_doc_id").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((2L, 1L)),
+      s"expected exactly doc 2 flagged against doc 1, got $flagged")
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
