@@ -240,11 +240,16 @@ object Dedup {
       cappedShingleSets(df, idCol, textCol, n, maxShingleDf)
     val withSz = sets.withColumn("sz", size(col("ss")))
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
-    val pre = withSz.select(col("id"),
+    val pre = withSz.select(col("id"), col("sz"),
       explode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))).as("psh"))
-    val inv = withSz.select(col("id"), explode(col("ss")).as("psh"))
+    val inv = withSz.select(col("id"), col("sz"), explode(col("ss")).as("psh"))
+    // the lemma only needs the SMALLER set's prefix, so restrict the
+    // prefix side to the smaller of each pair (ids break size ties):
+    // without the ordering every pair is generated from BOTH directions
+    // and the duplicate half is shuffled just to be dropDuplicates'd away
     val cand = pre.as("a").join(inv.as("b"), Seq("psh"))
-      .filter(col("a.id") =!= col("b.id"))
+      .filter(col("a.sz") < col("b.sz") ||
+        (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
