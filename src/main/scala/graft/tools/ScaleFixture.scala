@@ -20,7 +20,15 @@ import graft.Graft
   *
   * Everything derives from xxhash64(id, salt) — columnar, codegen'd, no
   * driver-side data generation, byte-identical across runs. Usage:
-  *   runMain graft.tools.ScaleFixture <outDir> <mult>
+  *   runMain graft.tools.ScaleFixture <outDir> <mult> [open]
+  *
+  * The optional `open` flag switches to an OPEN VOCABULARY: vocab size =
+  * 31 × mult (synthetic tokens `w<i>`), so per-shingle document
+  * frequency stays ~CONSTANT as the corpus grows — how real corpora
+  * scale (new content mints new shingles). The default CLOSED vocabulary
+  * (the driver fixture's own shape, 31 fixed words) makes per-shingle df
+  * grow linearly with the corpus — the adversarial bound for candidate
+  * joins. At mult = 1 the two modes coincide.
   */
 object ScaleFixture {
 
@@ -32,12 +40,19 @@ object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val mult = args(1).toInt
+    val open = args.length > 2 && args(2) == "open"
     val spark = Graft.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
 
     val nDocs = 5000L * mult
     val vocabArr = array(Vocab.map(lit): _*)
-    val v = lit(Vocab.size)
+    val v = lit(Vocab.size * (if (open) mult else 1))
+    // open mode synthesizes tokens directly from the hash (an array
+    // lookup into a mult-scaled literal would re-evaluate the array per
+    // element under interpreted HOFs); closed mode indexes the 31 words
+    def tok(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (open) concat(lit("w"), pmod(h, v))
+      else element_at(vocabArr, (pmod(h, v) + 1).cast("int"))
 
     // ~5% of ids clone an earlier doc; srcId reaches up to 200 ids back
     val isClone = pmod(xxhash64($"id", lit(7)), lit(20)) === 0 && $"id" >= 50
@@ -47,20 +62,17 @@ object ScaleFixture {
     val withSuffix = isClone && pmod(xxhash64($"id", lit(19)), lit(2)) === 0
     val len = (pmod(xxhash64(col("_src"), lit(1)), lit(91)) + 10).cast("int")
     val baseToks = transform(sequence(lit(0), col("_len") - 1), k =>
-      element_at(vocabArr,
-        (pmod(xxhash64(col("_src"), k + lit(100)), v) + 1).cast("int")))
+      tok(xxhash64(col("_src"), k + lit(100))))
     // clone perturbation: substitute ONE token at an id-derived position
     val perturbPos = pmod(xxhash64($"id", lit(13)), col("_len").cast("long"))
     val toks = when(col("_clone"),
       transform(col("_toks"), (t, k) =>
         when(k.cast("long") === col("_pp"),
-          element_at(vocabArr,
-            (pmod(xxhash64($"id", lit(17)), v) + 1).cast("int"))).otherwise(t)))
+          tok(xxhash64($"id", lit(17)))).otherwise(t)))
       .otherwise(col("_toks"))
     val suffix = transform(
       sequence(lit(0), (pmod(xxhash64($"id", lit(23)), lit(20)) + 5).cast("int")),
-      k => element_at(vocabArr,
-        (pmod(xxhash64($"id", k + lit(500), lit(29)), v) + 1).cast("int")))
+      k => tok(xxhash64($"id", k + lit(500), lit(29))))
     val langs = array((Seq.fill(8)("en") ++ Seq.fill(3)("zh") ++
       Seq.fill(3)("es") ++ Seq.fill(3)("fr") ++ Seq.fill(3)("de")).map(lit): _*)
 
@@ -91,7 +103,31 @@ object ScaleFixture {
       pmod(xxhash64($"id", lit(43)), lit(10)).cast("int").as("label"))
     emb.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"""{"fixture":"$out","mult":$mult,"docs":$nDocs,"embeddings":$nEmb}""")
+    // events: matches the driver fixture's shape — 100k rows and 1.5k
+    // users per sf0.1 (both scale with mult), 30 days of ns-precision
+    // timestamps (LONG nanos: the engine reads the driver's
+    // TIMESTAMP(NANOS) via nanosAsLong, so every query treats ts as a
+    // nanos long already), 5 uniform event types, exponential-ish value
+    // with mean ~50 (driver: mean 49.9, max 560)
+    val nEv = 100000L * mult
+    val nUsers = lit(1500L * mult)
+    val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+    val spanNs = 30L * 24 * 3600 * 1000000000L
+    val u01 = (pmod(xxhash64($"id", lit(61)), lit(100000)).cast("double") +
+      lit(1.0)) / 100001.0
+    val types = array(Seq("click", "view", "purchase", "signup", "error").map(lit): _*)
+    val events = spark.range(nEv).select(
+      $"id".as("event_id"),
+      (lit(baseNs) + pmod(xxhash64($"id", lit(59)), lit(spanNs))).as("ts"),
+      pmod(xxhash64($"id", lit(53)), nUsers).as("user_id"),
+      element_at(types,
+        (pmod(xxhash64($"id", lit(57)), lit(5)) + 1).cast("int")).as("event_type"),
+      least(round(-log(u01) * 50.0, 2), lit(560.21)).as("value"),
+      concat(lit("""{"n":"""), pmod(xxhash64($"id", lit(67)), lit(100)),
+        lit("}")).as("props"))
+    events.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"""{"fixture":"$out","mult":$mult,"open":$open,"docs":$nDocs,"embeddings":$nEmb,"events":$nEv}""")
     spark.stop()
   }
 }
