@@ -124,6 +124,11 @@ class StreamingAggSpec extends SparkSpec {
     // the same re-crawl after horizon expiry is NOT flagged — state gone
     mem.addData((t(43), 6L, variant))
     q.processAllAvailable()
+    // state stays bounded by the horizon: ≤ 4 bucket rows per doc still
+    // inside it (docs 4/5/6 here), everything older swept by timeout
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows <= 12,
+      s"bucket state not horizon-bounded: $stateRows rows")
     q.stop()
     val flagged = spark.table("banded_out")
       .select($"doc_id", $"matched_doc_id").as[(Long, Long)].collect().toSet
