@@ -40,7 +40,7 @@ object Graft {
     // coincidentally named vec_dot) must still get the full current set
     def has(n: String) =
       reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-    if (has("vec_dot") && has("vec_sign_adot") && has("text_normalize")) return
+    if (has("vec_dot") && has("vec_sign_adot") && has("text_window_hashes")) return
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2", es => L2Dist(es(0), es(1)), "built-in")
@@ -60,6 +60,8 @@ object Graft {
       es => TextNormalize(es(0), lit2bool(es(1), "stripAccents")), "built-in")
     reg.createOrReplaceTempFunction("text_shingle_hashes",
       es => ShingleHashes(es(0), lit2int(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("text_window_hashes",
+      es => WindowHashes(es(0), lit2int(es(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("text_minhash_sig",
       es => MinHashSig(es(0), lit2int(es(1), "n"), lit2int(es(2), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
@@ -100,6 +102,8 @@ object Graft {
         org.apache.spark.sql.functions.lit(stripAccents))
     def shingleHashes(tokens: Column, n: Int): Column =
       call_function("text_shingle_hashes", tokens, org.apache.spark.sql.functions.lit(n))
+    def windowHashes(tokens: Column, n: Int): Column =
+      call_function("text_window_hashes", tokens, org.apache.spark.sql.functions.lit(n))
     def minhashSig(tokens: Column, n: Int, numHashes: Int): Column =
       call_function("text_minhash_sig", tokens,
         org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(numHashes))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.F
 import graft.api.SearchApi
-import graft.operators.{Dedup, Documents, IvfIndex, Knn, KnnJoin, Multimodal, PqIndex, Sampling, Skew, TextOps, VearchFilters}
+import graft.operators.{Dedup, Documents, IvfIndex, Knn, KnnJoin, Multimodal, Packing, PqIndex, Sampling, Skew, TextOps, VearchFilters}
 import graft.schema.Space
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -377,6 +377,32 @@ object SparkEntry {
       init(s)
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("content_hash"))
+    }),
+
+    // ── pipeline: EXACT-SUBSTRING duplication signals (Lee et al.
+    //    ACL'22, shuffle-native): w-token sliding windows, corpus-wide
+    //    occurrence count, per-doc duplicated-window count + token
+    //    coverage — catches a boilerplate paragraph shared by otherwise
+    //    unrelated docs, which whole-doc jaccard misses ──
+    "q_window_dedup" -> ((s, dir) => {
+      init(s)
+      Dedup.windowDupSignals(t(s, dir, "documents"), "doc_id", "text", w = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: training-sequence packing (concat-and-chunk) via a
+    //    DISTRIBUTED prefix sum — range partition → local cumsum →
+    //    per-partition totals (≤ numParts rows) broadcast back; the
+    //    oracle's single ORDER BY window proves the multi-partition
+    //    (numParts = 8) path exact ──
+    "q_pack_sequences" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packAssignments(docs, "doc_id", "n_tokens",
+          seqLen = 512, numParts = 8)
+        .orderBy(col("doc_id"))
     }),
 
     // ── pipeline: EXACT n-gram Jaccard similarity join (inverted index) ──
@@ -1907,6 +1933,54 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
 
     "q_dedup_jaccard" -> jaccardPairsSql,
+
+    // same window derivation content-wise: the Spark side keys windows by
+    // the 64-bit positional hash kernel, the oracle by the raw window
+    // string — counts agree absent a 64-bit collision (~1e-11 at this
+    // corpus). Parallel unnests zip positionally in DuckDB, pairing each
+    // window with its 1-based start.
+    "q_window_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT doc_id, len(w) AS n, greatest(len(w) - 9, 1) AS nw,
+                      CASE WHEN len(w) >= 10
+                           THEN [array_to_string(w[i:i+9], ' ')
+                                 FOR i IN range(1, len(w) - 8)]
+                           ELSE [array_to_string(w, ' ')] END AS wins
+               FROM t),
+         e AS (SELECT doc_id, n, unnest(wins) AS win,
+                      unnest(range(1, nw + 1)) AS st
+               FROM b),
+         occ AS (SELECT win, count(*) AS occ FROM e GROUP BY win),
+         dup AS (SELECT e.doc_id, e.n, e.st
+                 FROM e JOIN occ USING (win) WHERE occ.occ >= 2),
+         dupc AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY doc_id),
+         cov AS (SELECT doc_id, count(DISTINCT p) AS dup_tokens
+                 FROM (SELECT doc_id, unnest(range(st, least(st + 10, n + 1))) AS p
+                       FROM dup)
+                 GROUP BY doc_id)
+         SELECT b.doc_id, b.n AS n_tokens, b.nw AS n_windows,
+                coalesce(dupc.dup_windows, 0) AS dup_windows,
+                coalesce(cov.dup_tokens, 0) AS dup_tokens
+         FROM b LEFT JOIN dupc USING (doc_id) LEFT JOIN cov USING (doc_id)
+         ORDER BY b.doc_id""",
+
+    // single ORDER BY window — the oracle for the distributed
+    // (range-partition + local cumsum + broadcast prefix) formulation
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+                           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      -- ::BIGINT: DuckDB widens window sums to HUGEINT
+                      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+               FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+                start_offset // 512 AS seq_id,
+                (start_offset + n_tokens - 1) // 512 AS end_seq,
+                (start_offset + n_tokens - 1) // 512
+                  - start_offset // 512 + 1 AS n_seqs
+         FROM c ORDER BY doc_id""",
 
     // identical synthetic-PII injection, then RE2 equivalents of the Java
     // patterns (restricted to the shared-dialect subset) in the same

@@ -198,7 +198,12 @@ object VecKernels {
     * ≥ 1 shingle. One kernel call per row, no per-shingle string objects
     * surviving the loop.
     */
-  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+  /** POSITIONAL n-gram hashes: element i = XXH64 of the space-joined
+    * window starting at token i (window i of the stride-1 sliding pass) —
+    * no sort, no dedup, so `posexplode` recovers (start, hash). The
+    * substring-dedup building block ([[graft.operators.Dedup.windowDupSignals]]).
+    */
+  def windowHashes(tokens: ArrayData, n: Int): Array[Long] = {
     val cnt = tokens.numElements()
     val toks = new Array[Array[Byte]](cnt)
     var i = 0
@@ -228,6 +233,15 @@ object VecKernels {
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
       si += 1
     }
+    out
+  }
+
+  def windowHashesData(tokens: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(windowHashes(tokens, n))
+
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val out = windowHashes(tokens, n)
+    val nsh = out.length
     java.util.Arrays.sort(out)
     // dedup in place (array_distinct semantics)
     var w = 0

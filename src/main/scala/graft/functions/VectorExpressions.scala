@@ -122,6 +122,19 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL window hashes (no sort/dedup — element i belongs to the
+  * window starting at token i; pairs with posexplode).
+  */
+case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "text_window_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.windowHashesData(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.windowHashesData($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass MinHash signature over a token array. */
 case class MinHashSig(child: Expression, n: Int, numHashes: Int) extends UnaryExpression {
   override def prettyName: String = "text_minhash_sig"

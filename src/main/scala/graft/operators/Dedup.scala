@@ -679,6 +679,80 @@ object Dedup {
     }
   }
 
+  /** Per-document EXACT-SUBSTRING duplication signals over w-token
+    * sliding windows (stride 1) — the shuffle-native formulation of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): any duplicated token
+    * run of length ≥ w is witnessed by at least one duplicated w-token
+    * window, so corpus-wide window-occurrence counting finds every such
+    * span with no suffix array and no global sort. Complements
+    * [[jaccardPairs]] (whole-doc similarity): this catches a boilerplate
+    * paragraph pasted into thousands of otherwise-unrelated documents.
+    *
+    * Output per doc (all BIGINT, one row per input doc):
+    * `n_tokens`, `n_windows` (= max(n_tokens − w + 1, 1); short docs
+    * contribute their full token join as one window, so nothing is
+    * silently skipped), `dup_windows` (window PLACEMENTS whose content
+    * occurs ≥ minOcc times corpus-wide — total occurrences, so
+    * self-repetition inside one doc counts as duplication too), and
+    * `dup_tokens` (size of the union of token positions covered by
+    * duplicated windows — the span a substring-dedup pass would cut).
+    *
+    * Scale notes (100 TB): window keys are the codegen'd 64-bit xxhash
+    * kernel ([[graft.Graft.F.windowHashes]] — positional, one hash per
+    * start), an 8-byte shuffle key; the windows relation is n_tokens rows
+    * per doc, the same explode class [[jaccardPairs]] already carries.
+    * Three shuffles: occurrence count (groupBy h), the mark-join (h),
+    * per-doc re-aggregation (doc_id). The coverage explode multiplies
+    * only DUPLICATED placements by w — sparse unless the corpus is mostly
+    * boilerplate. A mega-hot window (site chrome) skews the mark-join's
+    * h-partition; the aggregate side is one row per distinct window, so
+    * the standard guards apply (broadcast the hot subset or salt the
+    * join, cf. [[jaccardPairs]]'s df cap). Hash collisions can merge two
+    * distinct windows (false "duplicate"): P ≈ (windows)²/2⁶⁵ — at 10¹²
+    * windows that is ~2.7%-of-one-spurious-window territory, the standard
+    * accepted risk of hashed substring dedup.
+    */
+  def windowDupSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10,
+      minOcc: Long = 2): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    require(minOcc >= 2, s"minOcc < 2 would mark every window duplicated")
+    val toks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("n_tokens"))
+    val wins = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(graft.Graft.F.windowHashes(col("_toks"), w)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("start"), col("col").as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select("h")
+    val dup = wins.join(dupHashes, "h")
+    val dupCounts = dup.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"))
+    // n_tokens >= 1 guard: an empty doc's single fallback window has no
+    // token positions to cover, and sequence(1, 0) would count down
+    val coverage = dup
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), explode(sequence(col("start"),
+        least(col("start") + (w - 1), col("n_tokens")))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+    toks
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (w - 1), lit(1L)).as("n_windows"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .join(coverage, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_windows", "dup_tokens"))
+  }
+
   /** Cluster every document by its near-dup component: cluster_id = min id
     * in the component (docs in no pair are their own singleton cluster),
     * is_canonical marks the one row per cluster a dedup pass keeps.

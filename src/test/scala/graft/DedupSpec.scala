@@ -238,6 +238,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("windowDupSignals: brute-force equivalence incl. self-repetition and short docs") {
+    val w = 3
+    val data = Seq(
+      1L -> "a b c d e f",              // shares "b c d", "c d e" with doc 2
+      2L -> "z b c d e q",
+      3L -> "x x x x x x",              // self-repetition: every window identical
+      4L -> "p q",                      // short doc (< w), duplicated whole
+      5L -> "p q",
+      6L -> "unique tokens only here now")
+    val got = Dedup.windowDupSignals(data.toDF("doc_id", "text"), "doc_id", "text", w = w)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_windows", "dup_windows", "dup_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val wins = data.flatMap { case (id, s) =>
+      val t = toks(s); val n = t.length
+      (1 to math.max(n - w + 1, 1)).map(i =>
+        (id, i, t.slice(i - 1, math.min(i - 1 + w, n)).mkString(" ")))
+    }
+    val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = data.map { case (id, s) =>
+      val t = toks(s); val n = t.length
+      val dups = wins.filter(x => x._1 == id && occ(x._3) >= 2)
+      val covered = dups.flatMap(x => x._2 to math.min(x._2 + w - 1, n)).distinct.size
+      (id, n.toLong, math.max(n - w + 1, 1).toLong, dups.size.toLong, covered.toLong)
+    }
+    assert(got == expected)
+    // the planted shapes actually exercised each path
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L)._4 == 4L && byId(3L)._5 == 6L, "self-repetition counts")
+    assert(byId(4L)._4 == 1L && byId(4L)._5 == 2L, "short-doc fallback window")
+    assert(byId(6L)._4 == 0L && byId(6L)._5 == 0L, "unique doc unmarked")
+  }
+
+  test("windowDupSignals: one row per fixture doc, marks only real sharing") {
+    val r = Dedup.windowDupSignals(docs, "doc_id", "text", w = 10)
+    assert(r.count() == docs.count())
+    // dup coverage never exceeds the doc's tokens
+    assert(r.filter(col("dup_tokens") > col("n_tokens")).count() == 0)
+  }
+
   test("clusters: every doc labeled, singletons canonical, groups collapse") {
     val universe = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
