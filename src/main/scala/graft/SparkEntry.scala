@@ -390,6 +390,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: substring-dedup REMOVAL (keep global first occurrence,
+    //    cut every later duplicated-window placement, rebuild the text) ──
+    "q_dedup_strip" -> ((s, dir) => {
+      init(s)
+      Dedup.stripDupWindows(t(s, dir, "documents"), "doc_id", "text", w = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: training-sequence packing (concat-and-chunk) via a
     //    DISTRIBUTED prefix sum — range partition → local cumsum →
     //    per-partition totals (≤ numParts rows) broadcast back; the
@@ -1962,6 +1970,40 @@ object SparkEntry {
                 coalesce(dupc.dup_windows, 0) AS dup_windows,
                 coalesce(cov.dup_tokens, 0) AS dup_tokens
          FROM b LEFT JOIN dupc USING (doc_id) LEFT JOIN cov USING (doc_id)
+         ORDER BY b.doc_id""",
+
+    // same window derivation; canonical first occurrence = row_number 1
+    // over (doc_id, start) — matches Spark's min(struct(doc_id, start))
+    "q_dedup_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT doc_id, w, len(w) AS n, greatest(len(w) - 9, 1) AS nw,
+                      CASE WHEN len(w) >= 10
+                           THEN [array_to_string(w[i:i+9], ' ')
+                                 FOR i IN range(1, len(w) - 8)]
+                           ELSE [array_to_string(w, ' ')] END AS wins
+               FROM t),
+         e AS (SELECT doc_id, n, unnest(wins) AS win,
+                      unnest(range(1, nw + 1)) AS st
+               FROM b),
+         r AS (SELECT doc_id, n, st,
+                      count(*) OVER (PARTITION BY win) AS occ,
+                      row_number() OVER (PARTITION BY win
+                                         ORDER BY doc_id, st) AS rn
+               FROM e),
+         cut AS (SELECT doc_id, n, st FROM r WHERE occ >= 2 AND rn > 1),
+         cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+                 FROM (SELECT doc_id, unnest(range(st, least(st + 10, n + 1))) AS p
+                       FROM cut WHERE n >= 1)
+                 GROUP BY doc_id)
+         SELECT b.doc_id, b.n AS n_tokens,
+                coalesce(len(cov.cov), 0)::BIGINT AS removed_tokens,
+                -- coalesce: a fully-wiped doc's empty list renders NULL in
+                -- DuckDB, '' in Spark's concat_ws
+                coalesce(array_to_string(
+                  [b.w[i] FOR i IN range(1, b.n + 1)
+                   IF cov.cov IS NULL OR NOT list_contains(cov.cov, i)],
+                  ' '), '') AS text_clean
+         FROM b LEFT JOIN cov USING (doc_id)
          ORDER BY b.doc_id""",
 
     // single ORDER BY window — the oracle for the distributed

@@ -753,6 +753,65 @@ object Dedup {
       .na.fill(0L, Seq("dup_windows", "dup_tokens"))
   }
 
+  /** Substring-dedup REMOVAL — the transform [[windowDupSignals]] only
+    * measures: every duplicated w-token window placement except the
+    * corpus-wide FIRST occurrence (min (doc_id, start), deterministic) is
+    * cut, and each document's text is rebuilt from its surviving token
+    * positions (Lee et al. ACL'22 §4.1 applied globally, keep-first
+    * policy). Self-repetition inside one doc keeps only the first span;
+    * a doc that is entirely boilerplate comes back empty.
+    *
+    * Output per doc: `n_tokens` (original), `removed_tokens` (union of
+    * positions covered by cut placements), `text_clean` (surviving
+    * tokens re-joined with single spaces — tokenization is
+    * whitespace-normalizing, so exact byte-level reconstruction is out
+    * of scope by contract).
+    *
+    * Scale notes: same three-shuffle shape as [[windowDupSignals]]; the
+    * canonical-occurrence pick is a `min(struct(doc_id, start))` inside
+    * the h-keyed aggregate — map-side combine, so a mega-hot window
+    * never funnels its placements through one reducer for ranking. The
+    * per-doc covered-position set is `collect_set` bounded by the doc's
+    * own length (the data already holds the doc; its position set is no
+    * bigger).
+    */
+  def stripDupWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val toks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("n_tokens"))
+    val wins = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(graft.Graft.F.windowHashes(col("_toks"), w)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("start"), col("col").as("h"))
+    val firsts = wins.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("start"))).as("_first"))
+      .filter(col("occ") >= 2)
+      .select(col("h"),
+        col("_first.doc_id").as("_fd"), col("_first.start").as("_fs"))
+    val cut = wins.join(firsts, "h")
+      .filter(!(col("doc_id") === col("_fd") && col("start") === col("_fs")))
+    // n_tokens >= 1 guard: empty docs' fallback window covers no positions
+    val cov = cut
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), explode(sequence(col("start"),
+        least(col("start") + (w - 1), col("n_tokens")))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("_cov"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("removed_tokens"),
+        concat_ws(" ", filter(col("_toks"), (x, i) =>
+          coalesce(!array_contains(col("_cov"), (i + 1).cast("long")), lit(true))
+        )).as("text_clean"))
+  }
+
   /** Cluster every document by its near-dup component: cluster_id = min id
     * in the component (docs in no pair are their own singleton cluster),
     * is_canonical marks the one row per cluster a dedup pass keeps.

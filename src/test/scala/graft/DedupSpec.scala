@@ -272,6 +272,48 @@ class DedupSpec extends SparkSpec {
     assert(byId(6L)._4 == 0L && byId(6L)._5 == 0L, "unique doc unmarked")
   }
 
+  test("stripDupWindows: brute-force keep-first removal, self-repetition, full wipe") {
+    val w = 3
+    val data = Seq(
+      1L -> "a b c d e f",              // canonical holder of the shared span
+      2L -> "z b c d e q",              // later occurrence: span cut
+      3L -> "x x x x x x",              // self-repetition: keeps first window only
+      4L -> "p q",                      // short dup pair: doc 5 wiped entirely
+      5L -> "p q",
+      6L -> "unique tokens only here now")
+    val got = Dedup.stripDupWindows(data.toDF("doc_id", "text"), "doc_id", "text", w = w)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "removed_tokens", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val wins = data.flatMap { case (id, s) =>
+      val t = toks(s); val n = t.length
+      (1 to math.max(n - w + 1, 1)).map(i =>
+        (id, i, t.slice(i - 1, math.min(i - 1 + w, n)).mkString(" ")))
+    }
+    val byWin = wins.groupBy(_._3)
+    val expected = data.map { case (id, s) =>
+      val t = toks(s); val n = t.length
+      val cut = wins.filter { case (d, st, win) =>
+        val g = byWin(win)
+        g.size >= 2 && d == id && (d, st) != g.map(x => (x._1, x._2)).min
+      }
+      val covered = cut.flatMap(x => x._2 to math.min(x._2 + w - 1, n)).distinct
+      val clean = t.zipWithIndex.collect {
+        case (tok, i) if !covered.contains(i + 1) => tok
+      }.mkString(" ")
+      (id, n.toLong, covered.size.toLong, clean)
+    }
+    assert(got == expected)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == "a b c d e f", "canonical doc untouched")
+    assert(byId(2L)._4 == "z q" && byId(2L)._3 == 4L, "later occurrence cut")
+    assert(byId(3L)._4 == "x" && byId(3L)._3 == 5L, "self-repetition keeps first span")
+    assert(byId(4L)._4 == "p q", "first short dup kept")
+    assert(byId(5L)._4 == "" && byId(5L)._3 == 2L, "second short dup wiped")
+    assert(byId(6L)._4 == "unique tokens only here now", "unique doc untouched")
+  }
+
   test("windowDupSignals: one row per fixture doc, marks only real sharing") {
     val r = Dedup.windowDupSignals(docs, "doc_id", "text", w = 10)
     assert(r.count() == docs.count())
