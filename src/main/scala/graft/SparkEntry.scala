@@ -71,7 +71,8 @@ object SparkEntry {
   private def asofClicksToPurchases(
       s: SparkSession, dir: String, skewBuckets: Int,
       tolerance: Option[Long] = None,
-      skewAutoThreshold: Option[Long] = None): DataFrame = {
+      skewAutoThreshold: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
@@ -82,7 +83,7 @@ object SparkEntry {
       keyCols = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us",
       rightPrefix = "p_", rightTieBreak = Some("event_id"),
       skewBuckets = skewBuckets, tolerance = tolerance,
-      skewAutoThreshold = skewAutoThreshold)
+      skewAutoThreshold = skewAutoThreshold, direction = direction)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
         coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"),
@@ -1102,6 +1103,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: temperature (α=0.5) re-sampling across languages —
+    //    mT5-style exponentiated-share rebalancing; per-group rate
+    //    derived from corpus counts, membership the same portable
+    //    md5-uniform the oracle re-derives ──
+    "q_sample_temperature" -> ((s, dir) => {
+      init(s)
+      Sampling.temperatureSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), alpha = 0.5, targetFrac = 0.3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: per-language quality quantiles (threshold picking for a
     //    filtering recipe); exact percentile shares DuckDB quantile_cont's
     //    p·(n−1) linear interpolation, so values oracle-check ──
@@ -1172,6 +1185,21 @@ object SparkEntry {
       init(s)
       asofClicksToPurchases(s, dir, skewBuckets = 1,
         tolerance = Some(3600000000L))
+    }),
+
+    // ── FORWARD as-of: earliest purchase at-or-after each click (the
+    //    "next event" lookup) — negated-time reuse of the backward
+    //    machinery, tolerance bounds the lookahead ──
+    "q_asof_forward" -> ((s, dir) => {
+      init(s)
+      asofClicksToPurchases(s, dir, skewBuckets = 1, direction = "forward")
+    }),
+
+    // ── NEAREST as-of: the closer of the prior and next purchase, ties
+    //    to the prior — both carries ride one shuffle ──
+    "q_asof_nearest" -> ((s, dir) => {
+      init(s)
+      asofClicksToPurchases(s, dir, skewBuckets = 1, direction = "nearest")
     }),
 
     // ── beyond-reference: grouped top-k through the custom bounded-heap
@@ -1485,6 +1513,19 @@ object SparkEntry {
          SELECT doc_id, lang FROM r WHERE rn <= 20
          ORDER BY doc_id""",
 
+    // same exponentiated-share rate derivation; the N^α factors cancel in
+    // p_g = n^α/Σn^α, and membership is the shared md5 uniform
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+         r AS (SELECT lang,
+                      least(1.0, 0.3 * (SELECT sum(n) FROM c)
+                                 * (pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM c))
+                                 / n) AS rate
+               FROM c)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE ${portableUniformSql("d.doc_id::VARCHAR")} < r.rate
+         ORDER BY d.doc_id""",
+
     "q_quality_quantiles" ->
       """WITH t AS (SELECT lang, length(text) AS n FROM documents)
          SELECT lang, count(*) AS cnt,
@@ -1563,6 +1604,48 @@ object SparkEntry {
                FROM c LEFT JOIN p
                  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
                     AND c.ts_us - p.ts_us <= 3600000000)
+         SELECT event_id, user_id, ts_us,
+                coalesce(p_event_id, -1) AS p_event_id,
+                coalesce(p_ts_us, -1) AS p_ts_us,
+                coalesce(p_value, -1.0) AS p_value
+         FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    // forward: earliest purchase at-or-after, greatest event_id at ties
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      round(value, 2) AS value
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.event_id, c.user_id, c.ts_us,
+                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
+                      p.value AS p_value,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY p.ts_us ASC, p.event_id DESC) AS rn
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id AND p.ts_us >= c.ts_us)
+         SELECT event_id, user_id, ts_us,
+                coalesce(p_event_id, -1) AS p_event_id,
+                coalesce(p_ts_us, -1) AS p_ts_us,
+                coalesce(p_value, -1.0) AS p_value
+         FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    // nearest: min |Δt|, ties to the prior side, then greatest event_id —
+    // the same rule the two-carry window picks
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                      round(value, 2) AS value
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.event_id, c.user_id, c.ts_us,
+                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
+                      p.value AS p_value,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY abs(p.ts_us - c.ts_us) ASC,
+                                 (p.ts_us <= c.ts_us) DESC,
+                                 p.event_id DESC) AS rn
+               FROM c LEFT JOIN p ON c.user_id = p.user_id)
          SELECT event_id, user_id, ts_us,
                 coalesce(p_event_id, -1) AS p_event_id,
                 coalesce(p_ts_us, -1) AS p_ts_us,

@@ -67,9 +67,23 @@ object AsOfJoin {
     *                      bucketed path triggers automatically with
     *                      ceil(max/threshold) buckets (capped at 256) so
     *                      each (key, bucket) task holds ~threshold rows
+    * @param direction     "backward" (default): latest right with
+    *                      rightTime ≤ leftTime. "forward": earliest right
+    *                      with rightTime ≥ leftTime — implemented by
+    *                      negating both time columns and running the
+    *                      backward machinery (so skew bucketing, auto
+    *                      trigger and tolerance all compose; tolerance
+    *                      bounds the LOOKAHEAD). "nearest": the closer of
+    *                      the backward and forward matches, ties to
+    *                      backward — one extra window over the SAME sort
+    *                      (no extra shuffle); single-window path only.
+    *                      forward/nearest require numeric time columns
+    *                      (the distance arithmetic and negation need
+    *                      them; Long.MinValue times would overflow the
+    *                      negation and are out of contract).
     * Output: every left row with all its columns, plus each right payload
     * column (all non-key right columns) as `rightPrefix + name` — NULL
-    * when no right row precedes the left row.
+    * when no right row matches in the chosen direction.
     */
   def leftAsOf(
       left: DataFrame,
@@ -81,10 +95,35 @@ object AsOfJoin {
       rightTieBreak: Option[String] = None,
       skewBuckets: Int = 1,
       skewAutoThreshold: Option[Long] = None,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(skewBuckets >= 1, s"skewBuckets must be >= 1: $skewBuckets")
     tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0: $t"))
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest: $direction")
+    if (direction != "backward") {
+      val numeric =
+        left.schema(leftTime).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          right.schema(rightTime).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      require(numeric, s"$direction as-of requires numeric time columns")
+      require(!keyCols.contains(leftTime) && !keyCols.contains(rightTime),
+        s"$direction as-of cannot use a time column as a join key")
+    }
+    if (direction == "forward") {
+      // rt ≥ lt ⇔ −rt ≤ −lt; equal-time inclusivity and greatest-tie-break
+      // semantics survive the flip, and the backward tolerance check
+      // (−lt) − (−rt) ≤ tol is exactly the lookahead rt − lt ≤ tol
+      return leftAsOf(
+        left.withColumn(leftTime, -col(leftTime)),
+        right.withColumn(rightTime, -col(rightTime)),
+        keyCols, leftTime, rightTime, rightPrefix, rightTieBreak,
+        skewBuckets, skewAutoThreshold, tolerance, "backward")
+        .withColumn(leftTime, -col(leftTime))
+        .withColumn(rightPrefix + rightTime, -col(rightPrefix + rightTime))
+    }
+    require(direction == "backward" || (skewBuckets == 1 && skewAutoThreshold.isEmpty),
+      "nearest as-of supports the single-window path only (wrap hot keys upstream)")
     val lPayload = left.columns.toSeq.filterNot(keyCols.contains)
     val rPayload = right.columns.toSeq.filterNot(keyCols.contains)
     val outNames = keyCols ++ lPayload ++ rPayload.map(rightPrefix + _)
@@ -134,16 +173,37 @@ object AsOfJoin {
           if (mx > th) math.min(256L, (mx + th - 1) / th).toInt else 1
         case _ => 1
       }
-    val matched =
-      if (effBuckets == 1) singleWindow(unioned, keyCols)
-      else bucketedCarry(unioned, keyCols, effBuckets)
-    val rm = tolerance match {
-      case Some(tol) =>
-        require(tType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-          s"tolerance requires a numeric time column (got $tType)")
-        when(col("_t") - col("_rm").getField("__rt") <= tol, col("_rm"))
-      case None => col("_rm")
-    }
+    val (matched, rm) =
+      if (direction == "nearest") {
+        val m = nearestWindow(unioned, keyCols)
+        // bound each side by tolerance first, then take the closer match,
+        // ties to backward; null left time keeps the no-match contract
+        // (the forward frame would otherwise hand it the earliest right)
+        def bounded(c: Column, dist: Column): Column = tolerance match {
+          case Some(tol) => when(dist <= tol, c)
+          case None => c
+        }
+        val rb = bounded(col("_rmB"), col("_t") - col("_rmB").getField("__rt"))
+        val rf = bounded(col("_rmF"), col("_rmF").getField("__rt") - col("_t"))
+        val pick = when(col("_t").isNull, col("_rmB"))
+          .when(rb.isNull, rf)
+          .when(rf.isNull, rb)
+          .when(col("_t") - rb.getField("__rt") <= rf.getField("__rt") - col("_t"), rb)
+          .otherwise(rf)
+        (m, pick)
+      } else {
+        val m =
+          if (effBuckets == 1) singleWindow(unioned, keyCols)
+          else bucketedCarry(unioned, keyCols, effBuckets)
+        val r = tolerance match {
+          case Some(tol) =>
+            require(tType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+              s"tolerance requires a numeric time column (got $tType)")
+            when(col("_t") - col("_rm").getField("__rt") <= tol, col("_rm"))
+          case None => col("_rm")
+        }
+        (m, r)
+      }
     matched.select(
       keyCols.map(col) ++
         lPayload.map(c => col("_l").getField(c).as(c)) ++
@@ -157,6 +217,28 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_rm", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+  }
+
+  /** Backward + forward carries over ONE shuffle: both windows partition
+    * by the same keys, so Catalyst plans a single Exchange (the forward
+    * window's tie-DESC ordering costs one extra in-partition Sort).
+    * `_rmB` = latest right ≤ t (rights sort before lefts at equal time →
+    * inclusive); `_rmF` = earliest right STRICTLY after t (equal-time
+    * rights precede the left row and are already _rmB's distance-0
+    * match, which nearest always prefers), greatest tie-break winning at
+    * an equal future time — the same tie rule as the other directions.
+    */
+  private def nearestWindow(unioned: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_rmB", last(col("_r"), ignoreNulls = true).over(wB))
+      .withColumn("_rmF", first(col("_r"), ignoreNulls = true).over(wF))
       .filter(col("_side") === 1)
   }
 

@@ -71,6 +71,43 @@ object Sampling {
       .filter(col("_rn") <= cap).drop("_rn")
   }
 
+  /** Temperature (α) re-sampling across groups — the multilingual /
+    * multi-domain re-balancing step (mT5's exponentiated-share sampling):
+    * group g is kept with probability ∝ (n_g/N)^α, flattening the group
+    * distribution toward uniform as α → 0 and leaving it proportional at
+    * α = 1. `targetFrac` sets the overall expected sample size; each
+    * group's per-row rate is min(1, targetFrac·N·p_g/n_g) with
+    * p_g = n_g^α / Σ n^α (the N^α factors cancel). Rates that clip at 1
+    * are NOT redistributed — the realized total then undershoots
+    * targetFrac, the standard single-pass behavior; membership is the
+    * same content-hash predicate as [[hashSample]], so re-runs pick
+    * identical rows and the SQL oracle re-derives the sample exactly.
+    *
+    * Scale shape: one group-count aggregate (map-side combine) whose
+    * result is GROUP-CARDINALITY-sized, a single-partition window over
+    * those few rows to normalize (bounded by #groups, never by data),
+    * then a broadcast join back — the corpus-sized pass stays map-side.
+    * NULL-group rows are excluded (membership needs a group identity),
+    * matching [[hashSample]]'s null-key contract.
+    */
+  def temperatureSample(
+      df: DataFrame, groupCol: Column, key: Column,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1]: $targetFrac")
+    val counts = df.groupBy(groupCol.as("_g")).agg(count(lit(1)).as("_n"))
+    val all = Window.partitionBy()
+    val rates = counts
+      .withColumn("_na", pow(col("_n"), alpha))
+      .withColumn("_rate", least(lit(1.0),
+        lit(targetFrac) * sum("_n").over(all) * (col("_na") / sum("_na").over(all)) / col("_n")))
+      .select(col("_g"), col("_rate"))
+    df.join(broadcast(rates), groupCol === col("_g"))
+      .filter(portableUniform(key) < col("_rate"))
+      .drop("_g", "_rate")
+  }
+
   /** Weighted mix of sources: each source contributes a deterministic
     * hash-sampled fraction, unioned by name — the "data recipe" step
     * (e.g. 100% curated + 30% web + 5% synthetic). Schemas must align.

@@ -194,6 +194,78 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward: earliest right at-or-after; inclusive; tie → max rid; tolerance = lookahead") {
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "lt", "rt",
+      rightTieBreak = Some("rid"), direction = "forward")
+      .collect().map(r => r.getAs[String]("ltag") ->
+        Option(r.getAs[Any]("rtag")).orNull).toMap
+    assert(out("before-any") == "r10")         // next right at rt=10
+    assert(out("equal-ts") == "r10")           // rt >= lt inclusive
+    assert(out("after-both") == null)          // nothing after lt=25
+    assert(out("k2") == null)                  // purchase precedes
+    assert(out("no-right-key") == null)
+    // equal-future-time tie takes the greatest rid (r20b), like backward
+    val tie = AsOfJoin.leftAsOf(Seq((1L, 15L, "t")).toDF("k", "lt", "ltag"),
+      right, Seq("k"), "lt", "rt", rightTieBreak = Some("rid"),
+      direction = "forward").head().getAs[String]("rtag")
+    assert(tie == "r20b")
+    // lookahead tolerance: next right further than tol drops to null
+    val tol = AsOfJoin.leftAsOf(Seq((1L, 5L, "t")).toDF("k", "lt", "ltag"),
+      right, Seq("k"), "lt", "rt", direction = "forward",
+      tolerance = Some(3L)).head()
+    assert(tol.getAs[Any]("rtag") == null)     // rt=10 is 5 > 3 away
+  }
+
+  test("nearest: closer side wins, ties to backward, one shuffle") {
+    val l = Seq((1L, 18L, "closer-fwd"), (1L, 12L, "closer-back"),
+      (1L, 15L, "equidistant"), (3L, 7L, "no-right-key")).toDF("k", "lt", "ltag")
+    val out = AsOfJoin.leftAsOf(l, right, Seq("k"), "lt", "rt",
+      rightTieBreak = Some("rid"), direction = "nearest")
+      .collect().map(r => r.getAs[String]("ltag") ->
+        Option(r.getAs[Any]("rtag")).orNull).toMap
+    assert(out("closer-fwd") == "r20b")        // 18→20 (d=2) beats 18→10 (d=8); tie → max rid
+    assert(out("closer-back") == "r10")        // 12→10 (d=2) beats 12→20 (d=8)
+    assert(out("equidistant") == "r10")        // |15-10| == |15-20| → backward
+    assert(out("no-right-key") == null)
+    // exactly one Exchange: both carries share the key shuffle
+    val plan = AsOfJoin.leftAsOf(l, right, Seq("k"), "lt", "rt",
+      direction = "nearest").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("property: forward and nearest match brute force") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 6) {
+      val lRows = Seq.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+        rnd.nextLong()))
+      val rRows = Seq.fill(25)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+        rnd.nextLong()))
+      val l = lRows.toDF("k", "lt", "lid")
+      val r = rRows.toDF("k", "rt", "rid")
+      def run(dir: String) = AsOfJoin.leftAsOf(l, r, Seq("k"), "lt", "rt",
+        rightPrefix = "p_", rightTieBreak = Some("rid"), direction = dir)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+          Option(x.getAs[Any]("p_rid")).map(_.asInstanceOf[Long]))
+        .toMap
+      val fwd = run("forward"); val near = run("nearest")
+      lRows.foreach { case (k, lt, lid) =>
+        val back = rRows.filter(x => x._1 == k && x._2 <= lt)
+          .sortBy(x => (x._2, x._3)).lastOption
+        val fw = rRows.filter(x => x._1 == k && x._2 >= lt)
+          .sortBy(x => (-x._2, x._3)).lastOption // min rt, then max rid
+        assert(fwd((k, lt, lid)) == fw.map(_._3), s"fwd k=$k lt=$lt")
+        val nr = (back, fw) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) =>
+            if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+        }
+        assert(near((k, lt, lid)) == nr.map(_._3), s"near k=$k lt=$lt")
+      }
+    }
+  }
+
   test("property: matches the brute-force latest-at-or-before reference") {
     // randomized small tables, fixed seeds — compare against a
     // driver-side O(|L|·|R|) reference implementation

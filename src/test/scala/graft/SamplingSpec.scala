@@ -42,6 +42,35 @@ class SamplingSpec extends SparkSpec {
     assert(salted == unsalted)
   }
 
+  test("temperatureSample: rates follow exponentiated shares, membership is hashSample's") {
+    val alpha = 0.5; val frac = 0.3
+    val got = Sampling.temperatureSample(docs, $"lang", $"doc_id", alpha, frac)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    // re-derive the per-group rate locally and apply the same uniform
+    val counts = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    val norm = counts.values.map(c => math.pow(c, alpha)).sum
+    val rate = counts.map { case (l, c) =>
+      l -> math.min(1.0, frac * n * (math.pow(c, alpha) / norm) / c) }
+    val uni = docs.select($"doc_id", $"lang",
+        Sampling.portableUniform($"doc_id").as("u"))
+      .as[(Long, String, Double)].collect()
+    val expected = uni.collect { case (id, l, u) if u < rate(l) => (id, l) }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < docs.count())
+    // α = 1 degenerates to a plain uniform hash sample
+    val prop = Sampling.temperatureSample(docs, $"lang", $"doc_id", 1.0, frac)
+      .select($"doc_id").as[Long].collect().toSet
+    val plain = Sampling.hashSample(docs, $"doc_id", frac)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(prop == plain)
+    // flattening: the rarest group's keep-RATE strictly exceeds the
+    // most common group's at α < 1
+    val kept = got.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val (rareL, _) = counts.minBy(_._2); val (bigL, _) = counts.maxBy(_._2)
+    assert(kept(rareL) / counts(rareL) > kept(bigL) / counts(bigL))
+  }
+
   test("mix composes hash samples per source") {
     val a = docs.filter($"doc_id" % 2 === 0)
     val b = docs.filter($"doc_id" % 2 === 1)
