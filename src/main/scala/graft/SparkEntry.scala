@@ -414,6 +414,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: the loader-ready packing MANIFEST — each doc's span
+    //    cut at sequence boundaries, one row per (sequence, doc) slice ──
+    "q_pack_manifest" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packManifest(docs, "doc_id", "n_tokens",
+          seqLen = 512, numParts = 8)
+        .orderBy(col("seq_id"), col("doc_id"))
+    }),
+
     // ── pipeline: EXACT n-gram Jaccard similarity join (inverted index) ──
     "q_dedup_jaccard" -> ((s, dir) => {
       init(s)
@@ -1113,6 +1125,24 @@ object SparkEntry {
           col("doc_id"), alpha = 0.5, targetFrac = 0.3)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── pipeline: model-based quality filter (CCNet bootstrap: weak
+    //    labels from the heuristic tails → hashed-BoW logistic model →
+    //    score the corpus). ROWS-ONLY: L-BFGS coefficients aren't
+    //    DuckDB-re-derivable; the heuristic feature space itself is
+    //    oracle-checked by q_text_quality, and QualityModelSpec pins
+    //    separation + the map-side scoring plan ──
+    "q_quality_model" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+      val lab = graft.operators.QualityModel.weakLabels(docs, "text")
+      val model = graft.operators.QualityModel.train(lab, "text", "label",
+        logFeatures = 12)
+      graft.operators.QualityModel.score(docs, model, "text")
+        .groupBy(floor(col("quality_prob") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("band"))
     }),
 
     // ── pipeline: per-language quality quantiles (threshold picking for a
@@ -2106,6 +2136,29 @@ object SparkEntry {
                 (start_offset + n_tokens - 1) // 512
                   - start_offset // 512 + 1 AS n_seqs
          FROM c ORDER BY doc_id""",
+
+    // the manifest explodes each doc over its sequence range with
+    // boundary-clipped spans — identical arithmetic to the Spark side
+    "q_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+                           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                    FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+               FROM t),
+         m AS (SELECT doc_id, n_tokens, start_offset,
+                      unnest(range(start_offset // 512,
+                                   (start_offset + n_tokens - 1) // 512 + 1)) AS seq_id
+               FROM c WHERE n_tokens > 0)
+         SELECT seq_id, doc_id,
+                greatest(start_offset, seq_id * 512) - start_offset + 1 AS doc_from,
+                least(start_offset + n_tokens, (seq_id + 1) * 512) - start_offset AS doc_to,
+                greatest(start_offset, seq_id * 512) - seq_id * 512 + 1 AS seq_from,
+                least(start_offset + n_tokens, (seq_id + 1) * 512) - seq_id * 512 AS seq_to,
+                least(start_offset + n_tokens, (seq_id + 1) * 512)
+                  - greatest(start_offset, seq_id * 512) AS slice_tokens
+         FROM m ORDER BY seq_id, doc_id""",
 
     // identical synthetic-PII injection, then RE2 equivalents of the Java
     // patterns (restricted to the shared-dialect subset) in the same

@@ -85,4 +85,43 @@ object Packing {
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(col("end_seq") - col("seq_id") + 1))
   }
+
+  /** The loader-ready MANIFEST view of [[packAssignments]]: one row per
+    * (sequence, document) slice, i.e. each document's token span cut at
+    * sequence boundaries. A training loader reads a sequence's slices in
+    * `seq_from` order and concatenates `doc[doc_from..doc_to]` spans —
+    * no further arithmetic. Columns (1-based, inclusive):
+    *
+    *   `seq_id`; `doc_id`; `doc_from`/`doc_to` — the slice inside the
+    *   document; `seq_from`/`seq_to` — where it lands inside the
+    *   sequence; `slice_tokens` — span length.
+    *
+    * Empty docs occupy no span and emit no manifest rows. The explode
+    * multiplies each doc by its n_seqs (≈ 1 + n_tokens/seqLen), so the
+    * manifest is O(total_tokens/seqLen + docs) rows — the same order as
+    * the assignment relation itself.
+    */
+  def packManifest(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      seqLen: Long,
+      numParts: Int = 0): DataFrame = {
+    val assign = packAssignments(df, idCol, nTokensCol, seqLen, numParts)
+    assign
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("seq_id"), col("end_seq"))).as("seq_id"))
+      .withColumn("_sfrom", greatest(col("start_offset"), col("seq_id") * seqLen))
+      .withColumn("_sto",
+        least(col("start_offset") + col("n_tokens"), (col("seq_id") + 1) * seqLen))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (col("_sfrom") - col("start_offset") + 1).as("doc_from"),
+        (col("_sto") - col("start_offset")).as("doc_to"),
+        (col("_sfrom") - col("seq_id") * seqLen + 1).as("seq_from"),
+        (col("_sto") - col("seq_id") * seqLen).as("seq_to"),
+        (col("_sto") - col("_sfrom")).as("slice_tokens"))
+  }
 }

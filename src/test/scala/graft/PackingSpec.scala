@@ -48,4 +48,40 @@ class PackingSpec extends SparkSpec {
     val data = (1L to 300L).map(id => id -> (id % 37)) // includes n = 0 docs
     assert(run(data, 128, 1) == run(data, 128, 13))
   }
+
+  test("packManifest: slices tile sequences and reconstruct documents") {
+    val rnd = new scala.util.Random(11)
+    val data = (1L to 400L).map(id => id -> rnd.nextInt(300).toLong) // incl. n = 0
+    val seqLen = 128L
+    val m = Packing.packManifest(
+      data.toDF("doc_id", "n"), "doc_id", "n", seqLen, numParts = 5)
+    val rows = m.select("seq_id", "doc_id", "doc_from", "doc_to", "seq_from", "seq_to", "slice_tokens")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    Checkpoints.free(m)
+    // per-doc: slices are contiguous 1..n and sum to n_tokens
+    val byDoc = rows.groupBy(_._2)
+    data.filter(_._2 > 0).foreach { case (id, n) =>
+      val s = byDoc(id).sortBy(_._3)
+      assert(s.head._3 == 1L && s.last._4 == n, s"doc $id span ends")
+      assert(s.map(_._7).sum == n, s"doc $id token sum")
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._4 + 1, s"doc $id contiguity")
+        case _ =>
+      }
+    }
+    assert(data.filter(_._2 == 0).forall(d => !byDoc.contains(d._1)), "empty docs absent")
+    // per-sequence: slices tile [1, seqLen] exactly (except the tail seq)
+    val total = data.map(_._2).sum
+    val lastSeq = (total - 1) / seqLen
+    rows.groupBy(_._1).foreach { case (seq, s) =>
+      val sorted = s.sortBy(_._5)
+      assert(sorted.head._5 == 1L, s"seq $seq starts at 1")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._5 == a._6 + 1, s"seq $seq contiguity")
+        case _ =>
+      }
+      if (seq < lastSeq) assert(sorted.last._6 == seqLen, s"seq $seq full")
+      assert(sorted.map(_._7).sum == sorted.last._6, s"seq $seq token sum")
+    }
+  }
 }
