@@ -1127,6 +1127,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: BPE trainer stage 1 — weighted adjacent char-pair
+    //    counts over the DISTINCT-word relation (the corpus-sized pass
+    //    happens once; merge rounds run on vocab-sized data). ASCII
+    //    fixture text keeps Spark's code-unit chars == DuckDB's
+    //    codepoint substr ──
+    "q_bpe_pairs" -> ((s, dir) => {
+      init(s)
+      graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.vocab(t(s, dir, "documents"), "text"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // ── pipeline: the learned merge list itself (30 rounds). ROWS-ONLY:
+    //    iterative argmax isn't SQL-expressible; rank 0 must equal
+    //    q_bpe_pairs' top row (oracle-checked twin), BpeSpec pins the
+    //    greedy fold + segmentation round-trip ──
+    "q_bpe_merges" -> ((s, dir) => {
+      init(s)
+      val (merges, vocab) = graft.operators.Bpe.train(
+        t(s, dir, "documents"), "text", numMerges = 30, minFreq = 2)
+      graft.operators.Checkpoints.free(vocab)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+        .toDF("rank", "a", "b", "merged")
+        .orderBy(col("rank"))
+    }),
+
     // ── pipeline: model-based quality filter (CCNet bootstrap: weak
     //    labels from the heuristic tails → hashed-BoW logistic model →
     //    score the corpus). ROWS-ONLY: L-BFGS coefficients aren't
@@ -1542,6 +1571,20 @@ object SparkEntry {
               FROM h)
          SELECT doc_id, lang FROM r WHERE rn <= 20
          ORDER BY doc_id""",
+
+    // char pairs weighted by word frequency; ASCII fixture makes
+    // code-unit and codepoint segmentation coincide
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                    FROM documents),
+         f AS (SELECT w, count(*) AS freq FROM t
+               WHERE len(w) >= 2 GROUP BY w),
+         e AS (SELECT w, freq, unnest(range(1, len(w))) AS i FROM f),
+         p AS (SELECT substr(w, i::INT, 1) AS a, substr(w, (i+1)::INT, 1) AS b,
+                      freq
+               FROM e)
+         SELECT a, b, sum(freq)::BIGINT AS cnt FROM p GROUP BY a, b
+         ORDER BY cnt DESC, a, b LIMIT 20""",
 
     // same exponentiated-share rate derivation; the N^α factors cancel in
     // p_g = n^α/Σn^α, and membership is the shared md5 uniform
