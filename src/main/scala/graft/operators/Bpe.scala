@@ -66,6 +66,10 @@ object Bpe {
     * final vocab relation (with merged `syms`). Deterministic: each
     * round picks max count, ties to the lexicographically smallest
     * (a, b). Rounds stop early when no pair reaches `minFreq`.
+    * Vocabs of ≤ `localVocabThreshold` distinct words run the merge
+    * loop driver-side on the collected (word, freq) relation — bounded
+    * by the threshold, never by the corpus, and bit-identical to the
+    * distributed path (spec-asserted); 0 disables the fast path.
     * The vocab table is `localCheckpoint`ed every `checkpointEvery`
     * rounds (lineage otherwise grows by one HOF per round); intermediate
     * generations are freed, the returned frame's blocks are the caller's
@@ -76,9 +80,63 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       minFreq: Long = 2,
-      checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
+      checkpointEvery: Int = 8,
+      localVocabThreshold: Long = 200000): (Seq[(String, String)], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     var v = vocab(df, textCol).localCheckpoint()
+    // small-vocab fast path: when the DISTINCT-WORD relation is bounded
+    // (same driver-collect contract as PQ codebook training — bounded by
+    // the threshold, never by the corpus), the merge loop runs locally:
+    // numMerges Spark jobs over a tiny table are pure scheduling
+    // overhead, and the result is IDENTICAL (spec-asserted)
+    if (localVocabThreshold > 0 && v.count() <= localVocabThreshold) {
+      val spark = df.sparkSession
+      val rows = v.select("w", "freq").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      Checkpoints.free(v)
+      val syms = scala.collection.mutable.Map[String, Vector[String]]()
+      rows.foreach { case (w, _) => syms(w) = w.map(_.toString).toVector }
+      val merges = Seq.newBuilder[(String, String)]
+      var r = 0
+      var done = false
+      while (r < numMerges && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        rows.foreach { case (w, f) =>
+          val s = syms(w)
+          var i = 0
+          while (i < s.length - 1) {
+            val p = (s(i), s(i + 1))
+            counts(p) = counts.getOrElse(p, 0L) + f
+            i += 1
+          }
+        }
+        val eligible = counts.filter(_._2 >= minFreq)
+        if (eligible.isEmpty) done = true
+        else {
+          val (pair, _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += pair
+          val (a, b) = pair
+          rows.foreach { case (w, _) =>
+            val s = syms(w)
+            if (s.length >= 2) {
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < s.length) {
+                if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                  out += (a + b); i += 2
+                } else { out += s(i); i += 1 }
+              }
+              syms(w) = out.result()
+            }
+          }
+          r += 1
+        }
+      }
+      import spark.implicits._
+      val outVocab = rows.map { case (w, f) => (w, f, syms(w)) }.toSeq
+        .toDF("w", "freq", "syms")
+      return (merges.result(), outVocab)
+    }
     var prev = v
     val merges = Seq.newBuilder[(String, String)]
     var r = 0

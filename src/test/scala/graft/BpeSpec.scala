@@ -32,6 +32,19 @@ class BpeSpec extends SparkSpec {
     } finally Checkpoints.free(vocab)
   }
 
+  test("local fast path == distributed path (merges and merged vocab)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (mLocal, vLocal) = Bpe.train(docs, "text", numMerges = 12)
+    val (mDist, vDist) = Bpe.train(docs, "text", numMerges = 12,
+      localVocabThreshold = 0)
+    try {
+      assert(mLocal == mDist)
+      val a = vLocal.select("w", "syms").as[(String, Seq[String])].collect().toMap
+      val b = vDist.select("w", "syms").as[(String, Seq[String])].collect().toMap
+      assert(a == b)
+    } finally { Checkpoints.free(vLocal); Checkpoints.free(vDist) }
+  }
+
   test("rank-0 merge equals the pair-count argmax (the q_bpe_pairs twin)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val top = Bpe.pairCounts(Bpe.vocab(docs, "text"))
