@@ -1127,6 +1127,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── pipeline: SemDeDup — cluster the embedding space, connect
+    //    within-cluster near-dups, keep the least-centroid-similar
+    //    member per component. ROWS-ONLY: KMeans centroids aren't
+    //    SQL-re-derivable; the candidate machinery is q_embed_neardup_knn's
+    //    (oracle-checked at nprobe=ncentroids), DedupSpec pins the
+    //    keep-one-least-central policy ──
+    "q_semantic_dedup" -> ((s, dir) => {
+      init(s)
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, ncentroids = 16)
+        .orderBy(col("id"))
+    }),
+
     // ── pipeline: BPE trainer stage 1 — weighted adjacent char-pair
     //    counts over the DISTINCT-word relation (the corpus-sized pass
     //    happens once; merge rounds run on vocab-sized data). ASCII

@@ -816,6 +816,60 @@ object Dedup {
     * in the component (docs in no pair are their own singleton cluster),
     * is_canonical marks the one row per cluster a dedup pass keeps.
     */
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
+    * space, find near-dup pairs WITHIN each cluster (cos ≥ threshold),
+    * connect them into components, and keep ONE representative per
+    * component — the member LEAST similar to its cluster centroid (the
+    * paper's keep-low-similarity policy: prefer the example farthest
+    * from the cluster's semantic center), ties to the smallest id.
+    *
+    * Plan shape: candidate pairs are a `list_id` self-equi-join of the
+    * assigned relation (the nprobe=1 special case of
+    * [[embeddingNearDupKnn]] — same candidates, one model, no re-train);
+    * components run large-star/small-star; the keep pick is a
+    * `min(struct(sim, id))` inside a cluster-keyed aggregate — map-side
+    * combinable, no per-cluster window sort. Centroids ride along as a
+    * broadcast literal (ncentroids·dim floats).
+    *
+    * Output per input row: `id`, `list_id`, `cluster_id` (component
+    * min-id), `centroid_sim`, `is_kept`.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      ncentroids: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val model = IvfIndex.train(df, vecCol, ncentroids, metric = "cosine",
+      seed = seed, maxIter = 8)
+    val assigned = IvfIndex.assign(
+      df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+        .filter(col("_v").isNotNull), "_v", model)
+    val cents = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val scored = assigned.withColumn("centroid_sim",
+      graft.Graft.F.vecCosine(col("_v"),
+        element_at(cents, (col("list_id") + 1).cast("int"))))
+    val pairs = scored.select(col("id"), col("_v"), col("list_id"))
+      .join(scored.select(col("id").as("_id_c"), col("_v").as("_v_c"),
+        col("list_id")), Seq("list_id"))
+      .filter(col("id") =!= col("_id_c"))
+      .withColumn("cos", graft.Graft.F.vecCosine(col("_v"), col("_v_c")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id"), col("_id_c")).as("id_a"),
+        greatest(col("id"), col("_id_c")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val comp = clusters(scored.select("id"), "id", pairs)
+      .select(col("id"), col("cluster_id"))
+    val labeled = scored.join(comp, "id")
+    val keep = labeled.groupBy("cluster_id")
+      .agg(min(struct(col("centroid_sim"), col("id"))).as("_k"))
+      .select(col("cluster_id"), col("_k").getField("id").as("_keep_id"))
+    labeled.join(keep, "cluster_id")
+      .select(col("id"), col("list_id"), col("cluster_id"),
+        col("centroid_sim"), (col("id") === col("_keep_id")).as("is_kept"))
+  }
+
   def clusters(
       df: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {

@@ -321,6 +321,42 @@ class DedupSpec extends SparkSpec {
     assert(r.filter(col("dup_tokens") > col("n_tokens")).count() == 0)
   }
 
+  test("semanticDedup: near-dup groups keep one least-central member, singletons survive") {
+    // two tight groups around distant anchors + two singletons; cosine
+    // near-dups only within a group
+    def jitter(base: Array[Float], eps: Float, at: Int): Array[Float] = {
+      val v = base.clone(); v(at) = v(at) + eps; v
+    }
+    val a = Array.fill(8)(0f); a(0) = 1f
+    val b = Array.fill(8)(0f); b(4) = 1f
+    val s1 = Array.fill(8)(0.35f)
+    val s2 = Array.fill(8)(-0.35f); s2(1) = 0.9f
+    val rows = Seq(
+      (1L, jitter(a, 0.01f, 1)), (2L, jitter(a, 0.02f, 2)), (3L, jitter(a, 0.03f, 3)),
+      (10L, jitter(b, 0.01f, 1)), (11L, jitter(b, 0.02f, 2)),
+      (20L, s1), (21L, s2))
+    val df = rows.toDF("id", "vec")
+    val out = Dedup.semanticDedup(df, "id", "vec", threshold = 0.95,
+      ncentroids = 4, seed = 7L)
+    val got = out.select("id", "cluster_id", "centroid_sim", "is_kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    graft.operators.Checkpoints.free(out)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.length == rows.length)
+    // group members share a component; distinct groups don't
+    assert(byId(1L)._2 == byId(2L)._2 && byId(2L)._2 == byId(3L)._2)
+    assert(byId(10L)._2 == byId(11L)._2)
+    assert(byId(1L)._2 != byId(10L)._2)
+    // exactly one kept per component; it is the least-central member
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.count(_._4) == 1)
+      val kept = g.find(_._4).get
+      assert(kept._3 == g.map(_._3).min)
+    }
+    // singletons keep themselves
+    assert(byId(20L)._4 && byId(21L)._4)
+  }
+
   test("clusters: every doc labeled, singletons canonical, groups collapse") {
     val universe = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
