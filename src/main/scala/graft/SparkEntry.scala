@@ -2179,7 +2179,10 @@ object SparkEntry {
     // (range-partition + local cumsum + broadcast prefix) formulation
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
-                           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                           -- empty/whitespace text is 0 tokens (DuckDB's
+                           -- split of '' yields [''] = phantom token)
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
                     FROM documents),
          c AS (SELECT doc_id, n_tokens,
                       -- ::BIGINT: DuckDB widens window sums to HUGEINT
@@ -2188,16 +2191,19 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, n_tokens, start_offset,
                 start_offset // 512 AS seq_id,
-                (start_offset + n_tokens - 1) // 512 AS end_seq,
-                (start_offset + n_tokens - 1) // 512
-                  - start_offset // 512 + 1 AS n_seqs
+                CASE WHEN n_tokens = 0 THEN start_offset // 512
+                     ELSE (start_offset + n_tokens - 1) // 512 END AS end_seq,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE (start_offset + n_tokens - 1) // 512
+                            - start_offset // 512 + 1 END AS n_seqs
          FROM c ORDER BY doc_id""",
 
     // the manifest explodes each doc over its sequence range with
     // boundary-clipped spans — identical arithmetic to the Spark side
     "q_pack_manifest" ->
       """WITH t AS (SELECT doc_id,
-                           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
                     FROM documents),
          c AS (SELECT doc_id, n_tokens,
                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-sequence packing: the "concatenate the corpus, chunk into
@@ -18,8 +17,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-partition by the order key (ordered, non-overlapping
   *      partition ranges — RangePartitioner's contract);
-  *   2. local cumulative sums per partition (window keyed on the
-  *      physical partition id — every partition runs independently);
+  *   2. local cumulative sums per partition (a mapPartitions running
+  *      sum over the sorted range partitions — a partition-id-keyed
+  *      window would re-shuffle the corpus, since RangePartitioning
+  *      doesn't satisfy a hash ClusteredDistribution);
   *   3. per-partition totals (ONE row per partition) prefix-summed and
   *      broadcast-joined back.
   *
@@ -55,16 +56,34 @@ object Packing {
     val parted = df
       .select(col(idCol).as("doc_id"), col(nTokensCol).cast("long").as("_n"))
       .repartitionByRange(parts, col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
+      .sortWithinPartitions("doc_id")
+    // running sum per RANGE partition via mapPartitions: a window keyed
+    // on spark_partition_id would NOT satisfy its ClusteredDistribution
+    // from RangePartitioning, so Catalyst would insert a second
+    // corpus-wide hash Exchange — the iterator runs on the range
+    // partitions directly, ONE shuffle total. Null token counts fold to
+    // 0 (the contract requires non-negative counts).
+    val cumSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_cum",
+          org.apache.spark.sql.types.LongType, nullable = false)))
     // eager checkpoint: the local-cumsum frame feeds BOTH the totals
     // collect and the final join, and RangePartitioner samples boundaries
     // per execution — two independent recomputations could disagree on
     // partition membership and corrupt the offsets. One materialization
     // makes pid assignment a fixed fact. (Caller releases the blocks via
     // Checkpoints.free on the result — the dedup-family contract.)
-    val local = parted.withColumn("_cum",
-      sum("_n").over(Window.partitionBy("_pid").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val local = parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r =>
+        val n = if (r.isNullAt(1)) 0L else r.getLong(1)
+        acc += n
+        org.apache.spark.sql.Row(r.get(0), n, pid, acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
       .localCheckpoint()
     // one row per partition — bounded by `parts`, not by the data
     val totals = local.groupBy("_pid").agg(sum("_n").as("_tot"))
