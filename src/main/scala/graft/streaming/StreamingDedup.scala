@@ -149,12 +149,18 @@ object StreamingDedup {
                     java.lang.Long.bitCount(e._1 ^ r.fp))
                 }
               // one entry per distinct fingerprint; re-seen fps refresh
-              entries = (r.fp, tMs, r.doc_id) ::
-                entries.filterNot(_._1 == r.fp)
+              // only FORWARD — a late row must not rewind an entry's
+              // timestamp (it would shrink the newer sighting's horizon)
+              if (entries.find(_._1 == r.fp).forall(_._2 <= tMs))
+                entries = (r.fp, tMs, r.doc_id) ::
+                  entries.filterNot(_._1 == r.fp)
             }
             state.update(BucketState(entries))
-            val maxT = rs.iterator.map(_.ts.getTime).max
-            state.setTimeoutTimestamp(math.max(maxT + horizonMs, wm + 1))
+            // expiry must cover the NEWEST entry in state, not just this
+            // batch: a late (in-watermark) row would otherwise shrink the
+            // timeout below older entries' horizon and evict them early
+            val maxEntryT = entries.iterator.map(_._2).max
+            state.setTimeoutTimestamp(math.max(maxEntryT + horizonMs, wm + 1))
             out.result().iterator
           }
       }

@@ -136,6 +136,48 @@ class StreamingAggSpec extends SparkSpec {
       s"expected exactly doc 2 flagged against doc 1, got $flagged")
   }
 
+  test("StreamingDedup.banded: a late row neither shrinks the bucket timeout nor rewinds the entry horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 50).map(i => s"late$i").mkString(" ")
+    val cands = (0 until 500).map(i => s"$base extra$i")
+    val fps = (base +: cands).toDF("text")
+      .select(graft.operators.Dedup.simhash($"text").as("fp"))
+      .as[Long].collect()
+    val baseFp = fps.head
+    val variant = cands.zip(fps.tail)
+      .collectFirst { case (t, f)
+        if java.lang.Long.bitCount(baseFp ^ f) >= 1 &&
+           java.lang.Long.bitCount(baseFp ^ f) <= 3 => t }
+      .getOrElse(fail("no 1..3-bit variant among 500 candidates"))
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val dups = graft.streaming.StreamingDedup.bandedDupsWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      watermark = "10 minutes", horizonMs = 10 * 60 * 1000L)
+    val q = dups.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("banded_late_out").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // doc 1 at 10:08 — its horizon runs to 10:18
+    mem.addData((t(8), 1L, base))
+    q.processAllAvailable()
+    // LATE identical re-crawl at 10:02 (inside the watermark): flagged,
+    // and must not pull doc 1's bucket timeout / entry back to 10:12
+    mem.addData((t(2), 2L, base))
+    q.processAllAvailable()
+    // advance the watermark to ~10:14 — past the late row's horizon but
+    // inside doc 1's
+    mem.addData((t(24), 9L, (0 until 50).map(i => s"spacer${i}x").mkString(" ")))
+    q.processAllAvailable()
+    // near-dup at 10:15, still inside doc 1's horizon: must be flagged
+    mem.addData((t(15), 3L, variant))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("banded_late_out")
+      .select($"doc_id", $"matched_doc_id").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((2L, 1L), (3L, 1L)),
+      s"late row corrupted the bucket horizon: $flagged")
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
