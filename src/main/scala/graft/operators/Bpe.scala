@@ -175,7 +175,7 @@ object Bpe {
       merges: Seq[(String, String)],
       outCol: String = "bpe_tokens"): DataFrame = {
     val rank = merges.zipWithIndex.toMap
-    val seg = udf((ws: Seq[String]) => ws.map { w =>
+    val seg = udf((ws: Seq[String]) => (if (ws == null) Seq.empty[String] else ws).map { w =>
       var syms = w.map(_.toString).toBuffer
       var go = syms.length >= 2
       while (go) {

@@ -712,6 +712,14 @@ object Dedup {
     * distinct windows (false "duplicate"): P ≈ (windows)²/2⁶⁵ — at 10¹²
     * windows that is ~2.7%-of-one-spurious-window territory, the standard
     * accepted risk of hashed substring dedup.
+    *
+    * The windows relation is DELIBERATELY not checkpointed (unlike the
+    * pair operators' shared relations): it is consumed exactly twice
+    * (occurrence aggregate, mark-join probe), and materializing a
+    * corpus-token-sized relation to executor storage costs about as much
+    * as the second pruned (doc_id, text) scan it would save; the pair
+    * operators checkpoint because connected components re-reads them
+    * O(log n) times.
     */
   def windowDupSignals(
       df: DataFrame,
@@ -832,7 +840,8 @@ object Dedup {
     * broadcast literal (ncentroids·dim floats).
     *
     * Output per input row: `id`, `list_id`, `cluster_id` (component
-    * min-id), `centroid_sim`, `is_kept`.
+    * min-id), `centroid_sim`, `is_kept`. Null-vector rows pass through
+    * as kept singletons (list_id −1, null centroid_sim).
     */
   def semanticDedup(
       df: DataFrame,
@@ -865,9 +874,20 @@ object Dedup {
     val keep = labeled.groupBy("cluster_id")
       .agg(min(struct(col("centroid_sim"), col("id"))).as("_k"))
       .select(col("cluster_id"), col("_k").getField("id").as("_keep_id"))
-    labeled.join(keep, "cluster_id")
+    val scoredOut = labeled.join(keep, "cluster_id")
       .select(col("id"), col("list_id"), col("cluster_id"),
         col("centroid_sim"), (col("id") === col("_keep_id")).as("is_kept"))
+    // null-vector rows pass through as kept singletons ("per input row"
+    // contract): dropping them would silently remove those docs from a
+    // caller's deduped corpus
+    val nulls = df
+      .filter(col(vecCol).isNull)
+      .select(col(idCol).as("id"),
+        lit(-1).cast(scoredOut.schema("list_id").dataType).as("list_id"),
+        col(idCol).as("cluster_id"),
+        lit(null).cast("double").as("centroid_sim"),
+        lit(true).as("is_kept"))
+    scoredOut.unionByName(nulls)
   }
 
   def clusters(

@@ -73,5 +73,10 @@ class BpeSpec extends SparkSpec {
     val (none, v2) = Bpe.train(docs.limit(2), "text", numMerges = 5, minFreq = 1000000L)
     Checkpoints.free(v2)
     assert(none.isEmpty)
+    // null text segments to an empty token list, not an NPE
+    val withNull = Seq((1L, "ab ab"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val segN = Bpe.segment(withNull, "text", merges)
+      .select("id", "n_bpe_tokens").as[(Long, Int)].collect().toMap
+    assert(segN(2L) == 0)
   }
 }

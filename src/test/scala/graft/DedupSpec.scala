@@ -334,12 +334,12 @@ class DedupSpec extends SparkSpec {
     val rows = Seq(
       (1L, jitter(a, 0.01f, 1)), (2L, jitter(a, 0.02f, 2)), (3L, jitter(a, 0.03f, 3)),
       (10L, jitter(b, 0.01f, 1)), (11L, jitter(b, 0.02f, 2)),
-      (20L, s1), (21L, s2))
+      (20L, s1), (21L, s2), (30L, null.asInstanceOf[Array[Float]]))
     val df = rows.toDF("id", "vec")
     val out = Dedup.semanticDedup(df, "id", "vec", threshold = 0.95,
       ncentroids = 4, seed = 7L)
     val got = out.select("id", "cluster_id", "centroid_sim", "is_kept")
-      .as[(Long, Long, Double, Boolean)].collect()
+      .as[(Long, Long, Option[Double], Boolean)].collect()
     graft.operators.Checkpoints.free(out)
     val byId = got.map(r => r._1 -> r).toMap
     assert(got.length == rows.length)
@@ -351,10 +351,11 @@ class DedupSpec extends SparkSpec {
     got.groupBy(_._2).foreach { case (_, g) =>
       assert(g.count(_._4) == 1)
       val kept = g.find(_._4).get
-      assert(kept._3 == g.map(_._3).min)
+      assert(kept._3 == g.flatMap(_._3).minOption.orElse(kept._3))
     }
-    // singletons keep themselves
+    // singletons keep themselves; the null-vector row passes through kept
     assert(byId(20L)._4 && byId(21L)._4)
+    assert(byId(30L)._4 && byId(30L)._2 == 30L, "null-vector row kept as its own singleton")
   }
 
   test("clusters: every doc labeled, singletons canonical, groups collapse") {
