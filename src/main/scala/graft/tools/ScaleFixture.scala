@@ -54,8 +54,10 @@ object ScaleFixture {
       if (open) concat(lit("w"), pmod(h, v))
       else element_at(vocabArr, (pmod(h, v) + 1).cast("int"))
 
-    // ~5% of ids clone an earlier doc; srcId reaches up to 200 ids back
-    val isClone = pmod(xxhash64($"id", lit(7)), lit(20)) === 0 && $"id" >= 50
+    // ~5% of ids clone an earlier doc; srcId reaches up to 200 ids back,
+    // so the guard must be >= 200 or small ids "clone" ids that never
+    // existed (negative srcId), silently deflating 1× near-dup density
+    val isClone = pmod(xxhash64($"id", lit(7)), lit(20)) === 0 && $"id" >= 200
     val srcId = when(isClone,
       $"id" - (pmod(xxhash64($"id", lit(11)), lit(200)) + 1)).otherwise($"id")
     // half the clones also append a suffix: the near-containment shape
