@@ -62,6 +62,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("as-of shuffles each input exactly once (union + one key exchange)") {
+    // the scale claim vs a range-join formulation: |L| + |R| rows cross
+    // the wire once, not |L| × |rows-in-range|
+    val nL = 20000L
+    val nR = 10000L
+    val rec = shuffleRecords {
+      val l = spark.range(nL).select(($"id" % 100).as("k"), ($"id" * 3).as("lt"))
+      val r = spark.range(nR).select(($"id" % 100).as("k"), ($"id" * 7).as("rt"),
+        $"id".as("rid"))
+      // consume a window-derived column: a bare count() references
+      // nothing the window computes, and Catalyst then prunes the whole
+      // window + exchange (windows preserve cardinality)
+      AsOfJoin.leftAsOf(l, r, Seq("k"), "lt", "rt",
+        rightTieBreak = Some("rid")).agg(sum($"rt")).collect()
+    }
+    assert(rec >= nL + nR, s"expected one pass of both inputs, saw $rec")
+    assert(rec <= nL + nR + 500,
+      s"$rec shuffle records for ${nL + nR} input rows — an input shuffled twice")
+  }
+
   test("null left time sorts before every right row — no match, row kept") {
     val l2 = Seq((1L, Some(25L), "t25"), (1L, None, "null-t"))
       .toDF("k", "lt", "ltag")

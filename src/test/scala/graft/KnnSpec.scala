@@ -60,6 +60,25 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("graft_topk"), s"no partial topk agg:\n$plan")
   }
 
+  test("batch search shuffle volume is heap rows, never the corpus") {
+    // the scaladoc claim: partial aggregation reduces each partition to
+    // one heap per qid map-side, so shuffle volume is |queries|-scaled —
+    // independent of corpus size. Measured, not argued.
+    val n = 50000L
+    val nq = 8
+    val rec = shuffleRecords {
+      val corpus = spark.range(n).select($"id",
+        array(($"id" % 13).cast("float"), (($"id" * 7) % 17).cast("float")).as("vec"))
+      val queries = spark.range(nq).select($"id".as("qid"),
+        array(($"id" % 5).cast("float"), ($"id" % 3).cast("float")).as("qv"))
+      Knn.searchBatch(corpus, $"vec", struct($"id"), queries,
+        "qid", "qv", 5, "l2").count()
+    }
+    assert(rec > 0, "expected the per-partition heaps to shuffle")
+    assert(rec < 1000,
+      s"$rec shuffle records for a $n-row corpus — the corpus itself shuffled")
+  }
+
   test("multi-vector conjunctive search intersects and weights") {
     val two = emb.select($"vec_id",
       slice($"embedding", 1, 32).as("v1"), slice($"embedding", 33, 32).as("v2"))

@@ -54,43 +54,17 @@ class PackingSpec extends SparkSpec {
     // keyed window would hash-exchange the corpus a SECOND time after the
     // range exchange. Audit actual shuffle-write records for this test's
     // job group (suites may run concurrently in the shared session).
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
-    val group = "packing-shuffle-audit"
-    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-    val records = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (j.properties != null &&
-            group == j.properties.getProperty("spark.jobGroup.id"))
-          j.stageIds.foreach(stages.add(_))
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        if (stages.contains(s.stageInfo.stageId))
-          records.addAndGet(
-            s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    spark.sparkContext.setJobGroup(group, "shuffle audit", false)
-    try {
-      val n = 20000L
+    val n = 20000L
+    val rec = shuffleRecords {
       val data = spark.range(1, n + 1)
         .selectExpr("id as doc_id", "id % 37 as n")
       val got = Packing.packAssignments(data, "doc_id", "n", 512, numParts = 8)
       got.count()
       Checkpoints.free(got)
-      // listener delivery is async — wait for the count to go quiet
-      var prev = -1L
-      var tries = 0
-      while (records.get != prev && tries < 50) {
-        prev = records.get; Thread.sleep(100); tries += 1
-      }
-      val rec = records.get
-      assert(rec >= n, s"expected one corpus pass ($n rows) through the shuffle, saw $rec")
-      assert(rec <= n + 500,
-        s"$rec shuffle records for $n rows — the corpus shuffled more than once")
-    } finally {
-      spark.sparkContext.clearJobGroup()
-      spark.sparkContext.removeSparkListener(listener)
     }
+    assert(rec >= n, s"expected one corpus pass ($n rows) through the shuffle, saw $rec")
+    assert(rec <= n + 500,
+      s"$rec shuffle records for $n rows — the corpus shuffled more than once")
   }
 
   test("packManifest: slices tile sequences and reconstruct documents") {
