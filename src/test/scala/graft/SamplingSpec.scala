@@ -71,6 +71,22 @@ class SamplingSpec extends SparkSpec {
     assert(kept(rareL) / counts(rareL) > kept(bigL) / counts(bigL))
   }
 
+  test("temperatureSample shuffles group counts, never the corpus") {
+    // the scaladoc claim: one map-side-combinable group-count aggregate
+    // (GROUP-CARDINALITY-sized shuffle) + a broadcast join back; the
+    // corpus-sized pass is a map-side filter
+    val n = 50000L
+    val rec = shuffleRecords {
+      val corpus = spark.range(n).select($"id",
+        concat(lit("g"), $"id" % 5).as("grp"))
+      Sampling.temperatureSample(corpus, $"grp", $"id",
+        alpha = 0.5, targetFrac = 0.3).count()
+    }
+    assert(rec > 0, "expected the group-count aggregate to shuffle")
+    assert(rec < 1000,
+      s"$rec shuffle records for a $n-row corpus — the corpus itself shuffled")
+  }
+
   test("mix composes hash samples per source") {
     val a = docs.filter($"doc_id" % 2 === 0)
     val b = docs.filter($"doc_id" % 2 === 1)
