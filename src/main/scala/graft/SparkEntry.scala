@@ -426,6 +426,34 @@ object SparkEntry {
         .orderBy(col("seq_id"), col("doc_id"))
     }),
 
+    // ── pipeline CAPSTONE (oracle-checked end to end): the TRAINING-DATA
+    //    flow COMPOSED — token-count quality gate → exact dedup (keep
+    //    min-id copy) → temperature rebalance across langs → sequence
+    //    packing (q_pipeline_e2e is the SEARCH-side twin: quality →
+    //    dedup → embedding join → KNN). Every stage is the real
+    //    operator; the oracle re-derives all four stages in one SQL
+    //    query, so the COMPOSITION is verified, not just each stage ──
+    "q_pipeline_train" -> ((s, dir) => {
+      init(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val gated = docs.filter(col("n_tokens") >= 20)
+      val keep = Dedup.exact(gated, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = gated.join(keep, "doc_id")
+      val sampled = Sampling.temperatureSample(deduped, col("lang"),
+          col("doc_id"), alpha = 0.5, targetFrac = 0.5)
+        .localCheckpoint() // two consumers (pack + lang re-join) must see
+                           // ONE sample; also fixes range bounds for pack
+      Packing.packAssignments(sampled.select("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", seqLen = 256, numParts = 8)
+        .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_offset"), col("seq_id"), col("end_seq"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── pipeline: EXACT n-gram Jaccard similarity join (inverted index) ──
     "q_dedup_jaccard" -> ((s, dir) => {
       init(s)
@@ -2221,6 +2249,38 @@ object SparkEntry {
                 least(start_offset + n_tokens, (seq_id + 1) * 512)
                   - greatest(start_offset, seq_id * 512) AS slice_tokens
          FROM m ORDER BY seq_id, doc_id""",
+
+    // all four pipeline stages re-derived in one query: token gate,
+    // md5 keep-first dedup, exponentiated-share rates + the portable
+    // uniform, and the ORDER BY doc_id prefix-sum packing arithmetic
+    "q_pipeline_train" ->
+      s"""WITH toks AS (SELECT doc_id, lang, text,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                    FROM documents),
+         g AS (SELECT * FROM toks WHERE n_tokens >= 20),
+         k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         d AS (SELECT g.* FROM g JOIN k USING (doc_id)),
+         c AS (SELECT lang, count(*)::DOUBLE AS n FROM d GROUP BY lang),
+         r AS (SELECT lang, least(1.0, 0.5 * (SELECT sum(n) FROM c)
+                        * (pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM c))
+                        / n) AS rate
+               FROM c),
+         s AS (SELECT d.doc_id, d.lang, d.n_tokens
+               FROM d JOIN r USING (lang)
+               WHERE ${portableUniformSql("d.doc_id::VARCHAR")} < r.rate),
+         c2 AS (SELECT doc_id, lang, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+                FROM s)
+         SELECT doc_id, lang, n_tokens, start_offset,
+                start_offset // 256 AS seq_id,
+                CASE WHEN n_tokens = 0 THEN start_offset // 256
+                     ELSE (start_offset + n_tokens - 1) // 256 END AS end_seq,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE (start_offset + n_tokens - 1) // 256
+                            - start_offset // 256 + 1 END AS n_seqs
+         FROM c2 ORDER BY doc_id""",
 
     // identical synthetic-PII injection, then RE2 equivalents of the Java
     // patterns (restricted to the shared-dialect subset) in the same
