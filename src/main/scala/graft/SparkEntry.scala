@@ -1505,7 +1505,14 @@ object SparkEntry {
     * the pairs oracle and the clustering oracle.
     */
   private val jaccardCtes =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """t AS (SELECT doc_id,
+              -- canonical tokenizer twin (TextOps.tokens): trim +
+              -- \s+ split, empty text = ZERO tokens — DuckDB's
+              -- split would mint phantom ''-tokens on empty text,
+              -- doubled spaces, or tabs
+              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
        sh AS (SELECT doc_id,
                      CASE WHEN len(w) >= 3
                           THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1674,7 +1681,14 @@ object SparkEntry {
          ORDER BY t.doc_id""",
 
     "q_shingle_novelty" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id,
+              -- canonical tokenizer twin (TextOps.tokens): trim +
+              -- \s+ split, empty text = ZERO tokens — DuckDB's
+              -- split would mint phantom ''-tokens on empty text,
+              -- doubled spaces, or tabs
+              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
          sh AS (SELECT doc_id,
                        CASE WHEN len(w) >= 3
                             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1769,7 +1783,14 @@ object SparkEntry {
     // same string-shingle derivation as the jaccard oracle; the Spark side
     // joins on kernel hashes — counts agree modulo 64-bit collisions
     "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id,
+              -- canonical tokenizer twin (TextOps.tokens): trim +
+              -- \s+ split, empty text = ZERO tokens — DuckDB's
+              -- split would mint phantom ''-tokens on empty text,
+              -- doubled spaces, or tabs
+              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
          sh AS (SELECT doc_id,
                        CASE WHEN len(w) >= 3
                             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1792,7 +1813,14 @@ object SparkEntry {
     // distinct bigrams per doc (Dedup.shingles array_distinct semantics)
     // → count = document frequency
     "q_top_ngrams" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id,
+              -- canonical tokenizer twin (TextOps.tokens): trim +
+              -- \s+ split, empty text = ZERO tokens — DuckDB's
+              -- split would mint phantom ''-tokens on empty text,
+              -- doubled spaces, or tabs
+              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
          sh AS (SELECT doc_id,
                        CASE WHEN len(w) >= 2
                             THEN list_distinct([w[i] || ' ' || w[i+1]
@@ -2145,7 +2173,14 @@ object SparkEntry {
     // corpus). Parallel unnests zip positionally in DuckDB, pairing each
     // window with its 1-based start.
     "q_window_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id,
+              -- canonical tokenizer twin (TextOps.tokens): trim +
+              -- \s+ split, empty text = ZERO tokens — DuckDB's
+              -- split would mint phantom ''-tokens on empty text,
+              -- doubled spaces, or tabs
+              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
          b AS (SELECT doc_id, len(w) AS n, greatest(len(w) - 9, 1) AS nw,
                       CASE WHEN len(w) >= 10
                            THEN [array_to_string(w[i:i+9], ' ')
@@ -2172,7 +2207,14 @@ object SparkEntry {
     // same window derivation; canonical first occurrence = row_number 1
     // over (doc_id, start) — matches Spark's min(struct(doc_id, start))
     "q_dedup_strip" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id,
+              -- canonical tokenizer twin (TextOps.tokens): trim +
+              -- \s+ split, empty text = ZERO tokens — DuckDB's
+              -- split would mint phantom ''-tokens on empty text,
+              -- doubled spaces, or tabs
+              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END AS w
+       FROM documents),
          b AS (SELECT doc_id, w, len(w) AS n, greatest(len(w) - 9, 1) AS nw,
                       CASE WHEN len(w) >= 10
                            THEN [array_to_string(w[i:i+9], ' ')

@@ -175,7 +175,7 @@ object Bpe {
       merges: Seq[(String, String)],
       outCol: String = "bpe_tokens"): DataFrame = {
     val rank = merges.zipWithIndex.toMap
-    val seg = udf((ws: Seq[String]) => (if (ws == null) Seq.empty[String] else ws).map { w =>
+    val seg = udf((ws: Seq[String]) => (if (ws == null) Seq.empty[String] else ws).flatMap { w =>
       var syms = w.map(_.toString).toBuffer
       var go = syms.length >= 2
       while (go) {
@@ -193,8 +193,10 @@ object Bpe {
           if (syms.length < 2) go = false
         }
       }
+      // flatMap, not per-word Seq concat: a left-fold of immutable ++
+      // copies the accumulated prefix per word — quadratic in doc length
       syms.toSeq
-    }.reduceOption(_ ++ _).getOrElse(Seq.empty))
+    })
     df.withColumn(outCol, seg(tokens(col(textCol))))
       .withColumn(s"n_$outCol", size(col(outCol)))
   }

@@ -812,12 +812,21 @@ object Dedup {
       .select(col("doc_id"), explode(sequence(col("start"),
         least(col("start") + (w - 1), col("n_tokens")))).as("p"))
       .groupBy("doc_id").agg(collect_set(col("p")).as("_cov"))
+    // surviving positions via array_except (hash-set lookup, order of the
+    // left array preserved): O(n_tokens) per doc. A per-token
+    // array_contains against _cov is O(n_tokens · |cov|) — quadratic on
+    // exactly the boilerplate-saturated docs this operator targets.
+    // sequence() guard: sequence(1, 0) counts DOWN, so empty docs need
+    // an explicit empty array.
     toks.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(size(col("_cov")), lit(0)).cast("long").as("removed_tokens"),
-        concat_ws(" ", filter(col("_toks"), (x, i) =>
-          coalesce(!array_contains(col("_cov"), (i + 1).cast("long")), lit(true))
-        )).as("text_clean"))
+        concat_ws(" ", transform(
+          array_except(
+            when(col("n_tokens") >= 1, sequence(lit(1L), col("n_tokens")))
+              .otherwise(array().cast("array<bigint>")),
+            coalesce(col("_cov"), array().cast("array<bigint>"))),
+          p => element_at(col("_toks"), p.cast("int")))).as("text_clean"))
   }
 
   /** Cluster every document by its near-dup component: cluster_id = min id
@@ -856,20 +865,34 @@ object Dedup {
       df.select(col(idCol).as("id"), col(vecCol).as("_v"))
         .filter(col("_v").isNotNull), "_v", model)
     val cents = typedLit(model.centroids.map(_.toSeq).toSeq)
+    // eager checkpoint: the assigned+scored relation feeds the pair
+    // self-join (both sides), the component vertex set, and the final
+    // labeling — without it the KMeans assignment recomputes per consumer.
+    // The leaf stays in the returned plan, so the caller's
+    // Checkpoints.free on the result releases it.
     val scored = assigned.withColumn("centroid_sim",
       graft.Graft.F.vecCosine(col("_v"),
         element_at(cents, (col("list_id") + 1).cast("int"))))
+      .localCheckpoint(eager = true)
+    // id < _id_c: cosine is symmetric and both join sides enumerate the
+    // full list, so each unordered pair is generated (and its kernel
+    // evaluated) exactly once — no mirror half to dropDuplicates away
     val pairs = scored.select(col("id"), col("_v"), col("list_id"))
       .join(scored.select(col("id").as("_id_c"), col("_v").as("_v_c"),
         col("list_id")), Seq("list_id"))
-      .filter(col("id") =!= col("_id_c"))
+      .filter(col("id") < col("_id_c"))
       .withColumn("cos", graft.Graft.F.vecCosine(col("_v"), col("_v_c")))
       .filter(col("cos") >= threshold)
-      .select(least(col("id"), col("_id_c")).as("id_a"),
-        greatest(col("id"), col("_id_c")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val comp = clusters(scored.select("id"), "id", pairs)
-      .select(col("id"), col("cluster_id"))
+      .select(col("id").as("id_a"), col("_id_c").as("id_b"))
+      .localCheckpoint(eager = true)
+    // connectedComponents materializes its vertex/edge checkpoints from
+    // `pairs` during the call, so the O(Σ cluster²) candidate join runs
+    // once; afterwards the pairs blocks are dead weight — free them here
+    // (clusters' result is its own checkpoint, lineage already truncated)
+    val comp =
+      try clusters(scored.select("id"), "id", pairs)
+        .select(col("id"), col("cluster_id"))
+      finally Checkpoints.free(pairs)
     val labeled = scored.join(comp, "id")
     val keep = labeled.groupBy("cluster_id")
       .agg(min(struct(col("centroid_sim"), col("id"))).as("_k"))

@@ -142,7 +142,13 @@ object StreamingDedup {
             val out = Seq.newBuilder[BandDup]
             rs.foreach { r =>
               val tMs = r.ts.getTime
+              // the pair itself must be within the horizon: bucket pruning
+              // alone (`e._2 + horizonMs >= wm`) keeps entries until the
+              // WATERMARK passes them, and wm lags max event time by the
+              // watermark delay — without this bound a pair up to
+              // horizon + delay apart would be reported as in-horizon
               entries.find(e =>
+                tMs - e._2 <= horizonMs &&
                 java.lang.Long.bitCount(e._1 ^ r.fp) <= maxHamming)
                 .foreach { e =>
                   out += BandDup(r.doc_id, tMs, e._3, e._2,

@@ -25,8 +25,10 @@ import graft.streaming.StreamingDedup
   * growing n 10× should grow total time ~10× (flat rows/sec) while the
   * state plateau stays put — that plateau is the boundedness proof.
   *
-  * Usage: runMain graft.tools.StreamScale <nDocs>[,batchSize]...
+  * Usage: runMain graft.tools.StreamScale <nDocs>[ <nDocs>...]
   *   e.g.  runMain graft.tools.StreamScale 10000 100000
+  * (each value — space- or comma-separated — is a full experiment at
+  * that stream length; micro-batch size is fixed at 5 000 rows)
   */
 object StreamScale {
 

@@ -178,6 +178,35 @@ class StreamingAggSpec extends SparkSpec {
       s"late row corrupted the bucket horizon: $flagged")
   }
 
+  test("StreamingDedup.banded: a pair farther apart than the horizon is not flagged even while its bucket entry awaits eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 50).map(i => s"gap$i").mkString(" ")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val dups = graft.streaming.StreamingDedup.bandedDupsWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      watermark = "10 minutes", horizonMs = 10 * 60 * 1000L)
+    val q = dups.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("banded_gap_out").start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // doc 1 at 10:00 — horizon runs to 10:10
+    mem.addData((t(0), 1L, base))
+    q.processAllAvailable()
+    // spacer advances the watermark only to ~10:08 (10-minute delay), so
+    // doc 1's entry is NOT yet evicted (eviction needs wm > 10:10)...
+    mem.addData((t(18), 9L, (0 until 50).map(i => s"gapspacer${i}y").mkString(" ")))
+    q.processAllAvailable()
+    // ...but an identical re-crawl at 10:15 is 15 minutes after doc 1 —
+    // OUTSIDE the horizon — and must not be flagged against the stale
+    // entry (cross-horizon dedup belongs to the batch pass)
+    mem.addData((t(15), 2L, base))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("banded_gap_out")
+      .select($"doc_id", $"matched_doc_id").as[(Long, Long)].collect().toSet
+    assert(flagged.isEmpty,
+      s"pair outside the horizon flagged via a not-yet-evicted entry: $flagged")
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
