@@ -31,21 +31,43 @@ object Bench {
       // where index BUILD is a separate lifecycle step from SEARCH
       graft.sources.IndexStore.warm(spark, sfDir)
     } catch { case _: Throwable => }
+    // a query that throws must surface as an ERROR, not a wall-clock
+    // entry: round 8's fixture refresh broke nine queries at analysis
+    // time and the old catch-all recorded their 5 ms throw time as a
+    // "result" for two rounds. Errors get a negative time, an entry in
+    // "errors", and a non-zero exit.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // count-then-free: dedup-family results are eager checkpoints; the
       // release is part of the measured operator cost
-      try {
-        val df = fn(spark, sfDir)
-        try df.count() finally graft.operators.Checkpoints.free(df)
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          try df.count() finally graft.operators.Checkpoints.free(df)
+          true
+        } catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200)
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total sums only the queries that RAN; error count flags the rest
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"error_count":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     // emit to a clean file: sbt log noise on stdout made round 1's
     // bench JSON unparseable for the driver (BENCH_r01 "parsed": null)
     try java.nio.file.Files.writeString(
@@ -59,5 +81,10 @@ object Bench {
     spark.stop()
     println(json)
     System.out.flush()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

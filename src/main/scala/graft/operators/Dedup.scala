@@ -540,10 +540,48 @@ object Dedup {
     val probes = df
       .select(col(idCol).as("_id_q"), col(vecCol).as("_v_q"))
       .filter(col("_v_q").isNotNull)
-      .withColumn("list_id", explode(graft.Graft.columnOf(
-        graft.functions.IvfProbeLists(graft.Graft.exprOf(col("_v_q")),
-          model.centroids, math.min(nprobe, model.ncentroids), model.metric))))
-    probes.join(corpus, Seq("list_id"))
+    neardupJoin(probes, corpus, model, threshold, nprobe)
+  }
+
+  /** Search half of [[embeddingNearDupKnn]] over a PREBUILT `list_id`
+    * assignment — the reference's build-vs-search lifecycle split
+    * (`internal/engine/engine.cc:972-1012`: index BUILD is a separate
+    * step; SEARCH never trains). `corpus` is an
+    * [[graft.sources.IndexStore.neardupIvf]] layout carrying `idCol`,
+    * `vecCol` and `list_id` assigned by `model`; query-time work is the
+    * probe-explode → equi-join → exact cosine verify only. Output is
+    * identical to the in-query-train path for the same model config —
+    * and at nprobe = ncentroids identical REGARDLESS of the model, since
+    * every list is probed and the exact verify governs the pairs.
+    */
+  def embeddingNearDupKnnPrebuilt(
+      corpus: DataFrame,
+      model: IvfIndex.Model,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nprobe: Int): DataFrame = {
+    val assigned = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id_c"), col(vecCol).as("_v_c"), col("list_id"))
+    val probes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id_q"), col(vecCol).as("_v_q"))
+    neardupJoin(probes, assigned, model, threshold, nprobe)
+  }
+
+  /** Shared probe-join + exact-verify tail: candidates from a `list_id`
+    * EQUI-JOIN (hash-partitioned both sides, never a BNLJ), unordered
+    * pairs canonicalized AFTER the threshold filter.
+    */
+  private def neardupJoin(
+      probes: DataFrame,
+      corpus: DataFrame,
+      model: IvfIndex.Model,
+      threshold: Double,
+      nprobe: Int): DataFrame = {
+    val probed = probes.withColumn("list_id", explode(graft.Graft.columnOf(
+      graft.functions.IvfProbeLists(graft.Graft.exprOf(col("_v_q")),
+        model.centroids, math.min(nprobe, model.ncentroids), model.metric))))
+    probed.join(corpus, Seq("list_id"))
       .filter(col("_id_q") =!= col("_id_c"))
       .withColumn("cos", graft.Graft.F.vecCosine(col("_v_q"), col("_v_c")))
       .filter(col("cos") >= threshold)

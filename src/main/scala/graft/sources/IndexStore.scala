@@ -283,6 +283,28 @@ object IndexStore {
     (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/model.txt"))
   }
 
+  /** Cosine-metric IVF assignment for the embedding near-dup queries —
+    * the build-vs-search lifecycle split (`engine.cc:972-1012`): KMeans
+    * train + `list_id` assignment happen HERE, once per fixture, so
+    * `q_embed_neardup_knn` times the probe-join + exact verify, not the
+    * model fit. Config mirrors the query's historical in-query train
+    * (cosine, seed 42, maxIter 8) so the deterministic model — and the
+    * output hash — are unchanged.
+    */
+  def neardupIvf(spark: SparkSession, sfDir: String,
+      ncentroids: Int = 16): (DataFrame, IvfIndex.Model) = {
+    val dir = dirFor(sfDir, s"neardup$ncentroids")
+    buildOnce(dir) {
+      val e = emb(spark, sfDir)
+      val model = IvfIndex.train(e, "embedding", ncentroids,
+        metric = "cosine", seed = 42L, maxIter = 8)
+      IvfIndex.buildTable(e, "embedding", model, s"$dir/table")
+      writeIvfModel(s"$dir/model.txt", model)
+      markReady(dir)
+    }
+    (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/model.txt"))
+  }
+
   /** IVFPQ layout: `list_id`-partitioned table carrying `pq_code` + raw
     * vectors (the raw column is only read by the rerank stage's semi-join).
     */
@@ -411,6 +433,7 @@ object IndexStore {
     */
   def warm(spark: SparkSession, sfDir: String): Unit = {
     ivfFlat(spark, sfDir)
+    neardupIvf(spark, sfDir)
     ivfPq(spark, sfDir)
     ivfPqResidual(spark, sfDir)
     pqFlat(spark, sfDir)
