@@ -658,7 +658,32 @@ object Dedup {
     * Output: (id, cc) for every id that appears in `pairs`.
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      localEdgeLimit: Long = 100000L): DataFrame = {
+    // Bounded local fast path (the Bpe ≤200k-word pattern): near-dup
+    // edge sets are output-sized — usually orders of magnitude smaller
+    // than the corpus — and the O(log n) loop's fixed per-round job costs
+    // (4+ shuffles × rounds) dwarf a union-find over a few thousand
+    // collected edges. ≤ localEdgeLimit edges (~1.6 MB at the default)
+    // are solved on the driver, bit-identical to the loop (spec-asserted);
+    // above the limit — the 100 TB regime — the distributed loop runs
+    // unchanged. Integral id types only: Spark's min on strings is binary
+    // UTF-8 order, which JVM String ordering does not match for
+    // supplementary code points, so string ids always take the loop.
+    // The edge count is one cheap job: every caller hands an eager
+    // output-sized checkpoint (jaccardPairs/minhash/simhash contract).
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = pairs.schema(aCol).dataType
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      if (localEdgeLimit > 0 && integral(idType) &&
+          pairs.schema(bCol).dataType == idType) {
+        val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        if (edges.count() <= localEdgeLimit)
+          return localComponents(pairs.sparkSession, edges, idType)
+      }
+    }
     val verts = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
       .localCheckpoint(eager = true)
@@ -715,6 +740,37 @@ object Dedup {
       Checkpoints.free(verts)
       Checkpoints.free(cur)
     }
+  }
+
+  /** Driver-side union-find for [[connectedComponents]]'s bounded fast
+    * path. Union-by-min (the larger root always attaches under the
+    * smaller) makes every root its component's minimum id — the same
+    * labeling the large-star/small-star loop converges to. Returns a
+    * LocalRelation, so downstream joins broadcast it and
+    * [[Checkpoints.free]] is a no-op on it (no LogicalRDD leaf).
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+    spark.createDataFrame(out).toDF("id", "cc")
+      .select(col("id").cast(idType).as("id"), col("cc").cast(idType).as("cc"))
   }
 
   /** Per-document EXACT-SUBSTRING duplication signals over w-token

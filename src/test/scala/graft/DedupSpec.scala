@@ -185,13 +185,31 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents: 10k-vertex path graph converges in O(log n) rounds") {
     // the worst case for min-label propagation (needs 10k rounds); the
     // large-star/small-star formulation must finish within the default
-    // maxIter = 25 budget (~log2(10k) + constant)
+    // maxIter = 25 budget (~log2(10k) + constant). localEdgeLimit = 0
+    // forces the DISTRIBUTED loop — the scale path this spec exists for.
     val pairs = spark.range(0L, 9999L).toDF("id_a")
       .withColumn("id_b", col("id_a") + 1)
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", localEdgeLimit = 0)
     assert(cc.filter(col("cc") =!= 0L).count() == 0L,
       "every vertex of a path must label to the path minimum")
     assert(cc.count() == 10000L)
+  }
+
+  test("connectedComponents: bounded local fast path ≡ distributed loop") {
+    // mixed shapes: a 100-vertex path, a 5-clique, an isolated pair,
+    // reversed/duplicated edges — the fast path (≤ localEdgeLimit,
+    // integral ids) must produce the exact labeling of the loop
+    val edges =
+      (0L until 99L).map(i => (i + 1, i)) ++ // reversed path edges
+      (for (a <- 200L to 204L; b <- 200L until a) yield (a, b)) ++
+      Seq((1000L, 1001L), (1000L, 1001L), (3L, 3L)) // dup + self-loop
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"fast path diverged from loop")
+    assert(local(99L) == 0L && local(204L) == 200L && local(1001L) == 1000L)
   }
 
   test("dedup operators free their checkpoint blocks (storage lifecycle)") {
