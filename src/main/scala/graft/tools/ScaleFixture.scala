@@ -106,11 +106,15 @@ object ScaleFixture {
     emb.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // events: matches the driver fixture's shape — 100k rows and 1.5k
-    // users per sf0.1 (both scale with mult), 30 days of ns-precision
-    // timestamps (LONG nanos: the engine reads the driver's
-    // TIMESTAMP(NANOS) via nanosAsLong, so every query treats ts as a
-    // nanos long already), 5 uniform event types, exponential-ish value
-    // with mean ~50 (driver: mean 49.9, max 560)
+    // users per sf0.1 (both scale with mult), 30 days of timestamps,
+    // 5 uniform event types, exponential-ish value with mean ~50
+    // (driver: mean 49.9, max 560). The driver has shipped TWO physical
+    // `ts` encodings across fixture generations (epoch-ns BIGINT via
+    // TIMESTAMP(NANOS)+nanosAsLong through round 7; µs TIMESTAMP_NTZ
+    // since round 8) — SPARK_GRAFT_TS_ENCODING selects which one this
+    // fixture emits ("ns_long" default | "timestamp" = µs TIMESTAMP_NTZ,
+    // truncating the same ns instants), so the scaling study can
+    // exercise both paths of SparkEntry.events()
     val nEv = 100000L * mult
     val nUsers = lit(1500L * mult)
     val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
@@ -127,7 +131,16 @@ object ScaleFixture {
       least(round(-log(u01) * 50.0, 2), lit(560.21)).as("value"),
       concat(lit("""{"n":"""), pmod(xxhash64($"id", lit(67)), lit(100)),
         lit("}")).as("props"))
-    events.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+    // integer `div` (not Column `/`, which is double division — lossy at
+    // 1.7e18 ns); TIMESTAMP_NTZ mirrors what the driver's µs fixtures
+    // read back as under inferTimestampNTZ
+    val eventsOut = sys.env.getOrElse("SPARK_GRAFT_TS_ENCODING", "ns_long") match {
+      case "timestamp" =>
+        events.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => events
+    }
+    eventsOut.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
 
     println(s"""{"fixture":"$out","mult":$mult,"open":$open,"docs":$nDocs,"embeddings":$nEmb,"events":$nEv}""")
     spark.stop()
