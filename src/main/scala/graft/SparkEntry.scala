@@ -1146,13 +1146,16 @@ object SparkEntry {
       // same consume-then-free as q_dedup_clusters: clusters has already
       // materialized its checkpoint, pairs blocks are otherwise orphaned
       graft.operators.Checkpoints.free(pairs)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("id").asc)
+      // keep pick = min(struct(-len, id)) inside a cluster-keyed aggregate
+      // (longest doc, ties to min id) — map-side combinable, shuffles one
+      // row per cluster per task where a row_number window shuffles and
+      // sorts the whole labeled corpus (semanticDedup's keep uses the
+      // same shape)
       cl.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("id").as("keep_id"), col("n_chars"))
+        .groupBy(col("cluster_id"))
+        .agg(min(struct((-col("n_chars")).as("_neg"), col("id").as("_id"))).as("_k"))
+        .select(col("cluster_id"), col("_k._id").as("keep_id"),
+          (-col("_k._neg")).as("n_chars"))
         .orderBy(col("cluster_id"))
     }),
 
