@@ -180,6 +180,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.3 date-value coercion on a datetime field (doc_query.go:
+    //    1033-1045): the filter DSL's string dates parse to UnixNano and
+    //    compare against the ns-normalized `ts`; oracle compares the same
+    //    instants as native µs timestamps ──
+    "q_filter_date" -> ((s, dir) => {
+      init(s)
+      val pred = VearchFilters.parse(
+        """{"operator":"AND","conditions":[
+             {"operator":">=","field":"ts","value":"2024-01-05 00:00:00"},
+             {"operator":"<","field":"ts","value":"2024-01-07 00:00:00"},
+             {"operator":"IN","field":"event_type","value":["click","purchase"]}]}""",
+        dateFields = Set("ts"))
+      events(s, dir).filter(pred)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.5 filtered scan with default limit 50 (doc_query.go:43) ──
     "q_scan_limit" -> ((s, dir) => {
       init(s)
@@ -2047,6 +2064,13 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, round(value, 2) AS value
          FROM events
          WHERE (event_type = 'error' OR value > 95.0) AND user_id <> 7
+         ORDER BY event_id""",
+
+    "q_filter_date" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-07 00:00:00'
+           AND event_type IN ('click', 'purchase')
          ORDER BY event_id""",
 
     "q_scan_limit" ->
