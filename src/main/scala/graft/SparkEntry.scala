@@ -180,6 +180,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.1 delete by ids (engine.cc:869-899 bitmap ≡ anti-filter;
+    //    null-safe: a null id deletes nothing) ──
+    "q_delete_by_ids" -> ((s, dir) => {
+      init(s)
+      Documents.deleteByIds(t(s, dir, "documents"), "doc_id",
+          Seq(1L, 2L, 3L, 10L, 25L, 100L, 250L, 499L))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── §2.3 date-value coercion on a datetime field (doc_query.go:
     //    1033-1045): the filter DSL's string dates parse to UnixNano and
     //    compare against the ns-normalized `ts`; oracle compares the same
@@ -2065,6 +2075,11 @@ object SparkEntry {
          FROM events
          WHERE (event_type = 'error' OR value > 95.0) AND user_id <> 7
          ORDER BY event_id""",
+
+    "q_delete_by_ids" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (1, 2, 3, 10, 25, 100, 250, 499)
+         ORDER BY doc_id""",
 
     "q_filter_date" ->
       """SELECT event_id, user_id, event_type FROM events
