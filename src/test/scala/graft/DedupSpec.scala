@@ -212,6 +212,22 @@ class DedupSpec extends SparkSpec {
     assert(local(99L) == 0L && local(204L) == 200L && local(1001L) == 1000L)
   }
 
+  test("connectedComponents: fast path ≡ loop on random graphs (3 seeds)") {
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // sparse random graph over a 150-vertex id space: expected ~1.3
+      // edges/vertex → a mix of singleton chains, trees, and merged
+      // components; ids offset so 0 is not always the global min
+      val edges = Seq.fill(200)((rnd.nextInt(150) + 7L, rnd.nextInt(150) + 7L))
+      val pairs = edges.toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", localEdgeLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"seed $seed: fast path diverged from loop")
+    }
+  }
+
   test("dedup operators free their checkpoint blocks (storage lifecycle)") {
     // Each pairs operator may leave ONE persisted RDD behind — its own
     // output-sized result checkpoint (freed by the context cleaner when
