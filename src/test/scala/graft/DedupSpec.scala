@@ -390,6 +390,22 @@ class DedupSpec extends SparkSpec {
     // singletons keep themselves; the null-vector row passes through kept
     assert(byId(20L)._4 && byId(21L)._4)
     assert(byId(30L)._4 && byId(30L)._2 == 30L, "null-vector row kept as its own singleton")
+
+    // the prebuilt-layout wrapper (the declared query's path) must agree
+    // with the in-query-train path on the SAME model — including the
+    // null-vector passthrough, which reads the original df, not the
+    // layout (a null row never reaches the assigned corpus)
+    val model = graft.operators.IvfIndex.train(df, "vec", 4,
+      metric = "cosine", seed = 7L, maxIter = 8)
+    val layout = graft.operators.IvfIndex.assign(
+      df.filter($"vec".isNotNull), "vec", model)
+    val pre = Dedup.semanticDedupPrebuilt(df, layout, model, "id", "vec",
+      threshold = 0.95)
+    val gotPre = pre.select("id", "cluster_id", "centroid_sim", "is_kept")
+      .as[(Long, Long, Option[Double], Boolean)].collect().sortBy(_._1)
+    graft.operators.Checkpoints.free(pre)
+    assert(gotPre.toSeq == got.sortBy(_._1).toSeq,
+      "prebuilt path diverged from in-query-train path")
   }
 
   test("clusters: every doc labeled, singletons canonical, groups collapse") {
