@@ -122,8 +122,9 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp —
-      // read as epoch-ns long and convert explicitly where µs suffices.
+      // events.parquet has shipped both TIMESTAMP(NANOS) (ns fixtures; Spark
+      // has no ns timestamp — this flag reads them as epoch-ns longs) and µs
+      // TIMESTAMP_NTZ; SparkEntry.events() normalizes either to epoch-ns.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
