@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Graft.F
 import graft.api.SearchApi
-import graft.operators.{Dedup, Documents, IvfIndex, Knn, KnnJoin, Multimodal, Packing, PqIndex, Sampling, Skew, TextOps, VearchFilters}
+import graft.operators.{Dedup, Documents, HnswIndex, IvfIndex, Knn, KnnJoin, Multimodal, Packing, PqIndex, Sampling, Skew, TextOps, VearchFilters}
 import graft.schema.Space
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -688,6 +688,61 @@ object SparkEntry {
         k = 10, nprobe = model.ncentroids,
         tieBreak = Some(col("vec_id")), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 HNSW graph-ANN with ef ≥ |shard| ≡ exact (oracle-checked:
+    //    the segment graph is connected by construction, so the bounded
+    //    walk degenerates to an exhaustive one — proves the build + walk +
+    //    fan-out merge end-to-end, the q_ivf_exact pattern) ──
+    "q_hnsw_exact" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      HnswIndex.search(segs, qvec(s, dir), k = 10, ef = 1 << 30,
+        metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): HNSW at a real operating point (efSearch=64,
+    //    hnswalg.h ef_ default) — per-shard graph walk + router merge;
+    //    RecallGateSpec pins recall against the exact twin ──
+    "q_hnsw_search" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      HnswIndex.search(segs, qvec(s, dir), k = 10, ef = 64,
+        metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 hybrid filtered HNSW: the scalar predicate's surviving ids
+    //    broadcast into the graph walk (= the reference's filter-bitmap
+    //    functor); disallowed nodes traversed, never returned — so the
+    //    exactness params stay provably exact (oracle ≡ filtered KNN) ──
+    "q_hnsw_filtered" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      val allowed = t(s, dir, "embeddings")
+        .filter(col("label").isin(1, 3, 5) && col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      HnswIndex.searchFiltered(segs, qvec(s, dir), k = 10, ef = 1 << 30,
+        metric = "l2", allowedIds = allowed)
+        .join(t(s, dir, "embeddings").select(col("vec_id"), col("label")), Seq("vec_id"))
+        .orderBy(col("_score"), col("vec_id")) // raw-score order, like the oracle
+        .select(col("vec_id"), col("label"), round(col("_score"), 4).as("score"))
+    }),
+
+    // ── §2.4 batched HNSW (req_num): every query walks each segment in
+    //    the same task pass (one deserialization per shard per batch);
+    //    exactness params ≡ exact batch KNN (oracle-checked) ──
+    "q_hnsw_batch" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      HnswIndex.searchBatch(segs, queries, k = 5, ef = 1 << 30, metric = "l2")
+        .select(col("_qid").as("qid"), col("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
     }),
 
     // ── pipeline: full text profile (tokens, subwords, lang-id,
@@ -2000,6 +2055,15 @@ object SparkEntry {
          ORDER BY rf, ls""",
 
     "q_ivf_exact" -> exactL2Top10Sql,
+    "q_hnsw_exact" -> exactL2Top10Sql,
+    "q_hnsw_filtered" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
     "q_pq_exact" -> exactL2Top10Sql,
     "q_ivfpq_exact" -> exactL2Top10Sql,
     "q_binary_exact" -> exactL2Top10Sql,
@@ -2180,6 +2244,7 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q_ivf_batch" -> exactBatchL2Sql,
+    "q_hnsw_batch" -> exactBatchL2Sql,
     "q_ivfpq_batch" -> exactBatchL2Sql,
 
     "q_knn_batch" ->

@@ -1,0 +1,440 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** HNSW graph-ANN index, re-expressed for Spark's execution model.
+  *
+  * Reference capability: the hnswlib-backed HNSW index class
+  * (internal/engine/index/impl/hnswlib/hnswalg.h, params `nlinks` /
+  * `efConstruction` / `efSearch` — internal/engine/index/index_model.h),
+  * where every space PARTITION owns an in-memory graph and a search fans
+  * out to all partitions and k-way merges the per-partition top-k
+  * (internal/router/client.go:1497-1576). The algorithm itself is from the
+  * published paper: Malkov & Yashunin, "Efficient and robust approximate
+  * nearest neighbor search using Hierarchical Navigable Small World
+  * graphs" (TPAMI 2018) — Algorithms 1-5. This is an independent
+  * implementation from the paper, not a translation of hnswlib.
+  *
+  * Spark-first mapping — the shard IS the storage row:
+  *
+  *  - build:  one deterministic shuffle (`groupByKey` on a hash-derived
+  *    shard id) routes each vector to its shard; `mapGroups` builds the
+  *    whole shard's graph in one task and emits it as a SINGLE row
+  *    `(shard_id, entry, nodes[])`. A graph needs random access to its
+  *    own nodes, so the serialized segment must never straddle a task
+  *    boundary — one-row-per-shard makes that structural (a row cannot be
+  *    split), exactly like the reference's per-partition index file.
+  *  - search: `flatMap` over the segment table — each task deserializes
+  *    its shard rows and runs the layered greedy search locally, emitting
+  *    per-shard top-k; the global `orderBy(score).limit(k)` is Spark's
+  *    TakeOrderedAndProject, the distributed analog of the reference's
+  *    router k-way merge. No shuffle of the corpus, no cartesian.
+  *
+  * 100 TB design: shards are BOUNDED (`shardTargetRows`-sized via
+  * `numShards`), so segment rows stay well under the 2 GB row limit and a
+  * build task's graph fits executor memory; shard count grows with the
+  * corpus while per-shard cost is constant. Search cost is
+  * #shards × (segment read + sub-linear graph walk) — the same fan-out
+  * the reference pays across partition servers, with batch queries
+  * amortizing one segment read across the whole request
+  * (`searchBatch`, = vearch `req_num`).
+  *
+  * Determinism (what makes the exactness twin oracle-checkable): node
+  * levels derive from a hash of the node id (not an RNG stream), insertion
+  * order is ids-ascending within a shard, and every heap/selection tie
+  * breaks on the node index — so the built graph is a pure function of
+  * (corpus, params). On top of that, layer 0 is made provably connected by
+  * chaining consecutive insertions (degree +≤1 per node), which turns
+  * `ef ≥ |shard|` search into an EXHAUSTIVE walk of layer 0: the exact
+  * twin (`q_hnsw_exact`) is exact by construction, not by luck.
+  */
+object HnswIndex {
+
+  /** Index parameters (reference `nlinks`/`efConstruction`,
+    * index_model.h; `numShards` plays the role of the space's partition
+    * count).
+    */
+  final case class Params(
+      m: Int = 16,
+      efConstruction: Int = 100,
+      metric: String = "l2",
+      numShards: Int = 4)
+
+  /** One graph node as stored: `nbrs(l)` = neighbor LOCAL indices at
+    * layer l (local = position in the segment's `nodes` array, so the
+    * serialized form round-trips without an id lookup).
+    */
+  final case class Node(id: Long, vec: Array[Float], level: Int, nbrs: Array[Array[Int]])
+
+  /** One serialized graph segment = one whole shard. */
+  final case class Segment(shard_id: Int, entry: Int, nodes: Array[Node])
+
+  // ── scalar kernels ─────────────────────────────────────────────────────
+  // Same accumulation order as graft.functions.VecKernels (Double
+  // accumulator, ascending index) so reported scores are bit-identical to
+  // the codegen'd expressions and the DuckDB oracle.
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    val d = math.sqrt(aa) * math.sqrt(bb)
+    if (d == 0.0) 0.0 else ab / d
+  }
+
+  /** Internal ranking distance: lower = closer, for every metric (ip and
+    * cosine negate their similarity). L2 ranks on the SQUARED distance —
+    * order-equivalent to sqrt and cheaper in the inner loop.
+    */
+  private def rankDist(metric: String)(a: Array[Float], b: Array[Float]): Double =
+    metric match {
+      case "l2" | "l2sq" => l2sq(a, b)
+      case "ip"          => -dot(a, b)
+      case "cosine"      => -cosine(a, b)
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+
+  /** Reported score for a rank distance, matching [[Knn.score]]'s
+    * conventions (l2 is sqrt'd; ip/cosine are the raw similarity).
+    */
+  private def reportScore(metric: String, d: Double): Double = metric match {
+    case "l2"   => math.sqrt(d)
+    case "l2sq" => d
+    case _      => -d
+  }
+
+  def ascending(metric: String): Boolean = metric.startsWith("l2")
+
+  /** Deterministic level for a node id (paper: `floor(-ln(U) * mL)`,
+    * mL = 1/ln(M)). U comes from a 64-bit mix of the id, so the level is
+    * a pure function of the id — rebuilds and re-shards can never flip
+    * node levels.
+    */
+  private[graft] def levelOf(id: Long, mL: Double): Int = {
+    val h = scala.util.hashing.byteswap64(id ^ 0x9e3779b97f4a7c15L)
+    val u = ((h >>> 11).toDouble + 1.0) / 9007199254740992.0 // (0, 1], 2^53
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  def shardOf(id: Long, numShards: Int): Int =
+    math.floorMod(scala.util.hashing.byteswap64(id), numShards.toLong).toInt
+
+  // ── in-task graph build (paper Algorithm 1; neighbor selection
+  //    Algorithm 4 — the heuristic, which beats simple-closest on
+  //    clustered data like the fixture's labeled mixture) ───────────────
+
+  private[graft] def buildSegment(
+      shardId: Int, sorted: Array[(Long, Array[Float])], p: Params): Segment = {
+    val n = sorted.length
+    val mL = 1.0 / math.log(p.m.toDouble)
+    val dist = rankDist(p.metric) _
+    val vecs = Array.tabulate(n)(i => sorted(i)._2)
+    val levels = Array.tabulate(n)(i => levelOf(sorted(i)._1, mL))
+    val adj = Array.tabulate(n)(i =>
+      Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int]))
+    var entry = 0
+    var topLevel = if (n > 0) levels(0) else -1
+
+    // bounded best-first search at one layer (paper Algorithm 2).
+    // Returns (dist, idx) pairs, closest-first. Ties break on idx so the
+    // build (and therefore the stored graph) is deterministic.
+    def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, lc: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val visited = new java.util.BitSet(n)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse) // min-heap
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ord)          // max-heap
+      eps.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d = dist(q, vecs(e))
+          cand.enqueue((d, e)); res.enqueue((d, e))
+        }
+      }
+      while (res.size > ef) res.dequeue()
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        // with ef ≥ |shard| the result set can only be "full" once every
+        // node is already in it, so this bound never stops an exhaustive
+        // walk early — the exactness-twin guarantee
+        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val nb = adj(c)(lc)
+          var i = 0
+          while (i < nb.length) {
+            val e = nb(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, vecs(e))
+              if (res.size < ef || d < res.head._1 ||
+                  (d == res.head._1 && e < res.head._2)) {
+                cand.enqueue((d, e)); res.enqueue((d, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      out ++= res
+      out.sortInPlace()
+      out
+    }
+
+    // heuristic neighbor selection (paper Algorithm 4): take a candidate
+    // only if it is closer to the base than to every already-selected
+    // neighbor — spreads edges across clusters instead of piling onto one
+    def selectNeighbors(cands: mutable.ArrayBuffer[(Double, Int)], m: Int): Array[Int] = {
+      val picked = mutable.ArrayBuffer.empty[(Double, Int)]
+      var i = 0
+      while (i < cands.length && picked.length < m) {
+        val (dc, c) = cands(i)
+        var ok = true
+        var j = 0
+        while (ok && j < picked.length) {
+          if (dist(vecs(c), vecs(picked(j)._2)) < dc) ok = false
+          j += 1
+        }
+        if (ok) picked += ((dc, c))
+        i += 1
+      }
+      picked.map(_._2).toArray
+    }
+
+    var i = 1
+    while (i < n) {
+      val q = vecs(i)
+      val l = levels(i)
+      var ep = entry
+      var lc = topLevel
+      // zoom down through the upper layers with a greedy ef=1 walk
+      while (lc > l) {
+        val w = searchLayer(q, Seq(ep), 1, lc)
+        ep = w.head._2
+        lc -= 1
+      }
+      var eps = Seq(ep)
+      lc = math.min(topLevel, l)
+      while (lc >= 0) {
+        val w = searchLayer(q, eps, p.efConstruction, lc)
+        val mMax = if (lc == 0) 2 * p.m else p.m
+        val sel = selectNeighbors(w, p.m)
+        adj(i)(lc) ++= sel
+        sel.foreach { e =>
+          adj(e)(lc) += i
+          if (adj(e)(lc).length > mMax) {
+            val ranked = adj(e)(lc).map(x => (dist(vecs(e), vecs(x)), x)).sorted
+            val kept = selectNeighbors(ranked, mMax)
+            adj(e)(lc).clear()
+            adj(e)(lc) ++= kept
+          }
+        }
+        eps = w.map(_._2).toSeq
+        lc -= 1
+      }
+      if (l > topLevel) { topLevel = l; entry = i }
+      i += 1
+    }
+
+    // connectivity chain: link consecutive insertions at layer 0 when the
+    // search-based wiring left them unlinked (degree +≤1 per node). This
+    // makes layer 0 connected BY CONSTRUCTION, so ef ≥ |shard| search
+    // provably visits every node — the exactness twin needs no luck.
+    i = 1
+    while (i < n) {
+      if (!adj(i)(0).contains(i - 1) && !adj(i - 1)(0).contains(i)) {
+        adj(i)(0) += (i - 1)
+        adj(i - 1)(0) += i
+      }
+      i += 1
+    }
+
+    Segment(shardId, entry,
+      Array.tabulate(n)(j => Node(sorted(j)._1, vecs(j), levels(j),
+        adj(j).map(_.toArray))))
+  }
+
+  /** Build the segment table: ONE deterministic shuffle routes vectors to
+    * shards; each shard's graph is built in a single task and stored as a
+    * single row. Output columns: (shard_id, entry, nodes).
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, p: Params): Dataset[Segment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => shardOf(id, p.numShards) }
+      .mapGroups { (sid, it) =>
+        // ids-ascending insertion order: the graph is a pure function of
+        // (corpus, params), independent of upstream partitioning
+        buildSegment(sid, it.toArray.sortBy(_._1), p)
+      }
+  }
+
+  /** Search one deserialized segment (paper Algorithm 5): greedy ef=1
+    * descent through the upper layers, then a bounded ef search at
+    * layer 0. Returns up to k (id, reportedScore), best-first.
+    *
+    * `allow` is the reference's filtered-search contract (hnswlib's
+    * BaseFilterFunctor, wired from the scalar-filter bitmap in
+    * gamma_index_hnswlib.cc): disallowed nodes are still TRAVERSED (they
+    * carry the graph's connectivity) but never admitted to the result
+    * set — so the exhaustive-walk exactness argument survives filtering
+    * unchanged.
+    */
+  private[graft] def searchSegment(
+      seg: Segment, q: Array[Float], k: Int, ef: Int, metric: String,
+      allow: Long => Boolean = _ => true): Array[(Long, Double)] = {
+    val n = seg.nodes.length
+    if (n == 0) return Array.empty
+    val dist = rankDist(metric) _
+    val vecs = seg.nodes.map(_.vec)
+    implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+
+    var ep = seg.entry
+    var lc = seg.nodes(seg.entry).level
+    var dEp = dist(q, vecs(ep))
+    while (lc > 0) {
+      // greedy descent: move to the closest neighbor until a local minimum
+      var moved = true
+      while (moved) {
+        moved = false
+        val nb = seg.nodes(ep).nbrs(lc)
+        var i = 0
+        while (i < nb.length) {
+          val d = dist(q, vecs(nb(i)))
+          if (d < dEp) { dEp = d; ep = nb(i); moved = true }
+          i += 1
+        }
+      }
+      lc -= 1
+    }
+
+    val effEf = math.max(ef, k)
+    val visited = new java.util.BitSet(n)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+    val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+    visited.set(ep)
+    cand.enqueue((dEp, ep))
+    if (allow(seg.nodes(ep).id)) res.enqueue((dEp, ep))
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (res.size >= effEf && dc > res.head._1) cand.clear()
+      else {
+        val nb = seg.nodes(c).nbrs(0)
+        var i = 0
+        while (i < nb.length) {
+          val e = nb(i)
+          if (!visited.get(e)) {
+            visited.set(e)
+            val d = dist(q, vecs(e))
+            // traversal admission: until the ALLOWED result set fills,
+            // every unvisited node stays explorable (disallowed nodes
+            // carry connectivity); once full, only improving nodes do
+            if (res.size < effEf || d < res.head._1 ||
+                (d == res.head._1 && e < res.head._2)) {
+              cand.enqueue((d, e))
+              if (allow(seg.nodes(e).id)) {
+                res.enqueue((d, e))
+                if (res.size > effEf) res.dequeue()
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res.toArray.sorted.take(k)
+      .map { case (d, idx) => (seg.nodes(idx).id, reportScore(metric, d)) }
+  }
+
+  /** Single-query search over the segment table: per-shard graph walk via
+    * `flatMap` (no shuffle of the corpus), global TakeOrderedAndProject
+    * merge. `ef ≥ max shard size` ⇒ exact (see class doc).
+    * Output: (vec_id, _score), best-first.
+    */
+  def search(segments: Dataset[Segment], q: Seq[Float], k: Int, ef: Int,
+      metric: String, roundTo: Option[Int] = None): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val qa = q.toArray
+    val hits = segments
+      .flatMap(seg => searchSegment(seg, qa, k, ef, metric))
+      .toDF("vec_id", "_score")
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
+    roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
+  }
+
+  /** Filtered search (the reference's hybrid scalar + HNSW path): the
+    * scalar predicate's surviving ids ride a broadcast into the graph
+    * walk, as the reference wires its scalar-filter bitmap into the
+    * hnswlib filter functor (gamma_index_hnswlib.cc). Disallowed nodes
+    * are traversed but never returned, so `ef ≥ |shard|` stays provably
+    * exact under ANY filter. Use for SELECTIVE filters — a broad filter
+    * is better served by filter-first brute force ([[Knn.search]] with
+    * `filter`), the same planner switch the reference makes
+    * (engine.cc:355-373).
+    */
+  def searchFiltered(segments: Dataset[Segment], q: Seq[Float], k: Int, ef: Int,
+      metric: String, allowedIds: DataFrame, roundTo: Option[Int] = None): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val idCol = allowedIds.columns.head
+    val bc = spark.sparkContext.broadcast(
+      allowedIds.select(col(idCol).cast("long")).as[Long].collect().toSet)
+    val qa = q.toArray
+    val hits = segments
+      .flatMap(seg => searchSegment(seg, qa, k, ef, metric, bc.value.contains _))
+      .toDF("vec_id", "_score")
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
+    roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
+  }
+
+  /** Batched search (vearch `req_num`): every query walks each segment in
+    * the SAME task pass — one segment deserialization amortized across the
+    * whole batch — then a bounded top-k aggregate merges per-shard lists,
+    * keeping the shuffle at |queries|·k rows. Output: (_qid, vec_id,
+    * _score), best-first within each qid.
+    */
+  def searchBatch(segments: Dataset[Segment], queries: Seq[(Long, Seq[Float])],
+      k: Int, ef: Int, metric: String): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val hits = segments.flatMap { seg =>
+      qs.iterator.flatMap { case (qid, qa) =>
+        searchSegment(seg, qa, k, ef, metric).iterator
+          .map { case (id, s) => (qid, id, s) }
+      }
+    }.toDF("_qid", "vec_id", "_score")
+    hits.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), struct(col("vec_id")), k,
+        ascending(metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item.vec_id").as("vec_id"),
+        col("_e.score").as("_score"))
+  }
+}

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryIndex, IvfIndex, PqIndex}
+import graft.operators.{BinaryIndex, HnswIndex, IvfIndex, PqIndex}
 
 /** Build-once cache of physical index layouts over the test fixtures.
   *
@@ -404,6 +404,26 @@ object IndexStore {
     (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/ivf.txt"))
   }
 
+  /** HNSW layout: the graph-segment table (one row per shard, each a
+    * whole serialized graph — [[HnswIndex]] class doc). The build is
+    * deterministic (hash levels, id-sorted insertion), so the stored
+    * segments are a pure function of (fixture, params) and every search
+    * over them is reproducible.
+    */
+  def hnsw(spark: SparkSession, sfDir: String, m: Int = 16,
+      efConstruction: Int = 100, numShards: Int = 4,
+      metric: String = "l2"): org.apache.spark.sql.Dataset[HnswIndex.Segment] = {
+    import spark.implicits._
+    val dir = dirFor(sfDir, s"hnsw${m}_${efConstruction}_${numShards}_$metric")
+    buildOnce(dir) {
+      HnswIndex.build(emb(spark, sfDir), "vec_id", "embedding",
+        HnswIndex.Params(m, efConstruction, metric, numShards))
+        .write.mode("overwrite").parquet(s"$dir/table")
+      markReady(dir)
+    }
+    spark.read.parquet(s"$dir/table").as[HnswIndex.Segment]
+  }
+
   /** Media fixture: the synthesized PNG/WAV/pseudo-video corpus
     * ([[graft.operators.Multimodal.synthesize]] over the embeddings ids)
     * written ONCE per fixture. Media queries then time decode + features
@@ -439,6 +459,7 @@ object IndexStore {
     pqFlat(spark, sfDir)
     binary(spark, sfDir)
     binaryIvf(spark, sfDir)
+    hnsw(spark, sfDir)
     media(spark, sfDir)
     ()
   }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HnswIndex, Knn}
+
+/** HNSW graph-ANN: deterministic build, provable layer-0 connectivity
+  * (the exactness-twin guarantee), exact-parameter equivalence with
+  * brute-force KNN on every metric, batch/single agreement, degenerate
+  * shapes, and the bounded-merge shuffle contract.
+  */
+class HnswIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val qv: Seq[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+
+  private val params = HnswIndex.Params(m = 8, efConstruction = 60, metric = "l2", numShards = 3)
+
+  private lazy val segs = {
+    val d = HnswIndex.build(emb, "vec_id", "embedding", params).cache()
+    d.count()
+    d
+  }
+
+  /** Canonical text form of a segment — structural equality for the
+    * determinism assertion without Array reference-equality traps.
+    */
+  private def canon(s: HnswIndex.Segment): String = {
+    val nodes = s.nodes.map(n =>
+      s"${n.id}|${n.level}|${n.nbrs.map(_.mkString(",")).mkString(";")}|${n.vec.take(4).mkString(",")}")
+    s"${s.shard_id}#${s.entry}#${nodes.mkString("~")}"
+  }
+
+  test("build is deterministic: two independent builds produce identical segments") {
+    val a = segs.collect().sortBy(_.shard_id).map(canon)
+    val b = HnswIndex.build(
+      emb.repartition(7), // different upstream partitioning must not matter
+      "vec_id", "embedding", params).collect().sortBy(_.shard_id).map(canon)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("layer 0 of every segment is connected (the exactness-twin guarantee)") {
+    segs.collect().foreach { s =>
+      val n = s.nodes.length
+      val seen = new java.util.BitSet(n)
+      var stack = List(0)
+      seen.set(0)
+      var count = 1
+      while (stack.nonEmpty) {
+        val c = stack.head; stack = stack.tail
+        s.nodes(c).nbrs(0).foreach { e =>
+          if (!seen.get(e)) { seen.set(e); count += 1; stack = e :: stack }
+        }
+      }
+      assert(count == n, s"shard ${s.shard_id}: layer 0 reaches $count of $n nodes")
+    }
+  }
+
+  test("every vector lands in exactly one segment; levels are id-pure") {
+    val total = segs.collect().map(_.nodes.length).sum
+    assert(total == emb.count())
+    // same id ⇒ same level regardless of shard layout
+    val mL = 1.0 / math.log(params.m.toDouble)
+    segs.collect().foreach(_.nodes.foreach { nd =>
+      assert(nd.level == HnswIndex.levelOf(nd.id, mL))
+      assert(nd.nbrs.length == nd.level + 1)
+    })
+  }
+
+  test("ef ≥ |shard| search ≡ brute-force KNN, bit-identical scores (l2/ip/cosine)") {
+    for (metric <- Seq("l2", "ip", "cosine")) {
+      val p = params.copy(metric = metric)
+      val segsM =
+        if (metric == "l2") segs
+        else HnswIndex.build(emb, "vec_id", "embedding", p)
+      val got = HnswIndex.search(segsM, qv, k = 10, ef = 1 << 30, metric = metric)
+        .select($"vec_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = Knn.search(emb, col("embedding"), qv, k = 10, metric = metric,
+        tieBreak = Some(col("vec_id")))
+        .select($"vec_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"metric=$metric")
+    }
+  }
+
+  test("operating-point search (ef=64) hits high recall vs the exact twin") {
+    val exact = HnswIndex.search(segs, qv, k = 10, ef = 1 << 30, metric = "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val ann = HnswIndex.search(segs, qv, k = 10, ef = 64, metric = "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.intersect(exact).size >= 8, s"recall@10 ${ann.intersect(exact).size}/10")
+  }
+
+  test("batch search with exact params agrees with per-query search") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = HnswIndex.searchBatch(segs, queries, k = 5, ef = 1 << 30, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(t => (t._2, t._1)).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val single = HnswIndex.search(segs, q, k = 5, ef = 1 << 30, metric = "l2")
+        .select($"vec_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (t._2, t._1)).toSeq
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+  }
+
+  test("filtered search with exact params ≡ filter-first brute force") {
+    val pred = col("label").isin(1, 3, 5) && col("vec_id") =!= 0
+    val got = HnswIndex.searchFiltered(segs, qv, k = 10, ef = 1 << 30,
+      metric = "l2", allowedIds = emb.filter(pred).select($"vec_id"))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Knn.search(emb, col("embedding"), qv, k = 10, metric = "l2",
+      filter = Some(pred), tieBreak = Some(col("vec_id")))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("filtered search: empty allow-set → no rows; tiny allow-set → exactly those") {
+    val none = emb.filter($"vec_id" < 0).select($"vec_id")
+    assert(HnswIndex.searchFiltered(segs, qv, 10, 1 << 30, "l2", none).count() == 0)
+    val three = emb.filter($"vec_id".isin(7, 42, 399)).select($"vec_id")
+    val got = HnswIndex.searchFiltered(segs, qv, 10, 1 << 30, "l2", three)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(7L, 42L, 399L)) // disallowed nodes still carry connectivity
+  }
+
+  test("degenerate shapes: more shards than rows, single-node shards") {
+    val tiny = emb.filter($"vec_id" < 3)
+    val p = HnswIndex.Params(m = 4, efConstruction = 10, metric = "l2", numShards = 8)
+    val tinySegs = HnswIndex.build(tiny, "vec_id", "embedding", p)
+    val got = HnswIndex.search(tinySegs, qv, k = 10, ef = 1 << 30, metric = "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L)) // all rows returned even with k > n
+  }
+
+  test("search shuffles only the bounded merge, never the corpus") {
+    segs.count() // materialize the cache outside the audit window
+    val n = emb.count()
+    val moved = shuffleRecords {
+      HnswIndex.search(segs, qv, k = 10, ef = 64, metric = "l2").collect()
+    }
+    // per-shard top-k rows may cross a stage boundary for the global
+    // merge; the corpus itself must not
+    assert(moved <= params.numShards.toLong * 10,
+      s"search moved $moved rows (corpus is $n)")
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, PqIndex}
+import graft.operators.{HnswIndex, IvfIndex, PqIndex}
 import graft.tools.Recall
 
 /** The reference's recall CI gates (test/test_recall_baseline.py:301-303:
@@ -66,12 +66,12 @@ class RecallGateSpec extends SparkSpec {
   test("HNSW-class recall@1 is reachable by probing a small fraction of lists") {
     // the reference's published HNSW operating point reaches recall@1 =
     // 0.9795 on its SIFT1M-class bench (internal/engine/benchs/
-    // README.md:82-92). The engine declares graph-ANN out of scope
-    // (scan-hostile); this row closes the CAPABILITY question with a
-    // measurement instead of a disclaimer: the smallest IVF nprobe whose
-    // recall@1 meets the HNSW number, asserted to cost at most 1/4 of
-    // the lists. The full-size (1M×128d, nc=1024) sweep is recorded in
-    // README.md via the same harness.
+    // README.md:82-92). A real HNSW now exists ([[HnswIndex]], gated in
+    // the test below); this row keeps the complementary SCAN-path
+    // evidence: the smallest IVF nprobe whose recall@1 meets the HNSW
+    // number, asserted to cost at most 1/4 of the lists. The full-size
+    // (1M×128d, nc=1024) sweep is recorded in README.md via the same
+    // harness.
     val n = 40000L
     val dim = 64
     val all = Recall.synthetic(spark, n, dim, nClusters = 256, nQueries = 30)
@@ -96,6 +96,36 @@ class RecallGateSpec extends SparkSpec {
     assert(np <= ncent / 4,
       s"HNSW-class recall@1 needs nprobe=$np > ${ncent / 4} (1/4 of lists)")
     corpus.unpersist(); assigned.unpersist()
+    ()
+  }
+
+  test("HNSW meets the reference recall gates on both distributions") {
+    // the graph index itself (per-shard segments + fan-out merge) against
+    // the same CI gates the scan-path indexes pass, on BOTH evaluation
+    // geometries; ef=300 ≈ hnswlib's wide-recall operating point
+    val n = 40000L
+    val dim = 64
+    for ((name, all) <- Seq(
+        "mixture" -> Recall.synthetic(spark, n, dim, nClusters = 256, nQueries = 30),
+        "normalized" -> Recall.syntheticNormalized(spark, n, dim, nClusters = 256, nQueries = 30))) {
+      val corpus = all.filter($"vec_id" < n).cache()
+      corpus.count()
+      val qDf = all.filter($"vec_id" >= n)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val queries = qDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val gt = Recall.groundTruth(corpus, qDf, 100)
+      val segs = HnswIndex.build(corpus, "vec_id", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4)).cache()
+      segs.count()
+      val got = HnswIndex.searchBatch(segs, queries, k = 100, ef = 300, metric = "l2")
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+        }
+      assert(Recall.report(s"spec_HNSW_${name}_m16_efc100_ef300", n, gt, got),
+        s"HNSW recall gates failed on the $name distribution")
+      segs.unpersist(); corpus.unpersist()
+    }
     ()
   }
 
