@@ -140,6 +140,63 @@ class HnswIndexSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 2L)) // all rows returned even with k > n
   }
 
+  test("property: exact-params search matches a local brute-force oracle on random corpora") {
+    // independent oracle: local double-accumulation score + (score, id)
+    // sort — no shared code with the operator under test
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def score(metric: String, a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      metric match {
+        case "l2" =>
+          var s = 0.0; var i = 0
+          while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+          math.sqrt(s)
+        case "ip" =>
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        case "cosine" =>
+          var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            ab += x * y; aa += x * x; bb += y * y; i += 1
+          }
+          val d = math.sqrt(aa) * math.sqrt(bb)
+          if (d == 0.0) 0.0 else ab / d
+      }
+    }
+    val genCase = for {
+      n <- Gen.chooseNum(1, 250)
+      dim <- Gen.chooseNum(1, 8)
+      m <- Gen.chooseNum(2, 12)
+      shards <- Gen.chooseNum(1, 5)
+      metric <- Gen.oneOf("l2", "ip", "cosine")
+      // small value set on purpose: duplicate vectors and score ties are
+      // the interesting regime for deterministic selection
+      vals = Gen.chooseNum(-3, 3).map(_.toFloat / 2f)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, vals))
+      ids <- Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L))
+      q <- Gen.listOfN(dim, vals)
+    } yield (rows, ids, q, m, shards, metric)
+    val cases = (1 to 8).flatMap(i => genCase(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { case (rows, ids, q, m, shards, metric) =>
+      val data = ids.distinct.zip(rows).map { case (id, v) => (id, v.toArray) }
+      val df = data.toDF("vec_id", "embedding")
+      val p = HnswIndex.Params(m, efConstruction = 3 * m, metric, shards)
+      val segs = HnswIndex.build(df, "vec_id", "embedding", p)
+      val k = math.min(10, data.length)
+      val got = HnswIndex.search(segs, q, k, ef = 1 << 30, metric)
+        .select($"vec_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val asc = metric == "l2"
+      val want = data.map { case (id, v) => (id, score(metric, v.toSeq, q)) }
+        .sortBy { case (id, s) => (if (asc) s else -s, id) }.take(k)
+      assert(got == want,
+        s"n=${data.length} dim=${q.length} m=$m shards=$shards metric=$metric")
+    }
+  }
+
   test("search shuffles only the bounded merge, never the corpus") {
     segs.count() // materialize the cache outside the audit window
     val n = emb.count()
