@@ -30,8 +30,10 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     extends State
   final case class Failed(gen: Long, reason: String) extends State
 
-  def state: State = {
-    val p = Paths.get(statePath)
+  def state: State = readStateAt(statePath)
+
+  private def readStateAt(path: String): State = {
+    val p = Paths.get(path)
     if (!Files.exists(p)) Missing
     else {
       val s = new String(Files.readAllBytes(p))
@@ -47,10 +49,12 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
-  private def writeState(s: String): Unit = {
-    val tmp = Paths.get(s"$statePath.tmp")
+  private def writeState(s: String): Unit = writeStateAt(statePath, s)
+
+  private def writeStateAt(path: String, s: String): Unit = {
+    val tmp = Paths.get(s"$path.tmp")
     Files.write(tmp, s.getBytes)
-    Files.move(tmp, Paths.get(statePath), StandardCopyOption.ATOMIC_MOVE,
+    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     ()
   }
@@ -157,6 +161,48 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       Some(IvfIndex.Model(cents, metric))
     case _ => None
   }
+
+  // ── HNSW generation (graph-ANN class): the same BUILDING→READY/FAILED
+  //    contract over a SEPARATE sidecar, so a space can carry a scan (IVF)
+  //    and a graph (HNSW) layout concurrently; generations are
+  //    per-index-kind in the reference too (engine.cc:1013-1083).
+
+  private def hnswStatePath = s"$spacePath.hnsw_state.json"
+  private def hnswPath(gen: Long) = s"$spacePath.hnsw.g$gen"
+
+  def hnswState: State = readStateAt(hnswStatePath)
+
+  /** Build (or rebuild) the HNSW generation. In the returned `Ready`, the
+    * `ncentroids` slot carries `numShards` — the graph kind's analogous
+    * layout parameter.
+    */
+  def rebuildHnsw(idCol: String, vecCol: String,
+      params: graft.operators.HnswIndex.Params): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(hnswStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      graft.operators.HnswIndex.build(corpus, idCol, vecCol, params)
+        .write.mode("overwrite").parquet(hnswPath(gen))
+      writeStateAt(hnswStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
+      Ready(gen, params.numShards, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(hnswStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The current READY HNSW segment table, or None while missing/building. */
+  def readyHnswSegments(): Option[org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment]] =
+    hnswState match {
+      case Ready(gen, _, _) =>
+        import spark.implicits._
+        Some(spark.read.parquet(hnswPath(gen))
+          .as[graft.operators.HnswIndex.Segment])
+      case _ => None
+    }
 
   /** Force-merge ≡ compaction: rewrite the space with a target file count
     * (POST /index/forcemerge → Optimize(), handler_document.go:468-476).

@@ -334,6 +334,66 @@ object SearchApi {
     }
   }
 
+  /** Index-routed search — the reference's planner switch
+    * (is_brute_search 0/2 serve from the declared index when one is READY,
+    * 1 forces the brute scan; engine.cc:280-308). Routes a
+    * single-condition float search on a space whose vector field declares
+    * `index.type: HNSW` to the graph generation built by
+    * [[IndexLifecycle.rebuildHnsw]], with `efSearch` taken from the
+    * space's index params; scalar filters ride the broadcast allow-set
+    * into the walk (the reference's filter-bitmap functor). Everything
+    * else — score gates, batched req_num, multi-field conjunctions,
+    * non-integral ids, a missing/BUILDING generation, is_brute_search=1 —
+    * falls back to the exact FLAT path of [[search]], the same degrade
+    * the reference performs below training_threshold.
+    */
+  def searchAuto(corpus: DataFrame, space: Space, requestJson: String,
+      lifecycle: IndexLifecycle): DataFrame = {
+    val req = parseSearch(requestJson, space)
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val idIntegral = corpus.schema.fields.find(_.name == "_id").exists(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    val routable = req.isBruteSearch != 1 && req.vectors.size == 1 &&
+      req.vectors.head.queries.size == 1 &&
+      req.vectors.head.minScore.isEmpty && req.vectors.head.maxScore.isEmpty &&
+      idIntegral &&
+      space.vectorFields.find(_.name == req.vectors.head.field)
+        .flatMap(_.vector)
+        .exists(v => v.indexType == "HNSW" && v.valueType == "float")
+    (if (routable) lifecycle.readyHnswSegments() else None) match {
+      case Some(segments) =>
+        val vc = req.vectors.head
+        val vopts = space.vectorFields.find(_.name == vc.field)
+          .flatMap(_.vector).get
+        val q = maybeNormalize(space, vc.field, vc.queries.head)
+        val metric = metricOf(space, vc.field)
+        val k = req.limit + req.offset
+        val ef = math.max(vopts.indexParams.getOrElse("efSearch", 64), k)
+        val pred = req.filter.map(
+          VearchFilters.parse(_, arrayFields(space), dateFields(space)))
+        val hits = pred match {
+          case Some(p) =>
+            graft.operators.HnswIndex.searchFiltered(segments, q, k, ef,
+              metric, corpus.filter(p).select(col("_id")))
+          case None =>
+            graft.operators.HnswIndex.search(segments, q, k, ef, metric)
+        }
+        // the walk returns (id, score); scalar payloads come from ONE
+        // broadcast join of the ≤k hits back onto the space table
+        val idT = corpus.schema("_id").dataType
+        val joined = corpus.join(
+          broadcast(hits.select(col("vec_id").cast(idT).as("_id"), col("_score"))),
+          "_id")
+        val primary =
+          if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
+        val ordered = joined.orderBy(primary, col("_id"))
+        val sliced = if (req.offset > 0) ordered.offset(req.offset) else ordered
+        val projected = sliced.select(projection(space, req, Seq("_score")): _*)
+        if (req.sort.nonEmpty) applySort(projected, req.sort) else projected
+      case _ => search(corpus, space, requestJson)
+    }
+  }
+
   /** `POST /document/query` → DataFrame: document_ids path (request order)
     * or filtered scan with limit/offset. No scoring, no defined global
     * order beyond the reference's (we sort by `_id` for determinism only

@@ -22,7 +22,9 @@ final case class VectorOptions(
     dimension: Int,
     metric: String = "l2",          // InnerProduct | L2 (index_model.h:21)
     normalized: Boolean = false,    // format: normalization (space.go:496-499)
-    valueType: String = "float") {  // float | binary | int8 (index_model.h:19)
+    valueType: String = "float",    // float | binary | int8 (index_model.h:19)
+    indexType: String = "FLAT",     // space.go:55 index-type whitelist
+    indexParams: Map[String, Int] = Map.empty) { // nlinks/efConstruction/… (space.go:60-63)
   // these invariants must hold for programmatically constructed Spaces
   // too, not only the JSON parse path: Ingest's length = dim/8 check uses
   // integer division, so a non-multiple-of-8 binary dim would silently
@@ -32,6 +34,8 @@ final case class VectorOptions(
     s"binary value_type requires dimension % 8 == 0, got $dimension")
   require(!normalized || valueType == "float",
     s"format=normalization requires value_type=float, got $valueType")
+  require(Space.IndexTypes.contains(indexType),
+    s"unknown index type $indexType (allowed: ${Space.IndexTypes.mkString(", ")})")
 }
 
 final case class SpaceField(
@@ -90,6 +94,16 @@ object Space {
 
   private val Reserved = Set("_id", "_score") // entity/space.go:30-31
   private val NameRe = "^[a-zA-Z][a-zA-Z0-9_-]*$".r // space.go name rules
+
+  /** Accepted vector index types (space.go:302-317 indexTypeMap). All are
+    * VALID space declarations; which ones this engine executes natively is
+    * a search-routing concern (SearchApi.searchAuto / IndexLifecycle —
+    * FLAT/IVF family/HNSW native, the GPU/wrapped classes served by the
+    * exact FLAT path).
+    */
+  val IndexTypes: Set[String] = Set("FLAT", "IVFPQ", "IVFFLAT", "BINARYIVF",
+    "HNSW", "GPU_IVFPQ", "GPU_IVFFLAT", "SSG", "IVFPQ_RELAYOUT", "SCANN",
+    "SCALAR", "IVFRABITQ", "DISKANN_STATIC")
 
   /** Parse + validate a vearch space-definition JSON:
     * {"name": ..., "partition_num": N, "replica_num": N,
@@ -177,11 +191,30 @@ object Space {
         val normalized = (f \ "format") match {
           case JString("normalization") => true; case _ => false
         }
+        // index type + params (space.go:302-317 whitelist; param bounds
+        // space.go:60-63,339-349 — 0/absent means engine default)
+        val indexType = (f \ "index" \ "type") match {
+          case JString(t) =>
+            val up = t.toUpperCase
+            if (!IndexTypes.contains(up))
+              fail(s"vector field $name: unknown index type $t")
+            up
+          case _ => "FLAT"
+        }
+        val indexParams: Map[String, Int] = (f \ "index" \ "params") match {
+          case JObject(kvs) => kvs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+          case _ => Map.empty
+        }
+        indexParams.get("nlinks").filter(_ != 0).foreach { nl =>
+          if (nl < 8 || nl > 96)
+            fail(s"index params nlinks:$nl should in [8, 96]")
+        }
+        indexParams.get("efConstruction").filter(_ != 0).foreach { ec =>
+          if (ec < 16 || ec > 1024)
+            fail(s"index params efConstruction:$ec should in [16, 1024]")
+        }
         // value type: explicit `value_type`, or implied by index type
         // BINARYIVF (index_model.h:19 — FLOAT | BINARY | INT8)
-        val indexType = (f \ "index" \ "type") match {
-          case JString(t) => t.toUpperCase; case _ => ""
-        }
         val valueType = (f \ "value_type") match {
           case JString(v) if Set("float", "binary", "int8")(v.toLowerCase) =>
             v.toLowerCase
@@ -197,7 +230,8 @@ object Space {
         if (normalized && valueType != "float")
           fail(s"vector field $name: format=normalization requires value_type=float, got $valueType")
         SpaceField(name, FieldKind.VectorK, indexed,
-          Some(VectorOptions(dim, metric, normalized, valueType)))
+          Some(VectorOptions(dim, metric, normalized, valueType,
+            indexType, indexParams)))
       case other => fail(s"field $name: unknown type $other")
     }
   }

@@ -296,6 +296,25 @@ object Recall {
     coded.count()
     report(s"${tag}IVFRABITQ_nc${ncent}_np${np}_qb4", n, gt,
       evalIvfRabitq(coded, ivf, queries, np, shortlist = recallNum, k = 100))
+    coded.unpersist()
+
+    // HNSW graph segments: shards sized so per-shard build memory and the
+    // serialized segment row stay bounded (~64k nodes/shard at 1M)
+    val hShards = sys.env.get("SPARK_GRAFT_RECALL_HNSW_SHARDS").map(_.toInt)
+      .getOrElse(math.max(1, (n / 65536L).toInt))
+    val hEf = sys.env.getOrElse("SPARK_GRAFT_RECALL_HNSW_EF", "300").toInt
+    val segs = graft.operators.HnswIndex.build(cached, "vec_id", "embedding",
+      graft.operators.HnswIndex.Params(m = 16, efConstruction = 100,
+        metric = "l2", numShards = hShards)).cache()
+    segs.count()
+    val gotHnsw = graft.operators.HnswIndex
+      .searchBatch(segs, queries.toSeq, k = 100, ef = hEf, metric = "l2")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+      }
+    report(s"${tag}HNSW_m16_efc100_ef${hEf}_s$hShards", n, gt, gotHnsw)
+    segs.unpersist()
 
     spark.stop()
   }

@@ -267,4 +267,61 @@ class SearchApiSpec extends SparkSpec {
     assert(SearchApi.classifyPool(10, 1, 1024, 3) == "slow")    // many filters
     assert(SearchApi.classifyPool(50, 10, 1024, 2) == "default")
   }
+
+  test("searchAuto: HNSW space routes to the graph generation, parity with FLAT") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    // efSearch ≥ corpus ⇒ the routed walk is exhaustive: routed == brute
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":600}}}]}""")
+    val opts = hspace.vectorFields.head.vector.get
+    assert(opts.indexType == "HNSW" &&
+      opts.indexParams == Map("nlinks" -> 16, "efConstruction" -> 60, "efSearch" -> 600))
+
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    assert(lc.hnswState == lc.Missing)
+    assert(SearchApi.searchAuto(stored, hspace,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":3}""",
+      lc).count() == 3) // no generation yet → FLAT fallback serves
+
+    val ready = lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    assert(lc.hnswState == lc.Ready(ready.gen, 3, ready.trainedDocs))
+    assert(lc.state == lc.Missing) // IVF sidecar untouched
+    assert(lc.readyHnswSegments().isDefined)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val plain = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, plain, lc)) ==
+      rows(SearchApi.search(stored, hspace, plain)))
+
+    // scalar filter rides the allow-set into the walk; parity holds
+    val filtered = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[2,4]}]},"limit":6}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, filtered, lc)) ==
+      rows(SearchApi.search(stored, hspace, filtered)))
+
+    // is_brute_search=1 forces the FLAT scan (engine.cc:280-308)
+    val forced = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "is_brute_search":1,"limit":9}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, forced, lc)) ==
+      rows(SearchApi.search(stored, hspace, forced)))
+
+    // score gates are not a graph-walk shape → transparent FLAT fallback
+    val gated = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "min_score":0.0}],"limit":9}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, gated, lc)) ==
+      rows(SearchApi.search(stored, hspace, gated)))
+  }
 }

@@ -44,6 +44,31 @@ class SpaceSpec extends SparkSpec {
     bad("""{"name":"x","fields":[]}""")
   }
 
+  test("index type whitelist + HNSW param bounds (space.go:302-317,339-349)") {
+    def bad(json: String) = assertThrows[IllegalArgumentException](Space.fromJson(json))
+    def vec(index: String) =
+      s"""{"name":"x","fields":[{"name":"v","type":"vector","dimension":8,
+           "index":$index}]}"""
+    // every reference-accepted type parses (execution routing is separate)
+    for (t <- graft.schema.Space.IndexTypes)
+      assert(Space.fromJson(vec(s"""{"type":"$t"}"""))
+        .vectorFields.head.vector.get.indexType == t)
+    bad(vec("""{"type":"BTREE"}"""))
+    // nlinks ∈ [8, 96], efConstruction ∈ [16, 1024]; 0/absent = default
+    bad(vec("""{"type":"HNSW","params":{"nlinks":4}}"""))
+    bad(vec("""{"type":"HNSW","params":{"nlinks":128}}"""))
+    bad(vec("""{"type":"HNSW","params":{"efConstruction":8}}"""))
+    bad(vec("""{"type":"HNSW","params":{"efConstruction":2048}}"""))
+    val ok = Space.fromJson(vec(
+      """{"type":"HNSW","params":{"nlinks":32,"efConstruction":100,"efSearch":64}}"""))
+    assert(ok.vectorFields.head.vector.get.indexParams ==
+      Map("nlinks" -> 32, "efConstruction" -> 100, "efSearch" -> 64))
+    // absent index block keeps the FLAT default
+    assert(Space.fromJson(
+      """{"name":"x","fields":[{"name":"v","type":"vector","dimension":8}]}""")
+      .vectorFields.head.vector.get.indexType == "FLAT")
+  }
+
   test("per-space engine config: refresh_interval/cache_size/slow_search_time") {
     val sp = Space.fromJson(
       """{"name":"cfg","engine":{"refresh_interval":250,"cache_size":512,
