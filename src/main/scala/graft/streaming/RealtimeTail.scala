@@ -73,6 +73,46 @@ final class RealtimeTail(
     graft.operators.Documents.upsert(base, dedupedTail, idCol)
   }
 
+  /** Realtime graph-ANN search: the READY HNSW generation (built over the
+    * BASE) ∪ the brute-forced TAIL, tail winning id collisions — the
+    * reference's buffer-over-index merge (vector_manager.cc:941-1176).
+    * Fresh writes are never missed (the tail is scanned exactly) and an
+    * UPDATED doc's stale base ranking never survives (base hits whose id
+    * exists in the tail are dropped before the merge, not after —
+    * dropping after would let a stale high-ranking version crowd out a
+    * legitimate k-th result). The tail is one refresh interval of ingest,
+    * so the brute leg stays bounded regardless of base size. Requires an
+    * integral id (graph node ids are longs).
+    */
+  def searchHnsw(
+      segments: org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment],
+      schema: StructType,
+      vecCol: String,
+      q: Seq[Float],
+      k: Int,
+      ef: Int,
+      metric: String = "l2"): DataFrame = {
+    import graft.operators.{HnswIndex, Knn}
+    val tail = readOrEmpty(tailPath, schema)
+    val dedupedTail = orderCol match {
+      case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
+      case None     => tail.dropDuplicates(idCol)
+    }
+    val tailHits = Knn.search(dedupedTail, col(vecCol), q, k, metric,
+      tieBreak = Some(col(idCol)))
+      .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    val tailIds = dedupedTail.select(col(idCol).cast("long").as("vec_id"))
+    // up to |tail| of the base's top hits may be superseded and dropped,
+    // and the base's next-ranked docs then belong in the merged top-k —
+    // over-fetch by the (bounded) tail size so survivors always suffice
+    val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
+    val baseHits = HnswIndex.search(segments, q, kBase, math.max(ef, kBase), metric)
+      .join(tailIds, Seq("vec_id"), "left_anti")
+    val primary =
+      if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
+    baseHits.unionByName(tailHits).orderBy(primary, col("vec_id").asc).limit(k)
+  }
+
   /** Fold the tail into the base (the reference's background Indexing
     * loop, engine.cc:1084-1137) and clear the tail. `assign` is where IVF
     * list_id assignment for the new rows happens (IvfIndex.assign) before
