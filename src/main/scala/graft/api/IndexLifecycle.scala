@@ -204,6 +204,31 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       case _ => None
     }
 
+  /** Staleness of the HNSW generation: fraction of the SPACE the graph
+    * has not been built over — `(docs now − docs at build) / docs at
+    * build`. The graph kind has no appendDelta (inserting into a stored
+    * segment means rewriting it), so drift accrues from space growth via
+    * the realtime tail's compactions; serving stays fresh regardless
+    * through [[graft.streaming.RealtimeTail.searchHnsw]]'s brute tail leg.
+    */
+  def hnswStaleness(): Option[Double] = hnswState match {
+    case Ready(_, _, trained) if trained > 0 =>
+      val now = spark.read.parquet(spacePath).count()
+      Some((now - trained).toDouble / trained)
+    case _ => None
+  }
+
+  /** Drift-triggered HNSW rebuild — [[maybeRetrain]]'s twin for the graph
+    * kind (the reference rebuilds hnsw through the same index/rebuild
+    * verb, engine.cc:1013-1083). Returns true iff a rebuild ran.
+    */
+  def maybeRebuildHnsw(idCol: String, vecCol: String,
+      params: graft.operators.HnswIndex.Params,
+      driftThreshold: Double): Boolean =
+    if (hnswStaleness().exists(_ >= driftThreshold)) {
+      rebuildHnsw(idCol, vecCol, params); true
+    } else false
+
   /** Force-merge ≡ compaction: rewrite the space with a target file count
     * (POST /index/forcemerge → Optimize(), handler_document.go:468-476).
     */

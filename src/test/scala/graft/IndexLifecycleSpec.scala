@@ -153,4 +153,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(reason.contains(":"), s"expected a colon-bearing reason, got '$reason'")
     assert(lc.readyIndex().isEmpty)
   }
+
+  test("HNSW generation: staleness tracks space growth, drift triggers rebuild") {
+    val root = Files.createTempDirectory("lifecycle_hnsw").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    val p = graft.operators.HnswIndex.Params(8, 40, "l2", numShards = 2)
+    lc.rebuildHnsw("vec_id", "embedding", p)
+    assert(lc.hnswStaleness() == Some(0.0))
+    assert(!lc.maybeRebuildHnsw("vec_id", "embedding", p, driftThreshold = 0.3))
+
+    // grow the space 50% with exact clones under shifted ids
+    emb.filter($"vec_id" < 250)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label")
+      .write.mode("append").parquet(spacePath)
+    assert(lc.hnswStaleness().exists(_ >= 0.49))
+    assert(lc.maybeRebuildHnsw("vec_id", "embedding", p, driftThreshold = 0.3))
+    assert(lc.hnswState.asInstanceOf[lc.Ready].trainedDocs == 750L)
+
+    // the fresh generation serves the appended vectors: the clone of doc 5
+    // ties it at distance zero
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0)
+    val ids = graft.operators.HnswIndex
+      .search(lc.readyHnswSegments().get, q, k = 3, ef = 1 << 30, metric = "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(5L) && ids.contains(1000005L))
+  }
 }
