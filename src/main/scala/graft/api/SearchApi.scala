@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.operators.{Documents, Knn, VearchFilters}
+import graft.operators.{Documents, IvfIndex, Knn, VearchFilters}
 import graft.schema.{FieldKind, Space}
 
 /** Request-level API parity: the vearch REST verbs
@@ -46,7 +46,10 @@ object SearchApi {
       offset: Int,
       weights: Option[Seq[Double]],
       isBruteSearch: Int,
-      sort: Seq[(String, Boolean)]) // (field, ascending) — sortorder/parse.go:24-36
+      sort: Seq[(String, Boolean)], // (field, ascending) — sortorder/parse.go:24-36
+      // search-time index params (doc_query.go:1408-1478: request
+      // `index_params` overrides the space's at query time, e.g. nprobe)
+      indexParams: Map[String, Int] = Map.empty)
 
   /** Slow-search classification (doc_query.go:218-234): big topN, deep
     * probing, or many filters → isolate in a separate scheduler pool.
@@ -148,7 +151,12 @@ object SearchApi {
       }
       case _ => Seq.empty
     }
-    SearchRequest(vecs, filter, fields, vectorValue, limit, offset, weights, brute, sort)
+    val reqIndexParams: Map[String, Int] = (j \ "index_params") match {
+      case JObject(kvs) => kvs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+      case _ => Map.empty
+    }
+    SearchRequest(vecs, filter, fields, vectorValue, limit, offset, weights,
+      brute, sort, reqIndexParams)
   }
 
   private def sortCols(sort: Seq[(String, Boolean)]): Seq[Column] =
@@ -337,13 +345,20 @@ object SearchApi {
   /** Index-routed search — the reference's planner switch
     * (is_brute_search 0/2 serve from the declared index when one is READY,
     * 1 forces the brute scan; engine.cc:280-308). Routes a
-    * single-condition float search on a space whose vector field declares
-    * `index.type: HNSW` to the graph generation built by
-    * [[IndexLifecycle.rebuildHnsw]], with `efSearch` taken from the
-    * space's index params; scalar filters ride the broadcast allow-set
-    * into the walk (the reference's filter-bitmap functor). Everything
-    * else — score gates, batched req_num, multi-field conjunctions,
-    * non-integral ids, a missing/BUILDING generation, is_brute_search=1 —
+    * single-condition float search by the field's declared `index.type`:
+    *
+    *  - HNSW → the graph generation built by
+    *    [[IndexLifecycle.rebuildHnsw]], `efSearch` from the space's index
+    *    params; scalar filters ride the broadcast allow-set into the walk
+    *    (the reference's filter-bitmap functor). Needs an integral id.
+    *  - IVFFLAT → the `list_id` generation built by
+    *    [[IndexLifecycle.rebuild]]; `nprobe` resolves request
+    *    `index_params` → space params → the model default 80
+    *    (IVFFlatModelParams, gamma_index_ivfflat.cc:52-54), capped at
+    *    ncentroids; scalar filters evaluate inside the probed lists.
+    *
+    * Everything else — score gates, batched req_num, multi-field
+    * conjunctions, a missing/BUILDING generation, is_brute_search=1 —
     * falls back to the exact FLAT path of [[search]], the same degrade
     * the reference performs below training_threshold.
     */
@@ -353,45 +368,65 @@ object SearchApi {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idIntegral = corpus.schema.fields.find(_.name == "_id").exists(f =>
       f.dataType == LongType || f.dataType == IntegerType)
-    val routable = req.isBruteSearch != 1 && req.vectors.size == 1 &&
+    val single = req.isBruteSearch != 1 && req.vectors.size == 1 &&
       req.vectors.head.queries.size == 1 &&
-      req.vectors.head.minScore.isEmpty && req.vectors.head.maxScore.isEmpty &&
-      idIntegral &&
-      space.vectorFields.find(_.name == req.vectors.head.field)
-        .flatMap(_.vector)
-        .exists(v => v.indexType == "HNSW" && v.valueType == "float")
-    (if (routable) lifecycle.readyHnswSegments() else None) match {
-      case Some(segments) =>
-        val vc = req.vectors.head
-        val vopts = space.vectorFields.find(_.name == vc.field)
-          .flatMap(_.vector).get
-        val q = maybeNormalize(space, vc.field, vc.queries.head)
-        val metric = metricOf(space, vc.field)
-        val k = req.limit + req.offset
-        val ef = math.max(vopts.indexParams.getOrElse("efSearch", 64), k)
-        val pred = req.filter.map(
-          VearchFilters.parse(_, arrayFields(space), dateFields(space)))
-        val hits = pred match {
-          case Some(p) =>
-            graft.operators.HnswIndex.searchFiltered(segments, q, k, ef,
-              metric, corpus.filter(p).select(col("_id")))
-          case None =>
-            graft.operators.HnswIndex.search(segments, q, k, ef, metric)
-        }
-        // the walk returns (id, score); scalar payloads come from ONE
-        // broadcast join of the ≤k hits back onto the space table
-        val idT = corpus.schema("_id").dataType
-        val joined = corpus.join(
-          broadcast(hits.select(col("vec_id").cast(idT).as("_id"), col("_score"))),
-          "_id")
-        val primary =
-          if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
-        val ordered = joined.orderBy(primary, col("_id"))
-        val sliced = if (req.offset > 0) ordered.offset(req.offset) else ordered
-        val projected = sliced.select(projection(space, req, Seq("_score")): _*)
-        if (req.sort.nonEmpty) applySort(projected, req.sort) else projected
-      case _ => search(corpus, space, requestJson)
+      req.vectors.head.minScore.isEmpty && req.vectors.head.maxScore.isEmpty
+    val vopts = if (req.vectors.size == 1)
+      space.vectorFields.find(_.name == req.vectors.head.field).flatMap(_.vector)
+    else None
+    val floatField = vopts.exists(_.valueType == "float")
+
+    def pred = req.filter.map(
+      VearchFilters.parse(_, arrayFields(space), dateFields(space)))
+    def finish(hits: DataFrame, metric: String): DataFrame = {
+      val primary =
+        if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
+      val ordered = hits.orderBy(primary, col("_id"))
+      val sliced = if (req.offset > 0) ordered.offset(req.offset) else ordered
+      val projected = sliced.select(projection(space, req, Seq("_score")): _*)
+      if (req.sort.nonEmpty) applySort(projected, req.sort) else projected
     }
+
+    val routed: Option[DataFrame] = vopts.map(_.indexType) match {
+      case Some("HNSW") if single && floatField && idIntegral =>
+        lifecycle.readyHnswSegments().map { segments =>
+          val vc = req.vectors.head
+          val q = maybeNormalize(space, vc.field, vc.queries.head)
+          val metric = metricOf(space, vc.field)
+          val k = req.limit + req.offset
+          val ef = math.max(vopts.get.indexParams.getOrElse("efSearch", 64), k)
+          val hits = pred match {
+            case Some(p) =>
+              graft.operators.HnswIndex.searchFiltered(segments, q, k, ef,
+                metric, corpus.filter(p).select(col("_id")))
+            case None =>
+              graft.operators.HnswIndex.search(segments, q, k, ef, metric)
+          }
+          // the walk returns (id, score); scalar payloads come from ONE
+          // broadcast join of the ≤k hits back onto the space table
+          val idT = corpus.schema("_id").dataType
+          finish(corpus.join(
+            broadcast(hits.select(col("vec_id").cast(idT).as("_id"), col("_score"))),
+            "_id"), metric)
+        }
+      case Some("IVFFLAT") if single && floatField =>
+        val metric = metricOf(space, req.vectors.head.field)
+        for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
+          yield {
+            val vc = req.vectors.head
+            val q = maybeNormalize(space, vc.field, vc.queries.head)
+            val nprobe = math.min(
+              req.indexParams.get("nprobe").filter(_ > 0)
+                .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                .getOrElse(80),
+              model.ncentroids)
+            finish(IvfIndex.search(table, col(vc.field), model, q,
+              req.limit + req.offset, nprobe, filter = pred,
+              tieBreak = Some(col("_id"))), metric)
+          }
+      case _ => None
+    }
+    routed.getOrElse(search(corpus, space, requestJson))
   }
 
   /** `POST /document/query` → DataFrame: document_ids path (request order)

@@ -213,6 +213,11 @@ object Space {
           if (ec < 16 || ec > 1024)
             fail(s"index params efConstruction:$ec should in [16, 1024]")
         }
+        (indexParams.get("nprobe"), indexParams.get("ncentroids")) match {
+          case (Some(np), Some(nc)) if np != 0 && np > nc => // space.go:371
+            fail(s"$indexType nprobe:[$np] should less than ncentroids:[$nc]")
+          case _ => ()
+        }
         // value type: explicit `value_type`, or implied by index type
         // BINARYIVF (index_model.h:19 — FLOAT | BINARY | INT8)
         val valueType = (f \ "value_type") match {

@@ -303,8 +303,13 @@ object Recall {
     val hShards = sys.env.get("SPARK_GRAFT_RECALL_HNSW_SHARDS").map(_.toInt)
       .getOrElse(math.max(1, (n / 65536L).toInt))
     val hEf = sys.env.getOrElse("SPARK_GRAFT_RECALL_HNSW_EF", "300").toInt
+    // m/efConstruction overridable to replay the reference's PUBLISHED
+    // HNSW operating point (nlinks=32, efConstruction=40, efSearch=64 —
+    // internal/engine/benchs/README.md:70-78)
+    val hM = sys.env.getOrElse("SPARK_GRAFT_RECALL_HNSW_M", "16").toInt
+    val hEfc = sys.env.getOrElse("SPARK_GRAFT_RECALL_HNSW_EFC", "100").toInt
     val segs = graft.operators.HnswIndex.build(cached, "vec_id", "embedding",
-      graft.operators.HnswIndex.Params(m = 16, efConstruction = 100,
+      graft.operators.HnswIndex.Params(m = hM, efConstruction = hEfc,
         metric = "l2", numShards = hShards)).cache()
     segs.count()
     val gotHnsw = graft.operators.HnswIndex
@@ -313,7 +318,7 @@ object Recall {
       .map { case (qid, rows) =>
         qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
       }
-    report(s"${tag}HNSW_m16_efc100_ef${hEf}_s$hShards", n, gt, gotHnsw)
+    report(s"${tag}HNSW_m${hM}_efc${hEfc}_ef${hEf}_s$hShards", n, gt, gotHnsw)
     segs.unpersist()
 
     spark.stop()

@@ -324,4 +324,54 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(SearchApi.searchAuto(stored, hspace, gated, lc)) ==
       rows(SearchApi.search(stored, hspace, gated)))
   }
+
+  test("searchAuto: IVFFLAT space routes through the READY generation, nprobe resolves request→space") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_route").toString
+    val spacePath = s"$root/space"
+    corpus.write.parquet(spacePath) // string _id: fine for the scan route
+    val stored = spark.read.parquet(spacePath)
+    // space declares a NARROW default probe; requests can widen it
+    val ispace = Space.fromJson(
+      """{"name":"ivf_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFFLAT",
+                    "params":{"metric_type":"InnerProduct","ncentroids":8,"nprobe":1}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+
+    val plain = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}"""
+    // no generation yet → FLAT fallback
+    assert(SearchApi.searchAuto(stored, ispace, plain, lc).count() == 9)
+
+    lc.rebuild("embedding", ncentroids = 8)
+    // space default nprobe=1: a real pruned probe — approximate by
+    // design, best-first within the probed list
+    val nRows = rows(SearchApi.searchAuto(stored, ispace, plain, lc))
+    assert(nRows.nonEmpty && nRows.length <= 9)
+    val scores = nRows.map(_._3)
+    assert(scores == scores.sorted.reverse) // IP ⇒ desc
+
+    // request-level index_params OVERRIDES the space default at query
+    // time (doc_query.go:1408-1478): nprobe = ncentroids ⇒ exhaustive
+    // probe ⇒ exact parity with the FLAT scan
+    val wide = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"nprobe":8},"limit":9}"""
+    assert(rows(SearchApi.searchAuto(stored, ispace, wide, lc)) ==
+      rows(SearchApi.search(stored, ispace, plain)))
+
+    // scalar filter evaluates inside the probed lists; exhaustive-probe
+    // parity holds under the filter too
+    val filtered = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"nprobe":8},
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":6}"""
+    val filteredFlat = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":6}"""
+    assert(rows(SearchApi.searchAuto(stored, ispace, filtered, lc)) ==
+      rows(SearchApi.search(stored, ispace, filteredFlat)))
+  }
 }
