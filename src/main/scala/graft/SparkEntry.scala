@@ -745,6 +745,28 @@ object SparkEntry {
         .orderBy(col("qid"), col("score"), col("vec_id"))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over an HNSW space — the full REST
+    //    path (space JSON → searchAuto planner switch → READY graph
+    //    generation → filter-bitmap walk → projection); efSearch ≥ corpus
+    //    ⇒ exact, so the whole routing stack is oracle-checked ──
+    "q_api_search_hnsw" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnsw_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── pipeline: full text profile (tokens, subwords, lang-id,
     //    fingerprint) — every column portable, fully oracle-checked ──
     "q_text_profile" -> ((s, dir) => {
@@ -2056,6 +2078,14 @@ object SparkEntry {
 
     "q_ivf_exact" -> exactL2Top10Sql,
     "q_hnsw_exact" -> exactL2Top10Sql,
+    "q_api_search_hnsw" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
     "q_hnsw_filtered" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id, e.label,

@@ -424,6 +424,24 @@ object IndexStore {
     spark.read.parquet(s"$dir/table").as[HnswIndex.Segment]
   }
 
+  /** Routed-API fixture: the embeddings table materialized as a SPACE
+    * (long `_id`) with a READY HNSW generation built through the
+    * lifecycle — the layout [[graft.api.SearchApi.searchAuto]] serves.
+    */
+  def hnswSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apihnsw")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildHnsw("_id", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4))
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Media fixture: the synthesized PNG/WAV/pseudo-video corpus
     * ([[graft.operators.Multimodal.synthesize]] over the embeddings ids)
     * written ONCE per fixture. Media queries then time decode + features
@@ -460,6 +478,7 @@ object IndexStore {
     binary(spark, sfDir)
     binaryIvf(spark, sfDir)
     hnsw(spark, sfDir)
+    hnswSpace(spark, sfDir)
     media(spark, sfDir)
     ()
   }

@@ -95,6 +95,31 @@ object Stress {
         struct(col("id")), ivf, k = 10, nprobe = 8).count()
     }
 
+    // HNSW over cached graph segments — the serving shape (graph resident
+    // in executor memory, the reference's in-RAM hnsw). Build once
+    // (bounded ~64k-node shards), then single + batched walks; the
+    // vec_per_sec of the walks is the EFFECTIVE rate vs the flat scans
+    // above (the walk answers the same query while visiting ef-bounded
+    // node counts per shard)
+    val hShards = math.max(1, (n / 65536L).toInt)
+    val hp = graft.operators.HnswIndex.Params(m = 16, efConstruction = 40,
+      metric = "ip", numShards = hShards)
+    val hCorpus = table.select($"id", $"v")
+    var segs: org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment] = null
+    time(s"hnsw_build_m16_efc40_s$hShards", n) {
+      segs = graft.operators.HnswIndex.build(hCorpus, "id", "v", hp).cache()
+      segs.count()
+    }
+    time("hnsw_single_ef64_top10_effective", n) {
+      graft.operators.HnswIndex.search(segs, q, 10, 64, "ip").collect()
+    }
+    val hQueries = hCorpus.filter($"id" < 100).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    time("hnsw_batch100_ef64_top10_effective", n * 100) {
+      graft.operators.HnswIndex.searchBatch(segs, hQueries, 10, 64, "ip").count()
+    }
+    segs.unpersist()
+
     // exact jaccard near-dup at corpus scale: template-structured docs
     // (10 docs share a template, ~2 of 80 words perturbed per doc →
     // within-template jaccard ≈ 0.86) — exercises the prefix-filtered
