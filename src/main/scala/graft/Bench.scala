@@ -22,6 +22,9 @@ object Bench {
       // the whole query set (what a resident engine measures); materialize
       // them here so no timed query pays the first-read cost
       SparkEntry.cacheTables = true
+      // same declared policy for index layouts: a resident engine serves
+      // graphs/lists from RAM (IndexStore.readLayout doc)
+      graft.sources.IndexStore.resident = true
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
         .foreach(n => SparkEntry.table(spark, sfDir, n).count())

