@@ -177,4 +177,61 @@ class UserJourneySpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq
     assert(ids == ids2)
   }
+
+  test("graph-index journey: HNSW space → build → routed search → drift rebuild") {
+    val root = Files.createTempDirectory("journey_hnsw").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("demo")
+    // a space whose vector field DECLARES the graph index, exactly as a
+    // reference user writes it; efSearch ≥ corpus makes the routed walk
+    // exact so every step below is assertable against the FLAT path
+    val space = Space.fromJson(
+      """{"name":"gdocs","fields":[
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    cat.createSpace("demo", space)
+
+    def vf(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 37 + i * 3) % 11 - 5).toFloat)
+    val docs = (0L until 60L).map(i => (i, (i % 5).toInt, vf(i.toInt)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("demo", "gdocs", docs, partitionNum = 2)
+
+    // POST /index/rebuild for the graph kind: BUILDING→READY generation
+    val lc = new IndexLifecycle(spark, s"$root/demo/gdocs")
+    val hp = graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2)
+    lc.rebuildHnsw("_id", "vec", hp)
+    assert(lc.readyHnswSegments().isDefined)
+
+    // POST /document/search routes through the planner switch; exact-ef
+    // walk ≡ the brute FLAT path, filter riding the allow-set
+    val corpus = cat.read("demo", "gdocs")
+    val qv = (0 until 8).map(i => i + 0.5f) // fractional: vf() only mints integers
+    val req = s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":">=","field":"stars","value":1}]},"limit":5}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(SearchApi.searchAuto(corpus, space, req, lc)) ==
+      rows(SearchApi.search(corpus, space, req)))
+
+    // the space grows 50% — including an exact clone of the query — and
+    // drift triggers a graph rebuild; the routed search then finds it
+    val more = (100L until 130L).map(i =>
+      (i, 1, if (i == 100L) qv else vf(i.toInt)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("demo", "gdocs", more, partitionNum = 2)
+    assert(lc.hnswStaleness().exists(_ >= 0.49))
+    assert(lc.maybeRebuildHnsw("_id", "vec", hp, driftThreshold = 0.3))
+    val fresh = rows(SearchApi.searchAuto(cat.read("demo", "gdocs"), space,
+      s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],"limit":3}""",
+      lc))
+    assert(fresh.head == (100L, 0.0)) // the clone, at distance zero
+
+    cat.dropSpace("demo", "gdocs")
+  }
 }
