@@ -140,6 +140,20 @@ class HnswIndexSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 2L)) // all rows returned even with k > n
   }
 
+  test("degenerate geometry: all-identical vectors build and search exactly") {
+    // every pairwise distance is zero — the heuristic selector and degree
+    // pruning must not wedge, and the id tiebreak must order the ties
+    val df = (0L until 100L).map(i => (i, Array.fill(4)(1f)))
+      .toDF("vec_id", "embedding")
+    val p = HnswIndex.Params(m = 4, efConstruction = 16, metric = "l2", numShards = 3)
+    val got = HnswIndex.search(
+      HnswIndex.build(df, "vec_id", "embedding", p),
+      Seq(1f, 1f, 1f, 1f), k = 5, ef = 1 << 30, metric = "l2")
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == (0L until 5L).map(i => (i, 0.0)))
+  }
+
   test("property: exact-params search matches a local brute-force oracle on random corpora") {
     // independent oracle: local double-accumulation score + (score, id)
     // sort — no shared code with the operator under test
