@@ -713,6 +713,29 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.4 SPANN-style ROUTED HNSW (clustered shards = coarse-quantizer
+    //    lists, query routes to nprobe shards = parquet partition pruning)
+    //    with exactness params ≡ exact KNN — the oracle proves the
+    //    clustered build + route + walk + merge end-to-end ──
+    "q_hnsw_routed_exact" -> ((s, dir) => {
+      init(s)
+      val (segs, ivf) = graft.sources.IndexStore.hnswClustered(s, dir)
+      HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 1 << 30,
+        metric = "l2", nprobe = ivf.ncentroids, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): routed HNSW at the real operating point —
+    //    nprobe=4 of 16 prunes 3/4 of the segment IO before the ef=64
+    //    walks; exactness twin above, recall pinned in HnswIndexSpec ──
+    "q_hnsw_routed" -> ((s, dir) => {
+      init(s)
+      val (segs, ivf) = graft.sources.IndexStore.hnswClustered(s, dir)
+      HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 64,
+        metric = "l2", nprobe = 4, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── §2.4 hybrid filtered HNSW: the scalar predicate's surviving ids
     //    broadcast into the graph walk (= the reference's filter-bitmap
     //    functor); disallowed nodes traversed, never returned — so the
@@ -2078,6 +2101,7 @@ object SparkEntry {
 
     "q_ivf_exact" -> exactL2Top10Sql,
     "q_hnsw_exact" -> exactL2Top10Sql,
+    "q_hnsw_routed_exact" -> exactL2Top10Sql,
     "q_api_search_hnsw" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS _id, e.label,

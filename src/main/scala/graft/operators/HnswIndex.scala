@@ -369,6 +369,47 @@ object HnswIndex {
       .map { case (d, idx) => (seg.nodes(idx).id, reportScore(metric, d)) }
   }
 
+  /** Clustered sharding: shards are COARSE-QUANTIZER lists (the trained
+    * IVF model's `list_id`), not id-hash buckets — the SPANN architecture
+    * (Chen et al., "SPANN: Highly-efficient Billion-scale Approximate
+    * Nearest Neighbor Search", NeurIPS 2021: centroid-routed partitions,
+    * each searched by an in-memory index). At fleet scale this answers
+    * the fan-out question: a query routes to `nprobe` shards instead of
+    * all of them, and because the segment table is written
+    * `partitionBy(shard_id)`, the route is parquet PARTITION PRUNING —
+    * (ncentroids − nprobe)/ncentroids of the segment IO never happens.
+    * The reference's own HNSW searches every partition; this composition
+    * is strictly stronger and stays exact at nprobe = ncentroids.
+    */
+  def buildClustered(df: DataFrame, idCol: String, vecCol: String, p: Params,
+      ivf: IvfIndex.Model): Dataset[Segment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    IvfIndex.assign(
+      df.select(col(idCol).cast("long").as(idCol), col(vecCol).cast("array<float>").as(vecCol))
+        .filter(col(vecCol).isNotNull), vecCol, ivf)
+      .select(col("list_id").cast("int"), col(idCol), col(vecCol))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        buildSegment(sid, it.map(t => (t._2, t._3)).toArray.sortBy(_._1), p)
+      }
+  }
+
+  /** Routed search over a clustered-shard segment table: the driver's
+    * tiny quantizer search picks `nprobe` shards and the `shard_id`
+    * filter prunes the rest BEFORE any IO (see [[buildClustered]]);
+    * the surviving shards run the ordinary walk + merge. Exact when
+    * nprobe = ncentroids and `ef ≥ max shard size`.
+    */
+  def searchRouted(segments: Dataset[Segment], ivf: IvfIndex.Model,
+      q: Seq[Float], k: Int, ef: Int, metric: String, nprobe: Int,
+      roundTo: Option[Int] = None): DataFrame = {
+    val lists = ivf.nearestCentroids(q, nprobe)
+    search(segments.filter(col("shard_id").isin(lists: _*)), q, k, ef,
+      metric, roundTo)
+  }
+
   /** Single-query search over the segment table: per-shard graph walk via
     * `flatMap` (no shuffle of the corpus), global TakeOrderedAndProject
     * merge. `ef ≥ max shard size` ⇒ exact (see class doc).

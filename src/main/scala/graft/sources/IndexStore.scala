@@ -441,6 +441,29 @@ object IndexStore {
     readLayout(spark, s"$dir/table").as[HnswIndex.Segment]
   }
 
+  /** Clustered-shard HNSW layout (SPANN-style, [[HnswIndex.buildClustered]]):
+    * shards = the shared coarse quantizer's lists, table partitioned by
+    * `shard_id` so the query route is parquet partition pruning.
+    */
+  def hnswClustered(spark: SparkSession, sfDir: String, ncentroids: Int = 16,
+      m: Int = 16, efConstruction: Int = 100)
+      : (org.apache.spark.sql.Dataset[HnswIndex.Segment], IvfIndex.Model) = {
+    import spark.implicits._
+    val dir = dirFor(sfDir, s"hnswr${ncentroids}_${m}_$efConstruction")
+    buildOnce(dir) {
+      // reuse ivfFlat's trained quantizer (same data/params) — and the
+      // routing stays consistent with the scan-path IVF layouts
+      val ivf = ivfFlat(spark, sfDir, ncentroids)._2
+      HnswIndex.buildClustered(emb(spark, sfDir), "vec_id", "embedding",
+        HnswIndex.Params(m, efConstruction, "l2", ncentroids), ivf)
+        .write.mode("overwrite").partitionBy("shard_id").parquet(s"$dir/table")
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table").as[HnswIndex.Segment],
+      readIvfModel(s"$dir/ivf.txt"))
+  }
+
   /** Routed-API fixture: the embeddings table materialized as a SPACE
     * (long `_id`) with a READY HNSW generation built through the
     * lifecycle — the layout [[graft.api.SearchApi.searchAuto]] serves.
@@ -498,6 +521,7 @@ object IndexStore {
     m(binary(spark, sfDir))
     m(binaryIvf(spark, sfDir)._1)
     m(hnsw(spark, sfDir).toDF())
+    m(hnswClustered(spark, sfDir)._1.toDF())
     hnswSpace(spark, sfDir)
     m(media(spark, sfDir))
     ()

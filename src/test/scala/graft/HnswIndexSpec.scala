@@ -140,6 +140,34 @@ class HnswIndexSpec extends SparkSpec {
     assert(got == Set(0L, 1L, 2L)) // all rows returned even with k > n
   }
 
+  test("clustered shards (SPANN routing): exact at full route, high recall at half") {
+    val ivf = graft.operators.IvfIndex.train(emb, "embedding", ncentroids = 8)
+    val p = HnswIndex.Params(m = 8, efConstruction = 60, metric = "l2", numShards = 8)
+    val csegs = HnswIndex.buildClustered(emb, "vec_id", "embedding", p, ivf).cache()
+    csegs.count()
+    // shard ids ARE the quantizer's list ids; every vector lands once
+    val sids = csegs.collect()
+    assert(sids.map(_.shard_id).toSet.subsetOf((0 until ivf.ncentroids).toSet))
+    assert(sids.map(_.nodes.length).sum == emb.count())
+    // full route + exhaustive walks ≡ brute force, bit-identical
+    val got = HnswIndex.searchRouted(csegs, ivf, qv, k = 10, ef = 1 << 30,
+      metric = "l2", nprobe = ivf.ncentroids)
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Knn.search(emb, col("embedding"), qv, k = 10, metric = "l2",
+      tieBreak = Some(col("vec_id")))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // half the lists routed still recovers most of the exact top-10
+    val routed = HnswIndex.searchRouted(csegs, ivf, qv, k = 10, ef = 1 << 30,
+      metric = "l2", nprobe = ivf.ncentroids / 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(routed.intersect(want.map(_._1).toSet).size >= 8)
+    csegs.unpersist()
+    ()
+  }
+
   test("degenerate geometry: all-identical vectors build and search exactly") {
     // every pairwise distance is zero — the heuristic selector and degree
     // pruning must not wedge, and the id tiebreak must order the ties

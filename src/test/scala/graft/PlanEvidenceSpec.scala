@@ -61,6 +61,22 @@ class PlanEvidenceSpec extends SparkSpec {
       s"no code-only stage-1 scan in:\n${plan.queryExecution.executedPlan}")
   }
 
+  test("HNSW route reaches partition pruning on the shard_id segment layout") {
+    import graft.operators.HnswIndex
+    val ivf = IvfIndex.train(emb, "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("pe_hnswr").toString + "/tbl"
+    HnswIndex.buildClustered(emb, "vec_id", "embedding",
+      HnswIndex.Params(8, 40, "l2", numShards = 8), ivf)
+      .write.partitionBy("shard_id").parquet(dir)
+    import spark.implicits._
+    val segs = spark.read.parquet(dir).as[HnswIndex.Segment]
+    val plan = HnswIndex.searchRouted(segs, ivf, q0, k = 5, ef = 64,
+      metric = "l2", nprobe = 2)
+    val pruned = scansOf(plan).filter(_.partitionFilters.nonEmpty)
+    assert(pruned.nonEmpty,
+      s"route did not become a PartitionFilter:\n${plan.queryExecution.executedPlan}")
+  }
+
   test("IVF probe reaches partition pruning on the list_id layout") {
     val model = IvfIndex.train(emb, "embedding", 8)
     val dir = java.nio.file.Files.createTempDirectory("pe_ivf").toString + "/tbl"
