@@ -382,17 +382,36 @@ object HnswIndex {
     * is strictly stronger and stays exact at nprobe = ncentroids.
     */
   def buildClustered(df: DataFrame, idCol: String, vecCol: String, p: Params,
-      ivf: IvfIndex.Model): Dataset[Segment] = {
+      ivf: IvfIndex.Model, maxShardRows: Int = 1 << 20): Dataset[Segment] = {
     val spark = df.sparkSession
     import spark.implicits._
-    IvfIndex.assign(
+    require(maxShardRows > 0)
+    val assigned = IvfIndex.assign(
       df.select(col(idCol).cast("long").as(idCol), col(vecCol).cast("array<float>").as(vecCol))
         .filter(col(vecCol).isNotNull), vecCol, ivf)
       .select(col("list_id").cast("int"), col(idCol), col(vecCol))
       .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (sid, it) =>
-        buildSegment(sid, it.map(t => (t._2, t._3)).toArray.sortBy(_._1), p)
+    // skew guard (SPANN splits over-long posting lists the same way): a
+    // hot list is built as SEVERAL bounded sub-segments under the SAME
+    // shard_id. Pass 1 derives per-list sub-shard counts from a
+    // map-side-combined count (ncentroids rows on the driver, never
+    // data); pass 2 salts the group key by a deterministic id-hash, so
+    // BOTH the segment row and the build task's memory stay
+    // ~maxShardRows-bounded under any cluster skew. Every row remains a
+    // complete walkable graph, the centroid route still prunes on
+    // shard_id, and the union of exhaustive sub-walks IS the exhaustive
+    // list walk — exactness survives the split.
+    val subs = assigned.groupByKey(_._1).count().collect()
+      .map { case (l, c) =>
+        l -> math.max(1L, (c + maxShardRows - 1) / maxShardRows).toInt }
+      .toMap
+    val subsB = spark.sparkContext.broadcast(subs)
+    assigned
+      .groupByKey { case (l, id, _) =>
+        (l, math.floorMod(scala.util.hashing.byteswap64(id), subsB.value(l).toLong).toInt)
+      }
+      .mapGroups { (key, it) =>
+        buildSegment(key._1, it.map(t => (t._2, t._3)).toArray.sortBy(_._1), p)
       }
   }
 

@@ -168,6 +168,27 @@ class HnswIndexSpec extends SparkSpec {
     ()
   }
 
+  test("clustered shards: the skew split keeps segments bounded and stays exact") {
+    val ivf = graft.operators.IvfIndex.train(emb, "embedding", ncentroids = 4)
+    val p = HnswIndex.Params(m = 8, efConstruction = 60, metric = "l2", numShards = 4)
+    val segs = HnswIndex.buildClustered(emb, "vec_id", "embedding", p, ivf,
+      maxShardRows = 40)
+    val rows = segs.collect()
+    assert(rows.map(_.nodes.length).sum == emb.count())
+    assert(rows.forall(_.nodes.length <= 80)) // hash-balanced around the bound
+    assert(rows.length > rows.map(_.shard_id).distinct.length) // real splits
+    // the union of exhaustive sub-walks IS the exhaustive list walk
+    val got = HnswIndex.searchRouted(segs, ivf, qv, k = 10, ef = 1 << 30,
+      metric = "l2", nprobe = ivf.ncentroids)
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Knn.search(emb, col("embedding"), qv, k = 10, metric = "l2",
+      tieBreak = Some(col("vec_id")))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("degenerate geometry: all-identical vectors build and search exactly") {
     // every pairwise distance is zero — the heuristic selector and degree
     // pruning must not wedge, and the id tiebreak must order the ties
