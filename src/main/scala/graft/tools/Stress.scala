@@ -120,6 +120,27 @@ object Stress {
     }
     segs.unpersist()
 
+    // clustered (SPANN-routed) variant over the same corpus: shards = the
+    // 64 coarse lists (reusing the IVF quantizer above), skew-split at
+    // 64k rows; a routed query reads nprobe/ncentroids of segment IO
+    val cp = graft.operators.HnswIndex.Params(m = 16, efConstruction = 40,
+      metric = "l2", numShards = 64)
+    var csegs: org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment] = null
+    time("hnsw_clustered_build_nc64", n) {
+      csegs = graft.operators.HnswIndex
+        .buildClustered(hCorpus, "id", "v", cp, ivf, maxShardRows = 65536).cache()
+      csegs.count()
+    }
+    time("hnsw_routed_np8of64_ef64_top10_effective", n / 8) {
+      graft.operators.HnswIndex.searchRouted(csegs, ivf, q, 10, 64, "l2",
+        nprobe = 8).collect()
+    }
+    time("hnsw_routed_full_np64_ef64_top10_effective", n) {
+      graft.operators.HnswIndex.searchRouted(csegs, ivf, q, 10, 64, "l2",
+        nprobe = 64).collect()
+    }
+    csegs.unpersist()
+
     // exact jaccard near-dup at corpus scale: template-structured docs
     // (10 docs share a template, ~2 of 80 words perturbed per doc →
     // within-template jaccard ≈ 0.86) — exercises the prefix-filtered
