@@ -790,6 +790,75 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.1+§2.4 DELETE VISIBILITY through the routed HNSW path: ids
+    //    0–4 deleted AFTER the graph generation was built (they still sit
+    //    in the stored segments — vec_id 0 is the query vector itself, so
+    //    an ungated walk returns it as top-1 ghost). The delete ledger
+    //    rides the walk as the allow-functor (traverse-but-never-admit),
+    //    so the response is exactly k LIVE docs — the reference's
+    //    deleted-bitmap gate (engine.cc:869-899) ──
+    "q_hnsw_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.apiDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"del_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.1+§2.4 DELETE VISIBILITY through the routed IVF path: same
+    //    contract, scan side — the ledger anti-filters the READY layout
+    //    inside the probed lists BEFORE top-k selection (no over-fetch
+    //    needed, no under-fill); nprobe = ncentroids ⇒ exact, so the
+    //    gate is oracle-checked end-to-end ──
+    "q_ivf_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.apiDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"del_space_ivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 BATCHED requests through the index planner: req_num=3
+    //    queries ride ONE flat feature array (doc_query.go:296-318) and
+    //    route to the graph generation — one segment pass serves the
+    //    whole batch (HnswIndex.searchBatch) instead of degrading to
+    //    per-query brute force; efSearch ≥ corpus ⇒ exact, oracle-checked
+    //    per-qid against DuckDB ──
+    "q_api_search_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnsw_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── pipeline: full text profile (tokens, subwords, lang-id,
     //    fingerprint) — every column portable, fully oracle-checked ──
     "q_text_profile" -> ((s, dir) => {
@@ -2110,6 +2179,38 @@ object SparkEntry {
          WHERE e.label IN (1,3,5)
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
+    // routed search after delete: the oracle is the exact top-10 over the
+    // LIVE corpus (ids 0-4 deleted post-build; a ledger-gating failure
+    // surfaces vec_id 0 — the query vector itself — as a ghost top-1)
+    "q_hnsw_after_delete" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.vec_id NOT IN (0,1,2,3,4)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_ivf_after_delete" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.vec_id NOT IN (0,1,2,3,4)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    // batched route: per-qid exact top-10 blocks (qid = position in the
+    // flat feature array = vec_id 0..2 by construction)
+    "q_api_search_batch" ->
+      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 3),
+         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
+                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
+                      row_number() OVER (PARTITION BY qs._qid
+                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
+                                 e.vec_id) AS rn
+               FROM embeddings e, qs)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
     "q_hnsw_filtered" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id, e.label,

@@ -80,6 +80,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       centroids.toDF("list_id", "centroid").write
         .mode("overwrite").parquet(s"${indexPath(gen)}.centroids")
       writeState(s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneDeleteLedger()
       Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
@@ -147,10 +148,151 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       case _ => false
     }
 
+  // ── delete ledger (the reference's deleted-bitmap: engine.cc:869-899
+  //    sets a bit, every index search gates candidates on
+  //    IsValid = candidate ∧ ¬deleted, gamma_common_data.h:94-105). Here
+  //    the ledger is an append-only sidecar of (ts, id) lines; a routed
+  //    search reads the ids recorded SINCE its generation was built and
+  //    gates on them — ids deleted before the build are already absent
+  //    from the layout. The ledger is pruned at each rebuild, so its size
+  //    is bounded by the deletes of one rebuild interval, never the
+  //    corpus. ──────────────────────────────────────────────────────────
+
+  private def deleteLedgerPath = s"$spacePath.delete_ledger"
+
+  /** Record ids as deleted (call alongside the space-table delete). */
+  def recordDeletes(ids: Seq[Long]): Unit = synchronized {
+    if (ids.nonEmpty) {
+      val ts = System.currentTimeMillis()
+      val lines = ids.map(id => s"$ts $id").mkString("", "\n", "\n")
+      Files.write(Paths.get(deleteLedgerPath), lines.getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      recordMutations(ids.size.toLong)
+    }
+  }
+
+  /** Ids deleted at-or-after `gen` (a generation's build-start stamp):
+    * exactly the ids that may still be present in that generation's
+    * layout. Conservative at the build-race margin — a delete recorded
+    * during the build is gated even if the build already excluded it
+    * (gating an absent id is a no-op).
+    */
+  def deletedSince(gen: Long): Set[Long] = {
+    val p = Paths.get(deleteLedgerPath)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val b = Set.newBuilder[Long]
+      Files.readAllLines(p).forEach { line =>
+        val t = line.trim
+        if (t.nonEmpty) {
+          val sp = t.indexOf(' ')
+          if (sp > 0 && t.substring(0, sp).toLong >= gen)
+            b += t.substring(sp + 1).toLong
+        }
+      }
+      b.result()
+    }
+  }
+
+  /** Drop ledger entries older than `gen` — called after a rebuild flips
+    * READY (the new layout no longer contains them). Entries newer than
+    * the OTHER kind's generation survive: the ledger is shared between
+    * the scan (IVF) and graph (HNSW) layouts, so pruning keeps everything
+    * at-or-after the OLDEST live generation.
+    */
+  private def pruneDeleteLedger(): Unit = synchronized {
+    val p = Paths.get(deleteLedgerPath)
+    if (Files.exists(p)) {
+      val ivfGen = state match { case Ready(g, _, _) => Seq(g); case _ => Nil }
+      // an appended HNSW generation's gate reaches back to its BASELINE
+      val hnswBase = hnswState match {
+        case Ready(g, _, _) => Seq(hnswLedgerBase(g)); case _ => Nil
+      }
+      val oldest = (ivfGen ++ hnswBase).minOption.getOrElse(Long.MaxValue)
+      val kept = new StringBuilder
+      Files.readAllLines(p).forEach { line =>
+        val t = line.trim
+        if (t.nonEmpty) {
+          val sp = t.indexOf(' ')
+          if (sp > 0 && t.substring(0, sp).toLong >= oldest)
+            kept.append(t).append('\n')
+        }
+      }
+      writeStateAt(deleteLedgerPath, kept.toString)
+    }
+  }
+
+  /** Delete-by-ids at the SPACE level: rewrite the live table without the
+    * ids (move-aside swap, no crash window) AND record them in the delete
+    * ledger so READY generations stop serving them immediately — the
+    * reference's bitmap-delete contract (engine.cc:869-899).
+    */
+  def deleteByIds(idCol: String, ids: Seq[Long]): Unit = {
+    val df = spark.read.parquet(spacePath)
+    val remaining = graft.operators.Documents.deleteByIds(df, idCol, ids)
+    val tmp = s"$spacePath.delete.tmp"
+    remaining.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val old = new org.apache.hadoop.fs.Path(s"$spacePath.old")
+    fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
+    recordDeletes(ids)
+  }
+
+  // ── mutation ledger: cumulative (ts, count) lines recording rows
+  //    CHANGED in place (tail folds, deletes) — the churn a raw row-count
+  //    staleness cannot see (an in-place UPDATE leaves count unchanged;
+  //    a delete makes the delta negative). maybeRebuildHnsw reads churn
+  //    since the build via [[mutationsSince]]. ─────────────────────────
+
+  private def mutationLedgerPath = s"$spacePath.mutation_ledger"
+
+  /** Record `n` rows of churn (folded tail rows, deletes). */
+  def recordMutations(n: Long): Unit = synchronized {
+    if (n > 0) {
+      val line = s"${System.currentTimeMillis()} $n\n"
+      Files.write(Paths.get(mutationLedgerPath), line.getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Total churn recorded at-or-after `gen`. */
+  def mutationsSince(gen: Long): Long = {
+    val p = Paths.get(mutationLedgerPath)
+    if (!Files.exists(p)) 0L
+    else {
+      var total = 0L
+      Files.readAllLines(p).forEach { line =>
+        val t = line.trim
+        if (t.nonEmpty) {
+          val sp = t.indexOf(' ')
+          if (sp > 0 && t.substring(0, sp).toLong >= gen)
+            total += t.substring(sp + 1).toLong
+        }
+      }
+      total
+    }
+  }
+
   /** The current READY index table, or None while missing/building. */
   def readyIndex(): Option[DataFrame] = state match {
     case Ready(gen, _, _) => Some(spark.read.parquet(indexPath(gen)))
     case _             => None
+  }
+
+  /** The READY generation stamp of the scan (IVF) layout, if any. */
+  def readyGen(): Option[Long] = state match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
+  }
+
+  /** The READY generation stamp of the graph (HNSW) layout, if any. */
+  def readyHnswGen(): Option[Long] = hnswState match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
   }
 
   def loadModel(metric: String = "l2"): Option[IvfIndex.Model] = state match {
@@ -186,12 +328,72 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       graft.operators.HnswIndex.build(corpus, idCol, vecCol, params)
         .write.mode("overwrite").parquet(hnswPath(gen))
       writeStateAt(hnswStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
+      pruneDeleteLedger()
       Ready(gen, params.numShards, trainedDocs)
     } catch {
       case e: Exception =>
         writeStateAt(hnswStatePath, s"FAILED:$gen:${e.getMessage}")
         throw e
     }
+  }
+
+  /** Delete-ledger BASELINE sidecar for an appended generation: an
+    * appended graph still carries every node of the generation it grew
+    * from, so its delete gate must reach back to the ORIGINAL build's
+    * stamp — not the append's. Absent sidecar = the generation was a
+    * full rebuild; its own stamp is the baseline.
+    */
+  private def hnswBasePath(gen: Long) = s"${hnswPath(gen)}.ledger_base"
+
+  def hnswLedgerBase(gen: Long): Long = {
+    val p = Paths.get(hnswBasePath(gen))
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong else gen
+  }
+
+  /** The delete-gate baseline of the READY HNSW generation (what
+    * [[deletedSince]] should be called with when serving it). */
+  def hnswDeleteBaseline(): Option[Long] = hnswState match {
+    case Ready(gen, _, _) => Some(hnswLedgerBase(gen))
+    case _ => None
+  }
+
+  /** Incremental HNSW add — the reference's background Indexing loop
+    * folds ONLY new vectors into the live graph (engine.cc:1084-1137,
+    * AddRTVecsToIndex vector_manager.cc:678) instead of rebuilding over
+    * the corpus. Cost ∝ |delta| + the touched shards; untouched shard
+    * rows are copied through unchanged. Monotone new ids yield a
+    * generation bit-identical to a full rebuild (HnswIndex.append doc).
+    * The new generation inherits the OLD generation's delete-ledger
+    * baseline: carried-over nodes may still contain ids deleted since
+    * the original build, so the gate keeps covering them.
+    */
+  def appendHnsw(delta: DataFrame, idCol: String, vecCol: String,
+      params: graft.operators.HnswIndex.Params): Ready = hnswState match {
+    case Ready(oldGen, shards, trained) =>
+      require(shards == params.numShards,
+        s"appendHnsw numShards ${params.numShards} != READY generation's $shards")
+      val base = hnswLedgerBase(oldGen)
+      val gen = System.currentTimeMillis()
+      writeStateAt(hnswStatePath, s"BUILDING:$gen:")
+      try {
+        import spark.implicits._
+        val old = spark.read.parquet(hnswPath(oldGen))
+          .as[graft.operators.HnswIndex.Segment]
+        val deltaN = delta.count()
+        graft.operators.HnswIndex.append(old, delta, idCol, vecCol, params)
+          .write.mode("overwrite").parquet(hnswPath(gen))
+        Files.writeString(Paths.get(hnswBasePath(gen)), base.toString)
+        writeStateAt(hnswStatePath,
+          s"READY:$gen:${params.numShards}:${trained + deltaN}")
+        pruneDeleteLedger()
+        Ready(gen, params.numShards, trained + deltaN)
+      } catch {
+        case e: Exception =>
+          writeStateAt(hnswStatePath, s"FAILED:$gen:${e.getMessage}")
+          throw e
+      }
+    case other =>
+      throw new IllegalStateException(s"no READY HNSW generation to append to (state: $other)")
   }
 
   /** The current READY HNSW segment table, or None while missing/building. */
@@ -204,17 +406,25 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       case _ => None
     }
 
-  /** Staleness of the HNSW generation: fraction of the SPACE the graph
-    * has not been built over — `(docs now − docs at build) / docs at
-    * build`. The graph kind has no appendDelta (inserting into a stored
-    * segment means rewriting it), so drift accrues from space growth via
-    * the realtime tail's compactions; serving stays fresh regardless
-    * through [[graft.streaming.RealtimeTail.searchHnsw]]'s brute tail leg.
+  /** Staleness of the HNSW generation: the larger of (a) space GROWTH
+    * since the build — `max(0, now − trained) / trained` — and (b) the
+    * CHURN recorded in the mutation ledger since the build (tail rows
+    * folded in place, deletes). Raw row-count deltas alone are blind to
+    * in-place updates (count unchanged, graph holds the old vectors) and
+    * read NEGATIVE under deletes; the churn term keeps the drift trigger
+    * honest for both. Serving stays fresh in the interim through
+    * [[graft.streaming.RealtimeTail.searchHnsw]]'s brute tail leg and the
+    * delete-ledger gate.
     */
   def hnswStaleness(): Option[Double] = hnswState match {
-    case Ready(_, _, trained) if trained > 0 =>
+    case Ready(gen, _, trained) if trained > 0 =>
       val now = spark.read.parquet(spacePath).count()
-      Some((now - trained).toDouble / trained)
+      val grown = math.max(0L, now - trained)
+      // churn counts from the LEDGER BASELINE: an appended generation
+      // still carries the original build's nodes, so churn (deletes,
+      // in-place folds) recorded before the append keeps exerting
+      // rebuild pressure until a FULL rebuild clears it
+      Some(math.max(grown, mutationsSince(hnswLedgerBase(gen))).toDouble / trained)
     case _ => None
   }
 

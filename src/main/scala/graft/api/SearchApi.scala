@@ -294,7 +294,7 @@ object SearchApi {
       val perField = req.vectors.zipWithIndex.map { case (vc, i) =>
         val m = metricOf(space, vc.field)
         val queries = vc.queries.zipWithIndex
-          .map { case (q, qi) => (qi, maybeNormalize(space, vc.field, q)) }
+          .map { case (q, qi) => (qi.toLong, maybeNormalize(space, vc.field, q)) }
           .toDF("_qid", "_qv")
           .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
         Knn.searchBatch(filtered, col(vc.field), struct(col("_id")), queries,
@@ -324,7 +324,7 @@ object SearchApi {
       val spark = corpus.sparkSession
       import spark.implicits._
       val queries = vc.queries.zipWithIndex
-        .map { case (q, i) => (i, maybeNormalize(space, vc.field, q)) }
+        .map { case (q, i) => (i.toLong, maybeNormalize(space, vc.field, q)) }
         .toDF("_qid", "_qv")
         .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
@@ -362,19 +362,48 @@ object SearchApi {
     * falls back to the exact FLAT path of [[search]], the same degrade
     * the reference performs below training_threshold.
     */
+  /** Cap on the broadcast allow-set a filtered HNSW walk may collect to
+    * the driver. Above it the planner falls back to filter-first brute
+    * force — the reference's broad-filter switch (engine.cc:355-373): a
+    * non-selective filter at fleet scale would otherwise collect billions
+    * of ids driver-side. ~1M longs ≈ 8 MB broadcast.
+    */
+  @volatile var maxFilterAllowIds: Int = 1 << 20
+
+  /** Anti-filter a served layout by the delete ledger: tiny ledgers ride
+    * a NOT-IN scan predicate (parquet-pushable); bigger ones a broadcast
+    * anti-join. The ledger is bounded by one rebuild interval's deletes,
+    * never the corpus (IndexLifecycle prunes it at each READY flip).
+    */
+  private def applyDeny(table: DataFrame, deny: Set[Long]): DataFrame =
+    if (deny.isEmpty) table
+    else if (deny.size <= 1000) table.filter(!col("_id").isin(deny.toSeq: _*))
+    else {
+      val spark = table.sparkSession
+      import spark.implicits._
+      val denyDf = deny.toSeq.toDF("_deny_id")
+        .select(col("_deny_id").cast(table.schema("_id").dataType))
+      table.join(broadcast(denyDf), col("_id") === col("_deny_id"), "left_anti")
+    }
+
   def searchAuto(corpus: DataFrame, space: Space, requestJson: String,
       lifecycle: IndexLifecycle): DataFrame = {
     val req = parseSearch(requestJson, space)
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idIntegral = corpus.schema.fields.find(_.name == "_id").exists(f =>
       f.dataType == LongType || f.dataType == IntegerType)
-    val single = req.isBruteSearch != 1 && req.vectors.size == 1 &&
-      req.vectors.head.queries.size == 1 &&
+    // routable = single-condition float search with no score gates; the
+    // batched (req_num > 1) variant routes too — the reference flattens
+    // req_num queries into one index request (doc_query.go:296-318), and
+    // brute-forcing the batch is the shape that falls over first at scale
+    val routable = req.isBruteSearch != 1 && req.vectors.size == 1 &&
       req.vectors.head.minScore.isEmpty && req.vectors.head.maxScore.isEmpty
     val vopts = if (req.vectors.size == 1)
       space.vectorFields.find(_.name == req.vectors.head.field).flatMap(_.vector)
     else None
     val floatField = vopts.exists(_.valueType == "float")
+    val single = routable && floatField && req.vectors.head.queries.size == 1
+    val batched = routable && floatField && req.vectors.head.queries.size > 1
 
     def pred = req.filter.map(
       VearchFilters.parse(_, arrayFields(space), dateFields(space)))
@@ -386,43 +415,118 @@ object SearchApi {
       val projected = sliced.select(projection(space, req, Seq("_score")): _*)
       if (req.sort.nonEmpty) applySort(projected, req.sort) else projected
     }
+    // per-qid finish for the batched routes: offset slices WITHIN each
+    // query's block (row_number over ≤ req_num·(k+offset) hit rows — tiny)
+    def finishBatch(hits: DataFrame, metric: String): DataFrame = {
+      val primary =
+        if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
+      val sliced =
+        if (req.offset > 0) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_qid")).orderBy(primary, col("_id").asc)
+          hits.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") > req.offset).drop("_rn")
+        } else hits
+      val projected = sliced
+        .orderBy(col("_qid").asc, primary, col("_id").asc)
+        .select(projection(space, req, Seq("_qid", "_score")): _*)
+      if (req.sort.nonEmpty) applySort(projected, req.sort, qid = Some(col("_qid")))
+      else projected
+    }
+    // the walk returns (id, score); scalar payloads come from ONE
+    // broadcast join of the ≤req_num·k hits back onto the space table
+    def joinBack(hits: DataFrame, extra: Seq[Column] = Seq.empty): DataFrame = {
+      val idT = corpus.schema("_id").dataType
+      corpus.join(broadcast(hits.select(
+        Seq(col("vec_id").cast(idT).as("_id"), col("_score")) ++ extra: _*)), "_id")
+    }
+    // delete gate (the reference's deleted-bitmap check, engine.cc:869-899,
+    // IsValid = candidate ∧ ¬deleted — gamma_common_data.h:94-105): ids
+    // deleted SINCE the serving generation was built may still sit in its
+    // layout — the ledger becomes the HNSW walk's allow-functor / the IVF
+    // scan's anti-filter, so responses carry k LIVE docs: no ghosts, no
+    // under-filled top-k
+    def hnswDeny = lifecycle.hnswDeleteBaseline()
+      .map(lifecycle.deletedSince).getOrElse(Set.empty)
+    def ivfDeny = lifecycle.readyGen()
+      .map(lifecycle.deletedSince).getOrElse(Set.empty)
+    // request index_params override the space's at query time
+    // (doc_query.go:1475-1522) — same resolution chain as nprobe
+    def efOf(k: Int): Int = math.max(
+      req.indexParams.get("efSearch").filter(_ > 0)
+        .orElse(vopts.get.indexParams.get("efSearch").filter(_ > 0))
+        .getOrElse(64), k)
+    def nprobeOf(model: IvfIndex.Model): Int = math.min(
+      req.indexParams.get("nprobe").filter(_ > 0)
+        .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+        .getOrElse(80),
+      model.ncentroids)
 
     val routed: Option[DataFrame] = vopts.map(_.indexType) match {
-      case Some("HNSW") if single && floatField && idIntegral =>
-        lifecycle.readyHnswSegments().map { segments =>
+      case Some("HNSW") if single && idIntegral =>
+        lifecycle.readyHnswSegments().flatMap { segments =>
           val vc = req.vectors.head
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val metric = metricOf(space, vc.field)
           val k = req.limit + req.offset
-          val ef = math.max(vopts.get.indexParams.getOrElse("efSearch", 64), k)
-          val hits = pred match {
+          val hits: Option[DataFrame] = pred match {
             case Some(p) =>
-              graft.operators.HnswIndex.searchFiltered(segments, q, k, ef,
-                metric, corpus.filter(p).select(col("_id")))
+              // selectivity guard (the reference's planner switch,
+              // engine.cc:355-373): bounded probe BEFORE the collect — a
+              // broad filter's allow-set never reaches the driver; the
+              // brute filter-first path serves the query instead
+              val allowed = corpus.filter(p).select(col("_id"))
+              if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
+                None
+              else Some(graft.operators.HnswIndex.searchFiltered(
+                segments, q, k, efOf(k), metric, allowed, deny = hnswDeny))
             case None =>
-              graft.operators.HnswIndex.search(segments, q, k, ef, metric)
+              Some(graft.operators.HnswIndex.search(segments, q, k, efOf(k),
+                metric, deny = hnswDeny))
           }
-          // the walk returns (id, score); scalar payloads come from ONE
-          // broadcast join of the ≤k hits back onto the space table
-          val idT = corpus.schema("_id").dataType
-          finish(corpus.join(
-            broadcast(hits.select(col("vec_id").cast(idT).as("_id"), col("_score"))),
-            "_id"), metric)
+          hits.map(h => finish(joinBack(h), metric))
         }
-      case Some("IVFFLAT") if single && floatField =>
+      case Some("HNSW") if batched && idIntegral && pred.isEmpty =>
+        // batch route: ONE pass over each segment serves all req_num
+        // queries (HnswIndex.searchBatch amortizes the deserialization);
+        // filtered batches fall back — the per-query allow-set collect
+        // doesn't amortize
+        lifecycle.readyHnswSegments().map { segments =>
+          val vc = req.vectors.head
+          val metric = metricOf(space, vc.field)
+          val k = req.limit + req.offset
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, maybeNormalize(space, vc.field, q)) }
+          val hits = graft.operators.HnswIndex.searchBatch(
+            segments, queries, k, efOf(k), metric, deny = hnswDeny)
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+        }
+      case Some("IVFFLAT") if single =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
           yield {
             val vc = req.vectors.head
             val q = maybeNormalize(space, vc.field, vc.queries.head)
-            val nprobe = math.min(
-              req.indexParams.get("nprobe").filter(_ > 0)
-                .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
-                .getOrElse(80),
-              model.ncentroids)
-            finish(IvfIndex.search(table, col(vc.field), model, q,
-              req.limit + req.offset, nprobe, filter = pred,
+            finish(IvfIndex.search(applyDeny(table, ivfDeny), col(vc.field),
+              model, q, req.limit + req.offset, nprobeOf(model), filter = pred,
               tieBreak = Some(col("_id"))), metric)
+          }
+      case Some("IVFFLAT") if batched =>
+        val metric = metricOf(space, req.vectors.head.field)
+        for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
+          yield {
+            val vc = req.vectors.head
+            val k = req.limit + req.offset
+            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, maybeNormalize(space, vc.field, q)) }
+            // scalar pre-filter + delete gate compose into the scan the
+            // probe join runs over (both evaluate inside probed lists)
+            val served0 = applyDeny(table, ivfDeny)
+            val served = pred.map(served0.filter).getOrElse(served0)
+            val hits = IvfIndex.searchBatch(served, col(vc.field),
+              struct(col("_id")), queries, model, k, nprobeOf(model))
+              .select(col("_qid"), col("_item._id").as("vec_id"), col("_score"))
+            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
       case _ => None
     }

@@ -69,8 +69,16 @@ object HnswIndex {
     */
   final case class Node(id: Long, vec: Array[Float], level: Int, nbrs: Array[Array[Int]])
 
-  /** One serialized graph segment = one whole shard. */
-  final case class Segment(shard_id: Int, entry: Int, nodes: Array[Node])
+  /** One serialized graph segment = one whole shard. `chain` records the
+    * layer-0 connectivity edges ADDED by the post-build chain pass (the
+    * local indices `i` whose (i-1, i) link did not arise from the search
+    * wiring): [[appendSegment]] strips exactly these to recover the
+    * pre-chain graph — the state a from-scratch build would be in before
+    * its own final chain pass — which is what makes incremental append
+    * bit-identical to a full rebuild.
+    */
+  final case class Segment(shard_id: Int, entry: Int, nodes: Array[Node],
+      chain: Array[Int] = Array.empty)
 
   // ── scalar kernels ─────────────────────────────────────────────────────
   // Same accumulation order as graft.functions.VecKernels (Double
@@ -144,16 +152,70 @@ object HnswIndex {
   //    clustered data like the fixture's labeled mixture) ───────────────
 
   private[graft] def buildSegment(
-      shardId: Int, sorted: Array[(Long, Array[Float])], p: Params): Segment = {
-    val n = sorted.length
+      shardId: Int, sorted: Array[(Long, Array[Float])], p: Params): Segment =
+    growSegment(shardId, None, sorted, p)
+
+  /** Incremental add (the reference's background AddRTVecsToIndex loop,
+    * vector_manager.cc:678, engine.cc:1084-1137): fold `adds` into an
+    * existing segment WITHOUT rebuilding over the old vectors.
+    *
+    * Bit-identity contract: because node levels derive from the id hash
+    * and insertion order is ids-ascending, appending ids GREATER than
+    * every stored id continues the from-scratch insertion sequence
+    * exactly — `appendSegment(buildSegment(old), new) ==
+    * buildSegment(old ++ new)` node-for-node, edge-for-edge (the stored
+    * `chain` edges are stripped first so insertions see the same
+    * pre-chain graph the full build would have). Interleaved or repeated
+    * ids (in-place updates) fall back to an in-task rebuild of this ONE
+    * shard — same bound, same result, last write wins.
+    */
+  private[graft] def appendSegment(
+      seg: Segment, adds: Array[(Long, Array[Float])], p: Params): Segment = {
+    val sorted = adds.sortBy(_._1)
+    val oldMax = if (seg.nodes.isEmpty) Long.MinValue else seg.nodes.last.id
+    val monotone = sorted.nonEmpty && sorted.head._1 > oldMax &&
+      sorted.indices.drop(1).forall(i => sorted(i)._1 > sorted(i - 1)._1)
+    if (sorted.isEmpty) seg
+    else if (monotone) growSegment(seg.shard_id, Some(seg), sorted, p)
+    else {
+      val merged = (seg.nodes.map(nd => nd.id -> nd.vec).toMap ++ sorted.toMap)
+        .toArray.sortBy(_._1)
+      growSegment(seg.shard_id, None, merged, p)
+    }
+  }
+
+  /** Shared insertion core: from-scratch when `init` is None, a resumed
+    * insertion sequence when it carries a stored segment (whose chain
+    * edges are stripped so the walks see the exact pre-chain state).
+    */
+  private def growSegment(shardId: Int, init: Option[Segment],
+      adds: Array[(Long, Array[Float])], p: Params): Segment = {
+    val base = init.map(_.nodes).getOrElse(Array.empty[Node])
+    val n = base.length + adds.length
     val mL = 1.0 / math.log(p.m.toDouble)
     val dist = rankDist(p.metric) _
-    val vecs = Array.tabulate(n)(i => sorted(i)._2)
-    val levels = Array.tabulate(n)(i => levelOf(sorted(i)._1, mL))
+    val ids = Array.tabulate(n)(i =>
+      if (i < base.length) base(i).id else adds(i - base.length)._1)
+    val vecs = Array.tabulate(n)(i =>
+      if (i < base.length) base(i).vec else adds(i - base.length)._2)
+    val levels = Array.tabulate(n)(i =>
+      if (i < base.length) base(i).level else levelOf(ids(i), mL))
     val adj = Array.tabulate(n)(i =>
-      Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int]))
-    var entry = 0
-    var topLevel = if (n > 0) levels(0) else -1
+      if (i < base.length) base(i).nbrs.map(a => mutable.ArrayBuffer.from(a))
+      else Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int]))
+    // strip the stored chain edges: they were applied AFTER the original
+    // build, so the resumed insertions must not see them (a from-scratch
+    // build wouldn't)
+    init.foreach(_.chain.foreach { i =>
+      adj(i)(0) -= (i - 1)
+      adj(i - 1)(0) -= i
+    })
+    var entry = init.map(_.entry).getOrElse(0)
+    // invariant: entry is the first node attaining the top level, so the
+    // stored entry's level IS the current topLevel
+    var topLevel =
+      if (base.nonEmpty) base(entry).level
+      else if (n > 0) levels(0) else -1
 
     // bounded best-first search at one layer (paper Algorithm 2).
     // Returns (dist, idx) pairs, closest-first. Ties break on idx so the
@@ -221,7 +283,9 @@ object HnswIndex {
       picked.map(_._2).toArray
     }
 
-    var i = 1
+    // resumed runs start where the stored insertion sequence left off;
+    // from-scratch runs at 1 (node 0 is the seed)
+    var i = math.max(1, base.length)
     while (i < n) {
       val q = vecs(i)
       val l = levels(i)
@@ -259,19 +323,23 @@ object HnswIndex {
     // connectivity chain: link consecutive insertions at layer 0 when the
     // search-based wiring left them unlinked (degree +≤1 per node). This
     // makes layer 0 connected BY CONSTRUCTION, so ef ≥ |shard| search
-    // provably visits every node — the exactness twin needs no luck.
+    // provably visits every node — the exactness twin needs no luck. The
+    // added pairs are RECORDED so a later append can strip them.
+    val chain = mutable.ArrayBuffer.empty[Int]
     i = 1
     while (i < n) {
       if (!adj(i)(0).contains(i - 1) && !adj(i - 1)(0).contains(i)) {
         adj(i)(0) += (i - 1)
         adj(i - 1)(0) += i
+        chain += i
       }
       i += 1
     }
 
     Segment(shardId, entry,
-      Array.tabulate(n)(j => Node(sorted(j)._1, vecs(j), levels(j),
-        adj(j).map(_.toArray))))
+      Array.tabulate(n)(j => Node(ids(j), vecs(j), levels(j),
+        adj(j).map(_.toArray))),
+      chain.toArray)
   }
 
   /** Build the segment table: ONE deterministic shuffle routes vectors to
@@ -290,6 +358,40 @@ object HnswIndex {
         // (corpus, params), independent of upstream partitioning
         buildSegment(sid, it.toArray.sortBy(_._1), p)
       }
+  }
+
+  /** Incremental add over the hash-sharded segment table (the
+    * reference's background Indexing loop folds ONLY new vectors,
+    * engine.cc:1084-1137, AddRTVecsToIndex vector_manager.cc:678): the
+    * delta shuffles to its shards, untouched shards pass through
+    * UNCHANGED (no deserialization, no rebuild), touched shards run
+    * [[appendSegment]] — cost ∝ |delta| + touched-shard sizes, never the
+    * corpus. Monotone new ids (the ingest common case) produce a table
+    * bit-identical to a full rebuild over old ∪ new; interleaved/updated
+    * ids rebuild only their own shard in-task (same result, last write
+    * wins).
+    */
+  def append(segments: Dataset[Segment], delta: DataFrame, idCol: String,
+      vecCol: String, p: Params): Dataset[Segment] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val newRows = delta
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => shardOf(id, p.numShards) }
+    segments.groupByKey(_.shard_id).cogroup(newRows) { (sid, segIt, addIt) =>
+      val adds = addIt.toArray.sortBy(_._1)
+      val segs = segIt.toList
+      if (adds.isEmpty) segs.iterator
+      else segs match {
+        case Nil        => Iterator.single(buildSegment(sid, adds, p))
+        case seg :: Nil => Iterator.single(appendSegment(seg, adds, p))
+        case _ => throw new IllegalStateException(
+          s"shard $sid holds ${segs.size} segment rows; append supports " +
+            "one-row-per-shard (hash) layouts — rebuild clustered layouts")
+      }
+    }
   }
 
   /** Search one deserialized segment (paper Algorithm 5): greedy ef=1
@@ -423,25 +525,41 @@ object HnswIndex {
     */
   def searchRouted(segments: Dataset[Segment], ivf: IvfIndex.Model,
       q: Seq[Float], k: Int, ef: Int, metric: String, nprobe: Int,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None, deny: Set[Long] = Set.empty): DataFrame = {
     val lists = ivf.nearestCentroids(q, nprobe)
     search(segments.filter(col("shard_id").isin(lists: _*)), q, k, ef,
-      metric, roundTo)
+      metric, roundTo, deny)
   }
 
   /** Single-query search over the segment table: per-shard graph walk via
     * `flatMap` (no shuffle of the corpus), global TakeOrderedAndProject
     * merge. `ef ≥ max shard size` ⇒ exact (see class doc).
     * Output: (vec_id, _score), best-first.
+    *
+    * `deny` is the DELETE gate (the reference's deleted-bitmap check,
+    * IsValid = candidate ∧ ¬deleted — engine.cc:869-899,
+    * gamma_common_data.h:94-105): denied nodes are traversed (they still
+    * carry connectivity) but never admitted, so the walk returns k LIVE
+    * hits — no ghost results, no under-filled response. The set is the
+    * delete ledger since this generation (bounded by one rebuild
+    * interval), broadcast once.
     */
   def search(segments: Dataset[Segment], q: Seq[Float], k: Int, ef: Int,
-      metric: String, roundTo: Option[Int] = None): DataFrame = {
+      metric: String, roundTo: Option[Int] = None,
+      deny: Set[Long] = Set.empty): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qa = q.toArray
-    val hits = segments
-      .flatMap(seg => searchSegment(seg, qa, k, ef, metric))
-      .toDF("vec_id", "_score")
+    val hits =
+      if (deny.isEmpty)
+        segments.flatMap(seg => searchSegment(seg, qa, k, ef, metric))
+          .toDF("vec_id", "_score")
+      else {
+        val bc = spark.sparkContext.broadcast(deny)
+        segments.flatMap(seg =>
+            searchSegment(seg, qa, k, ef, metric, id => !bc.value.contains(id)))
+          .toDF("vec_id", "_score")
+      }
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
     val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
     roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
@@ -458,12 +576,13 @@ object HnswIndex {
     * (engine.cc:355-373).
     */
   def searchFiltered(segments: Dataset[Segment], q: Seq[Float], k: Int, ef: Int,
-      metric: String, allowedIds: DataFrame, roundTo: Option[Int] = None): DataFrame = {
+      metric: String, allowedIds: DataFrame, roundTo: Option[Int] = None,
+      deny: Set[Long] = Set.empty): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val idCol = allowedIds.columns.head
     val bc = spark.sparkContext.broadcast(
-      allowedIds.select(col(idCol).cast("long")).as[Long].collect().toSet)
+      allowedIds.select(col(idCol).cast("long")).as[Long].collect().toSet -- deny)
     val qa = q.toArray
     val hits = segments
       .flatMap(seg => searchSegment(seg, qa, k, ef, metric, bc.value.contains _))
@@ -480,13 +599,16 @@ object HnswIndex {
     * _score), best-first within each qid.
     */
   def searchBatch(segments: Dataset[Segment], queries: Seq[(Long, Seq[Float])],
-      k: Int, ef: Int, metric: String): DataFrame = {
+      k: Int, ef: Int, metric: String, deny: Set[Long] = Set.empty): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val denyBc = spark.sparkContext.broadcast(deny)
     val hits = segments.flatMap { seg =>
+      val allow: Long => Boolean =
+        if (denyBc.value.isEmpty) _ => true else id => !denyBc.value.contains(id)
       qs.iterator.flatMap { case (qid, qa) =>
-        searchSegment(seg, qa, k, ef, metric).iterator
+        searchSegment(seg, qa, k, ef, metric, allow).iterator
           .map { case (id, s) => (qid, id, s) }
       }
     }.toDF("_qid", "vec_id", "_score")

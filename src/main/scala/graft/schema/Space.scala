@@ -105,6 +105,12 @@ object Space {
     "HNSW", "GPU_IVFPQ", "GPU_IVFFLAT", "SSG", "IVFPQ_RELAYOUT", "SCANN",
     "SCALAR", "IVFRABITQ", "DISKANN_STATIC")
 
+  /** Index types carrying a coarse quantizer — the nprobe ≤ ncentroids
+    * bound applies to these only (space.go:339-375).
+    */
+  val IvfFamily: Set[String] = Set("IVFPQ", "IVFFLAT", "BINARYIVF",
+    "GPU_IVFPQ", "GPU_IVFFLAT", "IVFPQ_RELAYOUT", "IVFRABITQ")
+
   /** Parse + validate a vearch space-definition JSON:
     * {"name": ..., "partition_num": N, "replica_num": N,
     *  "fields": [{"name","type","index":{...},"dimension",...}]}
@@ -205,19 +211,27 @@ object Space {
           case JObject(kvs) => kvs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
           case _ => Map.empty
         }
-        indexParams.get("nlinks").filter(_ != 0).foreach { nl =>
-          if (nl < 8 || nl > 96)
-            fail(s"index params nlinks:$nl should in [8, 96]")
+        // param-bound checks are GATED BY INDEX TYPE, as the reference
+        // gates them (space.go:339-375: nlinks/efConstruction only for
+        // HNSW, nprobe≤ncentroids only for the IVF family) — a FLAT or
+        // SCANN space carrying nlinks:4 is accepted there and must be
+        // accepted here
+        if (indexType == "HNSW") {
+          indexParams.get("nlinks").filter(_ != 0).foreach { nl =>
+            if (nl < 8 || nl > 96)
+              fail(s"index params nlinks:$nl should in [8, 96]")
+          }
+          indexParams.get("efConstruction").filter(_ != 0).foreach { ec =>
+            if (ec < 16 || ec > 1024)
+              fail(s"index params efConstruction:$ec should in [16, 1024]")
+          }
         }
-        indexParams.get("efConstruction").filter(_ != 0).foreach { ec =>
-          if (ec < 16 || ec > 1024)
-            fail(s"index params efConstruction:$ec should in [16, 1024]")
-        }
-        (indexParams.get("nprobe"), indexParams.get("ncentroids")) match {
-          case (Some(np), Some(nc)) if np != 0 && np > nc => // space.go:371
-            fail(s"$indexType nprobe:[$np] should less than ncentroids:[$nc]")
-          case _ => ()
-        }
+        if (IvfFamily.contains(indexType))
+          (indexParams.get("nprobe"), indexParams.get("ncentroids")) match {
+            case (Some(np), Some(nc)) if np != 0 && np > nc => // space.go:371
+              fail(s"$indexType nprobe:[$np] should less than ncentroids:[$nc]")
+            case _ => ()
+          }
         // value type: explicit `value_type`, or implied by index type
         // BINARYIVF (index_model.h:19 — FLOAT | BINARY | INT8)
         val valueType = (f \ "value_type") match {

@@ -28,8 +28,10 @@ import graft.operators.{BinaryIndex, HnswIndex, IvfIndex, PqIndex}
   */
 object IndexStore {
 
-  /** Bump to invalidate cached layouts when build code changes. */
-  private val Version = "v2"
+  /** Bump to invalidate cached layouts when build code changes.
+    * v3: HnswIndex.Segment grew the `chain` column (incremental append).
+    */
+  private val Version = "v3"
 
   /** Resident serving mode (Bench's untimed warmup sets it, mirroring
     * `SparkEntry.cacheTables`): layout tables are read once and pinned in
@@ -482,6 +484,32 @@ object IndexStore {
     spacePath
   }
 
+  /** Delete-visibility fixture: a space with BOTH a READY HNSW generation
+    * and a READY IVF generation built over the FULL embeddings corpus,
+    * then ids 0–4 deleted THROUGH the lifecycle (space table rewritten,
+    * delete ledger recorded) — the generations still physically contain
+    * the five docs, so any routed search that skips the ledger gate
+    * returns ghosts (vec_id 0 is the query vector itself — top-1 would be
+    * a ghost). The reference's contract under test: deleted-bitmap gating
+    * at search time (engine.cc:869-899, gamma_common_data.h:94-105).
+    */
+  def apiDeleteSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apidel")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.rebuildHnsw("_id", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4))
+      lc.rebuild("embedding", ncentroids = 16)
+      lc.deleteByIds("_id", Seq(0L, 1L, 2L, 3L, 4L))
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Media fixture: the synthesized PNG/WAV/pseudo-video corpus
     * ([[graft.operators.Multimodal.synthesize]] over the embeddings ids)
     * written ONCE per fixture. Media queries then time decode + features
@@ -523,6 +551,7 @@ object IndexStore {
     m(hnsw(spark, sfDir).toDF())
     m(hnswClustered(spark, sfDir)._1.toDF())
     hnswSpace(spark, sfDir)
+    apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))
     ()
   }

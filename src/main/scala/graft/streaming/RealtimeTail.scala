@@ -120,7 +120,17 @@ final class RealtimeTail(
     * with a transactional table format this becomes a single MERGE +
     * truncate; on plain parquet we swap directories.
     */
-  def compact(schema: StructType, assign: DataFrame => DataFrame = identity): Unit = {
+  def compact(schema: StructType, assign: DataFrame => DataFrame = identity,
+      lifecycle: Option[graft.api.IndexLifecycle] = None): Unit = {
+    // churn accounting BEFORE the fold: tail rows merged in place are
+    // invisible to a row-count staleness (an UPDATE leaves the base count
+    // unchanged while the graph still holds the old vector) — report them
+    // to the lifecycle's mutation ledger so drift-triggered rebuilds fire
+    // (IndexLifecycle.hnswStaleness's churn term)
+    lifecycle.foreach { lc =>
+      val folded = readOrEmpty(tailPath, schema).select(idCol).distinct().count()
+      lc.recordMutations(folded)
+    }
     val merged = assign(snapshot(schema))
     val tmp = s"$basePath.compact.tmp"
     merged.write.mode("overwrite").parquet(tmp)

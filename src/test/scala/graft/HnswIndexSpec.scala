@@ -260,6 +260,64 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental append ≡ full rebuild, bit-identically (monotone ids)") {
+    // the reference folds only NEW vectors into the live graph
+    // (AddRTVecsToIndex, vector_manager.cc:678); here the determinism
+    // design (id-hash levels, ids-ascending insertion, recorded chain
+    // edges) makes the appended generation EQUAL to a from-scratch
+    // rebuild — not merely recall-equivalent
+    val base = emb.filter($"vec_id" < 300)
+    val tail = emb.filter($"vec_id" >= 300) // ids sort after every base id
+    val appended = HnswIndex.append(
+      HnswIndex.build(base, "vec_id", "embedding", params),
+      tail, "vec_id", "embedding", params)
+      .collect().sortBy(_.shard_id)
+    val rebuilt = HnswIndex.build(emb, "vec_id", "embedding", params)
+      .collect().sortBy(_.shard_id)
+    assert(appended.map(canon).toSeq == rebuilt.map(canon).toSeq)
+    assert(appended.map(_.chain.toSeq).toSeq == rebuilt.map(_.chain.toSeq).toSeq)
+  }
+
+  test("append with interleaved/updated ids: in-task shard rebuild, last write wins") {
+    val base = emb.filter($"vec_id" % 2 === 0) // evens
+    val tail = emb.filter($"vec_id" % 2 === 1) // odds interleave everywhere
+    val appended = HnswIndex.append(
+      HnswIndex.build(base, "vec_id", "embedding", params),
+      tail, "vec_id", "embedding", params).collect().sortBy(_.shard_id)
+    val rebuilt = HnswIndex.build(emb, "vec_id", "embedding", params)
+      .collect().sortBy(_.shard_id)
+    assert(appended.map(canon).toSeq == rebuilt.map(canon).toSeq)
+
+    // an UPDATE (existing id, new vector) replaces the stored vector
+    val moved = emb.filter($"vec_id" === 2)
+      .select($"vec_id", $"embedding", $"label")
+      .withColumn("embedding", expr("transform(embedding, x -> x + 10.0F)"))
+    val after = HnswIndex.append(
+      HnswIndex.build(emb, "vec_id", "embedding", params),
+      moved, "vec_id", "embedding", params)
+    val got = after.collect().flatMap(_.nodes).find(_.id == 2L).get.vec
+    val want = moved.select("embedding").head().getSeq[Float](0)
+    assert(got.toSeq == want)
+    // total node count unchanged (replace, not duplicate)
+    assert(after.collect().map(_.nodes.length).sum == emb.count())
+  }
+
+  test("append touches only the delta's shards; untouched rows pass through") {
+    val base = emb.filter($"vec_id" < 400)
+    val built = HnswIndex.build(base, "vec_id", "embedding", params).cache()
+    // a delta confined to ONE shard: pick ids > max hashing to shard 0
+    val tailIds = (1000000L until 1000400L)
+      .filter(id => HnswIndex.shardOf(id, params.numShards) == 0).take(20)
+    val tail = tailIds.map(id => (id, qv)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val before = built.collect().map(s => s.shard_id -> canon(s)).toMap
+    val after = HnswIndex.append(built, tail, "vec_id", "embedding", params)
+      .collect().map(s => s.shard_id -> canon(s)).toMap
+    assert(after(1) == before(1) && after(2) == before(2)) // untouched: byte-same
+    assert(after(0) != before(0)) // the delta's shard grew
+    built.unpersist()
+  }
+
   test("search shuffles only the bounded merge, never the corpus") {
     segs.count() // materialize the cache outside the audit window
     val n = emb.count()

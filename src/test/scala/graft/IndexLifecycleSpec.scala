@@ -181,4 +181,102 @@ class IndexLifecycleSpec extends SparkSpec {
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(ids.contains(5L) && ids.contains(1000005L))
   }
+
+  test("delete ledger: recordDeletes/deletedSince, pruned at the READY flip") {
+    val root = Files.createTempDirectory("lifecycle_ledger").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    val p = graft.operators.HnswIndex.Params(8, 40, "l2", numShards = 2)
+    val g1 = lc.rebuildHnsw("vec_id", "embedding", p).gen
+
+    lc.recordDeletes(Seq(3L, 9L))
+    assert(lc.deletedSince(g1) == Set(3L, 9L))
+    // a generation stamped AFTER the delete never needs the gate
+    assert(lc.deletedSince(System.currentTimeMillis() + 60000L).isEmpty)
+
+    // deleteByIds: space table rewritten AND ledger extended
+    lc.deleteByIds("vec_id", Seq(11L))
+    assert(lc.deletedSince(g1) == Set(3L, 9L, 11L))
+    assert(spark.read.parquet(spacePath).filter($"vec_id" === 11L).count() == 0)
+
+    // rebuild flips READY and prunes entries older than the oldest live
+    // generation — the new graph was built from the live table, so the
+    // ledger resets to empty for it
+    Thread.sleep(2) // generation stamps are ms — ensure g2 > delete ts
+    val g2 = lc.rebuildHnsw("vec_id", "embedding", p).gen
+    assert(g2 > g1)
+    assert(lc.deletedSince(g2).isEmpty)
+  }
+
+  test("hnswStaleness: churn term sees in-place updates and deletes (row count unchanged/shrinking)") {
+    val root = Files.createTempDirectory("lifecycle_churn").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val n = emb.count()
+    val lc = new IndexLifecycle(spark, spacePath)
+    val p = graft.operators.HnswIndex.Params(8, 40, "l2", numShards = 2)
+    lc.rebuildHnsw("vec_id", "embedding", p)
+    assert(lc.hnswStaleness() == Some(0.0))
+
+    // an in-place UPDATE churn (e.g. RealtimeTail.compact folding tail
+    // rows over existing ids) leaves the row count unchanged — the raw
+    // growth metric reads 0.0 and stale vectors would serve unboundedly;
+    // the mutation ledger keeps the drift trigger honest
+    lc.recordMutations(n / 2)
+    assert(lc.hnswStaleness().exists(s => s >= 0.49 && s <= 0.51))
+    assert(lc.maybeRebuildHnsw("vec_id", "embedding", p, driftThreshold = 0.3))
+    // rebuilt: churn before the new generation no longer counts
+    assert(lc.hnswStaleness().exists(_ <= 0.01))
+
+    // deletions: negative growth, positive churn
+    lc.deleteByIds("vec_id", (0L until n / 4).toSeq)
+    assert(lc.hnswStaleness().exists(_ >= 0.24))
+  }
+
+  test("appendHnsw: tail folds in ≡ rebuild; delete-ledger baseline survives the append") {
+    val root = Files.createTempDirectory("lifecycle_append").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.filter($"vec_id" < 300).write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    val p = graft.operators.HnswIndex.Params(8, 40, "l2", numShards = 2)
+    val g1 = lc.rebuildHnsw("vec_id", "embedding", p).gen
+
+    // a delete AFTER the build, BEFORE the append: the appended
+    // generation still carries the node, so its gate must reach back
+    lc.recordDeletes(Seq(7L))
+
+    val tail = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    tail.write.mode("append").parquet(spacePath)
+    Thread.sleep(2)
+    val g2 = lc.appendHnsw(tail, "vec_id", "embedding", p).gen
+    assert(g2 > g1)
+    assert(lc.hnswState.asInstanceOf[lc.Ready].trainedDocs == 400L)
+
+    // baseline = ORIGINAL build stamp, so the pre-append delete is gated
+    assert(lc.hnswLedgerBase(g2) == g1)
+    assert(lc.hnswDeleteBaseline().contains(g1))
+    assert(lc.deletedSince(lc.hnswDeleteBaseline().get) == Set(7L))
+
+    // the appended generation ≡ a full rebuild over the whole space
+    val appended = lc.readyHnswSegments().get.collect()
+      .sortBy(_.shard_id)
+      .map(s => (s.shard_id, s.entry,
+        s.nodes.map(nd => (nd.id, nd.level, nd.nbrs.map(_.toSeq).toSeq)).toSeq))
+    val rebuilt = graft.operators.HnswIndex
+      .build(spark.read.parquet(spacePath), "vec_id", "embedding", p)
+      .collect().sortBy(_.shard_id)
+      .map(s => (s.shard_id, s.entry,
+        s.nodes.map(nd => (nd.id, nd.level, nd.nbrs.map(_.toSeq).toSeq)).toSeq))
+    assert(appended.toSeq == rebuilt.toSeq)
+
+    // a FULL rebuild resets the baseline to its own stamp
+    Thread.sleep(2)
+    val g3 = lc.rebuildHnsw("vec_id", "embedding", p).gen
+    assert(lc.hnswLedgerBase(g3) == g3)
+    assert(lc.deletedSince(g3).isEmpty)
+  }
 }

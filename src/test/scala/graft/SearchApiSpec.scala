@@ -70,7 +70,7 @@ class SearchApiSpec extends SparkSpec {
     val r = SearchApi.search(corpus, space,
       s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q1).mkString("[", ",", "]")}}],
            "limit":4}""")
-    val byQid = r.collect().groupBy(_.getAs[Int]("_qid"))
+    val byQid = r.collect().groupBy(_.getAs[Long]("_qid"))
     assert(byQid.keySet == Set(0, 1))
     assert(byQid(0).length == 4 && byQid(1).length == 4)
     // each query's own row ranks first (normalized corpus ⇒ self IP max)
@@ -205,7 +205,7 @@ class SearchApiSpec extends SparkSpec {
             {"field":"h2","feature":$f2}],
           "limit":5}""")
       .collect()
-    val byQid = r.groupBy(_.getAs[Int]("_qid"))
+    val byQid = r.groupBy(_.getAs[Long]("_qid"))
     assert(byQid.keySet == Set(0, 1))
     assert(byQid.values.forall(_.length == 5))
     // each block is its own query: block 0 must rank _id=0 first (self),
@@ -373,5 +373,139 @@ class SearchApiSpec extends SparkSpec {
            {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":6}"""
     assert(rows(SearchApi.searchAuto(stored, ispace, filtered, lc)) ==
       rows(SearchApi.search(stored, ispace, filteredFlat)))
+  }
+
+  test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
+    // the reference's deleted-bitmap contract (engine.cc:869-899,
+    // gamma_common_data.h:94-105): after a delete, EVERY index search must
+    // return live docs only, immediately — here via the delete ledger as
+    // the HNSW allow-functor and the IVF scan's anti-filter
+    val root = java.nio.file.Files.createTempDirectory("del_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    lc.rebuild("embedding", ncentroids = 8)
+
+    // delete the query vector's own id (= top-1 of any ungated walk) plus
+    // neighbors, AFTER both generations are READY
+    val deleted = Seq(0L, 1L, 2L)
+    lc.deleteByIds("_id", deleted)
+    val live = spark.read.parquet(spacePath) // rewritten live table
+    assert(live.filter(col("_id").isin(deleted: _*)).count() == 0)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+
+    // HNSW route (request-level efSearch override exercises the
+    // doc_query.go:1475-1522 merge chain — the space declares none)
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW","params":{"nlinks":16,"efConstruction":60}}}]}""")
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"efSearch":1048576},"limit":8}"""
+    val hnswGot = rows(SearchApi.searchAuto(live, hspace, req, lc))
+    // exact walk over live docs ⇒ parity with FLAT over the live table
+    assert(hnswGot == rows(SearchApi.search(live, hspace, req)))
+    assert(hnswGot.size == 8) // full k — no under-fill
+    assert(hnswGot.forall(r => !deleted.contains(r._1))) // no ghosts
+
+    // IVF route, exhaustive probe ⇒ exact over live docs
+    val ispace = Space.fromJson(
+      """{"name":"ivf_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8}}}]}""")
+    val ivfGot = rows(SearchApi.searchAuto(live, ispace, req, lc))
+    assert(ivfGot == rows(SearchApi.search(live, ispace, req)))
+    assert(ivfGot.size == 8)
+    assert(ivfGot.forall(r => !deleted.contains(r._1)))
+  }
+
+  test("searchAuto: batched req_num routes through the index (parity with FLAT batch)") {
+    val root = java.nio.file.Files.createTempDirectory("batch_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    lc.rebuild("embedding", ncentroids = 8)
+
+    val q1: Seq[Float] = stored.filter($"_id" === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    val flatFeature = (q0 ++ q1).mkString("[", ",", "]") // req_num=2 ride one array
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq.sortBy(t => (t._1, t._4, t._2))
+
+    // HNSW batch route: exact params ⇒ parity with the FLAT batch path
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":1048576}}}]}""")
+    val breq = s"""{"vectors":[{"field":"embedding","feature":$flatFeature}],"limit":5}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, breq, lc)) ==
+      rows(SearchApi.search(stored, hspace, breq)))
+
+    // IVF batch route, exhaustive probe ⇒ parity too
+    val ispace = Space.fromJson(
+      """{"name":"ivf_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8}}}]}""")
+    assert(rows(SearchApi.searchAuto(stored, ispace, breq, lc)) ==
+      rows(SearchApi.search(stored, ispace, breq)))
+
+    // per-qid offset slices WITHIN each block
+    val oreq = s"""{"vectors":[{"field":"embedding","feature":$flatFeature}],
+         "limit":3,"offset":2}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, oreq, lc)) ==
+      rows(SearchApi.search(stored, hspace, oreq)))
+  }
+
+  test("searchAuto: broad-filter HNSW falls back to filter-first brute (selectivity guard)") {
+    val root = java.nio.file.Files.createTempDirectory("guard_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":1048576}}}]}""")
+    val filtered = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[2,4]}]},"limit":6}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val expected = rows(SearchApi.search(stored, hspace, filtered))
+    // guard DOWN: every filter is "broad" → brute path must serve, with
+    // identical results (the reference's planner switch, engine.cc:355-373)
+    val saved = SearchApi.maxFilterAllowIds
+    try {
+      SearchApi.maxFilterAllowIds = 1
+      assert(rows(SearchApi.searchAuto(stored, hspace, filtered, lc)) == expected)
+      SearchApi.maxFilterAllowIds = saved
+      assert(rows(SearchApi.searchAuto(stored, hspace, filtered, lc)) == expected)
+    } finally SearchApi.maxFilterAllowIds = saved
   }
 }

@@ -69,6 +69,25 @@ class SpaceSpec extends SparkSpec {
       .vectorFields.head.vector.get.indexType == "FLAT")
   }
 
+  test("param bounds gate by index type (space.go:339-375)") {
+    def bad(json: String) = assertThrows[IllegalArgumentException](Space.fromJson(json))
+    def vec(index: String) =
+      s"""{"name":"x","fields":[{"name":"v","type":"vector","dimension":8,
+           "index":$index}]}"""
+    // the reference checks nlinks/efConstruction ONLY when type == HNSW:
+    // a SCANN or FLAT space carrying out-of-band graph params is accepted
+    assert(Space.fromJson(vec("""{"type":"FLAT","params":{"nlinks":4}}"""))
+      .vectorFields.head.vector.get.indexParams == Map("nlinks" -> 4))
+    assert(Space.fromJson(vec("""{"type":"SCANN","params":{"nlinks":4,"efConstruction":8}}"""))
+      .vectorFields.head.vector.get.indexType == "SCANN")
+    bad(vec("""{"type":"HNSW","params":{"nlinks":4}}"""))
+    // nprobe ≤ ncentroids applies to the IVF family only
+    assert(Space.fromJson(vec("""{"type":"HNSW","params":{"nprobe":64,"ncentroids":8}}"""))
+      .vectorFields.head.vector.get.indexType == "HNSW")
+    bad(vec("""{"type":"IVFFLAT","params":{"nprobe":64,"ncentroids":8}}"""))
+    bad(vec("""{"type":"IVFPQ","params":{"nprobe":64,"ncentroids":8}}"""))
+  }
+
   test("per-space engine config: refresh_interval/cache_size/slow_search_time") {
     val sp = Space.fromJson(
       """{"name":"cfg","engine":{"refresh_interval":250,"cache_size":512,
