@@ -383,6 +383,49 @@ object SparkEntry {
           round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
     }),
 
+    // ── §2.4 multi-field conjunctive over INDEXES: each field routes
+    //    through its OWN graph generation (over-fetched per-field top-k),
+    //    results intersect on docid, weighted-sum re-rank — the
+    //    reference's per-field index intersection
+    //    (vector_manager.cc:1024-1087) instead of the brute per-field
+    //    scans of q_knn_multivec. ef ≥ |shard| ⇒ each per-field list is
+    //    exact, so the whole composition is oracle-checked against the
+    //    SAME SQL as the brute twin ──
+    "q_knn_multivec_routed_exact" -> ((s, dir) => {
+      init(s)
+      val (segsA, segsB) = graft.sources.IndexStore.hnswMultiField(s, dir)
+      val q = qvec(s, dir)
+      val f0 = HnswIndex.search(segsA, q.take(32), k = 100, ef = 1 << 30,
+        metric = "ip").select(col("vec_id"), col("_score").as("_s0"))
+      val f1 = HnswIndex.search(segsB, q.drop(32), k = 100, ef = 1 << 30,
+        metric = "ip").select(col("vec_id"), col("_score").as("_s1"))
+      f0.join(f1, "vec_id")
+        .withColumn("_score", col("_s0") * 0.5 + col("_s1") * 0.5)
+        .orderBy(col("_score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
+          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
+    }),
+
+    // ── §2.4 (rows-only): the same routed intersection at the real
+    //    operating point (ef=64 per-field walks); exactness twin above,
+    //    recall pinned in RecallGateSpec ──
+    "q_knn_multivec_routed" -> ((s, dir) => {
+      init(s)
+      val (segsA, segsB) = graft.sources.IndexStore.hnswMultiField(s, dir)
+      val q = qvec(s, dir)
+      val f0 = HnswIndex.search(segsA, q.take(32), k = 100, ef = 64,
+        metric = "ip").select(col("vec_id"), col("_score").as("_s0"))
+      val f1 = HnswIndex.search(segsB, q.drop(32), k = 100, ef = 64,
+        metric = "ip").select(col("vec_id"), col("_score").as("_s1"))
+      f0.join(f1, "vec_id")
+        .withColumn("_score", col("_s0") * 0.5 + col("_s1") * 0.5)
+        .orderBy(col("_score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
+          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
+    }),
+
     // ── beyond-reference: 3-table join (broadcast dim, shuffled fact) ──
     "q3_join" -> ((s, dir) => {
       init(s)
@@ -2416,6 +2459,21 @@ object SparkEntry {
          ORDER BY qid, round(d, 4), vec_id""",
 
     "q_knn_multivec" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+                FROM b ORDER BY s0 DESC LIMIT 100),
+         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+                FROM b ORDER BY s1 DESC LIMIT 100),
+         j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
+                round(sc, 4) AS score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
+    // routed intersection with exact per-field walks ≡ the brute
+    // per-field top-100 intersection — same oracle by construction
+    "q_knn_multivec_routed_exact" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
          b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
                       (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),

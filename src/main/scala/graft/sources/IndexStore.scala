@@ -484,6 +484,33 @@ object IndexStore {
     spacePath
   }
 
+  /** Multi-field graph layouts: one HNSW segment table PER vector field
+    * (the two 32-d halves of the embedding), both inner-product metric —
+    * the layout the reference's multi-field conjunctive search serves
+    * from (one index per vector field, results intersected on docid,
+    * vector_manager.cc:1024-1087).
+    */
+  def hnswMultiField(spark: SparkSession, sfDir: String)
+      : (org.apache.spark.sql.Dataset[HnswIndex.Segment],
+         org.apache.spark.sql.Dataset[HnswIndex.Segment]) = {
+    import spark.implicits._
+    val dir = dirFor(sfDir, "hnswmv")
+    buildOnce(dir) {
+      val two = emb(spark, sfDir).select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      val p = HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+        numShards = 4)
+      HnswIndex.build(two, "vec_id", "v1", p)
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      HnswIndex.build(two, "vec_id", "v2", p)
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/v1").as[HnswIndex.Segment],
+      readLayout(spark, s"$dir/v2").as[HnswIndex.Segment])
+  }
+
   /** Delete-visibility fixture: a space with BOTH a READY HNSW generation
     * and a READY IVF generation built over the FULL embeddings corpus,
     * then ids 0–4 deleted THROUGH the lifecycle (space table rewritten,
@@ -550,6 +577,7 @@ object IndexStore {
     m(binaryIvf(spark, sfDir)._1)
     m(hnsw(spark, sfDir).toDF())
     m(hnswClustered(spark, sfDir)._1.toDF())
+    locally { val (a, b) = hnswMultiField(spark, sfDir); m(a.toDF()); m(b.toDF()) }
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

@@ -260,6 +260,35 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("multi-field routed intersection: exact params ≡ brute; ef=64 keeps recall ≥ 0.8") {
+    // per-field graph route + docid intersection + weighted re-rank (the
+    // reference's vector_manager.cc:1024-1087 shape, served from indexes)
+    val two = emb.select($"vec_id",
+      slice($"embedding", 1, 32).as("v1"), slice($"embedding", 33, 32).as("v2"))
+    val p = HnswIndex.Params(m = 16, efConstruction = 60, metric = "ip", numShards = 3)
+    val segsA = HnswIndex.build(two, "vec_id", "v1", p).cache()
+    val segsB = HnswIndex.build(two, "vec_id", "v2", p).cache()
+    def routed(ef: Int): Seq[Long] = {
+      val f0 = HnswIndex.search(segsA, qv.take(32), k = 100, ef = ef, metric = "ip")
+        .select($"vec_id", $"_score".as("_s0"))
+      val f1 = HnswIndex.search(segsB, qv.drop(32), k = 100, ef = ef, metric = "ip")
+        .select($"vec_id", $"_score".as("_s1"))
+      f0.join(f1, "vec_id")
+        .withColumn("_score", $"_s0" * 0.5 + $"_s1" * 0.5)
+        .orderBy($"_score".desc, $"vec_id").limit(10)
+        .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    }
+    val brute = Knn.multiVectorSearch(two, "vec_id",
+      Seq(($"v1", qv.take(32)), ($"v2", qv.drop(32))),
+      perFieldK = 100, k = 10, metric = "ip")
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(routed(1 << 30) == brute) // exact per-field walks ≡ brute intersection
+    val op = routed(64)
+    val recall = op.toSet.intersect(brute.toSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"routed multivec recall@10 $recall < 0.8")
+    segsA.unpersist(); segsB.unpersist()
+  }
+
   test("incremental append ≡ full rebuild, bit-identically (monotone ids)") {
     // the reference folds only NEW vectors into the live graph
     // (AddRTVecsToIndex, vector_manager.cc:678); here the determinism
