@@ -679,8 +679,13 @@ object SparkEntry {
     // ── pipeline (rows-only): embedding near-dup via hyperplane LSH ──
     "q_embed_neardup_lsh" -> ((s, dir) => {
       init(s)
+      // scale policy: planes derive from the corpus (bucket count ∝ n,
+      // occupancy ≈ 64) so candidate work stays LINEAR — the fixed-plane
+      // anti-policy measured 17× wall-clock at 10× rows (BENCH_SCALING
+      // r11). At sf ≤ 0.01 the derived count equals the historical 4.
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numPlanes = 4, numTables = 8)
+        dim = 64, threshold = 0.4, numPlanes = 4, numTables = 8,
+        targetBucketRows = Some(64L))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -595,6 +595,19 @@ object Dedup {
     * bucket key; only within-bucket pairs are scored exactly. Recall
     * rises with fewer planes per table and more tables; `numTables`
     * repetitions OR-combine. No false positives (exact verify).
+    *
+    * Scale policy: with a FIXED plane count, bucket count is constant, so
+    * per-bucket occupancy — and the within-bucket pair join — grows
+    * QUADRATICALLY with the corpus (measured 17× wall-clock at 10× rows,
+    * BENCH_SCALING round-11). `targetBucketRows` derives the plane count
+    * from the corpus instead: planes = max(numPlanes,
+    * ceil(log2(n / target))), keeping expected occupancy ≈ target and
+    * total candidate work ≈ numTables · n · target — LINEAR in n, the
+    * same shards-∝-corpus policy as the clustered HNSW layout. The
+    * per-table collision probability falls as planes grow (p^planes), so
+    * at a held recall target `numTables` is the knob that pays for scale;
+    * for true near-dup thresholds (cos ≥ 0.9) the default 8 tables hold
+    * recall ≥ 0.9 through 9-plane tables.
     */
   def embeddingNearDupLsh(
       df: DataFrame,
@@ -604,11 +617,21 @@ object Dedup {
       threshold: Double,
       numPlanes: Int = 8,
       numTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      targetBucketRows: Option[Long] = None): DataFrame = {
+    val effPlanes = targetBucketRows match {
+      case Some(t) =>
+        val n = df.count()
+        val needed = math.ceil(math.log(math.max(1L, n / math.max(1L, t)).toDouble)
+          / math.log(2.0)).toInt
+        math.max(numPlanes, needed)
+      case None => numPlanes
+    }
+    require(effPlanes <= 62, s"plane count $effPlanes overflows the long bucket key")
     val rnd = new scala.util.Random(seed)
     // fixed hyperplanes as literal columns (tiny: tables × planes × dim)
     val planes: Seq[Seq[Array[Float]]] =
-      Seq.fill(numTables)(Seq.fill(numPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat)))
+      Seq.fill(numTables)(Seq.fill(effPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat)))
     val v = col(vecCol)
     val bucketCols = planes.map { tbl =>
       val bits = tbl.zipWithIndex.map { case (p, i) =>

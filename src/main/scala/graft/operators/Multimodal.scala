@@ -53,6 +53,37 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, feature: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
 
+  /** Decode-parallelism guard: kB-scale payload files pack into very few
+    * scan tasks (Spark bins files by byte size + open cost), which made
+    * the whole-corpus decode SERIAL at 10× fixture scale (10.7× wall —
+    * BENCH_SCALING r11) while 31 cores idled. Widen to the cluster's
+    * parallelism when the scan produced fewer partitions — AFTER
+    * scan-level pushdown (a query's media_id filter sits below this
+    * exchange), and only the about-to-be-decoded payload bytes move, a
+    * cost the decode itself dominates. At real media scale (GB-sized
+    * objects) scans split naturally and this is a no-op.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
+  /** JDK-decodable audio containers announce themselves in the first 4
+    * bytes (RIFF = WAV, FORM = AIFF, ".snd" = AU). Rejecting everything
+    * else up front skips `AudioSystem`'s throw-per-payload rejection path
+    * — on a mixed-media corpus 2/3 of rows took the exception path and
+    * it dominated the decode pass (5.5 s of 6 at 10× fixture scale).
+    * Payloads with a matching magic but corrupt innards still fall
+    * through the try/catch to the fingerprint row, so semantics are
+    * unchanged.
+    */
+  private def looksLikeJdkAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
   private def hashBytes(b: Array[Byte]): Long = {
     // FNV-1a 64 — deterministic, dependency-free
     var h = 0xcbf29ce484222325L
@@ -74,7 +105,7 @@ object Multimodal {
   def decodeImages(df: DataFrame): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("media_id"), col("payload"))
+    widen(df.select(col("media_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch => // partition-local batch loop = decode batch
         batch.map { case (id, bytes) =>
@@ -113,13 +144,14 @@ object Multimodal {
   def decodeAudio(df: DataFrame): Dataset[DecodedAudio] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("media_id"), col("payload"))
+    widen(df.select(col("media_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           val src = if (bytes == null) Array.emptyByteArray else bytes
           val ais =
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            if (!looksLikeJdkAudio(src)) null
+            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(src))
             catch { case scala.util.control.NonFatal(_) => null }
           if (ais == null) DecodedAudio(id, 0, 0, 0L, hashBytes(src))
@@ -158,7 +190,7 @@ object Multimodal {
     require(dim >= 1, s"feature dim must be positive: $dim")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("media_id"), col("payload"))
+    widen(df.select(col("media_id"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) => MediaFeature(id, featureOf(bytes, dim)) }

@@ -546,18 +546,23 @@ object IndexStore {
     * layout is that shape.
     */
   def media(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = dirFor(sfDir, "media")
+    // "media2": layout revision (scaled file count) — distinct cache key
+    val dir = dirFor(sfDir, "media2")
     buildOnce(dir) {
-      graft.operators.Multimodal.synthesize(spark,
-        emb(spark, sfDir).select(col("vec_id")), "vec_id")
+      val ids = emb(spark, sfDir).select(col("vec_id"))
+      // file count scales with the corpus (~2k payloads per file): decode
+      // parallelism comes from the LAYOUT, the way a 100 TB media table
+      // gets it from file/row-group splits. One file for everything made
+      // the whole decode serial at sf1 (one task, 10.7× at 10× rows —
+      // BENCH_SCALING r11); a per-USE repartition was measured slower at
+      // sf0.1 (the exchange beats the decode it parallelizes), so the
+      // split happens ONCE here at build time.
+      val files = math.max(1L, ids.count() / 2000L).toInt
+      graft.operators.Multimodal.synthesize(spark, ids, "vec_id")
+        .repartition(files)
         .write.mode("overwrite").parquet(s"$dir/table")
       markReady(dir)
     }
-    // NOTE: at fixture scale this is one small parquet file, so decode
-    // runs in one task; a 100 TB media table gets file/row-group
-    // parallelism for free. An unconditional repartition here measured
-    // SLOWER at sf0.1 (per-use exchange + 32-task scheduling beats the
-    // decode it parallelizes), so the read stays layout-native.
     readLayout(spark, s"$dir/table")
   }
 

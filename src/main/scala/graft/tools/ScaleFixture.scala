@@ -142,7 +142,96 @@ object ScaleFixture {
     }
     eventsOut.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"""{"fixture":"$out","mult":$mult,"open":$open,"docs":$nDocs,"embeddings":$nEmb,"events":$nEv}""")
+    // TPC-H-ish tables at mult× the driver's sf0.1 row counts — same
+    // columns/types/value domains (measured from /root/testdata/sf0.1),
+    // hash-derived like everything else, with referential integrity
+    // (custkey/orderkey/partkey/suppkey ranges line up). Enables a FULL
+    // query-surface bench at sf1+ (the driver fixtures stop at sf0.1).
+    if (args.contains("tpch")) {
+      def h(c: org.apache.spark.sql.Column, salt: Int) = xxhash64(c, lit(salt))
+      def money(c: org.apache.spark.sql.Column, salt: Int, lo: Double, hi: Double) =
+        round(lit(lo) + pmod(h(c, salt), lit(1000000)).cast("double") / 1000000.0
+          * (hi - lo), 2)
+      val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+      spark.range(5).select($"id".cast("int").as("r_regionkey"),
+        element_at(array(regions.map(lit): _*), ($"id" + 1).cast("int")).as("r_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
+      spark.range(25).select($"id".cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), $"id").as("n_name"),
+        pmod($"id", lit(5)).cast("int").as("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+      val nCust = 15000L * mult
+      val nSupp = 1000L * mult
+      val nPart = 20000L * mult
+      val nOrd = 150000L * mult
+      val segs = array(Seq("MACHINERY", "BUILDING", "HOUSEHOLD", "AUTOMOBILE",
+        "FURNITURE").map(lit): _*)
+      spark.range(nCust).select($"id".as("c_custkey"),
+        concat(lit("Customer#"), format_string("%09d", $"id")).as("c_name"),
+        pmod(h($"id", 101), lit(25)).cast("int").as("c_nationkey"),
+        money($"id", 103, -999.99, 9999.99).as("c_acctbal"),
+        element_at(segs, (pmod(h($"id", 107), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+        .repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
+      spark.range(nSupp).select($"id".as("s_suppkey"),
+        concat(lit("Supplier#"), format_string("%09d", $"id")).as("s_name"),
+        pmod(h($"id", 109), lit(25)).cast("int").as("s_nationkey"),
+        money($"id", 113, -999.99, 9999.99).as("s_acctbal"))
+        .repartition(8).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      val ptypes = array(Seq("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+        "PROMO").map(lit): _*)
+      val pmats = array(Seq("TIN", "NICKEL", "BRASS", "STEEL", "COPPER").map(lit): _*)
+      spark.range(nPart).select($"id".as("p_partkey"),
+        concat(element_at(vocabArr, (pmod(h($"id", 127), lit(31)) + 1).cast("int")),
+          lit(" "),
+          element_at(vocabArr, (pmod(h($"id", 131), lit(31)) + 1).cast("int"))).as("p_name"),
+        concat(lit("Brand#"), pmod(h($"id", 137), lit(5)) + 1,
+          pmod(h($"id", 139), lit(5)) + 1).as("p_brand"),
+        concat(element_at(ptypes, (pmod(h($"id", 149), lit(6)) + 1).cast("int")),
+          lit(" "),
+          element_at(pmats, (pmod(h($"id", 151), lit(5)) + 1).cast("int"))).as("p_type"),
+        (pmod(h($"id", 157), lit(50)) + 1).cast("int").as("p_size"),
+        money($"id", 163, 900.0, 2000.0).as("p_retailprice"))
+        .repartition(8).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+      // dates span the driver fixture's [1995-01-01, 2001-08-01] window
+      val epoch95Us = 788918400000000L // 1995-01-01T00:00:00Z in µs
+      val daySpan = 2404L
+      val prios = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW").map(lit): _*)
+      val statuses = array(Seq("O", "F", "P").map(lit): _*)
+      spark.range(nOrd).select($"id".as("o_orderkey"),
+        pmod(h($"id", 167), lit(nCust)).as("o_custkey"),
+        element_at(statuses, (pmod(h($"id", 173), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+        money($"id", 179, 850.0, 560000.0).as("o_totalprice"),
+        expr(s"cast(timestamp_micros($epoch95Us + " +
+          s"(${86400000000L} * pmod(xxhash64(id, 181), $daySpan))) as timestamp_ntz)")
+          .as("o_orderdate"),
+        element_at(prios, (pmod(h($"id", 191), lit(5)) + 1).cast("int")).as("o_orderpriority"))
+        .repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+      // 4 lines per order (TPC-H averages ~4), keys referencing the
+      // generated orders/part/supplier ranges
+      val rflags = array(Seq("A", "N", "R").map(lit): _*)
+      val lstats = array(Seq("O", "F").map(lit): _*)
+      spark.range(nOrd * 4).select(
+        expr("id div 4").as("l_orderkey"),
+        pmod(h($"id", 193), lit(nPart)).as("l_partkey"),
+        pmod(h($"id", 197), lit(nSupp)).as("l_suppkey"),
+        (pmod($"id", lit(4)) + 1).cast("int").as("l_linenumber"),
+        (pmod(h($"id", 199), lit(50)) + 1).cast("double").as("l_quantity"),
+        money($"id", 211, 1000.0, 100000.0).as("l_extendedprice"),
+        (pmod(h($"id", 223), lit(11)).cast("double") / 100.0).as("l_discount"),
+        (pmod(h($"id", 227), lit(9)).cast("double") / 100.0).as("l_tax"),
+        element_at(rflags, (pmod(h($"id", 229), lit(3)) + 1).cast("int")).as("l_returnflag"),
+        element_at(lstats, (pmod(h($"id", 233), lit(2)) + 1).cast("int")).as("l_linestatus"),
+        expr(s"cast(timestamp_micros($epoch95Us + 86400000000 + " +
+          s"(${86400000000L} * pmod(xxhash64(id, 239), ${daySpan + 94}))) as timestamp_ntz)")
+          .as("l_shipdate"))
+        .repartition(8).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+
+    println(s"""{"fixture":"$out","mult":$mult,"open":$open,"docs":$nDocs,"embeddings":$nEmb,"events":$nEv,"tpch":${args.contains("tpch")}}""")
     spark.stop()
   }
 }
