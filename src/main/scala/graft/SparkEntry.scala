@@ -907,6 +907,29 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 DiskANN-static (Vamana) with l ≥ |shard| ≡ exact
+    //    (oracle-checked: the flat α-RNG graph is connected by the
+    //    re-asserted chain, so the bounded beam walk degenerates to an
+    //    exhaustive one — proves build + beam walk + merge end-to-end) ──
+    "q_diskann_exact" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.vamana(s, dir)
+      graft.operators.VamanaIndex.search(segs, qvec(s, dir), k = 10,
+        l = 1 << 30, beamWidth = 4, metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): Vamana at the reference's operating point
+    //    (l_search=100, beam_width=4 — diskann_static_params.h:27-38);
+    //    exactness twin above, recall pinned in VamanaIndexSpec ──
+    "q_diskann_search" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.vamana(s, dir)
+      graft.operators.VamanaIndex.search(segs, qvec(s, dir), k = 10,
+        l = 100, beamWidth = 4, metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
     // ── pipeline: full text profile (tokens, subwords, lang-id,
     //    fingerprint) — every column portable, fully oracle-checked ──
     "q_text_profile" -> ((s, dir) => {
@@ -2218,6 +2241,7 @@ object SparkEntry {
 
     "q_ivf_exact" -> exactL2Top10Sql,
     "q_hnsw_exact" -> exactL2Top10Sql,
+    "q_diskann_exact" -> exactL2Top10Sql,
     "q_hnsw_routed_exact" -> exactL2Top10Sql,
     "q_api_search_hnsw" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)

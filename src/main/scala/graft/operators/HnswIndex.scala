@@ -85,21 +85,21 @@ object HnswIndex {
   // accumulator, ascending index) so reported scores are bit-identical to
   // the codegen'd expressions and the DuckDB oracle.
 
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def dot(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0; var i = 0
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
-  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def l2sq(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0; var i = 0
     while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
     s
   }
 
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def cosine(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
     while (i < n) {
@@ -114,7 +114,7 @@ object HnswIndex {
     * cosine negate their similarity). L2 ranks on the SQUARED distance —
     * order-equivalent to sqrt and cheaper in the inner loop.
     */
-  private def rankDist(metric: String)(a: Array[Float], b: Array[Float]): Double =
+  private[operators] def rankDist(metric: String)(a: Array[Float], b: Array[Float]): Double =
     metric match {
       case "l2" | "l2sq" => l2sq(a, b)
       case "ip"          => -dot(a, b)
@@ -125,7 +125,7 @@ object HnswIndex {
   /** Reported score for a rank distance, matching [[Knn.score]]'s
     * conventions (l2 is sqrt'd; ip/cosine are the raw similarity).
     */
-  private def reportScore(metric: String, d: Double): Double = metric match {
+  private[operators] def reportScore(metric: String, d: Double): Double = metric match {
     case "l2"   => math.sqrt(d)
     case "l2sq" => d
     case _      => -d

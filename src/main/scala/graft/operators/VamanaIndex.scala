@@ -1,0 +1,319 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** DiskANN-static (Vamana) graph index, re-expressed for Spark.
+  *
+  * Reference capability: the DiskANN-backed static index class
+  * (internal/engine/index/impl/diskann/gamma_index_diskann_static.cc,
+  * params `R`/`L`/`beam_width` — diskann_static_params.h:8-25, search
+  * params `l_search`/`beam_width` :27-38). The algorithm itself is from
+  * the published paper: Subramanya et al., "DiskANN: Fast Accurate
+  * Billion-point Nearest Neighbor Search on a Single Node" (NeurIPS
+  * 2019) — the Vamana graph (GreedySearch + RobustPrune with the α
+  * relaxation) and beam search from the medoid. This is an independent
+  * implementation from the paper, not a translation of the DiskANN
+  * library.
+  *
+  * What distinguishes the family from HNSW (and why it earns its own
+  * operator rather than a re-skin): a single FLAT graph (no layer
+  * hierarchy) whose α-RNG robust pruning keeps long-range edges, entry
+  * at the dataset medoid, and a beam-width search loop that expands W
+  * frontier nodes per round — the knob that batches SSD reads in the
+  * paper's disk-resident setting. Here the "SSD" is the parquet segment
+  * row: the graph lives columnar-at-rest and is deserialized per task,
+  * the same storage-resident posture (the reference holds it as a
+  * DiskANN file; we hold it as a table).
+  *
+  * Spark mapping — identical segment-row machinery to [[HnswIndex]]:
+  * one shard = one serialized graph = one storage row; build is one
+  * deterministic shuffle + `mapGroups`; search is `flatMap` + global
+  * TakeOrderedAndProject merge. 100 TB posture: `numShards` ∝ corpus
+  * bounds per-task graph memory; fan-out is one task per shard.
+  *
+  * Determinism + the exactness twin: insertion order is ids-ascending,
+  * the medoid is the node nearest the shard centroid (ties on index),
+  * and every heap/prune tie breaks on node index — the graph is a pure
+  * function of (corpus, params). A consecutive-id connectivity chain
+  * (i ↔ i+1, re-asserted AFTER pruning, degree +≤2 over R) makes every
+  * segment connected BY CONSTRUCTION, so `l ≥ |shard|` beam search is
+  * an exhaustive walk and the exact twin (`q_diskann_exact`) is exact
+  * by construction — the same device [[HnswIndex]] uses.
+  */
+object VamanaIndex {
+
+  /** Build parameters (reference diskann_static_params.h:8-25: `R` max
+    * degree, `L` build candidate-list size; α is the paper's RNG
+    * relaxation, fixed 1.2 there).
+    */
+  final case class Params(
+      r: Int = 64,
+      l: Int = 100,
+      alpha: Double = 1.2,
+      metric: String = "l2",
+      numShards: Int = 4)
+
+  /** One graph node as stored: `nbrs` = neighbor LOCAL indices. */
+  final case class VNode(id: Long, vec: Array[Float], nbrs: Array[Int])
+
+  /** One serialized Vamana segment = one whole shard; `medoid` is the
+    * local index of the entry node.
+    */
+  final case class Segment(shard_id: Int, medoid: Int, nodes: Array[VNode])
+
+  def ascending(metric: String): Boolean = HnswIndex.ascending(metric)
+
+  // ── in-task build (paper Algorithm 3: two passes of GreedySearch +
+  //    RobustPrune, α = 1 then α = p.alpha) ─────────────────────────────
+
+  private[graft] def buildSegment(
+      shardId: Int, sorted: Array[(Long, Array[Float])], p: Params): Segment = {
+    val n = sorted.length
+    val dist = HnswIndex.rankDist(p.metric) _
+    val vecs = Array.tabulate(n)(i => sorted(i)._2)
+    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    if (n == 0) return Segment(shardId, 0, Array.empty)
+
+    // initial graph: the consecutive-id chain — connected from the first
+    // moment, so pass-1 greedy searches can reach every node
+    var i = 1
+    while (i < n) { adj(i) += (i - 1); adj(i - 1) += i; i += 1 }
+
+    // medoid ≈ the node nearest the shard centroid (the paper enters at
+    // the dataset medoid; the centroid proxy is O(n·d) and deterministic)
+    val dim = vecs(0).length
+    val centroid = new Array[Float](dim)
+    i = 0
+    while (i < n) {
+      var j = 0
+      val v = vecs(i)
+      val m = math.min(dim, v.length)
+      while (j < m) { centroid(j) += v(j) / n; j += 1 }
+      i += 1
+    }
+    var medoid = 0
+    var bestD = Double.MaxValue
+    i = 0
+    while (i < n) {
+      val d = HnswIndex.l2sq(vecs(i), centroid)
+      if (d < bestD) { bestD = d; medoid = i }
+      i += 1
+    }
+
+    implicit val ord: Ordering[(Double, Int)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+
+    // GreedySearch (paper Algorithm 1): best-first from the medoid with
+    // an L-bounded result list; returns the VISITED set ordered by
+    // distance — the candidate pool RobustPrune consumes
+    def greedyVisited(q: Array[Float], l: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.BitSet(n)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      val d0 = dist(q, vecs(medoid))
+      visited.set(medoid)
+      cand.enqueue((d0, medoid)); res.enqueue((d0, medoid)); out += ((d0, medoid))
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (res.size >= l && dc > res.head._1) cand.clear()
+        else {
+          val nb = adj(c)
+          var k = 0
+          while (k < nb.length) {
+            val e = nb(k)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, vecs(e))
+              if (res.size < l || d < res.head._1 ||
+                  (d == res.head._1 && e < res.head._2)) {
+                cand.enqueue((d, e)); out += ((d, e))
+                res.enqueue((d, e))
+                if (res.size > l) res.dequeue()
+              }
+            }
+            k += 1
+          }
+        }
+      }
+      out.sortInPlace()
+      out
+    }
+
+    // RobustPrune (paper Algorithm 2): take the closest candidate, drop
+    // every remaining one that is α-times closer to IT than to the base
+    def robustPrune(base: Int, cands: mutable.ArrayBuffer[(Double, Int)],
+        alpha: Double, r: Int): Array[Int] = {
+      val pool = cands.filter(_._2 != base).distinctBy(_._2).sorted
+      val picked = mutable.ArrayBuffer.empty[Int]
+      val alive = Array.fill(pool.length)(true)
+      var a = 0
+      while (a < pool.length && picked.length < r) {
+        if (alive(a)) {
+          val (_, c) = pool(a)
+          picked += c
+          var b = a + 1
+          while (b < pool.length) {
+            if (alive(b)) {
+              val (dPB, cb) = pool(b)
+              if (alpha * dist(vecs(c), vecs(cb)) <= dPB) alive(b) = false
+            }
+            b += 1
+          }
+        }
+        a += 1
+      }
+      picked.toArray
+    }
+
+    var pass = 0
+    while (pass < 2) {
+      val alpha = if (pass == 0) 1.0 else p.alpha
+      i = 0
+      while (i < n) {
+        val pool = greedyVisited(vecs(i), p.l)
+        pool ++= adj(i).map(e => (dist(vecs(i), vecs(e)), e)) // keep current edges prunable
+        val pruned = robustPrune(i, pool, alpha, p.r)
+        adj(i).clear(); adj(i) ++= pruned
+        var k = 0
+        while (k < pruned.length) {
+          val e = pruned(k)
+          if (!adj(e).contains(i)) {
+            adj(e) += i
+            if (adj(e).length > p.r) {
+              val epool = adj(e).map(x => (dist(vecs(e), vecs(x)), x))
+              val kept = robustPrune(e, epool, alpha, p.r)
+              adj(e).clear(); adj(e) ++= kept
+            }
+          }
+          k += 1
+        }
+        i += 1
+      }
+      pass += 1
+    }
+
+    // re-assert the chain AFTER pruning (degree +≤2 over R): the segment
+    // stays connected by construction — the l ≥ |shard| exactness device
+    i = 1
+    while (i < n) {
+      if (!adj(i).contains(i - 1) && !adj(i - 1).contains(i)) {
+        adj(i) += (i - 1); adj(i - 1) += i
+      }
+      i += 1
+    }
+
+    Segment(shardId, medoid,
+      Array.tabulate(n)(j => VNode(sorted(j)._1, vecs(j), adj(j).toArray)))
+  }
+
+  /** Build the segment table — same one-shuffle shape as
+    * [[HnswIndex.build]].
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, p: Params): Dataset[Segment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => HnswIndex.shardOf(id, p.numShards) }
+      .mapGroups { (sid, it) => buildSegment(sid, it.toArray.sortBy(_._1), p) }
+  }
+
+  /** Beam search over one deserialized segment (paper's search with the
+    * reference's `l_search`/`beam_width` surface,
+    * diskann_static_params.h:27-38): best-first from the medoid with an
+    * l-bounded result list, expanding up to `beamWidth` frontier nodes
+    * per round (the IO-batching knob in the disk-resident original; here
+    * it shapes traversal order only). `allow` is the delete-gate /
+    * filter functor — traversed, never admitted, exactly like
+    * [[HnswIndex.searchSegment]], so `l ≥ |shard|` stays provably exact
+    * under any gate.
+    */
+  private[graft] def searchSegment(
+      seg: Segment, q: Array[Float], k: Int, l: Int, beamWidth: Int,
+      metric: String, allow: Long => Boolean = _ => true): Array[(Long, Double)] = {
+    val n = seg.nodes.length
+    if (n == 0) return Array.empty
+    val dist = HnswIndex.rankDist(metric) _
+    val vecs = seg.nodes.map(_.vec)
+    implicit val ord: Ordering[(Double, Int)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+    val effL = math.max(l, k)
+    val w = math.max(1, beamWidth)
+    val visited = new java.util.BitSet(n)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+    val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+    val d0 = dist(q, vecs(seg.medoid))
+    visited.set(seg.medoid)
+    cand.enqueue((d0, seg.medoid))
+    if (allow(seg.nodes(seg.medoid).id)) res.enqueue((d0, seg.medoid))
+    val beam = new Array[Int](w)
+    while (cand.nonEmpty) {
+      // expand up to beamWidth closest frontier nodes as one batch
+      var bn = 0
+      var stop = false
+      while (bn < w && cand.nonEmpty && !stop) {
+        val (dc, c) = cand.dequeue()
+        if (res.size >= effL && dc > res.head._1) {
+          // every remaining candidate is worse than the filled list
+          if (bn == 0) { cand.clear(); stop = true }
+          else { cand.enqueue((dc, c)); stop = true }
+        } else { beam(bn) = c; bn += 1 }
+      }
+      var bi = 0
+      while (bi < bn) {
+        val nb = seg.nodes(beam(bi)).nbrs
+        var k2 = 0
+        while (k2 < nb.length) {
+          val e = nb(k2)
+          if (!visited.get(e)) {
+            visited.set(e)
+            val d = dist(q, vecs(e))
+            if (res.size < effL || d < res.head._1 ||
+                (d == res.head._1 && e < res.head._2)) {
+              cand.enqueue((d, e))
+              if (allow(seg.nodes(e).id)) {
+                res.enqueue((d, e))
+                if (res.size > effL) res.dequeue()
+              }
+            }
+          }
+          k2 += 1
+        }
+        bi += 1
+      }
+    }
+    res.toArray.sorted.take(k)
+      .map { case (d, idx) => (seg.nodes(idx).id, HnswIndex.reportScore(metric, d)) }
+  }
+
+  /** Search over the segment table: per-shard beam walk via `flatMap`,
+    * global TakeOrderedAndProject merge. Output (vec_id, _score),
+    * best-first. `deny` is the delete ledger (see
+    * [[HnswIndex.search]]'s contract).
+    */
+  def search(segments: Dataset[Segment], q: Seq[Float], k: Int, l: Int,
+      beamWidth: Int = 4, metric: String = "l2", roundTo: Option[Int] = None,
+      deny: Set[Long] = Set.empty): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val qa = q.toArray
+    val hits =
+      if (deny.isEmpty)
+        segments.flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric))
+          .toDF("vec_id", "_score")
+      else {
+        val bc = spark.sparkContext.broadcast(deny)
+        segments.flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric,
+            id => !bc.value.contains(id)))
+          .toDF("vec_id", "_score")
+      }
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
+    roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
+  }
+}

@@ -484,6 +484,23 @@ object IndexStore {
     spacePath
   }
 
+  /** DiskANN-static (Vamana) layout: flat α-RNG graph segments, one row
+    * per shard ([[graft.operators.VamanaIndex]]). Deterministic build ⇒
+    * reproducible searches, same as the HNSW layout.
+    */
+  def vamana(spark: SparkSession, sfDir: String, r: Int = 32, l: Int = 64,
+      numShards: Int = 4): org.apache.spark.sql.Dataset[graft.operators.VamanaIndex.Segment] = {
+    import spark.implicits._
+    val dir = dirFor(sfDir, s"vamana${r}_${l}_$numShards")
+    buildOnce(dir) {
+      graft.operators.VamanaIndex.build(emb(spark, sfDir), "vec_id", "embedding",
+        graft.operators.VamanaIndex.Params(r, l, 1.2, "l2", numShards))
+        .write.mode("overwrite").parquet(s"$dir/table")
+      markReady(dir)
+    }
+    readLayout(spark, s"$dir/table").as[graft.operators.VamanaIndex.Segment]
+  }
+
   /** Multi-field graph layouts: one HNSW segment table PER vector field
     * (the two 32-d halves of the embedding), both inner-product metric —
     * the layout the reference's multi-field conjunctive search serves
@@ -583,6 +600,7 @@ object IndexStore {
     m(hnsw(spark, sfDir).toDF())
     m(hnswClustered(spark, sfDir)._1.toDF())
     locally { val (a, b) = hnswMultiField(spark, sfDir); m(a.toDF()); m(b.toDF()) }
+    m(vamana(spark, sfDir).toDF())
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, VamanaIndex}
+
+/** DiskANN-static (Vamana): deterministic build, chain-guaranteed
+  * connectivity (the exactness-twin device), exact-parameter equivalence
+  * with brute-force KNN, beam-width invariance of the exhaustive walk,
+  * operating-point recall, and the delete-gate functor.
+  */
+class VamanaIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val qv: Seq[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+
+  private val params = VamanaIndex.Params(r = 24, l = 48, alpha = 1.2,
+    metric = "l2", numShards = 3)
+
+  private lazy val segs = {
+    val d = VamanaIndex.build(emb, "vec_id", "embedding", params).cache()
+    d.count()
+    d
+  }
+
+  private def canon(s: VamanaIndex.Segment): String = {
+    val nodes = s.nodes.map(n =>
+      s"${n.id}|${n.nbrs.mkString(",")}|${n.vec.take(4).mkString(",")}")
+    s"${s.shard_id}#${s.medoid}#${nodes.mkString("~")}"
+  }
+
+  test("build is deterministic and independent of upstream partitioning") {
+    val a = segs.collect().sortBy(_.shard_id).map(canon)
+    val b = VamanaIndex.build(emb.repartition(7), "vec_id", "embedding", params)
+      .collect().sortBy(_.shard_id).map(canon)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("every segment is connected and degree-bounded (R + chain slack)") {
+    segs.collect().foreach { s =>
+      val n = s.nodes.length
+      // BFS from the medoid must reach every node — the chain guarantee
+      val seen = new java.util.BitSet(n)
+      var frontier = List(s.medoid)
+      seen.set(s.medoid)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(i => s.nodes(i).nbrs.filterNot { e =>
+          val v = seen.get(e); seen.set(e); v
+        })
+      }
+      assert(seen.cardinality() == n, s"shard ${s.shard_id} not connected")
+      assert(s.nodes.forall(_.nbrs.length <= params.r + 2),
+        "degree exceeds R + chain slack")
+      // neighbor lists hold valid, deduplicated local indices
+      s.nodes.foreach { nd =>
+        assert(nd.nbrs.forall(e => e >= 0 && e < n))
+        assert(nd.nbrs.distinct.length == nd.nbrs.length)
+      }
+    }
+  }
+
+  test("l ≥ |shard| beam search ≡ brute-force KNN, any beam width") {
+    val brute = Knn.search(emb, col("embedding"), qv, 10, "l2",
+      tieBreak = Some(col("vec_id")))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (bw <- Seq(1, 4, 16)) {
+      val got = VamanaIndex.search(segs, qv, k = 10, l = 1 << 30,
+        beamWidth = bw, metric = "l2")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == brute, s"beamWidth=$bw diverged from brute force")
+    }
+  }
+
+  test("operating point (l=100, beam=4) recall ≥ 0.8 vs the exact walk") {
+    val exact = VamanaIndex.search(segs, qv, k = 10, l = 1 << 30,
+      beamWidth = 4, metric = "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val op = VamanaIndex.search(segs, qv, k = 10, l = 100, beamWidth = 4,
+      metric = "l2")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(op).size.toDouble / exact.size
+    assert(recall >= 0.8, s"vamana recall@10 $recall < 0.8")
+  }
+
+  test("deny functor: deleted ids are traversed but never returned; k still fills") {
+    val deny = Set(0L, 1L, 2L)
+    val got = VamanaIndex.search(segs, qv, k = 10, l = 1 << 30,
+      beamWidth = 4, metric = "l2", deny = deny)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size == 10)
+    assert(got.forall(!deny.contains(_)))
+    // equals brute force over the corpus minus the denied ids
+    val brute = Knn.search(emb.filter(!$"vec_id".isin(deny.toSeq: _*)),
+      col("embedding"), qv, 10, "l2", tieBreak = Some(col("vec_id")))
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
+
+  test("ip metric: exact walk matches brute force with descending scores") {
+    val p2 = params.copy(metric = "ip")
+    val s2 = VamanaIndex.build(emb, "vec_id", "embedding", p2)
+    val got = VamanaIndex.search(s2, qv, k = 5, l = 1 << 30, beamWidth = 4,
+      metric = "ip").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Knn.search(emb, col("embedding"), qv, 5, "ip",
+      tieBreak = Some(col("vec_id")))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+    val scores = got.map(_._2)
+    assert(scores == scores.sorted.reverse)
+  }
+}
