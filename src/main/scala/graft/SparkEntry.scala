@@ -930,6 +930,27 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over a DISKANN_STATIC space — the
+    //    full REST path (space JSON → searchAuto → READY Vamana
+    //    generation → beam walk → projection); request l_search ≥ corpus
+    //    ⇒ exact, so the routing stack is oracle-checked ──
+    "q_api_search_diskann" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vam_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── pipeline: full text profile (tokens, subwords, lang-id,
     //    fingerprint) — every column portable, fully oracle-checked ──
     "q_text_profile" -> ((s, dir) => {
@@ -2249,6 +2270,13 @@ object SparkEntry {
                 round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
          FROM embeddings e, q
          WHERE e.label IN (1,3,5)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_api_search_diskann" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
     // routed search after delete: the oracle is the exact top-10 over the

@@ -209,7 +209,11 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       val hnswBase = hnswState match {
         case Ready(g, _, _) => Seq(hnswLedgerBase(g)); case _ => Nil
       }
-      val oldest = (ivfGen ++ hnswBase).minOption.getOrElse(Long.MaxValue)
+      val vamanaGen = vamanaState match {
+        case Ready(g, _, _) => Seq(g); case _ => Nil
+      }
+      val oldest = (ivfGen ++ hnswBase ++ vamanaGen)
+        .minOption.getOrElse(Long.MaxValue)
       val kept = new StringBuilder
       Files.readAllLines(p).forEach { line =>
         val t = line.trim
@@ -438,6 +442,53 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     if (hnswStaleness().exists(_ >= driftThreshold)) {
       rebuildHnsw(idCol, vecCol, params); true
     } else false
+
+  // ── DiskANN-static (Vamana) generation: same BUILDING→READY/FAILED
+  //    contract over its own sidecar. STATIC by definition (the
+  //    reference's DiskANN class rebuilds rather than appends), so there
+  //    is no appendVamana and the ledger baseline is always the
+  //    generation's own stamp.
+
+  private def vamanaStatePath = s"$spacePath.vamana_state.json"
+  private def vamanaPath(gen: Long) = s"$spacePath.vamana.g$gen"
+
+  def vamanaState: State = readStateAt(vamanaStatePath)
+
+  /** Build (or rebuild) the Vamana generation; `ncentroids` in the
+    * returned Ready carries `numShards`.
+    */
+  def rebuildVamana(idCol: String, vecCol: String,
+      params: graft.operators.VamanaIndex.Params): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(vamanaStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      graft.operators.VamanaIndex.build(corpus, idCol, vecCol, params)
+        .write.mode("overwrite").parquet(vamanaPath(gen))
+      writeStateAt(vamanaStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
+      pruneDeleteLedger()
+      Ready(gen, params.numShards, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(vamanaStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The current READY Vamana segment table, or None. */
+  def readyVamanaSegments(): Option[org.apache.spark.sql.Dataset[graft.operators.VamanaIndex.Segment]] =
+    vamanaState match {
+      case Ready(gen, _, _) =>
+        import spark.implicits._
+        Some(spark.read.parquet(vamanaPath(gen))
+          .as[graft.operators.VamanaIndex.Segment])
+      case _ => None
+    }
+
+  def readyVamanaGen(): Option[Long] = vamanaState match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
+  }
 
   /** Force-merge ≡ compaction: rewrite the space with a target file count
     * (POST /index/forcemerge → Optimize(), handler_document.go:468-476).

@@ -501,6 +501,30 @@ object SearchApi {
             segments, queries, k, efOf(k), metric, deny = hnswDeny)
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
         }
+      case Some("DISKANN_STATIC") if single && idIntegral && pred.isEmpty =>
+        // Vamana route (the reference's DiskANN-static class,
+        // gamma_index_diskann_static.cc): search params resolve request
+        // `l_search`/`beam_width` over the space's `L`/`beam_width`
+        // (diskann_static_params.h:27-38); the delete ledger rides the
+        // walk's allow-functor. Filtered shapes fall back to FLAT (the
+        // reference's DiskANN path has no filter functor either).
+        lifecycle.readyVamanaSegments().map { segments =>
+          val vc = req.vectors.head
+          val q = maybeNormalize(space, vc.field, vc.queries.head)
+          val metric = metricOf(space, vc.field)
+          val k = req.limit + req.offset
+          val l = math.max(
+            req.indexParams.get("l_search").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
+              .getOrElse(100), k)
+          val bw = req.indexParams.get("beam_width").filter(_ > 0)
+            .orElse(vopts.get.indexParams.get("beam_width").filter(_ > 0))
+            .getOrElse(4)
+          val deny = lifecycle.readyVamanaGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          finish(joinBack(graft.operators.VamanaIndex.search(
+            segments, q, k, l, bw, metric, deny = deny)), metric)
+        }
       case Some("IVFFLAT") if single =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))

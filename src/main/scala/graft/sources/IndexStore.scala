@@ -528,6 +528,24 @@ object IndexStore {
       readLayout(spark, s"$dir/v2").as[HnswIndex.Segment])
   }
 
+  /** Routed-API Vamana fixture: the embeddings table as a SPACE with a
+    * READY DiskANN-static generation built through the lifecycle.
+    */
+  def vamanaSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apivam")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildVamana("_id", "embedding",
+        graft.operators.VamanaIndex.Params(r = 32, l = 64, alpha = 1.2,
+          metric = "l2", numShards = 4))
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Delete-visibility fixture: a space with BOTH a READY HNSW generation
     * and a READY IVF generation built over the FULL embeddings corpus,
     * then ids 0–4 deleted THROUGH the lifecycle (space table rewritten,
@@ -601,6 +619,7 @@ object IndexStore {
     m(hnswClustered(spark, sfDir)._1.toDF())
     locally { val (a, b) = hnswMultiField(spark, sfDir); m(a.toDF()); m(b.toDF()) }
     m(vamana(spark, sfDir).toDF())
+    vamanaSpace(spark, sfDir)
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

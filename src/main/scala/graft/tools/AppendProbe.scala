@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.operators.HnswIndex
+
+/** Dev probe: HNSW incremental-append cost vs full rebuild at a given SF.
+  * Splits the embeddings table at a tail fraction, builds the base, then
+  * times (a) appending the tail and (b) rebuilding over everything.
+  */
+object AppendProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tailFrac = args.headOption.map(_.toDouble).getOrElse(0.1)
+    val shards = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = Graft.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val cut = (n * (1.0 - tailFrac)).toLong
+    val base = emb.filter(col("vec_id") < cut)
+    val tail = emb.filter(col("vec_id") >= cut)
+    val p = HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2",
+      numShards = shards)
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[append] $name t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val built = time(s"build base (${cut} rows)") {
+      val d = HnswIndex.build(base, "vec_id", "embedding", p).cache()
+      d.count(); d
+    }
+    time(s"append tail (${n - cut} rows)") {
+      HnswIndex.append(built, tail, "vec_id", "embedding", p).count()
+    }
+    time(s"append tail x2 (warm)") {
+      HnswIndex.append(built, tail, "vec_id", "embedding", p).count()
+    }
+    time(s"full rebuild ($n rows)") {
+      HnswIndex.build(emb, "vec_id", "embedding", p).count()
+    }
+    spark.stop()
+  }
+}

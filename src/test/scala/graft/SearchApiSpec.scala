@@ -475,6 +475,41 @@ class SearchApiSpec extends SparkSpec {
       rows(SearchApi.search(stored, hspace, oreq)))
   }
 
+  test("searchAuto: DISKANN_STATIC space routes to the Vamana generation, deletes gated") {
+    val root = java.nio.file.Files.createTempDirectory("vam_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val vspace = Space.fromJson(
+      """{"name":"vam_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"DISKANN_STATIC","params":{"R":24,"L":48,"beam_width":4}}}]}""")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // request l_search ≥ corpus ⇒ exact walk; exercised through the
+    // reference's request-over-space param merge (l_search over L)
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"l_search":1048576},"limit":8}"""
+    // no generation yet → FLAT fallback
+    assert(SearchApi.searchAuto(spark.read.parquet(spacePath), vspace, req, lc).count() == 8)
+    lc.rebuildVamana("_id", "embedding",
+      graft.operators.VamanaIndex.Params(24, 48, 1.2, "l2", numShards = 3))
+    val stored = spark.read.parquet(spacePath)
+    assert(rows(SearchApi.searchAuto(stored, vspace, req, lc)) ==
+      rows(SearchApi.search(stored, vspace, req)))
+    // delete AFTER the build: ledger gates the routed walk — k live docs
+    val deleted = Seq(0L, 1L)
+    lc.deleteByIds("_id", deleted)
+    val live = spark.read.parquet(spacePath)
+    val got = rows(SearchApi.searchAuto(live, vspace, req, lc))
+    assert(got == rows(SearchApi.search(live, vspace, req)))
+    assert(got.size == 8 && got.forall(r => !deleted.contains(r._1)))
+  }
+
   test("searchAuto: broad-filter HNSW falls back to filter-first brute (selectivity guard)") {
     val root = java.nio.file.Files.createTempDirectory("guard_route").toString
     val spacePath = s"$root/space"
