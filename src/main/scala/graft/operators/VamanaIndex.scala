@@ -316,4 +316,32 @@ object VamanaIndex {
     val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
     roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
   }
+
+  /** Batched search (vearch `req_num`): every query walks each segment in
+    * the SAME task pass — one deserialization amortized across the batch —
+    * then the bounded top-k aggregate merges per-shard lists
+    * ([[HnswIndex.searchBatch]]'s shape). Output: (_qid, vec_id, _score).
+    */
+  def searchBatch(segments: Dataset[Segment], queries: Seq[(Long, Seq[Float])],
+      k: Int, l: Int, beamWidth: Int = 4, metric: String = "l2",
+      deny: Set[Long] = Set.empty): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val denyBc = spark.sparkContext.broadcast(deny)
+    val hits = segments.flatMap { seg =>
+      val allow: Long => Boolean =
+        if (denyBc.value.isEmpty) _ => true else id => !denyBc.value.contains(id)
+      qs.iterator.flatMap { case (qid, qa) =>
+        searchSegment(seg, qa, k, l, beamWidth, metric, allow).iterator
+          .map { case (id, s) => (qid, id, s) }
+      }
+    }.toDF("_qid", "vec_id", "_score")
+    hits.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), struct(col("vec_id")), k,
+        ascending(metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item.vec_id").as("vec_id"),
+        col("_e.score").as("_score"))
+  }
 }

@@ -91,13 +91,21 @@ final class RealtimeTail(
       q: Seq[Float],
       k: Int,
       ef: Int,
-      metric: String = "l2"): DataFrame = {
+      metric: String = "l2",
+      // delete ledger since the graph generation (the reference's
+      // deleted-bitmap gate): denied ids never surface from the base
+      // walk; tail rows with denied ids are dropped too (a delete beats
+      // an earlier buffered write of the same id)
+      deny: Set[Long] = Set.empty): DataFrame = {
     import graft.operators.{HnswIndex, Knn}
     val tail = readOrEmpty(tailPath, schema)
-    val dedupedTail = orderCol match {
+    val dedupedTail0 = orderCol match {
       case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
       case None     => tail.dropDuplicates(idCol)
     }
+    val dedupedTail =
+      if (deny.isEmpty) dedupedTail0
+      else dedupedTail0.filter(!col(idCol).cast("long").isin(deny.toSeq: _*))
     val tailHits = Knn.search(dedupedTail, col(vecCol), q, k, metric,
       tieBreak = Some(col(idCol)))
       .select(col(idCol).cast("long").as("vec_id"), col("_score"))
@@ -106,7 +114,8 @@ final class RealtimeTail(
     // and the base's next-ranked docs then belong in the merged top-k —
     // over-fetch by the (bounded) tail size so survivors always suffice
     val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
-    val baseHits = HnswIndex.search(segments, q, kBase, math.max(ef, kBase), metric)
+    val baseHits = HnswIndex.search(segments, q, kBase, math.max(ef, kBase),
+        metric, deny = deny)
       .join(tailIds, Seq("vec_id"), "left_anti")
     val primary =
       if (Knn.ascending(metric)) col("_score").asc else col("_score").desc

@@ -89,5 +89,20 @@ class RealtimeTailSpec extends SparkSpec {
     assert(got == want) // exact-params realtime search ≡ brute over the live view
     assert(got.head._1 == 900000L)      // fresh tail doc served pre-compaction
     assert(!got.map(_._1).contains(0L)) // updated doc's stale rank is gone
+
+    // delete gate: denied ids surface from NEITHER leg — not from the
+    // graph base (allow-functor) nor from a buffered tail write — and
+    // the merged top-k still fills from live docs
+    val deny = Set(900000L, got(1)._1)
+    val gated = tail.searchHnsw(segs, schema, "embedding", q0, k = 5,
+      ef = 1 << 30, deny = deny)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gated.size == 5)
+    assert(gated.forall(!deny.contains(_)))
+    val wantGated = graft.operators.Knn.search(
+      tail.snapshot(schema).filter(!$"_id".isin(deny.toSeq: _*)),
+      $"embedding", q0, 5, "l2", tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(gated == wantGated)
   }
 }

@@ -129,6 +129,38 @@ class RecallGateSpec extends SparkSpec {
     ()
   }
 
+  test("Vamana (DiskANN-static) meets the reference recall gates on both distributions") {
+    // the flat α-RNG graph against the same CI thresholds
+    // (test_recall_baseline.py:301-303) at the reference's search surface
+    // (l_search, beam_width — diskann_static_params.h:27-38)
+    val n = 40000L
+    val dim = 64
+    for ((name, all) <- Seq(
+        "mixture" -> Recall.synthetic(spark, n, dim, nClusters = 256, nQueries = 30),
+        "normalized" -> Recall.syntheticNormalized(spark, n, dim, nClusters = 256, nQueries = 30))) {
+      val corpus = all.filter($"vec_id" < n).cache()
+      corpus.count()
+      val qDf = all.filter($"vec_id" >= n)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val queries = qDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val gt = Recall.groundTruth(corpus, qDf, 100)
+      val segs = graft.operators.VamanaIndex.build(corpus, "vec_id", "embedding",
+        graft.operators.VamanaIndex.Params(r = 32, l = 64, alpha = 1.2,
+          metric = "l2", numShards = 4)).cache()
+      segs.count()
+      val got = graft.operators.VamanaIndex
+        .searchBatch(segs, queries, k = 100, l = 300, beamWidth = 4, metric = "l2")
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+        }
+      assert(Recall.report(s"spec_VAMANA_${name}_r32_l64_ls300", n, gt, got),
+        s"Vamana recall gates failed on the $name distribution")
+      segs.unpersist(); corpus.unpersist()
+    }
+    ()
+  }
+
   test("gates hold on the normalized anisotropic (GloVe-like) distribution") {
     // second CI distribution (test_recall_baseline.py:31-45 evaluates
     // SIFT + GloVe + NYTimes, not one geometry): unit-sphere vectors with
