@@ -486,20 +486,37 @@ object SearchApi {
           }
           hits.map(h => finish(joinBack(h), metric))
         }
-      case Some("HNSW") if batched && idIntegral && pred.isEmpty =>
+      case Some("HNSW") if batched && idIntegral =>
         // batch route: ONE pass over each segment serves all req_num
         // queries (HnswIndex.searchBatch amortizes the deserialization);
-        // filtered batches fall back — the per-query allow-set collect
-        // doesn't amortize
-        lifecycle.readyHnswSegments().map { segments =>
+        // a scalar filter's allow-set is collected ONCE (selectivity
+        // guard first) and broadcast into every query's walk — the
+        // collect amortizes across the batch like the segment read
+        lifecycle.readyHnswSegments().flatMap { segments =>
           val vc = req.vectors.head
           val metric = metricOf(space, vc.field)
           val k = req.limit + req.offset
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = graft.operators.HnswIndex.searchBatch(
-            segments, queries, k, efOf(k), metric, deny = hnswDeny)
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          val allow: Option[Option[Set[Long]]] = pred match {
+            case Some(p) =>
+              val allowed = corpus.filter(p).select(col("_id"))
+              if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
+                None // broad filter → brute fallback (planner switch)
+              else {
+                val spark = corpus.sparkSession
+                import spark.implicits._
+                Some(Some(allowed.select(col("_id").cast("long")).as[Long]
+                  .collect().toSet))
+              }
+            case None => Some(None)
+          }
+          allow.map { allowIds =>
+            val hits = graft.operators.HnswIndex.searchBatch(
+              segments, queries, k, efOf(k), metric, deny = hnswDeny,
+              allowIds = allowIds)
+            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          }
         }
       case Some("DISKANN_STATIC") if single && idIntegral && pred.isEmpty =>
         // Vamana route (the reference's DiskANN-static class,

@@ -599,14 +599,22 @@ object HnswIndex {
     * _score), best-first within each qid.
     */
   def searchBatch(segments: Dataset[Segment], queries: Seq[(Long, Seq[Float])],
-      k: Int, ef: Int, metric: String, deny: Set[Long] = Set.empty): DataFrame = {
+      k: Int, ef: Int, metric: String, deny: Set[Long] = Set.empty,
+      // filtered batch (the reference's flattened req_num WITH a scalar
+      // filter): one allow-set broadcast serves every query in the
+      // batch — the collect amortizes exactly like the segment read
+      allowIds: Option[Set[Long]] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val effBc = spark.sparkContext.broadcast(allowIds.map(_ -- deny))
     val denyBc = spark.sparkContext.broadcast(deny)
     val hits = segments.flatMap { seg =>
-      val allow: Long => Boolean =
-        if (denyBc.value.isEmpty) _ => true else id => !denyBc.value.contains(id)
+      val allow: Long => Boolean = effBc.value match {
+        case Some(ok) => ok.contains _
+        case None if denyBc.value.isEmpty => _ => true
+        case None => id => !denyBc.value.contains(id)
+      }
       qs.iterator.flatMap { case (qid, qa) =>
         searchSegment(seg, qa, k, ef, metric, allow).iterator
           .map { case (id, s) => (qid, id, s) }

@@ -473,6 +473,21 @@ class SearchApiSpec extends SparkSpec {
          "limit":3,"offset":2}"""
     assert(rows(SearchApi.searchAuto(stored, hspace, oreq, lc)) ==
       rows(SearchApi.search(stored, hspace, oreq)))
+
+    // FILTERED batch: the allow-set is collected once and broadcast into
+    // every query's walk — parity with the FLAT filtered batch
+    val freq = s"""{"vectors":[{"field":"embedding","feature":$flatFeature}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[2,4,6]}]},"limit":4}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, freq, lc)) ==
+      rows(SearchApi.search(stored, hspace, freq)))
+    // broad-filter guard applies to the batch route too
+    val saved = SearchApi.maxFilterAllowIds
+    try {
+      SearchApi.maxFilterAllowIds = 1
+      assert(rows(SearchApi.searchAuto(stored, hspace, freq, lc)) ==
+        rows(SearchApi.search(stored, hspace, freq)))
+    } finally SearchApi.maxFilterAllowIds = saved
   }
 
   test("searchAuto: DISKANN_STATIC space routes to the Vamana generation, deletes gated") {
