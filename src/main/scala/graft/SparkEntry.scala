@@ -930,6 +930,27 @@ object SparkEntry {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over a SPANN-CLUSTERED HNSW space:
+    //    space JSON → searchAuto → READY clustered generation → centroid
+    //    route = parquet PARTITION PRUNING of segment IO → walk → merge.
+    //    Default nprobe = ncentroids + efSearch ≥ corpus ⇒ exact, so the
+    //    clustered lifecycle + routing stack is oracle-checked ──
+    "q_api_search_hnsw_routed" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswRoutedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnswr_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.2+§2.4 ROUTED API search over a DISKANN_STATIC space — the
     //    full REST path (space JSON → searchAuto → READY Vamana
     //    generation → beam walk → projection); request l_search ≥ corpus
@@ -2270,6 +2291,13 @@ object SparkEntry {
                 round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
          FROM embeddings e, q
          WHERE e.label IN (1,3,5)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_api_search_hnsw_routed" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
     "q_api_search_diskann" ->

@@ -410,6 +410,52 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       case _ => None
     }
 
+  /** Build (or rebuild) a CLUSTERED (SPANN-routed) HNSW generation:
+    * shards = coarse-quantizer lists, table written
+    * `partitionBy(shard_id)` so query-time routing is parquet PARTITION
+    * PRUNING ([[graft.operators.HnswIndex.buildClustered]]). The trained
+    * quantizer persists as a sidecar next to the layout; its presence is
+    * what routes [[SearchApi.searchAuto]] through
+    * [[graft.operators.HnswIndex.searchRouted]] instead of the full
+    * fan-out. Same sidecar/state machine as the hash-sharded generation
+    * — the two are alternative layouts of the same graph kind.
+    */
+  def rebuildHnswClustered(idCol: String, vecCol: String,
+      params: graft.operators.HnswIndex.Params, ncentroids: Int,
+      maxShardRows: Int = 1 << 20): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(hnswStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
+      graft.operators.HnswIndex.buildClustered(corpus, idCol, vecCol,
+          params.copy(numShards = ncentroids), ivf, maxShardRows)
+        .write.mode("overwrite").partitionBy("shard_id").parquet(hnswPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${hnswPath(gen)}.ivf.txt", ivf)
+      writeStateAt(hnswStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneDeleteLedger()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(hnswStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The READY HNSW generation's routing quantizer, if it was built
+    * clustered — None for hash-sharded generations (full fan-out).
+    */
+  def hnswRoutedModel(metric: String = "l2"): Option[IvfIndex.Model] =
+    hnswState match {
+      case Ready(gen, _, _) =>
+        val p = Paths.get(s"${hnswPath(gen)}.ivf.txt")
+        if (Files.exists(p))
+          Some(graft.sources.IndexStore.readIvfModel(p.toString).copy(metric = metric))
+        else None
+      case _ => None
+    }
+
   /** Staleness of the HNSW generation: the larger of (a) space GROWTH
     * since the build — `max(0, now − trained) / trained` — and (b) the
     * CHURN recorded in the mutation ledger since the build (tail rows

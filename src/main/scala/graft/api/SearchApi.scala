@@ -464,11 +464,27 @@ object SearchApi {
 
     val routed: Option[DataFrame] = vopts.map(_.indexType) match {
       case Some("HNSW") if single && idIntegral =>
-        lifecycle.readyHnswSegments().flatMap { segments =>
+        lifecycle.readyHnswSegments().flatMap { segments0 =>
           val vc = req.vectors.head
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val metric = metricOf(space, vc.field)
           val k = req.limit + req.offset
+          // SPANN-clustered generation: route to nprobe shards — the
+          // shard_id filter is parquet PARTITION PRUNING over the
+          // partitionBy(shard_id) layout, so the pruned segments' IO
+          // never happens. Default nprobe = ncentroids (exact serving);
+          // requests/spaces narrow it via index_params.
+          val segments = lifecycle.hnswRoutedModel(metric) match {
+            case Some(model) =>
+              val nprobe = math.min(
+                req.indexParams.get("nprobe").filter(_ > 0)
+                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                  .getOrElse(model.ncentroids),
+                model.ncentroids)
+              segments0.filter(col("shard_id")
+                .isin(model.nearestCentroids(q, nprobe): _*))
+            case None => segments0
+          }
           val hits: Option[DataFrame] = pred match {
             case Some(p) =>
               // selectivity guard (the reference's planner switch,
@@ -492,12 +508,28 @@ object SearchApi {
         // a scalar filter's allow-set is collected ONCE (selectivity
         // guard first) and broadcast into every query's walk — the
         // collect amortizes across the batch like the segment read
-        lifecycle.readyHnswSegments().flatMap { segments =>
+        lifecycle.readyHnswSegments().flatMap { segments0 =>
           val vc = req.vectors.head
           val metric = metricOf(space, vc.field)
           val k = req.limit + req.offset
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
+          // clustered generation: prune to the UNION of every query's
+          // nprobe route (still partition pruning; each query's walk
+          // over a not-its-own shard just returns its per-shard top-k
+          // into the per-qid merge — correctness unchanged)
+          val segments = lifecycle.hnswRoutedModel(metric) match {
+            case Some(model) =>
+              val nprobe = math.min(
+                req.indexParams.get("nprobe").filter(_ > 0)
+                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                  .getOrElse(model.ncentroids),
+                model.ncentroids)
+              val lists = queries.flatMap(qq =>
+                model.nearestCentroids(qq._2, nprobe)).distinct
+              segments0.filter(col("shard_id").isin(lists: _*))
+            case None => segments0
+          }
           val allow: Option[Option[Set[Long]]] = pred match {
             case Some(p) =>
               val allowed = corpus.filter(p).select(col("_id"))

@@ -528,6 +528,27 @@ object IndexStore {
       readLayout(spark, s"$dir/v2").as[HnswIndex.Segment])
   }
 
+  /** Routed-API clustered-HNSW fixture: a SPACE with a READY
+    * SPANN-clustered graph generation (shards = quantizer lists,
+    * partitionBy(shard_id)) built through the lifecycle — what
+    * `searchAuto` serves with parquet partition pruning.
+    */
+  def hnswRoutedSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apihnswr")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildHnswClustered(
+        "_id", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2"),
+        ncentroids = 16)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Routed-API Vamana fixture: the embeddings table as a SPACE with a
     * READY DiskANN-static generation built through the lifecycle.
     */
@@ -620,6 +641,7 @@ object IndexStore {
     locally { val (a, b) = hnswMultiField(spark, sfDir); m(a.toDF()); m(b.toDF()) }
     m(vamana(spark, sfDir).toDF())
     vamanaSpace(spark, sfDir)
+    hnswRoutedSpace(spark, sfDir)
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

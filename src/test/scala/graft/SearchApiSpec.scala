@@ -490,6 +490,51 @@ class SearchApiSpec extends SparkSpec {
     } finally SearchApi.maxFilterAllowIds = saved
   }
 
+  test("searchAuto: clustered HNSW generation routes with partition pruning") {
+    val root = java.nio.file.Files.createTempDirectory("hnswr_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnswClustered("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2"), ncentroids = 8)
+    assert(lc.hnswRoutedModel().exists(_.ncentroids == 8))
+    val hspace = Space.fromJson(
+      """{"name":"hnswr_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":1048576}}}]}""")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // default route = ALL lists (exact serving) ⇒ parity with FLAT
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":8}"""
+    assert(rows(SearchApi.searchAuto(stored, hspace, req, lc)) ==
+      rows(SearchApi.search(stored, hspace, req)))
+    // request nprobe narrows the route; the top hit (the query's own
+    // vector) lives in the nearest list, so it must survive nprobe=1
+    val pruned = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"nprobe":1},"limit":8}"""
+    val got = rows(SearchApi.searchAuto(stored, hspace, pruned, lc))
+    assert(got.nonEmpty && got.head._1 == 0L)
+    // the plan prunes partitions: only the routed shard's files scan
+    val plan = SearchApi.searchAuto(stored, hspace, pruned, lc)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shard_id"), "expected a shard_id partition filter in the plan")
+    // batched request routes through the union of per-query lists
+    val q7 = stored.filter($"_id" === 7L).select("embedding").head().getSeq[Float](0)
+    val breq = s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q7).mkString("[", ",", "]")}}],"limit":5}"""
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(t => (t._1, t._3, t._2))
+    assert(brows(SearchApi.searchAuto(stored, hspace, breq, lc)) ==
+      brows(SearchApi.search(stored, hspace, breq)))
+  }
+
   test("searchAuto: DISKANN_STATIC space routes to the Vamana generation, deletes gated") {
     val root = java.nio.file.Files.createTempDirectory("vam_route").toString
     val spacePath = s"$root/space"
