@@ -99,6 +99,39 @@ class VamanaIndexSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("degenerate shapes: single-row shards, more shards than rows, identical vectors") {
+    val tiny = emb.filter($"vec_id" < 2) // 2 rows over 3 shards
+    val s2 = VamanaIndex.build(tiny, "vec_id", "embedding", params)
+    val got = VamanaIndex.search(s2, qv, k = 5, l = 1 << 30, beamWidth = 4,
+      metric = "l2").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L))
+
+    // all-identical vectors: ties everywhere, prune degenerates — build
+    // must stay deterministic and exact search must return ids ascending
+    val const = spark.range(20).select($"id".as("vec_id"),
+      typedLit(Seq.fill(8)(1.0f)).as("embedding"))
+    val s3 = VamanaIndex.build(const, "vec_id", "embedding",
+      params.copy(numShards = 2))
+    val ids = VamanaIndex.search(s3, Seq.fill(8)(1.0f), k = 5, l = 1 << 30,
+      beamWidth = 1, metric = "l2").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("batch search with exact params agrees with per-query search") {
+    val queries = Seq(0L, 7L).map(id => id ->
+      emb.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0))
+    val batch = VamanaIndex.searchBatch(segs, queries, k = 5, l = 1 << 30,
+      beamWidth = 4, metric = "l2")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq }
+    queries.foreach { case (qid, q) =>
+      val single = VamanaIndex.search(segs, q, k = 5, l = 1 << 30,
+        beamWidth = 4, metric = "l2").collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"qid=$qid batch/single diverged")
+    }
+  }
+
   test("ip metric: exact walk matches brute force with descending scores") {
     val p2 = params.copy(metric = "ip")
     val s2 = VamanaIndex.build(emb, "vec_id", "embedding", p2)
