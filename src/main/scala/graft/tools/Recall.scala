@@ -321,6 +321,28 @@ object Recall {
     report(s"${tag}HNSW_m${hM}_efc${hEfc}_ef${hEf}_s$hShards", n, gt, gotHnsw)
     segs.unpersist()
 
+    // Vamana (DiskANN-static): same harness, the reference search surface
+    // (l_search / beam_width). Opt-in via SPARK_GRAFT_RECALL_VAMANA=1 —
+    // the two-pass α-prune build is the costliest of the families.
+    if (sys.env.get("SPARK_GRAFT_RECALL_VAMANA").contains("1")) {
+      val vR = sys.env.getOrElse("SPARK_GRAFT_RECALL_VAMANA_R", "32").toInt
+      val vL = sys.env.getOrElse("SPARK_GRAFT_RECALL_VAMANA_L", "64").toInt
+      val vLs = sys.env.getOrElse("SPARK_GRAFT_RECALL_VAMANA_LS", "300").toInt
+      val vSegs = graft.operators.VamanaIndex.build(cached, "vec_id", "embedding",
+        graft.operators.VamanaIndex.Params(r = vR, l = vL, alpha = 1.2,
+          metric = "l2", numShards = hShards)).cache()
+      vSegs.count()
+      val gotVam = graft.operators.VamanaIndex
+        .searchBatch(vSegs, queries.toSeq, k = 100, l = vLs, beamWidth = 4,
+          metric = "l2")
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq
+        }
+      report(s"${tag}VAMANA_r${vR}_l${vL}_ls${vLs}_s$hShards", n, gt, gotVam)
+      vSegs.unpersist()
+    }
+
     spark.stop()
   }
 }
