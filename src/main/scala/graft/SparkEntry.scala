@@ -951,6 +951,28 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over an IVFPQ space — the
+    //    reference's default compressed index served from a space
+    //    declaration (searchAuto → READY residual-PQ generation → ADC
+    //    shortlist inside probed lists → recall_num exact rerank);
+    //    nprobe = ncentroids + recall_num ≥ corpus ⇒ exact, oracled ──
+    "q_api_search_ivfpq" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"pq_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.2+§2.4 ROUTED API search over a DISKANN_STATIC space — the
     //    full REST path (space JSON → searchAuto → READY Vamana
     //    generation → beam walk → projection); request l_search ≥ corpus
@@ -2294,6 +2316,13 @@ object SparkEntry {
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
     "q_api_search_hnsw_routed" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_api_search_ivfpq" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS _id, e.label,
                 round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score

@@ -212,7 +212,10 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       val vamanaGen = vamanaState match {
         case Ready(g, _, _) => Seq(g); case _ => Nil
       }
-      val oldest = (ivfGen ++ hnswBase ++ vamanaGen)
+      val pqGen = pqState match {
+        case Ready(g, _, _) => Seq(g); case _ => Nil
+      }
+      val oldest = (ivfGen ++ hnswBase ++ vamanaGen ++ pqGen)
         .minOption.getOrElse(Long.MaxValue)
       val kept = new StringBuilder
       Files.readAllLines(p).forEach { line =>
@@ -488,6 +491,66 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     if (hnswStaleness().exists(_ >= driftThreshold)) {
       rebuildHnsw(idCol, vecCol, params); true
     } else false
+
+  // ── IVFPQ generation: residual PQ codes inside coarse lists (the
+  //    reference's default compressed index, gamma_index_ivfpq.cc) over
+  //    its own sidecar — a space declares ONE index type, but keeping
+  //    each kind's generation separate lets tests/tools hold several.
+
+  private def pqStatePath = s"$spacePath.pq_state.json"
+  private def pqPath(gen: Long) = s"$spacePath.pq.g$gen"
+
+  def pqState: State = readStateAt(pqStatePath)
+
+  /** Build (or rebuild) the IVFPQ generation: coarse quantizer + residual
+    * codebooks trained on the space, codes written
+    * `partitionBy(list_id)` (probe = partition pruning), models persisted
+    * as sidecars. The residual flavor is the adopted default (matches
+    * faiss IVFPQ and won the RecallGateSpec codebook head-to-head).
+    */
+  def rebuildIvfPq(vecCol: String, ncentroids: Int, m: Int,
+      ksub: Int = 256): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(pqStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val dim = corpus.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
+      val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
+      val assigned = IvfIndex.assign(corpus, vecCol, ivf)
+      val pq = graft.operators.PqIndex.trainResidual(assigned, vecCol, dim, m,
+        ivf, ksub = ksub, maxTrainRows = 200000L, maxIter = 8)
+      graft.operators.PqIndex.encodeResidual(assigned, vecCol, ivf, pq)
+        .write.mode("overwrite").partitionBy("list_id").parquet(pqPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${pqPath(gen)}.ivf.txt", ivf)
+      graft.sources.IndexStore.writePqModel(s"${pqPath(gen)}.pq.txt", pq)
+      writeStateAt(pqStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneDeleteLedger()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(pqStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The READY IVFPQ layout + its models, or None. */
+  def readyIvfPq(metric: String = "l2")
+      : Option[(DataFrame, IvfIndex.Model, graft.operators.PqIndex.Model)] =
+    pqState match {
+      case Ready(gen, _, _) =>
+        Some((spark.read.parquet(pqPath(gen)),
+          graft.sources.IndexStore.readIvfModel(s"${pqPath(gen)}.ivf.txt")
+            .copy(metric = metric),
+          graft.sources.IndexStore.readPqModel(s"${pqPath(gen)}.pq.txt")
+            .copy(metric = metric)))
+      case _ => None
+    }
+
+  def readyPqGen(): Option[Long] = pqState match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
+  }
 
   // ── DiskANN-static (Vamana) generation: same BUILDING→READY/FAILED
   //    contract over its own sidecar. STATIC by definition (the

@@ -584,6 +584,29 @@ object SearchApi {
               model, q, req.limit + req.offset, nprobeOf(model), filter = pred,
               tieBreak = Some(col("_id"))), metric)
           }
+      case Some("IVFPQ") if single =>
+        // the reference's default compressed index: ADC over residual
+        // codes inside nprobe lists, then a `recall_num`-deep exact
+        // rerank (gamma_index_ivfpq.cc:765-768 — recall_num caps at
+        // max(recall_num, k), absent = k). Scalar filter + delete gate
+        // pre-compose into the scan both stages run over.
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyIvfPq(metric).map { case (table, ivf, pq) =>
+          val vc = req.vectors.head
+          val q = maybeNormalize(space, vc.field, vc.queries.head)
+          val k = req.limit + req.offset
+          val recallNum = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(k), k)
+          val deny = lifecycle.readyPqGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          finish(graft.operators.PqIndex.searchIvfResidual(served,
+            col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
+            idCol = col("_id")), metric)
+        }
       case Some("IVFFLAT") if batched =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))

@@ -549,6 +549,23 @@ object IndexStore {
     spacePath
   }
 
+  /** Routed-API IVFPQ fixture: a SPACE with a READY residual-IVFPQ
+    * generation built through the lifecycle.
+    */
+  def pqSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apipq")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildIvfPq("embedding", ncentroids = 8, m = 8, ksub = 16)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Routed-API Vamana fixture: the embeddings table as a SPACE with a
     * READY DiskANN-static generation built through the lifecycle.
     */
@@ -642,6 +659,7 @@ object IndexStore {
     m(vamana(spark, sfDir).toDF())
     vamanaSpace(spark, sfDir)
     hnswRoutedSpace(spark, sfDir)
+    pqSpace(spark, sfDir)
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

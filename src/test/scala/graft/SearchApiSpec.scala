@@ -535,6 +535,45 @@ class SearchApiSpec extends SparkSpec {
       brows(SearchApi.search(stored, hspace, breq)))
   }
 
+  test("searchAuto: IVFPQ space routes through ADC + recall_num rerank, deletes gated") {
+    val root = java.nio.file.Files.createTempDirectory("pq_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val pspace = Space.fromJson(
+      """{"name":"pq_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFPQ","params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // full probe + full rerank ⇒ exact parity with FLAT
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"recall_num":1048576},"limit":8}"""
+    // no generation yet → FLAT fallback
+    assert(SearchApi.searchAuto(spark.read.parquet(spacePath), pspace, req, lc).count() == 8)
+    lc.rebuildIvfPq("embedding", ncentroids = 8, m = 8, ksub = 16)
+    val stored = spark.read.parquet(spacePath)
+    assert(rows(SearchApi.searchAuto(stored, pspace, req, lc)) ==
+      rows(SearchApi.search(stored, pspace, req)))
+    // default recall_num = k (gamma_index_ivfpq.cc:765-768): pure ADC
+    // ranking — approximate but well-formed (k rows, asc scores)
+    val adc = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":8}"""
+    val adcRows = rows(SearchApi.searchAuto(stored, pspace, adc, lc))
+    assert(adcRows.size == 8)
+    assert(adcRows.map(_._3) == adcRows.map(_._3).sorted)
+    // scalar filter + delete gate compose into both stages
+    val deleted = Seq(0L, 1L)
+    lc.deleteByIds("_id", deleted)
+    val live = spark.read.parquet(spacePath)
+    val got = rows(SearchApi.searchAuto(live, pspace, req, lc))
+    assert(got == rows(SearchApi.search(live, pspace, req)))
+    assert(got.size == 8 && got.forall(r => !deleted.contains(r._1)))
+  }
+
   test("searchAuto: DISKANN_STATIC space routes to the Vamana generation, deletes gated") {
     val root = java.nio.file.Files.createTempDirectory("vam_route").toString
     val spacePath = s"$root/space"
