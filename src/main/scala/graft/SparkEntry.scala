@@ -973,6 +973,27 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over an IVFRABITQ space: coarse
+    //    probe ∘ residual sign-code qb-estimator shortlist ∘ recall_num
+    //    exact rerank, all from the space declaration; full probe + full
+    //    rerank ⇒ exact, oracled ──
+    "q_api_search_rabitq" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.rbSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rb_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFRABITQ",
+                      "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.2+§2.4 ROUTED API search over a DISKANN_STATIC space — the
     //    full REST path (space JSON → searchAuto → READY Vamana
     //    generation → beam walk → projection); request l_search ≥ corpus
@@ -2316,6 +2337,13 @@ object SparkEntry {
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
     "q_api_search_hnsw_routed" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_api_search_rabitq" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS _id, e.label,
                 round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score

@@ -215,7 +215,10 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       val pqGen = pqState match {
         case Ready(g, _, _) => Seq(g); case _ => Nil
       }
-      val oldest = (ivfGen ++ hnswBase ++ vamanaGen ++ pqGen)
+      val rbGen = rbState match {
+        case Ready(g, _, _) => Seq(g); case _ => Nil
+      }
+      val oldest = (ivfGen ++ hnswBase ++ vamanaGen ++ pqGen ++ rbGen)
         .minOption.getOrElse(Long.MaxValue)
       val kept = new StringBuilder
       Files.readAllLines(p).forEach { line =>
@@ -549,6 +552,50 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
 
   def readyPqGen(): Option[Long] = pqState match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
+  }
+
+  // ── IVFRABITQ generation: per-list residual sign codes (RaBitQ class)
+  //    over its own sidecar; search = coarse probe ∘ qb-estimator
+  //    shortlist ∘ exact rerank (gamma_index_ivfrabitq.cc).
+
+  private def rbStatePath = s"$spacePath.rb_state.json"
+  private def rbPath(gen: Long) = s"$spacePath.rb.g$gen"
+
+  def rbState: State = readStateAt(rbStatePath)
+
+  def rebuildIvfRabitq(vecCol: String, ncentroids: Int): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(rbStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
+      graft.operators.BinaryIndex.encodeResidual(
+          IvfIndex.assign(corpus, vecCol, ivf), vecCol, ivf)
+        .write.mode("overwrite").partitionBy("list_id").parquet(rbPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${rbPath(gen)}.ivf.txt", ivf)
+      writeStateAt(rbStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneDeleteLedger()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(rbStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The READY IVFRABITQ layout + quantizer, or None. */
+  def readyIvfRabitq(metric: String = "l2")
+      : Option[(DataFrame, IvfIndex.Model)] = rbState match {
+    case Ready(gen, _, _) =>
+      Some((spark.read.parquet(rbPath(gen)),
+        graft.sources.IndexStore.readIvfModel(s"${rbPath(gen)}.ivf.txt")
+          .copy(metric = metric)))
+    case _ => None
+  }
+
+  def readyRbGen(): Option[Long] = rbState match {
     case Ready(gen, _, _) => Some(gen); case _ => None
   }
 

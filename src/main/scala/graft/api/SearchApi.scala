@@ -574,7 +574,10 @@ object SearchApi {
           finish(joinBack(graft.operators.VamanaIndex.search(
             segments, q, k, l, bw, metric, deny = deny)), metric)
         }
-      case Some("IVFFLAT") if single =>
+      // GPU_* spaces execute on CUDA in the reference; here they serve
+      // from the equivalent CPU layout — same semantics, a space JSON
+      // written for the GPU classes keeps index-serving after a switch
+      case Some("IVFFLAT" | "GPU_IVFFLAT") if single =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
           yield {
@@ -584,7 +587,31 @@ object SearchApi {
               model, q, req.limit + req.offset, nprobeOf(model), filter = pred,
               tieBreak = Some(col("_id"))), metric)
           }
-      case Some("IVFPQ") if single =>
+      case Some("IVFRABITQ") if single =>
+        // RaBitQ class: coarse probe ∘ residual sign-code estimator
+        // (qb ∈ [0,8]) ∘ `recall_num`-deep exact rerank
+        // (gamma_index_ivfrabitq.cc:105,214-223)
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
+          val vc = req.vectors.head
+          val q = maybeNormalize(space, vc.field, vc.queries.head)
+          val k = req.limit + req.offset
+          val shortlist = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(math.max(10 * k, 100)), k)
+          val qb = req.indexParams.get("qb")
+            .orElse(vopts.get.indexParams.get("qb"))
+            .filter(v => v >= 0 && v <= 8).getOrElse(4)
+          val deny = lifecycle.readyRbGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          finish(graft.operators.BinaryIndex.searchIvfResidual(served,
+            col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
+            idCol = col("_id"), metric = metric, qb = qb), metric)
+        }
+      case Some("IVFPQ" | "GPU_IVFPQ") if single =>
         // the reference's default compressed index: ADC over residual
         // codes inside nprobe lists, then a `recall_num`-deep exact
         // rerank (gamma_index_ivfpq.cc:765-768 — recall_num caps at
@@ -607,7 +634,7 @@ object SearchApi {
             col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
             idCol = col("_id")), metric)
         }
-      case Some("IVFFLAT") if batched =>
+      case Some("IVFFLAT" | "GPU_IVFFLAT") if batched =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
           yield {

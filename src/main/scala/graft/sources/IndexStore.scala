@@ -566,6 +566,23 @@ object IndexStore {
     spacePath
   }
 
+  /** Routed-API IVFRABITQ fixture: a SPACE with a READY residual
+    * sign-code generation built through the lifecycle.
+    */
+  def rbSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apirb")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildIvfRabitq("embedding", ncentroids = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Routed-API Vamana fixture: the embeddings table as a SPACE with a
     * READY DiskANN-static generation built through the lifecycle.
     */
@@ -660,6 +677,7 @@ object IndexStore {
     vamanaSpace(spark, sfDir)
     hnswRoutedSpace(spark, sfDir)
     pqSpace(spark, sfDir)
+    rbSpace(spark, sfDir)
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

@@ -574,6 +574,47 @@ class SearchApiSpec extends SparkSpec {
     assert(got.size == 8 && got.forall(r => !deleted.contains(r._1)))
   }
 
+  test("searchAuto: IVFRABITQ space routes through the sign-code estimator; GPU_* alias to CPU layouts") {
+    val root = java.nio.file.Files.createTempDirectory("rb_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildIvfRabitq("embedding", ncentroids = 8)
+    val rbspace = Space.fromJson(
+      """{"name":"rb_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFRABITQ","params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // full probe + full rerank ⇒ exact parity with FLAT
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"recall_num":1048576},"limit":8}"""
+    val stored = spark.read.parquet(spacePath)
+    assert(rows(SearchApi.searchAuto(stored, rbspace, req, lc)) ==
+      rows(SearchApi.search(stored, rbspace, req)))
+    // deletes gated through the rb generation too
+    lc.deleteByIds("_id", Seq(0L))
+    val live = spark.read.parquet(spacePath)
+    val got = rows(SearchApi.searchAuto(live, rbspace, req, lc))
+    assert(got == rows(SearchApi.search(live, rbspace, req)))
+    assert(got.size == 8 && got.forall(_._1 != 0L))
+
+    // a GPU_IVFFLAT declaration serves from the CPU IVFFLAT generation
+    lc.rebuild("embedding", ncentroids = 8)
+    val gspace = Space.fromJson(
+      """{"name":"gpu_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"GPU_IVFFLAT","params":{"ncentroids":8,"nprobe":8}}}]}""")
+    val greq = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":8}"""
+    assert(rows(SearchApi.searchAuto(live, gspace, greq, lc)) ==
+      rows(SearchApi.search(live, gspace, greq)))
+  }
+
   test("searchAuto: DISKANN_STATIC space routes to the Vamana generation, deletes gated") {
     val root = java.nio.file.Files.createTempDirectory("vam_route").toString
     val spacePath = s"$root/space"
