@@ -449,6 +449,30 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
+  /** Incremental add into the CLUSTERED HNSW generation: the delta's
+    * vectors become fresh sub-segment rows appended into the SAME
+    * generation's shard_id partitions ([[graft.operators.HnswIndex.appendClustered]]
+    * — the posting-list append; routed search unions every row under a
+    * probed shard). The generation stamp is unchanged, so the delete
+    * ledger keeps covering the carried-over rows; `trainedDocs` grows by
+    * the delta so drift staleness stays honest. Many appends accumulate
+    * small sub-segments — [[rebuildHnswClustered]] compacts (the
+    * reference's optimize pass).
+    */
+  def appendHnswClustered(delta: DataFrame, idCol: String, vecCol: String,
+      params: graft.operators.HnswIndex.Params): Unit = hnswState match {
+    case Ready(gen, shards, trained) =>
+      val ivf = hnswRoutedModel().getOrElse(throw new IllegalStateException(
+        "appendHnswClustered needs a CLUSTERED generation (quantizer sidecar missing)"))
+      val deltaN = delta.count()
+      graft.operators.HnswIndex.appendClustered(delta, idCol, vecCol,
+          params.copy(numShards = ivf.ncentroids), ivf)
+        .write.mode("append").partitionBy("shard_id").parquet(hnswPath(gen))
+      writeStateAt(hnswStatePath, s"READY:$gen:$shards:${trained + deltaN}")
+    case other =>
+      throw new IllegalStateException(s"no READY HNSW generation to append to (state: $other)")
+  }
+
   /** The READY HNSW generation's routing quantizer, if it was built
     * clustered — None for hash-sharded generations (full fan-out).
     */

@@ -517,6 +517,46 @@ object HnswIndex {
       }
   }
 
+  /** Incremental add for the CLUSTERED layout: the delta assigns to its
+    * lists through the SAME stored quantizer and each touched list gains
+    * a fresh, self-contained sub-segment ROW — the posting-list append
+    * (SPANN posting lists grow the same way; the reference's background
+    * loop appends new vectors without rebuilding,
+    * engine.cc:1084-1137). Existing rows are untouched (parquet append
+    * into the shard_id partition dirs), routed search already unions
+    * every row under a probed shard_id, and each row is a complete
+    * walkable graph — so exactness at the full route is preserved by
+    * construction. Cost ∝ |delta|; many appends accumulate small
+    * sub-segments per list — a rebuild (force-merge) compacts them, the
+    * same hygiene the reference's optimize pass performs.
+    * Returns the new sub-segment rows (caller appends them to storage).
+    */
+  def appendClustered(delta: DataFrame, idCol: String, vecCol: String,
+      p: Params, ivf: IvfIndex.Model, maxShardRows: Int = 1 << 20): Dataset[Segment] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val assigned = IvfIndex.assign(
+      delta.select(col(idCol).cast("long").as(idCol),
+          col(vecCol).cast("array<float>").as(vecCol))
+        .filter(col(vecCol).isNotNull), vecCol, ivf)
+      .select(col("list_id").cast("int"), col(idCol), col(vecCol))
+      .as[(Int, Long, Array[Float])]
+    // same two-pass skew guard as buildClustered: a hot list's delta
+    // splits into several bounded sub-segments under its shard_id
+    val subs = assigned.groupByKey(_._1).count().collect()
+      .map { case (l, c) =>
+        l -> math.max(1L, (c + maxShardRows - 1) / maxShardRows).toInt }
+      .toMap
+    val subsB = spark.sparkContext.broadcast(subs)
+    assigned
+      .groupByKey { case (l, id, _) =>
+        (l, math.floorMod(scala.util.hashing.byteswap64(id), subsB.value(l).toLong).toInt)
+      }
+      .mapGroups { (key, it) =>
+        buildSegment(key._1, it.map(t => (t._2, t._3)).toArray.sortBy(_._1), p)
+      }
+  }
+
   /** Routed search over a clustered-shard segment table: the driver's
     * tiny quantizer search picks `nprobe` shards and the `shard_id`
     * filter prunes the rest BEFORE any IO (see [[buildClustered]]);

@@ -236,6 +236,43 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.hnswStaleness().exists(_ >= 0.24))
   }
 
+  test("appendHnswClustered: delta becomes routed sub-segments in the same generation") {
+    val root = Files.createTempDirectory("lifecycle_capp").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.filter($"vec_id" < 300).write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    val p = graft.operators.HnswIndex.Params(8, 40, "l2")
+    val g1 = lc.rebuildHnswClustered("vec_id", "embedding", p, ncentroids = 4).gen
+
+    // a delete after the build — the ledger must keep covering it across
+    // the append (generation stamp unchanged)
+    lc.recordDeletes(Seq(5L))
+
+    val tail = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    tail.write.mode("append").parquet(spacePath)
+    lc.appendHnswClustered(tail, "vec_id", "embedding", p)
+    assert(lc.readyHnswGen().contains(g1)) // same generation
+    assert(lc.hnswState.asInstanceOf[lc.Ready].trainedDocs == 400L)
+    assert(lc.deletedSince(lc.hnswDeleteBaseline().get) == Set(5L))
+
+    // routed search at the full route ≡ brute over old ∪ delta: appended
+    // vectors are found, every sub-segment row is a complete graph
+    val ivf = lc.hnswRoutedModel().get
+    val segs = lc.readyHnswSegments().get
+    val q = emb.filter($"vec_id" === 350).select("embedding").head().getSeq[Float](0)
+    val got = graft.operators.HnswIndex.searchRouted(segs, ivf, q, k = 5,
+      ef = 1 << 30, metric = "l2", nprobe = ivf.ncentroids)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.operators.Knn.search(spark.read.parquet(spacePath),
+      org.apache.spark.sql.functions.col("embedding"), q, 5, "l2",
+      tieBreak = Some($"vec_id"))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(got.head._1 == 350L) // the appended vector itself ranks first
+  }
+
   test("appendHnsw: tail folds in ≡ rebuild; delete-ledger baseline survives the append") {
     val root = Files.createTempDirectory("lifecycle_append").toString
     val spacePath = s"$root/space"
