@@ -41,6 +41,20 @@ object AppendProbe {
     time(s"full rebuild ($n rows)") {
       HnswIndex.build(emb, "vec_id", "embedding", p).count()
     }
+
+    // clustered layout: posting-list append (fresh sub-segments per list)
+    val ivf = time(s"train quantizer ($shards lists)") {
+      graft.operators.IvfIndex.train(base, "embedding", shards)
+    }
+    time(s"clustered build base (${cut} rows)") {
+      HnswIndex.buildClustered(base, "vec_id", "embedding", p, ivf).count()
+    }
+    time(s"clustered append tail (${n - cut} rows)") {
+      HnswIndex.appendClustered(tail, "vec_id", "embedding", p, ivf).count()
+    }
+    time(s"clustered append tail x2 (warm)") {
+      HnswIndex.appendClustered(tail, "vec_id", "embedding", p, ivf).count()
+    }
     spark.stop()
   }
 }
