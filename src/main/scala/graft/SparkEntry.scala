@@ -994,6 +994,25 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over a BINARYIVF space: the stored
+    //    column IS the packed sign code; request floats binarize, the
+    //    Hamming coarse quantizer probes nprobe lists (partition
+    //    pruning), candidates rank by code Hamming; full probe ⇒ exact
+    //    Hamming top-k, re-derived bit-by-bit in DuckDB ──
+    "q_api_search_binaryivf" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.binarySpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"bivf_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── §2.2+§2.4 ROUTED API search over a DISKANN_STATIC space — the
     //    full REST path (space JSON → searchAuto → READY Vamana
     //    generation → beam walk → projection); request l_search ≥ corpus
@@ -2343,6 +2362,14 @@ object SparkEntry {
          FROM embeddings e, q
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
+    "q_api_search_binaryivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
+                            THEN 1 ELSE 0 END)) AS DOUBLE) AS _score
+         FROM embeddings e, q
+         ORDER BY _score, e.vec_id LIMIT 10""",
     "q_api_search_rabitq" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS _id, e.label,

@@ -218,7 +218,10 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       val rbGen = rbState match {
         case Ready(g, _, _) => Seq(g); case _ => Nil
       }
-      val oldest = (ivfGen ++ hnswBase ++ vamanaGen ++ pqGen ++ rbGen)
+      val bivfGen = bivfState match {
+        case Ready(g, _, _) => Seq(g); case _ => Nil
+      }
+      val oldest = (ivfGen ++ hnswBase ++ vamanaGen ++ pqGen ++ rbGen ++ bivfGen)
         .minOption.getOrElse(Long.MaxValue)
       val kept = new StringBuilder
       Files.readAllLines(p).forEach { line =>
@@ -620,6 +623,50 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   }
 
   def readyRbGen(): Option[Long] = rbState match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
+  }
+
+  // ── BINARYIVF generation: Hamming coarse quantizer over the packed
+  //    codes (gamma_index_binary_ivf.cc / faiss IndexBinaryIVF) — for
+  //    value_type=binary vector fields whose column IS the code.
+
+  private def bivfStatePath = s"$spacePath.bivf_state.json"
+  private def bivfPath(gen: Long) = s"$spacePath.bivf.g$gen"
+
+  def bivfState: State = readStateAt(bivfStatePath)
+
+  def rebuildBinaryIvf(codeCol: String, ncentroids: Int): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(bivfStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val cents = graft.operators.BinaryIndex.trainBinary(
+        corpus, "_id", codeCol, ncentroids)
+      graft.operators.BinaryIndex.buildTableBinary(corpus, codeCol, cents,
+        bivfPath(gen))
+      graft.sources.IndexStore.writeBinaryCentroids(
+        s"${bivfPath(gen)}.cents.txt", cents)
+      writeStateAt(bivfStatePath, s"READY:$gen:${cents.length}:$trainedDocs")
+      pruneDeleteLedger()
+      Ready(gen, cents.length, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(bivfStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The READY BINARYIVF layout + centroid codes, or None. */
+  def readyBinaryIvf(): Option[(DataFrame, Array[Array[Byte]])] =
+    bivfState match {
+      case Ready(gen, _, _) =>
+        Some((spark.read.parquet(bivfPath(gen)),
+          graft.sources.IndexStore.readBinaryCentroids(s"${bivfPath(gen)}.cents.txt")))
+      case _ => None
+    }
+
+  def readyBivfGen(): Option[Long] = bivfState match {
     case Ready(gen, _, _) => Some(gen); case _ => None
   }
 

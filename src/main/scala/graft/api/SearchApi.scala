@@ -587,6 +587,32 @@ object SearchApi {
               model, q, req.limit + req.offset, nprobeOf(model), filter = pred,
               tieBreak = Some(col("_id"))), metric)
           }
+      case Some("BINARYIVF")
+          if routable && req.vectors.head.queries.size == 1 &&
+            vopts.exists(_.valueType == "binary") =>
+        // binary value_type: the stored column IS the packed code; the
+        // request's float features sign-binarize exactly like the FLAT
+        // binary path, then route = probe nprobe Hamming-nearest lists
+        // (partition pruning), rank by code Hamming — the reference's
+        // IndexBinaryIVF semantics (gamma_index_binary_ivf.cc)
+        lifecycle.readyBinaryIvf().map { case (table, cents) =>
+          val vc = req.vectors.head
+          val qCode = graft.functions.VecKernels.signBits(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              vc.queries.head.toArray)).asInstanceOf[Array[Byte]]
+          val k = req.limit + req.offset
+          val nprobe = math.min(
+            req.indexParams.get("nprobe").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+              .getOrElse(80),
+            cents.length)
+          val deny = lifecycle.readyBivfGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served = applyDeny(table, deny)
+          finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
+            vc.field, cents, qCode, k, nprobe, filter = pred,
+            tieBreak = Some(col("_id"))), metric = "l2") // hamming ⇒ asc
+        }
       case Some("IVFRABITQ") if single =>
         // RaBitQ class: coarse probe ∘ residual sign-code estimator
         // (qb ∈ [0,8]) ∘ `recall_num`-deep exact rerank

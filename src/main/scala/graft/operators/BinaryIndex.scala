@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -153,5 +155,129 @@ object BinaryIndex {
     val cand = scored.limit(shortlist).select(col("_sid"))
     val rerank = corpus.join(broadcast(cand), idCol === col("_sid"), "left_semi")
     Knn.search(rerank, vecCol, q, k, metric, tieBreak = Some(idCol), roundTo = roundTo)
+  }
+
+  // ── BINARYIVF: a Hamming coarse quantizer over the CODES themselves
+  //    (reference gamma_index_binary_ivf.cc wraps faiss IndexBinaryIVF:
+  //    binary k-means centroids, min-Hamming assignment, nprobe lists
+  //    scanned with Hamming ranking). Independent implementation of the
+  //    standard binary k-means: per-bit MAJORITY vote recomputes each
+  //    centroid; assignment ties break on centroid index; seeds are the
+  //    id-order first distinct codes — the whole model is a pure
+  //    function of (corpus, params). ────────────────────────────────────
+
+  private def hammingLocal(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var d = 0; var i = 0
+    while (i < n) { d += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
+    d
+  }
+
+  /** Train the binary coarse quantizer on a bounded, deterministic
+    * sample (id-ascending — the IvfIndex.train contract). Returns packed
+    * centroid codes, ≤ ncentroids (degenerate corpora cap at the
+    * distinct-code count).
+    */
+  def trainBinary(df: DataFrame, idCol: String, codeCol: String,
+      ncentroids: Int, maxIter: Int = 10,
+      maxTrainRows: Long = 100000L): Array[Array[Byte]] = {
+    val rows = df.filter(col(codeCol).isNotNull)
+      .orderBy(col(idCol)).limit(maxTrainRows.toInt)
+      .select(col(codeCol)).collect().map(_.getAs[Array[Byte]](0))
+    require(rows.nonEmpty, "cannot train a binary IVF on an empty corpus")
+    val nbytes = rows(0).length
+    // seeds: first k DISTINCT codes in id order (deterministic, spread)
+    val seen = mutable.LinkedHashSet.empty[Seq[Byte]]
+    rows.iterator.takeWhile(_ => seen.size < ncentroids)
+      .foreach(c => seen += c.toSeq)
+    var cents = seen.toArray.map(_.toArray)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      val counts = Array.fill(cents.length)(0L)
+      val bitVotes = Array.fill(cents.length, nbytes * 8)(0L)
+      rows.foreach { c =>
+        var best = 0; var bestD = Int.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          val d = hammingLocal(c, cents(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var bit = 0
+        while (bit < nbytes * 8) {
+          if (((c(bit >> 3) >> (bit & 7)) & 1) == 1) bitVotes(best)(bit) += 1
+          bit += 1
+        }
+      }
+      val next = cents.indices.map { j =>
+        if (counts(j) == 0) cents(j) // empty list keeps its centroid
+        else {
+          val out = new Array[Byte](nbytes)
+          var bit = 0
+          while (bit < nbytes * 8) {
+            // strict majority sets the bit; exact ties clear it — a
+            // deterministic rule, no RNG
+            if (bitVotes(j)(bit) * 2 > counts(j))
+              out(bit >> 3) = (out(bit >> 3) | (1 << (bit & 7))).toByte
+            bit += 1
+          }
+          out
+        }
+      }.toArray
+      changed = !next.indices.forall(j => java.util.Arrays.equals(next(j), cents(j)))
+      cents = next
+      iter += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid lists for a query code (driver-side tiny search). */
+  def nearestBinaryCentroids(cents: Array[Array[Byte]], qCode: Array[Byte],
+      nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) => (hammingLocal(qCode, c), i) }
+      .sorted.take(math.min(nprobe, cents.length)).map(_._2).toSeq
+
+  /** Add `list_id` = argmin-Hamming centroid (codegen'd: one `hamming`
+    * expression per centroid, struct-sort picks the (dist, idx) min —
+    * deterministic ties on index).
+    */
+  def assignBinary(df: DataFrame, codeCol: String,
+      cents: Array[Array[Byte]]): DataFrame = {
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(F.hamming(col(codeCol), lit(c)).as("d"), lit(i).as("i"))
+    }.toIndexedSeq: _*)
+    df.withColumn("list_id", element_at(array_sort(dists), 1).getField("i"))
+  }
+
+  /** Build the physical BINARYIVF layout: codes + `list_id`, partitioned
+    * by `list_id` — the probe is partition pruning, like every IVF-family
+    * layout here.
+    */
+  def buildTableBinary(df: DataFrame, codeCol: String,
+      cents: Array[Array[Byte]], path: String): Unit =
+    assignBinary(df, codeCol, cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** BINARYIVF search: probe nprobe lists by query-code Hamming, rank
+    * candidates by Hamming ascending (the reference's search semantics —
+    * distance IS the bit distance, no float rerank). Output: corpus row +
+    * `_score` (Hamming as double), best-first. Exact at
+    * nprobe = ncentroids by construction.
+    */
+  def searchBinaryIvf(
+      corpus: DataFrame, // carries list_id + codeCol
+      codeCol: String,
+      cents: Array[Array[Byte]],
+      qCode: Array[Byte],
+      k: Int,
+      nprobe: Int,
+      filter: Option[Column] = None,
+      tieBreak: Option[Column] = None): DataFrame = {
+    val lists = nearestBinaryCentroids(cents, qCode, nprobe)
+    val probed = corpus.filter(col("list_id").isin(lists: _*))
+    Knn.searchBinary(probed, col(codeCol), qCode, k, filter = filter,
+      tieBreak = tieBreak)
   }
 }

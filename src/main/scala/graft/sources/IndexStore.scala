@@ -285,6 +285,32 @@ object IndexStore {
     PqIndex.Model(m, ksub, dsub, books, metric)
   }
 
+  private[graft] def writeBinaryCentroids(path: String,
+      cents: Array[Array[Byte]]): Unit = {
+    val sb = new StringBuilder
+    sb.append("graft-bivf 1\n")
+    sb.append("ncentroids ").append(cents.length).append('\n')
+    cents.foreach { c =>
+      c.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.append('\n')
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), sb.toString)
+    ()
+  }
+
+  private[graft] def readBinaryCentroids(path: String): Array[Array[Byte]] = {
+    val lines = Files.readAllLines(Paths.get(path))
+    require(lines.get(0) == "graft-bivf 1",
+      s"unsupported binary-ivf model format '${lines.get(0)}' in $path")
+    val n = lines.get(1).stripPrefix("ncentroids ").trim.toInt
+    Array.tabulate(n) { i =>
+      val hex = lines.get(2 + i).trim
+      Array.tabulate(hex.length / 2)(j =>
+        Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16).toByte)
+    }
+  }
+
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -566,6 +592,27 @@ object IndexStore {
     spacePath
   }
 
+  /** Routed-API BINARYIVF fixture: a SPACE whose vector column holds
+    * PACKED SIGN CODES (value_type=binary) with a READY Hamming-IVF
+    * generation built through the lifecycle.
+    */
+  def binarySpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apibivf")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.columnOf(graft.functions.SignBits(
+            graft.Graft.exprOf(col("embedding").cast("array<float>"))))
+            .as("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildBinaryIvf("embedding", ncentroids = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Routed-API IVFRABITQ fixture: a SPACE with a READY residual
     * sign-code generation built through the lifecycle.
     */
@@ -678,6 +725,7 @@ object IndexStore {
     hnswRoutedSpace(spark, sfDir)
     pqSpace(spark, sfDir)
     rbSpace(spark, sfDir)
+    binarySpace(spark, sfDir)
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))

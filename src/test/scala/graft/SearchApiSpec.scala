@@ -574,6 +574,46 @@ class SearchApiSpec extends SparkSpec {
     assert(got.size == 8 && got.forall(r => !deleted.contains(r._1)))
   }
 
+  test("searchAuto: BINARYIVF space routes through the Hamming coarse quantizer") {
+    val root = java.nio.file.Files.createTempDirectory("bivf_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        graft.Graft.columnOf(graft.functions.SignBits(
+          graft.Graft.exprOf(col("embedding").cast("array<float>")))).as("embedding"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildBinaryIvf("embedding", ncentroids = 8)
+    val bspace = Space.fromJson(
+      """{"name":"bivf_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
+    assert(bspace.vectorFields.head.vector.get.valueType == "binary") // implied by type
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val stored = spark.read.parquet(spacePath)
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":8}"""
+    // full probe ⇒ exact Hamming parity with the FLAT binary path
+    assert(rows(SearchApi.searchAuto(stored, bspace, req, lc)) ==
+      rows(SearchApi.search(stored, bspace, req)))
+    // pruned probe: well-formed (k rows, hamming ascending) and the
+    // query's own code (hamming 0) survives nprobe=1 — it lives in the
+    // nearest list by definition
+    val pruned = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"nprobe":1},"limit":8}"""
+    val got = rows(SearchApi.searchAuto(stored, bspace, pruned, lc))
+    assert(got.size == 8 && got.head._1 == 0L && got.head._3 == 0.0)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    // deletes gated through the bivf generation
+    lc.deleteByIds("_id", Seq(0L))
+    val live = spark.read.parquet(spacePath)
+    val after = rows(SearchApi.searchAuto(live, bspace, req, lc))
+    assert(after.size == 8 && after.forall(_._1 != 0L))
+    assert(after == rows(SearchApi.search(live, bspace, req)))
+  }
+
   test("searchAuto: IVFRABITQ space routes through the sign-code estimator; GPU_* alias to CPU layouts") {
     val root = java.nio.file.Files.createTempDirectory("rb_route").toString
     val spacePath = s"$root/space"
