@@ -637,7 +637,7 @@ object SearchApi {
             col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
             idCol = col("_id"), metric = metric, qb = qb), metric)
         }
-      case Some("IVFPQ" | "GPU_IVFPQ") if single =>
+      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if single =>
         // the reference's default compressed index: ADC over residual
         // codes inside nprobe lists, then a `recall_num`-deep exact
         // rerank (gamma_index_ivfpq.cc:765-768 — recall_num caps at
