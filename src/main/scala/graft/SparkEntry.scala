@@ -1034,6 +1034,109 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.8 REALTIME serving (`enable_realtime`, SURVEY §2.8): each
+    //    family's routed search unions the streaming TAIL (fresh writes
+    //    not yet folded by the compaction loop) into the READY base
+    //    generation — the reference's buffer-over-index merge
+    //    (vector_manager.cc:941-1012,1096-1176 scans the memory buffer
+    //    into EVERY index type's search). The fixture's tail holds
+    //    vec_id 0-9 — including the query vector itself (distance 0) —
+    //    so a route that skips the buffer is missing its TOP-1, and the
+    //    live view ≡ the full embeddings table, so exact params
+    //    hash-oracle against plain exact top-k in DuckDB ──
+    "q_ivf_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_ivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_ivfpq_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_pq","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_hnsw_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_hnsw","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_rabitq_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_rb","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFRABITQ",
+                      "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_diskann_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_vam","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── pipeline: full text profile (tokens, subwords, lang-id,
     //    fingerprint) — every column portable, fully oracle-checked ──
     "q_text_profile" -> ((s, dir) => {
@@ -1900,6 +2003,18 @@ object SparkEntry {
     * exactness parameters (nprobe = ncentroids / recall_num ≥ N /
     * shortlist ≥ N), which degenerate the index path to exact KNN.
     */
+  /** Exact top-10 over the full embeddings table in the routed-API shape
+    * (_id, label, _score) — the oracle of every realtime route (live
+    * view = base ∪ tail ≡ the whole table by fixture construction).
+    */
+  private val apiRealtimeExactSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+       SELECT e.vec_id AS _id, e.label,
+              round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+       FROM embeddings e, q
+       ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+       LIMIT 10"""
+
   private val exactL2Top10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
@@ -2391,6 +2506,16 @@ object SparkEntry {
          FROM embeddings e, q
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
+    // realtime routes: base (vec_id >= 10, indexed) ∪ tail (vec_id < 10,
+    // buffered) ≡ the FULL embeddings table — the oracle is the plain
+    // exact top-10 over it; vec_id 0 (the query, in the TAIL) must head
+    // the result, so a skipped buffer union is a missing top-1, not a
+    // tail-end diff
+    "q_ivf_realtime" -> apiRealtimeExactSql,
+    "q_ivfpq_realtime" -> apiRealtimeExactSql,
+    "q_hnsw_realtime" -> apiRealtimeExactSql,
+    "q_rabitq_realtime" -> apiRealtimeExactSql,
+    "q_diskann_realtime" -> apiRealtimeExactSql,
     // routed search after delete: the oracle is the exact top-10 over the
     // LIVE corpus (ids 0-4 deleted post-build; a ledger-gating failure
     // surfaces vec_id 0 — the query vector itself — as a ghost top-1)

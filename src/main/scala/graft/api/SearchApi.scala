@@ -386,12 +386,30 @@ object SearchApi {
       table.join(broadcast(denyDf), col("_id") === col("_deny_id"), "left_anti")
     }
 
+  /** `tail` is the space's realtime buffer (`enable_realtime` — the
+    * reference merges the memory buffer into EVERY index type's search,
+    * vector_manager.cc:941-1012,1096-1176): when present and non-empty,
+    * every routed single-query arm serves base-index ∪ brute-tail through
+    * [[graft.streaming.RealtimeTail.mergeTail]], payload joins hit the
+    * LIVE view (base ∪ tail), and any shape without a tail-aware route
+    * (batches, multi-field, non-integral ids) falls back to the exact
+    * FLAT path over the live view — fresh writes are never invisible,
+    * whatever the route.
+    */
   def searchAuto(corpus: DataFrame, space: Space, requestJson: String,
-      lifecycle: IndexLifecycle): DataFrame = {
+      lifecycle: IndexLifecycle,
+      tail: Option[graft.streaming.RealtimeTail] = None): DataFrame = {
     val req = parseSearch(requestJson, space)
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idIntegral = corpus.schema.fields.find(_.name == "_id").exists(f =>
       f.dataType == LongType || f.dataType == IntegerType)
+    val tailOn = tail.exists(_.hasTail)
+    // the view a realtime search answers over: base ∪ buffered tail
+    // (id-level last-write-wins) — identical to `corpus` when no tail
+    val live = if (tailOn) tail.get.snapshot(corpus.schema) else corpus
+    // routed tail merges bridge index hit ids (longs) back to `_id`; a
+    // non-integral id can't ride them — serve the live view exactly
+    if (tailOn && !idIntegral) return search(live, space, requestJson)
     // routable = single-condition float search with no score gates; the
     // batched (req_num > 1) variant routes too — the reference flattens
     // req_num queries into one index request (doc_query.go:296-318), and
@@ -434,12 +452,31 @@ object SearchApi {
       else projected
     }
     // the walk returns (id, score); scalar payloads come from ONE
-    // broadcast join of the ≤req_num·k hits back onto the space table
+    // broadcast join of the ≤req_num·k hits back onto the LIVE view (a
+    // tail hit's payload lives in the buffer, not the base table)
     def joinBack(hits: DataFrame, extra: Seq[Column] = Seq.empty): DataFrame = {
       val idT = corpus.schema("_id").dataType
-      corpus.join(broadcast(hits.select(
+      live.join(broadcast(hits.select(
         Seq(col("vec_id").cast(idT).as("_id"), col("_score")) ++ extra: _*)), "_id")
     }
+    // realtime union for a routed single-query arm: `baseSearch(kBase)`
+    // must return (vec_id, _score) hits from the index at the
+    // over-fetched depth; `tailSearch` brute-scores the deduped,
+    // delete-gated tail. No tail ⇒ the plain index route, unchanged.
+    def tailMergeWith(k: Int, metric: String, deny: Set[Long])(
+        tailSearch: DataFrame => DataFrame)(
+        baseSearch: Int => DataFrame): DataFrame =
+      if (!tailOn) baseSearch(k)
+      else tail.get.mergeTail(corpus.schema, k, metric, deny)(tailSearch)(baseSearch)
+    // float-vector tail leg: exact metric scoring of the buffer (the
+    // reference's memory-buffer FLAT scan), scalar pre-filter included
+    def tailMerge(k: Int, metric: String, field: String, q: Seq[Float],
+        deny: Set[Long])(baseSearch: Int => DataFrame): DataFrame =
+      tailMergeWith(k, metric, deny) { td =>
+        Knn.search(td, col(field), q, k, metric, filter = pred,
+          tieBreak = Some(col("_id")))
+          .select(col("_id").cast("long").as("vec_id"), col("_score"))
+      }(baseSearch)
     // delete gate (the reference's deleted-bitmap check, engine.cc:869-899,
     // IsValid = candidate ∧ ¬deleted — gamma_common_data.h:94-105): ids
     // deleted SINCE the serving generation was built may still sit in its
@@ -490,19 +527,23 @@ object SearchApi {
               // selectivity guard (the reference's planner switch,
               // engine.cc:355-373): bounded probe BEFORE the collect — a
               // broad filter's allow-set never reaches the driver; the
-              // brute filter-first path serves the query instead
-              val allowed = corpus.filter(p).select(col("_id"))
+              // brute filter-first path serves the query instead. The
+              // allow-set comes from the LIVE view so fresh tail rows
+              // that match the filter are admitted too.
+              val allowed = live.filter(p).select(col("_id"))
               if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
                 None
-              else Some(graft.operators.HnswIndex.searchFiltered(
-                segments, q, k, efOf(k), metric, allowed, deny = hnswDeny))
+              else Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
+                graft.operators.HnswIndex.searchFiltered(
+                  segments, q, kb, efOf(kb), metric, allowed, deny = hnswDeny)))
             case None =>
-              Some(graft.operators.HnswIndex.search(segments, q, k, efOf(k),
-                metric, deny = hnswDeny))
+              Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
+                graft.operators.HnswIndex.search(segments, q, kb, efOf(kb),
+                  metric, deny = hnswDeny)))
           }
           hits.map(h => finish(joinBack(h), metric))
         }
-      case Some("HNSW") if batched && idIntegral =>
+      case Some("HNSW") if batched && idIntegral && !tailOn =>
         // batch route: ONE pass over each segment serves all req_num
         // queries (HnswIndex.searchBatch amortizes the deserialization);
         // a scalar filter's allow-set is collected ONCE (selectivity
@@ -571,8 +612,10 @@ object SearchApi {
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          finish(joinBack(graft.operators.VamanaIndex.search(
-            segments, q, k, l, bw, metric, deny = deny)), metric)
+          val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
+            graft.operators.VamanaIndex.search(segments, q, kb,
+              math.max(l, kb), bw, metric, deny = deny))
+          finish(joinBack(hits), metric)
         }
       // GPU_* spaces execute on CUDA in the reference; here they serve
       // from the equivalent CPU layout — same semantics, a space JSON
@@ -583,9 +626,19 @@ object SearchApi {
           yield {
             val vc = req.vectors.head
             val q = maybeNormalize(space, vc.field, vc.queries.head)
-            finish(IvfIndex.search(applyDeny(table, ivfDeny), col(vc.field),
-              model, q, req.limit + req.offset, nprobeOf(model), filter = pred,
-              tieBreak = Some(col("_id"))), metric)
+            val k = req.limit + req.offset
+            val served = applyDeny(table, ivfDeny)
+            if (!tailOn)
+              finish(IvfIndex.search(served, col(vc.field), model, q, k,
+                nprobeOf(model), filter = pred, tieBreak = Some(col("_id"))),
+                metric)
+            else {
+              val hits = tailMerge(k, metric, vc.field, q, ivfDeny)(kb =>
+                IvfIndex.search(served, col(vc.field), model, q, kb,
+                  nprobeOf(model), filter = pred, tieBreak = Some(col("_id")))
+                  .select(col("_id").cast("long").as("vec_id"), col("_score")))
+              finish(joinBack(hits), metric)
+            }
           }
       case Some("BINARYIVF")
           if routable && req.vectors.head.queries.size == 1 &&
@@ -609,9 +662,25 @@ object SearchApi {
           val deny = lifecycle.readyBivfGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served = applyDeny(table, deny)
-          finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
-            vc.field, cents, qCode, k, nprobe, filter = pred,
-            tieBreak = Some(col("_id"))), metric = "l2") // hamming ⇒ asc
+          if (!tailOn)
+            finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
+              vc.field, cents, qCode, k, nprobe, filter = pred,
+              tieBreak = Some(col("_id"))), metric = "l2") // hamming ⇒ asc
+          else {
+            // tail leg: the buffered column IS the packed code — the
+            // brute scan ranks by code Hamming, same as the base lists
+            val hits = tailMergeWith(k, "l2", deny) { td =>
+              Knn.searchBinary(td, col(vc.field), qCode, k, filter = pred,
+                tieBreak = Some(col("_id")))
+                .select(col("_id").cast("long").as("vec_id"), col("_score"))
+            } { kb =>
+              graft.operators.BinaryIndex.searchBinaryIvf(served, vc.field,
+                cents, qCode, kb, nprobe, filter = pred,
+                tieBreak = Some(col("_id")))
+                .select(col("_id").cast("long").as("vec_id"), col("_score"))
+            }
+            finish(joinBack(hits), metric = "l2")
+          }
         }
       case Some("IVFRABITQ") if single =>
         // RaBitQ class: coarse probe ∘ residual sign-code estimator
@@ -633,9 +702,19 @@ object SearchApi {
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny)
           val served = pred.map(served0.filter).getOrElse(served0)
-          finish(graft.operators.BinaryIndex.searchIvfResidual(served,
-            col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
-            idCol = col("_id"), metric = metric, qb = qb), metric)
+          if (!tailOn)
+            finish(graft.operators.BinaryIndex.searchIvfResidual(served,
+              col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
+              idCol = col("_id"), metric = metric, qb = qb), metric)
+          else {
+            val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
+              graft.operators.BinaryIndex.searchIvfResidual(served,
+                col(vc.field), ivf, q, kb, nprobeOf(ivf),
+                math.max(shortlist, kb), idCol = col("_id"), metric = metric,
+                qb = qb)
+                .select(col("_id").cast("long").as("vec_id"), col("_score")))
+            finish(joinBack(hits), metric)
+          }
         }
       case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if single =>
         // the reference's default compressed index: ADC over residual
@@ -656,11 +735,20 @@ object SearchApi {
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny)
           val served = pred.map(served0.filter).getOrElse(served0)
-          finish(graft.operators.PqIndex.searchIvfResidual(served,
-            col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
-            idCol = col("_id")), metric)
+          if (!tailOn)
+            finish(graft.operators.PqIndex.searchIvfResidual(served,
+              col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
+              idCol = col("_id")), metric)
+          else {
+            val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
+              graft.operators.PqIndex.searchIvfResidual(served,
+                col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
+                math.max(recallNum, kb), idCol = col("_id"))
+                .select(col("_id").cast("long").as("vec_id"), col("_score")))
+            finish(joinBack(hits), metric)
+          }
         }
-      case Some("IVFFLAT" | "GPU_IVFFLAT") if batched =>
+      case Some("IVFFLAT" | "GPU_IVFFLAT") if batched && !tailOn =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
           yield {
@@ -679,7 +767,7 @@ object SearchApi {
           }
       case _ => None
     }
-    routed.getOrElse(search(corpus, space, requestJson))
+    routed.getOrElse(search(live, space, requestJson))
   }
 
   /** `POST /document/query` → DataFrame: document_ids path (request order)

@@ -648,6 +648,40 @@ object IndexStore {
     spacePath
   }
 
+  /** Realtime-serving fixture (`enable_realtime`): the embeddings corpus
+    * split into a BASE space (vec_id ≥ 10) whose index generations are
+    * built through the lifecycle, and a TAIL table (vec_id < 10) of
+    * fresh writes not yet folded by the compaction loop. The live view
+    * (base ∪ tail) is exactly the full embeddings table, so every
+    * realtime route at exact params oracles against the plain exact
+    * top-k — and vec_id 0 (the query vector, distance 0) lives in the
+    * TAIL, so a route that skips the buffer union is missing its top-1,
+    * not some tail-end row. One space carries a READY generation of
+    * every float family (separate sidecars per kind).
+    */
+  def realtimeSpace(spark: SparkSession, sfDir: String): (String, String) = {
+    val dir = dirFor(sfDir, "apirt")
+    val spacePath = s"$dir/space"
+    val tailPath = s"$dir/tail"
+    buildOnce(dir) {
+      val all = emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      all.filter(col("_id") >= 10).write.mode("overwrite").parquet(spacePath)
+      all.filter(col("_id") < 10).write.mode("overwrite").parquet(tailPath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.rebuild("embedding", ncentroids = 16)
+      lc.rebuildIvfPq("embedding", ncentroids = 8, m = 8, ksub = 16)
+      lc.rebuildIvfRabitq("embedding", ncentroids = 8)
+      lc.rebuildHnsw("_id", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4))
+      lc.rebuildVamana("_id", "embedding",
+        graft.operators.VamanaIndex.Params(r = 32, l = 64, alpha = 1.2,
+          metric = "l2", numShards = 4))
+      markReady(dir)
+    }
+    (spacePath, tailPath)
+  }
+
   /** Delete-visibility fixture: a space with BOTH a READY HNSW generation
     * and a READY IVF generation built over the FULL embeddings corpus,
     * then ids 0–4 deleted THROUGH the lifecycle (space table rewritten,
@@ -728,6 +762,7 @@ object IndexStore {
     binarySpace(spark, sfDir)
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
+    realtimeSpace(spark, sfDir)
     m(media(spark, sfDir))
     ()
   }

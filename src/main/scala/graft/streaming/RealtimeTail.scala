@@ -46,6 +46,16 @@ final class RealtimeTail(
       .trigger(Trigger.ProcessingTime(intervalMs))
       .start()
 
+  /** Whether a tail table exists (fresh writes not yet folded into the
+    * base). Serving paths use this to decide between the plain indexed
+    * route and the base ∪ tail merge.
+    */
+  def hasTail: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tailPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
   private def readOrEmpty(path: String, schema: StructType): DataFrame = {
     // only a MISSING path means "no data yet"; any other failure (corrupt
     // footer, permission, schema clash) must propagate — swallowing it
@@ -73,16 +83,68 @@ final class RealtimeTail(
     graft.operators.Documents.upsert(base, dedupedTail, idCol)
   }
 
+  /** Delete-gate the tail: denied ids never surface from a buffered
+    * write (a delete beats an earlier buffered upsert of the same id).
+    * Tiny ledgers ride an isin literal (parquet-pushable); bigger ones a
+    * broadcast anti-join — the same size switch as the base-leg gate
+    * ([[graft.api.SearchApi]]'s applyDeny), so a large one-interval
+    * delete batch never bloats the plan/codegen with a giant NOT-IN.
+    */
+  private def denyTail(df: DataFrame, deny: Set[Long]): DataFrame =
+    if (deny.isEmpty) df
+    else if (deny.size <= 1000)
+      df.filter(!col(idCol).cast("long").isin(deny.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val denyDf = deny.toSeq.toDF("_deny_id")
+      df.join(broadcast(denyDf), col(idCol).cast("long") === col("_deny_id"),
+        "left_anti")
+    }
+
+  /** The generic realtime merge every index family serves through — the
+    * reference's buffer-over-index union (vector_manager.cc:941-1012,
+    * 1096-1176 merges the memory buffer into EVERY index type's search,
+    * not just the graph): the indexed BASE leg ∪ the brute-forced TAIL,
+    * tail winning id collisions. Fresh writes are never missed (the tail
+    * is scanned exactly) and an UPDATED doc's stale base ranking never
+    * survives — base hits whose id exists in the tail are dropped BEFORE
+    * the merge (dropping after would let a stale high-ranking version
+    * crowd out a legitimate k-th result). The tail is one refresh
+    * interval of ingest, so the brute leg stays bounded regardless of
+    * base size. Requires an integral id (index hit ids are longs).
+    *
+    * `tailSearch` scores the deduped, delete-gated tail and must return
+    * `(vec_id: long, _score)` rows; `baseSearch(kBase)` runs the family's
+    * index search at the over-fetched depth — up to |tail| of the base's
+    * top hits may be superseded and dropped, and the base's next-ranked
+    * docs then belong in the merged top-k, so the base leg over-fetches
+    * by the (bounded) tail size and survivors always suffice.
+    */
+  private[graft] def mergeTail(schema: StructType, k: Int, metric: String,
+      deny: Set[Long] = Set.empty)(tailSearch: DataFrame => DataFrame)(
+      baseSearch: Int => DataFrame): DataFrame = {
+    import graft.operators.Knn
+    val tail = readOrEmpty(tailPath, schema)
+    val dedupedTail0 = orderCol match {
+      case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
+      case None     => tail.dropDuplicates(idCol)
+    }
+    val dedupedTail = denyTail(dedupedTail0, deny)
+    val tailHits = tailSearch(dedupedTail)
+      .select(col("vec_id").cast("long").as("vec_id"), col("_score"))
+    val tailIds = dedupedTail.select(col(idCol).cast("long").as("vec_id"))
+    val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
+    val baseHits = baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
+    val primary =
+      if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
+    baseHits.unionByName(tailHits).orderBy(primary, col("vec_id").asc).limit(k)
+  }
+
   /** Realtime graph-ANN search: the READY HNSW generation (built over the
-    * BASE) ∪ the brute-forced TAIL, tail winning id collisions — the
-    * reference's buffer-over-index merge (vector_manager.cc:941-1176).
-    * Fresh writes are never missed (the tail is scanned exactly) and an
-    * UPDATED doc's stale base ranking never survives (base hits whose id
-    * exists in the tail are dropped before the merge, not after —
-    * dropping after would let a stale high-ranking version crowd out a
-    * legitimate k-th result). The tail is one refresh interval of ingest,
-    * so the brute leg stays bounded regardless of base size. Requires an
-    * integral id (graph node ids are longs).
+    * BASE) ∪ the brute-forced TAIL — [[mergeTail]] over the graph walk.
+    * `deny` is the delete ledger since the graph generation (the
+    * reference's deleted-bitmap gate), applied to BOTH legs.
     */
   def searchHnsw(
       segments: org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment],
@@ -92,34 +154,97 @@ final class RealtimeTail(
       k: Int,
       ef: Int,
       metric: String = "l2",
-      // delete ledger since the graph generation (the reference's
-      // deleted-bitmap gate): denied ids never surface from the base
-      // walk; tail rows with denied ids are dropped too (a delete beats
-      // an earlier buffered write of the same id)
       deny: Set[Long] = Set.empty): DataFrame = {
     import graft.operators.{HnswIndex, Knn}
-    val tail = readOrEmpty(tailPath, schema)
-    val dedupedTail0 = orderCol match {
-      case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
-      case None     => tail.dropDuplicates(idCol)
+    mergeTail(schema, k, metric, deny) { t =>
+      Knn.search(t, col(vecCol), q, k, metric, tieBreak = Some(col(idCol)))
+        .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    } { kBase =>
+      HnswIndex.search(segments, q, kBase, math.max(ef, kBase), metric,
+        deny = deny)
     }
-    val dedupedTail =
-      if (deny.isEmpty) dedupedTail0
-      else dedupedTail0.filter(!col(idCol).cast("long").isin(deny.toSeq: _*))
-    val tailHits = Knn.search(dedupedTail, col(vecCol), q, k, metric,
-      tieBreak = Some(col(idCol)))
-      .select(col(idCol).cast("long").as("vec_id"), col("_score"))
-    val tailIds = dedupedTail.select(col(idCol).cast("long").as("vec_id"))
-    // up to |tail| of the base's top hits may be superseded and dropped,
-    // and the base's next-ranked docs then belong in the merged top-k —
-    // over-fetch by the (bounded) tail size so survivors always suffice
-    val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
-    val baseHits = HnswIndex.search(segments, q, kBase, math.max(ef, kBase),
+  }
+
+  /** Realtime IVF search: the READY `list_id` generation ∪ the brute
+    * tail — the scan family's instance of [[mergeTail]] (the reference's
+    * buffer merge into IVF searches, vector_manager.cc:941-1012).
+    * `table` is the served (already delete-gated) layout; its id column
+    * is `idCol`.
+    */
+  def searchIvf(
+      table: DataFrame,
+      model: graft.operators.IvfIndex.Model,
+      schema: StructType,
+      vecCol: String,
+      q: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      deny: Set[Long] = Set.empty,
+      filter: Option[Column] = None): DataFrame = {
+    import graft.operators.{IvfIndex, Knn}
+    mergeTail(schema, k, model.metric, deny) { t =>
+      Knn.search(t, col(vecCol), q, k, model.metric, filter = filter,
+        tieBreak = Some(col(idCol)))
+        .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    } { kBase =>
+      IvfIndex.search(table, col(vecCol), model, q, kBase, nprobe,
+        filter = filter, tieBreak = Some(col(idCol)))
+        .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    }
+  }
+
+  /** Realtime IVFPQ search: ADC + rerank over the READY residual-code
+    * generation ∪ the exactly-scored tail ([[mergeTail]]). The tail leg
+    * is exact by construction — the buffer holds raw vectors, the same
+    * asymmetry as the reference's memory-buffer scan.
+    */
+  def searchIvfPq(
+      table: DataFrame,
+      ivf: graft.operators.IvfIndex.Model,
+      pq: graft.operators.PqIndex.Model,
+      schema: StructType,
+      vecCol: String,
+      q: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      recallNum: Int,
+      deny: Set[Long] = Set.empty,
+      filter: Option[Column] = None): DataFrame = {
+    import graft.operators.{Knn, PqIndex}
+    mergeTail(schema, k, pq.metric, deny) { t =>
+      Knn.search(t, col(vecCol), q, k, pq.metric, filter = filter,
+        tieBreak = Some(col(idCol)))
+        .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    } { kBase =>
+      PqIndex.searchIvfResidual(table, col(vecCol), ivf, pq, q, kBase,
+        nprobe, math.max(recallNum, kBase), idCol = col(idCol))
+        .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    }
+  }
+
+  /** Realtime Vamana (DiskANN-static) search: beam walk over the READY
+    * graph generation ∪ the brute tail ([[mergeTail]]). The reference's
+    * static class has no realtime add of its own — the buffer union is
+    * exactly how its engine keeps serving fresh writes between rebuilds.
+    */
+  def searchVamana(
+      segments: org.apache.spark.sql.Dataset[graft.operators.VamanaIndex.Segment],
+      schema: StructType,
+      vecCol: String,
+      q: Seq[Float],
+      k: Int,
+      l: Int,
+      beamWidth: Int = 4,
+      metric: String = "l2",
+      deny: Set[Long] = Set.empty): DataFrame = {
+    import graft.operators.{Knn, VamanaIndex}
+    mergeTail(schema, k, metric, deny) { t =>
+      Knn.search(t, col(vecCol), q, k, metric, tieBreak = Some(col(idCol)))
+        .select(col(idCol).cast("long").as("vec_id"), col("_score"))
+    } { kBase =>
+      VamanaIndex.search(segments, q, kBase, math.max(l, kBase), beamWidth,
         metric, deny = deny)
-      .join(tailIds, Seq("vec_id"), "left_anti")
-    val primary =
-      if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
-    baseHits.unionByName(tailHits).orderBy(primary, col("vec_id").asc).limit(k)
+    }
   }
 
   /** Fold the tail into the base (the reference's background Indexing

@@ -49,6 +49,131 @@ class RealtimeTailSpec extends SparkSpec {
     assert(tail.snapshot(schema).count() == 4)
   }
 
+  test("realtime serving generalizes beyond HNSW: IVF / IVFPQ / Vamana base ∪ tail") {
+    val tmp = Files.createTempDirectory("rtail_fam").toString
+    val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("_id"), $"embedding", lit(0L).as("seq"))
+      .write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val schema = base.schema
+    val q0 = base.filter($"_id" === 0).select("embedding").head().getSeq[Float](0)
+    val dim = q0.length
+
+    val tail = new RealtimeTail(spark, basePath, tailPath, ckpt, "_id",
+      orderCol = Some("seq"))
+    assert(!tail.hasTail) // no buffer yet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], Long)]
+    val ingest = tail.startIngest(
+      mem.toDF().toDF("_id", "embedding", "seq")
+        .select($"_id", $"embedding".cast("array<float>"), $"seq"),
+      intervalMs = 100L)
+    // fresh doc nearly identical to the query + an UPDATE moving doc 0
+    // (the base's exact top-1) far away — per family, the buffer union
+    // must serve the fresh doc and retire the stale ranking
+    mem.addData((900000L, q0.map(_ + 0.001f), 1L), (0L, q0.map(_ + 100f), 1L))
+    ingest.processAllAvailable()
+    ingest.stop()
+    assert(tail.hasTail)
+
+    val want = graft.operators.Knn.search(tail.snapshot(schema),
+      $"embedding", q0, 5, "l2", tieBreak = Some($"_id"))
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def check(got: Seq[(Long, Double)]): Unit = {
+      assert(got == want)                  // ≡ brute over the live view
+      assert(got.head._1 == 900000L)       // fresh tail doc pre-compaction
+      assert(!got.map(_._1).contains(0L))  // updated doc's stale rank gone
+    }
+
+    // IVF: probe over the assigned layout ∪ brute tail (full probe ⇒ exact)
+    val ivf = graft.operators.IvfIndex.train(base, "embedding", 8)
+    val table = graft.operators.IvfIndex.assign(base, "embedding", ivf)
+    check(tail.searchIvf(table, ivf, schema, "embedding", q0, k = 5, nprobe = 8)
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    // IVFPQ: ADC + full-depth rerank over residual codes ∪ brute tail
+    val pq = graft.operators.PqIndex.trainResidual(table, "embedding", dim,
+      m = 8, ivf = ivf, ksub = 16, maxTrainRows = 200000L, maxIter = 8)
+    val coded = graft.operators.PqIndex.encodeResidual(table, "embedding", ivf, pq)
+    check(tail.searchIvfPq(coded, ivf, pq, schema, "embedding", q0, k = 5,
+      nprobe = 8, recallNum = 1 << 20)
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    // Vamana: exhaustive beam walk (l ≥ |shard|) ∪ brute tail
+    val segs = graft.operators.VamanaIndex.build(base, "_id", "embedding",
+      graft.operators.VamanaIndex.Params(r = 16, l = 32, alpha = 1.2,
+        metric = "l2", numShards = 2))
+    check(tail.searchVamana(segs, schema, "embedding", q0, k = 5, l = 1 << 30)
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    // delete gate on a non-graph family: denied ids surface from NEITHER
+    // leg (base anti-filter + tail gate), top-k refills from live docs
+    val deny = Set(900000L, want(1)._1)
+    val gotGated = tail.searchIvf(
+      table.filter(!$"_id".isin(deny.toSeq: _*)), ivf, schema, "embedding",
+      q0, k = 5, nprobe = 8, deny = deny)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val wantGated = graft.operators.Knn.search(
+      tail.snapshot(schema).filter(!$"_id".isin(deny.toSeq: _*)),
+      $"embedding", q0, 5, "l2", tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(gotGated == wantGated)
+    assert(gotGated.forall(!deny.contains(_)))
+  }
+
+  test("searchAuto with a tail: routed arm serves live view; fallback shapes too") {
+    val tmp = Files.createTempDirectory("rtail_auto").toString
+    val basePath = s"$tmp/space"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long").as("_id"), $"label", $"embedding")
+      .write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val q0 = base.filter($"_id" === 0).select("embedding").head().getSeq[Float](0)
+    val lc = new graft.api.IndexLifecycle(spark, basePath)
+    lc.rebuild("embedding", ncentroids = 8)
+    val tail = new RealtimeTail(spark, basePath, tailPath, ckpt, "_id")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Seq[Float])]
+    val ingest = tail.startIngest(
+      mem.toDF().toDF("_id", "label", "embedding")
+        .select($"_id", $"label", $"embedding".cast("array<float>")),
+      intervalMs = 100L)
+    mem.addData((900000L, 1, q0.map(_ + 0.001f).toSeq))
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"rt_auto","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8}}}]}""")
+    val req = s"""{"vectors":[{"field":"embedding","feature":${q0.mkString("[", ",", "]")}}],"limit":5}"""
+    val got = graft.api.SearchApi.searchAuto(base, sp, req, lc, tail = Some(tail))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    val want = graft.operators.Knn.search(tail.snapshot(base.schema),
+      $"embedding", q0, 5, "l2", tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    assert(got.contains(900000L)) // the buffered write is served, routed
+
+    // scalar-filtered shape: the tail leg honors the filter too
+    val reqF = s"""{"vectors":[{"field":"embedding","feature":${q0.mkString("[", ",", "]")}}],
+      "filters":{"operator":"AND","conditions":[
+        {"operator":"IN","field":"label","value":[1]}]},"limit":5}"""
+    val gotF = graft.api.SearchApi.searchAuto(base, sp, reqF, lc, tail = Some(tail))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    val wantF = graft.operators.Knn.search(
+      tail.snapshot(base.schema).filter($"label" === 1),
+      $"embedding", q0, 5, "l2", tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(gotF == wantF)
+  }
+
   test("realtime HNSW search: graph base ∪ brute tail, updated docs never stale") {
     val tmp = Files.createTempDirectory("rtail_hnsw").toString
     val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
