@@ -907,6 +907,71 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 BATCHED requests through the COMPRESSED index planner
+    //    (round-11 gap: batched IVFPQ/IVFRABITQ/BINARYIVF fell back to
+    //    brute FLAT): req_num=3 queries ride one flat feature array and
+    //    route to the residual-PQ generation — one probed-list scan
+    //    scores every query's ADC LUT, one shared rerank; full probe +
+    //    full rerank ⇒ exact per-qid, oracle-checked ──
+    "q_api_search_ivfpq_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"pq_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_api_search_rabitq_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.rbSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rb_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFRABITQ",
+                      "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // batched Hamming: per-query sign-binarized codes, full probe ⇒
+    // exact per-qid Hamming top-k, re-derived bit-by-bit in DuckDB
+    "q_api_search_binaryivf_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.binarySpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"bivf_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── §2.4 DiskANN-static (Vamana) with l ≥ |shard| ≡ exact
     //    (oracle-checked: the flat α-RNG graph is connected by the
     //    re-asserted chain, so the bounded beam walk degenerates to an
@@ -2003,6 +2068,22 @@ object SparkEntry {
     * exactness parameters (nprobe = ncentroids / recall_num ≥ N /
     * shortlist ≥ N), which degenerate the index path to exact KNN.
     */
+  /** Per-qid exact top-10 blocks for the batched routed-API queries
+    * (qid = position in the flat feature array = vec_id 0..2 by
+    * construction) — shared by every batched family at exact params.
+    */
+  private val apiBatchExactSql =
+    """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 3),
+       r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
+                    round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
+                    row_number() OVER (PARTITION BY qs._qid
+                      ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
+                               e.vec_id) AS rn
+             FROM embeddings e, qs)
+       SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+       ORDER BY _qid, rn"""
+
   /** Exact top-10 over the full embeddings table in the routed-API shape
     * (_id, label, _score) — the oracle of every realtime route (live
     * view = base ∪ tail ≡ the whole table by fixture construction).
@@ -2546,6 +2627,22 @@ object SparkEntry {
                         ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
                                  e.vec_id) AS rn
                FROM embeddings e, qs)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    // batched compressed routes: same per-qid exact blocks (full probe +
+    // full-depth rerank ⇒ exact)
+    "q_api_search_ivfpq_batch" -> apiBatchExactSql,
+    "q_api_search_rabitq_batch" -> apiBatchExactSql,
+    "q_api_search_binaryivf_batch" ->
+      """WITH qs AS (SELECT vec_id AS _qid, embedding AS qe
+                     FROM embeddings WHERE vec_id < 3),
+         h AS (SELECT qs._qid, e.vec_id AS _id, e.label,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> CASE WHEN (e.embedding[i] >= 0) <> (qs.qe[i] >= 0)
+                                  THEN 1 ELSE 0 END)) AS DOUBLE) AS _score
+               FROM embeddings e, qs),
+         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
+                 ORDER BY _score, _id) AS rn FROM h)
          SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
          ORDER BY _qid, rn""",
     "q_hnsw_filtered" ->

@@ -765,6 +765,82 @@ object SearchApi {
               .select(col("_qid"), col("_item._id").as("vec_id"), col("_score"))
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
+      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if batched && !tailOn =>
+        // batched compressed route (the reference flattens req_num into
+        // ONE index request for every type, doc_query.go:296-318): one
+        // scan of the union of probed lists scores every query's ADC LUT,
+        // then one shared rerank — no per-query degrade to brute FLAT
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyIvfPq(metric).map { case (table, ivf, pq) =>
+          val vc = req.vectors.head
+          val k = req.limit + req.offset
+          val recallNum = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(k), k)
+          val deny = lifecycle.readyPqGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, maybeNormalize(space, vc.field, q)) }
+          val hits = graft.operators.PqIndex.searchBatchIvfResidual(served,
+            col(vc.field), ivf, pq, queries, k, nprobeOf(ivf), recallNum,
+            idCol = col("_id"))
+            .select(col("_qid"), col("_id").as("vec_id"), col("_score"))
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+        }
+      case Some("IVFRABITQ") if batched && !tailOn =>
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
+          val vc = req.vectors.head
+          val k = req.limit + req.offset
+          val shortlist = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(math.max(10 * k, 100)), k)
+          val qb = req.indexParams.get("qb")
+            .orElse(vopts.get.indexParams.get("qb"))
+            .filter(v => v >= 0 && v <= 8).getOrElse(4)
+          val deny = lifecycle.readyRbGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, maybeNormalize(space, vc.field, q)) }
+          val hits = graft.operators.BinaryIndex.searchBatchIvfResidual(served,
+            col(vc.field), ivf, queries, k, nprobeOf(ivf), shortlist,
+            idCol = col("_id"), metric = metric, qb = qb)
+            .select(col("_qid"), col("_id").as("vec_id"), col("_score"))
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+        }
+      case Some("BINARYIVF")
+          if routable && !tailOn && req.vectors.head.queries.size > 1 &&
+            vopts.exists(_.valueType == "binary") =>
+        // batched Hamming route: each query's float features
+        // sign-binarize, per-query probe routes join on list_id equality,
+        // one scan of the probed-list union ranks by code Hamming
+        lifecycle.readyBinaryIvf().map { case (table, cents) =>
+          val vc = req.vectors.head
+          val k = req.limit + req.offset
+          val nprobe = math.min(
+            req.indexParams.get("nprobe").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+              .getOrElse(80),
+            cents.length)
+          val deny = lifecycle.readyBivfGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, graft.functions.VecKernels.signBits(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                q.toArray)).asInstanceOf[Array[Byte]]) }
+          val hits = graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
+            vc.field, cents, queries, k, nprobe, idCol = col("_id"))
+            .select(col("_qid"), col("_id").as("vec_id"), col("_score"))
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric = "l2")
+        }
       case _ => None
     }
     routed.getOrElse(search(live, space, requestJson))

@@ -81,6 +81,70 @@ object BinaryIndex {
     Knn.search(rerank, vecCol, q, k, metric, tieBreak = Some(idCol), roundTo = roundTo)
   }
 
+  /** Batched IVFRABITQ (vearch `req_num`, doc_query.go:296-318 flattens
+    * req_num queries into ONE index request): per-(query, probed-list)
+    * residual queries join in on `list_id` EQUALITY — each list's codes
+    * score against exactly ITS residual query (the same asymmetric shape
+    * as [[searchIvfResidual]]) — then a bounded per-qid top-`shortlist`
+    * estimator pass feeds one shared exact rerank. One scan of the union
+    * of probed lists serves the whole batch. Output: (_qid, _id, _score).
+    */
+  def searchBatchIvfResidual(
+      corpus: DataFrame, // carries list_id + codeCol + raw vectors
+      vecCol: Column,
+      ivf: IvfIndex.Model,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      nprobe: Int,
+      shortlist: Int,
+      idCol: Column,
+      metric: String = "l2",
+      codeCol: String = "rbcode",
+      qb: Int = 4): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qlRows = queries.flatMap { case (qid, q) =>
+      ivf.nearestCentroids(q, nprobe).map { l =>
+        val c = ivf.centroids(l)
+        val r = q.toArray.zipWithIndex.map { case (x, i) =>
+          x - (if (i < c.length) c(i) else 0f)
+        }
+        (qid, l, quantizeQuery(r.toSeq, qb).toSeq)
+      }
+    }
+    val qDf = qlRows.toDF("_qid", "list_id", "_qres")
+      .select(col("_qid"), col("list_id"), col("_qres").cast("array<float>").as("_qres"))
+    val union = qlRows.map(_._2).distinct
+    val pruned =
+      if (union.isEmpty) corpus.limit(0)
+      else corpus.filter(col("list_id").isin(union: _*))
+    val est = pruned.select(idCol.as("_sid"), col("list_id"), col(codeCol))
+      .join(broadcast(qDf), Seq("list_id"))
+      .select(col("_qid"), F.signAdot(col(codeCol), col("_qres")).as("_est"),
+        col("_sid"))
+      .filter(col("_est").isNotNull)
+    val qvDf = queries.toDF("_qid", "_qv")
+      .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+    // larger sign-dot = closer (descending, same as the single path)
+    val short = est.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_est"), struct(col("_sid")), shortlist,
+        asc = false).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item._sid").as("_sid"))
+      .join(broadcast(qvDf), Seq("_qid"))
+    val rerank = corpus.join(broadcast(short), idCol === col("_sid"))
+      .select(col("_qid"),
+        Knn.score(metric, vecCol, col("_qv")).as("_score"),
+        struct(idCol.as("id")).as("_item"))
+      .filter(col("_score").isNotNull)
+    rerank.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
+        Knn.ascending(metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item.id").as("_id"), col("_e.score").as("_score"))
+  }
+
   /** Quantize the query to qb bits per dimension (uniform min–max scalar
     * quantization — the RaBitQ query-side SQ step,
     * gamma_index_ivfrabitq.cc:105,214-223). Values are returned
@@ -279,5 +343,44 @@ object BinaryIndex {
     val probed = corpus.filter(col("list_id").isin(lists: _*))
     Knn.searchBinary(probed, col(codeCol), qCode, k, filter = filter,
       tieBreak = tieBreak)
+  }
+
+  /** Batched BINARYIVF: per-query probe routes join in on `list_id`
+    * equality carrying each query's packed code; candidates rank by code
+    * Hamming against THEIR query's code and a bounded per-qid top-k
+    * merges — one scan of the union of probed lists serves the whole
+    * batch (the req_num flatten, doc_query.go:296-318). Ties break on id
+    * ascending (TopKAgg's native struct order), matching the single
+    * path's `ORDER BY hamming, id`. Output: (_qid, _id, _score).
+    */
+  def searchBatchBinaryIvf(
+      corpus: DataFrame, // carries list_id + codeCol
+      codeCol: String,
+      cents: Array[Array[Byte]],
+      queries: Seq[(Long, Array[Byte])],
+      k: Int,
+      nprobe: Int,
+      idCol: Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qlRows = queries.flatMap { case (qid, qc) =>
+      nearestBinaryCentroids(cents, qc, nprobe).map(l => (qid, l, qc))
+    }
+    val qDf = qlRows.toDF("_qid", "list_id", "_qcode")
+    val union = qlRows.map(_._2).distinct
+    val pruned =
+      if (union.isEmpty) corpus.limit(0)
+      else corpus.filter(col("list_id").isin(union: _*))
+    val scored = pruned.select(idCol.as("_sid"), col("list_id"), col(codeCol))
+      .join(broadcast(qDf), Seq("list_id"))
+      .select(col("_qid"),
+        F.hamming(col(codeCol), col("_qcode")).cast("double").as("_score"),
+        col("_sid"))
+      .filter(col("_score").isNotNull)
+    scored.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), struct(col("_sid")), k,
+        asc = true).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item._sid").as("_id"), col("_e.score").as("_score"))
   }
 }
