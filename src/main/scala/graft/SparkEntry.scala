@@ -1099,6 +1099,51 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.2+§2.4 ROUTED API search over a SPANN-CLUSTERED Vamana
+    //    space: space JSON → searchAuto → READY clustered DiskANN-static
+    //    generation → centroid route = parquet PARTITION PRUNING of
+    //    segment IO → beam walk → merge. Default nprobe = ncentroids +
+    //    l_search ≥ corpus ⇒ exact, so the clustered lifecycle + routing
+    //    stack is oracle-checked — the storage-resident family gets the
+    //    pruned-IO layout it needs most at scale ──
+    "q_api_search_diskann_routed" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaRoutedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vamr_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 SSG declarations serve from the Vamana generation (both
+    //    flat-graph RNG-family indexes — the alias GPU_* classes get to
+    //    the CPU layouts): a space JSON written for SSG keeps real
+    //    index-serving instead of the FLAT fallback; l_search ≥ corpus ⇒
+    //    exact, oracled ──
+    "q_api_search_ssg" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"ssg_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"SSG"}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.8 REALTIME serving (`enable_realtime`, SURVEY §2.8): each
     //    family's routed search unions the streaming TAIL (fresh writes
     //    not yet folded by the compaction loop) into the READY base
@@ -2085,10 +2130,11 @@ object SparkEntry {
        ORDER BY _qid, rn"""
 
   /** Exact top-10 over the full embeddings table in the routed-API shape
-    * (_id, label, _score) — the oracle of every realtime route (live
-    * view = base ∪ tail ≡ the whole table by fixture construction).
+    * (_id, label, _score) — the oracle of every routed-API query at
+    * exact params, including the realtime routes (their live view =
+    * base ∪ tail ≡ the whole table by fixture construction).
     */
-  private val apiRealtimeExactSql =
+  private val apiExactTop10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id AS _id, e.label,
               round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
@@ -2592,11 +2638,15 @@ object SparkEntry {
     // exact top-10 over it; vec_id 0 (the query, in the TAIL) must head
     // the result, so a skipped buffer union is a missing top-1, not a
     // tail-end diff
-    "q_ivf_realtime" -> apiRealtimeExactSql,
-    "q_ivfpq_realtime" -> apiRealtimeExactSql,
-    "q_hnsw_realtime" -> apiRealtimeExactSql,
-    "q_rabitq_realtime" -> apiRealtimeExactSql,
-    "q_diskann_realtime" -> apiRealtimeExactSql,
+    // clustered-Vamana route + SSG alias: exact at full probe/depth —
+    // same oracle as the other routed-API exact queries
+    "q_api_search_diskann_routed" -> apiExactTop10Sql,
+    "q_api_search_ssg" -> apiExactTop10Sql,
+    "q_ivf_realtime" -> apiExactTop10Sql,
+    "q_ivfpq_realtime" -> apiExactTop10Sql,
+    "q_hnsw_realtime" -> apiExactTop10Sql,
+    "q_rabitq_realtime" -> apiExactTop10Sql,
+    "q_diskann_realtime" -> apiExactTop10Sql,
     // routed search after delete: the oracle is the exact top-10 over the
     // LIVE corpus (ids 0-4 deleted post-build; a ledger-gating failure
     // surfaces vec_id 0 — the query vector itself — as a ghost top-1)

@@ -703,6 +703,52 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
+  /** Build (or rebuild) a CLUSTERED (SPANN-routed) Vamana generation:
+    * shards = coarse-quantizer lists, table written
+    * `partitionBy(shard_id)` so query-time routing is parquet PARTITION
+    * PRUNING ([[graft.operators.VamanaIndex.buildClustered]]) — the
+    * routed layout [[rebuildHnswClustered]] gives the graph kind,
+    * applied to the storage-resident family. The trained quantizer
+    * persists as a sidecar; its presence routes
+    * [[SearchApi.searchAuto]]'s DISKANN arm through nprobe shard
+    * pruning instead of the full fan-out.
+    */
+  def rebuildVamanaClustered(idCol: String, vecCol: String,
+      params: graft.operators.VamanaIndex.Params, ncentroids: Int,
+      maxShardRows: Int = 1 << 20): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(vamanaStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
+      graft.operators.VamanaIndex.buildClustered(corpus, idCol, vecCol,
+          params.copy(numShards = ncentroids), ivf, maxShardRows)
+        .write.mode("overwrite").partitionBy("shard_id").parquet(vamanaPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${vamanaPath(gen)}.ivf.txt", ivf)
+      writeStateAt(vamanaStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneDeleteLedger()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(vamanaStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The READY Vamana generation's routing quantizer, if it was built
+    * clustered — None for hash-sharded generations (full fan-out).
+    */
+  def vamanaRoutedModel(metric: String = "l2"): Option[IvfIndex.Model] =
+    vamanaState match {
+      case Ready(gen, _, _) =>
+        val p = Paths.get(s"${vamanaPath(gen)}.ivf.txt")
+        if (Files.exists(p))
+          Some(graft.sources.IndexStore.readIvfModel(p.toString).copy(metric = metric))
+        else None
+      case _ => None
+    }
+
   /** The current READY Vamana segment table, or None. */
   def readyVamanaSegments(): Option[org.apache.spark.sql.Dataset[graft.operators.VamanaIndex.Segment]] =
     vamanaState match {

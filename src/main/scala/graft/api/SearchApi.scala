@@ -591,18 +591,39 @@ object SearchApi {
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
         }
-      case Some("DISKANN_STATIC") if single && idIntegral && pred.isEmpty =>
+      case Some("DISKANN_STATIC" | "SSG") if single && idIntegral && pred.isEmpty =>
         // Vamana route (the reference's DiskANN-static class,
         // gamma_index_diskann_static.cc): search params resolve request
         // `l_search`/`beam_width` over the space's `L`/`beam_width`
         // (diskann_static_params.h:27-38); the delete ledger rides the
         // walk's allow-functor. Filtered shapes fall back to FLAT (the
         // reference's DiskANN path has no filter functor either).
-        lifecycle.readyVamanaSegments().map { segments =>
+        // SSG — the reference's other flat-graph RNG-family index
+        // (wrapped third-party, impl/ssg/) — aliases to the Vamana
+        // generation the way GPU_* alias to the CPU layouts: same
+        // capability class, served from a real graph rather than the
+        // FLAT fallback.
+        lifecycle.readyVamanaSegments().map { segments0 =>
           val vc = req.vectors.head
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val metric = metricOf(space, vc.field)
           val k = req.limit + req.offset
+          // CLUSTERED generation: route to nprobe shards — the shard_id
+          // filter is parquet PARTITION PRUNING over the
+          // partitionBy(shard_id) layout (the storage-resident family is
+          // the one that needs pruned IO most). Default nprobe =
+          // ncentroids (exact serving); requests/spaces narrow it.
+          val segments = lifecycle.vamanaRoutedModel(metric) match {
+            case Some(model) =>
+              val nprobe = math.min(
+                req.indexParams.get("nprobe").filter(_ > 0)
+                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                  .getOrElse(model.ncentroids),
+                model.ncentroids)
+              segments0.filter(col("shard_id")
+                .isin(model.nearestCentroids(q, nprobe): _*))
+            case None => segments0
+          }
           val l = math.max(
             req.indexParams.get("l_search").filter(_ > 0)
               .orElse(vopts.get.indexParams.get("L").filter(_ > 0))

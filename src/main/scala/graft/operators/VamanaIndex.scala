@@ -223,6 +223,57 @@ object VamanaIndex {
       .mapGroups { (sid, it) => buildSegment(sid, it.toArray.sortBy(_._1), p) }
   }
 
+  /** Build a CLUSTERED (SPANN-routed) Vamana segment table: shards = the
+    * coarse quantizer's lists instead of id hashes, so query-time routing
+    * prunes `shard_id` partitions BEFORE any segment IO — the same layout
+    * [[HnswIndex.buildClustered]] gives the graph family, applied to the
+    * storage-resident family that needs partition-pruned IO most at
+    * 100 TB (the reference's DiskANN class exists to serve from disk).
+    * Same two-pass skew guard: a hot list builds as several bounded
+    * sub-segments under ONE shard_id (each a complete walkable graph;
+    * routed search unions every row under a probed shard, so exactness
+    * survives the split).
+    */
+  def buildClustered(df: DataFrame, idCol: String, vecCol: String, p: Params,
+      ivf: IvfIndex.Model, maxShardRows: Int = 1 << 20): Dataset[Segment] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxShardRows > 0)
+    val assigned = IvfIndex.assign(
+      df.select(col(idCol).cast("long").as(idCol),
+          col(vecCol).cast("array<float>").as(vecCol))
+        .filter(col(vecCol).isNotNull), vecCol, ivf)
+      .select(col("list_id").cast("int"), col(idCol), col(vecCol))
+      .as[(Int, Long, Array[Float])]
+    val subs = assigned.groupByKey(_._1).count().collect()
+      .map { case (l, c) =>
+        l -> math.max(1L, (c + maxShardRows - 1) / maxShardRows).toInt }
+      .toMap
+    val subsB = spark.sparkContext.broadcast(subs)
+    assigned
+      .groupByKey { case (l, id, _) =>
+        (l, math.floorMod(scala.util.hashing.byteswap64(id), subsB.value(l).toLong).toInt)
+      }
+      .mapGroups { (key, it) =>
+        buildSegment(key._1, it.map(t => (t._2, t._3)).toArray.sortBy(_._1), p)
+      }
+  }
+
+  /** Routed search over a clustered-shard Vamana table: the driver's tiny
+    * quantizer search picks `nprobe` shards and the `shard_id` filter is
+    * parquet PARTITION PRUNING over the `partitionBy(shard_id)` layout —
+    * pruned segments' IO never happens. Exact when nprobe = ncentroids
+    * and `l ≥ max shard size` (the connectivity-chain device).
+    */
+  def searchRouted(segments: Dataset[Segment], ivf: IvfIndex.Model,
+      q: Seq[Float], k: Int, l: Int, beamWidth: Int = 4, metric: String = "l2",
+      nprobe: Int = 1, roundTo: Option[Int] = None,
+      deny: Set[Long] = Set.empty): DataFrame = {
+    val lists = ivf.nearestCentroids(q, nprobe)
+    search(segments.filter(col("shard_id").isin(lists: _*)), q, k, l,
+      beamWidth, metric, roundTo, deny)
+  }
+
   /** Beam search over one deserialized segment (paper's search with the
     * reference's `l_search`/`beam_width` surface,
     * diskann_static_params.h:27-38): best-first from the medoid with an

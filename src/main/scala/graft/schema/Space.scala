@@ -105,11 +105,15 @@ object Space {
     "HNSW", "GPU_IVFPQ", "GPU_IVFFLAT", "SSG", "IVFPQ_RELAYOUT", "SCANN",
     "SCALAR", "IVFRABITQ", "DISKANN_STATIC")
 
-  /** Index types carrying a coarse quantizer — the nprobe ≤ ncentroids
-    * bound applies to these only (space.go:339-375).
+  /** Index types the nprobe ≤ ncentroids bound applies to — exactly the
+    * reference's validation list (space.go:352), which EXCLUDES
+    * IVFPQ_RELAYOUT: a relayout space with nprobe > ncentroids is
+    * accepted there, so it is accepted here. Serving still aliases
+    * IVFPQ_RELAYOUT to the IVFPQ layout (SearchApi matches the literal
+    * type names, not this validation set).
     */
   val IvfFamily: Set[String] = Set("IVFPQ", "IVFFLAT", "BINARYIVF",
-    "GPU_IVFPQ", "GPU_IVFFLAT", "IVFPQ_RELAYOUT", "IVFRABITQ")
+    "GPU_IVFPQ", "GPU_IVFFLAT", "IVFRABITQ")
 
   /** Parse + validate a vearch space-definition JSON:
     * {"name": ..., "partition_num": N, "replica_num": N,

@@ -648,6 +648,28 @@ object IndexStore {
     spacePath
   }
 
+  /** Routed-API CLUSTERED-Vamana fixture: a SPACE with a READY
+    * SPANN-routed DiskANN-static generation (shards = quantizer lists,
+    * partitionBy(shard_id)) built through the lifecycle — what
+    * `searchAuto` serves with parquet partition pruning.
+    */
+  def vamanaRoutedSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apivamr")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildVamanaClustered(
+        "_id", "embedding",
+        graft.operators.VamanaIndex.Params(r = 32, l = 64, alpha = 1.2,
+          metric = "l2"),
+        ncentroids = 16)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Realtime-serving fixture (`enable_realtime`): the embeddings corpus
     * split into a BASE space (vec_id ≥ 10) whose index generations are
     * built through the lifecycle, and a TAIL table (vec_id < 10) of
@@ -756,6 +778,7 @@ object IndexStore {
     locally { val (a, b) = hnswMultiField(spark, sfDir); m(a.toDF()); m(b.toDF()) }
     m(vamana(spark, sfDir).toDF())
     vamanaSpace(spark, sfDir)
+    vamanaRoutedSpace(spark, sfDir)
     hnswRoutedSpace(spark, sfDir)
     pqSpace(spark, sfDir)
     rbSpace(spark, sfDir)

@@ -690,6 +690,49 @@ class SearchApiSpec extends SparkSpec {
     assert(got.size == 8 && got.forall(r => !deleted.contains(r._1)))
   }
 
+  test("searchAuto: SSG aliases to the Vamana generation; clustered Vamana routes shards") {
+    val root = java.nio.file.Files.createTempDirectory("ssg_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    // CLUSTERED generation: quantizer sidecar present → the arm routes
+    // shard_id partitions instead of full fan-out
+    lc.rebuildVamanaClustered("_id", "embedding",
+      graft.operators.VamanaIndex.Params(24, 48, 1.2, "l2"), ncentroids = 4)
+    assert(lc.vamanaRoutedModel().exists(_.ncentroids == 4))
+    val ssgSpace = Space.fromJson(
+      """{"name":"ssg_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"SSG"}}]}""")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id").collect().map(_.getLong(0)).toSeq
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"l_search":1048576},"limit":8}"""
+    val stored = spark.read.parquet(spacePath)
+    // SSG serves from the clustered Vamana generation: default nprobe =
+    // ncentroids + exhaustive walk ⇒ parity with exact FLAT
+    assert(ids(SearchApi.searchAuto(stored, ssgSpace, req, lc)) ==
+      ids(SearchApi.search(stored, ssgSpace, req)))
+    // narrowed probe still fills k and keeps the query's own list
+    val req1 = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "index_params":{"l_search":1048576,"nprobe":1},"limit":8}"""
+    val got1 = ids(SearchApi.searchAuto(stored, ssgSpace, req1, lc))
+    assert(got1.size == 8 && got1.head == 0L)
+    // provenance: a row appended to the SPACE after the build is absent
+    // from the routed answer (served from the generation, not FLAT) —
+    // the brute path over the live table would see it
+    import spark.implicits._
+    Seq((900000L, 1, q0.map(_ + 0.001f).toSeq)).toDF("_id", "label", "embedding")
+      .select($"_id", $"label", $"embedding".cast("array<float>"))
+      .write.mode("append").parquet(spacePath)
+    val live = spark.read.parquet(spacePath)
+    assert(!ids(SearchApi.searchAuto(live, ssgSpace, req, lc)).contains(900000L))
+    assert(ids(SearchApi.search(live, ssgSpace, req)).contains(900000L))
+  }
+
   test("searchAuto: broad-filter HNSW falls back to filter-first brute (selectivity guard)") {
     val root = java.nio.file.Files.createTempDirectory("guard_route").toString
     val spacePath = s"$root/space"

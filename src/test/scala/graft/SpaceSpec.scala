@@ -86,6 +86,10 @@ class SpaceSpec extends SparkSpec {
       .vectorFields.head.vector.get.indexType == "HNSW")
     bad(vec("""{"type":"IVFFLAT","params":{"nprobe":64,"ncentroids":8}}"""))
     bad(vec("""{"type":"IVFPQ","params":{"nprobe":64,"ncentroids":8}}"""))
+    // ...and the reference's validation list (space.go:352) EXCLUDES
+    // IVFPQ_RELAYOUT: a relayout space with nprobe > ncentroids is valid
+    assert(Space.fromJson(vec("""{"type":"IVFPQ_RELAYOUT","params":{"nprobe":64,"ncentroids":8}}"""))
+      .vectorFields.head.vector.get.indexType == "IVFPQ_RELAYOUT")
   }
 
   test("per-space engine config: refresh_interval/cache_size/slow_search_time") {

@@ -85,6 +85,36 @@ class VamanaIndexSpec extends SparkSpec {
     assert(recall >= 0.8, s"vamana recall@10 $recall < 0.8")
   }
 
+  test("clustered build + routed search: full probe ≡ exact, narrow probe prunes shards") {
+    val ivf = graft.operators.IvfIndex.train(emb, "embedding", 4)
+    val clustered = VamanaIndex.buildClustered(emb, "vec_id", "embedding",
+      params.copy(numShards = 4), ivf).cache()
+    try {
+      // every corpus row lands in exactly one sub-segment
+      assert(clustered.collect().map(_.nodes.length).sum == emb.count())
+      val brute = Knn.search(emb, col("embedding"), qv, 10, "l2",
+        tieBreak = Some(col("vec_id")))
+        .select($"vec_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // nprobe = ncentroids + exhaustive walk ⇒ exact
+      val routedAll = VamanaIndex.searchRouted(clustered, ivf, qv, k = 10,
+        l = 1 << 30, beamWidth = 4, metric = "l2", nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(routedAll == brute)
+      // nprobe = 1 answers from the query's own list only — the shard
+      // holding vec_id 0 must include it as top-1, and the result fills k
+      val routed1 = VamanaIndex.searchRouted(clustered, ivf, qv, k = 10,
+        l = 1 << 30, beamWidth = 4, metric = "l2", nprobe = 1)
+        .collect().map(_.getLong(0)).toSeq
+      assert(routed1.size == 10)
+      assert(routed1.head == 0L)
+      // the route really prunes: 1 probed list touches a strict subset
+      val probedShards = ivf.nearestCentroids(qv, 1)
+      assert(clustered.filter($"shard_id".isin(probedShards: _*)).count() <
+        clustered.count())
+    } finally { clustered.unpersist(); () }
+  }
+
   test("deny functor: deleted ids are traversed but never returned; k still fills") {
     val deny = Set(0L, 1L, 2L)
     val got = VamanaIndex.search(segs, qv, k = 10, l = 1 << 30,
