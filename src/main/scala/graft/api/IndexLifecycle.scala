@@ -1,11 +1,10 @@
 package graft.api
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.IvfIndex
+import graft.sources.SidecarIO
 
 /** Index lifecycle verbs (SURVEY §2.8): rebuild / force-merge / add /
   * remove with the BUILDING→READY/FAILED state machine the reference keeps
@@ -14,6 +13,12 @@ import graft.operators.IvfIndex
   * build writes to a fresh directory and the state file flips last
   * (crash before the flip leaves the previous READY index in place, the
   * same recovery contract as their BUILDING marker).
+  *
+  * Every sidecar (state files, ledgers, model/baseline files) reads and
+  * writes through [[graft.sources.SidecarIO]] — the Hadoop FileSystem
+  * API resolved by the space path's scheme, like the table IO around it
+  * — so a space rooted on `hdfs://`/`s3a://` keeps the full lifecycle
+  * contract, not just its parquet.
   */
 final class IndexLifecycle(spark: SparkSession, spacePath: String) {
 
@@ -33,10 +38,9 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   def state: State = readStateAt(statePath)
 
   private def readStateAt(path: String): State = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) Missing
+    if (!SidecarIO.exists(path)) Missing
     else {
-      val s = new String(Files.readAllBytes(p))
+      val s = SidecarIO.readString(path)
       val parts = s.trim.split(":", 4)
       parts(0) match {
         case "BUILDING" => Building(parts(1).toLong)
@@ -51,13 +55,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
 
   private def writeState(s: String): Unit = writeStateAt(statePath, s)
 
-  private def writeStateAt(path: String, s: String): Unit = {
-    val tmp = Paths.get(s"$path.tmp")
-    Files.write(tmp, s.getBytes)
-    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  private def writeStateAt(path: String, s: String): Unit =
+    SidecarIO.writeString(path, s)
 
   /** Build (or rebuild) the IVF index: train on the current space
     * contents, write an assigned+partitioned copy under a new generation,
@@ -80,7 +79,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       centroids.toDF("list_id", "centroid").write
         .mode("overwrite").parquet(s"${indexPath(gen)}.centroids")
       writeState(s"READY:$gen:$ncentroids:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
@@ -165,9 +164,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     if (ids.nonEmpty) {
       val ts = System.currentTimeMillis()
       val lines = ids.map(id => s"$ts $id").mkString("", "\n", "\n")
-      Files.write(Paths.get(deleteLedgerPath), lines.getBytes,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      SidecarIO.appendString(deleteLedgerPath, lines)
       recordMutations(ids.size.toLong)
     }
   }
@@ -179,11 +176,10 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     * (gating an absent id is a no-op).
     */
   def deletedSince(gen: Long): Set[Long] = {
-    val p = Paths.get(deleteLedgerPath)
-    if (!Files.exists(p)) Set.empty
+    if (!SidecarIO.exists(deleteLedgerPath)) Set.empty
     else {
       val b = Set.newBuilder[Long]
-      Files.readAllLines(p).forEach { line =>
+      SidecarIO.readLines(deleteLedgerPath).foreach { line =>
         val t = line.trim
         if (t.nonEmpty) {
           val sp = t.indexOf(' ')
@@ -195,36 +191,43 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
-  /** Drop ledger entries older than `gen` — called after a rebuild flips
-    * READY (the new layout no longer contains them). Entries newer than
-    * the OTHER kind's generation survive: the ledger is shared between
-    * the scan (IVF) and graph (HNSW) layouts, so pruning keeps everything
-    * at-or-after the OLDEST live generation.
+  /** Drop delete- AND mutation-ledger entries older than every live
+    * generation — called after a rebuild flips READY (the new layout no
+    * longer contains them; the churn they recorded no longer exerts
+    * rebuild pressure). Entries newer than the OTHER kinds' generations
+    * survive: the ledgers are shared across all six layout kinds, so
+    * pruning keeps everything at-or-after the OLDEST live generation.
+    *
+    * If ANY kind is mid-BUILDING the prune defers entirely: an in-flight
+    * generation's gate baseline is not derivable from its BUILDING stamp
+    * (an appended graph's reaches back to the generation it grew from,
+    * whose stamp the BUILDING marker has already replaced), so pruning
+    * under it could drop entries that generation needs once it flips
+    * READY — ghost results until the next delete. Every build ends in a
+    * READY/FAILED flip whose own prune call runs then, so deferral is
+    * bounded by one build.
     */
-  private def pruneDeleteLedger(): Unit = synchronized {
-    val p = Paths.get(deleteLedgerPath)
-    if (Files.exists(p)) {
-      val ivfGen = state match { case Ready(g, _, _) => Seq(g); case _ => Nil }
-      // an appended HNSW generation's gate reaches back to its BASELINE
-      val hnswBase = hnswState match {
-        case Ready(g, _, _) => Seq(hnswLedgerBase(g)); case _ => Nil
-      }
-      val vamanaGen = vamanaState match {
-        case Ready(g, _, _) => Seq(g); case _ => Nil
-      }
-      val pqGen = pqState match {
-        case Ready(g, _, _) => Seq(g); case _ => Nil
-      }
-      val rbGen = rbState match {
-        case Ready(g, _, _) => Seq(g); case _ => Nil
-      }
-      val bivfGen = bivfState match {
-        case Ready(g, _, _) => Seq(g); case _ => Nil
-      }
-      val oldest = (ivfGen ++ hnswBase ++ vamanaGen ++ pqGen ++ rbGen ++ bivfGen)
-        .minOption.getOrElse(Long.MaxValue)
+  private def pruneLedgers(): Unit = synchronized {
+    val scanStates = Seq(state, vamanaState, pqState, rbState, bivfState)
+    if ((scanStates :+ hnswState).exists(_.isInstanceOf[Building])) return
+    // an appended HNSW generation's gate reaches back to its BASELINE
+    val hnswFloor = hnswState match {
+      case Ready(g, _, _) => Seq(hnswLedgerBase(g)); case _ => Nil
+    }
+    val oldest = (scanStates.collect { case Ready(g, _, _) => g } ++ hnswFloor)
+      .minOption.getOrElse(Long.MaxValue)
+    pruneLedgerFile(deleteLedgerPath, oldest)
+    pruneLedgerFile(mutationLedgerPath, oldest)
+  }
+
+  /** Rewrite one `(ts, value)` ledger keeping entries at-or-after
+    * `oldest` — both sidecars would otherwise grow without bound and be
+    * re-read in full on every gate/staleness check.
+    */
+  private def pruneLedgerFile(path: String, oldest: Long): Unit =
+    if (SidecarIO.exists(path)) {
       val kept = new StringBuilder
-      Files.readAllLines(p).forEach { line =>
+      SidecarIO.readLines(path).foreach { line =>
         val t = line.trim
         if (t.nonEmpty) {
           val sp = t.indexOf(' ')
@@ -232,22 +235,41 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
             kept.append(t).append('\n')
         }
       }
-      writeStateAt(deleteLedgerPath, kept.toString)
+      SidecarIO.writeString(path, kept.toString)
     }
+
+  /** Restore the space table if a previous move-aside swap crashed
+    * between its two renames — the instant where `spacePath` is absent
+    * and the pre-op table sits whole under `.old`. Restoring `.old`
+    * makes the crashed op a no-op (its `.tmp` is orphaned and
+    * overwritten by the next attempt), so [[deleteByIds]]/[[forceMerge]]
+    * are atomic-or-nothing instead of leaving READY states pointing at a
+    * missing table. Called by both mutators before reading; safe to call
+    * any time.
+    */
+  def recoverSwap(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$spacePath.old")
+    if (!fs.exists(p) && fs.exists(old)) { fs.rename(old, p); () }
   }
 
   /** Delete-by-ids at the SPACE level: rewrite the live table without the
-    * ids (move-aside swap, no crash window) AND record them in the delete
-    * ledger so READY generations stop serving them immediately — the
-    * reference's bitmap-delete contract (engine.cc:869-899).
+    * ids AND record them in the delete ledger so READY generations stop
+    * serving them immediately — the reference's bitmap-delete contract
+    * (engine.cc:869-899). The move-aside swap has ONE crash window
+    * (between the two renames the space path is briefly absent);
+    * [[recoverSwap]] closes it on the next open — data is under
+    * `spacePath` or `spacePath.old` at every instant, never lost.
     */
   def deleteByIds(idCol: String, ids: Seq[Long]): Unit = {
+    recoverSwap()
     val df = spark.read.parquet(spacePath)
     val remaining = graft.operators.Documents.deleteByIds(df, idCol, ids)
     val tmp = s"$spacePath.delete.tmp"
     remaining.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$spacePath.old")
     fs.delete(old, true)
     fs.rename(p, old)
@@ -266,21 +288,17 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
 
   /** Record `n` rows of churn (folded tail rows, deletes). */
   def recordMutations(n: Long): Unit = synchronized {
-    if (n > 0) {
-      val line = s"${System.currentTimeMillis()} $n\n"
-      Files.write(Paths.get(mutationLedgerPath), line.getBytes,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    }
+    if (n > 0)
+      SidecarIO.appendString(mutationLedgerPath,
+        s"${System.currentTimeMillis()} $n\n")
   }
 
   /** Total churn recorded at-or-after `gen`. */
   def mutationsSince(gen: Long): Long = {
-    val p = Paths.get(mutationLedgerPath)
-    if (!Files.exists(p)) 0L
+    if (!SidecarIO.exists(mutationLedgerPath)) 0L
     else {
       var total = 0L
-      Files.readAllLines(p).forEach { line =>
+      SidecarIO.readLines(mutationLedgerPath).foreach { line =>
         val t = line.trim
         if (t.nonEmpty) {
           val sp = t.indexOf(' ')
@@ -341,7 +359,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       graft.operators.HnswIndex.build(corpus, idCol, vecCol, params)
         .write.mode("overwrite").parquet(hnswPath(gen))
       writeStateAt(hnswStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, params.numShards, trainedDocs)
     } catch {
       case e: Exception =>
@@ -359,8 +377,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   private def hnswBasePath(gen: Long) = s"${hnswPath(gen)}.ledger_base"
 
   def hnswLedgerBase(gen: Long): Long = {
-    val p = Paths.get(hnswBasePath(gen))
-    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong else gen
+    val p = hnswBasePath(gen)
+    if (SidecarIO.exists(p)) SidecarIO.readString(p).trim.toLong else gen
   }
 
   /** The delete-gate baseline of the READY HNSW generation (what
@@ -395,10 +413,10 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
         val deltaN = delta.count()
         graft.operators.HnswIndex.append(old, delta, idCol, vecCol, params)
           .write.mode("overwrite").parquet(hnswPath(gen))
-        Files.writeString(Paths.get(hnswBasePath(gen)), base.toString)
+        SidecarIO.writeString(hnswBasePath(gen), base.toString)
         writeStateAt(hnswStatePath,
           s"READY:$gen:${params.numShards}:${trained + deltaN}")
-        pruneDeleteLedger()
+        pruneLedgers()
         Ready(gen, params.numShards, trained + deltaN)
       } catch {
         case e: Exception =>
@@ -443,7 +461,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
         .write.mode("overwrite").partitionBy("shard_id").parquet(hnswPath(gen))
       graft.sources.IndexStore.writeIvfModel(s"${hnswPath(gen)}.ivf.txt", ivf)
       writeStateAt(hnswStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
@@ -482,9 +500,9 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   def hnswRoutedModel(metric: String = "l2"): Option[IvfIndex.Model] =
     hnswState match {
       case Ready(gen, _, _) =>
-        val p = Paths.get(s"${hnswPath(gen)}.ivf.txt")
-        if (Files.exists(p))
-          Some(graft.sources.IndexStore.readIvfModel(p.toString).copy(metric = metric))
+        val p = s"${hnswPath(gen)}.ivf.txt"
+        if (SidecarIO.exists(p))
+          Some(graft.sources.IndexStore.readIvfModel(p).copy(metric = metric))
         else None
       case _ => None
     }
@@ -556,7 +574,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       graft.sources.IndexStore.writeIvfModel(s"${pqPath(gen)}.ivf.txt", ivf)
       graft.sources.IndexStore.writePqModel(s"${pqPath(gen)}.pq.txt", pq)
       writeStateAt(pqStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
@@ -603,7 +621,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
         .write.mode("overwrite").partitionBy("list_id").parquet(rbPath(gen))
       graft.sources.IndexStore.writeIvfModel(s"${rbPath(gen)}.ivf.txt", ivf)
       writeStateAt(rbStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
@@ -648,7 +666,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       graft.sources.IndexStore.writeBinaryCentroids(
         s"${bivfPath(gen)}.cents.txt", cents)
       writeStateAt(bivfStatePath, s"READY:$gen:${cents.length}:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, cents.length, trainedDocs)
     } catch {
       case e: Exception =>
@@ -694,7 +712,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
       graft.operators.VamanaIndex.build(corpus, idCol, vecCol, params)
         .write.mode("overwrite").parquet(vamanaPath(gen))
       writeStateAt(vamanaStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, params.numShards, trainedDocs)
     } catch {
       case e: Exception =>
@@ -727,7 +745,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
         .write.mode("overwrite").partitionBy("shard_id").parquet(vamanaPath(gen))
       graft.sources.IndexStore.writeIvfModel(s"${vamanaPath(gen)}.ivf.txt", ivf)
       writeStateAt(vamanaStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
-      pruneDeleteLedger()
+      pruneLedgers()
       Ready(gen, ncentroids, trainedDocs)
     } catch {
       case e: Exception =>
@@ -742,9 +760,9 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   def vamanaRoutedModel(metric: String = "l2"): Option[IvfIndex.Model] =
     vamanaState match {
       case Ready(gen, _, _) =>
-        val p = Paths.get(s"${vamanaPath(gen)}.ivf.txt")
-        if (Files.exists(p))
-          Some(graft.sources.IndexStore.readIvfModel(p.toString).copy(metric = metric))
+        val p = s"${vamanaPath(gen)}.ivf.txt"
+        if (SidecarIO.exists(p))
+          Some(graft.sources.IndexStore.readIvfModel(p).copy(metric = metric))
         else None
       case _ => None
     }
@@ -767,13 +785,15 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     * (POST /index/forcemerge → Optimize(), handler_document.go:468-476).
     */
   def forceMerge(targetFiles: Int = 1): Unit = {
+    recoverSwap()
     val df = spark.read.parquet(spacePath).coalesce(targetFiles)
     val tmp = s"$spacePath.merge.tmp"
     df.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    // move-aside swap: a crash mid-merge never loses the table (data is at
-    // spacePath or spacePath.old at every instant)
+    // move-aside swap: a crash mid-merge never loses the table (data is
+    // at spacePath or spacePath.old at every instant; the brief
+    // absent-path window between the renames is closed by recoverSwap)
     val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$spacePath.old")
     fs.delete(old, true)
     fs.rename(p, old)
@@ -784,14 +804,15 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
 
   /** Remove the index (state + generations). */
   def drop(): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     state match {
       case Ready(gen, _, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(indexPath(gen)), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"${indexPath(gen)}.centroids"), true)
       case _ =>
     }
-    Files.deleteIfExists(Paths.get(statePath))
+    SidecarIO.delete(statePath)
     ()
   }
 }

@@ -222,6 +222,12 @@ object IndexStore {
   // Float.toString/parseFloat round-trip bit-exactly, so a model written
   // by any build of this code is readable by any other that speaks the
   // same declared format version.
+  //
+  // IO goes through SidecarIO (Hadoop FS by path scheme): these sidecars
+  // sit NEXT TO lifecycle generations, which may live on hdfs://-/s3a://-
+  // rooted spaces. (The fixture-cache bookkeeping above — locks, READY
+  // markers, fingerprints — stays java.nio: it is a LOCAL build cache by
+  // design.)
 
   private[graft] def writeIvfModel(path: String, m: IvfIndex.Model): Unit = {
     val sb = new StringBuilder
@@ -229,19 +235,17 @@ object IndexStore {
     sb.append("metric ").append(m.metric).append('\n')
     sb.append("ncentroids ").append(m.centroids.length).append('\n')
     m.centroids.foreach { c => sb.append(c.mkString(" ")).append('\n') }
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.writeString(Paths.get(path), sb.toString)
-    ()
+    SidecarIO.writeString(path, sb.toString)
   }
 
   private[graft] def readIvfModel(path: String): IvfIndex.Model = {
-    val lines = Files.readAllLines(Paths.get(path))
-    require(lines.get(0) == "graft-ivf 1",
-      s"unsupported ivf model format '${lines.get(0)}' in $path")
-    val metric = lines.get(1).stripPrefix("metric ").trim
-    val n = lines.get(2).stripPrefix("ncentroids ").trim.toInt
+    val lines = SidecarIO.readLines(path)
+    require(lines(0) == "graft-ivf 1",
+      s"unsupported ivf model format '${lines(0)}' in $path")
+    val metric = lines(1).stripPrefix("metric ").trim
+    val n = lines(2).stripPrefix("ncentroids ").trim.toInt
     val cents = Array.tabulate(n) { i =>
-      val row = lines.get(3 + i).trim
+      val row = lines(3 + i).trim
       if (row.isEmpty) Array.empty[Float] else row.split(' ').map(_.toFloat)
     }
     IvfIndex.Model(cents, metric)
@@ -257,27 +261,25 @@ object IndexStore {
       sb.append("sub ").append(book.length).append('\n')
       book.foreach { c => sb.append(c.mkString(" ")).append('\n') }
     }
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.writeString(Paths.get(path), sb.toString)
-    ()
+    SidecarIO.writeString(path, sb.toString)
   }
 
   private[graft] def readPqModel(path: String): PqIndex.Model = {
-    val lines = Files.readAllLines(Paths.get(path))
-    require(lines.get(0) == "graft-pq 1",
-      s"unsupported pq model format '${lines.get(0)}' in $path")
-    val metric = lines.get(1).stripPrefix("metric ").trim
-    val hdr = lines.get(2).trim.split(' ')
+    val lines = SidecarIO.readLines(path)
+    require(lines(0) == "graft-pq 1",
+      s"unsupported pq model format '${lines(0)}' in $path")
+    val metric = lines(1).stripPrefix("metric ").trim
+    val hdr = lines(2).trim.split(' ')
     require(hdr.length == 6 && hdr(0) == "m" && hdr(2) == "ksub" && hdr(4) == "dsub",
-      s"malformed pq header '${lines.get(2)}' in $path")
+      s"malformed pq header '${lines(2)}' in $path")
     val (m, ksub, dsub) = (hdr(1).toInt, hdr(3).toInt, hdr(5).toInt)
     var at = 3
     val books = Array.fill(m) {
-      val sub = lines.get(at).trim.split(' ')
+      val sub = lines(at).trim.split(' ')
       require(sub.length == 2 && sub(0) == "sub", s"malformed sub header in $path")
       at += 1
       Array.fill(sub(1).toInt) {
-        val row = lines.get(at).trim
+        val row = lines(at).trim
         at += 1
         if (row.isEmpty) Array.empty[Float] else row.split(' ').map(_.toFloat)
       }
@@ -294,18 +296,16 @@ object IndexStore {
       c.foreach(b => sb.append(f"${b & 0xff}%02x"))
       sb.append('\n')
     }
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.writeString(Paths.get(path), sb.toString)
-    ()
+    SidecarIO.writeString(path, sb.toString)
   }
 
   private[graft] def readBinaryCentroids(path: String): Array[Array[Byte]] = {
-    val lines = Files.readAllLines(Paths.get(path))
-    require(lines.get(0) == "graft-bivf 1",
-      s"unsupported binary-ivf model format '${lines.get(0)}' in $path")
-    val n = lines.get(1).stripPrefix("ncentroids ").trim.toInt
+    val lines = SidecarIO.readLines(path)
+    require(lines(0) == "graft-bivf 1",
+      s"unsupported binary-ivf model format '${lines(0)}' in $path")
+    val n = lines(1).stripPrefix("ncentroids ").trim.toInt
     Array.tabulate(n) { i =>
-      val hex = lines.get(2 + i).trim
+      val hex = lines(2 + i).trim
       Array.tabulate(hex.length / 2)(j =>
         Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16).toByte)
     }

@@ -210,6 +210,57 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.deletedSince(g2).isEmpty)
   }
 
+  test("sidecar IO rides the Hadoop FS of the space path's scheme (file:// round-trip)") {
+    val root = Files.createTempDirectory("lifecycle_fs").toString
+    // an explicit URI scheme: java.nio file IO would treat this as a
+    // relative path beginning "file:" and miss every sidecar — exactly
+    // the object-store failure mode (s3a:// spaces losing their ledger
+    // contract). RawLocalFileSystem exercised THROUGH the Hadoop API.
+    val spacePath = s"file://$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    assert(lc.state == lc.Missing)
+    val ready = lc.rebuild("embedding", ncentroids = 4)
+    assert(lc.state == lc.Ready(ready.gen, 4, ready.trainedDocs))
+    assert(lc.readyIndex().get.count() == emb.count())
+    // ledgers read/write through the same handle
+    lc.recordDeletes(Seq(1L, 2L))
+    assert(lc.deletedSince(ready.gen) == Set(1L, 2L))
+    lc.recordMutations(5L)
+    assert(lc.mutationsSince(ready.gen) == 7L) // 2 delete churn + 5
+    // the sidecars physically live under the URI root, not the CWD
+    assert(new java.io.File(s"$root/space.index_state.json").exists)
+    assert(new java.io.File(s"$root/space.delete_ledger").exists)
+    // a READY flip prunes BOTH ledgers (entries older than the oldest
+    // live generation — here, everything)
+    Thread.sleep(2)
+    val g2 = lc.rebuild("embedding", ncentroids = 4).gen
+    assert(lc.deletedSince(g2).isEmpty)
+    assert(lc.mutationsSince(0L) == 0L) // mutation ledger pruned too
+    lc.drop()
+    assert(lc.state == lc.Missing)
+  }
+
+  test("recoverSwap: a crashed move-aside swap restores on the next mutator") {
+    val root = Files.createTempDirectory("lifecycle_rec").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    // simulate the crash window of deleteByIds/forceMerge: the table
+    // renamed aside, the new table never moved in
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$spacePath.old"))
+    assert(!fs.exists(p))
+    // the next mutator recovers the pre-op table and completes
+    lc.deleteByIds("vec_id", Seq(0L))
+    val live = spark.read.parquet(spacePath)
+    assert(live.filter($"vec_id" === 0L).count() == 0)
+    assert(live.count() == emb.count() - 1)
+  }
+
   test("hnswStaleness: churn term sees in-place updates and deletes (row count unchanged/shrinking)") {
     val root = Files.createTempDirectory("lifecycle_churn").toString
     val spacePath = s"$root/space"
