@@ -583,6 +583,30 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
+  /** Incremental add into the READY IVFPQ generation — the reference's
+    * background loop folds new vectors into every index without
+    * retraining (engine.cc:1084-1137): the delta encodes through the
+    * STORED coarse quantizer + residual codebooks and parquet-appends
+    * into the generation's `list_id` partitions. Cost ∝ |delta| (the
+    * existing codes are untouched); probed searches see the new rows
+    * immediately. Append ≡ re-encoding the full corpus with the same
+    * models (the codes are a pure per-row function of (vector, models) —
+    * spec-asserted). Codebook drift is the next rebuild's job:
+    * `trainedDocs` stays at the trained count while the layout grows, so
+    * [[staleness]]-style drift triggers keep firing.
+    */
+  def appendIvfPq(delta: DataFrame, vecCol: String): Unit = pqState match {
+    case Ready(gen, _, _) =>
+      val (_, ivf, pq) = readyIvfPq().getOrElse(
+        throw new IllegalStateException("READY IVFPQ state without models"))
+      graft.operators.PqIndex.encodeResidual(
+          IvfIndex.assign(delta, vecCol, ivf), vecCol, ivf, pq)
+        .write.mode("append").partitionBy("list_id").parquet(pqPath(gen))
+    case other =>
+      throw new IllegalStateException(
+        s"no READY IVFPQ generation to append to (state: $other)")
+  }
+
   /** The READY IVFPQ layout + its models, or None. */
   def readyIvfPq(metric: String = "l2")
       : Option[(DataFrame, IvfIndex.Model, graft.operators.PqIndex.Model)] =
@@ -630,6 +654,23 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
+  /** Incremental add into the READY IVFRABITQ generation — the delta's
+    * residual sign codes derive from the STORED quantizer and append
+    * into the `list_id` partitions ([[appendIvfPq]]'s contract for the
+    * 1-bit family).
+    */
+  def appendIvfRabitq(delta: DataFrame, vecCol: String): Unit = rbState match {
+    case Ready(gen, _, _) =>
+      val (_, ivf) = readyIvfRabitq().getOrElse(
+        throw new IllegalStateException("READY IVFRABITQ state without quantizer"))
+      graft.operators.BinaryIndex.encodeResidual(
+          IvfIndex.assign(delta, vecCol, ivf), vecCol, ivf)
+        .write.mode("append").partitionBy("list_id").parquet(rbPath(gen))
+    case other =>
+      throw new IllegalStateException(
+        s"no READY IVFRABITQ generation to append to (state: $other)")
+  }
+
   /** The READY IVFRABITQ layout + quantizer, or None. */
   def readyIvfRabitq(metric: String = "l2")
       : Option[(DataFrame, IvfIndex.Model)] = rbState match {
@@ -673,6 +714,22 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
         writeStateAt(bivfStatePath, s"FAILED:$gen:${e.getMessage}")
         throw e
     }
+  }
+
+  /** Incremental add into the READY BINARYIVF generation — the delta's
+    * packed codes assign to their Hamming-nearest STORED centroid and
+    * append into the `list_id` partitions ([[appendIvfPq]]'s contract
+    * for the binary-valued family).
+    */
+  def appendBinaryIvf(delta: DataFrame, codeCol: String): Unit = bivfState match {
+    case Ready(gen, _, _) =>
+      val (_, cents) = readyBinaryIvf().getOrElse(
+        throw new IllegalStateException("READY BINARYIVF state without centroids"))
+      graft.operators.BinaryIndex.assignBinary(delta, codeCol, cents)
+        .write.mode("append").partitionBy("list_id").parquet(bivfPath(gen))
+    case other =>
+      throw new IllegalStateException(
+        s"no READY BINARYIVF generation to append to (state: $other)")
   }
 
   /** The READY BINARYIVF layout + centroid codes, or None. */

@@ -55,6 +55,42 @@ object AppendProbe {
     time(s"clustered append tail x2 (warm)") {
       HnswIndex.appendClustered(tail, "vec_id", "embedding", p, ivf).count()
     }
+
+    // compressed-code generations (IVFPQ / IVFRABITQ): encode-the-delta +
+    // parquet append into list_id partitions vs a full retrain+re-encode
+    // rebuild, through the lifecycle (includes the layout write — the
+    // real cost a background fold pays)
+    val root = java.nio.file.Files.createTempDirectory("append_probe").toString
+    val baseIdDf = base.select(col("vec_id").as("_id"), col("label"), col("embedding"))
+    val tailIdDf = tail.select(col("vec_id").as("_id"), col("label"), col("embedding"))
+
+    val pqSpace = s"$root/pq"
+    baseIdDf.write.parquet(pqSpace)
+    val lcPq = new graft.api.IndexLifecycle(spark, pqSpace)
+    time(s"ivfpq rebuild base (${cut} rows)") {
+      lcPq.rebuildIvfPq("embedding", ncentroids = 16, m = 8, ksub = 16)
+    }
+    time(s"ivfpq append tail (${n - cut} rows)") {
+      lcPq.appendIvfPq(tailIdDf, "embedding")
+    }
+    tailIdDf.write.mode("append").parquet(pqSpace)
+    time(s"ivfpq full rebuild ($n rows)") {
+      lcPq.rebuildIvfPq("embedding", ncentroids = 16, m = 8, ksub = 16)
+    }
+
+    val rbSpace = s"$root/rb"
+    baseIdDf.write.parquet(rbSpace)
+    val lcRb = new graft.api.IndexLifecycle(spark, rbSpace)
+    time(s"rabitq rebuild base (${cut} rows)") {
+      lcRb.rebuildIvfRabitq("embedding", ncentroids = 16)
+    }
+    time(s"rabitq append tail (${n - cut} rows)") {
+      lcRb.appendIvfRabitq(tailIdDf, "embedding")
+    }
+    tailIdDf.write.mode("append").parquet(rbSpace)
+    time(s"rabitq full rebuild ($n rows)") {
+      lcRb.rebuildIvfRabitq("embedding", ncentroids = 16)
+    }
     spark.stop()
   }
 }

@@ -210,6 +210,84 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.deletedSince(g2).isEmpty)
   }
 
+  test("compressed-code appends: delta encodes through stored models ≡ full re-encode; searches serve it") {
+    val root = Files.createTempDirectory("lifecycle_capp").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val base = emb.filter($"vec_id" < n / 2)
+    val delta = emb.filter($"vec_id" >= n / 2)
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0)
+
+    // ── IVFPQ: append ≡ re-encoding the full corpus with the SAME
+    //    stored models (codes are a pure per-row function) ──
+    val pqSpace = s"$root/pqspace"
+    base.write.parquet(pqSpace)
+    val lcPq = new IndexLifecycle(spark, pqSpace)
+    lcPq.rebuildIvfPq("embedding", ncentroids = 4, m = 8, ksub = 16)
+    lcPq.appendIvfPq(delta, "embedding")
+    val (pqTable, ivf, pq) = lcPq.readyIvfPq().get
+    def pqRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"list_id".cast("int"), $"pq_code")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2)))
+        .toSet
+    val fullEncode = graft.operators.PqIndex.encodeResidual(
+      graft.operators.IvfIndex.assign(emb, "embedding", ivf), "embedding", ivf, pq)
+    assert(pqRows(pqTable) == pqRows(fullEncode))
+    // exact-params search over the appended layout ≡ brute over ALL rows
+    // (delta rows included — fresh vectors are probe-searchable)
+    val gotPq = graft.operators.PqIndex.searchIvfResidual(pqTable,
+      $"embedding", ivf, pq, q, k = 5, nprobe = 4, recallNum = 1 << 20,
+      idCol = $"vec_id")
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Knn.search(emb, $"embedding", q, 5, "l2",
+      tieBreak = Some($"vec_id"))
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gotPq == brute)
+
+    // ── IVFRABITQ: same contract for the 1-bit residual codes ──
+    val rbSpace = s"$root/rbspace"
+    base.write.parquet(rbSpace)
+    val lcRb = new IndexLifecycle(spark, rbSpace)
+    lcRb.rebuildIvfRabitq("embedding", ncentroids = 4)
+    lcRb.appendIvfRabitq(delta, "embedding")
+    val (rbTable, rbIvf) = lcRb.readyIvfRabitq().get
+    def rbRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"list_id".cast("int"), $"rbcode")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+        .toSet
+    assert(rbRows(rbTable) == rbRows(graft.operators.BinaryIndex.encodeResidual(
+      graft.operators.IvfIndex.assign(emb, "embedding", rbIvf), "embedding", rbIvf)))
+    val gotRb = graft.operators.BinaryIndex.searchIvfResidual(rbTable,
+      $"embedding", rbIvf, q, k = 5, nprobe = 4, shortlist = 1 << 20,
+      idCol = $"vec_id")
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gotRb == brute)
+
+    // ── BINARYIVF: delta codes assign to their Hamming-nearest STORED
+    //    centroid; full-probe search ≡ brute Hamming over all codes ──
+    val coded = graft.operators.BinaryIndex.encode(emb, "embedding")
+      .select($"vec_id".as("_id"), $"label", $"bcode".as("embedding"))
+    val bSpace = s"$root/bspace"
+    coded.filter($"_id" < n / 2).write.parquet(bSpace)
+    val lcB = new IndexLifecycle(spark, bSpace)
+    lcB.rebuildBinaryIvf("embedding", ncentroids = 4)
+    lcB.appendBinaryIvf(coded.filter($"_id" >= n / 2), "embedding")
+    val (bTable, cents) = lcB.readyBinaryIvf().get
+    assert(bTable.count() == n)
+    val qCode = coded.filter($"_id" === 5).select("embedding")
+      .head().getAs[Array[Byte]](0)
+    val gotB = graft.operators.BinaryIndex.searchBinaryIvf(bTable,
+      "embedding", cents, qCode, k = 5, nprobe = 4,
+      tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    val bruteB = Knn.searchBinary(coded, $"embedding", qCode, 5,
+      tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(gotB == bruteB)
+  }
+
   test("sidecar IO rides the Hadoop FS of the space path's scheme (file:// round-trip)") {
     val root = Files.createTempDirectory("lifecycle_fs").toString
     // an explicit URI scheme: java.nio file IO would treat this as a
