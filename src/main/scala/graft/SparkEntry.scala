@@ -1228,6 +1228,72 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.8 BATCHED realtime: req_num=3 queries through the routed IVF
+    //    planner with a live tail — per-qid base ∪ tail merge
+    //    (mergeTailBatch); all three query vectors live in the TAIL, so
+    //    every qid's top-1 is a buffered doc; full probe ⇒ exact per-qid
+    //    blocks over the live view ≡ the full table, oracle-checked ──
+    "q_ivf_batch_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_ivf_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_ivfpq_batch_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_pq_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // binary family: the tail rows carry packed codes — the brute tail
+    // leg ranks by code Hamming exactly like the probed base lists
+    "q_binaryivf_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeBinarySpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_bivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+    }),
+
     "q_diskann_realtime" -> ((s, dir) => {
       init(s)
       val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
@@ -2643,10 +2709,24 @@ object SparkEntry {
     "q_api_search_diskann_routed" -> apiExactTop10Sql,
     "q_api_search_ssg" -> apiExactTop10Sql,
     "q_ivf_realtime" -> apiExactTop10Sql,
+    // batched realtime routes: per-qid exact blocks over the live view
+    // (≡ the full table; every query vector is a TAIL doc)
+    "q_ivf_batch_realtime" -> apiBatchExactSql,
+    "q_ivfpq_batch_realtime" -> apiBatchExactSql,
     "q_ivfpq_realtime" -> apiExactTop10Sql,
     "q_hnsw_realtime" -> apiExactTop10Sql,
     "q_rabitq_realtime" -> apiExactTop10Sql,
     "q_diskann_realtime" -> apiExactTop10Sql,
+    // binary realtime: exact Hamming over the full table (live view),
+    // re-derived bit-by-bit — same as the non-realtime binaryivf oracle
+    "q_binaryivf_realtime" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
+                            THEN 1 ELSE 0 END)) AS DOUBLE) AS _score
+         FROM embeddings e, q
+         ORDER BY _score, e.vec_id LIMIT 10""",
     // routed search after delete: the oracle is the exact top-10 over the
     // LIVE corpus (ids 0-4 deleted post-build; a ledger-gating failure
     // surfaces vec_id 0 — the query vector itself — as a ghost top-1)

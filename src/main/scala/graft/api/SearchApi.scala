@@ -389,12 +389,14 @@ object SearchApi {
   /** `tail` is the space's realtime buffer (`enable_realtime` — the
     * reference merges the memory buffer into EVERY index type's search,
     * vector_manager.cc:941-1012,1096-1176): when present and non-empty,
-    * every routed single-query arm serves base-index ∪ brute-tail through
-    * [[graft.streaming.RealtimeTail.mergeTail]], payload joins hit the
-    * LIVE view (base ∪ tail), and any shape without a tail-aware route
-    * (batches, multi-field, non-integral ids) falls back to the exact
-    * FLAT path over the live view — fresh writes are never invisible,
-    * whatever the route.
+    * every routed arm serves base-index ∪ brute-tail — single queries
+    * through [[graft.streaming.RealtimeTail.mergeTail]], batched
+    * (req_num) requests through the per-qid
+    * [[graft.streaming.RealtimeTail.mergeTailBatch]] — payload joins hit
+    * the LIVE view (base ∪ tail), and any shape without a tail-aware
+    * route (multi-field conjunctions, non-integral ids) falls back to
+    * the exact FLAT path over the live view — fresh writes are never
+    * invisible, whatever the route.
     */
   def searchAuto(corpus: DataFrame, space: Space, requestJson: String,
       lifecycle: IndexLifecycle,
@@ -477,6 +479,30 @@ object SearchApi {
           tieBreak = Some(col("_id")))
           .select(col("_id").cast("long").as("vec_id"), col("_score"))
       }(baseSearch)
+    // batched (req_num) realtime union: per-qid merge through
+    // RealtimeTail.mergeTailBatch; baseSearch must return
+    // (_qid, vec_id, _score)
+    def tailMergeBatchWith(k: Int, metric: String, deny: Set[Long])(
+        tailSearch: DataFrame => DataFrame)(
+        baseSearch: Int => DataFrame): DataFrame =
+      if (!tailOn) baseSearch(k)
+      else tail.get.mergeTailBatch(corpus.schema, k, metric, deny)(tailSearch)(baseSearch)
+    // float tail leg for batches: ONE Knn.searchBatch pass over the
+    // (bounded) buffer serves every query
+    def tailMergeBatch(k: Int, metric: String, field: String,
+        queries: Seq[(Long, Seq[Float])], deny: Set[Long])(
+        baseSearch: Int => DataFrame): DataFrame =
+      tailMergeBatchWith(k, metric, deny) { td =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val qDf = queries.toDF("_qid", "_qv")
+          .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+        val filtered = pred.map(td.filter).getOrElse(td)
+        Knn.searchBatch(filtered, col(field), struct(col("_id")), qDf,
+          "_qid", "_qv", k, metric)
+          .select(col("_qid"), col("_item._id").cast("long").as("vec_id"),
+            col("_score"))
+      }(baseSearch)
     // delete gate (the reference's deleted-bitmap check, engine.cc:869-899,
     // IsValid = candidate ∧ ¬deleted — gamma_common_data.h:94-105): ids
     // deleted SINCE the serving generation was built may still sit in its
@@ -543,7 +569,7 @@ object SearchApi {
           }
           hits.map(h => finish(joinBack(h), metric))
         }
-      case Some("HNSW") if batched && idIntegral && !tailOn =>
+      case Some("HNSW") if batched && idIntegral =>
         // batch route: ONE pass over each segment serves all req_num
         // queries (HnswIndex.searchBatch amortizes the deserialization);
         // a scalar filter's allow-set is collected ONCE (selectivity
@@ -573,7 +599,7 @@ object SearchApi {
           }
           val allow: Option[Option[Set[Long]]] = pred match {
             case Some(p) =>
-              val allowed = corpus.filter(p).select(col("_id"))
+              val allowed = live.filter(p).select(col("_id"))
               if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
                 None // broad filter → brute fallback (planner switch)
               else {
@@ -585,9 +611,10 @@ object SearchApi {
             case None => Some(None)
           }
           allow.map { allowIds =>
-            val hits = graft.operators.HnswIndex.searchBatch(
-              segments, queries, k, efOf(k), metric, deny = hnswDeny,
-              allowIds = allowIds)
+            val hits = tailMergeBatch(k, metric, vc.field, queries, hnswDeny)(
+              kb => graft.operators.HnswIndex.searchBatch(
+                segments, queries, kb, efOf(kb), metric, deny = hnswDeny,
+                allowIds = allowIds))
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
         }
@@ -769,7 +796,7 @@ object SearchApi {
             finish(joinBack(hits), metric)
           }
         }
-      case Some("IVFFLAT" | "GPU_IVFFLAT") if batched && !tailOn =>
+      case Some("IVFFLAT" | "GPU_IVFFLAT") if batched =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
           yield {
@@ -781,12 +808,14 @@ object SearchApi {
             // probe join runs over (both evaluate inside probed lists)
             val served0 = applyDeny(table, ivfDeny)
             val served = pred.map(served0.filter).getOrElse(served0)
-            val hits = IvfIndex.searchBatch(served, col(vc.field),
-              struct(col("_id")), queries, model, k, nprobeOf(model))
-              .select(col("_qid"), col("_item._id").as("vec_id"), col("_score"))
+            val hits = tailMergeBatch(k, metric, vc.field, queries, ivfDeny)(
+              kb => IvfIndex.searchBatch(served, col(vc.field),
+                struct(col("_id")), queries, model, kb, nprobeOf(model))
+                .select(col("_qid"), col("_item._id").cast("long").as("vec_id"),
+                  col("_score")))
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
-      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if batched && !tailOn =>
+      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if batched =>
         // batched compressed route (the reference flattens req_num into
         // ONE index request for every type, doc_query.go:296-318): one
         // scan of the union of probed lists scores every query's ADC LUT,
@@ -805,13 +834,15 @@ object SearchApi {
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = graft.operators.PqIndex.searchBatchIvfResidual(served,
-            col(vc.field), ivf, pq, queries, k, nprobeOf(ivf), recallNum,
-            idCol = col("_id"))
-            .select(col("_qid"), col("_id").as("vec_id"), col("_score"))
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
+            kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
+              col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
+              math.max(recallNum, kb), idCol = col("_id"))
+              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
         }
-      case Some("IVFRABITQ") if batched && !tailOn =>
+      case Some("IVFRABITQ") if batched =>
         val metric = metricOf(space, req.vectors.head.field)
         lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
           val vc = req.vectors.head
@@ -829,14 +860,17 @@ object SearchApi {
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = graft.operators.BinaryIndex.searchBatchIvfResidual(served,
-            col(vc.field), ivf, queries, k, nprobeOf(ivf), shortlist,
-            idCol = col("_id"), metric = metric, qb = qb)
-            .select(col("_qid"), col("_id").as("vec_id"), col("_score"))
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
+            kb => graft.operators.BinaryIndex.searchBatchIvfResidual(served,
+              col(vc.field), ivf, queries, kb, nprobeOf(ivf),
+              math.max(shortlist, kb), idCol = col("_id"), metric = metric,
+              qb = qb)
+              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
         }
       case Some("BINARYIVF")
-          if routable && !tailOn && req.vectors.head.queries.size > 1 &&
+          if routable && req.vectors.head.queries.size > 1 &&
             vopts.exists(_.valueType == "binary") =>
         // batched Hamming route: each query's float features
         // sign-binarize, per-query probe routes join on list_id equality,
@@ -857,9 +891,29 @@ object SearchApi {
             (i.toLong, graft.functions.VecKernels.signBits(
               new org.apache.spark.sql.catalyst.util.GenericArrayData(
                 q.toArray)).asInstanceOf[Array[Byte]]) }
-          val hits = graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
-            vc.field, cents, queries, k, nprobe, idCol = col("_id"))
-            .select(col("_qid"), col("_id").as("vec_id"), col("_score"))
+          // tail leg: every buffered code scores against every query's
+          // code (the buffer is bounded — one refresh interval); the
+          // per-qid merge in mergeTailBatch bounds the output
+          val hits = tailMergeBatchWith(k, "l2", deny) { td =>
+            val spark = corpus.sparkSession
+            import spark.implicits._
+            val qDf = queries.toDF("_qid", "_qcode")
+            val filtered = pred.map(td.filter).getOrElse(td)
+            filtered
+              .select(col("_id").cast("long").as("vec_id"),
+                col(vc.field).as("_c"))
+              .crossJoin(broadcast(qDf))
+              .select(col("_qid"),
+                graft.Graft.F.hamming(col("_c"), col("_qcode"))
+                  .cast("double").as("_score"),
+                col("vec_id"))
+              .filter(col("_score").isNotNull)
+          } { kb =>
+            graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
+              vc.field, cents, queries, kb, nprobe, idCol = col("_id"))
+              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                col("_score"))
+          }
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric = "l2")
         }
       case _ => None

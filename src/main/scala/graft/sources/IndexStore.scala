@@ -704,6 +704,30 @@ object IndexStore {
     (spacePath, tailPath)
   }
 
+  /** BINARYIVF realtime fixture: the same base/tail split with the
+    * vector column holding PACKED SIGN CODES (value_type=binary) and a
+    * READY Hamming-IVF generation over the base — the binary family's
+    * instance of [[realtimeSpace]].
+    */
+  def realtimeBinarySpace(spark: SparkSession, sfDir: String): (String, String) = {
+    val dir = dirFor(sfDir, "apirtb")
+    val spacePath = s"$dir/space"
+    val tailPath = s"$dir/tail"
+    buildOnce(dir) {
+      val all = emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.columnOf(graft.functions.SignBits(
+            graft.Graft.exprOf(col("embedding").cast("array<float>"))))
+            .as("embedding"))
+      all.filter(col("_id") >= 10).write.mode("overwrite").parquet(spacePath)
+      all.filter(col("_id") < 10).write.mode("overwrite").parquet(tailPath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildBinaryIvf("embedding", ncentroids = 8)
+      markReady(dir)
+    }
+    (spacePath, tailPath)
+  }
+
   /** Delete-visibility fixture: a space with BOTH a READY HNSW generation
     * and a READY IVF generation built over the FULL embeddings corpus,
     * then ids 0–4 deleted THROUGH the lifecycle (space table rewritten,
@@ -786,6 +810,7 @@ object IndexStore {
     hnswSpace(spark, sfDir)
     apiDeleteSpace(spark, sfDir)
     realtimeSpace(spark, sfDir)
+    realtimeBinarySpace(spark, sfDir)
     m(media(spark, sfDir))
     ()
   }

@@ -141,6 +141,40 @@ final class RealtimeTail(
     baseHits.unionByName(tailHits).orderBy(primary, col("vec_id").asc).limit(k)
   }
 
+  /** Batched (`req_num`) instance of [[mergeTail]]: per-qid base ∪ tail.
+    * `tailSearch` scores the deduped, delete-gated tail for EVERY query
+    * and returns `(_qid, vec_id: long, _score)` rows (≤ req_num·k);
+    * `baseSearch(kBase)` runs the family's batched index search at the
+    * over-fetched depth. A tail row supersedes its base id for ALL
+    * queries (the id-level last-write-wins is query-independent), so the
+    * anti-join gates on `vec_id` alone; the per-qid bounded top-k
+    * aggregate is the final merge.
+    */
+  private[graft] def mergeTailBatch(schema: StructType, k: Int,
+      metric: String, deny: Set[Long] = Set.empty)(
+      tailSearch: DataFrame => DataFrame)(
+      baseSearch: Int => DataFrame): DataFrame = {
+    import graft.operators.Knn
+    val tail = readOrEmpty(tailPath, schema)
+    val dedupedTail0 = orderCol match {
+      case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
+      case None     => tail.dropDuplicates(idCol)
+    }
+    val dedupedTail = denyTail(dedupedTail0, deny)
+    val tailHits = tailSearch(dedupedTail)
+      .select(col("_qid"), col("vec_id").cast("long").as("vec_id"), col("_score"))
+    val tailIds = dedupedTail.select(col(idCol).cast("long").as("vec_id"))
+    val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
+    val baseHits = baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
+    baseHits.unionByName(tailHits)
+      .groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), struct(col("vec_id")), k,
+        Knn.ascending(metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item.vec_id").as("vec_id"),
+        col("_e.score").as("_score"))
+  }
+
   /** Realtime graph-ANN search: the READY HNSW generation (built over the
     * BASE) ∪ the brute-forced TAIL — [[mergeTail]] over the graph walk.
     * `deny` is the delete ledger since the graph generation (the

@@ -172,6 +172,23 @@ class RealtimeTailSpec extends SparkSpec {
       $"embedding", q0, 5, "l2", tieBreak = Some($"_id"))
       .select($"_id").collect().map(_.getLong(0)).toSeq
     assert(gotF == wantF)
+
+    // batched (req_num=2) realtime: per-qid base ∪ tail merge — qid 1's
+    // query IS the buffered doc's vector, so its top-1 must be the tail
+    // write; both blocks equal brute per-qid over the live view
+    val q1 = q0.map(_ + 0.001f)
+    val reqB = s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q1).mkString("[", ",", "]")}}],"limit":5}"""
+    val gotB = graft.api.SearchApi.searchAuto(base, sp, reqB, lc, tail = Some(tail))
+      .select($"_qid", $"_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val snap = tail.snapshot(base.schema)
+    val wantB = Seq(q0, q1).zipWithIndex.flatMap { case (q, i) =>
+      graft.operators.Knn.search(snap, $"embedding", q, 5, "l2",
+        tieBreak = Some($"_id"))
+        .select($"_id").collect().map(r => (i.toLong, r.getLong(0))).toSeq
+    }
+    assert(gotB == wantB)
+    assert(gotB.filter(_._1 == 1L).head._2 == 900000L)
   }
 
   test("realtime HNSW search: graph base ∪ brute tail, updated docs never stale") {
