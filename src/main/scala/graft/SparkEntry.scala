@@ -1144,6 +1144,46 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 ROUTED API search over a SCANN space — the reference wraps
+    //    Google ScaNN as third-party (impl/scann/); here the class is
+    //    NATIVE: codebooks trained and codes assigned under the
+    //    ANISOTROPIC (score-aware) loss of Guo et al. ICML 2020, served
+    //    by the coarse-probe ∘ ADC ∘ recall_num-rerank composition. Full
+    //    probe + full-depth rerank ⇒ exact, oracle-checked ──
+    "q_api_search_scann" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.scannSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"scann_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 (rows-only): SCANN at a pruned operating point (nprobe=4,
+    //    recall_num=100) — exactness twin above ──
+    "q_scann_search" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.scannSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"scann_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":100},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.8 REALTIME serving (`enable_realtime`, SURVEY §2.8): each
     //    family's routed search unions the streaming TAIL (fresh writes
     //    not yet folded by the compaction loop) into the READY base
@@ -2708,6 +2748,8 @@ object SparkEntry {
     // same oracle as the other routed-API exact queries
     "q_api_search_diskann_routed" -> apiExactTop10Sql,
     "q_api_search_ssg" -> apiExactTop10Sql,
+    // native SCANN route at full probe + full-depth rerank ⇒ exact
+    "q_api_search_scann" -> apiExactTop10Sql,
     "q_ivf_realtime" -> apiExactTop10Sql,
     // batched realtime routes: per-qid exact blocks over the live view
     // (≡ the full table; every query vector is a TAIL doc)

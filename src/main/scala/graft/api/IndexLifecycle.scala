@@ -208,7 +208,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     * bounded by one build.
     */
   private def pruneLedgers(): Unit = synchronized {
-    val scanStates = Seq(state, vamanaState, pqState, rbState, bivfState)
+    val scanStates =
+      Seq(state, vamanaState, pqState, rbState, bivfState, scannState)
     if ((scanStates :+ hnswState).exists(_.isInstanceOf[Building])) return
     // an appended HNSW generation's gate reaches back to its BASELINE
     val hnswFloor = hnswState match {
@@ -621,6 +622,69 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
 
   def readyPqGen(): Option[Long] = pqState match {
+    case Ready(gen, _, _) => Some(gen); case _ => None
+  }
+
+  // ── SCANN generation: IVF + ANISOTROPIC (score-aware) residual PQ —
+  //    the algorithm class behind the reference's wrapped ScaNN index
+  //    (impl/scann/; published as Guo et al., ICML 2020). Same layout
+  //    shape and serving route as IVFPQ (coarse probe ∘ ADC ∘ rerank);
+  //    what differs is the TRAINING objective (parallel quantization
+  //    error weighted η) and the encode-time assignment (same loss).
+
+  private def scannStatePath = s"$spacePath.scann_state.json"
+  private def scannPath(gen: Long) = s"$spacePath.scann.g$gen"
+
+  def scannState: State = readStateAt(scannStatePath)
+
+  /** Build (or rebuild) the SCANN generation: coarse quantizer +
+    * anisotropic residual codebooks, codes written `partitionBy(list_id)`
+    * (probe = partition pruning), models persisted as sidecars.
+    * `eta ≤ 0` selects the paper's threshold rule at T = 0.2.
+    */
+  def rebuildScann(vecCol: String, ncentroids: Int, m: Int,
+      ksub: Int = 256, eta: Double = 0.0): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(scannStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val dim = corpus.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
+      val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
+      val assigned = IvfIndex.assign(corpus, vecCol, ivf)
+      val pq = graft.operators.PqIndex.trainResidualAnisotropic(assigned,
+        vecCol, dim, m, ivf, ksub = ksub, eta = eta,
+        maxTrainRows = 200000L, maxIter = 8)
+      graft.operators.PqIndex.encodeResidualAnisotropic(assigned, vecCol,
+          ivf, pq, eta = eta)
+        .write.mode("overwrite").partitionBy("list_id").parquet(scannPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${scannPath(gen)}.ivf.txt", ivf)
+      graft.sources.IndexStore.writePqModel(s"${scannPath(gen)}.pq.txt", pq)
+      writeStateAt(scannStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(scannStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** The READY SCANN layout + its models, or None. */
+  def readyScann(metric: String = "ip")
+      : Option[(DataFrame, IvfIndex.Model, graft.operators.PqIndex.Model)] =
+    scannState match {
+      case Ready(gen, _, _) =>
+        Some((spark.read.parquet(scannPath(gen)),
+          graft.sources.IndexStore.readIvfModel(s"${scannPath(gen)}.ivf.txt")
+            .copy(metric = metric),
+          graft.sources.IndexStore.readPqModel(s"${scannPath(gen)}.pq.txt")
+            .copy(metric = metric)))
+      case _ => None
+    }
+
+  def readyScannGen(): Option[Long] = scannState match {
     case Ready(gen, _, _) => Some(gen); case _ => None
   }
 

@@ -796,6 +796,62 @@ object SearchApi {
             finish(joinBack(hits), metric)
           }
         }
+      case Some("SCANN") if single =>
+        // native SCANN class (anisotropic / score-aware quantization,
+        // Guo et al. ICML 2020 — the algorithm the reference wraps as
+        // third-party, impl/scann/): same serving composition as IVFPQ
+        // (coarse probe ∘ ADC shortlist ∘ recall_num exact rerank), over
+        // codebooks trained and codes assigned under the anisotropic
+        // loss. No READY generation → exact FLAT fallback, as before.
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyScann(metric).map { case (table, ivf, pq) =>
+          val vc = req.vectors.head
+          val q = maybeNormalize(space, vc.field, vc.queries.head)
+          val k = req.limit + req.offset
+          val recallNum = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(math.max(10 * k, 100)), k)
+          val deny = lifecycle.readyScannGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          if (!tailOn)
+            finish(graft.operators.PqIndex.searchIvfResidual(served,
+              col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
+              idCol = col("_id")), metric)
+          else {
+            val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
+              graft.operators.PqIndex.searchIvfResidual(served,
+                col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
+                math.max(recallNum, kb), idCol = col("_id"))
+                .select(col("_id").cast("long").as("vec_id"), col("_score")))
+            finish(joinBack(hits), metric)
+          }
+        }
+      case Some("SCANN") if batched =>
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyScann(metric).map { case (table, ivf, pq) =>
+          val vc = req.vectors.head
+          val k = req.limit + req.offset
+          val recallNum = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(math.max(10 * k, 100)), k)
+          val deny = lifecycle.readyScannGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, maybeNormalize(space, vc.field, q)) }
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
+            kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
+              col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
+              math.max(recallNum, kb), idCol = col("_id"))
+              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                col("_score")))
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+        }
       case Some("IVFFLAT" | "GPU_IVFFLAT") if batched =>
         val metric = metricOf(space, req.vectors.head.field)
         for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))

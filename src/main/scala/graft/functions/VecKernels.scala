@@ -378,6 +378,70 @@ object VecKernels {
     new GenericArrayData(out)
   }
 
+  /** [[pqEncodeResidual]] under the ANISOTROPIC (score-aware) loss of the
+    * ScaNN paper (Guo et al., ICML 2020, "Accelerating Large-Scale
+    * Inference with Anisotropic Vector Quantization"): the codeword for
+    * each subvector minimizes ‖r − c‖² + (η − 1)·⟨r − c, u⟩² with u the
+    * sub-residual's own direction — quantization error PARALLEL to the
+    * datapoint is weighted η ≥ 1 times the orthogonal error, because
+    * parallel error perturbs the inner-product scores of high-scoring
+    * points most. η = 1 degenerates to the plain L2 argmin.
+    */
+  def pqEncodeResidualAniso(a: ArrayData, listId: Int,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      eta: Double): ArrayData = {
+    val m = codebooks.length
+    val nElems = a.numElements()
+    val c = centroids(listId)
+    val out = new Array[Int](m)
+    var sub = 0
+    var offset = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      // materialize the sub-residual once; its own direction is u
+      val r = new Array[Double](dsub)
+      var nrm2 = 0.0
+      var i = 0
+      while (i < dsub) {
+        val j = offset + i
+        val x =
+          if (j < nElems)
+            a.getFloat(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0)
+          else 0.0
+        r(i) = x
+        nrm2 += x * x
+        i += 1
+      }
+      val nrm = math.sqrt(nrm2)
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val cent = cb(k)
+        var l2 = 0.0
+        var par = 0.0 // ⟨r − c, r⟩ (unnormalized)
+        i = 0
+        while (i < dsub) {
+          val d = r(i) - cent(i).toDouble
+          l2 += d * d
+          par += d * r(i)
+          i += 1
+        }
+        val s =
+          if (nrm == 0.0) l2
+          else l2 + (eta - 1.0) * (par / nrm) * (par / nrm)
+        if (s < bestD) { bestD = s; best = k }
+        k += 1
+      }
+      out(sub) = best
+      offset += dsub
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC (asymmetric distance computation): score = Σ_sub lut(sub)(code).
     * The lookup table is precomputed per query on the driver.
     */

@@ -235,6 +235,30 @@ case class PqEncodeResidual(vec: Expression, listId: Expression,
     copy(vec = l, listId = r)
 }
 
+/** [[PqEncodeResidual]] under the ScaNN anisotropic loss (η weights
+  * parallel quantization error — see VecKernels.pqEncodeResidualAniso).
+  */
+case class PqEncodeResidualAniso(vec: Expression, listId: Expression,
+    centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+    eta: Double)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = listId
+  override def prettyName: String = "pq_encode_residual_aniso"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.pqEncodeResidualAniso(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], centroids, codebooks, eta)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val bref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.pqEncodeResidualAniso($a, $b, $cref, $bref, $eta)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, listId = r)
+}
+
 /** ADC score of a code array against a per-query lookup table. */
 case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression {

@@ -121,6 +121,92 @@ object PqIndex {
     trainFromRows(rows, m, dsub, ksub, metric, seed, maxIter)
   }
 
+  /** The SCANN capability class: [[trainResidual]] under the ANISOTROPIC
+    * (score-aware) quantization loss of Guo et al., ICML 2020
+    * ("Accelerating Large-Scale Inference with Anisotropic Vector
+    * Quantization" — the algorithm behind the reference's wrapped ScaNN
+    * index, impl/scann/). Per training point x the loss is
+    * h∥·‖r∥‖² + h⊥·‖r⊥‖² with r = x − c split along x's own direction:
+    * parallel quantization error perturbs the inner-product scores of
+    * exactly the high-scoring points ranking cares about, so it is
+    * weighted η = h∥/h⊥ ≥ 1 times the orthogonal error. Assignment
+    * minimizes the anisotropic loss; the centroid update solves the
+    * per-cluster weighted least squares c* = (Σᵢ Mᵢ)⁻¹ (Σᵢ Mᵢ xᵢ) with
+    * Mᵢ = I + (η−1)·uᵢuᵢᵀ (a dsub×dsub solve — and Mᵢxᵢ = η·xᵢ since
+    * uᵢ ∥ xᵢ, so the RHS is just η·Σxᵢ). η = 1 reduces every formula to
+    * plain Lloyd (spec-asserted byte-identical). `eta ≤ 0` selects the
+    * paper's threshold rule [[etaForThreshold]] at T = 0.2 over the full
+    * dimensionality. This is an independent implementation from the
+    * published paper, not a port of the ScaNN library.
+    */
+  def trainResidualAnisotropic(
+      assigned: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ivf: IvfIndex.Model,
+      ksub: Int = 256,
+      metric: String = "ip",
+      eta: Double = 0.0,
+      seed: Long = 42L,
+      maxTrainRows: Long = 200000L,
+      maxIter: Int = 15): Model = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    val effEta = if (eta > 0) eta else etaForThreshold(0.2, dim)
+    val clean = assigned.filter(col(vecCol).isNotNull && col("list_id").isNotNull)
+    val total = clean.count()
+    val sampled =
+      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      else clean
+    val rows: Array[Array[Float]] = sampled
+      .select(col(vecCol), col("list_id").cast("int"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val c = ivf.centroids(r.getInt(1))
+        Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0f))
+      }
+    require(rows.nonEmpty, "no training rows")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).toList.map { sub =>
+        Future {
+          val slice = rows.map(v =>
+            java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+          localKMeansAnisotropic(slice, ksub, maxIter, seed + sub, effEta)
+        }
+      }), Duration.Inf).toArray
+    Model(m, ksub, dsub, codebooks, metric)
+  }
+
+  /** The paper's score-aware weight ratio for a relative score threshold
+    * T ∈ (0, 1): η(T) = (d − 1)·T² / (1 − T²) — the h∥/h⊥ that makes the
+    * expected loss match ranking error for points scoring above T
+    * (Guo et al. 2020, Thm 3.3). Floored at 1 (η < 1 would weight
+    * parallel error LESS than plain k-means — never score-aware).
+    */
+  def etaForThreshold(t: Double, dim: Int): Double = {
+    require(t > 0 && t < 1, s"threshold must be in (0,1), got $t")
+    math.max(1.0, (dim - 1).toDouble * t * t / (1.0 - t * t))
+  }
+
+  /** Residual `pq_code` under the anisotropic assignment ([[PqEncodeResidualAniso]]):
+    * encode v − centroid(list_id) picking per-subvector codewords by the
+    * SAME score-aware loss the codebooks were trained with. `eta ≤ 0`
+    * applies the trained default (T = 0.2 over the full dimensionality).
+    */
+  def encodeResidualAnisotropic(assigned: DataFrame, vecCol: String,
+      ivf: IvfIndex.Model, model: Model, eta: Double = 0.0): DataFrame = {
+    val effEta = if (eta > 0) eta else etaForThreshold(0.2, model.m * model.dsub)
+    assigned.withColumn("pq_code", graft.Graft.columnOf(
+      graft.functions.PqEncodeResidualAniso(
+        graft.Graft.exprOf(col(vecCol)),
+        graft.Graft.exprOf(col("list_id").cast("int")),
+        ivf.centroids, model.codebooks, effEta)))
+  }
+
   private def trainFromRows(rows: Array[Array[Float]], m: Int, dsub: Int,
       ksub: Int, metric: String, seed: Long, maxIter: Int): Model = {
     require(rows.nonEmpty, "no training rows")
@@ -141,7 +227,7 @@ object PqIndex {
   }
 
   /** Plain Lloyd's with seeded random init on an in-memory sample. */
-  private[operators] def localKMeans(
+  private[graft] def localKMeans(
       points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long): Array[Array[Float]] = {
     val d = points(0).length
     val n = points.length
@@ -195,6 +281,153 @@ object PqIndex {
     }
     // pad if k > n (degenerate tiny samples)
     if (kk < k) centroids ++ Array.fill(k - kk)(centroids(0).clone()) else centroids
+  }
+
+  /** Anisotropic Lloyd's ([[trainResidualAnisotropic]]'s inner loop):
+    * structurally [[localKMeans]] with (a) assignment by the score-aware
+    * loss ‖r‖² + (η−1)·⟨r, u⟩² (u = the point's own direction) and
+    * (b) the closed-form weighted update c* = (Σ Mᵢ)⁻¹ η·Σxᵢ,
+    * Mᵢ = I + (η−1)uᵢuᵢᵀ — a d×d symmetric solve per cluster (d = dsub,
+    * tiny). Zero-norm points carry Mᵢ = I (no direction to be
+    * score-aware about). η = 1 makes every formula collapse to plain
+    * Lloyd's, bit-for-bit (same RNG draws, same tie order, same division
+    * — spec-asserted).
+    */
+  private[graft] def localKMeansAnisotropic(
+      points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long,
+      eta: Double): Array[Array[Float]] = {
+    val d = points(0).length
+    val n = points.length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, n)
+    val centroids = rnd.shuffle(points.indices.toList).take(kk)
+      .map(i => points(i).clone()).toArray
+    // per-point norms once (u_i = x_i / ‖x_i‖)
+    val norms = points.map { p =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += p(j).toDouble * p(j); j += 1 }
+      math.sqrt(s)
+    }
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        val nrm = norms(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cent = centroids(c)
+          var l2 = 0.0; var par = 0.0; var j = 0
+          while (j < d) {
+            val x = p(j) - cent(j)
+            l2 += x * x
+            par += x * p(j)
+            j += 1
+          }
+          val s =
+            if (nrm == 0.0) l2
+            else l2 + (eta - 1.0) * (par / nrm) * (par / nrm)
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      // update: accumulate A = Σ Mᵢ and b = Σ Mᵢxᵢ = η·Σxᵢ per cluster
+      val aMat = Array.fill(kk)(Array.ofDim[Double](d, d))
+      val bVec = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Int](kk)
+      var i2 = 0
+      while (i2 < n) {
+        val c = assign(i2); counts(c) += 1
+        val p = points(i2)
+        val nrm = norms(i2)
+        val A = aMat(c); val b = bVec(c)
+        var j = 0
+        while (j < d) {
+          A(j)(j) += 1.0
+          b(j) += (if (nrm == 0.0) p(j).toDouble else eta * p(j))
+          j += 1
+        }
+        if (nrm != 0.0 && eta != 1.0) {
+          j = 0
+          while (j < d) {
+            val uj = p(j) / nrm
+            var l = 0
+            while (l < d) {
+              A(j)(l) += (eta - 1.0) * uj * (p(l) / nrm)
+              l += 1
+            }
+            j += 1
+          }
+        }
+        i2 += 1
+      }
+      var c2 = 0
+      while (c2 < kk) {
+        if (counts(c2) > 0) {
+          val sol = solveSym(aMat(c2), bVec(c2))
+          var j = 0
+          while (j < d) { centroids(c2)(j) = sol(j).toFloat; j += 1 }
+        } else {
+          centroids(c2) = points(rnd.nextInt(n)).clone()
+          moved = true
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    if (kk < k) centroids ++ Array.fill(k - kk)(centroids(0).clone()) else centroids
+  }
+
+  /** Solve A·x = b for a small dense (symmetric positive-definite here)
+    * system by Gaussian elimination with partial pivoting — d = dsub, so
+    * this is an 8×8-scale solve per cluster per iteration. For a
+    * DIAGONAL A (the η = 1 degeneracy) it reduces to xⱼ = bⱼ/Aⱼⱼ — the
+    * exact division plain Lloyd's performs.
+    */
+  private def solveSym(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (piv != col) {
+        val tr = a(col); a(col) = a(piv); a(piv) = tr
+        val tb = b(col); b(col) = b(piv); b(piv) = tb
+      }
+      val p = a(col)(col)
+      if (p != 0.0) {
+        r = col + 1
+        while (r < d) {
+          val f = a(r)(col) / p
+          if (f != 0.0) {
+            var j2 = col
+            while (j2 < d) { a(r)(j2) -= f * a(col)(j2); j2 += 1 }
+            b(r) -= f * b(col)
+          }
+          r += 1
+        }
+      }
+      col += 1
+    }
+    val x = new Array[Double](d)
+    var r2 = d - 1
+    while (r2 >= 0) {
+      var s = b(r2)
+      var j2 = r2 + 1
+      while (j2 < d) { s -= a(r2)(j2) * x(j2); j2 += 1 }
+      x(r2) = if (a(r2)(r2) != 0.0) s / a(r2)(r2) else 0.0
+      r2 -= 1
+    }
+    x
   }
 
   /** Add the `pq_code` column (codegen'd per-subvector argmin). The

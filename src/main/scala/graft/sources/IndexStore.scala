@@ -613,6 +613,24 @@ object IndexStore {
     spacePath
   }
 
+  /** Routed-API SCANN fixture: a SPACE with a READY anisotropic-PQ
+    * generation built through the lifecycle (score-aware codebooks +
+    * assignment — the native ScaNN class).
+    */
+  def scannSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apiscann")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildScann("embedding", ncentroids = 8, m = 8, ksub = 16)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Routed-API IVFRABITQ fixture: a SPACE with a READY residual
     * sign-code generation built through the lifecycle.
     */
@@ -805,6 +823,7 @@ object IndexStore {
     vamanaRoutedSpace(spark, sfDir)
     hnswRoutedSpace(spark, sfDir)
     pqSpace(spark, sfDir)
+    scannSpace(spark, sfDir)
     rbSpace(spark, sfDir)
     binarySpace(spark, sfDir)
     hnswSpace(spark, sfDir)

@@ -126,4 +126,64 @@ class PqIndexSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect()
     assert(r.head == 0L)
   }
+
+  test("anisotropic (SCANN) training: η = 1 is bit-identical to plain Lloyd's") {
+    // every anisotropic formula must collapse at η = 1 — same RNG draws,
+    // same tie order, same division — so the score-aware path is a pure
+    // generalization, not a fork (Guo et al. 2020 loss with h∥ = h⊥)
+    val rnd = new scala.util.Random(7)
+    val pts = Array.fill(400)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val plain = PqIndex.localKMeans(pts, k = 16, maxIter = 10, seed = 5L)
+    val aniso = PqIndex.localKMeansAnisotropic(pts, k = 16, maxIter = 10,
+      seed = 5L, eta = 1.0)
+    assert(plain.map(_.toSeq).toSeq == aniso.map(_.toSeq).toSeq)
+  }
+
+  test("anisotropic training reduces PARALLEL quantization error (the score-aware objective)") {
+    // the loss being optimized: Σ ⟨x − c(x), x/‖x‖⟩² — parallel error is
+    // what perturbs inner-product ranking of high-scoring points. η > 1
+    // must not lose to plain k-means on its own objective.
+    val rnd = new scala.util.Random(11)
+    val pts = Array.fill(2000)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    def parallelErr(cents: Array[Array[Float]]): Double = pts.map { p =>
+      val nrm = math.sqrt(p.map(x => x.toDouble * x).sum)
+      if (nrm == 0) 0.0
+      else {
+        // assign by the centroid the ENCODER would pick at η, then
+        // measure the parallel residual component
+        val errs = cents.map { c =>
+          val par = p.indices.map(i => (p(i) - c(i)).toDouble * p(i)).sum / nrm
+          par * par
+        }
+        errs.min // best-case parallel error over the codebook
+      }
+    }.sum
+    val eta = PqIndex.etaForThreshold(0.2, 64)
+    assert(eta > 1.0)
+    val plain = PqIndex.localKMeans(pts, k = 16, maxIter = 12, seed = 3L)
+    val aniso = PqIndex.localKMeansAnisotropic(pts, k = 16, maxIter = 12,
+      seed = 3L, eta = eta)
+    val (ep, ea) = (parallelErr(plain), parallelErr(aniso))
+    assert(ea <= ep * 1.02,
+      s"anisotropic parallel error $ea should not exceed plain $ep")
+  }
+
+  test("anisotropic encode+search: exact parity at full probe + exhaustive rerank") {
+    val ivf = graft.operators.IvfIndex.train(emb, "embedding", 4)
+    val assigned = graft.operators.IvfIndex.assign(emb, "embedding", ivf)
+    val pq = PqIndex.trainResidualAnisotropic(assigned, "embedding", dim = 64,
+      m = 8, ivf = ivf, ksub = 16, metric = "l2")
+    val enc = PqIndex.encodeResidualAnisotropic(assigned, "embedding", ivf, pq)
+    // codes well-formed
+    val codes = enc.select($"pq_code").head().getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    // full probe + full-depth rerank ⇒ exact, whatever the codebooks
+    val got = PqIndex.searchIvfResidual(enc, $"embedding", ivf, pq, q0,
+      k = 5, nprobe = 4, recallNum = 1 << 20, idCol = $"vec_id")
+      .select($"vec_id").as[Long].collect().toSeq
+    val brute = graft.operators.Knn.search(emb, $"embedding", q0, 5, "l2",
+      tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == brute)
+  }
 }
