@@ -400,17 +400,19 @@ object VecKernels {
     while (sub < m) {
       val cb = codebooks(sub)
       val dsub = if (cb.length > 0) cb(0).length else 0
-      // materialize the sub-residual once; its own direction is u
+      // materialize the sub-residual and the ORIGINAL subvector: the
+      // score-relevant direction u is the datapoint's own (a high-scoring
+      // query points ≈ along x, and the IP error is ⟨q, r − r̂⟩), not the
+      // residual's
       val r = new Array[Double](dsub)
+      val xv = new Array[Double](dsub)
       var nrm2 = 0.0
       var i = 0
       while (i < dsub) {
         val j = offset + i
-        val x =
-          if (j < nElems)
-            a.getFloat(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0)
-          else 0.0
-        r(i) = x
+        val x = if (j < nElems) a.getFloat(j).toDouble else 0.0
+        xv(i) = x
+        r(i) = x - (if (j < c.length) c(j).toDouble else 0.0)
         nrm2 += x * x
         i += 1
       }
@@ -421,12 +423,12 @@ object VecKernels {
       while (k < cb.length) {
         val cent = cb(k)
         var l2 = 0.0
-        var par = 0.0 // ⟨r − c, r⟩ (unnormalized)
+        var par = 0.0 // ⟨r − c, x⟩ (unnormalized)
         i = 0
         while (i < dsub) {
           val d = r(i) - cent(i).toDouble
           l2 += d * d
-          par += d * r(i)
+          par += d * xv(i)
           i += 1
         }
         val s =

@@ -131,9 +131,10 @@ object PqIndex {
     * exactly the high-scoring points ranking cares about, so it is
     * weighted η = h∥/h⊥ ≥ 1 times the orthogonal error. Assignment
     * minimizes the anisotropic loss; the centroid update solves the
-    * per-cluster weighted least squares c* = (Σᵢ Mᵢ)⁻¹ (Σᵢ Mᵢ xᵢ) with
-    * Mᵢ = I + (η−1)·uᵢuᵢᵀ (a dsub×dsub solve — and Mᵢxᵢ = η·xᵢ since
-    * uᵢ ∥ xᵢ, so the RHS is just η·Σxᵢ). η = 1 reduces every formula to
+    * per-cluster weighted least squares c* = (Σᵢ Mᵢ)⁻¹ (Σᵢ Mᵢ rᵢ) with
+    * Mᵢ = I + (η−1)·uᵢuᵢᵀ (a dsub×dsub solve) — rᵢ the residual being
+    * quantized, uᵢ the ORIGINAL datapoint's subvector direction (the
+    * score-relevant axis). η = 1 reduces every formula to
     * plain Lloyd (spec-asserted byte-identical). `eta ≤ 0` selects the
     * paper's threshold rule [[etaForThreshold]] at T = 0.2 over the full
     * dimensionality. This is an independent implementation from the
@@ -159,23 +160,28 @@ object PqIndex {
     val sampled =
       if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
       else clean
-    val rows: Array[Array[Float]] = sampled
+    val pairs: Array[(Array[Float], Array[Float])] = sampled
       .select(col(vecCol), col("list_id").cast("int"))
       .collect().map { r =>
         val v = r.getSeq[Float](0).toArray
         val c = ivf.centroids(r.getInt(1))
-        Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0f))
+        (Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0f)), v)
       }
-    require(rows.nonEmpty, "no training rows")
+    require(pairs.nonEmpty, "no training rows")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val codebooks = Await.result(
       Future.sequence((0 until m).toList.map { sub =>
         Future {
-          val slice = rows.map(v =>
+          val slice = pairs.map(_._1).map(v =>
             java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-          localKMeansAnisotropic(slice, ksub, maxIter, seed + sub, effEta)
+          // the score-relevant direction is the ORIGINAL datapoint's
+          // subvector, not the residual's: a high-scoring query points
+          // ≈ along x and the IP error is ⟨q, r − r̂⟩
+          val dirs = pairs.map(_._2).map(v =>
+            java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+          localKMeansAnisotropic(slice, dirs, ksub, maxIter, seed + sub, effEta)
         }
       }), Duration.Inf).toArray
     Model(m, ksub, dsub, codebooks, metric)
@@ -294,16 +300,18 @@ object PqIndex {
     * — spec-asserted).
     */
   private[graft] def localKMeansAnisotropic(
-      points: Array[Array[Float]], k: Int, maxIter: Int, seed: Long,
-      eta: Double): Array[Array[Float]] = {
+      points: Array[Array[Float]], dirs: Array[Array[Float]], k: Int,
+      maxIter: Int, seed: Long, eta: Double): Array[Array[Float]] = {
     val d = points(0).length
     val n = points.length
     val rnd = new scala.util.Random(seed)
     val kk = math.min(k, n)
     val centroids = rnd.shuffle(points.indices.toList).take(kk)
       .map(i => points(i).clone()).toArray
-    // per-point norms once (u_i = x_i / ‖x_i‖)
-    val norms = points.map { p =>
+    // per-point direction norms once (u_i = dirs_i / ‖dirs_i‖ — the
+    // SOURCE vector's direction, which for residual training is the
+    // original datapoint's subvector)
+    val norms = dirs.map { p =>
       var s = 0.0; var j = 0
       while (j < d) { s += p(j).toDouble * p(j); j += 1 }
       math.sqrt(s)
@@ -316,6 +324,7 @@ object PqIndex {
       var i = 0
       while (i < n) {
         val p = points(i)
+        val u = dirs(i)
         val nrm = norms(i)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
@@ -325,7 +334,7 @@ object PqIndex {
           while (j < d) {
             val x = p(j) - cent(j)
             l2 += x * x
-            par += x * p(j)
+            par += x * u(j)
             j += 1
           }
           val s =
@@ -345,21 +354,31 @@ object PqIndex {
       while (i2 < n) {
         val c = assign(i2); counts(c) += 1
         val p = points(i2)
+        val u = dirs(i2)
         val nrm = norms(i2)
         val A = aMat(c); val b = bVec(c)
+        // ⟨p, u⟩/‖u‖ for the RHS Mᵢpᵢ = pᵢ + (η−1)·⟨pᵢ,ûᵢ⟩·ûᵢ (u need
+        // not be parallel to p when quantizing residuals against the
+        // datapoint direction)
+        var pu = 0.0
+        if (nrm != 0.0 && eta != 1.0) {
+          var j0 = 0
+          while (j0 < d) { pu += p(j0).toDouble * (u(j0) / nrm); j0 += 1 }
+        }
         var j = 0
         while (j < d) {
           A(j)(j) += 1.0
-          b(j) += (if (nrm == 0.0) p(j).toDouble else eta * p(j))
+          b(j) += (if (nrm == 0.0 || eta == 1.0) p(j).toDouble
+            else p(j).toDouble + (eta - 1.0) * pu * (u(j) / nrm))
           j += 1
         }
         if (nrm != 0.0 && eta != 1.0) {
           j = 0
           while (j < d) {
-            val uj = p(j) / nrm
+            val uj = u(j) / nrm
             var l = 0
             while (l < d) {
-              A(j)(l) += (eta - 1.0) * uj * (p(l) / nrm)
+              A(j)(l) += (eta - 1.0) * uj * (u(l) / nrm)
               l += 1
             }
             j += 1

@@ -618,7 +618,7 @@ object IndexStore {
     * assignment — the native ScaNN class).
     */
   def scannSpace(spark: SparkSession, sfDir: String): String = {
-    val dir = dirFor(sfDir, "apiscann")
+    val dir = dirFor(sfDir, "apiscann2")
     val spacePath = s"$dir/space"
     buildOnce(dir) {
       emb(spark, sfDir)

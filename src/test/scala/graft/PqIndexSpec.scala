@@ -134,7 +134,7 @@ class PqIndexSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val pts = Array.fill(400)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
     val plain = PqIndex.localKMeans(pts, k = 16, maxIter = 10, seed = 5L)
-    val aniso = PqIndex.localKMeansAnisotropic(pts, k = 16, maxIter = 10,
+    val aniso = PqIndex.localKMeansAnisotropic(pts, pts, k = 16, maxIter = 10,
       seed = 5L, eta = 1.0)
     assert(plain.map(_.toSeq).toSeq == aniso.map(_.toSeq).toSeq)
   }
@@ -161,7 +161,7 @@ class PqIndexSpec extends SparkSpec {
     val eta = PqIndex.etaForThreshold(0.2, 64)
     assert(eta > 1.0)
     val plain = PqIndex.localKMeans(pts, k = 16, maxIter = 12, seed = 3L)
-    val aniso = PqIndex.localKMeansAnisotropic(pts, k = 16, maxIter = 12,
+    val aniso = PqIndex.localKMeansAnisotropic(pts, pts, k = 16, maxIter = 12,
       seed = 3L, eta = eta)
     val (ep, ea) = (parallelErr(plain), parallelErr(aniso))
     assert(ea <= ep * 1.02,
