@@ -290,6 +290,19 @@ object Recall {
       evalIvfPqResidual(encodedRes, ivf, pqRes, queries, np, recallNum, 100))
     encodedRes.unpersist()
 
+    // SCANN class: ANISOTROPIC (score-aware) codebooks at the same
+    // geometry — identical serving machinery, score-aware training +
+    // assignment (Guo et al. ICML 2020)
+    val pqAniso = PqIndex.trainResidualAnisotropic(assigned, "embedding",
+      dim, m, ivf, ksub = ksub, metric = "l2",
+      maxTrainRows = if (synth.isDefined) 50000L else 5000L, maxIter = 10)
+    val encodedAniso = PqIndex.encodeResidualAnisotropic(assigned,
+      "embedding", ivf, pqAniso).cache()
+    encodedAniso.count()
+    report(s"${tag}SCANN_aniso_nc${ncent}_np${np}_m$m", n, gt,
+      evalIvfPqResidual(encodedAniso, ivf, pqAniso, queries, np, recallNum, 100))
+    encodedAniso.unpersist()
+
     // IVFRABITQ: residual sign codes over the same coarse quantizer
     val coded = graft.operators.BinaryIndex
       .encodeResidual(assigned, "embedding", ivf).cache()
