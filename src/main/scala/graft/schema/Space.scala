@@ -47,12 +47,17 @@ final case class SpaceField(
 /** Per-space engine config (internal/entity/space.go:156-164):
   * `refresh_interval` drives the realtime-tail trigger cadence,
   * `cache_size` (MB) whether a space's table is pinned in executor cache,
-  * `slow_search_time` (ms) the slow-pool classification threshold.
+  * `slow_search_time` (ms) the slow-pool classification threshold,
+  * `enable_realtime` whether searches union the streaming buffer
+  * (space.go:151, default false — space.go:73 DefalutEnableRealtime;
+  * serving honors it by passing a [[graft.streaming.RealtimeTail]] to
+  * `SearchApi.searchAuto` only for realtime-enabled spaces).
   */
 final case class SpaceConfig(
     refreshIntervalMs: Long = 1000L,
     cacheSizeMb: Int = 0,
-    slowSearchTimeMs: Long = 1000L)
+    slowSearchTimeMs: Long = 1000L,
+    enableRealtime: Boolean = false)
 
 final case class Space(
     name: String,
@@ -159,7 +164,14 @@ object Space {
       cacheSizeMb = longAt(j \ "engine" \ "cache_size",
         j \ "cache_size").getOrElse(0L).toInt,
       slowSearchTimeMs = longAt(j \ "engine" \ "slow_search_time",
-        j \ "slow_search_time").getOrElse(1000L))
+        j \ "slow_search_time").getOrElse(1000L),
+      // space-level in the reference (space.go:151), engine-level
+      // accepted too for symmetry with the other knobs
+      enableRealtime = (j \ "enable_realtime", j \ "engine" \ "enable_realtime") match {
+        case (JBool(b), _) => b
+        case (_, JBool(b)) => b
+        case _ => false // DefalutEnableRealtime, space.go:73
+      })
     if (cfg.refreshIntervalMs < 0 || cfg.cacheSizeMb < 0 || cfg.slowSearchTimeMs < 0)
       fail("engine config values must be >= 0")
     Space(name, fields, partitionNum, replicaNum, cfg)

@@ -111,6 +111,15 @@ class SpaceSpec extends SparkSpec {
       nFilters = 0) == "default")
   }
 
+  test("enable_realtime parses (space-level, space.go:151; default false)") {
+    def sp(extra: String) = Space.fromJson(
+      s"""{"name":"x"$extra,"fields":[{"name":"v","type":"vector","dimension":8}]}""")
+    assert(!sp("").config.enableRealtime) // DefalutEnableRealtime = false
+    assert(sp(""","enable_realtime":true""").config.enableRealtime)
+    assert(!sp(""","enable_realtime":false""").config.enableRealtime)
+    assert(sp(""","engine":{"enable_realtime":true}""").config.enableRealtime)
+  }
+
   test("engine config accepts integral JSON doubles, rejects fractional") {
     // serializers commonly emit 1000.0 for integral values (ADVICE r3)
     val sp = Space.fromJson(
