@@ -141,6 +141,38 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   /** Read a space — the physical `_bucket` routing column stays internal. */
   def read(db: String, spaceName: String): DataFrame = readPath(dir(db, spaceName))
 
+  /** The realtime buffer of an `enable_realtime` space at its
+    * conventional paths (`<space>.tail` / `<space>.ckpt`) — the ingest
+    * side of [[search]]'s buffer union. `orderCol` resolves same-id
+    * redelivery within the tail (pass one whenever the stream can
+    * re-deliver an id).
+    */
+  def realtimeTail(db: String, spaceName: String,
+      orderCol: Option[String] = None): graft.streaming.RealtimeTail = {
+    val path = dir(db, spaceName)
+    new graft.streaming.RealtimeTail(spark, path, s"$path.tail",
+      s"$path.ckpt", "_id", orderCol)
+  }
+
+  /** Space-declaration-driven search — the router's `/document/search`
+    * against a CATALOG space: wires the space table, its lifecycle
+    * generations, and (for `enable_realtime` declarations, space.go:151)
+    * the conventional realtime tail into
+    * [[graft.api.SearchApi.searchAuto]], so one call honors the FULL
+    * declaration — index type + params pick the READY generation, the
+    * realtime flag decides whether the streaming buffer unions in — with
+    * no manual glue.
+    */
+  def search(db: String, spaceName: String, space: Space,
+      requestJson: String): DataFrame = {
+    val lc = new graft.api.IndexLifecycle(spark, dir(db, spaceName))
+    val tail =
+      if (space.config.enableRealtime) Some(realtimeTail(db, spaceName))
+      else None
+    graft.api.SearchApi.searchAuto(read(db, spaceName), space, requestJson,
+      lc, tail)
+  }
+
   private def readPath(path: String): DataFrame = {
     // readers only touch aside dirs old enough that no LIVE swap can own
     // them — a reader acting on an in-flight writer's aside would

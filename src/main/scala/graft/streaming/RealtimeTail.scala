@@ -67,7 +67,12 @@ final class RealtimeTail(
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // project exactly the requested fields: partition DISCOVERY appends
+    // physical routing columns (a bucketed catalog table's `_bucket=N`
+    // dirs) on top of the user schema, and a base∪tail union would then
+    // fail on the tail's missing column
     else spark.read.schema(schema).parquet(path)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Unified view: base rows not superseded by tail, plus all tail rows

@@ -120,6 +120,39 @@ class SpaceSpec extends SparkSpec {
     assert(sp(""","engine":{"enable_realtime":true}""").config.enableRealtime)
   }
 
+  test("catalog search honors the declaration: enable_realtime unions the buffer") {
+    val root = java.nio.file.Files.createTempDirectory("spaces_rt").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("db2")
+    val sp = Space.fromJson(
+      """{"name":"rt","enable_realtime":true,"fields":[
+          {"name":"embedding","type":"vector","dimension":4}]}""")
+    assert(sp.config.enableRealtime)
+    cat.createSpace("db2", sp)
+    cat.upsert("db2", "rt",
+      Seq(("a", Seq(1f, 0f, 0f, 0f)), ("b", Seq(0f, 1f, 0f, 0f)))
+        .toDF("_id", "embedding")
+        .select($"_id", $"embedding".cast("array<float>")))
+    // a buffered write not yet folded by compaction
+    val rt = cat.realtimeTail("db2", "rt")
+    Seq(("c", Seq(0.9f, 0.1f, 0f, 0f))).toDF("_id", "embedding")
+      .select($"_id", $"embedding".cast("array<float>"))
+      .write.parquet(rt.tailPath)
+    val req = """{"vectors":[{"field":"embedding","feature":[1,0,0,0]}],"limit":2}"""
+    // realtime declaration: the buffered doc outranks the base's #2
+    val got = cat.search("db2", "rt", sp, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "c"))
+    // same table WITHOUT the flag: the buffer stays invisible (the
+    // reference's non-realtime space semantics)
+    val spOff = Space.fromJson(
+      """{"name":"rt","fields":[
+          {"name":"embedding","type":"vector","dimension":4}]}""")
+    val gotOff = cat.search("db2", "rt", spOff, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(gotOff == Seq("a", "b"))
+  }
+
   test("engine config accepts integral JSON doubles, rejects fractional") {
     // serializers commonly emit 1000.0 for integral values (ADVICE r3)
     val sp = Space.fromJson(
