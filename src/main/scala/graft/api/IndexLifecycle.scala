@@ -191,6 +191,20 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     }
   }
 
+  /** EVERY id currently in the delete ledger — the gate for serving
+    * surfaces with no generation baseline (the FLAT fallback's live
+    * view, the compaction fold): a delete must beat an EARLIER buffered
+    * upsert of the same id whatever the query shape, mirroring the
+    * reference's deleted-bitmap check that covers the memory buffer too
+    * (engine.cc:869-899). Bounded like every ledger read — pruning at
+    * READY flips keeps the file at one rebuild interval of deletes.
+    * Margin (shared with the routed arms' `deletedSince` gates): a
+    * ledger entry carries no ordering against tail writes, so an id
+    * re-inserted AFTER its delete within the same interval stays gated
+    * until the next fold.
+    */
+  def allDeletes(): Set[Long] = deletedSince(0L)
+
   /** Drop delete- AND mutation-ledger entries older than every live
     * generation — called after a rebuild flips READY (the new layout no
     * longer contains them; the churn they recorded no longer exerts

@@ -407,8 +407,14 @@ object SearchApi {
       f.dataType == LongType || f.dataType == IntegerType)
     val tailOn = tail.exists(_.hasTail)
     // the view a realtime search answers over: base ∪ buffered tail
-    // (id-level last-write-wins) — identical to `corpus` when no tail
-    val live = if (tailOn) tail.get.snapshot(corpus.schema) else corpus
+    // (id-level last-write-wins) — identical to `corpus` when no tail.
+    // The tail leg is delete-gated with the FULL ledger so a doc deleted
+    // while buffered never resurfaces through a fallback shape (the
+    // routed arms gate with their generation's `deletedSince` — this
+    // keeps delete visibility consistent across every query shape).
+    val live =
+      if (tailOn) tail.get.snapshot(corpus.schema, lifecycle.allDeletes())
+      else corpus
     // routed tail merges bridge index hit ids (longs) back to `_id`; a
     // non-integral id can't ride them — serve the live view exactly
     if (tailOn && !idIntegral) return search(live, space, requestJson)

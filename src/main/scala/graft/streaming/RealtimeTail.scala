@@ -78,14 +78,25 @@ final class RealtimeTail(
   /** Unified view: base rows not superseded by tail, plus all tail rows
     * (id-level last-write-wins, the upsert merge semantics).
     */
-  def snapshot(schema: StructType): DataFrame = {
+  def snapshot(schema: StructType): DataFrame = snapshot(schema, Set.empty)
+
+  /** Delete-aware unified view: `deny` (the space's delete ledger,
+    * [[graft.api.IndexLifecycle.allDeletes]]) gates the TAIL leg before
+    * the upsert — a delete beats an earlier buffered write of the same
+    * id, so the id never resurfaces through a fallback (FLAT / filtered
+    * / multi-vector) search even while its row still sits in the
+    * buffer. The base leg needs no gate: the space-level delete already
+    * rewrote the base table. Mirrors the reference's deleted-bitmap
+    * check, which covers the memory buffer too (engine.cc:869-899).
+    */
+  def snapshot(schema: StructType, deny: Set[Long]): DataFrame = {
     val base = readOrEmpty(basePath, schema)
     val tail = readOrEmpty(tailPath, schema)
     val dedupedTail = orderCol match {
       case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
       case None     => tail.dropDuplicates(idCol) // arbitrary winner — see ctor note
     }
-    graft.operators.Documents.upsert(base, dedupedTail, idCol)
+    graft.operators.Documents.upsert(base, denyTail(dedupedTail, deny), idCol)
   }
 
   /** Delete-gate the tail: denied ids never surface from a buffered
@@ -304,7 +315,11 @@ final class RealtimeTail(
       val folded = readOrEmpty(tailPath, schema).select(idCol).distinct().count()
       lc.recordMutations(folded)
     }
-    val merged = assign(snapshot(schema))
+    // deny-gate the fold: a tail row whose id was deleted while buffered
+    // must NOT fold back into the base (it would permanently resurrect
+    // the deleted doc) — same ledger gate as the serving snapshot
+    val deny = lifecycle.map(_.allDeletes()).getOrElse(Set.empty[Long])
+    val merged = assign(snapshot(schema, deny))
     val tmp = s"$basePath.compact.tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val baseP = new org.apache.hadoop.fs.Path(basePath)

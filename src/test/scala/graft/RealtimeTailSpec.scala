@@ -247,4 +247,70 @@ class RealtimeTailSpec extends SparkSpec {
       .select($"_id").collect().map(_.getLong(0)).toSeq
     assert(gated == wantGated)
   }
+
+  test("deleted-while-buffered ids never resurface: snapshot gate, fallback shapes, compact fold") {
+    val tmp = Files.createTempDirectory("rtail_del").toString
+    val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("_id"), $"label", $"embedding")
+      .filter($"_id" >= 10)
+      .write.parquet(basePath)
+    val schema = spark.read.parquet(basePath).schema
+    val q0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+
+    val tail = new RealtimeTail(spark, basePath, tailPath, ckpt, "_id")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Seq[Float])]
+    val ingest = tail.startIngest(
+      mem.toDF().toDF("_id", "label", "embedding")
+        .select($"_id", $"label", $"embedding".cast("array<float>")),
+      intervalMs = 100L)
+    // buffer ids 0 and 1 (0 is the query vector — exact top-1 if served)
+    val fresh = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 2)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    mem.addData(fresh.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    // delete id 0 THROUGH the lifecycle while its row is still buffered:
+    // the base rewrite can't touch it (it isn't in the base), only the
+    // ledger gate can keep it out
+    val lc = new graft.api.IndexLifecycle(spark, basePath)
+    lc.deleteByIds("_id", Seq(0L))
+
+    // 1) the delete-gated snapshot drops the buffered row; id 1 survives
+    val snapIds = tail.snapshot(schema, lc.allDeletes())
+      .select($"_id").collect().map(_.getLong(0)).toSet
+    assert(!snapIds.contains(0L) && snapIds.contains(1L))
+
+    // 2) a NON-ROUTABLE shape (min_score gate → FLAT fallback over the
+    //    live view) — the ghost would be the exact top-1
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"rt_del","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":4,"nprobe":4}}}]}""")
+    val req = s"""{"vectors":[{"field":"embedding","feature":${q0.mkString("[", ",", "]")},
+      "min_score":-1e18}],"limit":5}"""
+    val got = graft.api.SearchApi.searchAuto(
+      spark.read.parquet(basePath), sp, req, lc, tail = Some(tail))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && !got.contains(0L))
+    // and the fallback result ≡ exact top-5 over the delete-gated live
+    // view (the other buffered row competes like any live doc)
+    val wantFlat = graft.operators.Knn.search(
+      tail.snapshot(schema, lc.allDeletes()), $"embedding", q0, 5, "l2",
+      tieBreak = Some($"_id"))
+      .select($"_id").collect().map(_.getLong(0)).toSeq
+    assert(got == wantFlat)
+
+    // 3) compact must not fold the deleted row back into the base
+    tail.compact(schema, lifecycle = Some(lc))
+    val baseIds = spark.read.parquet(basePath)
+      .select($"_id").collect().map(_.getLong(0)).toSet
+    assert(!baseIds.contains(0L) && baseIds.contains(1L))
+  }
 }
