@@ -1123,6 +1123,81 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 BATCHED requests through the GRAPH index planner (round-12
+    //    gap: batched DISKANN_STATIC/SSG fell back to brute FLAT):
+    //    req_num=3 queries ride one flat feature array
+    //    (doc_query.go:296-318) and route to the Vamana generation — one
+    //    segment pass walks every query's beam (VamanaIndex.searchBatch)
+    //    instead of degrading per-query; l_search ≥ corpus ⇒ exact
+    //    per-qid blocks, oracle-checked ──
+    "q_api_search_diskann_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vam_space_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 BATCHED requests over the SPANN-CLUSTERED Vamana layout:
+    //    the batch prunes segment IO to the UNION of every query's
+    //    nprobe route (parquet partition pruning), then one pass walks
+    //    all beams; default nprobe = ncentroids + l_search ≥ corpus ⇒
+    //    exact per-qid, oracled ──
+    "q_api_search_diskann_routed_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaRoutedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vamr_space_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 BATCHED requests over the SPANN-CLUSTERED HNSW layout:
+    //    same union-of-routes partition pruning, one segment pass per
+    //    batch (HnswIndex.searchBatch); efSearch ≥ corpus ⇒ exact
+    //    per-qid, oracled ──
+    "q_api_search_hnsw_routed_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswRoutedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnswr_space_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 SSG declarations serve from the Vamana generation (both
     //    flat-graph RNG-family indexes — the alias GPU_* classes get to
     //    the CPU layouts): a space JSON written for SSG keeps real
@@ -2747,6 +2822,11 @@ object SparkEntry {
     // clustered-Vamana route + SSG alias: exact at full probe/depth —
     // same oracle as the other routed-API exact queries
     "q_api_search_diskann_routed" -> apiExactTop10Sql,
+    // batched graph routes (r12 gap closed): per-qid exact blocks at
+    // full walk depth — plain, clustered-Vamana, clustered-HNSW
+    "q_api_search_diskann_batch" -> apiBatchExactSql,
+    "q_api_search_diskann_routed_batch" -> apiBatchExactSql,
+    "q_api_search_hnsw_routed_batch" -> apiBatchExactSql,
     "q_api_search_ssg" -> apiExactTop10Sql,
     // native SCANN route at full probe + full-depth rerank ⇒ exact
     "q_api_search_scann" -> apiExactTop10Sql,

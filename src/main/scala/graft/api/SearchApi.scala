@@ -671,6 +671,47 @@ object SearchApi {
               math.max(l, kb), bw, metric, deny = deny))
           finish(joinBack(hits), metric)
         }
+      case Some("DISKANN_STATIC" | "SSG") if batched && idIntegral && pred.isEmpty =>
+        // batched graph route (the reference flattens req_num into ONE
+        // index request for every type, doc_query.go:296-318): every
+        // query walks each Vamana segment in the same task pass — one
+        // segment deserialization amortized across the batch — instead
+        // of degrading to per-query brute FLAT. A clustered generation
+        // prunes to the UNION of every query's nprobe route (still
+        // partition pruning; extra shards only add candidates to the
+        // per-qid merge — correctness unchanged).
+        lifecycle.readyVamanaSegments().map { segments0 =>
+          val vc = req.vectors.head
+          val metric = metricOf(space, vc.field)
+          val k = req.limit + req.offset
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, maybeNormalize(space, vc.field, q)) }
+          val segments = lifecycle.vamanaRoutedModel(metric) match {
+            case Some(model) =>
+              val nprobe = math.min(
+                req.indexParams.get("nprobe").filter(_ > 0)
+                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                  .getOrElse(model.ncentroids),
+                model.ncentroids)
+              val lists = queries.flatMap(qq =>
+                model.nearestCentroids(qq._2, nprobe)).distinct
+              segments0.filter(col("shard_id").isin(lists: _*))
+            case None => segments0
+          }
+          val l = math.max(
+            req.indexParams.get("l_search").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
+              .getOrElse(100), k)
+          val bw = req.indexParams.get("beam_width").filter(_ > 0)
+            .orElse(vopts.get.indexParams.get("beam_width").filter(_ > 0))
+            .getOrElse(4)
+          val deny = lifecycle.readyVamanaGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(kb =>
+            graft.operators.VamanaIndex.searchBatch(segments, queries, kb,
+              math.max(l, kb), bw, metric, deny = deny))
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+        }
       // GPU_* spaces execute on CUDA in the reference; here they serve
       // from the equivalent CPU layout — same semantics, a space JSON
       // written for the GPU classes keeps index-serving after a switch
