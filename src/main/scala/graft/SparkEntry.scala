@@ -1198,6 +1198,130 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.1+§2.4 STRING-PK spaces ride the routed indexes (round-12
+    //    gap: every routed arm required an integral _id, so a string-PK
+    //    corpus — the reference's PRIMARY id model, auto-generated UUIDs
+    //    client.go:1197-1221 — always served brute FLAT). The `_docid`
+    //    sidecar (Ingest.assignDocids; the reference maps every string
+    //    _id to an int docid at ingest, engine.cc:730-745) routes the
+    //    walk and bridges hits back to the string _id in joinBack.
+    //    HNSW route WITH a scalar filter (allow-set collected in docid
+    //    space); efSearch ≥ corpus + full probe ⇒ exact, oracled ──
+    "q_api_search_hnsw_string" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_hnsw","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── string-PK through the IVF scan route: the layout carries the
+    //    string _id, the deny gate keys on _docid; full probe ⇒ exact ──
+    "q_api_search_ivf_string" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_ivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── string-PK through the Vamana (DISKANN_STATIC) route ──
+    "q_api_search_diskann_string" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_vam","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.8 string-PK REALTIME: base ∪ buffered tail through the HNSW
+    //    route, tail merge keyed on the _docid BOTH legs carry (the tail
+    //    holds the query vector — a route that skips the buffer or the
+    //    bridge misses its top-1); exact params ⇒ oracled over the live
+    //    view ≡ the full table ──
+    "q_hnsw_string_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) =
+        graft.sources.IndexStore.stringIdRealtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id", ridCol = Some("_docid"))
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_rt","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.1 string-PK DELETE visibility: doc-0…doc-4 deleted via
+    //    deleteByPk (ledger records their DOCIDs); the routed walks gate
+    //    on the docid ledger — doc-0 is the query vector, so an ungated
+    //    (or _id-gated) route returns it as a top-1 ghost ──
+    "q_hnsw_string_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_del_h","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_ivf_string_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_del_i","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 SSG declarations serve from the Vamana generation (both
     //    flat-graph RNG-family indexes — the alias GPU_* classes get to
     //    the CPU layouts): a space JSON written for SSG keeps real
@@ -2323,6 +2447,28 @@ object SparkEntry {
        ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
        LIMIT 10"""
 
+  /** String-PK twin of [[apiExactTop10Sql]]: the fixture's `_id` is
+    * 'doc-' || vec_id, so the oracle re-derives the docid→PK bridge the
+    * routed arms perform (ties break on the STRING id, matching finish()).
+    */
+  private val apiStrExactTop10Sql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+       SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
+              round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+       FROM embeddings e, q
+       ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
+       LIMIT 10"""
+
+  /** [[apiStrExactTop10Sql]] minus the deleted PKs (vec_id 0–4). */
+  private val apiStrAfterDeleteSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+       SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
+              round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+       FROM embeddings e, q
+       WHERE e.vec_id >= 5
+       ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
+       LIMIT 10"""
+
   private val exactL2Top10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
@@ -2827,6 +2973,21 @@ object SparkEntry {
     "q_api_search_diskann_batch" -> apiBatchExactSql,
     "q_api_search_diskann_routed_batch" -> apiBatchExactSql,
     "q_api_search_hnsw_routed_batch" -> apiBatchExactSql,
+    // string-PK routed serving (r12 gap closed): the _docid sidecar
+    // routes, joinBack bridges to the string _id the oracle re-derives
+    "q_api_search_hnsw_string" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
+         LIMIT 10""",
+    "q_api_search_ivf_string" -> apiStrExactTop10Sql,
+    "q_api_search_diskann_string" -> apiStrExactTop10Sql,
+    "q_hnsw_string_realtime" -> apiStrExactTop10Sql,
+    "q_hnsw_string_after_delete" -> apiStrAfterDeleteSql,
+    "q_ivf_string_after_delete" -> apiStrAfterDeleteSql,
     "q_api_search_ssg" -> apiExactTop10Sql,
     // native SCANN route at full probe + full-depth rerank ⇒ exact
     "q_api_search_scann" -> apiExactTop10Sql,

@@ -293,6 +293,33 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     recordDeletes(ids)
   }
 
+  /** Delete-by-PK for string-id spaces: resolves each `_id` to its
+    * `_docid` sidecar ([[Ingest.assignDocids]]) so the ledger records
+    * the ROUTING ids the index layouts and tail merges gate on — the
+    * reference's bitmap delete likewise keys on the engine docid, not
+    * the string PK (engine.cc:869-899 over the docid space). Same
+    * swap-atomicity as [[deleteByIds]].
+    */
+  def deleteByPk(pkCol: String, pks: Seq[String],
+      docidCol: String = "_docid"): Unit = {
+    recoverSwap()
+    val df = spark.read.parquet(spacePath)
+    import spark.implicits._
+    val docids = df.filter(col(pkCol).isin(pks: _*))
+      .select(col(docidCol).cast("long")).as[Long].collect().toSeq
+    val remaining = df.filter(!col(pkCol).isin(pks: _*))
+    val tmp = s"$spacePath.delete.tmp"
+    remaining.write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$spacePath.old")
+    fs.delete(old, true)
+    fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
+    recordDeletes(docids)
+  }
+
   // ── mutation ledger: cumulative (ts, count) lines recording rows
   //    CHANGED in place (tail folds, deletes) — the churn a raw row-count
   //    staleness cannot see (an in-place UPDATE leaves count unchanged;

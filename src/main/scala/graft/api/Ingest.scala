@@ -133,6 +133,41 @@ object Ingest {
     (ok, rejected.unionByName(bad.select(rejected.columns.map(col).toIndexedSeq: _*)))
   }
 
+  /** Dense-id sidecar for string-PK spaces — the reference maps every
+    * string `_id` to an int docid at ingest so the index layers never
+    * see strings (engine.cc:730-745; SURVEY §1.1 anticipated
+    * `monotonically_increasing_id` for exactly this). Rows whose `_id`
+    * already exists in `base` KEEP the base row's docid (an update in
+    * place keeps its docid — the generation gates and tail merges then
+    * supersede the stale layout entry by that same id); new ids get
+    * fresh docids strictly ABOVE the base's max, so docids stay unique
+    * across arbitrarily many ingest batches and tail folds. Uniqueness,
+    * not density, is the contract — graph node ids and ledger entries
+    * are arbitrary longs, and `monotonically_increasing_id`'s
+    * partition-striped values avoid any global ordering shuffle.
+    */
+  def assignDocids(batch: DataFrame, base: Option[DataFrame] = None,
+      idCol: String = "_id", docidCol: String = "_docid"): DataFrame = {
+    val cleaned = batch.drop(docidCol)
+    val offset: Long = base match {
+      case Some(b) =>
+        val r = b.agg(max(col(docidCol).cast("long"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      case None => 0L
+    }
+    val withBase = base match {
+      case Some(b) =>
+        cleaned.join(
+          b.select(col(idCol), col(docidCol).cast("long").as("_docid_base")),
+          Seq(idCol), "left")
+      case None => cleaned.withColumn("_docid_base", lit(null).cast("long"))
+    }
+    withBase
+      .withColumn(docidCol,
+        coalesce(col("_docid_base"), monotonically_increasing_id() + offset))
+      .drop("_docid_base")
+  }
+
   /** RANGE partition rule: named, strictly-increasing upper bounds on a
     * long (ns-date) field; a row routes to the FIRST range whose bound
     * exceeds its value (space.go:255-285). Out-of-range rows get null —

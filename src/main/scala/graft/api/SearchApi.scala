@@ -375,15 +375,16 @@ object SearchApi {
     * anti-join. The ledger is bounded by one rebuild interval's deletes,
     * never the corpus (IndexLifecycle prunes it at each READY flip).
     */
-  private def applyDeny(table: DataFrame, deny: Set[Long]): DataFrame =
+  private def applyDeny(table: DataFrame, deny: Set[Long],
+      ridName: String = "_id"): DataFrame =
     if (deny.isEmpty) table
-    else if (deny.size <= 1000) table.filter(!col("_id").isin(deny.toSeq: _*))
+    else if (deny.size <= 1000) table.filter(!col(ridName).isin(deny.toSeq: _*))
     else {
       val spark = table.sparkSession
       import spark.implicits._
       val denyDf = deny.toSeq.toDF("_deny_id")
-        .select(col("_deny_id").cast(table.schema("_id").dataType))
-      table.join(broadcast(denyDf), col("_id") === col("_deny_id"), "left_anti")
+        .select(col("_deny_id").cast(table.schema(ridName).dataType))
+      table.join(broadcast(denyDf), col(ridName) === col("_deny_id"), "left_anti")
     }
 
   /** `tail` is the space's realtime buffer (`enable_realtime` — the
@@ -405,6 +406,18 @@ object SearchApi {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idIntegral = corpus.schema.fields.find(_.name == "_id").exists(f =>
       f.dataType == LongType || f.dataType == IntegerType)
+    // ROUTING id — the long column index hits, delete-ledger entries and
+    // tail merges reference: the integral PK itself, or the `_docid`
+    // sidecar the ingest assigns to string-PK spaces
+    // ([[Ingest.assignDocids]] — the reference maps every string `_id`
+    // to a dense int docid at ingest so indexes never see strings,
+    // engine.cc:730-745, and auto-generates string UUIDs when `_id` is
+    // absent, client.go:1197-1221). A string-PK space WITHOUT the
+    // sidecar keeps the exact FLAT fallback.
+    val rid: Option[String] =
+      if (idIntegral) Some("_id")
+      else corpus.schema.fields.find(_.name == "_docid")
+        .filter(_.dataType == LongType).map(_.name)
     val tailOn = tail.exists(_.hasTail)
     // the view a realtime search answers over: base ∪ buffered tail
     // (id-level last-write-wins) — identical to `corpus` when no tail.
@@ -415,9 +428,21 @@ object SearchApi {
     val live =
       if (tailOn) tail.get.snapshot(corpus.schema, lifecycle.allDeletes())
       else corpus
-    // routed tail merges bridge index hit ids (longs) back to `_id`; a
-    // non-integral id can't ride them — serve the live view exactly
-    if (tailOn && !idIntegral) return search(live, space, requestJson)
+    // routed tail merges bridge index hit ids (longs) back to the live
+    // view; a space with neither an integral `_id` nor a `_docid`
+    // sidecar can't ride them — serve the live view exactly
+    if (tailOn && rid.isEmpty) return search(live, space, requestJson)
+    // the routing column's name for the arms below; "_id" when no
+    // routing column exists (those arms never bridge — and a space
+    // without a routing column cannot have recorded deletes, so the
+    // `_id`-keyed deny gates stay no-ops there)
+    val ridName = rid.getOrElse("_id")
+    // a tail constructed with a different routing column would anti-join
+    // base hits against the wrong id space — fail loud, not ghost-quietly
+    require(!tailOn || tail.get.routingCol == ridName,
+      s"realtime tail routes on '${tail.get.routingCol}' but the space " +
+        s"routes on '$ridName' — construct the RealtimeTail with " +
+        s"ridCol = Some(\"$ridName\")")
     // routable = single-condition float search with no score gates; the
     // batched (req_num > 1) variant routes too — the reference flattens
     // req_num queries into one index request (doc_query.go:296-318), and
@@ -461,11 +486,15 @@ object SearchApi {
     }
     // the walk returns (id, score); scalar payloads come from ONE
     // broadcast join of the ≤req_num·k hits back onto the LIVE view (a
-    // tail hit's payload lives in the buffer, not the base table)
+    // tail hit's payload lives in the buffer, not the base table). The
+    // join keys on the ROUTING column — for a string-PK space that is
+    // the `_docid` sidecar, and the joined row carries the string `_id`
+    // the projection serves (the reference's docid→PK bridge).
     def joinBack(hits: DataFrame, extra: Seq[Column] = Seq.empty): DataFrame = {
-      val idT = corpus.schema("_id").dataType
+      val idT = corpus.schema(ridName).dataType
       live.join(broadcast(hits.select(
-        Seq(col("vec_id").cast(idT).as("_id"), col("_score")) ++ extra: _*)), "_id")
+        Seq(col("vec_id").cast(idT).as(ridName), col("_score")) ++ extra: _*)),
+        ridName)
     }
     // realtime union for a routed single-query arm: `baseSearch(kBase)`
     // must return (vec_id, _score) hits from the index at the
@@ -483,7 +512,7 @@ object SearchApi {
       tailMergeWith(k, metric, deny) { td =>
         Knn.search(td, col(field), q, k, metric, filter = pred,
           tieBreak = Some(col("_id")))
-          .select(col("_id").cast("long").as("vec_id"), col("_score"))
+          .select(col(ridName).cast("long").as("vec_id"), col("_score"))
       }(baseSearch)
     // batched (req_num) realtime union: per-qid merge through
     // RealtimeTail.mergeTailBatch; baseSearch must return
@@ -504,10 +533,10 @@ object SearchApi {
         val qDf = queries.toDF("_qid", "_qv")
           .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
         val filtered = pred.map(td.filter).getOrElse(td)
-        Knn.searchBatch(filtered, col(field), struct(col("_id")), qDf,
+        Knn.searchBatch(filtered, col(field), struct(col(ridName)), qDf,
           "_qid", "_qv", k, metric)
-          .select(col("_qid"), col("_item._id").cast("long").as("vec_id"),
-            col("_score"))
+          .select(col("_qid"),
+            col(s"_item.$ridName").cast("long").as("vec_id"), col("_score"))
       }(baseSearch)
     // delete gate (the reference's deleted-bitmap check, engine.cc:869-899,
     // IsValid = candidate ∧ ¬deleted — gamma_common_data.h:94-105): ids
@@ -532,7 +561,7 @@ object SearchApi {
       model.ncentroids)
 
     val routed: Option[DataFrame] = vopts.map(_.indexType) match {
-      case Some("HNSW") if single && idIntegral =>
+      case Some("HNSW") if single && rid.isDefined =>
         lifecycle.readyHnswSegments().flatMap { segments0 =>
           val vc = req.vectors.head
           val q = maybeNormalize(space, vc.field, vc.queries.head)
@@ -562,7 +591,7 @@ object SearchApi {
               // brute filter-first path serves the query instead. The
               // allow-set comes from the LIVE view so fresh tail rows
               // that match the filter are admitted too.
-              val allowed = live.filter(p).select(col("_id"))
+              val allowed = live.filter(p).select(col(ridName))
               if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
                 None
               else Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
@@ -575,7 +604,7 @@ object SearchApi {
           }
           hits.map(h => finish(joinBack(h), metric))
         }
-      case Some("HNSW") if batched && idIntegral =>
+      case Some("HNSW") if batched && rid.isDefined =>
         // batch route: ONE pass over each segment serves all req_num
         // queries (HnswIndex.searchBatch amortizes the deserialization);
         // a scalar filter's allow-set is collected ONCE (selectivity
@@ -605,13 +634,13 @@ object SearchApi {
           }
           val allow: Option[Option[Set[Long]]] = pred match {
             case Some(p) =>
-              val allowed = live.filter(p).select(col("_id"))
+              val allowed = live.filter(p).select(col(ridName))
               if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
                 None // broad filter → brute fallback (planner switch)
               else {
                 val spark = corpus.sparkSession
                 import spark.implicits._
-                Some(Some(allowed.select(col("_id").cast("long")).as[Long]
+                Some(Some(allowed.select(col(ridName).cast("long")).as[Long]
                   .collect().toSet))
               }
             case None => Some(None)
@@ -624,7 +653,7 @@ object SearchApi {
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
         }
-      case Some("DISKANN_STATIC" | "SSG") if single && idIntegral && pred.isEmpty =>
+      case Some("DISKANN_STATIC" | "SSG") if single && rid.isDefined && pred.isEmpty =>
         // Vamana route (the reference's DiskANN-static class,
         // gamma_index_diskann_static.cc): search params resolve request
         // `l_search`/`beam_width` over the space's `L`/`beam_width`
@@ -671,7 +700,7 @@ object SearchApi {
               math.max(l, kb), bw, metric, deny = deny))
           finish(joinBack(hits), metric)
         }
-      case Some("DISKANN_STATIC" | "SSG") if batched && idIntegral && pred.isEmpty =>
+      case Some("DISKANN_STATIC" | "SSG") if batched && rid.isDefined && pred.isEmpty =>
         // batched graph route (the reference flattens req_num into ONE
         // index request for every type, doc_query.go:296-318): every
         // query walks each Vamana segment in the same task pass — one
@@ -722,7 +751,7 @@ object SearchApi {
             val vc = req.vectors.head
             val q = maybeNormalize(space, vc.field, vc.queries.head)
             val k = req.limit + req.offset
-            val served = applyDeny(table, ivfDeny)
+            val served = applyDeny(table, ivfDeny, ridName)
             if (!tailOn)
               finish(IvfIndex.search(served, col(vc.field), model, q, k,
                 nprobeOf(model), filter = pred, tieBreak = Some(col("_id"))),
@@ -731,7 +760,7 @@ object SearchApi {
               val hits = tailMerge(k, metric, vc.field, q, ivfDeny)(kb =>
                 IvfIndex.search(served, col(vc.field), model, q, kb,
                   nprobeOf(model), filter = pred, tieBreak = Some(col("_id")))
-                  .select(col("_id").cast("long").as("vec_id"), col("_score")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score")))
               finish(joinBack(hits), metric)
             }
           }
@@ -756,7 +785,7 @@ object SearchApi {
             cents.length)
           val deny = lifecycle.readyBivfGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served = applyDeny(table, deny)
+          val served = applyDeny(table, deny, ridName)
           if (!tailOn)
             finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
               vc.field, cents, qCode, k, nprobe, filter = pred,
@@ -767,12 +796,12 @@ object SearchApi {
             val hits = tailMergeWith(k, "l2", deny) { td =>
               Knn.searchBinary(td, col(vc.field), qCode, k, filter = pred,
                 tieBreak = Some(col("_id")))
-                .select(col("_id").cast("long").as("vec_id"), col("_score"))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
             } { kb =>
               graft.operators.BinaryIndex.searchBinaryIvf(served, vc.field,
                 cents, qCode, kb, nprobe, filter = pred,
                 tieBreak = Some(col("_id")))
-                .select(col("_id").cast("long").as("vec_id"), col("_score"))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
             }
             finish(joinBack(hits), metric = "l2")
           }
@@ -795,7 +824,7 @@ object SearchApi {
             .filter(v => v >= 0 && v <= 8).getOrElse(4)
           val deny = lifecycle.readyRbGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           if (!tailOn)
             finish(graft.operators.BinaryIndex.searchIvfResidual(served,
@@ -807,7 +836,7 @@ object SearchApi {
                 col(vc.field), ivf, q, kb, nprobeOf(ivf),
                 math.max(shortlist, kb), idCol = col("_id"), metric = metric,
                 qb = qb)
-                .select(col("_id").cast("long").as("vec_id"), col("_score")))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
             finish(joinBack(hits), metric)
           }
         }
@@ -828,7 +857,7 @@ object SearchApi {
               .getOrElse(k), k)
           val deny = lifecycle.readyPqGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           if (!tailOn)
             finish(graft.operators.PqIndex.searchIvfResidual(served,
@@ -839,7 +868,7 @@ object SearchApi {
               graft.operators.PqIndex.searchIvfResidual(served,
                 col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
                 math.max(recallNum, kb), idCol = col("_id"))
-                .select(col("_id").cast("long").as("vec_id"), col("_score")))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
             finish(joinBack(hits), metric)
           }
         }
@@ -861,7 +890,7 @@ object SearchApi {
               .getOrElse(math.max(10 * k, 100)), k)
           val deny = lifecycle.readyScannGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           if (!tailOn)
             finish(graft.operators.PqIndex.searchIvfResidual(served,
@@ -872,7 +901,7 @@ object SearchApi {
               graft.operators.PqIndex.searchIvfResidual(served,
                 col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
                 math.max(recallNum, kb), idCol = col("_id"))
-                .select(col("_id").cast("long").as("vec_id"), col("_score")))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
             finish(joinBack(hits), metric)
           }
         }
@@ -887,14 +916,14 @@ object SearchApi {
               .getOrElse(math.max(10 * k, 100)), k)
           val deny = lifecycle.readyScannGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
           val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
             kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
               col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
-              math.max(recallNum, kb), idCol = col("_id"))
+              math.max(recallNum, kb), idCol = col(ridName))
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
@@ -909,12 +938,13 @@ object SearchApi {
               (i.toLong, maybeNormalize(space, vc.field, q)) }
             // scalar pre-filter + delete gate compose into the scan the
             // probe join runs over (both evaluate inside probed lists)
-            val served0 = applyDeny(table, ivfDeny)
+            val served0 = applyDeny(table, ivfDeny, ridName)
             val served = pred.map(served0.filter).getOrElse(served0)
             val hits = tailMergeBatch(k, metric, vc.field, queries, ivfDeny)(
               kb => IvfIndex.searchBatch(served, col(vc.field),
-                struct(col("_id")), queries, model, kb, nprobeOf(model))
-                .select(col("_qid"), col("_item._id").cast("long").as("vec_id"),
+                struct(col(ridName)), queries, model, kb, nprobeOf(model))
+                .select(col("_qid"),
+                  col(s"_item.$ridName").cast("long").as("vec_id"),
                   col("_score")))
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
@@ -933,14 +963,14 @@ object SearchApi {
               .getOrElse(k), k)
           val deny = lifecycle.readyPqGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
           val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
             kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
               col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
-              math.max(recallNum, kb), idCol = col("_id"))
+              math.max(recallNum, kb), idCol = col(ridName))
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
@@ -959,14 +989,14 @@ object SearchApi {
             .filter(v => v >= 0 && v <= 8).getOrElse(4)
           val deny = lifecycle.readyRbGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
           val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
             kb => graft.operators.BinaryIndex.searchBatchIvfResidual(served,
               col(vc.field), ivf, queries, kb, nprobeOf(ivf),
-              math.max(shortlist, kb), idCol = col("_id"), metric = metric,
+              math.max(shortlist, kb), idCol = col(ridName), metric = metric,
               qb = qb)
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score")))
@@ -988,7 +1018,7 @@ object SearchApi {
             cents.length)
           val deny = lifecycle.readyBivfGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny)
+          val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, graft.functions.VecKernels.signBits(
@@ -1003,7 +1033,7 @@ object SearchApi {
             val qDf = queries.toDF("_qid", "_qcode")
             val filtered = pred.map(td.filter).getOrElse(td)
             filtered
-              .select(col("_id").cast("long").as("vec_id"),
+              .select(col(ridName).cast("long").as("vec_id"),
                 col(vc.field).as("_c"))
               .crossJoin(broadcast(qDf))
               .select(col("_qid"),
@@ -1013,7 +1043,7 @@ object SearchApi {
               .filter(col("_score").isNotNull)
           } { kb =>
             graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
-              vc.field, cents, queries, kb, nprobe, idCol = col("_id"))
+              vc.field, cents, queries, kb, nprobe, idCol = col(ridName))
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score"))
           }

@@ -772,6 +772,83 @@ object IndexStore {
     spacePath
   }
 
+  /** String-PK fixture — the reference's PRIMARY id model (auto-generated
+    * string UUIDs, client.go:1197-1221): `_id = "doc-" || vec_id` with the
+    * dense `_docid` sidecar ([[graft.api.Ingest.assignDocids]]; here the
+    * known vec_id, so oracles can re-derive the mapping), and READY HNSW +
+    * IVF + Vamana generations built over `_docid` — string-PK spaces ride
+    * the routed index arms instead of falling back to brute FLAT.
+    */
+  def stringIdSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apistr")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(concat(lit("doc-"), col("vec_id")).as("_id"),
+          col("vec_id").cast("long").as("_docid"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.rebuildHnsw("_docid", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4))
+      lc.rebuild("embedding", ncentroids = 16)
+      lc.rebuildVamana("_docid", "embedding",
+        graft.operators.VamanaIndex.Params(r = 32, l = 64, alpha = 1.2,
+          metric = "l2", numShards = 4))
+      markReady(dir)
+    }
+    spacePath
+  }
+
+  /** String-PK realtime fixture: the [[realtimeSpace]] base/tail split
+    * (tail = vec_id < 10, including the query vector) with string `_id`s
+    * and the `_docid` sidecar carried by BOTH base and tail — the shape a
+    * streamed string-PK corpus has after [[graft.api.Ingest.assignDocids]]
+    * runs on each batch. READY HNSW + IVF generations over the base's
+    * `_docid`.
+    */
+  def stringIdRealtimeSpace(spark: SparkSession, sfDir: String): (String, String) = {
+    val dir = dirFor(sfDir, "apistrrt")
+    val spacePath = s"$dir/space"
+    val tailPath = s"$dir/tail"
+    buildOnce(dir) {
+      val all = emb(spark, sfDir)
+        .select(concat(lit("doc-"), col("vec_id")).as("_id"),
+          col("vec_id").cast("long").as("_docid"), col("label"), col("embedding"))
+      all.filter(col("_docid") >= 10).write.mode("overwrite").parquet(spacePath)
+      all.filter(col("_docid") < 10).write.mode("overwrite").parquet(tailPath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.rebuildHnsw("_docid", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4))
+      lc.rebuild("embedding", ncentroids = 16)
+      markReady(dir)
+    }
+    (spacePath, tailPath)
+  }
+
+  /** String-PK delete-visibility fixture: READY HNSW + IVF generations
+    * over the FULL corpus, then `doc-0`…`doc-4` deleted through
+    * [[graft.api.IndexLifecycle.deleteByPk]] — the ledger records their
+    * DOCIDs, so any routed search that gates on the wrong id space (or
+    * not at all) returns ghosts (`doc-0` is the query vector itself).
+    */
+  def stringIdDeleteSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apistrdel")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(concat(lit("doc-"), col("vec_id")).as("_id"),
+          col("vec_id").cast("long").as("_docid"), col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.rebuildHnsw("_docid", "embedding",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "l2", numShards = 4))
+      lc.rebuild("embedding", ncentroids = 16)
+      lc.deleteByPk("_id", Seq("doc-0", "doc-1", "doc-2", "doc-3", "doc-4"))
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Media fixture: the synthesized PNG/WAV/pseudo-video corpus
     * ([[graft.operators.Multimodal.synthesize]] over the embeddings ids)
     * written ONCE per fixture. Media queries then time decode + features
@@ -830,6 +907,9 @@ object IndexStore {
     apiDeleteSpace(spark, sfDir)
     realtimeSpace(spark, sfDir)
     realtimeBinarySpace(spark, sfDir)
+    stringIdSpace(spark, sfDir)
+    stringIdRealtimeSpace(spark, sfDir)
+    stringIdDeleteSpace(spark, sfDir)
     m(media(spark, sfDir))
     ()
   }

@@ -29,7 +29,19 @@ final class RealtimeTail(
     // column that orders writes to the same id (event time / sequence);
     // without it, id collisions WITHIN the tail resolve arbitrarily — pass
     // one whenever the stream can re-deliver an id
-    orderCol: Option[String] = None) {
+    orderCol: Option[String] = None,
+    // the ROUTING id column: the long column index hits and delete-ledger
+    // entries reference. Defaults to `idCol` (integral-PK spaces); a
+    // string-PK space passes its `_docid` sidecar (the reference maps
+    // every string _id to an int docid at ingest so indexes never see
+    // strings, engine.cc:730-745) — dedup/upsert stay PK-keyed on
+    // `idCol`, merges and delete gates key on this column
+    ridCol: Option[String] = None) {
+
+  private def rid: String = ridCol.getOrElse(idCol)
+
+  /** The routing id column merges and delete gates key on (see `ridCol`). */
+  private[graft] def routingCol: String = rid
 
   /** Start ingest at the space's configured `refresh_interval`
     * (space.go:156-164 — the reference's buffer-fold cadence).
@@ -109,12 +121,12 @@ final class RealtimeTail(
   private def denyTail(df: DataFrame, deny: Set[Long]): DataFrame =
     if (deny.isEmpty) df
     else if (deny.size <= 1000)
-      df.filter(!col(idCol).cast("long").isin(deny.toSeq: _*))
+      df.filter(!col(rid).cast("long").isin(deny.toSeq: _*))
     else {
       val spark = df.sparkSession
       import spark.implicits._
       val denyDf = deny.toSeq.toDF("_deny_id")
-      df.join(broadcast(denyDf), col(idCol).cast("long") === col("_deny_id"),
+      df.join(broadcast(denyDf), col(rid).cast("long") === col("_deny_id"),
         "left_anti")
     }
 
@@ -149,7 +161,7 @@ final class RealtimeTail(
     val dedupedTail = denyTail(dedupedTail0, deny)
     val tailHits = tailSearch(dedupedTail)
       .select(col("vec_id").cast("long").as("vec_id"), col("_score"))
-    val tailIds = dedupedTail.select(col(idCol).cast("long").as("vec_id"))
+    val tailIds = dedupedTail.select(col(rid).cast("long").as("vec_id"))
     val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
     val baseHits = baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
     val primary =
@@ -179,7 +191,7 @@ final class RealtimeTail(
     val dedupedTail = denyTail(dedupedTail0, deny)
     val tailHits = tailSearch(dedupedTail)
       .select(col("_qid"), col("vec_id").cast("long").as("vec_id"), col("_score"))
-    val tailIds = dedupedTail.select(col(idCol).cast("long").as("vec_id"))
+    val tailIds = dedupedTail.select(col(rid).cast("long").as("vec_id"))
     val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
     val baseHits = baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
     baseHits.unionByName(tailHits)

@@ -94,4 +94,21 @@ class IngestSpec extends SparkSpec {
       s"no partition pruning:\n$plan")
     assert(read.filter($"_partition" === "p1").count() == 50)
   }
+
+  test("assignDocids: updates keep their docid, new ids mint unique docids above the base max") {
+    val base = Seq(("a", 0L), ("b", 7L), ("c", 3L)).toDF("_id", "_docid")
+    // batch updates b, inserts d/e (one with a stale client-sent _docid
+    // that must be ignored — the sidecar is engine-owned)
+    val batch = Seq(("b", -1L), ("d", -1L), ("e", -1L)).toDF("_id", "_docid")
+    val out = Ingest.assignDocids(batch, Some(base))
+      .select("_id", "_docid").as[(String, Long)].collect().toMap
+    assert(out("b") == 7L)                    // update keeps the base docid
+    assert(out("d") > 7L && out("e") > 7L)    // fresh ids mint above base max
+    assert(out.values.toSet.size == out.size) // unique within the batch
+    // no base: docids start from 0 and are unique
+    val first = Ingest.assignDocids(Seq(("x", 0), ("y", 0)).toDF("_id", "n")
+      .drop("n").withColumn("v", lit(1)))
+      .select("_id", "_docid").as[(String, Long)].collect().toMap
+    assert(first.values.toSet.size == 2)
+  }
 }
