@@ -426,6 +426,38 @@ object SparkEntry {
           round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
     }),
 
+    // ── §2.4+§2.8 TAIL-AWARE multi-field conjunctive (round-12 gap:
+    //    with a realtime tail the multi-vector shape fell back to exact
+    //    FLAT): each field's graph search merges the buffered tail into
+    //    its OWN per-field top-k (RealtimeTail.searchHnsw = mergeTail
+    //    over the walk), THEN the docid intersection + WeightedRanker —
+    //    the reference merges the buffer into the per-field searches
+    //    themselves (vector_manager.cc:1024-1176). The tail holds the
+    //    query vector, so both per-field top-1s are buffered docs; exact
+    //    params ⇒ the composition oracles against the same brute
+    //    intersection as q_knn_multivec over the live view ≡ full table ──
+    "q_knn_multivec_realtime" -> ((s, dir) => {
+      init(s)
+      val (basePath, tailPath, segsA, segsB) =
+        graft.sources.IndexStore.realtimeMultiField(s, dir)
+      val rt = new graft.streaming.RealtimeTail(s, basePath, tailPath,
+        s"$tailPath.ckpt", "vec_id")
+      val schema = s.read.parquet(basePath).schema
+      val q = qvec(s, dir)
+      val f0 = rt.searchHnsw(segsA, schema, "v1", q.take(32), k = 100,
+        ef = 1 << 30, metric = "ip")
+        .select(col("vec_id"), col("_score").as("_s0"))
+      val f1 = rt.searchHnsw(segsB, schema, "v2", q.drop(32), k = 100,
+        ef = 1 << 30, metric = "ip")
+        .select(col("vec_id"), col("_score").as("_s1"))
+      f0.join(f1, "vec_id")
+        .withColumn("_score", col("_s0") * 0.5 + col("_s1") * 0.5)
+        .orderBy(col("_score").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
+          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
+    }),
+
     // ── beyond-reference: 3-table join (broadcast dim, shuffled fact) ──
     "q3_join" -> ((s, dir) => {
       init(s)
@@ -3263,6 +3295,22 @@ object SparkEntry {
          ORDER BY qid, round(d, 4), vec_id""",
 
     "q_knn_multivec" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+                FROM b ORDER BY s0 DESC LIMIT 100),
+         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+                FROM b ORDER BY s1 DESC LIMIT 100),
+         j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
+                round(sc, 4) AS score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
+    // tail-aware per-field merges at exact params ≡ the brute per-field
+    // top-100 intersection over the live view (≡ the full table by
+    // fixture construction) — same oracle as the brute twin
+    "q_knn_multivec_realtime" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
          b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
                       (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),

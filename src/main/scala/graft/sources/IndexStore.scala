@@ -554,6 +554,41 @@ object IndexStore {
       readLayout(spark, s"$dir/v2").as[HnswIndex.Segment])
   }
 
+  /** Multi-field REALTIME fixture: the [[hnswMultiField]] per-field graph
+    * layouts built over the BASE split (vec_id ≥ 10) plus a TAIL
+    * (vec_id < 10 — including the query vector) carrying both field
+    * slices — the shape the reference's multi-field conjunctive serves
+    * when the memory buffer is live (vector_manager.cc:1024-1176 merges
+    * the buffer into the PER-FIELD searches before the docid
+    * intersection).
+    */
+  def realtimeMultiField(spark: SparkSession, sfDir: String)
+      : (String, String,
+         org.apache.spark.sql.Dataset[HnswIndex.Segment],
+         org.apache.spark.sql.Dataset[HnswIndex.Segment]) = {
+    import spark.implicits._
+    val dir = dirFor(sfDir, "hnswmvrt")
+    val basePath = s"$dir/base"; val tailPath = s"$dir/tail"
+    buildOnce(dir) {
+      val two = emb(spark, sfDir).select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      two.filter(col("vec_id") >= 10).write.mode("overwrite").parquet(basePath)
+      two.filter(col("vec_id") < 10).write.mode("overwrite").parquet(tailPath)
+      val p = HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+        numShards = 4)
+      val base = spark.read.parquet(basePath)
+      HnswIndex.build(base, "vec_id", "v1", p)
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      HnswIndex.build(base, "vec_id", "v2", p)
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      markReady(dir)
+    }
+    (basePath, tailPath,
+      readLayout(spark, s"$dir/v1").as[HnswIndex.Segment],
+      readLayout(spark, s"$dir/v2").as[HnswIndex.Segment])
+  }
+
   /** Routed-API clustered-HNSW fixture: a SPACE with a READY
     * SPANN-clustered graph generation (shards = quantizer lists,
     * partitionBy(shard_id)) built through the lifecycle — what
@@ -910,6 +945,8 @@ object IndexStore {
     stringIdSpace(spark, sfDir)
     stringIdRealtimeSpace(spark, sfDir)
     stringIdDeleteSpace(spark, sfDir)
+    locally { val (_, _, a, b) = realtimeMultiField(spark, sfDir)
+      m(a.toDF()); m(b.toDF()) }
     m(media(spark, sfDir))
     ()
   }
