@@ -586,17 +586,22 @@ object SearchApi {
           val hits: Option[DataFrame] = pred match {
             case Some(p) =>
               // selectivity guard (the reference's planner switch,
-              // engine.cc:355-373): bounded probe BEFORE the collect — a
-              // broad filter's allow-set never reaches the driver; the
-              // brute filter-first path serves the query instead. The
-              // allow-set comes from the LIVE view so fresh tail rows
-              // that match the filter are admitted too.
-              val allowed = live.filter(p).select(col(ridName))
-              if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
-                None
-              else Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
-                graft.operators.HnswIndex.searchFiltered(
-                  segments, q, kb, efOf(kb), metric, allowed, deny = hnswDeny)))
+              // engine.cc:355-373): ONE bounded take() both probes the
+              // selectivity and collects the allow-set — a broad
+              // filter's ids never reach the driver past the cap, and a
+              // selective filter pays a single action, not a count plus
+              // a re-collect. The allow-set comes from the LIVE view so
+              // fresh tail rows that match the filter are admitted too.
+              val probed = live.filter(p).select(col(ridName).cast("long"))
+                .take(maxFilterAllowIds + 1)
+              if (probed.length > maxFilterAllowIds) None
+              else {
+                val allowIds = probed.map(_.getLong(0)).toSet
+                Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
+                  graft.operators.HnswIndex.searchFilteredIds(
+                    segments, q, kb, efOf(kb), metric, allowIds,
+                    deny = hnswDeny)))
+              }
             case None =>
               Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
                 graft.operators.HnswIndex.search(segments, q, kb, efOf(kb),
@@ -634,15 +639,12 @@ object SearchApi {
           }
           val allow: Option[Option[Set[Long]]] = pred match {
             case Some(p) =>
-              val allowed = live.filter(p).select(col(ridName))
-              if (allowed.limit(maxFilterAllowIds + 1).count() > maxFilterAllowIds)
+              // one take() = probe + collect (see the single-query arm)
+              val probed = live.filter(p).select(col(ridName).cast("long"))
+                .take(maxFilterAllowIds + 1)
+              if (probed.length > maxFilterAllowIds)
                 None // broad filter → brute fallback (planner switch)
-              else {
-                val spark = corpus.sparkSession
-                import spark.implicits._
-                Some(Some(allowed.select(col(ridName).cast("long")).as[Long]
-                  .collect().toSet))
-              }
+              else Some(Some(probed.map(_.getLong(0)).toSet))
             case None => Some(None)
           }
           allow.map { allowIds =>

@@ -621,8 +621,22 @@ object HnswIndex {
     val spark = segments.sparkSession
     import spark.implicits._
     val idCol = allowedIds.columns.head
-    val bc = spark.sparkContext.broadcast(
-      allowedIds.select(col(idCol).cast("long")).as[Long].collect().toSet -- deny)
+    searchFilteredIds(segments, q, k, ef, metric,
+      allowedIds.select(col(idCol).cast("long")).as[Long].collect().toSet,
+      roundTo, deny)
+  }
+
+  /** [[searchFiltered]] with an ALREADY-COLLECTED allow-set: callers
+    * that probe the filter's selectivity first (the planner switch,
+    * engine.cc:355-373) reuse that probe's rows here instead of paying
+    * a second driver action to re-collect the same ids.
+    */
+  def searchFilteredIds(segments: Dataset[Segment], q: Seq[Float], k: Int,
+      ef: Int, metric: String, allowIds: Set[Long],
+      roundTo: Option[Int] = None, deny: Set[Long] = Set.empty): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(allowIds -- deny)
     val qa = q.toArray
     val hits = segments
       .flatMap(seg => searchSegment(seg, qa, k, ef, metric, bc.value.contains _))

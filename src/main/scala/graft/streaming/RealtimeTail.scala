@@ -68,6 +68,70 @@ final class RealtimeTail(
     fs.exists(p)
   }
 
+  /** Cap above which the per-snapshot tail-id collect is skipped and the
+    * merge falls back to the distributed count + anti-join. One refresh
+    * interval of ingest stays far below this in any sane configuration;
+    * the cap only guards a misconfigured never-compacting tail.
+    * ~4M longs ≈ 32 MB driver-side.
+    */
+  @volatile var maxTailIdCollect: Int = 1 << 22
+
+  // (signature → distinct routing ids of the tail): the tail only
+  // changes at trigger boundaries, so every query between folds reuses
+  // one collect instead of running a count job + a distributed
+  // anti-join build per search (the fixed per-query latency tax on the
+  // realtime serving path). The signature is the tail directory's
+  // (name, length, mtime) listing — exactly what a new micro-batch or a
+  // compaction changes.
+  @volatile private var tailIdsCache: Option[(String, Array[Long])] = None
+
+  private def tailSignature(): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(tailPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(","))
+  }
+
+  /** The tail's distinct routing ids (PRE-deny — per-query deny sets
+    * subtract driver-side), collected once per tail snapshot. None when
+    * the tail exceeds [[maxTailIdCollect]] (caller falls back to the
+    * distributed path).
+    */
+  private def tailRidArray(tail: DataFrame): Option[Array[Long]] =
+    tailSignature() match {
+      case None => Some(Array.empty[Long])
+      case Some(sig) =>
+        tailIdsCache match {
+          case Some((s, ids)) if s == sig => Some(ids)
+          case _ =>
+            val rows = tail.select(col(rid).cast("long")).distinct()
+              .limit(maxTailIdCollect + 1).collect()
+            if (rows.length > maxTailIdCollect) None
+            else {
+              val ids = rows.map(_.getLong(0))
+              tailIdsCache = Some((sig, ids))
+              Some(ids)
+            }
+        }
+    }
+
+  /** Anti-join base hits against the (bounded) collected tail ids:
+    * literal NOT-IN for tiny tails, broadcast anti-join above the same
+    * size switch as the deny gates.
+    */
+  private def dropTailIds(baseHits: DataFrame, ids: Array[Long]): DataFrame =
+    if (ids.isEmpty) baseHits
+    else if (ids.length <= 1000)
+      baseHits.filter(!col("vec_id").isin(ids.toIndexedSeq: _*))
+    else {
+      val spark = baseHits.sparkSession
+      import spark.implicits._
+      baseHits.join(broadcast(ids.toIndexedSeq.toDF("vec_id")),
+        Seq("vec_id"), "left_anti")
+    }
+
   private def readOrEmpty(path: String, schema: StructType): DataFrame = {
     // only a MISSING path means "no data yet"; any other failure (corrupt
     // footer, permission, schema clash) must propagate — swallowing it
@@ -161,9 +225,19 @@ final class RealtimeTail(
     val dedupedTail = denyTail(dedupedTail0, deny)
     val tailHits = tailSearch(dedupedTail)
       .select(col("vec_id").cast("long").as("vec_id"), col("_score"))
-    val tailIds = dedupedTail.select(col(rid).cast("long").as("vec_id"))
-    val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
-    val baseHits = baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
+    val baseHits = tailRidArray(tail) match {
+      case Some(ids0) =>
+        // one cached collect serves kBase AND the anti-join — no count
+        // job, no distributed anti-join build, per query
+        val ids = if (deny.isEmpty) ids0 else ids0.filterNot(deny.contains)
+        val kBase = (k + math.min(ids.length.toLong, (Int.MaxValue - k).toLong)).toInt
+        dropTailIds(baseSearch(kBase), ids)
+      case None =>
+        // over-cap tail: the original distributed path
+        val tailIds = dedupedTail.select(col(rid).cast("long").as("vec_id"))
+        val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
+        baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
+    }
     val primary =
       if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
     baseHits.unionByName(tailHits).orderBy(primary, col("vec_id").asc).limit(k)
@@ -191,9 +265,16 @@ final class RealtimeTail(
     val dedupedTail = denyTail(dedupedTail0, deny)
     val tailHits = tailSearch(dedupedTail)
       .select(col("_qid"), col("vec_id").cast("long").as("vec_id"), col("_score"))
-    val tailIds = dedupedTail.select(col(rid).cast("long").as("vec_id"))
-    val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
-    val baseHits = baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
+    val baseHits = tailRidArray(tail) match {
+      case Some(ids0) =>
+        val ids = if (deny.isEmpty) ids0 else ids0.filterNot(deny.contains)
+        val kBase = (k + math.min(ids.length.toLong, (Int.MaxValue - k).toLong)).toInt
+        dropTailIds(baseSearch(kBase), ids)
+      case None =>
+        val tailIds = dedupedTail.select(col(rid).cast("long").as("vec_id"))
+        val kBase = (k + math.min(tailIds.count(), (Int.MaxValue - k).toLong)).toInt
+        baseSearch(kBase).join(tailIds, Seq("vec_id"), "left_anti")
+    }
     baseHits.unionByName(tailHits)
       .groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_score"), struct(col("vec_id")), k,
