@@ -53,6 +53,19 @@ object PqIndex {
     }
   }
 
+  /** Dim-aware effective training-sample cap: the driver-side sample is
+    * a MEMORY budget, not a row budget — `maxTrainRows` rows are ~50 MB
+    * at dim 64 but ~600 MB at dim 768. The row cap scales by 64/dim
+    * (constant BYTES at the documented default), floored so every
+    * sub-quantizer's Lloyd fit stays well-conditioned (≥ max(10k,
+    * 39·ksub) — faiss's min-points-per-centroid heuristic). Dims ≤ 64
+    * keep the full row cap.
+    */
+  private[graft] def dimAwareCap(maxTrainRows: Long, dim: Int, ksub: Int): Long = {
+    val floor = math.max(10000L, 39L * ksub)
+    math.max(floor, maxTrainRows * 64L / math.max(dim, 64))
+  }
+
   /** Train m sub-codebooks (ksub centroids each) on a bounded sample.
     *
     * PQ training is a small-sample computation by design (faiss trains on
@@ -77,8 +90,9 @@ object PqIndex {
     // null vectors pass ingest conformance; keep them out of the sample
     val clean = df.filter(col(vecCol).isNotNull)
     val total = clean.count()
+    val effMax = dimAwareCap(maxTrainRows, dim, ksub)
     val sampled =
-      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      if (total > effMax) clean.sample(withReplacement = false, effMax.toDouble / total, seed)
       else clean
     val rows: Array[Array[Float]] = sampled.select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
@@ -108,8 +122,9 @@ object PqIndex {
     val dsub = dim / m
     val clean = assigned.filter(col(vecCol).isNotNull && col("list_id").isNotNull)
     val total = clean.count()
+    val effMax = dimAwareCap(maxTrainRows, dim, ksub)
     val sampled =
-      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      if (total > effMax) clean.sample(withReplacement = false, effMax.toDouble / total, seed)
       else clean
     val rows: Array[Array[Float]] = sampled
       .select(col(vecCol), col("list_id").cast("int"))
@@ -157,8 +172,9 @@ object PqIndex {
     val effEta = if (eta > 0) eta else etaForThreshold(0.2, dim)
     val clean = assigned.filter(col(vecCol).isNotNull && col("list_id").isNotNull)
     val total = clean.count()
+    val effMax = dimAwareCap(maxTrainRows, dim, ksub)
     val sampled =
-      if (total > maxTrainRows) clean.sample(withReplacement = false, maxTrainRows.toDouble / total, seed)
+      if (total > effMax) clean.sample(withReplacement = false, effMax.toDouble / total, seed)
       else clean
     val pairs: Array[(Array[Float], Array[Float])] = sampled
       .select(col(vecCol), col("list_id").cast("int"))

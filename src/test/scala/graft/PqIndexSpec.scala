@@ -186,4 +186,41 @@ class PqIndexSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSeq
     assert(got == brute)
   }
+
+  test("dim-aware training cap: high-dim training stays inside the byte budget, serving still exact") {
+    // the cap is a BYTE budget: 200k rows at dim 64 keeps the full row
+    // cap; dim 768 scales it by 64/768; extreme dims hit the
+    // conditioning floor max(10k, 39·ksub)
+    assert(PqIndex.dimAwareCap(200000L, 64, 256) == 200000L)
+    assert(PqIndex.dimAwareCap(200000L, 32, 16) == 200000L)
+    assert(PqIndex.dimAwareCap(200000L, 768, 16) == 200000L * 64 / 768)
+    assert(PqIndex.dimAwareCap(200000L, 8192, 256) == 10000L)
+    assert(PqIndex.dimAwareCap(200000L, 8192, 1024) == 39L * 1024)
+
+    // end-to-end at dim 768: 30k deterministic vectors (≈92 MB as a
+    // table; the dim-aware SAMPLE is ~16.6k rows ≈ 51 MB driver-side —
+    // the same budget dim 64 pays), anisotropic training, then the
+    // exactness gate: full-depth rerank ≡ brute KNN
+    val dim = 768
+    val n = 30000L
+    val df = spark.range(n).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, $dim), i -> cast(pmod(id * 31 + i * 7, 997) / 997.0 as float))")
+        .as("embedding"))
+      .withColumn("list_id", lit(0))
+    val ivf1 = graft.operators.IvfIndex.Model(
+      Array(Array.fill(dim)(0f)), metric = "l2")
+    val m768 = PqIndex.trainResidualAnisotropic(df, "embedding", dim, m = 8,
+      ivf = ivf1, ksub = 16, metric = "l2", maxIter = 2)
+    assert(m768.m == 8 && m768.dsub == dim / 8)
+    assert(m768.codebooks.forall(_.forall(_.forall(v => !v.isNaN && !v.isInfinite))))
+    val coded = PqIndex.encodeResidual(df, "embedding", ivf1, m768)
+    val q = df.filter($"vec_id" === 7).select("embedding").head().getSeq[Float](0)
+    val got = PqIndex.searchIvfResidual(coded, col("embedding"), ivf1, m768,
+      q, k = 5, nprobe = 1, recallNum = 1 << 30, idCol = col("vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    val brute = Knn.search(df, col("embedding"), q, 5, "l2",
+      tieBreak = Some($"vec_id"))
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == brute)
+  }
 }
