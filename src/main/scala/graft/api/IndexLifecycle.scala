@@ -221,7 +221,31 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
     * READY/FAILED flip whose own prune call runs then, so deferral is
     * bounded by one build.
     */
+  /** BUILDING markers older than this age out as FAILED during
+    * [[pruneLedgers]]: a crashed build never flips its marker, and a
+    * forever-deferred prune lets both ledgers grow unbounded (re-read
+    * in full on every gate/staleness check). Margin: a LIVE build that
+    * genuinely outlasts the deadline gets its marker flipped underneath
+    * it — it still finishes and flips READY (overwriting FAILED), but
+    * ledger entries its append baseline needed may have been pruned in
+    * the window. Raise the deadline when builds can legitimately run
+    * longer than an hour.
+    */
+  @volatile var buildingStaleMs: Long = 3600000L
+
   private def pruneLedgers(): Unit = synchronized {
+    // age out stale BUILDING markers first (crash leftovers), so one
+    // dead build can't defer pruning forever
+    val now = System.currentTimeMillis()
+    Seq(statePath, vamanaStatePath, pqStatePath, rbStatePath,
+      bivfStatePath, scannStatePath, hnswStatePath).foreach { sp =>
+      readStateAt(sp) match {
+        case Building(g) if now - g >= buildingStaleMs =>
+          writeStateAt(sp, s"FAILED:$g:stale BUILDING marker aged out " +
+            s"after ${now - g} ms (crashed build?)")
+        case _ => ()
+      }
+    }
     val scanStates =
       Seq(state, vamanaState, pqState, rbState, bivfState, scannState)
     if ((scanStates :+ hnswState).exists(_.isInstanceOf[Building])) return

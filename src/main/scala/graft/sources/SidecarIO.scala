@@ -17,10 +17,9 @@ import org.apache.hadoop.fs.{FileContext, Options, Path}
   * Writes are tmp + rename-OVERWRITE (`FileContext.rename` — the atomic
   * replace; plain `FileSystem.rename` refuses existing destinations on
   * some FS), preserving the crash contract the `java.nio` ATOMIC_MOVE
-  * gave on local paths. Appends are read-concat-rewrite: ledgers are
-  * bounded by one rebuild interval (pruned at READY flips), and
-  * `FileSystem.append` is unsupported on several relevant FS
-  * implementations.
+  * gave on local paths. Appends use true `FileSystem.append` where the
+  * FS supports it and fall back to read-concat-rewrite otherwise — see
+  * [[appendString]] for the cross-JVM writer contract.
   */
 private[graft] object SidecarIO {
 
@@ -64,12 +63,39 @@ private[graft] object SidecarIO {
     ()
   }
 
-  /** Append by read-concat-rewrite (see class doc for why not
-    * `FileSystem.append`). Callers serialize (the lifecycle methods are
-    * `synchronized`); the final rename keeps readers crash-consistent.
+  /** Append — true `FileSystem.append` where the FS supports it (HDFS
+    * and friends: O_APPEND semantics close the cross-JVM lost-update
+    * window two read-concat-rewrite writers would have), falling back to
+    * read-concat-rewrite on FSes that refuse append (the local
+    * ChecksumFileSystem among them). ON THE FALLBACK PATH the
+    * single-writer-per-space requirement stands: within one JVM the
+    * lifecycle methods are `synchronized`, across JVMs a concurrent
+    * writer can drop lines — run compaction and mutation from the
+    * serving driver, not a side job. The final rename keeps readers
+    * crash-consistent either way.
     */
-  def appendString(path: String, s: String): Unit =
-    writeString(path, (if (exists(path)) readString(path) else "") + s)
+  def appendString(path: String, s: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!exists(path)) writeString(path, s)
+    else {
+      // probe append support at OPEN time only — a failure after bytes
+      // were written must propagate, not silently double-write via the
+      // fallback
+      val out = try Some(fs.append(p)) catch {
+        case _: UnsupportedOperationException => None
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("not supported") => None
+      }
+      out match {
+        case Some(o) =>
+          try o.write(s.getBytes(StandardCharsets.UTF_8)) finally o.close()
+        case None =>
+          writeString(path, readString(path) + s)
+      }
+    }
+  }
 
   def delete(path: String): Unit = {
     val p = new Path(path)

@@ -445,4 +445,37 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.hnswLedgerBase(g3) == g3)
     assert(lc.deletedSince(g3).isEmpty)
   }
+
+  test("stale BUILDING markers age out as FAILED and stop deferring ledger pruning") {
+    val spacePath = java.nio.file.Files
+      .createTempDirectory("lc_stale").toString + "/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .limit(200).write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.recordDeletes(Seq(1L, 2L))
+    // a crashed build's leftover: BUILDING stamped far past the deadline
+    graft.sources.SidecarIO.writeString(
+      s"$spacePath.hnsw_state.json", "BUILDING:1000:")
+    Thread.sleep(2)
+    // the READY flip's prune must age the marker out instead of
+    // deferring forever (both ledgers would otherwise grow unbounded)
+    lc.rebuild("embedding", 2)
+    lc.hnswState match {
+      case f: lc.Failed =>
+        assert(f.gen == 1000L && f.reason.contains("aged out"))
+      case other => fail(s"expected FAILED, got $other")
+    }
+    // and pruning actually ran: the pre-build entries are gone
+    assert(lc.deletedSince(0L).isEmpty)
+    // a FRESH build marker still defers (the normal in-flight contract)
+    lc.recordDeletes(Seq(3L))
+    graft.sources.SidecarIO.writeString(
+      s"$spacePath.hnsw_state.json",
+      s"BUILDING:${System.currentTimeMillis()}:")
+    Thread.sleep(2)
+    lc.rebuild("embedding", 2)
+    assert(lc.deletedSince(0L) == Set(3L))
+  }
 }
