@@ -1443,6 +1443,29 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.8 realtime with a STREAM-PRODUCED tail: the fixture's buffer
+    //    comes from an actual startIngest run (readStream → checkpointed
+    //    parquet sink → stop), so the oracle covers the streaming
+    //    plumbing end-to-end, not just a pre-split parquet pair ──
+    "q_ivf_realtime_stream" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) =
+        graft.sources.IndexStore.realtimeStreamSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_ivf_s","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     "q_ivfpq_realtime" -> ((s, dir) => {
       init(s)
       val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
@@ -3024,6 +3047,9 @@ object SparkEntry {
     // native SCANN route at full probe + full-depth rerank ⇒ exact
     "q_api_search_scann" -> apiExactTop10Sql,
     "q_ivf_realtime" -> apiExactTop10Sql,
+    // stream-produced tail (startIngest → checkpointed sink → stop):
+    // same live view ≡ full table, same exact oracle
+    "q_ivf_realtime_stream" -> apiExactTop10Sql,
     // batched realtime routes: per-qid exact blocks over the live view
     // (≡ the full table; every query vector is a TAIL doc)
     "q_ivf_batch_realtime" -> apiBatchExactSql,

@@ -757,6 +757,38 @@ object IndexStore {
     (spacePath, tailPath)
   }
 
+  /** Realtime fixture whose TAIL is produced by the ACTUAL streaming
+    * ingest path — `RealtimeTail.startIngest` (readStream → parquet sink
+    * with a checkpoint, one processed micro-batch, then stopped) — not a
+    * static parquet write: the checkpoint/trigger plumbing itself is
+    * under the oracle. Same base/tail split as [[realtimeSpace]]
+    * (tail = vec_id < 10, including the query vector), READY IVF
+    * generation over the base.
+    */
+  def realtimeStreamSpace(spark: SparkSession, sfDir: String): (String, String) = {
+    val dir = dirFor(sfDir, "apirtstream")
+    val spacePath = s"$dir/space"
+    val tailPath = s"$dir/tail"
+    buildOnce(dir) {
+      val all = emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      all.filter(col("_id") >= 10).write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuild("embedding", ncentroids = 16)
+      // the fresh writes arrive THROUGH the stream: staged as a file
+      // source, ingested by startIngest, drained, stopped
+      val staging = s"$dir/staging"
+      all.filter(col("_id") < 10).write.mode("overwrite").parquet(staging)
+      val rt = new graft.streaming.RealtimeTail(spark, spacePath, tailPath,
+        s"$dir/ckpt", "_id")
+      val src = spark.readStream.schema(all.schema).parquet(staging)
+      val q = rt.startIngest(src, intervalMs = 100L)
+      try q.processAllAvailable() finally q.stop()
+      markReady(dir)
+    }
+    (spacePath, tailPath)
+  }
+
   /** BINARYIVF realtime fixture: the same base/tail split with the
     * vector column holding PACKED SIGN CODES (value_type=binary) and a
     * READY Hamming-IVF generation over the base — the binary family's
@@ -942,6 +974,7 @@ object IndexStore {
     apiDeleteSpace(spark, sfDir)
     realtimeSpace(spark, sfDir)
     realtimeBinarySpace(spark, sfDir)
+    realtimeStreamSpace(spark, sfDir)
     stringIdSpace(spark, sfDir)
     stringIdRealtimeSpace(spark, sfDir)
     stringIdDeleteSpace(spark, sfDir)
