@@ -147,14 +147,17 @@ object Ingest {
     * partition-striped values avoid any global ordering shuffle.
     */
   def assignDocids(batch: DataFrame, base: Option[DataFrame] = None,
-      idCol: String = "_id", docidCol: String = "_docid"): DataFrame = {
+      idCol: String = "_id", docidCol: String = "_docid",
+      // explicit mint floor (e.g. a persisted high-water mark) — skips
+      // the base max() scan a 100 TB table should never pay per batch
+      nextDocid: Option[Long] = None): DataFrame = {
     val cleaned = batch.drop(docidCol)
-    val offset: Long = base match {
+    val offset: Long = nextDocid.getOrElse(base match {
       case Some(b) =>
         val r = b.agg(max(col(docidCol).cast("long"))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
       case None => 0L
-    }
+    })
     val withBase = base match {
       case Some(b) =>
         cleaned.join(

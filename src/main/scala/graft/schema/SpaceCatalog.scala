@@ -39,12 +39,66 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   def createSpace(db: String, space: Space): Unit = {
     val path = dir(db, space.name)
     require(!Files.exists(Paths.get(path)), s"space ${space.name} already exists")
+    // routed-index spaces get the `_docid` long sidecar in the PHYSICAL
+    // schema: the reference maps every string `_id` (its PK type) to an
+    // int docid at ingest so indexes never see strings
+    // (engine.cc:730-745) — with the column present, [[upsert]] mints
+    // docids on every batch and `SearchApi.searchAuto` routes the space
+    // through its index generations instead of brute FLAT. FLAT-only
+    // spaces skip the sidecar (nothing routes).
+    val wantsDocid =
+      space.vectorFields.exists(_.vector.exists(_.indexType != "FLAT"))
+    val schema =
+      if (wantsDocid)
+        org.apache.spark.sql.types.StructType(space.toStructType.fields :+
+          org.apache.spark.sql.types.StructField("_docid",
+            org.apache.spark.sql.types.LongType, nullable = true))
+      else space.toStructType
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], space.toStructType)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     empty.write.mode(SaveMode.ErrorIfExists).parquet(path)
     spaces((db, space.name)) = space
     refreshView(db, space.name)
   }
+
+  /** Mint `_docid`s for a batch entering a docid-carrying space: updated
+    * ids keep the base row's docid, fresh ids mint above the persisted
+    * high-water mark (`_graft_docid_hwm` — no per-batch max() scan of
+    * the table; a legacy docid table without the mark pays the scan once
+    * and gains the mark). The assigned batch is PINNED
+    * (localCheckpoint): `monotonically_increasing_id` is not stable
+    * across re-evaluation, and the merged write must see the same
+    * docids the mark was advanced by. Returns the batch unchanged for
+    * spaces without the sidecar. The new mark is written by the CALLER
+    * after the table swap succeeds (a crashed upsert must not advance
+    * it past data that never landed — re-minting the same range on
+    * retry is safe, skipping it would leak a gap AND, worse, a mark
+    * past a lost batch stays merely cosmetic: uniqueness only needs
+    * monotonicity).
+    */
+  private def assignDocidsFor(path: String, base: DataFrame,
+      batch: DataFrame): (DataFrame, Option[Long]) =
+    if (!base.columns.contains("_docid")) (batch, None)
+    else {
+      val hwmP = Paths.get(path, "_graft_docid_hwm")
+      val hwm =
+        if (Files.exists(hwmP))
+          new String(Files.readAllBytes(hwmP)).trim.toLong
+        else {
+          val r = base.agg(max(col("_docid"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+        }
+      val assigned = graft.api.Ingest.assignDocids(batch,
+        Some(base.select(col("_id"), col("_docid"))), nextDocid = Some(hwm))
+        .localCheckpoint(true)
+      val mx = assigned.agg(max(col("_docid"))).head()
+      val newHwm = if (mx.isNullAt(0)) hwm else math.max(hwm, mx.getLong(0) + 1L)
+      (assigned, Some(newHwm))
+    }
+
+  private def writeDocidHwm(path: String, hwm: Option[Long]): Unit =
+    hwm.foreach(h =>
+      Files.write(Paths.get(path, "_graft_docid_hwm"), h.toString.getBytes))
 
   /** Bucket count of a bucketed table (absent = legacy flat layout). */
   private def bucketsOf(path: String): Option[Int] = {
@@ -75,26 +129,33 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     recover(path)
     bucketsOf(path) match {
       case Some(nb) if nb == partitionNum =>
-        val touched = withBucket(batch, nb)
-          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
         val base = spark.read.parquet(path)
+        // docid lookup joins the FULL base by _id (an existing id's row
+        // may live in any bucket pre-dedup of `touched`; the join is
+        // two-column and broadcast-sized by the batch side)
+        val (batch2, newHwm) = assignDocidsFor(path, base, batch)
+        val touched = withBucket(batch2, nb)
+          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
         val baseTouched = base
           .filter(col("_bucket").isin(touched: _*)) // partition pruning: only touched dirs read
           .drop("_bucket")
         val merged = withBucket(
-          graft.operators.Documents.upsert(baseTouched, batch, "_id"), nb)
+          graft.operators.Documents.upsert(baseTouched, batch2, "_id"), nb)
         merged.repartition(math.max(touched.size, 1), col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         touched.foreach(b => replaceBucket(path, tmp, b))
         deleteRecursively(Paths.get(tmp))
+        writeDocidHwm(path, newHwm)
       case _ =>
         val base = readPath(path)
+        val (batch2, newHwm) = assignDocidsFor(path, base, batch)
         val merged = withBucket(
-          graft.operators.Documents.upsert(base, batch, "_id"), partitionNum)
+          graft.operators.Documents.upsert(base, batch2, "_id"), partitionNum)
         merged.repartition(partitionNum, col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         Files.write(Paths.get(tmp, "_graft_buckets"), partitionNum.toString.getBytes)
         replace(path, tmp)
+        writeDocidHwm(path, newHwm)
     }
     refreshView(db, spaceName)
   }

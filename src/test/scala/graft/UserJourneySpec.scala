@@ -234,4 +234,72 @@ class UserJourneySpec extends SparkSpec {
 
     cat.dropSpace("demo", "gdocs")
   }
+
+  test("string-PK journey: catalog space → docid-minting upsert → routed search → PK delete") {
+    val root = Files.createTempDirectory("journey_str").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("demo")
+    // the reference's id model: string PKs; the HNSW declaration makes
+    // createSpace add the engine-owned `_docid` sidecar to the physical
+    // schema, and every upsert mints it
+    val space = Space.fromJson(
+      """{"name":"sdocs","fields":[
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    cat.createSpace("demo", space)
+
+    def vf(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 37 + i * 3) % 11 - 5).toFloat)
+    val b1 = (0 until 40).map(i => (s"u-$i", i % 5, vf(i)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("demo", "sdocs", b1, partitionNum = 2)
+    val ids1 = cat.read("demo", "sdocs").select($"_id", $"_docid")
+      .as[(String, Long)].collect().toMap
+    assert(ids1.size == 40 && ids1.values.toSet.size == 40) // unique docids
+
+    // batch 2: an UPDATE keeps its docid; fresh PKs mint above the
+    // persisted high-water mark (no table scan — the hwm meta)
+    val qv = (0 until 8).map(i => i + 0.5f)
+    val b2 = Seq(("u-3", 9, vf(3)), ("u-100", 1, qv))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("demo", "sdocs", b2, partitionNum = 2)
+    val ids2 = cat.read("demo", "sdocs").select($"_id", $"_docid")
+      .as[(String, Long)].collect().toMap
+    assert(ids2("u-3") == ids1("u-3"))
+    assert(ids2("u-100") > ids1.values.max)
+    assert(cat.read("demo", "sdocs").filter($"_id" === "u-3")
+      .select($"stars").head().getInt(0) == 9)
+
+    // the graph builds over the sidecar; the routed search bridges hits
+    // back to the string PK and matches the brute FLAT path exactly
+    val lc = new IndexLifecycle(spark, s"$root/demo/sdocs")
+    lc.rebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2))
+    val corpus = cat.read("demo", "sdocs")
+    val req = s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],"limit":5}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = rows(SearchApi.searchAuto(corpus, space, req, lc))
+    assert(got == rows(SearchApi.search(corpus, space, req)))
+    assert(got.head == ("u-100", 0.0)) // fresh-minted doc serves at distance 0
+
+    // PK delete records the DOCID in the ledger; the routed walk gates
+    // it immediately (no rebuild) and still matches brute over the rest
+    lc.deleteByPk("_id", Seq("u-100"))
+    val corpus2 = cat.read("demo", "sdocs")
+    val after = rows(SearchApi.searchAuto(corpus2, space, req, lc))
+    assert(!after.exists(_._1 == "u-100"))
+    // score-for-score identical to brute over the remaining docs (ids at
+    // a TIED boundary score may differ: the walk tie-breaks on docid,
+    // the brute path on the string PK — both are exact top-5)
+    val afterBrute = rows(SearchApi.search(corpus2, space, req))
+    assert(after.map(_._2) == afterBrute.map(_._2))
+    val cut = afterBrute.map(_._2).max // L2 ascending: the boundary score
+    assert(after.filter(_._2 < cut).toSet == afterBrute.filter(_._2 < cut).toSet)
+    cat.dropSpace("demo", "sdocs")
+  }
 }
