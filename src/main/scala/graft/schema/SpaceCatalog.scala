@@ -211,8 +211,51 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   def realtimeTail(db: String, spaceName: String,
       orderCol: Option[String] = None): graft.streaming.RealtimeTail = {
     val path = dir(db, spaceName)
+    // docid-carrying spaces merge and delete-gate on the sidecar (the
+    // string `_id` can't ride the long index bridges)
+    val rid =
+      if (spark.read.parquet(path).columns.contains("_docid")) Some("_docid")
+      else None
     new graft.streaming.RealtimeTail(spark, path, s"$path.tail",
-      s"$path.ckpt", "_id", orderCol)
+      s"$path.ckpt", "_id", orderCol, ridCol = rid)
+  }
+
+  /** Streaming ingest into an `enable_realtime` space's tail at its
+    * conventional paths. For a docid-carrying space each micro-batch
+    * mints `_docid`s exactly like [[upsert]] — an updated id keeps its
+    * docid (looked up against base ∪ the already-buffered tail, so a
+    * doc inserted in one micro-batch and updated in the next keeps one
+    * docid), fresh ids mint above the persisted mark — via
+    * `foreachBatch`: the plain parquet sink cannot run the per-batch
+    * lookup join, and docids must exist BEFORE rows land or the tail
+    * merge would bridge nulls. Spaces without the sidecar take the
+    * plain [[graft.streaming.RealtimeTail.startIngest]] sink.
+    */
+  def startRealtimeIngest(db: String, spaceName: String, source: DataFrame,
+      intervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = dir(db, spaceName)
+    val tailPath = s"$path.tail"
+    if (!spark.read.parquet(path).columns.contains("_docid"))
+      realtimeTail(db, spaceName).startIngest(source, intervalMs)
+    else
+      source.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val base = spark.read.parquet(path)
+            .select(col("_id"), col("_docid"))
+          val lookup =
+            if (Files.exists(Paths.get(tailPath)))
+              base.unionByName(spark.read.parquet(tailPath)
+                  .select(col("_id"), col("_docid")))
+                .groupBy(col("_id")).agg(min(col("_docid")).as("_docid"))
+            else base
+          val (assigned, newHwm) = assignDocidsFor(path, lookup, batch)
+          assigned.write.mode(SaveMode.Append).parquet(tailPath)
+          writeDocidHwm(path, newHwm)
+          ()
+        }
+        .option("checkpointLocation", s"$path.ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+        .start()
   }
 
   /** Space-declaration-driven search — the router's `/document/search`

@@ -302,4 +302,65 @@ class UserJourneySpec extends SparkSpec {
     assert(after.filter(_._2 < cut).toSet == afterBrute.filter(_._2 < cut).toSet)
     cat.dropSpace("demo", "sdocs")
   }
+
+  test("string-PK realtime journey: enable_realtime space → stream-minted tail → routed buffer union") {
+    val root = Files.createTempDirectory("journey_strrt").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("demo")
+    val space = Space.fromJson(
+      """{"name":"rdocs","enable_realtime":true,"fields":[
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    cat.createSpace("demo", space)
+    def vf(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 37 + i * 3) % 11 - 5).toFloat)
+    val base = (0 until 40).map(i => (s"u-$i", i % 5, vf(i)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("demo", "rdocs", base, partitionNum = 2)
+    val lc = new IndexLifecycle(spark, s"$root/demo/rdocs")
+    lc.rebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2))
+
+    // fresh string-PK docs arrive THROUGH the stream: one brand-new doc
+    // holding the query vector + an UPDATE of u-3 — foreachBatch mints
+    // docids (fresh above the mark, the update keeps u-3's)
+    val qv = (0 until 8).map(i => i + 0.25f)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Int, Seq[Float])]
+    val ingest = cat.startRealtimeIngest("demo", "rdocs",
+      mem.toDF().toDF("_id", "stars", "vec")
+        .select($"_id", $"stars", $"vec".cast("array<float>").as("vec")),
+      intervalMs = 100L)
+    mem.addData(("u-new", 1, qv))
+    ingest.processAllAvailable()
+    mem.addData(("u-3", 9, vf(3))) // second micro-batch: the update
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    val baseIds = cat.read("demo", "rdocs").select($"_id", $"_docid")
+      .as[(String, Long)].collect().toMap
+    val tailRows = spark.read.parquet(s"$root/demo/rdocs.tail")
+      .select($"_id", $"_docid").as[(String, Long)].collect().toMap
+    assert(tailRows("u-3") == baseIds("u-3"))      // update kept its docid
+    assert(tailRows("u-new") > baseIds.values.max) // fresh minted above hwm
+
+    // the DECLARATION-driven search unions the buffer: catalog.search
+    // wires the tail (enable_realtime) with the docid routing column
+    val req = s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],"limit":5}"""
+    val got = cat.search("demo", "rdocs", space, req)
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.head == ("u-new", 0.0)) // the buffered doc is top-1
+    // and the routed union ≡ brute over the live view (base ∪ tail)
+    val live = cat.realtimeTail("demo", "rdocs")
+      .snapshot(cat.read("demo", "rdocs").schema)
+    val want = graft.api.SearchApi.search(live, space, req)
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    cat.dropSpace("demo", "rdocs")
+  }
 }
