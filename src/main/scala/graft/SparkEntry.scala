@@ -1258,6 +1258,29 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── string-PK BATCHED graph route: req_num=3 through the batched
+    //    HNSW arm over the docid sidecar, per-qid hits bridged back to
+    //    the string _id in one broadcast join; efSearch ≥ corpus ⇒ exact
+    //    per-qid blocks, oracled ──
+    "q_api_search_hnsw_string_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_hnsw_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── string-PK through the IVF scan route: the layout carries the
     //    string _id, the deny gate keys on _docid; full probe ⇒ exact ──
     "q_api_search_ivf_string" -> ((s, dir) => {
@@ -3039,6 +3062,17 @@ object SparkEntry {
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
          LIMIT 10""",
     "q_api_search_ivf_string" -> apiStrExactTop10Sql,
+    "q_api_search_hnsw_string_batch" ->
+      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 3),
+         r AS (SELECT qs._qid, 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
+                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
+                      row_number() OVER (PARTITION BY qs._qid
+                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
+                                 'doc-' || CAST(e.vec_id AS VARCHAR)) AS rn
+               FROM embeddings e, qs)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
     "q_api_search_diskann_string" -> apiStrExactTop10Sql,
     "q_hnsw_string_realtime" -> apiStrExactTop10Sql,
     "q_hnsw_string_after_delete" -> apiStrAfterDeleteSql,
