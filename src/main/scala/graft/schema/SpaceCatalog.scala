@@ -122,18 +122,31 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     */
   def upsert(db: String, spaceName: String, batch: DataFrame, partitionNum: Int = 1): Unit = {
     val path = dir(db, spaceName)
-    val tmp = s"$path.tmp"
     // recover BEFORE reading the base: merging against a table missing a
     // crashed-aside bucket and then rewriting that bucket would orphan the
     // aside (dst exists → recovery drops it) and lose its rows for good
     recover(path)
+    // docid lookup joins the FULL base by _id (an existing id's row may
+    // live in any bucket pre-dedup of `touched`; the join is two-column
+    // and broadcast-sized by the batch side)
+    val (batch2, newHwm) =
+      assignDocidsFor(path, spark.read.parquet(path), batch)
+    mergeBatch(path, batch2, partitionNum)
+    writeDocidHwm(path, newHwm)
+    refreshView(db, spaceName)
+  }
+
+  /** The id-keyed merge core shared by [[upsert]] and
+    * [[compactRealtime]]: bucket-pruned rewrite when the layout matches
+    * `partitionNum`, one-time migration rewrite otherwise. `batch2` must
+    * already carry every base column (docids included, when the space
+    * has the sidecar).
+    */
+  private def mergeBatch(path: String, batch2: DataFrame, partitionNum: Int): Unit = {
+    val tmp = s"$path.tmp"
     bucketsOf(path) match {
       case Some(nb) if nb == partitionNum =>
         val base = spark.read.parquet(path)
-        // docid lookup joins the FULL base by _id (an existing id's row
-        // may live in any bucket pre-dedup of `touched`; the join is
-        // two-column and broadcast-sized by the batch side)
-        val (batch2, newHwm) = assignDocidsFor(path, base, batch)
         val touched = withBucket(batch2, nb)
           .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
         val baseTouched = base
@@ -145,18 +158,44 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         touched.foreach(b => replaceBucket(path, tmp, b))
         deleteRecursively(Paths.get(tmp))
-        writeDocidHwm(path, newHwm)
       case _ =>
         val base = readPath(path)
-        val (batch2, newHwm) = assignDocidsFor(path, base, batch)
         val merged = withBucket(
           graft.operators.Documents.upsert(base, batch2, "_id"), partitionNum)
         merged.repartition(partitionNum, col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         Files.write(Paths.get(tmp, "_graft_buckets"), partitionNum.toString.getBytes)
         replace(path, tmp)
-        writeDocidHwm(path, newHwm)
     }
+  }
+
+  /** Fold an `enable_realtime` space's tail into the BUCKETED base — the
+    * catalog-aware compaction. `RealtimeTail.compact`'s whole-directory
+    * swap would flatten the id-hash bucket layout and drop the bucket
+    * meta; here the deduped, delete-gated tail rows merge through the
+    * same bucket-pruned path as [[upsert]], with their stream-minted
+    * docids PRESERVED (re-minting would orphan nothing — generations
+    * only ever reference base docids — but would burn mark range and
+    * churn the id space for no reason). Churn is recorded to the
+    * lifecycle's mutation ledger (drift-triggered rebuilds must see
+    * folded updates), the tail cleared only after the merge lands.
+    * Call between ingest runs, like the reference's Indexing loop.
+    */
+  def compactRealtime(db: String, spaceName: String,
+      lifecycle: Option[graft.api.IndexLifecycle] = None,
+      orderCol: Option[String] = None): Unit = {
+    val path = dir(db, spaceName)
+    val rt = realtimeTail(db, spaceName, orderCol)
+    if (!rt.hasTail) return
+    recover(path)
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(path).schema.filterNot(_.name == "_bucket"))
+    val deny = lifecycle.map(_.allDeletes()).getOrElse(Set.empty[Long])
+    val rows = rt.buffered(schema, deny).localCheckpoint(true)
+    lifecycle.foreach(_.recordMutations(
+      rows.select(col("_id")).distinct().count()))
+    mergeBatch(path, rows, bucketsOf(path).getOrElse(1))
+    rt.clearTail()
     refreshView(db, spaceName)
   }
 

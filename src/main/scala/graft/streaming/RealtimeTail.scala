@@ -165,14 +165,31 @@ final class RealtimeTail(
     * rewrote the base table. Mirrors the reference's deleted-bitmap
     * check, which covers the memory buffer too (engine.cc:869-899).
     */
-  def snapshot(schema: StructType, deny: Set[Long]): DataFrame = {
-    val base = readOrEmpty(basePath, schema)
+  def snapshot(schema: StructType, deny: Set[Long]): DataFrame =
+    graft.operators.Documents.upsert(
+      readOrEmpty(basePath, schema), buffered(schema, deny), idCol)
+
+  /** The buffered rows alone — deduped (id-level last write wins) and
+    * delete-gated: what a compaction folds into the base, and the tail
+    * leg every merge scores.
+    */
+  def buffered(schema: StructType, deny: Set[Long] = Set.empty): DataFrame = {
     val tail = readOrEmpty(tailPath, schema)
     val dedupedTail = orderCol match {
       case Some(oc) => graft.operators.Documents.lastWinsById(tail, idCol, oc)
       case None     => tail.dropDuplicates(idCol) // arbitrary winner — see ctor note
     }
-    graft.operators.Documents.upsert(base, denyTail(dedupedTail, deny), idCol)
+    denyTail(dedupedTail, deny)
+  }
+
+  /** Remove the tail table (call AFTER its rows are folded into the
+    * base — e.g. by a catalog-level bucketed merge). Idempotent.
+    */
+  def clearTail(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tailPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** Delete-gate the tail: denied ids never surface from a buffered

@@ -361,6 +361,28 @@ class UserJourneySpec extends SparkSpec {
       .select($"_id", $"_score").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(got == want)
+
+    // the background Indexing loop: fold the buffer into the BUCKETED
+    // base (catalog-aware — the layout and bucket meta survive), docids
+    // preserved, churn recorded
+    cat.compactRealtime("demo", "rdocs", Some(lc))
+    assert(!cat.realtimeTail("demo", "rdocs").hasTail)
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$root/demo/rdocs/_graft_buckets")))
+    val folded = cat.read("demo", "rdocs")
+      .select($"_id", $"_docid", $"stars")
+      .as[(String, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(folded("u-new")._1 == tailRows("u-new")) // stream-minted docid kept
+    assert(folded("u-3") == (baseIds("u-3"), 9))    // update folded in place
+    // the folded churn drives a drift rebuild; the routed (tail-less)
+    // search then serves the folded doc from the NEW generation
+    assert(lc.maybeRebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2),
+      driftThreshold = 0.01))
+    val afterCompact = cat.search("demo", "rdocs", space, req)
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(afterCompact.head == ("u-new", 0.0))
     cat.dropSpace("demo", "rdocs")
   }
 }
