@@ -199,10 +199,34 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     refreshView(db, spaceName)
   }
 
-  def deleteByQuery(db: String, spaceName: String, pred: org.apache.spark.sql.Column): Unit = {
+  def deleteByQuery(db: String, spaceName: String, pred: org.apache.spark.sql.Column,
+      lifecycle: Option[graft.api.IndexLifecycle] = None): Unit = {
     val path = dir(db, spaceName)
     val tmp = s"$path.tmp"
     recover(path) // same argument as in upsert
+    // ledger BEFORE the rewrite (the reference's bitmap-delete contract):
+    // READY index generations physically contain the matching docs and
+    // must stop serving them immediately — record their routing ids so
+    // every routed gate (walk allow-functor, scan anti-filter, tail
+    // deny) sees them. Ids are collected over the LIVE view when a
+    // realtime tail exists: a buffered row matching the predicate never
+    // reaches the base rewrite, only the ledger can keep it out of
+    // serving and out of the next compaction fold.
+    lifecycle.foreach { lc =>
+      val base = readPath(path)
+      val ridCol: Option[String] =
+        if (base.columns.contains("_docid")) Some("_docid")
+        else base.schema.fields.find(_.name == "_id")
+          .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType).map(_.name)
+      ridCol.foreach { rc =>
+        val rt = realtimeTail(db, spaceName)
+        val view = if (rt.hasTail) rt.snapshot(base.schema) else base
+        val ids = view.filter(pred).select(col(rc).cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        lc.recordDeletes(ids)
+      }
+    }
     bucketsOf(path) match {
       case Some(nb) =>
         // only buckets that contain matching rows are rewritten
@@ -314,6 +338,27 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
       else None
     graft.api.SearchApi.searchAuto(read(db, spaceName), space, requestJson,
       lc, tail)
+  }
+
+  /** Declaration-driven `/document/query` (point lookups / filtered
+    * scans): for `enable_realtime` spaces the request answers over the
+    * LIVE view — a freshly buffered doc is fetchable by id before the
+    * compaction folds it, and the delete ledger keeps a
+    * deleted-while-buffered id out, same visibility contract as
+    * [[search]].
+    */
+  def query(db: String, spaceName: String, space: Space,
+      requestJson: String): DataFrame = {
+    val corpus = read(db, spaceName)
+    val live =
+      if (space.config.enableRealtime) {
+        val rt = realtimeTail(db, spaceName)
+        if (rt.hasTail) {
+          val lc = new graft.api.IndexLifecycle(spark, dir(db, spaceName))
+          rt.snapshot(corpus.schema, lc.allDeletes())
+        } else corpus
+      } else corpus
+    graft.api.SearchApi.query(live, space, requestJson)
   }
 
   private def readPath(path: String): DataFrame = {

@@ -320,4 +320,54 @@ class SpaceSpec extends SparkSpec {
     val untouchedAfterDel = afterDel.filterNot(_._1.startsWith(s"_bucket=$touchedBucket/"))
     assert(untouchedAfterDel == untouchedBeforeDel)
   }
+
+  test("catalog deleteByQuery records routed deletes; query answers over the buffer") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("cat_dbq").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("d")
+    val space = Space.fromJson(
+      """{"name":"s","enable_realtime":true,"fields":[
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    cat.createSpace("d", space)
+    def vf(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 37 + i * 3) % 11 - 5).toFloat)
+    val docs = (0 until 30).map(i => (s"u-$i", i % 3, vf(i)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("d", "s", docs)
+    val lc = new graft.api.IndexLifecycle(spark, s"$root/d/s")
+    lc.rebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2))
+
+    // delete-by-query WITH the lifecycle: the ledger records the
+    // matching DOCIDs, so the routed walk gates them immediately —
+    // no rebuild, no ghosts
+    cat.deleteByQuery("d", "s", col("stars") === 0, Some(lc))
+    val qv = vf(0) // u-0 (stars=0, now deleted) holds this exact vector
+    val req = s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],"limit":5}"""
+    val got = cat.search("d", "s", space, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(got.nonEmpty && !got.exists(id => id.drop(2).toInt % 3 == 0))
+
+    // the buffer: a streamed doc is fetchable by id BEFORE compaction…
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Int, Seq[Float])]
+    val ing = cat.startRealtimeIngest("d", "s",
+      mem.toDF().toDF("_id", "stars", "vec")
+        .select($"_id", $"stars", $"vec".cast("array<float>").as("vec")),
+      intervalMs = 100L)
+    mem.addData(("u-buf", 1, vf(99)))
+    ing.processAllAvailable(); ing.stop()
+    val fetch = """{"document_ids":["u-buf"],"limit":10}"""
+    assert(cat.query("d", "s", space, fetch)
+      .select($"_id").collect().map(_.getString(0)).toSeq == Seq("u-buf"))
+    // …and a delete-by-query while it is STILL buffered keeps it out of
+    // the live view (ledger over the live view, not just the base)
+    cat.deleteByQuery("d", "s", col("_id") === "u-buf", Some(lc))
+    assert(cat.query("d", "s", space, fetch).isEmpty)
+  }
 }
