@@ -111,4 +111,35 @@ class IngestSpec extends SparkSpec {
       .select("_id", "_docid").as[(String, Long)].collect().toMap
     assert(first.values.toSet.size == 2)
   }
+
+  test("docid stability under repeated catalog upserts: unique always, stable for survivors") {
+    val root = java.nio.file.Files.createTempDirectory("docid_stress").toString
+    val cat = new graft.schema.SpaceCatalog(spark, root)
+    cat.createDb("d")
+    val space = graft.schema.Space.fromJson(
+      """{"name":"s","fields":[
+          {"name":"v","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":4,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":2,"nprobe":2}}}]}""")
+    cat.createSpace("d", space)
+    def vf(seed: Int): Seq[Float] = (0 until 4).map(i => (seed * 7 + i).toFloat)
+    var seen = Map.empty[String, Long]
+    // 5 rounds of overlapping batches: each updates half the previous
+    // round's ids and inserts fresh ones
+    (0 until 5).foreach { r =>
+      val batch = ((r * 10) until (r * 10 + 20)).map(i =>
+        (s"k-$i", r, vf(i)))
+        .toDF("_id", "v", "vec")
+        .select($"_id", $"v", $"vec".cast("array<float>").as("vec"))
+      cat.upsert("d", "s", batch, partitionNum = 2)
+      val now = cat.read("d", "s").select($"_id", $"_docid")
+        .as[(String, Long)].collect().toMap
+      assert(now.values.toSet.size == now.size, s"round $r: docids not unique")
+      val survivors = seen.keySet.intersect(now.keySet)
+      assert(survivors.forall(k => seen(k) == now(k)),
+        s"round $r: a surviving id changed docid")
+      seen = now
+    }
+    assert(seen.size == 60) // 5 rounds × 20, overlapping by 10
+  }
 }
