@@ -262,6 +262,17 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     refreshView(db, spaceName)
   }
 
+  /** Delete-by-PK for a catalog space — [[deleteByQuery]] over an id
+    * list: bucket-pruned rewrite (only the buckets the ids hash into are
+    * touched) + ledger recording via `lifecycle`, unlike the
+    * space-path-level `IndexLifecycle.deleteByPk` whose whole-directory
+    * swap would flatten a bucketed layout.
+    */
+  def deleteByIds(db: String, spaceName: String, ids: Seq[String],
+      lifecycle: Option[graft.api.IndexLifecycle] = None): Unit =
+    if (ids.nonEmpty)
+      deleteByQuery(db, spaceName, col("_id").isin(ids: _*), lifecycle)
+
   /** Read a space — the physical `_bucket` routing column stays internal. */
   def read(db: String, spaceName: String): DataFrame = readPath(dir(db, spaceName))
 

@@ -352,6 +352,12 @@ class SpaceSpec extends SparkSpec {
       .select($"_id").collect().map(_.getString(0)).toSeq
     assert(got.nonEmpty && !got.exists(id => id.drop(2).toInt % 3 == 0))
 
+    // the PK-list form takes the same bucket-pruned + ledgered path
+    cat.deleteByIds("d", "s", Seq(got.head), Some(lc))
+    val got2 = cat.search("d", "s", space, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(!got2.contains(got.head) && got2.nonEmpty)
+
     // the buffer: a streamed doc is fetchable by id BEFORE compaction…
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
