@@ -1377,6 +1377,72 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 MULTI-FIELD conjunctive ROUTING through the API (round-13:
+    //    previously every multi-vector request served exact FLAT even
+    //    with indexes declared): each field's HNSW generation lives
+    //    under the lifecycle's FIELD SCOPE, searchAuto walks both and
+    //    intersects docids with the WeightedRanker — the reference's
+    //    one-index-per-vector-field composition
+    //    (vector_manager.cc:1024-1087). efSearch ≥ corpus ⇒ each
+    //    per-field top-200 is exact ⇒ the whole composition oracles
+    //    against the brute weighted intersection ──
+    "q_api_search_multivec_routed" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4+§2.8 multi-field conjunctive with a LIVE TAIL through the
+    //    API: the buffer unions into EACH field's walk BEFORE the docid
+    //    intersection (vector_manager.cc:1096-1176); the tail holds the
+    //    query vector, so the intersection's top-1 is a buffered doc ──
+    "q_api_search_multivec_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) =
+        graft.sources.IndexStore.multiFieldRealtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_rt","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 SSG declarations serve from the Vamana generation (both
     //    flat-graph RNG-family indexes — the alias GPU_* classes get to
     //    the CPU layouts): a space JSON written for SSG keeps real
@@ -2547,6 +2613,23 @@ object SparkEntry {
        ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
        LIMIT 10"""
 
+  /** Weighted per-field top-200 intersection in the routed-API shape
+    * (_id, _score) — the oracle of the multi-field conjunctive routes at
+    * exact per-field walks (perFieldK = max(limit·10, 200) = 200).
+    */
+  private val apiMultivecExactSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+       b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                    (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+       f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+              FROM b ORDER BY s0 DESC LIMIT 200),
+       f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+              FROM b ORDER BY s1 DESC LIMIT 200),
+       j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+             FROM f0 JOIN f1 USING (vec_id))
+       SELECT vec_id AS _id, round(sc, 4) AS _score
+       FROM j ORDER BY sc DESC, vec_id LIMIT 10"""
+
   private val exactL2Top10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
@@ -3078,6 +3161,11 @@ object SparkEntry {
     "q_hnsw_string_after_delete" -> apiStrAfterDeleteSql,
     "q_ivf_string_after_delete" -> apiStrAfterDeleteSql,
     "q_api_search_ssg" -> apiExactTop10Sql,
+    // multi-field conjunctive routed through per-field generations at
+    // exact params ≡ the brute weighted per-field top-200 intersection;
+    // the realtime twin's live view ≡ the full table by construction
+    "q_api_search_multivec_routed" -> apiMultivecExactSql,
+    "q_api_search_multivec_realtime" -> apiMultivecExactSql,
     // native SCANN route at full probe + full-depth rerank ⇒ exact
     "q_api_search_scann" -> apiExactTop10Sql,
     "q_ivf_realtime" -> apiExactTop10Sql,

@@ -20,10 +20,25 @@ import graft.sources.SidecarIO
   * — so a space rooted on `hdfs://`/`s3a://` keeps the full lifecycle
   * contract, not just its parquet.
   */
-final class IndexLifecycle(spark: SparkSession, spacePath: String) {
+final class IndexLifecycle(spark: SparkSession, spacePath: String,
+    // per-FIELD generation namespace for multi-vector-field spaces (the
+    // reference keeps one index per vector field, vector_manager.cc):
+    // state files and layout dirs get a `.{field}` infix so each field's
+    // generations flip independently; the delete/mutation LEDGERS stay
+    // space-scoped — a document-level delete must gate EVERY field's
+    // serving, whichever lifecycle instance recorded it
+    fieldScope: Option[String] = None) {
 
-  private def statePath = s"$spacePath.index_state.json"
-  private def indexPath(gen: Long) = s"$spacePath.index.g$gen"
+  private def sfx = fieldScope.map("." + _).getOrElse("")
+
+  /** This space's lifecycle for one vector field's generations (shared
+    * ledgers, scoped states/layouts — see `fieldScope`).
+    */
+  def scoped(field: String): IndexLifecycle =
+    new IndexLifecycle(spark, spacePath, Some(field))
+
+  private def statePath = s"$spacePath$sfx.index_state.json"
+  private def indexPath(gen: Long) = s"$spacePath$sfx.index.g$gen"
 
   sealed trait State
   case object Missing extends State
@@ -406,8 +421,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   //    and a graph (HNSW) layout concurrently; generations are
   //    per-index-kind in the reference too (engine.cc:1013-1083).
 
-  private def hnswStatePath = s"$spacePath.hnsw_state.json"
-  private def hnswPath(gen: Long) = s"$spacePath.hnsw.g$gen"
+  private def hnswStatePath = s"$spacePath$sfx.hnsw_state.json"
+  private def hnswPath(gen: Long) = s"$spacePath$sfx.hnsw.g$gen"
 
   def hnswState: State = readStateAt(hnswStatePath)
 
@@ -611,8 +626,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   //    its own sidecar — a space declares ONE index type, but keeping
   //    each kind's generation separate lets tests/tools hold several.
 
-  private def pqStatePath = s"$spacePath.pq_state.json"
-  private def pqPath(gen: Long) = s"$spacePath.pq.g$gen"
+  private def pqStatePath = s"$spacePath$sfx.pq_state.json"
+  private def pqPath(gen: Long) = s"$spacePath$sfx.pq.g$gen"
 
   def pqState: State = readStateAt(pqStatePath)
 
@@ -697,8 +712,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   //    what differs is the TRAINING objective (parallel quantization
   //    error weighted η) and the encode-time assignment (same loss).
 
-  private def scannStatePath = s"$spacePath.scann_state.json"
-  private def scannPath(gen: Long) = s"$spacePath.scann.g$gen"
+  private def scannStatePath = s"$spacePath$sfx.scann_state.json"
+  private def scannPath(gen: Long) = s"$spacePath$sfx.scann.g$gen"
 
   def scannState: State = readStateAt(scannStatePath)
 
@@ -757,8 +772,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   //    over its own sidecar; search = coarse probe ∘ qb-estimator
   //    shortlist ∘ exact rerank (gamma_index_ivfrabitq.cc).
 
-  private def rbStatePath = s"$spacePath.rb_state.json"
-  private def rbPath(gen: Long) = s"$spacePath.rb.g$gen"
+  private def rbStatePath = s"$spacePath$sfx.rb_state.json"
+  private def rbPath(gen: Long) = s"$spacePath$sfx.rb.g$gen"
 
   def rbState: State = readStateAt(rbStatePath)
 
@@ -818,8 +833,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   //    codes (gamma_index_binary_ivf.cc / faiss IndexBinaryIVF) — for
   //    value_type=binary vector fields whose column IS the code.
 
-  private def bivfStatePath = s"$spacePath.bivf_state.json"
-  private def bivfPath(gen: Long) = s"$spacePath.bivf.g$gen"
+  private def bivfStatePath = s"$spacePath$sfx.bivf_state.json"
+  private def bivfPath(gen: Long) = s"$spacePath$sfx.bivf.g$gen"
 
   def bivfState: State = readStateAt(bivfStatePath)
 
@@ -880,8 +895,8 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String) {
   //    is no appendVamana and the ledger baseline is always the
   //    generation's own stamp.
 
-  private def vamanaStatePath = s"$spacePath.vamana_state.json"
-  private def vamanaPath(gen: Long) = s"$spacePath.vamana.g$gen"
+  private def vamanaStatePath = s"$spacePath$sfx.vamana_state.json"
+  private def vamanaPath(gen: Long) = s"$spacePath$sfx.vamana.g$gen"
 
   def vamanaState: State = readStateAt(vamanaStatePath)
 

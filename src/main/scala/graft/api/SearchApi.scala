@@ -560,6 +560,82 @@ object SearchApi {
         .getOrElse(80),
       model.ncentroids)
 
+    // ── multi-field conjunctive ROUTING (the reference searches each
+    // field's OWN index and intersects docids, vector_manager.cc:859,
+    // 1024-1087; with a live buffer it merges the buffer into the
+    // PER-FIELD searches before the intersection, :1096-1176): routable
+    // when every condition is a single-query, ungated float HNSW field
+    // and no scalar filter rides the request (filtered conjunctions keep
+    // the exact FLAT fallback — the reference's hybrid path). Per-field
+    // generations live under the lifecycle's field scope
+    // ([[IndexLifecycle.scoped]]); any field without a READY generation
+    // degrades the WHOLE request to FLAT (a partial intersection of one
+    // indexed and one brute leg would be no cheaper and harder to bound).
+    val multiRouted: Option[DataFrame] =
+      if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
+          req.vectors.forall(v => v.queries.size == 1 &&
+            v.minScore.isEmpty && v.maxScore.isEmpty) &&
+          pred.isEmpty && rid.isDefined &&
+          req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
+            .flatMap(_.vector)
+            .exists(v => v.indexType == "HNSW" && v.valueType == "float"))) {
+        val perFieldK = math.max(req.limit * 10, 200)
+        val legs: Seq[Option[DataFrame]] = req.vectors.map { vc =>
+          val lcF = lifecycle.scoped(vc.field)
+          lcF.readyHnswSegments().map { segs =>
+            val q = maybeNormalize(space, vc.field, vc.queries.head)
+            val metric = metricOf(space, vc.field)
+            val deny = lcF.hnswDeleteBaseline()
+              .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+            val fOpts = space.vectorFields.find(_.name == vc.field)
+              .flatMap(_.vector).get
+            val ef = math.max(
+              req.indexParams.get("efSearch").filter(_ > 0)
+                .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
+                .getOrElse(64), perFieldK)
+            if (!tailOn)
+              graft.operators.HnswIndex.search(segs, q, perFieldK, ef,
+                metric, deny = deny)
+            else
+              // this field's buffer-over-index union BEFORE the docid
+              // intersection — fresh writes compete in every leg
+              tail.get.mergeTail(corpus.schema, perFieldK, metric, deny) { td =>
+                Knn.search(td, col(vc.field), q, perFieldK, metric,
+                  tieBreak = Some(col("_id")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              } { kb =>
+                graft.operators.HnswIndex.search(segs, q, kb,
+                  math.max(ef, kb), metric, deny = deny)
+              }
+          }
+        }
+        if (legs.exists(_.isEmpty)) None
+        else {
+          val nf = legs.size
+          val w = req.weights.getOrElse(Seq.fill(nf)(1.0 / nf))
+          require(w.size == nf, "weights arity must match vector conditions")
+          val joined = legs.flatten.zipWithIndex
+            .map { case (df, i) =>
+              df.select(col("vec_id"), col("_score").as(s"_s$i")) }
+            .reduceLeft((a, b) => a.join(b, "vec_id"))
+          val headMetric = metricOf(space, req.vectors.head.field)
+          val combined = (0 until nf)
+            .map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
+          val primary = if (Knn.ascending(headMetric)) col("_score").asc
+            else col("_score").desc
+          val scored = joined.withColumn("_score", combined)
+            .orderBy(primary, col("vec_id").asc)
+            .limit(req.limit + req.offset)
+          val ordered = joinBack(scored).orderBy(primary, col("_id"))
+          val sliced = if (req.offset > 0) ordered.offset(req.offset) else ordered
+          // conjunctive results carry (_id, _score), like the FLAT path
+          val projected = sliced.select(col("_id"), col("_score"))
+          Some(if (req.sort.nonEmpty) applySort(projected, req.sort)
+            else projected)
+        }
+      } else None
+    if (multiRouted.isDefined) return multiRouted.get
+
     val routed: Option[DataFrame] = vopts.map(_.indexType) match {
       case Some("HNSW") if single && rid.isDefined =>
         lifecycle.readyHnswSegments().flatMap { segments0 =>

@@ -589,6 +589,57 @@ object IndexStore {
       readLayout(spark, s"$dir/v2").as[HnswIndex.Segment])
   }
 
+  /** Multi-vector-field SPACE fixture: the two 32-d halves of the
+    * embedding as separate declared vector fields (v1, v2), each with a
+    * READY HNSW generation under its FIELD SCOPE
+    * ([[graft.api.IndexLifecycle.scoped]]) — the layout the reference's
+    * per-field index intersection serves from (one index per vector
+    * field, vector_manager.cc:1024-1087), declaration-driven.
+    */
+  def multiFieldSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apimv")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          slice(col("embedding"), 1, 32).as("v1"),
+          slice(col("embedding"), 33, 32).as("v2"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      val p = HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+        numShards = 4)
+      lc.scoped("v1").rebuildHnsw("_id", "v1", p)
+      lc.scoped("v2").rebuildHnsw("_id", "v2", p)
+      markReady(dir)
+    }
+    spacePath
+  }
+
+  /** [[multiFieldSpace]] with a realtime TAIL (vec_id < 10, including
+    * the query vector): per-field READY generations over the BASE split
+    * — the shape the tail-aware conjunctive route serves.
+    */
+  def multiFieldRealtimeSpace(spark: SparkSession, sfDir: String): (String, String) = {
+    val dir = dirFor(sfDir, "apimvrt")
+    val spacePath = s"$dir/space"
+    val tailPath = s"$dir/tail"
+    buildOnce(dir) {
+      val two = emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          slice(col("embedding"), 1, 32).as("v1"),
+          slice(col("embedding"), 33, 32).as("v2"))
+      two.filter(col("_id") >= 10).write.mode("overwrite").parquet(spacePath)
+      two.filter(col("_id") < 10).write.mode("overwrite").parquet(tailPath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      val p = HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+        numShards = 4)
+      lc.scoped("v1").rebuildHnsw("_id", "v1", p)
+      lc.scoped("v2").rebuildHnsw("_id", "v2", p)
+      markReady(dir)
+    }
+    (spacePath, tailPath)
+  }
+
   /** Routed-API clustered-HNSW fixture: a SPACE with a READY
     * SPANN-clustered graph generation (shards = quantizer lists,
     * partitionBy(shard_id)) built through the lifecycle — what
@@ -980,6 +1031,8 @@ object IndexStore {
     stringIdDeleteSpace(spark, sfDir)
     locally { val (_, _, a, b) = realtimeMultiField(spark, sfDir)
       m(a.toDF()); m(b.toDF()) }
+    multiFieldSpace(spark, sfDir)
+    multiFieldRealtimeSpace(spark, sfDir)
     m(media(spark, sfDir))
     ()
   }
