@@ -1659,6 +1659,55 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.8 BATCHED realtime through the GRAPH families: req_num=3
+    //    with a live tail — the per-qid base ∪ tail merge
+    //    (mergeTailBatch) over one segment pass that walks every
+    //    query's beam; every query vector is a TAIL doc, so each qid's
+    //    top-1 is a buffered write; exact params ⇒ per-qid exact blocks
+    //    over the live view ≡ the full table, oracle-checked ──
+    "q_hnsw_batch_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_hnsw_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_diskann_batch_realtime" -> ((s, dir) => {
+      init(s)
+      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
+        s"$tailPath.ckpt", "_id")
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"rt_vam_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // binary family: the tail rows carry packed codes — the brute tail
     // leg ranks by code Hamming exactly like the probed base lists
     "q_binaryivf_realtime" -> ((s, dir) => {
@@ -3176,6 +3225,9 @@ object SparkEntry {
     // (≡ the full table; every query vector is a TAIL doc)
     "q_ivf_batch_realtime" -> apiBatchExactSql,
     "q_ivfpq_batch_realtime" -> apiBatchExactSql,
+    // batched GRAPH realtime (r13): per-qid exact blocks over base∪tail
+    "q_hnsw_batch_realtime" -> apiBatchExactSql,
+    "q_diskann_batch_realtime" -> apiBatchExactSql,
     "q_ivfpq_realtime" -> apiExactTop10Sql,
     "q_hnsw_realtime" -> apiExactTop10Sql,
     "q_rabitq_realtime" -> apiExactTop10Sql,
