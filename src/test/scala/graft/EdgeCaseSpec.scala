@@ -119,4 +119,121 @@ class EdgeCaseSpec extends SparkSpec {
     val base = Seq((1L, "a")).toDF("_id", "x")
     assert(Documents.getByIds(base, "_id", Seq(99L, 1L, 98L)).count() == 1)
   }
+
+  // ── round-13 routing degrades, pinned ─────────────────────────────
+
+  private def twoFieldCorpus(n: Int) = {
+    def vf(seed: Int, d: Int): Seq[Float] =
+      (0 until d).map(i => ((seed * 37 + i * 3) % 11 - 5).toFloat)
+    (0 until n).map(i => (i.toLong, vf(i, 8), vf(i + 3, 8)))
+      .toDF("_id", "v1", "v2")
+      .select($"_id", $"v1".cast("array<float>").as("v1"),
+        $"v2".cast("array<float>").as("v2"))
+  }
+
+  private val mvSpace = graft.schema.Space.fromJson(
+    """{"name":"mv","fields":[
+        {"name":"v1","type":"vector","dimension":8,
+         "index":{"type":"HNSW","params":{"nlinks":8,"efConstruction":32,
+           "efSearch":4096,"metric_type":"InnerProduct"}}},
+        {"name":"v2","type":"vector","dimension":8,
+         "index":{"type":"HNSW","params":{"nlinks":8,"efConstruction":32,
+           "efSearch":4096,"metric_type":"InnerProduct"}}}]}""")
+
+  private def mvReq(qa: Seq[Float], qb: Seq[Float], extra: String = "") =
+    s"""{"vectors":[{"field":"v1","feature":${qa.mkString("[", ",", "]")}},
+        {"field":"v2","feature":${qb.mkString("[", ",", "]")}}]$extra,"limit":5}"""
+
+  test("multi-field routing: a field without a READY generation degrades the whole request to FLAT") {
+    val tmp = java.nio.file.Files.createTempDirectory("mv_partial").toString
+    val spacePath = s"$tmp/space"
+    twoFieldCorpus(50).write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    // only v1 gets a generation — v2's leg cannot route
+    lc.scoped("v1").rebuildHnsw("_id", "v1",
+      graft.operators.HnswIndex.Params(8, 32, "ip", numShards = 2))
+    val corpus = spark.read.parquet(spacePath)
+    val qa = (0 until 8).map(_.toFloat); val qb = (0 until 8).map(i => 8f - i)
+    val got = graft.api.SearchApi.searchAuto(corpus, mvSpace, mvReq(qa, qb), lc)
+      .select($"_id", $"_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.api.SearchApi.search(corpus, mvSpace, mvReq(qa, qb))
+      .select($"_id", $"_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty) // silently exact, never an error
+  }
+
+  test("multi-field routing honors request weights; bad arity fails loud") {
+    val tmp = java.nio.file.Files.createTempDirectory("mv_w").toString
+    val spacePath = s"$tmp/space"
+    twoFieldCorpus(50).write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val p = graft.operators.HnswIndex.Params(8, 32, "ip", numShards = 2)
+    lc.scoped("v1").rebuildHnsw("_id", "v1", p)
+    lc.scoped("v2").rebuildHnsw("_id", "v2", p)
+    val corpus = spark.read.parquet(spacePath)
+    val qa = (0 until 8).map(_.toFloat); val qb = (0 until 8).map(i => 8f - i)
+    val w = ""","ranker":{"type":"WeightedRanker","params":{"weights":[0.9,0.1]}}"""
+    val got = graft.api.SearchApi.searchAuto(corpus, mvSpace, mvReq(qa, qb, w), lc)
+      .select($"_id", $"_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.api.SearchApi.search(corpus, mvSpace, mvReq(qa, qb, w))
+      .select($"_id", $"_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty) // routed ≡ FLAT under custom weights
+    val bad = ""","ranker":{"type":"WeightedRanker","params":{"weights":[1.0]}}"""
+    intercept[IllegalArgumentException] {
+      graft.api.SearchApi.searchAuto(corpus, mvSpace, mvReq(qa, qb, bad), lc).collect()
+    }
+  }
+
+  test("string-PK space WITHOUT a _docid sidecar keeps the exact FLAT fallback") {
+    val tmp = java.nio.file.Files.createTempDirectory("str_nodocid").toString
+    val spacePath = s"$tmp/space"
+    (0 until 40).map(i => (s"u-$i",
+        (0 until 8).map(j => ((i * 37 + j * 3) % 11 - 5).toFloat)))
+      .toDF("_id", "vec")
+      .select($"_id", $"vec".cast("array<float>").as("vec"))
+      .write.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"snd","fields":[
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    val corpus = spark.read.parquet(spacePath)
+    val q = (0 until 8).map(i => i + 0.5f)
+    val req = s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],"limit":5}"""
+    val got = graft.api.SearchApi.searchAuto(corpus, sp, req, lc)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    val want = graft.api.SearchApi.search(corpus, sp, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.size == 5) // exact, never a cast error
+  }
+
+  test("realtime tail with a mismatched routing column fails loud, not ghost-quietly") {
+    val tmp = java.nio.file.Files.createTempDirectory("rid_mismatch").toString
+    val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"
+    val rows = (0L until 20L).map(i => (i,
+        (0 until 8).map(j => ((i * 37 + j * 3) % 11 - 5).toFloat)))
+      .toDF("_id", "vec")
+      .select($"_id", $"vec".cast("array<float>").as("vec"))
+    rows.filter($"_id" >= 5).write.parquet(basePath)
+    rows.filter($"_id" < 5).write.parquet(tailPath)
+    val lc = new graft.api.IndexLifecycle(spark, basePath)
+    lc.rebuildHnsw("_id", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2))
+    // integral-_id corpus (routes on "_id") but the tail declares a
+    // different routing column
+    val rt = new graft.streaming.RealtimeTail(spark, basePath, tailPath,
+      s"$tmp/ckpt", "_id", ridCol = Some("_docid"))
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"mm","fields":[
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    val q = (0 until 8).map(i => i + 0.5f)
+    val req = s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],"limit":5}"""
+    val e = intercept[IllegalArgumentException] {
+      graft.api.SearchApi.searchAuto(spark.read.parquet(basePath), sp, req,
+        lc, tail = Some(rt))
+    }
+    assert(e.getMessage.contains("routes on"))
+  }
 }
