@@ -1,9 +1,9 @@
 package graft.schema
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.SidecarIO
 
 /** The master's admin surface (SURVEY §2.10: db/space/alias CRUD) mapped to
   * catalog operations: a database is a directory namespace, a space is a
@@ -25,20 +25,16 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   // honored when the view is (re)registered
   private val spaces = scala.collection.mutable.Map.empty[(String, String), Space]
 
-  def createDb(db: String): Unit = { Files.createDirectories(Paths.get(s"$root/$db")); () }
+  def createDb(db: String): Unit = SidecarIO.mkdirs(s"$root/$db")
 
-  def listDbs(): Seq[String] = {
-    val d = Paths.get(root).toFile
-    if (!d.exists()) Seq.empty
-    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
-  }
+  def listDbs(): Seq[String] = SidecarIO.listDirNames(root).sorted
 
   /** Create a space: persists an empty table with the declared schema and
     * registers the view. Fails if it exists (like the reference's 409).
     */
   def createSpace(db: String, space: Space): Unit = {
     val path = dir(db, space.name)
-    require(!Files.exists(Paths.get(path)), s"space ${space.name} already exists")
+    require(!SidecarIO.exists(path), s"space ${space.name} already exists")
     // routed-index spaces get the `_docid` long sidecar in the PHYSICAL
     // schema: the reference maps every string `_id` (its PK type) to an
     // int docid at ingest so indexes never see strings
@@ -80,10 +76,9 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
       batch: DataFrame): (DataFrame, Option[Long]) =
     if (!base.columns.contains("_docid")) (batch, None)
     else {
-      val hwmP = Paths.get(path, "_graft_docid_hwm")
+      val hwmP = s"$path/_graft_docid_hwm"
       val hwm =
-        if (Files.exists(hwmP))
-          new String(Files.readAllBytes(hwmP)).trim.toLong
+        if (SidecarIO.exists(hwmP)) SidecarIO.readString(hwmP).trim.toLong
         else {
           val r = base.agg(max(col("_docid"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
@@ -98,12 +93,12 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
 
   private def writeDocidHwm(path: String, hwm: Option[Long]): Unit =
     hwm.foreach(h =>
-      Files.write(Paths.get(path, "_graft_docid_hwm"), h.toString.getBytes))
+      SidecarIO.writeString(s"$path/_graft_docid_hwm", h.toString))
 
   /** Bucket count of a bucketed table (absent = legacy flat layout). */
   private def bucketsOf(path: String): Option[Int] = {
-    val p = Paths.get(path, "_graft_buckets")
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toInt) else None
+    val p = s"$path/_graft_buckets"
+    if (SidecarIO.exists(p)) Some(SidecarIO.readString(p).trim.toInt) else None
   }
 
   private def withBucket(df: DataFrame, nb: Int): DataFrame =
@@ -157,14 +152,14 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
         merged.repartition(math.max(touched.size, 1), col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         touched.foreach(b => replaceBucket(path, tmp, b))
-        deleteRecursively(Paths.get(tmp))
+        SidecarIO.delete(tmp)
       case _ =>
         val base = readPath(path)
         val merged = withBucket(
           graft.operators.Documents.upsert(base, batch2, "_id"), partitionNum)
         merged.repartition(partitionNum, col("_bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
-        Files.write(Paths.get(tmp, "_graft_buckets"), partitionNum.toString.getBytes)
+        SidecarIO.writeString(s"$tmp/_graft_buckets", partitionNum.toString)
         replace(path, tmp)
     }
   }
@@ -240,13 +235,11 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
             .repartition(math.max(touched.size, 1), col("_bucket"))
             .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
           touched.foreach(b => replaceBucket(path, tmp, b))
-          deleteRecursively(Paths.get(tmp))
+          SidecarIO.delete(tmp)
           // a delete that emptied every bucket must leave a readable
           // (schema-carrying) table behind, not a bare meta file
-          val listing = Files.list(Paths.get(path))
           val anyBucketLeft =
-            try listing.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
-            finally listing.close()
+            SidecarIO.listNames(path).exists(_.startsWith("_bucket="))
           if (!anyBucketLeft) {
             base.drop("_bucket").limit(0)
               .write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -317,7 +310,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
           val base = spark.read.parquet(path)
             .select(col("_id"), col("_docid"))
           val lookup =
-            if (Files.exists(Paths.get(tailPath)))
+            if (SidecarIO.exists(tailPath))
               base.unionByName(spark.read.parquet(tailPath)
                   .select(col("_id"), col("_docid")))
                 .groupBy(col("_id")).agg(min(col("_docid")).as("_docid"))
@@ -401,42 +394,35 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     */
   private def recover(path: String, minAgeMs: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
-    def oldEnough(f: java.nio.file.Path): Boolean =
-      try now - Files.getLastModifiedTime(f).toMillis >= minAgeMs
-      catch { case _: java.io.IOException => false }
-    val p = Paths.get(path)
-    val old = Paths.get(s"$path.old")
-    if (!Files.exists(p) && Files.exists(old) && oldEnough(old)) {
-      try Files.move(old, p)
+    def oldEnough(f: String): Boolean =
+      SidecarIO.modifiedAt(f).exists(t => now - t >= minAgeMs)
+    val old = s"$path.old"
+    if (!SidecarIO.exists(path) && SidecarIO.exists(old) && oldEnough(old)) {
+      try SidecarIO.rename(old, path)
       catch { case _: java.io.IOException => () } // another recoverer won
     }
-    val parent = p.toAbsolutePath.getParent
-    val base = p.getFileName.toString
-    if (parent != null && Files.exists(parent)) {
-      val listing = Files.list(parent)
-      val asides =
-        try {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-          listing.forEach { f =>
-            if (f.getFileName.toString.startsWith(s"$base.oldbucket.")) buf += f
-          }
-          buf.toList
-        } finally listing.close()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val parent = hp.getParent
+    val base = hp.getName
+    if (parent != null && SidecarIO.exists(parent.toString)) {
+      val asides = SidecarIO.listNames(parent.toString)
+        .filter(_.startsWith(s"$base.oldbucket."))
+        .map(n => s"$parent/$n")
       asides.filter(oldEnough).foreach { aside =>
-        val b = aside.getFileName.toString.stripPrefix(s"$base.oldbucket.")
-        val dst = p.resolve(s"_bucket=$b")
+        val b = aside.substring(aside.lastIndexOf(".oldbucket.") + ".oldbucket.".length)
+        val dst = s"$path/_bucket=$b"
         // concurrent readers may race the same aside: losing the move /
         // delete to another recoverer is success, not failure
         try {
-          if (Files.exists(dst)) deleteRecursively(aside) // swap completed; aside is leftover
-          else Files.move(aside, dst) // crash mid-swap: restore the bucket's rows
+          if (SidecarIO.exists(dst)) SidecarIO.delete(aside) // swap completed; aside is leftover
+          else SidecarIO.rename(aside, dst) // crash mid-swap: restore the bucket's rows
         } catch { case _: java.io.IOException => () }
       }
     }
   }
 
   def dropSpace(db: String, spaceName: String): Unit = {
-    deleteRecursively(Paths.get(dir(db, spaceName)))
+    SidecarIO.delete(dir(db, spaceName))
     cachedViews.remove((db, spaceName)).foreach(_.unpersist())
     spaces.remove((db, spaceName))
     // aliases die with the space — a stale entry would keep serving the
@@ -480,7 +466,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     val path = dir(db, spaceName)
     recover(path) // snapshot the healed table, never a mid-swap aside state
     val conf = spark.sessionState.newHadoopConf()
-    val src = new org.apache.hadoop.fs.Path(Paths.get(path).toUri)
+    val src = new org.apache.hadoop.fs.Path(path)
     val dst = new org.apache.hadoop.fs.Path(targetUri)
     val dstFs = dst.getFileSystem(conf)
     require(!dstFs.exists(dst), s"backup target $targetUri already exists")
@@ -496,13 +482,13 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     */
   def restore(db: String, spaceName: String, sourceUri: String): Unit = {
     val path = dir(db, spaceName)
-    require(!Files.exists(Paths.get(path)), s"space $spaceName already exists")
+    require(!SidecarIO.exists(path), s"space $spaceName already exists")
     val conf = spark.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(sourceUri)
     val srcFs = src.getFileSystem(conf)
     require(srcFs.exists(src), s"backup source $sourceUri does not exist")
-    val dst = new org.apache.hadoop.fs.Path(Paths.get(path).toUri)
-    Files.createDirectories(Paths.get(path).getParent)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    Option(dst.getParent).foreach(p => SidecarIO.mkdirs(p.toString))
     val ok = org.apache.hadoop.fs.FileUtil.copy(
       srcFs, src, dst.getFileSystem(conf), dst,
       /* deleteSource = */ false, /* overwrite = */ false, conf)
@@ -537,14 +523,13 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     * break parquet partition discovery).
     */
   private def replaceBucket(path: String, tmp: String, b: Int): Unit = {
-    val dst = Paths.get(path, s"_bucket=$b")
-    val src = Paths.get(tmp, s"_bucket=$b")
-    val old = Paths.get(s"$path.oldbucket.$b")
-    deleteRecursively(old)
-    if (Files.exists(dst)) Files.move(dst, old)
-    if (Files.exists(src)) Files.move(src, dst)
-    deleteRecursively(old)
-    ()
+    val dst = s"$path/_bucket=$b"
+    val src = s"$tmp/_bucket=$b"
+    val old = s"$path.oldbucket.$b"
+    SidecarIO.delete(old)
+    if (SidecarIO.exists(dst)) SidecarIO.rename(dst, old)
+    if (SidecarIO.exists(src)) SidecarIO.rename(src, dst)
+    SidecarIO.delete(old)
   }
 
   /** Swap with no lost-table crash window: the old table moves aside
@@ -553,18 +538,10 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     * gone (delete-then-rename would lose everything between the two).
     */
   private def replace(path: String, tmp: String): Unit = {
-    val old = Paths.get(s"$path.old")
-    deleteRecursively(old)
-    Files.move(Paths.get(path), old)
-    Files.move(Paths.get(tmp), Paths.get(path))
-    deleteRecursively(old)
-    ()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.delete(f); () })
-    }
+    val old = s"$path.old"
+    SidecarIO.delete(old)
+    SidecarIO.rename(path, old)
+    SidecarIO.rename(tmp, path)
+    SidecarIO.delete(old)
   }
 }

@@ -102,4 +102,48 @@ private[graft] object SidecarIO {
     p.getFileSystem(conf).delete(p, true)
     ()
   }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(conf).mkdirs(p)
+    ()
+  }
+
+  /** Child entry NAMES of a directory (not paths); empty if absent. */
+  def listNames(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  /** Child DIRECTORY names of a directory; empty if absent. */
+  def listDirNames(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  /** Modification time (epoch ms), None if absent/unreadable. */
+  def modifiedAt(path: String): Option[Long] = {
+    val p = new Path(path)
+    try Some(p.getFileSystem(conf).getFileStatus(p).getModificationTime)
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** Non-overwriting move via `FileContext.rename(…, Rename.NONE)`:
+    * throws if `dst` exists, with POSIX rename semantics — unlike
+    * `FileSystem.rename`, which silently moves `src` INSIDE an existing
+    * destination directory (the classic mv-into gotcha that would
+    * corrupt a table swap that raced a recoverer).
+    */
+  def rename(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val fc =
+      if (s.toUri.getScheme == null) FileContext.getFileContext(conf)
+      else FileContext.getFileContext(s.toUri, conf)
+    fc.rename(s, new Path(dst), Options.Rename.NONE)
+    ()
+  }
 }

@@ -321,6 +321,72 @@ class SpaceSpec extends SparkSpec {
     assert(untouchedAfterDel == untouchedBeforeDel)
   }
 
+  test("catalog is scheme-portable: full journey against an explicit file: URI root") {
+    // the catalog's path layer must resolve by SCHEME (Hadoop FS), not
+    // java.nio — on an hdfs:// or s3a:// root a java.nio `exists` would
+    // silently answer false (no recovery, no HWM mark, broken swaps).
+    // file: is the scheme-carrying stand-in the container can serve.
+    import org.apache.spark.sql.functions._
+    val root = "file:" + java.nio.file.Files.createTempDirectory("cat_uri").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("d")
+    assert(cat.listDbs() == Seq("d"))
+    val space = Space.fromJson(
+      """{"name":"s","enable_realtime":true,"fields":[
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    cat.createSpace("d", space)
+    def vf(seed: Int): Seq[Float] = (0 until 8).map(i => ((seed * 37 + i * 3) % 11 - 5).toFloat)
+    val docs = (0 until 30).map(i => (s"u-$i", i % 3, vf(i)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    cat.upsert("d", "s", docs, partitionNum = 4)
+    // the docid HWM mark landed through the scheme-aware writer
+    assert(graft.sources.SidecarIO.exists(s"$root/d/s/_graft_docid_hwm"))
+    assert(cat.docCount("d", "s") == 30)
+    val lc = new graft.api.IndexLifecycle(spark, s"$root/d/s")
+    lc.rebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2))
+
+    // streamed rows buffer into the URI-rooted tail and serve live
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Int, Seq[Float])]
+    val ing = cat.startRealtimeIngest("d", "s",
+      mem.toDF().toDF("_id", "stars", "vec")
+        .select($"_id", $"stars", $"vec".cast("array<float>").as("vec")),
+      intervalMs = 100L)
+    mem.addData(("u-buf", 1, vf(0)))
+    ing.processAllAvailable(); ing.stop()
+    val qv = vf(0)
+    // vf wraps mod 11: u-0/u-11/u-22/u-buf all hold this exact vector, so
+    // the limit must cover every distance-0 tie or the assertion races
+    // the tie-break
+    val req = s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],"limit":6}"""
+    val got = cat.search("d", "s", space, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(got.contains("u-buf") && got.contains("u-0")) // tail ∪ routed base
+
+    // delete against the live view, then fold the tail into the bucketed base
+    cat.deleteByQuery("d", "s", col("_id") === "u-0", Some(lc))
+    cat.compactRealtime("d", "s", Some(lc))
+    assert(cat.docCount("d", "s") == 30) // 30 - u-0 + u-buf
+    // the folded churn drives the drift rebuild (same contract as the
+    // UserJourney): the tail is cleared, so the NEW generation serves u-buf
+    assert(lc.maybeRebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2),
+      driftThreshold = 0.01))
+    val got2 = cat.search("d", "s", space, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(got2.contains("u-buf") && !got2.contains("u-0"))
+    // the fold kept the bucketed layout + meta under the URI root
+    assert(graft.sources.SidecarIO.exists(s"$root/d/s/_graft_buckets"))
+    cat.dropSpace("d", "s")
+    assert(!graft.sources.SidecarIO.exists(s"$root/d/s"))
+  }
+
   test("catalog deleteByQuery records routed deletes; query answers over the buffer") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("cat_dbq").toString
