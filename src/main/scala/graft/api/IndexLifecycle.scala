@@ -1003,6 +1003,26 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     ()
   }
 
+  /** Drop EVERY generation of EVERY layout kind and field scope of this
+    * space — the mass-delete fallback
+    * ([[graft.schema.SpaceCatalog.deleteByQuery]] above its ledger cap):
+    * a delete invalidating most of a layout is a rebuild in the
+    * reference too (engine.cc:1013-1083). With no READY state the
+    * router serves exact FLAT over the rewritten base — ghost-free by
+    * construction — until the next explicit/drift build.
+    */
+  def dropAllGenerations(): Unit = synchronized {
+    val hp = new org.apache.hadoop.fs.Path(spacePath)
+    val parent = hp.getParent
+    if (parent != null) {
+      val re = (java.util.regex.Pattern.quote(hp.getName) +
+        """(\.[^.]+)?\.(index|hnsw|pq|scann|rb|bivf|vamana)(_state\.json$|\.g\d+)""").r
+      SidecarIO.listNames(parent.toString)
+        .filter(n => re.findPrefixMatchOf(n).isDefined)
+        .foreach(n => SidecarIO.delete(s"$parent/$n"))
+    }
+  }
+
   /** Remove the index (state + generations). */
   def drop(): Unit = {
     val p = new org.apache.hadoop.fs.Path(spacePath)

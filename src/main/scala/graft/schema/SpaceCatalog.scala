@@ -12,6 +12,16 @@ import graft.sources.SidecarIO
   * via repartition on hash(_id) — the murmur3-slot layout of the reference
   * (internal/entity/space.go:210-236) expressed as Spark hash partitioning.
   */
+object SpaceCatalog {
+  /** Cap on the rids [[SpaceCatalog.deleteByQuery]] may collect to the
+    * driver for ledger recording. Above it the delete degrades to the
+    * reference's mass-delete semantics (rebuild): generations dropped,
+    * tail folded, base rewritten — no unbounded collect, no
+    * corpus-scale deny set on later searches. ~1M longs ≈ 8 MB.
+    */
+  @volatile var maxDeleteLedgerIds: Int = 1 << 20
+}
+
 final class SpaceCatalog(spark: SparkSession, root: String) {
 
   private def dir(db: String, space: String) = s"$root/$db/$space"
@@ -73,18 +83,21 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     * monotonicity).
     */
   private def assignDocidsFor(path: String, base: DataFrame,
-      batch: DataFrame): (DataFrame, Option[Long]) =
+      lookup: DataFrame, batch: DataFrame): (DataFrame, Option[Long]) =
     if (!base.columns.contains("_docid")) (batch, None)
     else {
       val hwmP = s"$path/_graft_docid_hwm"
       val hwm =
         if (SidecarIO.exists(hwmP)) SidecarIO.readString(hwmP).trim.toLong
         else {
+          // legacy table without the mark: pays the full max() scan ONCE
+          // (the mark is written right after), so the FULL base, not the
+          // pruned lookup, must answer it
           val r = base.agg(max(col("_docid"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
         }
       val assigned = graft.api.Ingest.assignDocids(batch,
-        Some(base.select(col("_id"), col("_docid"))), nextDocid = Some(hwm))
+        Some(lookup.select(col("_id"), col("_docid"))), nextDocid = Some(hwm))
         .localCheckpoint(true)
       val mx = assigned.agg(max(col("_docid"))).head()
       val newHwm = if (mx.isNullAt(0)) hwm else math.max(hwm, mx.getLong(0) + 1L)
@@ -121,12 +134,31 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     // crashed-aside bucket and then rewriting that bucket would orphan the
     // aside (dst exists → recovery drops it) and lose its rows for good
     recover(path)
-    // docid lookup joins the FULL base by _id (an existing id's row may
-    // live in any bucket pre-dedup of `touched`; the join is two-column
-    // and broadcast-sized by the batch side)
-    val (batch2, newHwm) =
-      assignDocidsFor(path, spark.read.parquet(path), batch)
-    mergeBatch(path, batch2, partitionNum)
+    val base = spark.read.parquet(path)
+    val bucketed = bucketsOf(path).filter(_ == partitionNum)
+    val hasDocid = base.columns.contains("_docid")
+    // pin the batch ONCE when both the bucket probe and the docid
+    // assignment will evaluate it (a re-evaluated user plan could be
+    // expensive AND, if nondeterministic, hash into different buckets)
+    val pinned =
+      if (hasDocid && bucketed.isDefined) batch.localCheckpoint(true) else batch
+    // the batch's touched buckets, computed once and shared by the docid
+    // lookup prune and the bucket-pruned merge
+    val touched = bucketed.map { nb =>
+      withBucket(pinned, nb).select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
+    // docid lookup: an existing id's row can only live in a bucket the
+    // batch hashes into (layout invariant `_bucket = pmod(hash(_id), nb)`)
+    // — prune the lookup side to those partition dirs instead of scanning
+    // the whole table's (_id, _docid) per ingest batch
+    val lookup = touched match {
+      case Some(t) if hasDocid && base.columns.contains("_bucket") =>
+        base.filter(col("_bucket").isin(t: _*))
+      case _ => base
+    }
+    val (batch2, newHwm) = assignDocidsFor(path, base, lookup, pinned)
+    mergeBatch(path, batch2, partitionNum, touched)
     writeDocidHwm(path, newHwm)
     refreshView(db, spaceName)
   }
@@ -137,13 +169,14 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     * already carry every base column (docids included, when the space
     * has the sidecar).
     */
-  private def mergeBatch(path: String, batch2: DataFrame, partitionNum: Int): Unit = {
+  private def mergeBatch(path: String, batch2: DataFrame, partitionNum: Int,
+      touchedPre: Option[Seq[Int]] = None): Unit = {
     val tmp = s"$path.tmp"
     bucketsOf(path) match {
       case Some(nb) if nb == partitionNum =>
         val base = spark.read.parquet(path)
-        val touched = withBucket(batch2, nb)
-          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+        val touched = touchedPre.getOrElse(withBucket(batch2, nb)
+          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq)
         val baseTouched = base
           .filter(col("_bucket").isin(touched: _*)) // partition pruning: only touched dirs read
           .drop("_bucket")
@@ -217,9 +250,22 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
       ridCol.foreach { rc =>
         val rt = realtimeTail(db, spaceName)
         val view = if (rt.hasTail) rt.snapshot(base.schema) else base
-        val ids = view.filter(pred).select(col(rc).cast("long"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        lc.recordDeletes(ids)
+        // ONE bounded action probes breadth AND collects the ids — the
+        // allow-set pattern (SearchApi.maxFilterAllowIds): a broad
+        // purge on a 100× corpus must never collect its rids driver-side
+        val probed = view.filter(pred).select(col(rc).cast("long"))
+          .distinct().take(SpaceCatalog.maxDeleteLedgerIds + 1)
+        if (probed.length > SpaceCatalog.maxDeleteLedgerIds) {
+          // mass delete: a ledger of that size would OOM the driver and
+          // tax every later search with a corpus-scale deny set. The
+          // reference's mass delete is a rebuild (engine.cc:1013-1083):
+          // fold the tail into the base FIRST (the rewrite below then
+          // covers buffered matches too), then drop every generation —
+          // serving falls back to exact FLAT over the rewritten base,
+          // ghost-free with an empty ledger delta, until the next build.
+          if (rt.hasTail) compactRealtime(db, spaceName, Some(lc))
+          lc.dropAllGenerations()
+        } else lc.recordDeletes(probed.map(_.getLong(0)).toSeq)
       }
     }
     bucketsOf(path) match {
@@ -307,15 +353,26 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     else
       source.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val base = spark.read.parquet(path)
-            .select(col("_id"), col("_docid"))
+          val base0 = spark.read.parquet(path)
+          // same bucket-prune as [[upsert]]'s lookup: a micro-batch's
+          // existing ids can only live in the buckets it hashes into —
+          // without it every micro-batch scans the whole table's two
+          // columns
+          val basePruned = bucketsOf(path) match {
+            case Some(nb) if base0.columns.contains("_bucket") =>
+              val t = withBucket(batch, nb).select("_bucket").distinct()
+                .collect().map(_.getInt(0)).toSeq
+              base0.filter(col("_bucket").isin(t: _*))
+            case _ => base0
+          }
+          val base = basePruned.select(col("_id"), col("_docid"))
           val lookup =
             if (SidecarIO.exists(tailPath))
               base.unionByName(spark.read.parquet(tailPath)
                   .select(col("_id"), col("_docid")))
                 .groupBy(col("_id")).agg(min(col("_docid")).as("_docid"))
             else base
-          val (assigned, newHwm) = assignDocidsFor(path, lookup, batch)
+          val (assigned, newHwm) = assignDocidsFor(path, base0, lookup, batch)
           assigned.write.mode(SaveMode.Append).parquet(tailPath)
           writeDocidHwm(path, newHwm)
           ()

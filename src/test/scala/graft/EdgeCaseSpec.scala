@@ -236,4 +236,59 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("routes on"))
   }
+
+  test("mass deleteByQuery above the ledger cap degrades to rebuild semantics, ghost-free") {
+    import graft.schema.{Space, SpaceCatalog}
+    val root = java.nio.file.Files.createTempDirectory("mass_del").toString
+    val cat = new SpaceCatalog(spark, root)
+    cat.createDb("d")
+    val space = Space.fromJson(
+      """{"name":"m","enable_realtime":true,"fields":[
+          {"name":"stars","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    cat.createSpace("d", space)
+    def vf(seed: Int): Seq[Float] =
+      (0 until 8).map(i => ((seed * 41 + i * 7) % 23 - 11).toFloat)
+    val docs = (0 until 60).map(i => (s"u-$i", i % 3, vf(i)))
+      .toDF("_id", "stars", "vec")
+      .select($"_id", $"stars", $"vec".cast("array<float>").as("vec"))
+    val path = s"$root/d/m"
+    cat.upsert("d", "m", docs)
+    val lc = new graft.api.IndexLifecycle(spark, path)
+    lc.rebuildHnsw("_docid", "vec",
+      graft.operators.HnswIndex.Params(8, 32, "l2", numShards = 2))
+    assert(lc.readyHnswGen().isDefined)
+    // a buffered tail row matching the predicate — the mass path must
+    // fold it before the rewrite or it survives as a ghost
+    val rt = cat.realtimeTail("d", "m")
+    cat.read("d", "m").filter($"_id" === "u-1")
+      .withColumn("stars", lit(0)).withColumn("_id", lit("u-tail"))
+      .withColumn("_docid", lit(999L))
+      .write.parquet(rt.tailPath)
+    val prevLedger = lc.allDeletes().size
+    val prevCap = SpaceCatalog.maxDeleteLedgerIds
+    SpaceCatalog.maxDeleteLedgerIds = 5
+    try {
+      // stars=0 matches 20 base rows + the buffered row: > cap
+      cat.deleteByQuery("d", "m", col("stars") === 0, Some(lc))
+    } finally SpaceCatalog.maxDeleteLedgerIds = prevCap
+    // bounded ledger: the mass path recorded NOTHING new
+    assert(lc.allDeletes().size == prevLedger)
+    // generations dropped: serving falls back to FLAT over the rewritten base
+    assert(lc.readyHnswGen().isEmpty)
+    assert(cat.docCount("d", "m") == 40)
+    val qv = vf(0) // u-0 (stars=0) held this vector and is gone
+    val req = s"""{"vectors":[{"field":"vec","feature":${qv.mkString("[", ",", "]")}}],"limit":10}"""
+    val got = cat.search("d", "m", space, req)
+      .select($"_id").collect().map(_.getString(0)).toSeq
+    assert(got.size == 10)
+    assert(!got.contains("u-tail")) // folded, then removed by the rewrite
+    assert(!got.exists(id => id.startsWith("u-") && id != "u-tail" &&
+      id.drop(2).toInt % 3 == 0)) // no stars=0 ghost from any leg
+    // a later small delete takes the ledger path again
+    cat.deleteByQuery("d", "m", col("_id") === "u-1", Some(lc))
+    assert(cat.docCount("d", "m") == 39)
+  }
 }
