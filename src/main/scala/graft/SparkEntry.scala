@@ -1207,6 +1207,59 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.3+§2.4 FILTERED Vamana route (round-15 gap closed: any
+    //    scalar filter on a DISKANN_STATIC/SSG space used to full-scan
+    //    brute FLAT): the filter's allow-set rides the beam walk's
+    //    functor exactly like the HNSW arm — the reference gates EVERY
+    //    index family through one filter bitmap
+    //    (gamma_common_data.h:94-105, engine.cc:355-373). Disallowed
+    //    nodes traversed, never admitted ⇒ l_search ≥ corpus stays
+    //    provably exact under the filter, oracle ≡ filtered exact KNN ──
+    "q_diskann_filtered" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vam_space_f","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.3+§2.4 FILTERED batched Vamana route: the batch's shared
+    //    allow-set is collected once and broadcast into every query's
+    //    walk (amortized like the segment read); per-qid exact blocks at
+    //    full depth, oracled ──
+    "q_diskann_filtered_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vam_space_fb","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 BATCHED requests over the SPANN-CLUSTERED HNSW layout:
     //    same union-of-routes partition pruning, one segment pass per
     //    batch (HnswIndex.searchBatch); efSearch ≥ corpus ⇒ exact
@@ -3178,6 +3231,27 @@ object SparkEntry {
     // clustered-Vamana route + SSG alias: exact at full probe/depth —
     // same oracle as the other routed-API exact queries
     "q_api_search_diskann_routed" -> apiExactTop10Sql,
+    // filtered Vamana route (r15 gap closed): the allow-set functor on
+    // the beam walk at full depth ≡ the filtered exact top-10
+    "q_diskann_filtered" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_diskann_filtered_batch" ->
+      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 3),
+         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
+                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
+                      row_number() OVER (PARTITION BY qs._qid
+                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
+                                 e.vec_id) AS rn
+               FROM embeddings e, qs WHERE e.label IN (1,3,5))
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
     // batched graph routes (r12 gap closed): per-qid exact blocks at
     // full walk depth — plain, clustered-Vamana, clustered-HNSW
     "q_api_search_diskann_batch" -> apiBatchExactSql,

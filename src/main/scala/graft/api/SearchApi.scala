@@ -731,19 +731,24 @@ object SearchApi {
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
         }
-      case Some("DISKANN_STATIC" | "SSG") if single && rid.isDefined && pred.isEmpty =>
+      case Some("DISKANN_STATIC" | "SSG") if single && rid.isDefined =>
         // Vamana route (the reference's DiskANN-static class,
         // gamma_index_diskann_static.cc): search params resolve request
         // `l_search`/`beam_width` over the space's `L`/`beam_width`
         // (diskann_static_params.h:27-38); the delete ledger rides the
-        // walk's allow-functor. Filtered shapes fall back to FLAT (the
-        // reference's DiskANN path has no filter functor either).
+        // walk's allow-functor. A scalar filter rides the SAME functor —
+        // the reference gates every index family through one
+        // filter-bitmap (gamma_common_data.h:94-105, wired
+        // engine.cc:355-373), the DiskANN class included: the one-take
+        // selectivity probe collects the allow-set, and a broad filter
+        // (> maxFilterAllowIds survivors) falls back to filter-first
+        // brute FLAT, the same planner switch as the HNSW arm.
         // SSG — the reference's other flat-graph RNG-family index
         // (wrapped third-party, impl/ssg/) — aliases to the Vamana
         // generation the way GPU_* alias to the CPU layouts: same
         // capability class, served from a real graph rather than the
         // FLAT fallback.
-        lifecycle.readyVamanaSegments().map { segments0 =>
+        lifecycle.readyVamanaSegments().flatMap { segments0 =>
           val vc = req.vectors.head
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val metric = metricOf(space, vc.field)
@@ -773,12 +778,29 @@ object SearchApi {
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
-            graft.operators.VamanaIndex.search(segments, q, kb,
-              math.max(l, kb), bw, metric, deny = deny))
-          finish(joinBack(hits), metric)
+          val hits: Option[DataFrame] = pred match {
+            case Some(p) =>
+              // one bounded take() = selectivity probe + allow-set
+              // collect (the planner switch, engine.cc:355-373) — same
+              // contract as the HNSW arm; the probe runs over the LIVE
+              // view so filter-matching tail rows are admitted too
+              val probed = live.filter(p).select(col(ridName).cast("long"))
+                .take(maxFilterAllowIds + 1)
+              if (probed.length > maxFilterAllowIds) None
+              else {
+                val allowIds = probed.map(_.getLong(0)).toSet
+                Some(tailMerge(k, metric, vc.field, q, deny)(kb =>
+                  graft.operators.VamanaIndex.searchFilteredIds(segments, q,
+                    kb, math.max(l, kb), bw, metric, allowIds, deny = deny)))
+              }
+            case None =>
+              Some(tailMerge(k, metric, vc.field, q, deny)(kb =>
+                graft.operators.VamanaIndex.search(segments, q, kb,
+                  math.max(l, kb), bw, metric, deny = deny)))
+          }
+          hits.map(h => finish(joinBack(h), metric))
         }
-      case Some("DISKANN_STATIC" | "SSG") if batched && rid.isDefined && pred.isEmpty =>
+      case Some("DISKANN_STATIC" | "SSG") if batched && rid.isDefined =>
         // batched graph route (the reference flattens req_num into ONE
         // index request for every type, doc_query.go:296-318): every
         // query walks each Vamana segment in the same task pass — one
@@ -786,8 +808,10 @@ object SearchApi {
         // of degrading to per-query brute FLAT. A clustered generation
         // prunes to the UNION of every query's nprobe route (still
         // partition pruning; extra shards only add candidates to the
-        // per-qid merge — correctness unchanged).
-        lifecycle.readyVamanaSegments().map { segments0 =>
+        // per-qid merge — correctness unchanged). A scalar filter's
+        // allow-set is collected ONCE and broadcast into every query's
+        // walk, like the batched HNSW arm.
+        lifecycle.readyVamanaSegments().flatMap { segments0 =>
           val vc = req.vectors.head
           val metric = metricOf(space, vc.field)
           val k = req.limit + req.offset
@@ -814,10 +838,21 @@ object SearchApi {
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(kb =>
-            graft.operators.VamanaIndex.searchBatch(segments, queries, kb,
-              math.max(l, kb), bw, metric, deny = deny))
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          val allow: Option[Option[Set[Long]]] = pred match {
+            case Some(p) =>
+              val probed = live.filter(p).select(col(ridName).cast("long"))
+                .take(maxFilterAllowIds + 1)
+              if (probed.length > maxFilterAllowIds)
+                None // broad filter → brute fallback (planner switch)
+              else Some(Some(probed.map(_.getLong(0)).toSet))
+            case None => Some(None)
+          }
+          allow.map { allowIds =>
+            val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(kb =>
+              graft.operators.VamanaIndex.searchBatch(segments, queries, kb,
+                math.max(l, kb), bw, metric, deny = deny, allowIds = allowIds))
+            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          }
         }
       // GPU_* spaces execute on CUDA in the reference; here they serve
       // from the equivalent CPU layout — same semantics, a space JSON

@@ -368,21 +368,56 @@ object VamanaIndex {
     roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
   }
 
+  /** Filtered search (the reference's hybrid scalar + graph path): the
+    * scalar predicate's surviving ids ride a broadcast into the beam
+    * walk, exactly the [[HnswIndex.searchFilteredIds]] contract — the
+    * reference gates EVERY index family through the same filter-bitmap
+    * functor (gamma_common_data.h:94-105, wired engine.cc:355-373), the
+    * DiskANN class included. Disallowed nodes are traversed (they still
+    * carry connectivity) but never admitted, so `l ≥ |shard|` stays
+    * provably exact under ANY filter. Callers probe selectivity first
+    * (the planner switch) and reuse that probe's ids here — no second
+    * driver action.
+    */
+  def searchFilteredIds(segments: Dataset[Segment], q: Seq[Float], k: Int,
+      l: Int, beamWidth: Int, metric: String, allowIds: Set[Long],
+      roundTo: Option[Int] = None, deny: Set[Long] = Set.empty): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(allowIds -- deny)
+    val qa = q.toArray
+    val hits = segments
+      .flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric,
+        bc.value.contains _))
+      .toDF("vec_id", "_score")
+    val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
+    val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
+    roundTo.map(d => top.withColumn("_score", round(col("_score"), d))).getOrElse(top)
+  }
+
   /** Batched search (vearch `req_num`): every query walks each segment in
     * the SAME task pass — one deserialization amortized across the batch —
     * then the bounded top-k aggregate merges per-shard lists
     * ([[HnswIndex.searchBatch]]'s shape). Output: (_qid, vec_id, _score).
+    * `allowIds` = the batch's shared scalar-filter allow-set (collected
+    * once, broadcast into every query's walk — amortized like the
+    * segment read).
     */
   def searchBatch(segments: Dataset[Segment], queries: Seq[(Long, Seq[Float])],
       k: Int, l: Int, beamWidth: Int = 4, metric: String = "l2",
-      deny: Set[Long] = Set.empty): DataFrame = {
+      deny: Set[Long] = Set.empty,
+      allowIds: Option[Set[Long]] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
+    val effBc = spark.sparkContext.broadcast(allowIds.map(_ -- deny))
     val denyBc = spark.sparkContext.broadcast(deny)
     val hits = segments.flatMap { seg =>
-      val allow: Long => Boolean =
-        if (denyBc.value.isEmpty) _ => true else id => !denyBc.value.contains(id)
+      val allow: Long => Boolean = effBc.value match {
+        case Some(ok) => ok.contains _
+        case None if denyBc.value.isEmpty => _ => true
+        case None => id => !denyBc.value.contains(id)
+      }
       qs.iterator.flatMap { case (qid, qa) =>
         searchSegment(seg, qa, k, l, beamWidth, metric, allow).iterator
           .map { case (id, s) => (qid, id, s) }

@@ -129,6 +129,48 @@ class VamanaIndexSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("filtered walk: allow-set functor ≡ brute force over the allowed subset") {
+    // the filter functor contract (traverse-but-never-admit): with
+    // l ≥ |shard| the walk is exhaustive, so any allow-set yields the
+    // exact filtered top-k — including one that excludes the medoid's
+    // neighborhood entirely
+    val allow = emb.filter($"label".isin(1, 3, 5) && $"vec_id" =!= 0)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val got = VamanaIndex.searchFilteredIds(segs, qv, k = 10, l = 1 << 30,
+      beamWidth = 4, metric = "l2", allowIds = allow)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Knn.search(emb.filter($"label".isin(1, 3, 5) && $"vec_id" =!= 0),
+      col("embedding"), qv, 10, "l2", tieBreak = Some(col("vec_id")))
+      .select($"vec_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == brute)
+    assert(got.forall(h => allow.contains(h._1)))
+    // deny composes: allow ∖ deny
+    val denied = got.head._1
+    val got2 = VamanaIndex.searchFilteredIds(segs, qv, k = 10, l = 1 << 30,
+      beamWidth = 4, metric = "l2", allowIds = allow, deny = Set(denied))
+      .collect().map(_.getLong(0)).toSeq
+    assert(!got2.contains(denied) && got2.size == 10)
+  }
+
+  test("batch search with a shared allow-set agrees with per-query filtered search") {
+    val allow = emb.filter($"label" < 5).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val queries = Seq(0L, 7L).map(id => id ->
+      emb.filter($"vec_id" === id).select("embedding").head().getSeq[Float](0))
+    val batch = VamanaIndex.searchBatch(segs, queries, k = 5, l = 1 << 30,
+      beamWidth = 4, metric = "l2", allowIds = Some(allow))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getDouble(2)).map(_.getLong(1)).toSeq }
+    queries.foreach { case (qid, q) =>
+      val single = VamanaIndex.searchFilteredIds(segs, q, k = 5, l = 1 << 30,
+        beamWidth = 4, metric = "l2", allowIds = allow)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"qid=$qid filtered batch/single diverged")
+    }
+  }
+
   test("degenerate shapes: single-row shards, more shards than rows, identical vectors") {
     val tiny = emb.filter($"vec_id" < 2) // 2 rows over 3 shards
     val s2 = VamanaIndex.build(tiny, "vec_id", "embedding", params)
