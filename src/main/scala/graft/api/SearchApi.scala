@@ -443,18 +443,23 @@ object SearchApi {
       s"realtime tail routes on '${tail.get.routingCol}' but the space " +
         s"routes on '$ridName' — construct the RealtimeTail with " +
         s"ridCol = Some(\"$ridName\")")
-    // routable = single-condition float search with no score gates; the
-    // batched (req_num > 1) variant routes too — the reference flattens
-    // req_num queries into one index request (doc_query.go:296-318), and
-    // brute-forcing the batch is the shape that falls over first at scale
-    val routable = req.isBruteSearch != 1 && req.vectors.size == 1 &&
-      req.vectors.head.minScore.isEmpty && req.vectors.head.maxScore.isEmpty
+    // routable = single-condition search; the batched (req_num > 1)
+    // variant routes too — the reference flattens req_num queries into
+    // one index request (doc_query.go:296-318), and brute-forcing the
+    // batch is the shape that falls over first at scale. Score gates
+    // (min_score/max_score) ride the SINGLE-query routed arms through
+    // the over-fetch loop below (the reference applies them in-scan,
+    // gamma_common_data.h:94-96); gated BATCHES keep the FLAT fallback.
+    val routable = req.isBruteSearch != 1 && req.vectors.size == 1
+    val gatesEmpty = req.vectors.forall(v =>
+      v.minScore.isEmpty && v.maxScore.isEmpty)
     val vopts = if (req.vectors.size == 1)
       space.vectorFields.find(_.name == req.vectors.head.field).flatMap(_.vector)
     else None
     val floatField = vopts.exists(_.valueType == "float")
     val single = routable && floatField && req.vectors.head.queries.size == 1
-    val batched = routable && floatField && req.vectors.head.queries.size > 1
+    val batched = routable && gatesEmpty && floatField &&
+      req.vectors.head.queries.size > 1
 
     def pred = req.filter.map(
       VearchFilters.parse(_, arrayFields(space), dateFields(space)))
@@ -483,6 +488,42 @@ object SearchApi {
         .select(projection(space, req, Seq("_qid", "_score")): _*)
       if (req.sort.nonEmpty) applySort(projected, req.sort, qid = Some(col("_qid")))
       else projected
+    }
+    // score-gated routed serving (min_score/max_score per vector
+    // condition, doc_query.go:67-78 — the reference applies gates
+    // IN-SCAN, gamma_common_data.h:94-96): a routed arm over-fetches
+    // (depth doubling from 4k) and post-filters the ranked hits until k
+    // gated survivors or exhaustion — a result SHORTER than the
+    // requested depth proves every admissible candidate was already
+    // seen, so the gated top-k then equals the FLAT path's
+    // gate-before-select. The driver-side re-pack is request-bounded
+    // (≤ k rows kept); each probe collects ≤ depth (vec_id, _score)
+    // pairs, never payloads. Ungated requests bypass the loop entirely
+    // (hitsAt(k), zero extra actions).
+    def gateLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
+      val vc = req.vectors.head
+      if (vc.minScore.isEmpty && vc.maxScore.isEmpty) return hitsAt(k)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val lo = vc.minScore.getOrElse(Double.NegativeInfinity)
+      val hi = vc.maxScore.getOrElse(Double.PositiveInfinity)
+      var depth = math.max(4 * k, 64)
+      var result: Option[Seq[(Long, Double)]] = None
+      while (result.isEmpty) {
+        val rows = hitsAt(depth)
+          .select(col("vec_id").cast("long"), col("_score")).collect()
+        val gated = rows.iterator.map(r => (r.getLong(0), r.getDouble(1)))
+          .filter(t => t._2 >= lo && t._2 <= hi).toSeq
+        if (gated.size >= k || rows.length < depth || depth >= Int.MaxValue / 2)
+          result = Some {
+            val sorted =
+              if (Knn.ascending(metric)) gated.sortBy(t => (t._2, t._1))
+              else gated.sortBy(t => (-t._2, t._1))
+            sorted.take(k)
+          }
+        else depth *= 2
+      }
+      result.get.toDF("vec_id", "_score")
     }
     // the walk returns (id, score); scalar payloads come from ONE
     // broadcast join of the ≤req_num·k hits back onto the LIVE view (a
@@ -673,15 +714,17 @@ object SearchApi {
               if (probed.length > maxFilterAllowIds) None
               else {
                 val allowIds = probed.map(_.getLong(0)).toSet
-                Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
-                  graft.operators.HnswIndex.searchFilteredIds(
-                    segments, q, kb, efOf(kb), metric, allowIds,
-                    deny = hnswDeny)))
+                Some(gateLoop(k, metric)(d =>
+                  tailMerge(d, metric, vc.field, q, hnswDeny)(kb =>
+                    graft.operators.HnswIndex.searchFilteredIds(
+                      segments, q, kb, efOf(kb), metric, allowIds,
+                      deny = hnswDeny))))
               }
             case None =>
-              Some(tailMerge(k, metric, vc.field, q, hnswDeny)(kb =>
-                graft.operators.HnswIndex.search(segments, q, kb, efOf(kb),
-                  metric, deny = hnswDeny)))
+              Some(gateLoop(k, metric)(d =>
+                tailMerge(d, metric, vc.field, q, hnswDeny)(kb =>
+                  graft.operators.HnswIndex.search(segments, q, kb, efOf(kb),
+                    metric, deny = hnswDeny))))
           }
           hits.map(h => finish(joinBack(h), metric))
         }
@@ -789,14 +832,16 @@ object SearchApi {
               if (probed.length > maxFilterAllowIds) None
               else {
                 val allowIds = probed.map(_.getLong(0)).toSet
-                Some(tailMerge(k, metric, vc.field, q, deny)(kb =>
-                  graft.operators.VamanaIndex.searchFilteredIds(segments, q,
-                    kb, math.max(l, kb), bw, metric, allowIds, deny = deny)))
+                Some(gateLoop(k, metric)(d =>
+                  tailMerge(d, metric, vc.field, q, deny)(kb =>
+                    graft.operators.VamanaIndex.searchFilteredIds(segments, q,
+                      kb, math.max(l, kb), bw, metric, allowIds, deny = deny))))
               }
             case None =>
-              Some(tailMerge(k, metric, vc.field, q, deny)(kb =>
-                graft.operators.VamanaIndex.search(segments, q, kb,
-                  math.max(l, kb), bw, metric, deny = deny)))
+              Some(gateLoop(k, metric)(d =>
+                tailMerge(d, metric, vc.field, q, deny)(kb =>
+                  graft.operators.VamanaIndex.search(segments, q, kb,
+                    math.max(l, kb), bw, metric, deny = deny))))
           }
           hits.map(h => finish(joinBack(h), metric))
         }
@@ -865,15 +910,16 @@ object SearchApi {
             val q = maybeNormalize(space, vc.field, vc.queries.head)
             val k = req.limit + req.offset
             val served = applyDeny(table, ivfDeny, ridName)
-            if (!tailOn)
+            if (gatesEmpty && !tailOn)
               finish(IvfIndex.search(served, col(vc.field), model, q, k,
                 nprobeOf(model), filter = pred, tieBreak = Some(col("_id"))),
                 metric)
             else {
-              val hits = tailMerge(k, metric, vc.field, q, ivfDeny)(kb =>
-                IvfIndex.search(served, col(vc.field), model, q, kb,
-                  nprobeOf(model), filter = pred, tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score")))
+              val hits = gateLoop(k, metric)(d =>
+                tailMerge(d, metric, vc.field, q, ivfDeny)(kb =>
+                  IvfIndex.search(served, col(vc.field), model, q, kb,
+                    nprobeOf(model), filter = pred, tieBreak = Some(col("_id")))
+                    .select(col(ridName).cast("long").as("vec_id"), col("_score"))))
               finish(joinBack(hits), metric)
             }
           }
@@ -899,23 +945,24 @@ object SearchApi {
           val deny = lifecycle.readyBivfGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served = applyDeny(table, deny, ridName)
-          if (!tailOn)
+          if (gatesEmpty && !tailOn)
             finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
               vc.field, cents, qCode, k, nprobe, filter = pred,
               tieBreak = Some(col("_id"))), metric = "l2") // hamming ⇒ asc
           else {
             // tail leg: the buffered column IS the packed code — the
             // brute scan ranks by code Hamming, same as the base lists
-            val hits = tailMergeWith(k, "l2", deny) { td =>
-              Knn.searchBinary(td, col(vc.field), qCode, k, filter = pred,
-                tieBreak = Some(col("_id")))
-                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-            } { kb =>
-              graft.operators.BinaryIndex.searchBinaryIvf(served, vc.field,
-                cents, qCode, kb, nprobe, filter = pred,
-                tieBreak = Some(col("_id")))
-                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-            }
+            val hits = gateLoop(k, "l2")(d =>
+              tailMergeWith(d, "l2", deny) { td =>
+                Knn.searchBinary(td, col(vc.field), qCode, d, filter = pred,
+                  tieBreak = Some(col("_id")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              } { kb =>
+                graft.operators.BinaryIndex.searchBinaryIvf(served, vc.field,
+                  cents, qCode, kb, nprobe, filter = pred,
+                  tieBreak = Some(col("_id")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              })
             finish(joinBack(hits), metric = "l2")
           }
         }
@@ -939,17 +986,18 @@ object SearchApi {
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
-          if (!tailOn)
+          if (gatesEmpty && !tailOn)
             finish(graft.operators.BinaryIndex.searchIvfResidual(served,
               col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
               idCol = col("_id"), metric = metric, qb = qb), metric)
           else {
-            val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
-              graft.operators.BinaryIndex.searchIvfResidual(served,
-                col(vc.field), ivf, q, kb, nprobeOf(ivf),
-                math.max(shortlist, kb), idCol = col("_id"), metric = metric,
-                qb = qb)
-                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
+            val hits = gateLoop(k, metric)(d =>
+              tailMerge(d, metric, vc.field, q, deny)(kb =>
+                graft.operators.BinaryIndex.searchIvfResidual(served,
+                  col(vc.field), ivf, q, kb, nprobeOf(ivf),
+                  math.max(shortlist, kb), idCol = col("_id"), metric = metric,
+                  qb = qb)
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))))
             finish(joinBack(hits), metric)
           }
         }
