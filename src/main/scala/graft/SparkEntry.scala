@@ -939,6 +939,90 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 SCORE-GATED ROUTED serving (min_score, doc_query.go:67-78):
+    //    the gate (distance ≥ median) excludes EVERY near neighbor, so
+    //    the graph arm's driver-bounded gate loop MUST depth-double to
+    //    corpus exhaustion before it can prove the gated top-k — the
+    //    selective-gate shape that used to fall back to FLAT. efSearch ≥
+    //    corpus ⇒ each probe is exact ⇒ the final gated top-k is
+    //    oracle-exact (gate-before-select) ──
+    "q_knn_score_range_routed" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnsw_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
+        "min_score":1.41}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 SCORE-GATED BATCH (req_num=3 share the condition's gate —
+    //    doc_query.go:296-318 flattens them; the reference applies gates
+    //    in-scan for any req_num, gamma_common_data.h:94-96): the batched
+    //    gate loop iterates until EVERY query has k gated survivors or
+    //    exhausts — per-qid oracle-exact ──
+    "q_knn_score_range_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnsw_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")},
+        "min_score":1.41}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 score gate IN-SCAN on the IVF route (both bounds): the
+    //    probed-list scan computes every candidate's score anyway, so the
+    //    [min,max] band gates before the bounded top-k — zero over-fetch,
+    //    no loop; nprobe = ncentroids ⇒ oracle-exact ──
+    "q_ivf_score_range" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = model.ncentroids,
+        minScore = Some(1.35), maxScore = Some(1.45),
+        tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 score gate at the EXACT-RERANK heap on the compressed
+    //    route (the reference's admission point for IVFPQ,
+    //    gamma_common_data.h:94-96): full probe + full-depth rerank ⇒
+    //    the gate sees every candidate's exact score ⇒ oracle-exact ──
+    "q_ivfpq_score_range" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"pq_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
+        "min_score":1.41}],"index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 BATCHED requests through the COMPRESSED index planner
     //    (round-11 gap: batched IVFPQ/IVFRABITQ/BINARYIVF fell back to
     //    brute FLAT): req_num=3 queries ride one flat feature array and
@@ -3348,6 +3432,42 @@ object SparkEntry {
                FROM embeddings e, qs)
          SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
          ORDER BY _qid, rn""",
+    "q_knn_score_range_routed" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_knn_score_range_batch" ->
+      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 3),
+         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
+                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
+                      row_number() OVER (PARTITION BY qs._qid
+                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
+                                 e.vec_id) AS rn
+               FROM embeddings e, qs
+               WHERE list_distance(e.embedding::DOUBLE[], qs.v) >= 1.41)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    "q_ivf_score_range" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE list_distance(e.embedding::DOUBLE[], q.v) BETWEEN 1.35 AND 1.45
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_ivfpq_score_range" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
     // batched compressed routes: same per-qid exact blocks (full probe +
     // full-depth rerank ⇒ exact)
     "q_api_search_ivfpq_batch" -> apiBatchExactSql,

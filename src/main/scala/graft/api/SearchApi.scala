@@ -447,18 +447,28 @@ object SearchApi {
     // variant routes too — the reference flattens req_num queries into
     // one index request (doc_query.go:296-318), and brute-forcing the
     // batch is the shape that falls over first at scale. Score gates
-    // (min_score/max_score) ride the SINGLE-query routed arms through
-    // the over-fetch loop below (the reference applies them in-scan,
-    // gamma_common_data.h:94-96); gated BATCHES keep the FLAT fallback.
+    // (min_score/max_score) ride every routed arm, single AND batched:
+    // scan-shaped families (IVF/BinaryIVF/RaBitQ/PQ/SCANN) apply them
+    // IN-SCAN before their bounded top-k — the reference's exact shape
+    // (gamma_common_data.h:94-96) — and the beam-limited graph families
+    // (HNSW/Vamana) over-fetch through the driver-bounded gate loops
+    // below.
     val routable = req.isBruteSearch != 1 && req.vectors.size == 1
     val gatesEmpty = req.vectors.forall(v =>
       v.minScore.isEmpty && v.maxScore.isEmpty)
+    // the single-condition request's score gate, threaded into every
+    // scan-family search and brute tail leg (None for multi-field
+    // requests — gated conjunctions keep the FLAT fallback)
+    val (gMin, gMax): (Option[Double], Option[Double]) =
+      if (req.vectors.size == 1)
+        (req.vectors.head.minScore, req.vectors.head.maxScore)
+      else (None, None)
     val vopts = if (req.vectors.size == 1)
       space.vectorFields.find(_.name == req.vectors.head.field).flatMap(_.vector)
     else None
     val floatField = vopts.exists(_.valueType == "float")
     val single = routable && floatField && req.vectors.head.queries.size == 1
-    val batched = routable && gatesEmpty && floatField &&
+    val batched = routable && floatField &&
       req.vectors.head.queries.size > 1
 
     def pred = req.filter.map(
@@ -489,17 +499,21 @@ object SearchApi {
       if (req.sort.nonEmpty) applySort(projected, req.sort, qid = Some(col("_qid")))
       else projected
     }
-    // score-gated routed serving (min_score/max_score per vector
-    // condition, doc_query.go:67-78 — the reference applies gates
-    // IN-SCAN, gamma_common_data.h:94-96): a routed arm over-fetches
-    // (depth doubling from 4k) and post-filters the ranked hits until k
-    // gated survivors or exhaustion — a result SHORTER than the
-    // requested depth proves every admissible candidate was already
-    // seen, so the gated top-k then equals the FLAT path's
-    // gate-before-select. The driver-side re-pack is request-bounded
-    // (≤ k rows kept); each probe collects ≤ depth (vec_id, _score)
-    // pairs, never payloads. Ungated requests bypass the loop entirely
-    // (hitsAt(k), zero extra actions).
+    // score-gated GRAPH serving (min_score/max_score per vector
+    // condition, doc_query.go:67-78): the beam-limited walk families
+    // (HNSW/Vamana) can't gate exactly in-walk — instead the arm
+    // over-fetches (depth doubling from 4k) and gates DISTRIBUTEDLY: each
+    // probe runs ONE action aggregating (total candidate count, gated
+    // top-k) through the bounded TopKAgg heap, so the driver receives one
+    // count plus ≤ k (vec_id, _score) pairs per probe — never a
+    // depth-or-corpus-sized collect, whatever the gate's selectivity.
+    // Exactness: k gated survivors inside the ungated top-depth dominate
+    // every candidate beyond it; a candidate count SHORTER than depth
+    // proves every admissible candidate was already seen — either way the
+    // gated top-k equals the FLAT path's gate-before-select. Ungated
+    // requests bypass the loop entirely (hitsAt(k), zero extra actions).
+    // Scan-shaped families never come here: they gate IN-SCAN
+    // (gamma_common_data.h:94-96) inside their operators.
     def gateLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
       val vc = req.vectors.head
       if (vc.minScore.isEmpty && vc.maxScore.isEmpty) return hitsAt(k)
@@ -507,23 +521,68 @@ object SearchApi {
       import spark.implicits._
       val lo = vc.minScore.getOrElse(Double.NegativeInfinity)
       val hi = vc.maxScore.getOrElse(Double.PositiveInfinity)
+      val asc = Knn.ascending(metric)
       var depth = math.max(4 * k, 64)
       var result: Option[Seq[(Long, Double)]] = None
       while (result.isEmpty) {
-        val rows = hitsAt(depth)
-          .select(col("vec_id").cast("long"), col("_score")).collect()
-        val gated = rows.iterator.map(r => (r.getLong(0), r.getDouble(1)))
-          .filter(t => t._2 >= lo && t._2 <= hi).toSeq
-        if (gated.size >= k || rows.length < depth || depth >= Int.MaxValue / 2)
-          result = Some {
-            val sorted =
-              if (Knn.ascending(metric)) gated.sortBy(t => (t._2, t._1))
-              else gated.sortBy(t => (-t._2, t._1))
-            sorted.take(k)
-          }
+        // ONE bounded action: TopKAgg skips null scores, so the `when`
+        // drops out-of-gate candidates before the k-bounded heap
+        val row = hitsAt(depth)
+          .select(col("vec_id").cast("long").as("vec_id"), col("_score"))
+          .agg(count(lit(1)).as("_n"),
+            graft.Graft.F.topK(
+              when(col("_score").between(lo, hi), col("_score")),
+              col("vec_id"), k, asc).as("_tk"))
+          .head()
+        val n = row.getLong(0)
+        val gated = row.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(1), e.getDouble(0)))
+        if (gated.size >= k || n < depth || depth >= Int.MaxValue / 2)
+          result = Some(gated)
         else depth *= 2
       }
       result.get.toDF("vec_id", "_score")
+    }
+    // batched variant (req_num queries share the condition's gate —
+    // doc_query.go:296-318 flattens them into one request): hitsAt(d)
+    // returns per-qid top-d (_qid, vec_id, _score); each probe's single
+    // action aggregates per-qid (count, gated top-k) — ≤ req_num rows of
+    // ≤ k entries on the driver. The loop continues until EVERY query
+    // has k gated survivors or is exhausted; queries already satisfied
+    // at a lower depth stay exact at higher depths (more candidates
+    // never change the gated top-k once it dominates).
+    def gateBatchLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
+      if (gatesEmpty) return hitsAt(k)
+      val vc = req.vectors.head
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val lo = vc.minScore.getOrElse(Double.NegativeInfinity)
+      val hi = vc.maxScore.getOrElse(Double.PositiveInfinity)
+      val asc = Knn.ascending(metric)
+      var depth = math.max(4 * k, 64)
+      var result: Option[Seq[(Long, Long, Double)]] = None
+      while (result.isEmpty) {
+        val rows = hitsAt(depth)
+          .select(col("_qid").cast("long").as("_qid"),
+            col("vec_id").cast("long").as("vec_id"), col("_score"))
+          .groupBy(col("_qid"))
+          .agg(count(lit(1)).as("_n"),
+            graft.Graft.F.topK(
+              when(col("_score").between(lo, hi), col("_score")),
+              col("vec_id"), k, asc).as("_tk"))
+          .collect()
+        val done = rows.forall { r =>
+          r.getSeq[org.apache.spark.sql.Row](2).size >= k || r.getLong(1) < depth
+        } || depth >= Int.MaxValue / 2
+        if (done)
+          result = Some(rows.toSeq.flatMap { r =>
+            val qid = r.getLong(0)
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(e => (qid, e.getLong(1), e.getDouble(0)))
+          })
+        else depth *= 2
+      }
+      result.get.toDF("_qid", "vec_id", "_score")
     }
     // the walk returns (id, score); scalar payloads come from ONE
     // broadcast join of the ≤req_num·k hits back onto the LIVE view (a
@@ -547,11 +606,18 @@ object SearchApi {
       if (!tailOn) baseSearch(k)
       else tail.get.mergeTail(corpus.schema, k, metric, deny)(tailSearch)(baseSearch)
     // float-vector tail leg: exact metric scoring of the buffer (the
-    // reference's memory-buffer FLAT scan), scalar pre-filter included
+    // reference's memory-buffer FLAT scan), scalar pre-filter included.
+    // `gated = true` (the scan-family arms) applies the request's score
+    // gate in the tail scan too, so both legs feed the merge pre-gated
+    // and the merged top-k IS the gated top-k; the graph arms pass
+    // `gated = false` and gate post-merge inside the gate loops.
     def tailMerge(k: Int, metric: String, field: String, q: Seq[Float],
-        deny: Set[Long])(baseSearch: Int => DataFrame): DataFrame =
+        deny: Set[Long], gated: Boolean = false)(
+        baseSearch: Int => DataFrame): DataFrame =
       tailMergeWith(k, metric, deny) { td =>
         Knn.search(td, col(field), q, k, metric, filter = pred,
+          minScore = if (gated) gMin else None,
+          maxScore = if (gated) gMax else None,
           tieBreak = Some(col("_id")))
           .select(col(ridName).cast("long").as("vec_id"), col("_score"))
       }(baseSearch)
@@ -564,9 +630,10 @@ object SearchApi {
       if (!tailOn) baseSearch(k)
       else tail.get.mergeTailBatch(corpus.schema, k, metric, deny)(tailSearch)(baseSearch)
     // float tail leg for batches: ONE Knn.searchBatch pass over the
-    // (bounded) buffer serves every query
+    // (bounded) buffer serves every query; `gated` as in [[tailMerge]]
     def tailMergeBatch(k: Int, metric: String, field: String,
-        queries: Seq[(Long, Seq[Float])], deny: Set[Long])(
+        queries: Seq[(Long, Seq[Float])], deny: Set[Long],
+        gated: Boolean = false)(
         baseSearch: Int => DataFrame): DataFrame =
       tailMergeBatchWith(k, metric, deny) { td =>
         val spark = corpus.sparkSession
@@ -575,7 +642,9 @@ object SearchApi {
           .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
         val filtered = pred.map(td.filter).getOrElse(td)
         Knn.searchBatch(filtered, col(field), struct(col(ridName)), qDf,
-          "_qid", "_qv", k, metric)
+          "_qid", "_qv", k, metric,
+          minScore = if (gated) gMin else None,
+          maxScore = if (gated) gMax else None)
           .select(col("_qid"),
             col(s"_item.$ridName").cast("long").as("vec_id"), col("_score"))
       }(baseSearch)
@@ -713,12 +782,15 @@ object SearchApi {
                 .take(maxFilterAllowIds + 1)
               if (probed.length > maxFilterAllowIds) None
               else {
-                val allowIds = probed.map(_.getLong(0)).toSet
+                // ONE broadcast for the whole request — the gate loop's
+                // depth-doubling retries reuse it instead of re-shipping
+                // the allow-set every probe
+                val allowBc = corpus.sparkSession.sparkContext
+                  .broadcast(probed.map(_.getLong(0)).toSet -- hnswDeny)
                 Some(gateLoop(k, metric)(d =>
                   tailMerge(d, metric, vc.field, q, hnswDeny)(kb =>
-                    graft.operators.HnswIndex.searchFilteredIds(
-                      segments, q, kb, efOf(kb), metric, allowIds,
-                      deny = hnswDeny))))
+                    graft.operators.HnswIndex.searchFilteredBc(
+                      segments, q, kb, efOf(kb), metric, allowBc))))
               }
             case None =>
               Some(gateLoop(k, metric)(d =>
@@ -767,10 +839,11 @@ object SearchApi {
             case None => Some(None)
           }
           allow.map { allowIds =>
-            val hits = tailMergeBatch(k, metric, vc.field, queries, hnswDeny)(
-              kb => graft.operators.HnswIndex.searchBatch(
-                segments, queries, kb, efOf(kb), metric, deny = hnswDeny,
-                allowIds = allowIds))
+            val hits = gateBatchLoop(k, metric)(d =>
+              tailMergeBatch(d, metric, vc.field, queries, hnswDeny)(
+                kb => graft.operators.HnswIndex.searchBatch(
+                  segments, queries, kb, efOf(kb), metric, deny = hnswDeny,
+                  allowIds = allowIds)))
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
         }
@@ -831,11 +904,14 @@ object SearchApi {
                 .take(maxFilterAllowIds + 1)
               if (probed.length > maxFilterAllowIds) None
               else {
-                val allowIds = probed.map(_.getLong(0)).toSet
+                // one broadcast per request, reused across gate-loop
+                // retries (see the HNSW arm)
+                val allowBc = corpus.sparkSession.sparkContext
+                  .broadcast(probed.map(_.getLong(0)).toSet -- deny)
                 Some(gateLoop(k, metric)(d =>
                   tailMerge(d, metric, vc.field, q, deny)(kb =>
-                    graft.operators.VamanaIndex.searchFilteredIds(segments, q,
-                      kb, math.max(l, kb), bw, metric, allowIds, deny = deny))))
+                    graft.operators.VamanaIndex.searchFilteredBc(segments, q,
+                      kb, math.max(l, kb), bw, metric, allowBc))))
               }
             case None =>
               Some(gateLoop(k, metric)(d =>
@@ -893,9 +969,11 @@ object SearchApi {
             case None => Some(None)
           }
           allow.map { allowIds =>
-            val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(kb =>
-              graft.operators.VamanaIndex.searchBatch(segments, queries, kb,
-                math.max(l, kb), bw, metric, deny = deny, allowIds = allowIds))
+            val hits = gateBatchLoop(k, metric)(d =>
+              tailMergeBatch(d, metric, vc.field, queries, deny)(kb =>
+                graft.operators.VamanaIndex.searchBatch(segments, queries, kb,
+                  math.max(l, kb), bw, metric, deny = deny,
+                  allowIds = allowIds)))
             finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
           }
         }
@@ -910,16 +988,22 @@ object SearchApi {
             val q = maybeNormalize(space, vc.field, vc.queries.head)
             val k = req.limit + req.offset
             val served = applyDeny(table, ivfDeny, ridName)
-            if (gatesEmpty && !tailOn)
+            // score gates ride IN-SCAN (gamma_common_data.h:94-96): the
+            // probed-list scan computes every candidate's score anyway, so
+            // gating before the bounded top-k is exact-within-probe with
+            // zero over-fetch — no loop, no extra actions
+            if (!tailOn)
               finish(IvfIndex.search(served, col(vc.field), model, q, k,
-                nprobeOf(model), filter = pred, tieBreak = Some(col("_id"))),
+                nprobeOf(model), filter = pred, minScore = gMin,
+                maxScore = gMax, tieBreak = Some(col("_id"))),
                 metric)
             else {
-              val hits = gateLoop(k, metric)(d =>
-                tailMerge(d, metric, vc.field, q, ivfDeny)(kb =>
-                  IvfIndex.search(served, col(vc.field), model, q, kb,
-                    nprobeOf(model), filter = pred, tieBreak = Some(col("_id")))
-                    .select(col(ridName).cast("long").as("vec_id"), col("_score"))))
+              val hits = tailMerge(k, metric, vc.field, q, ivfDeny,
+                gated = true)(kb =>
+                IvfIndex.search(served, col(vc.field), model, q, kb,
+                  nprobeOf(model), filter = pred, minScore = gMin,
+                  maxScore = gMax, tieBreak = Some(col("_id")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score")))
               finish(joinBack(hits), metric)
             }
           }
@@ -945,24 +1029,29 @@ object SearchApi {
           val deny = lifecycle.readyBivfGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served = applyDeny(table, deny, ridName)
-          if (gatesEmpty && !tailOn)
+          // score gates apply IN-SCAN: Hamming IS the final score for the
+          // binary family, so both the probed lists and the tail scan
+          // gate before their bounded top-k (gamma_common_data.h:94-96)
+          if (!tailOn)
             finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
               vc.field, cents, qCode, k, nprobe, filter = pred,
+              minScore = gMin, maxScore = gMax,
               tieBreak = Some(col("_id"))), metric = "l2") // hamming ⇒ asc
           else {
             // tail leg: the buffered column IS the packed code — the
             // brute scan ranks by code Hamming, same as the base lists
-            val hits = gateLoop(k, "l2")(d =>
-              tailMergeWith(d, "l2", deny) { td =>
-                Knn.searchBinary(td, col(vc.field), qCode, d, filter = pred,
+            val hits = tailMergeWith(k, "l2", deny) { td =>
+                Knn.searchBinary(td, col(vc.field), qCode, k, filter = pred,
+                  minScore = gMin, maxScore = gMax,
                   tieBreak = Some(col("_id")))
                   .select(col(ridName).cast("long").as("vec_id"), col("_score"))
               } { kb =>
                 graft.operators.BinaryIndex.searchBinaryIvf(served, vc.field,
                   cents, qCode, kb, nprobe, filter = pred,
+                  minScore = gMin, maxScore = gMax,
                   tieBreak = Some(col("_id")))
                   .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              })
+              }
             finish(joinBack(hits), metric = "l2")
           }
         }
@@ -986,18 +1075,22 @@ object SearchApi {
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
-          if (gatesEmpty && !tailOn)
+          // score gates apply at the exact-rerank heap (in-scan for the
+          // stage the final score exists at — gamma_common_data.h:94-96);
+          // recall_num deepens the gated pool like it deepens recall
+          if (!tailOn)
             finish(graft.operators.BinaryIndex.searchIvfResidual(served,
               col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
-              idCol = col("_id"), metric = metric, qb = qb), metric)
+              idCol = col("_id"), metric = metric, qb = qb,
+              minScore = gMin, maxScore = gMax), metric)
           else {
-            val hits = gateLoop(k, metric)(d =>
-              tailMerge(d, metric, vc.field, q, deny)(kb =>
-                graft.operators.BinaryIndex.searchIvfResidual(served,
-                  col(vc.field), ivf, q, kb, nprobeOf(ivf),
-                  math.max(shortlist, kb), idCol = col("_id"), metric = metric,
-                  qb = qb)
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))))
+            val hits = tailMerge(k, metric, vc.field, q, deny,
+              gated = true)(kb =>
+              graft.operators.BinaryIndex.searchIvfResidual(served,
+                col(vc.field), ivf, q, kb, nprobeOf(ivf),
+                math.max(shortlist, kb), idCol = col("_id"), metric = metric,
+                qb = qb, minScore = gMin, maxScore = gMax)
+                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
             finish(joinBack(hits), metric)
           }
         }
@@ -1020,15 +1113,19 @@ object SearchApi {
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
+          // score gates apply at the exact-rerank heap — the reference's
+          // in-scan admission point (gamma_common_data.h:94-96)
           if (!tailOn)
             finish(graft.operators.PqIndex.searchIvfResidual(served,
               col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
-              idCol = col("_id")), metric)
+              idCol = col("_id"), minScore = gMin, maxScore = gMax), metric)
           else {
-            val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
+            val hits = tailMerge(k, metric, vc.field, q, deny,
+              gated = true)(kb =>
               graft.operators.PqIndex.searchIvfResidual(served,
                 col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
-                math.max(recallNum, kb), idCol = col("_id"))
+                math.max(recallNum, kb), idCol = col("_id"),
+                minScore = gMin, maxScore = gMax)
                 .select(col(ridName).cast("long").as("vec_id"), col("_score")))
             finish(joinBack(hits), metric)
           }
@@ -1053,15 +1150,18 @@ object SearchApi {
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
+          // score gates at the exact-rerank heap, like the IVFPQ arm
           if (!tailOn)
             finish(graft.operators.PqIndex.searchIvfResidual(served,
               col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
-              idCol = col("_id")), metric)
+              idCol = col("_id"), minScore = gMin, maxScore = gMax), metric)
           else {
-            val hits = tailMerge(k, metric, vc.field, q, deny)(kb =>
+            val hits = tailMerge(k, metric, vc.field, q, deny,
+              gated = true)(kb =>
               graft.operators.PqIndex.searchIvfResidual(served,
                 col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
-                math.max(recallNum, kb), idCol = col("_id"))
+                math.max(recallNum, kb), idCol = col("_id"),
+                minScore = gMin, maxScore = gMax)
                 .select(col(ridName).cast("long").as("vec_id"), col("_score")))
             finish(joinBack(hits), metric)
           }
@@ -1081,10 +1181,12 @@ object SearchApi {
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny,
+            gated = true)(
             kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
               col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
-              math.max(recallNum, kb), idCol = col(ridName))
+              math.max(recallNum, kb), idCol = col(ridName),
+              minScore = gMin, maxScore = gMax)
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
@@ -1101,9 +1203,11 @@ object SearchApi {
             // probe join runs over (both evaluate inside probed lists)
             val served0 = applyDeny(table, ivfDeny, ridName)
             val served = pred.map(served0.filter).getOrElse(served0)
-            val hits = tailMergeBatch(k, metric, vc.field, queries, ivfDeny)(
+            val hits = tailMergeBatch(k, metric, vc.field, queries, ivfDeny,
+              gated = true)(
               kb => IvfIndex.searchBatch(served, col(vc.field),
-                struct(col(ridName)), queries, model, kb, nprobeOf(model))
+                struct(col(ridName)), queries, model, kb, nprobeOf(model),
+                minScore = gMin, maxScore = gMax)
                 .select(col("_qid"),
                   col(s"_item.$ridName").cast("long").as("vec_id"),
                   col("_score")))
@@ -1128,10 +1232,12 @@ object SearchApi {
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny,
+            gated = true)(
             kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
               col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
-              math.max(recallNum, kb), idCol = col(ridName))
+              math.max(recallNum, kb), idCol = col(ridName),
+              minScore = gMin, maxScore = gMax)
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
@@ -1154,11 +1260,12 @@ object SearchApi {
           val served = pred.map(served0.filter).getOrElse(served0)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny)(
+          val hits = tailMergeBatch(k, metric, vc.field, queries, deny,
+            gated = true)(
             kb => graft.operators.BinaryIndex.searchBatchIvfResidual(served,
               col(vc.field), ivf, queries, kb, nprobeOf(ivf),
               math.max(shortlist, kb), idCol = col(ridName), metric = metric,
-              qb = qb)
+              qb = qb, minScore = gMin, maxScore = gMax)
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score")))
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
@@ -1187,13 +1294,15 @@ object SearchApi {
                 q.toArray)).asInstanceOf[Array[Byte]]) }
           // tail leg: every buffered code scores against every query's
           // code (the buffer is bounded — one refresh interval); the
-          // per-qid merge in mergeTailBatch bounds the output
+          // per-qid merge in mergeTailBatch bounds the output. Score
+          // gates apply in-scan on BOTH legs (Hamming IS the final
+          // score), so the merged per-qid top-k is the gated top-k.
           val hits = tailMergeBatchWith(k, "l2", deny) { td =>
             val spark = corpus.sparkSession
             import spark.implicits._
             val qDf = queries.toDF("_qid", "_qcode")
             val filtered = pred.map(td.filter).getOrElse(td)
-            filtered
+            Knn.scoreGate(filtered
               .select(col(ridName).cast("long").as("vec_id"),
                 col(vc.field).as("_c"))
               .crossJoin(broadcast(qDf))
@@ -1201,10 +1310,11 @@ object SearchApi {
                 graft.Graft.F.hamming(col("_c"), col("_qcode"))
                   .cast("double").as("_score"),
                 col("vec_id"))
-              .filter(col("_score").isNotNull)
+              .filter(col("_score").isNotNull), gMin, gMax)
           } { kb =>
             graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
-              vc.field, cents, queries, kb, nprobe, idCol = col(ridName))
+              vc.field, cents, queries, kb, nprobe, idCol = col(ridName),
+              minScore = gMin, maxScore = gMax)
               .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                 col("_score"))
           }

@@ -54,6 +54,8 @@ object BinaryIndex {
       metric: String = "l2",
       codeCol: String = "rbcode",
       qb: Int = 4,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
       roundTo: Option[Int] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val spark = corpus.sparkSession
@@ -78,7 +80,11 @@ object BinaryIndex {
       .limit(shortlist)
       .select(col("_sid"))
     val rerank = probed.join(broadcast(cand), idCol === col("_sid"), "left_semi")
-    Knn.search(rerank, vecCol, q, k, metric, tieBreak = Some(idCol), roundTo = roundTo)
+    // score gate applies at the EXACT-rerank stage — the reference's heap
+    // admission point (gamma_common_data.h:94-96); a deeper `shortlist`
+    // widens the gated pool exactly like it widens recall
+    Knn.search(rerank, vecCol, q, k, metric, minScore = minScore,
+      maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
   }
 
   /** Batched IVFRABITQ (vearch `req_num`, doc_query.go:296-318 flattens
@@ -100,7 +106,9 @@ object BinaryIndex {
       idCol: Column,
       metric: String = "l2",
       codeCol: String = "rbcode",
-      qb: Int = 4): DataFrame = {
+      qb: Int = 4,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -133,11 +141,13 @@ object BinaryIndex {
       .select(col("_qid"), explode(col("_tk")).as("_e"))
       .select(col("_qid"), col("_e.item._sid").as("_sid"))
       .join(broadcast(qvDf), Seq("_qid"))
-    val rerank = corpus.join(broadcast(short), idCol === col("_sid"))
+    val rerank0 = corpus.join(broadcast(short), idCol === col("_sid"))
       .select(col("_qid"),
         Knn.score(metric, vecCol, col("_qv")).as("_score"),
         struct(idCol.as("id")).as("_item"))
       .filter(col("_score").isNotNull)
+    // in-scan score gate at the exact-rerank stage (see searchIvfResidual)
+    val rerank = Knn.scoreGate(rerank0, minScore, maxScore)
     rerank.groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
         Knn.ascending(metric)).as("_tk"))
@@ -338,11 +348,13 @@ object BinaryIndex {
       k: Int,
       nprobe: Int,
       filter: Option[Column] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
       tieBreak: Option[Column] = None): DataFrame = {
     val lists = nearestBinaryCentroids(cents, qCode, nprobe)
     val probed = corpus.filter(col("list_id").isin(lists: _*))
     Knn.searchBinary(probed, col(codeCol), qCode, k, filter = filter,
-      tieBreak = tieBreak)
+      minScore = minScore, maxScore = maxScore, tieBreak = tieBreak)
   }
 
   /** Batched BINARYIVF: per-query probe routes join in on `list_id`
@@ -360,7 +372,9 @@ object BinaryIndex {
       queries: Seq[(Long, Array[Byte])],
       k: Int,
       nprobe: Int,
-      idCol: Column): DataFrame = {
+      idCol: Column,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qlRows = queries.flatMap { case (qid, qc) =>
@@ -371,12 +385,15 @@ object BinaryIndex {
     val pruned =
       if (union.isEmpty) corpus.limit(0)
       else corpus.filter(col("list_id").isin(union: _*))
-    val scored = pruned.select(idCol.as("_sid"), col("list_id"), col(codeCol))
+    val scored0 = pruned.select(idCol.as("_sid"), col("list_id"), col(codeCol))
       .join(broadcast(qDf), Seq("list_id"))
       .select(col("_qid"),
         F.hamming(col(codeCol), col("_qcode")).cast("double").as("_score"),
         col("_sid"))
       .filter(col("_score").isNotNull)
+    // in-scan score gate (gamma_common_data.h:94-96): Hamming IS the
+    // final score for the binary family — gate before the bounded heap
+    val scored = Knn.scoreGate(scored0, minScore, maxScore)
     scored.groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_score"), struct(col("_sid")), k,
         asc = true).as("_tk"))

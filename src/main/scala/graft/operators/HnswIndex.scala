@@ -633,13 +633,25 @@ object HnswIndex {
     */
   def searchFilteredIds(segments: Dataset[Segment], q: Seq[Float], k: Int,
       ef: Int, metric: String, allowIds: Set[Long],
-      roundTo: Option[Int] = None, deny: Set[Long] = Set.empty): DataFrame = {
+      roundTo: Option[Int] = None, deny: Set[Long] = Set.empty): DataFrame =
+    searchFilteredBc(segments, q, k, ef, metric,
+      segments.sparkSession.sparkContext.broadcast(allowIds -- deny), roundTo)
+
+  /** Pre-broadcast variant of [[searchFilteredIds]]: callers that retry
+    * the walk at increasing depths (the score-gate loop) hoist ONE
+    * allow-set broadcast out of the retried closure instead of
+    * re-shipping it every probe. `allowBc` must already exclude denied
+    * ids.
+    */
+  def searchFilteredBc(segments: Dataset[Segment], q: Seq[Float], k: Int,
+      ef: Int, metric: String,
+      allowBc: org.apache.spark.broadcast.Broadcast[Set[Long]],
+      roundTo: Option[Int] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(allowIds -- deny)
     val qa = q.toArray
     val hits = segments
-      .flatMap(seg => searchSegment(seg, qa, k, ef, metric, bc.value.contains _))
+      .flatMap(seg => searchSegment(seg, qa, k, ef, metric, allowBc.value.contains _))
       .toDF("vec_id", "_score")
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
     val top = hits.orderBy(primary, col("vec_id").asc).limit(k)

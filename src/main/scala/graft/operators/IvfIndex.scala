@@ -131,7 +131,9 @@ object IvfIndex {
       queries: Seq[(Long, Seq[Float])],
       model: Model,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val perQueryLists = queries.map { case (qid, q) =>
@@ -148,10 +150,13 @@ object IvfIndex {
       if (union.isEmpty) corpus.limit(0)
       else corpus.filter(col("list_id").isin(union: _*))
     val cand = pruned.join(broadcast(qDf), array_contains(col("_lists"), col("list_id")))
-    val scored = cand
+    val scored0 = cand
       .select(col("_qid"), Knn.score(model.metric, vecCol, col("_qv")).as("_score"),
         payload.as("_item"))
       .filter(col("_score").isNotNull)
+    // score-range gate IN-SCAN (gamma_common_data.h:94-96): candidates
+    // outside [min,max] never reach the bounded per-qid heap
+    val scored = Knn.scoreGate(scored0, minScore, maxScore)
     scored.groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
         Knn.ascending(model.metric)).as("_tk"))
@@ -172,6 +177,8 @@ object IvfIndex {
       nprobe: Int,
       isBruteSearch: Int = 0,
       filter: Option[Column] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
       tieBreak: Option[Column] = None,
       roundTo: Option[Int] = None): DataFrame = {
     val brute = isBruteSearch == 1
@@ -181,6 +188,7 @@ object IvfIndex {
         val lists = model.nearestCentroids(q, nprobe)
         corpus.filter(col("list_id").isin(lists: _*))
       }
-    Knn.search(probed, vecCol, q, k, model.metric, filter, None, None, tieBreak, roundTo)
+    Knn.search(probed, vecCol, q, k, model.metric, filter, minScore, maxScore,
+      tieBreak, roundTo)
   }
 }

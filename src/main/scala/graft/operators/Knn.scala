@@ -109,9 +109,13 @@ object Knn {
   }
 
   /** The score-range gate (doc_query.go:67-78), shared by every value-type
-    * path — gates apply BEFORE top-k selection.
+    * path — gates apply BEFORE top-k selection. Shared with the routed
+    * index families: the reference applies the same gate IN-SCAN at heap
+    * admission for every index type (gamma_common_data.h:94-96), so the
+    * scan-shaped index operators call this on their scored candidates
+    * before their bounded top-k — fully distributed, no over-fetch.
     */
-  private def scoreGate(scored: DataFrame,
+  private[graft] def scoreGate(scored: DataFrame,
       minScore: Option[Double], maxScore: Option[Double]): DataFrame =
     (minScore, maxScore) match {
       case (Some(lo), Some(hi)) => scored.filter(col("_score").between(lo, hi))

@@ -499,6 +499,8 @@ object PqIndex {
       nprobe: Int,
       recallNum: Int,
       idCol: Column,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
       roundTo: Option[Int] = None): DataFrame = {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val spark = corpus.sparkSession
@@ -534,8 +536,11 @@ object PqIndex {
       .limit(recallNum)
       .select(col("_sid"))
     val rerank = corpus.join(broadcast(shortlist), idCol === col("_sid"), "left_semi")
-    Knn.search(rerank, vecCol, q, k, pq.metric, tieBreak = Some(idCol),
-      roundTo = roundTo)
+    // score gate at the EXACT-rerank stage — the reference's heap
+    // admission point (gamma_common_data.h:94-96); a deeper `recall_num`
+    // widens the gated pool exactly like it widens recall
+    Knn.search(rerank, vecCol, q, k, pq.metric, minScore = minScore,
+      maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
   }
 
   /** Batched IVFPQ over RESIDUAL codes: stage-1 LUTs are built per
@@ -555,7 +560,9 @@ object PqIndex {
       k: Int,
       nprobe: Int,
       recallNum: Int,
-      idCol: Column): DataFrame = {
+      idCol: Column,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -598,11 +605,13 @@ object PqIndex {
       .select(col("_qid"), explode(col("_tk")).as("_e"))
       .select(col("_qid"), col("_e.item._sid").as("_sid"))
       .join(broadcast(qvDf), Seq("_qid"))
-    val rerank = corpus.join(broadcast(short), idCol === col("_sid"))
+    val rerank0 = corpus.join(broadcast(short), idCol === col("_sid"))
       .select(col("_qid"),
         Knn.score(pq.metric, vecCol, col("_qv")).as("_score"),
         struct(idCol.as("id")).as("_item"))
       .filter(col("_score").isNotNull)
+    // in-scan score gate at the exact-rerank stage (see searchIvfResidual)
+    val rerank = Knn.scoreGate(rerank0, minScore, maxScore)
     rerank.groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
         Knn.ascending(pq.metric)).as("_tk"))

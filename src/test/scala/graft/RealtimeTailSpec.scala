@@ -189,6 +189,24 @@ class RealtimeTailSpec extends SparkSpec {
     }
     assert(gotB == wantB)
     assert(gotB.filter(_._1 == 1L).head._2 == 900000L)
+
+    // SELECTIVE score gate over the tail union (r16 in-scan gating):
+    // both legs gate before their bounded top-k, so the merged routed
+    // result ≡ gated brute over the live view — and the near-duplicate
+    // buffered doc (dist ≈ 0) is correctly OUT of gate
+    val reqG = s"""{"vectors":[{"field":"embedding","feature":${q0.mkString("[", ",", "]")},
+      "min_score":1.41}],"limit":5}"""
+    val gotG = graft.api.SearchApi.searchAuto(base, sp, reqG, lc, tail = Some(tail))
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantG = graft.operators.Knn.search(tail.snapshot(base.schema),
+      $"embedding", q0, 5, "l2", minScore = Some(1.41),
+      tieBreak = Some($"_id"))
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotG == wantG)
+    assert(gotG.nonEmpty && gotG.forall(_._2 >= 1.41) &&
+      !gotG.map(_._1).contains(900000L))
   }
 
   test("realtime HNSW search: graph base ∪ brute tail, updated docs never stale") {
@@ -328,15 +346,18 @@ class RealtimeTailSpec extends SparkSpec {
       .select($"_id").collect().map(_.getLong(0)).toSet
     assert(!snapIds.contains(0L) && snapIds.contains(1L))
 
-    // 2) a NON-ROUTABLE shape (min_score gate → FLAT fallback over the
-    //    live view) — the ghost would be the exact top-1
+    // 2) a NON-ROUTABLE shape (is_brute_search:1 forces the FLAT scan
+    //    over the live view, engine.cc:280-308; the admit-all min_score
+    //    rides it — since r16 gates alone no longer force a fallback,
+    //    they apply in-scan on the routed arms too) — the ghost would be
+    //    the exact top-1
     val sp = graft.schema.Space.fromJson(
       """{"name":"rt_del","fields":[
           {"name":"label","type":"integer","index":{"type":"SCALAR"}},
           {"name":"embedding","type":"vector","dimension":64,
            "index":{"type":"IVFFLAT","params":{"ncentroids":4,"nprobe":4}}}]}""")
     val req = s"""{"vectors":[{"field":"embedding","feature":${q0.mkString("[", ",", "]")},
-      "min_score":-1e18}],"limit":5}"""
+      "min_score":-1e18}],"is_brute_search":1,"limit":5}"""
     val got = graft.api.SearchApi.searchAuto(
       spark.read.parquet(basePath), sp, req, lc, tail = Some(tail))
       .select($"_id").collect().map(_.getLong(0)).toSeq

@@ -318,11 +318,66 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(SearchApi.searchAuto(stored, hspace, forced, lc)) ==
       rows(SearchApi.search(stored, hspace, forced)))
 
-    // score gates are not a graph-walk shape → transparent FLAT fallback
+    // score gates RIDE the routed walk through the driver-bounded gate
+    // loop (the reference applies them in-scan for every index type,
+    // gamma_common_data.h:94-96); an admit-all gate returns on the
+    // first probe
     val gated = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
          "min_score":0.0}],"limit":9}"""
     assert(rows(SearchApi.searchAuto(stored, hspace, gated, lc)) ==
       rows(SearchApi.search(stored, hspace, gated)))
+
+    // SELECTIVE gate (min_score ≈ median L2): every near neighbor is
+    // out-of-gate, so the first depth-64 probe yields zero gated
+    // survivors and the loop MUST depth-double before it can prove the
+    // gated top-k; each probe drives ONE bounded aggregate action —
+    // the result is still ≡ the FLAT path's gate-before-select
+    val selective = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "min_score":1.41}],"limit":9}"""
+    val selRows = rows(SearchApi.searchAuto(stored, hspace, selective, lc))
+    assert(selRows.length == 9 && selRows.forall(_._3 >= 1.41))
+    assert(selRows == rows(SearchApi.search(stored, hspace, selective)))
+
+    // EXHAUSTION: fewer than k survivors exist corpus-wide (7 docs at
+    // dist ≥ 1.60 in the sf0.001 fixture) — the loop doubles until the
+    // candidate count comes back short of the requested depth, proving
+    // every admissible candidate was seen, and returns the short result
+    val exhausted = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "min_score":1.60}],"limit":10}"""
+    val exRows = rows(SearchApi.searchAuto(stored, hspace, exhausted, lc))
+    assert(exRows.nonEmpty && exRows.length < 10 && exRows.forall(_._3 >= 1.60))
+    assert(exRows == rows(SearchApi.search(stored, hspace, exhausted)))
+  }
+
+  test("searchAuto: score-gated BATCH routes through the per-qid gate loop (req_num shares the gate)") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw_gate_batch").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":600}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // selective gate shared by both queries (doc_query.go:296-318
+    // flattens req_num; the gate is per CONDITION): the batched loop
+    // iterates until EVERY qid has k gated survivors — per-qid ≡ FLAT
+    val req = s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q1).mkString("[", ",", "]")},
+         "min_score":1.41}],"limit":6}"""
+    val got = rows(SearchApi.searchAuto(stored, hspace, req, lc))
+    assert(got.nonEmpty && got.forall(_._3 >= 1.41))
+    assert(got.map(_._1).distinct.sorted == Seq(0L, 1L))
+    assert(got == rows(SearchApi.search(stored, hspace, req)))
   }
 
   test("searchAuto: IVFFLAT space routes through the READY generation, nprobe resolves request→space") {
@@ -373,6 +428,18 @@ class SearchApiSpec extends SparkSpec {
            {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":6}"""
     assert(rows(SearchApi.searchAuto(stored, ispace, filtered, lc)) ==
       rows(SearchApi.search(stored, ispace, filteredFlat)))
+
+    // score gates apply IN-SCAN on the routed scan (the reference's heap
+    // admission, gamma_common_data.h:94-96) — no over-fetch loop, no
+    // extra action; exhaustive probe ⇒ gated parity with gated FLAT
+    val gatedIdx = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "min_score":-0.05,"max_score":0.05}],
+         "index_params":{"nprobe":8},"limit":12}"""
+    val gatedFlat = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "min_score":-0.05,"max_score":0.05}],"limit":12}"""
+    val g = rows(SearchApi.searchAuto(stored, ispace, gatedIdx, lc))
+    assert(g.nonEmpty && g.forall(r => r._3 >= -0.05 && r._3 <= 0.05))
+    assert(g == rows(SearchApi.search(stored, ispace, gatedFlat)))
   }
 
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
