@@ -1548,6 +1548,38 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 MIXED-family conjunctive routing (round-16: the all-HNSW
+    //    guard is gone): v1 serves through its HNSW generation, v2
+    //    through its IVFFLAT generation — the (docid, score)
+    //    intersection is family-agnostic, as in the reference
+    //    (vector_manager.cc:1024-1087 intersects per-field results for
+    //    any family combination). ef ≥ corpus and nprobe = ncentroids ⇒
+    //    each leg exact ⇒ the composition shares the brute oracle ──
+    "q_knn_multivec_mixed_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_mixed","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4+§2.8 multi-field conjunctive with a LIVE TAIL through the
     //    API: the buffer unions into EACH field's walk BEFORE the docid
     //    intersection (vector_manager.cc:1096-1176); the tail holds the
@@ -3372,6 +3404,7 @@ object SparkEntry {
     // exact params ≡ the brute weighted per-field top-200 intersection;
     // the realtime twin's live view ≡ the full table by construction
     "q_api_search_multivec_routed" -> apiMultivecExactSql,
+    "q_knn_multivec_mixed_routed_exact" -> apiMultivecExactSql,
     "q_api_search_multivec_realtime" -> apiMultivecExactSql,
     // native SCANN route at full probe + full-depth rerank ⇒ exact
     "q_api_search_scann" -> apiExactTop10Sql,

@@ -674,49 +674,87 @@ object SearchApi {
     // field's OWN index and intersects docids, vector_manager.cc:859,
     // 1024-1087; with a live buffer it merges the buffer into the
     // PER-FIELD searches before the intersection, :1096-1176): routable
-    // when every condition is a single-query, ungated float HNSW field
-    // and no scalar filter rides the request (filtered conjunctions keep
-    // the exact FLAT fallback — the reference's hybrid path). Per-field
+    // when every condition is a single-query, ungated float field and no
+    // scalar filter rides the request (filtered conjunctions keep the
+    // exact FLAT fallback — the reference's hybrid path). Each leg
+    // serves through its field's OWN READY generation KIND — the
+    // (vec_id, _score) intersection join is family-agnostic, so mixed
+    // HNSW + IVF + Vamana conjunctions route too (the reference
+    // intersects per-field results for any family combination). Per-field
     // generations live under the lifecycle's field scope
     // ([[IndexLifecycle.scoped]]); any field without a READY generation
-    // degrades the WHOLE request to FLAT (a partial intersection of one
-    // indexed and one brute leg would be no cheaper and harder to bound).
+    // (or with a family that has no per-field route) degrades the WHOLE
+    // request to FLAT (a partial intersection of one indexed and one
+    // brute leg would be no cheaper and harder to bound).
     val multiRouted: Option[DataFrame] =
       if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
           req.vectors.forall(v => v.queries.size == 1 &&
             v.minScore.isEmpty && v.maxScore.isEmpty) &&
           pred.isEmpty && rid.isDefined &&
           req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector)
-            .exists(v => v.indexType == "HNSW" && v.valueType == "float"))) {
+            .flatMap(_.vector).exists(_.valueType == "float"))) {
         val perFieldK = math.max(req.limit * 10, 200)
         val legs: Seq[Option[DataFrame]] = req.vectors.map { vc =>
           val lcF = lifecycle.scoped(vc.field)
-          lcF.readyHnswSegments().map { segs =>
-            val q = maybeNormalize(space, vc.field, vc.queries.head)
-            val metric = metricOf(space, vc.field)
-            val deny = lcF.hnswDeleteBaseline()
-              .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-            val fOpts = space.vectorFields.find(_.name == vc.field)
-              .flatMap(_.vector).get
-            val ef = math.max(
-              req.indexParams.get("efSearch").filter(_ > 0)
-                .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
-                .getOrElse(64), perFieldK)
-            if (!tailOn)
-              graft.operators.HnswIndex.search(segs, q, perFieldK, ef,
-                metric, deny = deny)
-            else
-              // this field's buffer-over-index union BEFORE the docid
-              // intersection — fresh writes compete in every leg
-              tail.get.mergeTail(corpus.schema, perFieldK, metric, deny) { td =>
-                Knn.search(td, col(vc.field), q, perFieldK, metric,
-                  tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              } { kb =>
-                graft.operators.HnswIndex.search(segs, q, kb,
-                  math.max(ef, kb), metric, deny = deny)
+          val fOpts = space.vectorFields.find(_.name == vc.field)
+            .flatMap(_.vector).get
+          val q = maybeNormalize(space, vc.field, vc.queries.head)
+          val metric = metricOf(space, vc.field)
+          // this field's buffer-over-index union BEFORE the docid
+          // intersection — fresh writes compete in every leg
+          def withTail(deny: Set[Long])(base: Int => DataFrame): DataFrame =
+            if (!tailOn) base(perFieldK)
+            else tail.get.mergeTail(corpus.schema, perFieldK, metric, deny) { td =>
+              Knn.search(td, col(vc.field), q, perFieldK, metric,
+                tieBreak = Some(col("_id")))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+            }(base)
+          fOpts.indexType match {
+            case "HNSW" =>
+              lcF.readyHnswSegments().map { segs =>
+                val deny = lcF.hnswDeleteBaseline()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val ef = math.max(
+                  req.indexParams.get("efSearch").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
+                    .getOrElse(64), perFieldK)
+                withTail(deny)(kb =>
+                  graft.operators.HnswIndex.search(segs, q, kb,
+                    math.max(ef, kb), metric, deny = deny))
               }
+            case "IVFFLAT" | "GPU_IVFFLAT" =>
+              for (table <- lcF.readyIndex(); model <- lcF.loadModel(metric))
+                yield {
+                  val deny = lcF.readyGen()
+                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                  val served = applyDeny(table, deny, ridName)
+                  val nprobe = math.min(
+                    req.indexParams.get("nprobe").filter(_ > 0)
+                      .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                      .getOrElse(80),
+                    model.ncentroids)
+                  withTail(deny)(kb =>
+                    IvfIndex.search(served, col(vc.field), model, q, kb,
+                      nprobe, tieBreak = Some(col("_id")))
+                      .select(col(ridName).cast("long").as("vec_id"),
+                        col("_score")))
+                }
+            case "DISKANN_STATIC" | "SSG" =>
+              lcF.readyVamanaSegments().map { segs =>
+                val deny = lcF.readyVamanaGen()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val l = math.max(
+                  req.indexParams.get("l_search").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("L").filter(_ > 0))
+                    .getOrElse(100), perFieldK)
+                val bw = req.indexParams.get("beam_width").filter(_ > 0)
+                  .orElse(fOpts.indexParams.get("beam_width").filter(_ > 0))
+                  .getOrElse(4)
+                withTail(deny)(kb =>
+                  graft.operators.VamanaIndex.search(segs, q, kb,
+                    math.max(l, kb), bw, metric, deny = deny))
+              }
+            case _ => None // no per-field route for this family → FLAT
           }
         }
         if (legs.exists(_.isEmpty)) None

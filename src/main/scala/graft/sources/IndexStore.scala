@@ -615,6 +615,31 @@ object IndexStore {
     spacePath
   }
 
+  /** MIXED-family multi-vector SPACE fixture: v1 under a READY HNSW
+    * generation, v2 under a READY IVFFLAT generation — the reference
+    * intersects per-field results for ANY family combination
+    * (vector_manager.cc:1024-1087), so the conjunctive route must not
+    * demand a homogeneous index set.
+    */
+  def multiFieldMixedSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apimvmixed")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          slice(col("embedding"), 1, 32).as("v1"),
+          slice(col("embedding"), 33, 32).as("v2"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.scoped("v1").rebuildHnsw("_id", "v1",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+          numShards = 4))
+      lc.scoped("v2").rebuild("v2", ncentroids = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** [[multiFieldSpace]] with a realtime TAIL (vec_id < 10, including
     * the query vector): per-field READY generations over the BASE split
     * — the shape the tail-aware conjunctive route serves.

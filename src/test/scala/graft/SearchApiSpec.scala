@@ -138,6 +138,50 @@ class SearchApiSpec extends SparkSpec {
     assert(rows.head.getAs[String]("_id") == "0") // self wins the intersection
   }
 
+  test("searchAuto: MIXED-family conjunctive routes per-field (HNSW + IVF legs), partial coverage falls back") {
+    val root = java.nio.file.Files.createTempDirectory("mv_mixed").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val sp = Space.fromJson(
+      """{"name":"mv_mixed","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,
+                              "metric_type":"InnerProduct"}}},
+          {"name":"v2","type":"vector","dimension":32,
+           "index":{"type":"IVFFLAT",
+                    "params":{"ncentroids":4,"nprobe":4,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val req = s"""{"vectors":[
+          {"field":"v1","feature":${fjson(q0.take(32))}},
+          {"field":"v2","feature":${fjson(q0.drop(32))}}],
+        "index_params":{"efSearch":1048576},"limit":5}"""
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id").collect().map(_.getLong(0)).toSeq
+
+    // only v1 READY: a mixed request with partial per-field coverage
+    // degrades the WHOLE request to the FLAT conjunction
+    lc.scoped("v1").rebuildHnsw("_id", "v1",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    val partial = ids(SearchApi.searchAuto(stored, sp, req, lc))
+    assert(partial == ids(SearchApi.search(stored, sp, req)))
+
+    // both READY: v1 serves through its graph generation, v2 through its
+    // IVF generation (no all-HNSW demand); exact params on each leg ⇒
+    // the family-agnostic (docid, score) intersection ≡ FLAT
+    lc.scoped("v2").rebuild("v2", ncentroids = 4)
+    val routed = ids(SearchApi.searchAuto(stored, sp, req, lc))
+    assert(routed == ids(SearchApi.search(stored, sp, req)))
+    assert(routed.head == 0L) // self wins the intersection
+  }
+
   test("multi-field search honors each field's own metric_type") {
     // v1 indexed with InnerProduct (desc), v2 with L2 (asc)
     val mixed = Space.fromJson(
