@@ -1395,6 +1395,52 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 INT8 value_type through the ROUTED IVF planner (round-16:
+    //    the float-only guard is gone — the reference serves INT8 across
+    //    families, index_model.h:19): the coarse quantizer probes with
+    //    the float query (centroids trained de-quantized), probed lists
+    //    score with integer-accumulate kernels against the
+    //    symmetric-quantized query; nprobe = ncentroids ⇒ exact, so the
+    //    whole INT8 route is oracle-checked ──
+    "q_api_search_ivf_int8" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8IvfSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_ivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
+    // ── §2.4 INT8 BATCHED route: req_num=3 float queries quantize once,
+    //    per-query probe routes join on list_id equality, one scan of
+    //    the probed-list union scores every query with the integer
+    //    kernels; full probe ⇒ exact per-qid blocks ──
+    "q_api_search_ivf_int8_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8IvfSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_ivf_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── string-PK BATCHED graph route: req_num=3 through the batched
     //    HNSW arm over the docid sidecar, per-qid hits bridged back to
     //    the string _id in one broadcast join; efSearch ≥ corpus ⇒ exact
@@ -3463,6 +3509,31 @@ object SparkEntry {
                         ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
                                  e.vec_id) AS rn
                FROM embeddings e, qs)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    "q_api_search_ivf_int8" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id AS _id, c.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
+         FROM c, q
+         ORDER BY _score DESC, c.vec_id LIMIT 10""",
+    "q_api_search_ivf_int8_batch" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
+         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
+               FROM c, qs),
+         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
+                 ORDER BY _score DESC, _id) AS rn FROM h)
          SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
          ORDER BY _qid, rn""",
     "q_knn_score_range_routed" ->

@@ -103,6 +103,39 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     }
   }
 
+  /** [[rebuild]] for an INT8 vector field (value_type=INT8,
+    * index_model.h:19 — the reference builds every index family over
+    * INT8 too): the coarse quantizer trains and assigns in the
+    * DE-QUANTIZED float domain (b/127 — order-identical to the int8
+    * kernels up to a fixed scale), the stored layout keeps the compact
+    * int8 codes; serving probes with the float query and scores with the
+    * integer-accumulate kernels ([[graft.operators.IvfIndex.searchInt8]]).
+    */
+  def rebuildInt8(vecCol: String, ncentroids: Int): Ready = {
+    val gen = System.currentTimeMillis()
+    writeState(s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+      val trainedDocs = corpus.count()
+      val deq = corpus.withColumn("_i8f", graft.Graft.F.dequantI8(col(vecCol)))
+      val model = IvfIndex.train(deq, "_i8f", ncentroids)
+      IvfIndex.assign(deq, "_i8f", model).drop("_i8f")
+        .write.mode("overwrite").partitionBy("list_id").parquet(indexPath(gen))
+      val centroids = model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+      import spark.implicits._
+      centroids.toDF("list_id", "centroid").write
+        .mode("overwrite").parquet(s"${indexPath(gen)}.centroids")
+      writeState(s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeState(s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
   /** Auto-build trigger (engine.cc:759-769,972-1012: the index is built
     * when doc_num reaches `training_threshold`; below it searches stay
     * brute-force over the raw table). Returns true iff a build ran.

@@ -323,17 +323,49 @@ object SearchApi {
       val metric = metricOf(space, vc.field)
       val spark = corpus.sparkSession
       import spark.implicits._
-      val queries = vc.queries.zipWithIndex
-        .map { case (q, i) => (i.toLong, maybeNormalize(space, vc.field, q)) }
-        .toDF("_qid", "_qv")
-        .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+      // value_type dispatch, like the single-query path: int8 queries
+      // quantize with the ingest quantizer and score with the integer
+      // kernels; binary queries sign-binarize and rank by Hamming
+      val (queries, m, scoreFn):
+          (DataFrame, String, Option[(Column, Column) => Column]) =
+        valueTypeOf(space, vc.field) match {
+          case "int8" =>
+            val qd = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, graft.functions.VecKernels.quantizeI8(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
+            }.toDF("_qid", "_qv")
+            val fn = metric match {
+              case "ip"   => graft.Graft.F.i8Dot _
+              case "l2"   => graft.Graft.F.i8L2 _
+              case "l2sq" => graft.Graft.F.i8L2Sq _
+              case other  =>
+                throw new IllegalArgumentException(s"unknown int8 metric: $other")
+            }
+            (qd, metric, Some(fn))
+          case "binary" =>
+            val qd = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, graft.functions.VecKernels.signBits(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+                .asInstanceOf[Array[Byte]])
+            }.toDF("_qid", "_qv")
+            ((qd, "l2", // hamming ⇒ asc
+              Some((v: Column, qc: Column) =>
+                graft.Graft.F.hamming(v, qc).cast("double"))))
+          case _ =>
+            (vc.queries.zipWithIndex
+              .map { case (q, i) => (i.toLong, maybeNormalize(space, vc.field, q)) }
+              .toDF("_qid", "_qv")
+              .select(col("_qid"), col("_qv").cast("array<float>").as("_qv")),
+              metric, None)
+        }
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
       val payload = struct(corpus.columns.map(col).toIndexedSeq: _*)
       // gates + pagination inside the batch operator (pre-selection gate,
       // per-qid offset slice) — same semantics as the single-query path
       val res = Knn.searchBatch(filtered, col(vc.field), payload, queries,
-        "_qid", "_qv", req.limit, metric,
-        minScore = vc.minScore, maxScore = vc.maxScore, offset = req.offset)
+        "_qid", "_qv", req.limit, m,
+        minScore = vc.minScore, maxScore = vc.maxScore, offset = req.offset,
+        scoreFn = scoreFn)
       val flat = res.select(col("_qid"), col("_score"), col("_item.*"))
       val projected = flat.select(projection(space, req, Seq("_qid", "_score")): _*)
       // sort spec re-orders rows WITHIN each query's block
@@ -1358,6 +1390,84 @@ object SearchApi {
           }
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric = "l2")
         }
+      // INT8 value_type rides the IVF route (the reference serves INT8
+      // through every family, index_model.h:19): the coarse quantizer
+      // probes with the FLOAT query (centroids live in the de-quantized
+      // b/127 domain, [[IndexLifecycle.rebuildInt8]]), probed lists score
+      // with the integer-accumulate kernels against the symmetric-
+      // quantized query — same quantizer as ingest, so routed ≡ the
+      // brute INT8 scan within the probe. Single and batched; gates
+      // in-scan like the float arm.
+      case Some("IVFFLAT" | "GPU_IVFFLAT")
+          if routable && vopts.exists(_.valueType == "int8") =>
+        val metric = metricOf(space, req.vectors.head.field)
+        for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
+          yield {
+            val vc = req.vectors.head
+            val k = req.limit + req.offset
+            val served = applyDeny(table, ivfDeny, ridName)
+            def i8Score(vec: Column, qb: Column): Column = metric match {
+              case "ip"   => graft.Graft.F.i8Dot(vec, qb)
+              case "l2"   => graft.Graft.F.i8L2(vec, qb)
+              case "l2sq" => graft.Graft.F.i8L2Sq(vec, qb)
+              case other  =>
+                throw new IllegalArgumentException(s"unknown int8 metric: $other")
+            }
+            def qb(q: Seq[Float]): Array[Byte] =
+              graft.functions.VecKernels.quantizeI8(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+            if (vc.queries.size == 1) {
+              val qf = vc.queries.head
+              val qBytes = qb(qf)
+              if (!tailOn)
+                finish(IvfIndex.searchInt8(served, col(vc.field), model, qf,
+                  qBytes, k, nprobeOf(model), filter = pred, minScore = gMin,
+                  maxScore = gMax, tieBreak = Some(col("_id"))), metric)
+              else {
+                // int8 tail leg: integer kernels over the buffer, same
+                // quantized query — both legs gate in-scan
+                val hits = tailMergeWith(k, metric, ivfDeny) { td =>
+                  Knn.searchInt8(td, col(vc.field), qBytes, k, metric,
+                    filter = pred, minScore = gMin, maxScore = gMax,
+                    tieBreak = Some(col("_id")))
+                    .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+                } { kb =>
+                  IvfIndex.searchInt8(served, col(vc.field), model, qf,
+                    qBytes, kb, nprobeOf(model), filter = pred,
+                    minScore = gMin, maxScore = gMax,
+                    tieBreak = Some(col("_id")))
+                    .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+                }
+                finish(joinBack(hits), metric)
+              }
+            } else {
+              val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+                (i.toLong, q, qb(q)) }
+              val hits = tailMergeBatchWith(k, metric, ivfDeny) { td =>
+                val spark = corpus.sparkSession
+                import spark.implicits._
+                val qDf = queries.map { case (qid, _, code) => (qid, code) }
+                  .toDF("_qid", "_qb")
+                val filtered = pred.map(td.filter).getOrElse(td)
+                Knn.scoreGate(filtered
+                  .select(col(ridName).cast("long").as("vec_id"),
+                    col(vc.field).as("_c"))
+                  .crossJoin(broadcast(qDf))
+                  .select(col("_qid"), i8Score(col("_c"), col("_qb")).as("_score"),
+                    col("vec_id"))
+                  .filter(col("_score").isNotNull), gMin, gMax)
+              } { kb =>
+                val servedF = pred.map(served.filter).getOrElse(served)
+                IvfIndex.searchBatchInt8(servedF, col(vc.field),
+                  struct(col(ridName)), queries, model, kb, nprobeOf(model),
+                  minScore = gMin, maxScore = gMax)
+                  .select(col("_qid"),
+                    col(s"_item.$ridName").cast("long").as("vec_id"),
+                    col("_score"))
+              }
+              finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+            }
+          }
       case _ => None
     }
     routed.getOrElse(search(live, space, requestJson))

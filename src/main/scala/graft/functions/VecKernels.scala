@@ -497,6 +497,19 @@ object VecKernels {
     out
   }
 
+  /** Inverse of [[quantizeI8]]: int8 code → float vector on the b/127
+    * grid. Index BUILDS over int8 fields train/assign in this
+    * de-quantized domain (the coarse quantizer stays float — the
+    * reference trains its quantizers on de-quantized INT8 too); order is
+    * preserved exactly since i8Dot(a,b) = 127²·dot(deq(a),deq(b)).
+    */
+  def dequantI8(a: Array[Byte]): ArrayData = {
+    val out = new Array[Float](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) / 127.0f; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Inner product over int8-encoded vectors (integer accumulate). */
   def i8Dot(a: Array[Byte], b: Array[Byte]): Double = {
     val n = math.min(a.length, b.length)

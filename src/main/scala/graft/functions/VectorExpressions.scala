@@ -286,6 +286,20 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** int8 code → float vector on the b/127 grid (inverse of
+  * [[QuantizeI8]]) — index builds over INT8 fields train their coarse
+  * quantizer in this de-quantized domain.
+  */
+case class DequantI8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_dequant_i8"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.dequantI8(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.dequantI8($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Inner product over int8-encoded vectors (integer accumulate — the
   * reference's INT8 distance path).
   */

@@ -191,4 +191,74 @@ object IvfIndex {
     Knn.search(probed, vecCol, q, k, model.metric, filter, minScore, maxScore,
       tieBreak, roundTo)
   }
+
+  /** IVF search over an INT8 corpus (value_type=INT8, index_model.h:19 —
+    * the reference serves INT8 through every index family): the coarse
+    * quantizer is trained/probed in the de-quantized float domain
+    * (`qFloat` routes, [[graft.functions.VecKernels.dequantI8]] at
+    * build), the probed lists score with the integer-accumulate kernels
+    * against the symmetric-quantized query — exact-within-probe since
+    * i8 scores are a fixed 127²(/127) scaling of the de-quantized float
+    * scores (order-identical).
+    */
+  def searchInt8(
+      corpus: DataFrame, // carries list_id + the int8 (binary) column
+      vecCol: Column,
+      model: Model,
+      qFloat: Seq[Float],
+      qBytes: Array[Byte],
+      k: Int,
+      nprobe: Int,
+      filter: Option[Column] = None,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None,
+      tieBreak: Option[Column] = None,
+      roundTo: Option[Int] = None): DataFrame = {
+    val lists = model.nearestCentroids(qFloat, nprobe)
+    val probed = corpus.filter(col("list_id").isin(lists: _*))
+    Knn.searchInt8(probed, vecCol, qBytes, k, model.metric, filter,
+      minScore, maxScore, tieBreak, roundTo)
+  }
+
+  /** Batched INT8 IVF (req_num flatten, doc_query.go:296-318): per-query
+    * probe routes join on `list_id` equality carrying each query's int8
+    * code; one scan of the probed-list union scores every query with the
+    * integer kernels, bounded per-qid top-k. Output: (_qid, _item, _score).
+    */
+  def searchBatchInt8(
+      corpus: DataFrame,
+      vecCol: Column,
+      payload: Column,
+      queries: Seq[(Long, Seq[Float], Array[Byte])],
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      minScore: Option[Double] = None,
+      maxScore: Option[Double] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qlRows = queries.flatMap { case (qid, qf, qb) =>
+      model.nearestCentroids(qf, nprobe).map(l => (qid, l, qb))
+    }
+    val qDf = qlRows.toDF("_qid", "list_id", "_qb")
+    val union = qlRows.map(_._2).distinct
+    val pruned =
+      if (union.isEmpty) corpus.limit(0)
+      else corpus.filter(col("list_id").isin(union: _*))
+    val scoreCol = model.metric match {
+      case "ip"   => graft.Graft.F.i8Dot(vecCol, col("_qb"))
+      case "l2"   => graft.Graft.F.i8L2(vecCol, col("_qb"))
+      case "l2sq" => graft.Graft.F.i8L2Sq(vecCol, col("_qb"))
+      case other  => throw new IllegalArgumentException(s"unknown int8 metric: $other")
+    }
+    val scored0 = pruned.join(broadcast(qDf), Seq("list_id"))
+      .select(col("_qid"), scoreCol.as("_score"), payload.as("_item"))
+      .filter(col("_score").isNotNull)
+    val scored = Knn.scoreGate(scored0, minScore, maxScore)
+    scored.groupBy(col("_qid"))
+      .agg(graft.Graft.F.topK(col("_score"), col("_item"), k,
+        Knn.ascending(model.metric)).as("_tk"))
+      .select(col("_qid"), explode(col("_tk")).as("_e"))
+      .select(col("_qid"), col("_e.item").as("_item"), col("_e.score").as("_score"))
+  }
 }

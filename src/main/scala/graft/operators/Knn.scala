@@ -168,12 +168,18 @@ object Knn {
       metric: String = "l2",
       minScore: Option[Double] = None,
       maxScore: Option[Double] = None,
-      offset: Int = 0): DataFrame = {
+      offset: Int = 0,
+      // value_type dispatch (index_model.h:19): non-float corpora plug
+      // their own kernel (int8 integer-accumulate, binary Hamming) —
+      // `metric` still drives the sort direction
+      scoreFn: Option[(Column, Column) => Column] = None): DataFrame = {
     val q = queries.select(col(qidCol).as("_qid"), col(qvecCol).as("_qvec"))
+    val scorer = scoreFn.getOrElse((v: Column, qc: Column) => score(metric, v, qc))
     val scored = corpus.crossJoin(broadcast(q))
       .select(col("_qid"),
-        score(metric, vecCol, col("_qvec")).as("_score"),
+        scorer(vecCol, col("_qvec")).as("_score"),
         payload.as("_item"))
+      .filter(col("_score").isNotNull)
     // gates apply BEFORE selection — vearch's in-scan score gate
     // (gamma_common_data.h:94-96); gating after top-k would return fewer
     // than k rows even when enough in-range docs exist

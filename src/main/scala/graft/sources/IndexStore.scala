@@ -615,6 +615,26 @@ object IndexStore {
     spacePath
   }
 
+  /** INT8 SPACE fixture: the embeddings symmetric-quantized to int8
+    * codes (`iv`, the ingest-side quantizer) with a READY IVFFLAT
+    * generation trained in the de-quantized domain
+    * ([[graft.api.IndexLifecycle.rebuildInt8]]) — the INT8 routed
+    * serving layout (index_model.h:19).
+    */
+  def int8IvfSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apii8ivf")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(col("embedding")).as("iv"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildInt8("iv", 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** MIXED-family multi-vector SPACE fixture: v1 under a READY HNSW
     * generation, v2 under a READY IVFFLAT generation — the reference
     * intersects per-field results for ANY family combination

@@ -486,6 +486,60 @@ class SearchApiSpec extends SparkSpec {
     assert(g == rows(SearchApi.search(stored, ispace, gatedFlat)))
   }
 
+  test("searchAuto: INT8 space routes through the IVF generation (float probe, integer kernels)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(col("embedding")).as("iv"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val isp = Space.fromJson(
+      """{"name":"i8_ivf","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":{"type":"IVFFLAT",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val req = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":9}"""
+    // no generation yet → FLAT int8 fallback
+    assert(SearchApi.searchAuto(stored, isp, req, lc).count() == 9)
+
+    lc.rebuildInt8("iv", 8)
+    // exhaustive probe ⇒ routed ≡ the brute int8 scan (self ranks first)
+    val got = rows(SearchApi.searchAuto(stored, isp, req, lc))
+    assert(got == rows(SearchApi.search(stored, isp, req)))
+    assert(got.head._1 == 0L)
+
+    // a NARROW request-level probe really prunes: results stay ranked,
+    // drawn from 1 of 8 lists (the planner resolves request nprobe)
+    val narrow = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],
+      "index_params":{"nprobe":1},"limit":9}"""
+    val nr = rows(SearchApi.searchAuto(stored, isp, narrow, lc))
+    assert(nr.nonEmpty && nr.map(_._2) == nr.map(_._2).sorted.reverse)
+
+    // score gates apply in-scan on the int8 route too
+    val gated = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)},
+      "min_score":-1000,"max_score":1000}],"limit":9}"""
+    val gr = rows(SearchApi.searchAuto(stored, isp, gated, lc))
+    assert(gr == rows(SearchApi.search(stored, isp, gated)))
+    assert(gr.forall(r => r._2 >= -1000 && r._2 <= 1000))
+
+    // batched int8: per-qid parity with the FLAT int8 batch
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"iv","feature":${fjson(q0 ++ q1)}}],"limit":4}"""
+    def rowsB(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rowsB(SearchApi.searchAuto(stored, isp, reqB, lc)) ==
+      rowsB(SearchApi.search(stored, isp, reqB)))
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
