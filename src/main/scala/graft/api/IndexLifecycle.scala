@@ -161,6 +161,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
         throw new IllegalStateException("READY state without centroids"))
       IvfIndex.assign(delta, vecCol, model)
         .write.mode("append").partitionBy("list_id").parquet(indexPath(gen))
+      layoutCache.remove(indexPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(s"no READY index to append to (state: $other)")
   }
@@ -426,7 +427,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
 
   /** The current READY index table, or None while missing/building. */
   def readyIndex(): Option[DataFrame] = state match {
-    case Ready(gen, _, _) => Some(spark.read.parquet(indexPath(gen)))
+    case Ready(gen, _, _) => Some(openLayout(indexPath(gen)))
     case _             => None
   }
 
@@ -541,12 +542,23 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       throw new IllegalStateException(s"no READY HNSW generation to append to (state: $other)")
   }
 
+  /** Layout DataFrames opened per (path) — `spark.read.parquet` lists
+    * files and reads footers on EVERY call (one scheduler job per open),
+    * which puts a fixed metadata job on every routed query. Generations
+    * are immutable once READY (a rebuild writes a NEW gen path), so the
+    * opened plan is cached per layout path for the lifecycle's lifetime.
+    */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def openLayout(path: String): org.apache.spark.sql.DataFrame =
+    layoutCache.computeIfAbsent(path, p => spark.read.parquet(p))
+
   /** The current READY HNSW segment table, or None while missing/building. */
   def readyHnswSegments(): Option[org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment]] =
     hnswState match {
       case Ready(gen, _, _) =>
         import spark.implicits._
-        Some(spark.read.parquet(hnswPath(gen))
+        Some(openLayout(hnswPath(gen))
           .as[graft.operators.HnswIndex.Segment])
       case _ => None
     }
@@ -603,6 +615,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       graft.operators.HnswIndex.appendClustered(delta, idCol, vecCol,
           params.copy(numShards = ivf.ncentroids), ivf)
         .write.mode("append").partitionBy("shard_id").parquet(hnswPath(gen))
+      layoutCache.remove(hnswPath(gen)) // cached plan pre-dates the new files
       writeStateAt(hnswStatePath, s"READY:$gen:$shards:${trained + deltaN}")
     case other =>
       throw new IllegalStateException(s"no READY HNSW generation to append to (state: $other)")
@@ -716,6 +729,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       graft.operators.PqIndex.encodeResidual(
           IvfIndex.assign(delta, vecCol, ivf), vecCol, ivf, pq)
         .write.mode("append").partitionBy("list_id").parquet(pqPath(gen))
+      layoutCache.remove(pqPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(
         s"no READY IVFPQ generation to append to (state: $other)")
@@ -726,7 +740,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       : Option[(DataFrame, IvfIndex.Model, graft.operators.PqIndex.Model)] =
     pqState match {
       case Ready(gen, _, _) =>
-        Some((spark.read.parquet(pqPath(gen)),
+        Some((openLayout(pqPath(gen)),
           graft.sources.IndexStore.readIvfModel(s"${pqPath(gen)}.ivf.txt")
             .copy(metric = metric),
           graft.sources.IndexStore.readPqModel(s"${pqPath(gen)}.pq.txt")
@@ -789,7 +803,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       : Option[(DataFrame, IvfIndex.Model, graft.operators.PqIndex.Model)] =
     scannState match {
       case Ready(gen, _, _) =>
-        Some((spark.read.parquet(scannPath(gen)),
+        Some((openLayout(scannPath(gen)),
           graft.sources.IndexStore.readIvfModel(s"${scannPath(gen)}.ivf.txt")
             .copy(metric = metric),
           graft.sources.IndexStore.readPqModel(s"${scannPath(gen)}.pq.txt")
@@ -843,6 +857,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       graft.operators.BinaryIndex.encodeResidual(
           IvfIndex.assign(delta, vecCol, ivf), vecCol, ivf)
         .write.mode("append").partitionBy("list_id").parquet(rbPath(gen))
+      layoutCache.remove(rbPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(
         s"no READY IVFRABITQ generation to append to (state: $other)")
@@ -852,7 +867,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
   def readyIvfRabitq(metric: String = "l2")
       : Option[(DataFrame, IvfIndex.Model)] = rbState match {
     case Ready(gen, _, _) =>
-      Some((spark.read.parquet(rbPath(gen)),
+      Some((openLayout(rbPath(gen)),
         graft.sources.IndexStore.readIvfModel(s"${rbPath(gen)}.ivf.txt")
           .copy(metric = metric)))
     case _ => None
@@ -904,6 +919,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
         throw new IllegalStateException("READY BINARYIVF state without centroids"))
       graft.operators.BinaryIndex.assignBinary(delta, codeCol, cents)
         .write.mode("append").partitionBy("list_id").parquet(bivfPath(gen))
+      layoutCache.remove(bivfPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(
         s"no READY BINARYIVF generation to append to (state: $other)")
@@ -913,7 +929,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
   def readyBinaryIvf(): Option[(DataFrame, Array[Array[Byte]])] =
     bivfState match {
       case Ready(gen, _, _) =>
-        Some((spark.read.parquet(bivfPath(gen)),
+        Some((openLayout(bivfPath(gen)),
           graft.sources.IndexStore.readBinaryCentroids(s"${bivfPath(gen)}.cents.txt")))
       case _ => None
     }
@@ -1006,7 +1022,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     vamanaState match {
       case Ready(gen, _, _) =>
         import spark.implicits._
-        Some(spark.read.parquet(vamanaPath(gen))
+        Some(openLayout(vamanaPath(gen))
           .as[graft.operators.VamanaIndex.Segment])
       case _ => None
     }
