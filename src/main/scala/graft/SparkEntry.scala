@@ -1626,6 +1626,105 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.3+§2.4 SCALAR-FILTERED mixed-family conjunction through the
+    //    routed path (r16): the filter rides EACH leg — in-scan inside
+    //    the IVF leg's probed lists, allow-functor into the HNSW leg's
+    //    walk (vector_manager.cc:1024-1087 ∘ engine.cc:355-373); exact
+    //    params ⇒ equals the filtered brute conjunction, oracled ──
+    "q_knn_multivec_filtered_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_mixed_f","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 per-condition SCORE GATES on a routed conjunction (r16):
+    //    each condition's min_score gates ITS leg before the docid
+    //    intersection (gamma_common_data.h:94-96 per condition) — the
+    //    IVF leg in-scan, the HNSW leg through the distributed gate
+    //    loop; exact params ⇒ equals the gated brute conjunction ──
+    "q_knn_multivec_gated_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_mixed_g","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")},
+           "min_score":0.05},
+          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")},
+           "min_score":0.05}],
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 BATCHED (req_num=3) mixed-family conjunction through the
+    //    routed path (r16): each field's batch serves its READY
+    //    generation in ONE pass (graph batch walk / IVF probe-union
+    //    scan), then the (qid, docid) intersection + WeightedRanker
+    //    (doc_query.go:296-318 ∘ vector_manager.cc:1024-1087); exact
+    //    params ⇒ equals the per-qid brute conjunction, oracled ──
+    "q_knn_multivec_batch_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_mixed_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val qrows = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0))
+      val f1 = qrows.flatMap(_.take(32))
+      val f2 = qrows.flatMap(_.drop(32))
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${f1.mkString("[", ",", "]")}},
+          {"field":"v2","feature":${f2.mkString("[", ",", "]")}}],
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4+§2.8 multi-field conjunctive with a LIVE TAIL through the
     //    API: the buffer unions into EACH field's walk BEFORE the docid
     //    intersection (vector_manager.cc:1096-1176); the tail holds the
@@ -3451,6 +3550,64 @@ object SparkEntry {
     // the realtime twin's live view ≡ the full table by construction
     "q_api_search_multivec_routed" -> apiMultivecExactSql,
     "q_knn_multivec_mixed_routed_exact" -> apiMultivecExactSql,
+    // filtered conjunction: the scalar filter applies BEFORE each
+    // field's bounded top-k (the FLAT path filters the corpus first;
+    // the routed legs evaluate it in-scan / via the allow functor)
+    "q_knn_multivec_filtered_routed_exact" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                      (embedding::DOUBLE[])[33:64] AS v2
+               FROM embeddings WHERE label IN (1,3,5)),
+         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+                FROM b ORDER BY s0 DESC, vec_id LIMIT 200),
+         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+                FROM b ORDER BY s1 DESC, vec_id LIMIT 200),
+         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id AS _id, round(sc, 4) AS _score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
+    // batched conjunction: per-field per-qid top-200, (qid, docid)
+    // intersection, WeightedRanker, per-qid top-10
+    "q_knn_multivec_batch_routed_exact" ->
+      """WITH qs AS (SELECT vec_id AS _qid, (embedding::DOUBLE[])[1:32] AS q1,
+                            (embedding::DOUBLE[])[33:64] AS q2
+                     FROM embeddings WHERE vec_id < 3),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+         f0 AS (SELECT * FROM (
+                  SELECT qs._qid, b.vec_id, list_dot_product(v1, q1) AS s0,
+                         row_number() OVER (PARTITION BY qs._qid
+                           ORDER BY list_dot_product(v1, q1) DESC, b.vec_id) AS rn0
+                  FROM b, qs) WHERE rn0 <= 200),
+         f1 AS (SELECT * FROM (
+                  SELECT qs._qid, b.vec_id, list_dot_product(v2, q2) AS s1,
+                         row_number() OVER (PARTITION BY qs._qid
+                           ORDER BY list_dot_product(v2, q2) DESC, b.vec_id) AS rn1
+                  FROM b, qs) WHERE rn1 <= 200),
+         j AS (SELECT f0._qid, f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 ON f0._qid = f1._qid AND f0.vec_id = f1.vec_id),
+         r AS (SELECT _qid, vec_id, sc,
+                      row_number() OVER (PARTITION BY _qid
+                        ORDER BY sc DESC, vec_id) AS rn FROM j)
+         SELECT _qid, vec_id AS _id, round(sc, 4) AS _score
+         FROM r WHERE rn <= 10 ORDER BY _qid, rn""",
+    // gated conjunction: each condition's min_score gates ITS field's
+    // scores before that field's bounded top-k (pre-selection, the
+    // reference's per-condition gate)
+    "q_knn_multivec_gated_routed_exact" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+                FROM b WHERE list_dot_product(v1, (SELECT v[1:32] FROM q)) >= 0.05
+                ORDER BY s0 DESC, vec_id LIMIT 200),
+         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+                FROM b WHERE list_dot_product(v2, (SELECT v[33:64] FROM q)) >= 0.05
+                ORDER BY s1 DESC, vec_id LIMIT 200),
+         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id AS _id, round(sc, 4) AS _score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
     "q_api_search_multivec_realtime" -> apiMultivecExactSql,
     // native SCANN route at full probe + full-depth rerank ⇒ exact
     "q_api_search_scann" -> apiExactTop10Sql,

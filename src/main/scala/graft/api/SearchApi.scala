@@ -269,10 +269,14 @@ object SearchApi {
       val fields = req.vectors.map(vc =>
         (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head),
           metricOf(space, vc.field)))
-      // perFieldK scales with limit like the engine's per-index topn
+      // perFieldK scales with limit like the engine's per-index topn;
+      // per-condition min/max gates apply in-scan before each field's
+      // bounded top-k (gamma_common_data.h:94-96), matching the batched
+      // multi-field path's pre-selection gates
       val ranked = Knn.multiVectorSearchMetrics(filtered, "_id", fields,
         perFieldK = math.max(req.limit * 10, 200), k = req.limit + req.offset,
-        weights = req.weights)
+        weights = req.weights,
+        gates = req.vectors.map(vc => (vc.minScore, vc.maxScore)))
       val sliced = if (req.offset > 0) ranked.offset(req.offset) else ranked
       val projected = sliced.select(col("_id"), col("_score"))
       if (req.sort.nonEmpty) applySort(projected, req.sort)
@@ -548,11 +552,19 @@ object SearchApi {
     // (gamma_common_data.h:94-96) inside their operators.
     def gateLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
       val vc = req.vectors.head
-      if (vc.minScore.isEmpty && vc.maxScore.isEmpty) return hitsAt(k)
+      gateLoopGates(k, metric, vc.minScore, vc.maxScore)(hitsAt)
+    }
+    // gate-parameterized core: the single-condition arm passes the
+    // request's gate; the multi-field conjunctive legs pass EACH
+    // CONDITION's own gate (the reference gates per condition before the
+    // docid intersection, gamma_common_data.h:94-96)
+    def gateLoopGates(k: Int, metric: String, minScore: Option[Double],
+        maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
+      if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
       val spark = corpus.sparkSession
       import spark.implicits._
-      val lo = vc.minScore.getOrElse(Double.NegativeInfinity)
-      val hi = vc.maxScore.getOrElse(Double.PositiveInfinity)
+      val lo = minScore.getOrElse(Double.NegativeInfinity)
+      val hi = maxScore.getOrElse(Double.PositiveInfinity)
       val asc = Knn.ascending(metric)
       var depth = math.max(4 * k, 64)
       var result: Option[Seq[(Long, Double)]] = None
@@ -584,12 +596,18 @@ object SearchApi {
     // at a lower depth stay exact at higher depths (more candidates
     // never change the gated top-k once it dominates).
     def gateBatchLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
-      if (gatesEmpty) return hitsAt(k)
       val vc = req.vectors.head
+      gateBatchLoopGates(k, metric, vc.minScore, vc.maxScore)(hitsAt)
+    }
+    // gate-parameterized core (see [[gateLoopGates]]): the batched
+    // multi-field conjunctive legs pass each CONDITION's own gate
+    def gateBatchLoopGates(k: Int, metric: String, minScore: Option[Double],
+        maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
+      if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
       val spark = corpus.sparkSession
       import spark.implicits._
-      val lo = vc.minScore.getOrElse(Double.NegativeInfinity)
-      val hi = vc.maxScore.getOrElse(Double.PositiveInfinity)
+      val lo = minScore.getOrElse(Double.NegativeInfinity)
+      val hi = maxScore.getOrElse(Double.PositiveInfinity)
       val asc = Knn.ascending(metric)
       var depth = math.max(4 * k, 64)
       var result: Option[Seq[(Long, Long, Double)]] = None
@@ -706,10 +724,12 @@ object SearchApi {
     // field's OWN index and intersects docids, vector_manager.cc:859,
     // 1024-1087; with a live buffer it merges the buffer into the
     // PER-FIELD searches before the intersection, :1096-1176): routable
-    // when every condition is a single-query, ungated float field and no
-    // scalar filter rides the request (filtered conjunctions keep the
-    // exact FLAT fallback — the reference's hybrid path). Each leg
-    // serves through its field's OWN READY generation KIND — the
+    // when every condition is a single-query float field. Scalar filters
+    // ride each leg (in-scan for scan families, allow-functor for graph
+    // families — the reference's hybrid path) and per-condition
+    // min/max-score gates apply per leg before the intersection
+    // (in-scan / gate loop, gamma_common_data.h:94-96). Each leg serves
+    // through its field's OWN READY generation KIND — the
     // (vec_id, _score) intersection join is family-agnostic, so mixed
     // HNSW + IVF + Vamana conjunctions route too (the reference
     // intersects per-field results for any family combination). Per-field
@@ -720,12 +740,36 @@ object SearchApi {
     // brute leg would be no cheaper and harder to bound).
     val multiRouted: Option[DataFrame] =
       if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
-          req.vectors.forall(v => v.queries.size == 1 &&
-            v.minScore.isEmpty && v.maxScore.isEmpty) &&
-          pred.isEmpty && rid.isDefined &&
+          req.vectors.forall(_.queries.size == 1) &&
+          rid.isDefined &&
           req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
             .flatMap(_.vector).exists(_.valueType == "float"))) {
         val perFieldK = math.max(req.limit * 10, 200)
+        // scalar-FILTERED conjunctions route too (the reference's hybrid
+        // path applies the filter bitmap inside EACH field's search,
+        // vector_manager.cc:1024-1087 composed with the broad-filter
+        // planner switch, engine.cc:355-373): scan-shaped legs (IVFFLAT)
+        // evaluate the predicate IN-SCAN inside their probed lists; graph
+        // legs (HNSW/Vamana) take it as an allow-functor, so ONE bounded
+        // take probes selectivity AND collects the allow-set — shared by
+        // every graph leg of the request. A broad filter
+        // (> maxFilterAllowIds survivors) degrades the whole request to
+        // filter-first brute FLAT, the same switch as the
+        // single-condition arms. Probed from the LIVE view so fresh tail
+        // rows matching the filter are admitted in every leg.
+        val graphLegs = req.vectors.exists(vc =>
+          space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
+            .map(_.indexType)
+            .exists(t => t == "HNSW" || t == "DISKANN_STATIC" || t == "SSG"))
+        val allowForGraph: Option[Option[Set[Long]]] = pred match {
+          case Some(p) if graphLegs =>
+            val probed = live.filter(p).select(col(ridName).cast("long"))
+              .take(maxFilterAllowIds + 1)
+            if (probed.length > maxFilterAllowIds) None
+            else Some(Some(probed.map(_.getLong(0)).toSet))
+          case _ => Some(None)
+        }
+        allowForGraph.flatMap { allow =>
         val legs: Seq[Option[DataFrame]] = req.vectors.map { vc =>
           val lcF = lifecycle.scoped(vc.field)
           val fOpts = space.vectorFields.find(_.name == vc.field)
@@ -733,12 +777,18 @@ object SearchApi {
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val metric = metricOf(space, vc.field)
           // this field's buffer-over-index union BEFORE the docid
-          // intersection — fresh writes compete in every leg
-          def withTail(deny: Set[Long])(base: Int => DataFrame): DataFrame =
-            if (!tailOn) base(perFieldK)
-            else tail.get.mergeTail(corpus.schema, perFieldK, metric, deny) { td =>
-              Knn.search(td, col(vc.field), q, perFieldK, metric,
-                tieBreak = Some(col("_id")))
+          // intersection — fresh writes compete in every leg. The scalar
+          // filter and this CONDITION's score gate apply to the tail leg
+          // in-scan; the graph legs' gate loop re-gates the merged
+          // stream, a no-op for already-gated tail rows. `kArg` lets the
+          // gate loop deepen the whole merged stream, not just the base.
+          def withTail(deny: Set[Long], kArg: Int)(
+              base: Int => DataFrame): DataFrame =
+            if (!tailOn) base(kArg)
+            else tail.get.mergeTail(corpus.schema, kArg, metric, deny) { td =>
+              Knn.search(td, col(vc.field), q, kArg, metric,
+                filter = pred, minScore = vc.minScore,
+                maxScore = vc.maxScore, tieBreak = Some(col("_id")))
                 .select(col(ridName).cast("long").as("vec_id"), col("_score"))
             }(base)
           fOpts.indexType match {
@@ -750,9 +800,19 @@ object SearchApi {
                   req.indexParams.get("efSearch").filter(_ > 0)
                     .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
                     .getOrElse(64), perFieldK)
-                withTail(deny)(kb =>
-                  graft.operators.HnswIndex.search(segs, q, kb,
-                    math.max(ef, kb), metric, deny = deny))
+                // ONE allow broadcast per leg, hoisted out of the gate
+                // loop's depth probes
+                val allowBc = allow.map(a =>
+                  corpus.sparkSession.sparkContext.broadcast(a -- deny))
+                gateLoopGates(perFieldK, metric, vc.minScore, vc.maxScore)(
+                  d => withTail(deny, d)(kb => allowBc match {
+                    case Some(bc) =>
+                      graft.operators.HnswIndex.searchFilteredBc(
+                        segs, q, kb, math.max(ef, kb), metric, bc)
+                    case None =>
+                      graft.operators.HnswIndex.search(segs, q, kb,
+                        math.max(ef, kb), metric, deny = deny)
+                  }))
               }
             case "IVFFLAT" | "GPU_IVFFLAT" =>
               for (table <- lcF.readyIndex(); model <- lcF.loadModel(metric))
@@ -765,9 +825,13 @@ object SearchApi {
                       .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
                       .getOrElse(80),
                     model.ncentroids)
-                  withTail(deny)(kb =>
+                  // scan leg: the predicate AND this condition's gate
+                  // apply IN-SCAN inside the probed lists — zero
+                  // over-fetch, no gate loop needed
+                  withTail(deny, perFieldK)(kb =>
                     IvfIndex.search(served, col(vc.field), model, q, kb,
-                      nprobe, tieBreak = Some(col("_id")))
+                      nprobe, filter = pred, minScore = vc.minScore,
+                      maxScore = vc.maxScore, tieBreak = Some(col("_id")))
                       .select(col(ridName).cast("long").as("vec_id"),
                         col("_score")))
                 }
@@ -782,9 +846,17 @@ object SearchApi {
                 val bw = req.indexParams.get("beam_width").filter(_ > 0)
                   .orElse(fOpts.indexParams.get("beam_width").filter(_ > 0))
                   .getOrElse(4)
-                withTail(deny)(kb =>
-                  graft.operators.VamanaIndex.search(segs, q, kb,
-                    math.max(l, kb), bw, metric, deny = deny))
+                val allowBc = allow.map(a =>
+                  corpus.sparkSession.sparkContext.broadcast(a -- deny))
+                gateLoopGates(perFieldK, metric, vc.minScore, vc.maxScore)(
+                  d => withTail(deny, d)(kb => allowBc match {
+                    case Some(bc) =>
+                      graft.operators.VamanaIndex.searchFilteredBc(
+                        segs, q, kb, math.max(l, kb), bw, metric, bc)
+                    case None =>
+                      graft.operators.VamanaIndex.search(segs, q, kb,
+                        math.max(l, kb), bw, metric, deny = deny)
+                  }))
               }
             case _ => None // no per-field route for this family → FLAT
           }
@@ -813,8 +885,162 @@ object SearchApi {
           Some(if (req.sort.nonEmpty) applySort(projected, req.sort)
             else projected)
         }
+        } // allowForGraph.flatMap
       } else None
     if (multiRouted.isDefined) return multiRouted.get
+
+    // ── BATCHED multi-field conjunctive ROUTING (req_num > 1 on every
+    // condition): the reference flattens req_num into one request per
+    // field and intersects per (query, docid) (doc_query.go:296-318 ∘
+    // vector_manager.cc:1024-1087). Each field's batch serves through
+    // its OWN READY generation in ONE pass (the per-family batch
+    // operators amortize segment reads / probe scans across the whole
+    // batch); filters and per-condition gates ride each leg exactly as
+    // in the single-query conjunction above. Unroutable shapes keep the
+    // FLAT per-field batch fallback.
+    val multiBatchRouted: Option[DataFrame] = {
+      val reqNum = req.vectors.headOption.map(_.queries.size).getOrElse(0)
+      if (req.isBruteSearch != 1 && req.vectors.size > 1 && reqNum > 1 &&
+          req.vectors.forall(_.queries.size == reqNum) &&
+          rid.isDefined &&
+          req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
+            .flatMap(_.vector).exists(_.valueType == "float"))) {
+        val perFieldK = math.max(req.limit * 10, 200)
+        val graphLegs = req.vectors.exists(vc =>
+          space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
+            .map(_.indexType)
+            .exists(t => t == "HNSW" || t == "DISKANN_STATIC" || t == "SSG"))
+        // one bounded take probes + collects the graph legs' allow-set,
+        // shared across the batch AND across fields (engine.cc:355-373)
+        val allowForGraph: Option[Option[Set[Long]]] = pred match {
+          case Some(p) if graphLegs =>
+            val probed = live.filter(p).select(col(ridName).cast("long"))
+              .take(maxFilterAllowIds + 1)
+            if (probed.length > maxFilterAllowIds) None
+            else Some(Some(probed.map(_.getLong(0)).toSet))
+          case _ => Some(None)
+        }
+        allowForGraph.flatMap { allow =>
+        val legs: Seq[Option[DataFrame]] = req.vectors.map { vc =>
+          val lcF = lifecycle.scoped(vc.field)
+          val fOpts = space.vectorFields.find(_.name == vc.field)
+            .flatMap(_.vector).get
+          val metric = metricOf(space, vc.field)
+          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+            (i.toLong, maybeNormalize(space, vc.field, q)) }
+          // per-field buffer union before the (qid, docid) intersection;
+          // tail leg applies the filter and this condition's gate in-scan
+          def withTailB(deny: Set[Long], kArg: Int)(
+              base: Int => DataFrame): DataFrame =
+            if (!tailOn) base(kArg)
+            else tail.get.mergeTailBatch(corpus.schema, kArg, metric, deny) { td =>
+              val spark = corpus.sparkSession
+              import spark.implicits._
+              val qDf = queries.toDF("_qid", "_qv")
+                .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+              val filteredTd = pred.map(td.filter).getOrElse(td)
+              Knn.searchBatch(filteredTd, col(vc.field), struct(col(ridName)),
+                qDf, "_qid", "_qv", kArg, metric,
+                minScore = vc.minScore, maxScore = vc.maxScore)
+                .select(col("_qid"),
+                  col(s"_item.$ridName").cast("long").as("vec_id"),
+                  col("_score"))
+            }(base)
+          fOpts.indexType match {
+            case "HNSW" =>
+              lcF.readyHnswSegments().map { segs =>
+                val deny = lcF.hnswDeleteBaseline()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val ef = math.max(
+                  req.indexParams.get("efSearch").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
+                    .getOrElse(64), perFieldK)
+                gateBatchLoopGates(perFieldK, metric, vc.minScore,
+                  vc.maxScore)(d => withTailB(deny, d)(kb =>
+                    graft.operators.HnswIndex.searchBatch(segs, queries, kb,
+                      math.max(ef, kb), metric, deny = deny,
+                      allowIds = allow)))
+              }
+            case "IVFFLAT" | "GPU_IVFFLAT" =>
+              for (table <- lcF.readyIndex(); model <- lcF.loadModel(metric))
+                yield {
+                  val deny = lcF.readyGen()
+                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                  val served0 = applyDeny(table, deny, ridName)
+                  // scan leg: predicate + gate in-scan, one probe-union
+                  // pass serves the whole batch
+                  val served = pred.map(served0.filter).getOrElse(served0)
+                  val nprobe = math.min(
+                    req.indexParams.get("nprobe").filter(_ > 0)
+                      .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                      .getOrElse(80),
+                    model.ncentroids)
+                  withTailB(deny, perFieldK)(kb =>
+                    IvfIndex.searchBatch(served, col(vc.field),
+                      struct(col(ridName)), queries, model, kb, nprobe,
+                      minScore = vc.minScore, maxScore = vc.maxScore)
+                      .select(col("_qid"),
+                        col(s"_item.$ridName").cast("long").as("vec_id"),
+                        col("_score")))
+                }
+            case "DISKANN_STATIC" | "SSG" =>
+              lcF.readyVamanaSegments().map { segs =>
+                val deny = lcF.readyVamanaGen()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val l = math.max(
+                  req.indexParams.get("l_search").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("L").filter(_ > 0))
+                    .getOrElse(100), perFieldK)
+                val bw = req.indexParams.get("beam_width").filter(_ > 0)
+                  .orElse(fOpts.indexParams.get("beam_width").filter(_ > 0))
+                  .getOrElse(4)
+                gateBatchLoopGates(perFieldK, metric, vc.minScore,
+                  vc.maxScore)(d => withTailB(deny, d)(kb =>
+                    graft.operators.VamanaIndex.searchBatch(segs, queries,
+                      kb, math.max(l, kb), bw, metric, deny = deny,
+                      allowIds = allow)))
+              }
+            case _ => None // no per-field batch route for this family
+          }
+        }
+        if (legs.exists(_.isEmpty)) None
+        else {
+          val nf = legs.size
+          val w = req.weights.getOrElse(Seq.fill(nf)(1.0 / nf))
+          require(w.size == nf, "weights arity must match vector conditions")
+          val joined = legs.flatten.zipWithIndex
+            .map { case (df, i) =>
+              df.select(col("_qid"), col("vec_id"),
+                col("_score").as(s"_s$i")) }
+            .reduceLeft((a, b) => a.join(b, Seq("_qid", "vec_id")))
+          val headAsc = Knn.ascending(metricOf(space, req.vectors.head.field))
+          val combined = (0 until nf)
+            .map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
+          // per-qid bounded top-k + offset slice, the FLAT batched
+          // conjunction's exact shape
+          val agged = joined.withColumn("_score", combined)
+            .groupBy(col("_qid"))
+            .agg(graft.Graft.F.topK(col("_score"), struct(col("vec_id")),
+              req.limit + req.offset, headAsc).as("_tk"))
+          val sliced =
+            if (req.offset > 0)
+              agged.withColumn("_tk", slice(col("_tk"), req.offset + 1, req.limit))
+            else agged
+          val hits = sliced.select(col("_qid"), explode(col("_tk")).as("_e"))
+            .select(col("_qid"), col("_e.item.vec_id").as("vec_id"),
+              col("_e.score").as("_score"))
+          val primary = if (headAsc) col("_score").asc else col("_score").desc
+          val out = joinBack(hits, Seq(col("_qid")))
+            .orderBy(col("_qid").asc, primary, col("_id").asc)
+            .select(col("_qid"), col("_id"), col("_score"))
+          Some(if (req.sort.nonEmpty)
+            applySort(out, req.sort, qid = Some(col("_qid")))
+          else out)
+        }
+        } // allowForGraph.flatMap
+      } else None
+    }
+    if (multiBatchRouted.isDefined) return multiBatchRouted.get
 
     val routed: Option[DataFrame] = vopts.map(_.indexType) match {
       case Some("HNSW") if single && rid.isDefined =>

@@ -226,14 +226,29 @@ object Knn {
       fields: Seq[(Column, Seq[Float], String)], // (vector col, query, metric)
       perFieldK: Int,
       k: Int,
-      weights: Option[Seq[Double]] = None): DataFrame = {
+      weights: Option[Seq[Double]] = None,
+      // per-condition min/max score gates (gamma_common_data.h:94-96 —
+      // the reference gates EACH condition's results before the docid
+      // intersection): applied in-scan, before that field's bounded
+      // top-k, same placement as the single-condition scan gate
+      gates: Seq[(Option[Double], Option[Double])] = Seq.empty): DataFrame = {
     require(fields.nonEmpty)
+    require(gates.isEmpty || gates.size == fields.size,
+      "gates arity must match vector conditions")
     val w = weights.getOrElse(Seq.fill(fields.size)(1.0 / fields.size))
     require(w.size == fields.size)
     val perField = fields.zipWithIndex.map { case ((vc, qv, m), i) =>
-      df.select(col(idCol), score(m, vc, queryLit(qv)).as(s"_s$i"))
+      val scored = df.select(col(idCol), score(m, vc, queryLit(qv)).as(s"_s$i"))
         .filter(col(s"_s$i").isNotNull) // null vectors must not head asc order
-        .orderBy(
+      val (gLo, gHi) =
+        if (gates.isEmpty) (None, None) else gates(i)
+      val gated = (gLo, gHi) match {
+        case (Some(lo), Some(hi)) => scored.filter(col(s"_s$i").between(lo, hi))
+        case (Some(lo), None)     => scored.filter(col(s"_s$i") >= lo)
+        case (None, Some(hi))     => scored.filter(col(s"_s$i") <= hi)
+        case _                    => scored
+      }
+      gated.orderBy(
           if (ascending(m)) col(s"_s$i").asc else col(s"_s$i").desc,
           col(idCol).asc) // deterministic k-boundary on exactly-equal scores
         .limit(perFieldK)

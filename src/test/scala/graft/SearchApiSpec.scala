@@ -182,6 +182,93 @@ class SearchApiSpec extends SparkSpec {
     assert(routed.head == 0L) // self wins the intersection
   }
 
+  test("searchAuto: FILTERED and GATED conjunctions route per-field; broad filter falls back") {
+    val root = java.nio.file.Files.createTempDirectory("mv_fg").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val sp = Space.fromJson(
+      """{"name":"mv_fg","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,
+                              "metric_type":"InnerProduct"}}},
+          {"name":"v2","type":"vector","dimension":32,
+           "index":{"type":"IVFFLAT",
+                    "params":{"ncentroids":4,"nprobe":4,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.scoped("v1").rebuildHnsw("_id", "v1",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    lc.scoped("v2").rebuild("v2", ncentroids = 4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id").collect().map(_.getLong(0)).toSeq
+
+    // scalar filter rides each leg (allow-functor into the HNSW walk,
+    // in-scan inside the IVF probed lists); exact params ⇒ equals the
+    // filtered FLAT conjunction
+    val fReq = s"""{"vectors":[
+          {"field":"v1","feature":${fjson(q0.take(32))}},
+          {"field":"v2","feature":${fjson(q0.drop(32))}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "index_params":{"efSearch":1048576},"limit":5}"""
+    val fRouted = ids(SearchApi.searchAuto(stored, sp, fReq, lc))
+    assert(fRouted.nonEmpty)
+    assert(fRouted == ids(SearchApi.search(stored, sp, fReq)))
+
+    // per-condition min_score gates each leg BEFORE the intersection
+    // (IVF in-scan, HNSW through the gate loop); equals the gated FLAT
+    // conjunction (which gates per field before its bounded top-k)
+    val gReq = s"""{"vectors":[
+          {"field":"v1","feature":${fjson(q0.take(32))},"min_score":0.05},
+          {"field":"v2","feature":${fjson(q0.drop(32))},"min_score":0.05}],
+        "index_params":{"efSearch":1048576},"limit":5}"""
+    val gRouted = ids(SearchApi.searchAuto(stored, sp, gReq, lc))
+    assert(gRouted.nonEmpty)
+    assert(gRouted == ids(SearchApi.search(stored, sp, gReq)))
+
+    // a broad filter (allow-set above the cap) degrades the whole
+    // request to the filter-first FLAT conjunction — still correct
+    val prevCap = SearchApi.maxFilterAllowIds
+    try {
+      SearchApi.maxFilterAllowIds = 1
+      assert(ids(SearchApi.searchAuto(stored, sp, fReq, lc)) ==
+        ids(SearchApi.search(stored, sp, fReq)))
+    } finally SearchApi.maxFilterAllowIds = prevCap
+
+    // BATCHED conjunction (req_num=2): per-field batch legs through each
+    // field's own generation, (qid, docid) intersection; exact params ⇒
+    // per-qid parity with the FLAT batched conjunction — plain AND
+    // filtered (the filter rides each batch leg)
+    def qidIds(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val q1 = q0 // second query = another corpus row
+    val q1b = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 7).select($"embedding")
+      .head().getSeq[Float](0)
+    def bReq(extra: String) = s"""{"vectors":[
+          {"field":"v1","feature":${fjson(q1.take(32) ++ q1b.take(32))}},
+          {"field":"v2","feature":${fjson(q1.drop(32) ++ q1b.drop(32))}}],
+        $extra
+        "index_params":{"efSearch":1048576},"limit":5}"""
+    val plain = bReq("")
+    assert(qidIds(SearchApi.searchAuto(stored, sp, plain, lc)) ==
+      qidIds(SearchApi.search(stored, sp, plain)))
+    val filteredB = bReq(
+      """"filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},""")
+    val fb = qidIds(SearchApi.searchAuto(stored, sp, filteredB, lc))
+    assert(fb.nonEmpty)
+    assert(fb == qidIds(SearchApi.search(stored, sp, filteredB)))
+  }
+
   test("multi-field search honors each field's own metric_type") {
     // v1 indexed with InnerProduct (desc), v2 with L2 (asc)
     val mixed = Space.fromJson(
