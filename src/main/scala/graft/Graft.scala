@@ -51,6 +51,7 @@ object Graft {
     reg.createOrReplaceTempFunction("vec_sign_bits", es => SignBits(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vec_quantize_i8", es => QuantizeI8(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vec_dequant_i8", es => DequantI8(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("vec_i8_to_float", es => I8ToFloat(es(0)), "built-in")
     reg.createOrReplaceTempFunction("vec_sign_adot", es => SignAdotDyn(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_i8_dot", es => Int8Dot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_i8_l2", es => Int8L2(es(0), es(1)), "built-in")
@@ -93,6 +94,7 @@ object Graft {
     def signBits(a: Column): Column = call_function("vec_sign_bits", a)
     def quantizeI8(a: Column): Column = call_function("vec_quantize_i8", a)
     def dequantI8(a: Column): Column = call_function("vec_dequant_i8", a)
+    def i8ToFloat(a: Column): Column = call_function("vec_i8_to_float", a)
     def signAdot(code: Column, q: Column): Column = call_function("vec_sign_adot", code, q)
     def i8Dot(a: Column, b: Column): Column = call_function("vec_i8_dot", a, b)
     def i8L2(a: Column, b: Column): Column = call_function("vec_i8_l2", a, b)

@@ -1441,6 +1441,90 @@ object SparkEntry {
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
 
+    // ── §2.4 INT8 through the ROUTED GRAPH planner (round-16 sweep: the
+    //    reference builds every index family over INT8, index_model.h:19
+    //    — the graph families included): the HNSW generation stores the
+    //    RAW code values widened to float, so the walk's
+    //    Double-accumulated distances equal the integer kernels
+    //    bit-for-bit; efSearch ≥ corpus ⇒ exact, whole route oracled ──
+    "q_api_search_hnsw_int8" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8HnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_hnsw","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "efSearch":1000000,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
+    // ── INT8 BATCHED graph route: req_num=3 queries quantize once and
+    //    walk every segment in the same task pass (one deserialization
+    //    amortized across the batch); per-qid exact blocks oracled ──
+    "q_api_search_hnsw_int8_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8HnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_hnsw_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "efSearch":1000000,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
+    // ── INT8 through the DISKANN_STATIC (Vamana) route — the third
+    //    family int8 rides (IVF probe scan, HNSW walk, Vamana beam
+    //    walk); L ≥ corpus ⇒ exact, oracled like the others ──
+    "q_api_search_diskann_int8" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8VamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_diskann","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":1000000,"beam_width":4,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
+    "q_api_search_diskann_int8_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8VamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_diskann_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":1000000,"beam_width":4,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── string-PK BATCHED graph route: req_num=3 through the batched
     //    HNSW arm over the docid sidecar, per-qid hits bridged back to
     //    the string _id in one broadcast join; efSearch ≥ corpus ⇒ exact
@@ -3680,6 +3764,60 @@ object SparkEntry {
          FROM c, q
          ORDER BY _score DESC, c.vec_id LIMIT 10""",
     "q_api_search_ivf_int8_batch" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
+         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
+               FROM c, qs),
+         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
+                 ORDER BY _score DESC, _id) AS rn FROM h)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    // the int8 GRAPH route serves the same exact quantized-IP top-k as
+    // the int8 IVF route (both are exact at their fixture operating
+    // points) — the oracle recomputes the integer-domain scores
+    "q_api_search_hnsw_int8" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id AS _id, c.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
+         FROM c, q
+         ORDER BY _score DESC, c.vec_id LIMIT 10""",
+    "q_api_search_hnsw_int8_batch" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
+         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
+               FROM c, qs),
+         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
+                 ORDER BY _score DESC, _id) AS rn FROM h)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    // the Vamana int8 route serves the same exact quantized-IP top-k
+    "q_api_search_diskann_int8" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id AS _id, c.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
+         FROM c, q
+         ORDER BY _score DESC, c.vec_id LIMIT 10""",
+    "q_api_search_diskann_int8_batch" ->
       """WITH c AS (SELECT vec_id, label,
                [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
                 FOR x IN embedding::DOUBLE[]] AS iv

@@ -483,6 +483,36 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     }
   }
 
+  /** [[rebuildHnsw]] for an INT8 vector field (the reference builds the
+    * graph families over INT8 too, index_model.h:19): the graph stores
+    * the RAW code values widened to float ([[graft.functions.I8ToFloat]]
+    * — NOT the b/127 grid), because small integers are exact in float
+    * and the walk's Double-accumulated distances then equal the integer
+    * kernels bit-for-bit. Serving quantizes the float query to the same
+    * int8 domain and walks with the code values — routed scores are the
+    * i8 kernels' scores exactly, so the route is oracle-exact at
+    * `ef ≥ |shard|` like the float arm.
+    */
+  def rebuildHnswInt8(idCol: String, vecCol: String,
+      params: graft.operators.HnswIndex.Params): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(hnswStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+        .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
+      val trainedDocs = corpus.count()
+      graft.operators.HnswIndex.build(corpus, idCol, "_i8f", params)
+        .write.mode("overwrite").parquet(hnswPath(gen))
+      writeStateAt(hnswStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, params.numShards, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(hnswStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
   /** Delete-ledger BASELINE sidecar for an appended generation: an
     * appended graph still carries every node of the generation it grew
     * from, so its delete gate must reach back to the ORIGINAL build's
@@ -960,6 +990,32 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val corpus = spark.read.parquet(spacePath)
       val trainedDocs = corpus.count()
       graft.operators.VamanaIndex.build(corpus, idCol, vecCol, params)
+        .write.mode("overwrite").parquet(vamanaPath(gen))
+      writeStateAt(vamanaStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, params.numShards, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(vamanaStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** [[rebuildVamana]] for an INT8 vector field — the same raw-code
+    * float domain as [[rebuildHnswInt8]] (small integers are exact in
+    * float; the walk's Double-accumulated distances equal the integer
+    * kernels bit-for-bit), over the DiskANN-static graph family
+    * (reference: INT8 across every index family, index_model.h:19).
+    */
+  def rebuildVamanaInt8(idCol: String, vecCol: String,
+      params: graft.operators.VamanaIndex.Params): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(vamanaStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+        .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
+      val trainedDocs = corpus.count()
+      graft.operators.VamanaIndex.build(corpus, idCol, "_i8f", params)
         .write.mode("overwrite").parquet(vamanaPath(gen))
       writeStateAt(vamanaStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
       pruneLedgers()

@@ -1616,6 +1616,206 @@ object SearchApi {
           }
           finishBatch(joinBack(hits, Seq(col("_qid"))), metric = "l2")
         }
+      // INT8 value_type rides the GRAPH route too (the reference builds
+      // every index family over INT8, index_model.h:19): the generation
+      // stores the RAW code values widened to float
+      // ([[IndexLifecycle.rebuildHnswInt8]]) — small integers are exact
+      // in float, so the walk's Double-accumulated distances equal the
+      // integer kernels bit-for-bit and the route stays oracle-exact at
+      // ef ≥ |shard| like the float arm. The query quantizes ONCE (the
+      // same symmetric quantizer as ingest) and walks as its code
+      // values; the realtime tail leg brute-scores the buffer with the
+      // integer kernels; score gates ride the driver-bounded gate loops
+      // and scalar filters the walk's allow-functor, both exactly as the
+      // float graph arms. Cosine int8 spaces keep the FLAT fallback (the
+      // integer kernels are ip/l2 — matching [[Knn.searchInt8]]).
+      case Some("HNSW")
+          if routable && rid.isDefined &&
+            vopts.exists(_.valueType == "int8") &&
+            Set("ip", "l2", "l2sq")
+              .contains(metricOf(space, req.vectors.head.field)) =>
+        lifecycle.readyHnswSegments().flatMap { segments =>
+          val vc = req.vectors.head
+          val metric = metricOf(space, vc.field)
+          val k = req.limit + req.offset
+          def qb(q: Seq[Float]): Array[Byte] =
+            graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          def i8Score(vec: Column, qc: Column): Column = metric match {
+            case "ip"   => graft.Graft.F.i8Dot(vec, qc)
+            case "l2"   => graft.Graft.F.i8L2(vec, qc)
+            case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
+            case other  =>
+              throw new IllegalArgumentException(s"unknown int8 metric: $other")
+          }
+          if (vc.queries.size == 1) {
+            val qBytes = qb(vc.queries.head)
+            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
+            // int8 tail leg: integer kernels over the buffer, same
+            // quantized query; ungated — the graph arms gate post-merge
+            // inside the gate loop (the float arms' contract)
+            def tailLeg(d: Int)(td: DataFrame): DataFrame =
+              Knn.searchInt8(td, col(vc.field), qBytes, d, metric,
+                filter = pred, tieBreak = Some(col("_id")))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+            val hits: Option[DataFrame] = pred match {
+              case Some(p) =>
+                // one bounded take() = selectivity probe + allow-set
+                // collect; broad filters keep the filter-first FLAT
+                // fallback (the planner switch, engine.cc:355-373)
+                val probed = live.filter(p).select(col(ridName).cast("long"))
+                  .take(maxFilterAllowIds + 1)
+                if (probed.length > maxFilterAllowIds) None
+                else {
+                  val allowBc = corpus.sparkSession.sparkContext
+                    .broadcast(probed.map(_.getLong(0)).toSet -- hnswDeny)
+                  Some(gateLoop(k, metric)(d =>
+                    tailMergeWith(d, metric, hnswDeny)(tailLeg(d))(kb =>
+                      graft.operators.HnswIndex.searchFilteredBc(
+                        segments, qWalk, kb, efOf(kb), metric, allowBc))))
+                }
+              case None =>
+                Some(gateLoop(k, metric)(d =>
+                  tailMergeWith(d, metric, hnswDeny)(tailLeg(d))(kb =>
+                    graft.operators.HnswIndex.search(segments, qWalk, kb,
+                      efOf(kb), metric, deny = hnswDeny))))
+            }
+            hits.map(h => finish(joinBack(h), metric))
+          } else {
+            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, qb(q)) }
+            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
+              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
+            val allow: Option[Option[Set[Long]]] = pred match {
+              case Some(p) =>
+                val probed = live.filter(p).select(col(ridName).cast("long"))
+                  .take(maxFilterAllowIds + 1)
+                if (probed.length > maxFilterAllowIds) None
+                else Some(Some(probed.map(_.getLong(0)).toSet))
+              case None => Some(None)
+            }
+            allow.map { allowIds =>
+              val hits = gateBatchLoop(k, metric)(d =>
+                tailMergeBatchWith(d, metric, hnswDeny) { td =>
+                  val spark = corpus.sparkSession
+                  import spark.implicits._
+                  val qDf = queries.toDF("_qid", "_qb")
+                  val filtered = pred.map(td.filter).getOrElse(td)
+                  filtered
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col(vc.field).as("_c"))
+                    .crossJoin(broadcast(qDf))
+                    .select(col("_qid"),
+                      i8Score(col("_c"), col("_qb")).as("_score"),
+                      col("vec_id"))
+                    .filter(col("_score").isNotNull)
+                } { kb =>
+                  graft.operators.HnswIndex.searchBatch(segments, walkQs,
+                    kb, efOf(kb), metric, deny = hnswDeny,
+                    allowIds = allowIds)
+                })
+              finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+            }
+          }
+        }
+      // INT8 over the DiskANN-static family — same raw-code float
+      // domain as the HNSW arm above ([[IndexLifecycle.rebuildVamanaInt8]]):
+      // the beam walk's Double-accumulated distances equal the integer
+      // kernels bit-for-bit, so the route is oracle-exact at
+      // l ≥ |shard|. SSG aliases to the Vamana generation as in the
+      // float arm.
+      case Some("DISKANN_STATIC" | "SSG")
+          if routable && rid.isDefined &&
+            vopts.exists(_.valueType == "int8") &&
+            Set("ip", "l2", "l2sq")
+              .contains(metricOf(space, req.vectors.head.field)) =>
+        lifecycle.readyVamanaSegments().flatMap { segments =>
+          val vc = req.vectors.head
+          val metric = metricOf(space, vc.field)
+          val k = req.limit + req.offset
+          val l = math.max(
+            req.indexParams.get("l_search").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
+              .getOrElse(100), k)
+          val bw = req.indexParams.get("beam_width").filter(_ > 0)
+            .orElse(vopts.get.indexParams.get("beam_width").filter(_ > 0))
+            .getOrElse(4)
+          val deny = lifecycle.readyVamanaGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          def qb(q: Seq[Float]): Array[Byte] =
+            graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          def i8Score(vec: Column, qc: Column): Column = metric match {
+            case "ip"   => graft.Graft.F.i8Dot(vec, qc)
+            case "l2"   => graft.Graft.F.i8L2(vec, qc)
+            case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
+            case other  =>
+              throw new IllegalArgumentException(s"unknown int8 metric: $other")
+          }
+          if (vc.queries.size == 1) {
+            val qBytes = qb(vc.queries.head)
+            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
+            def tailLeg(d: Int)(td: DataFrame): DataFrame =
+              Knn.searchInt8(td, col(vc.field), qBytes, d, metric,
+                filter = pred, tieBreak = Some(col("_id")))
+                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+            val hits: Option[DataFrame] = pred match {
+              case Some(p) =>
+                val probed = live.filter(p).select(col(ridName).cast("long"))
+                  .take(maxFilterAllowIds + 1)
+                if (probed.length > maxFilterAllowIds) None
+                else {
+                  val allowBc = corpus.sparkSession.sparkContext
+                    .broadcast(probed.map(_.getLong(0)).toSet -- deny)
+                  Some(gateLoop(k, metric)(d =>
+                    tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
+                      graft.operators.VamanaIndex.searchFilteredBc(segments,
+                        qWalk, kb, math.max(l, kb), bw, metric, allowBc))))
+                }
+              case None =>
+                Some(gateLoop(k, metric)(d =>
+                  tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
+                    graft.operators.VamanaIndex.search(segments, qWalk, kb,
+                      math.max(l, kb), bw, metric, deny = deny))))
+            }
+            hits.map(h => finish(joinBack(h), metric))
+          } else {
+            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, qb(q)) }
+            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
+              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
+            val allow: Option[Option[Set[Long]]] = pred match {
+              case Some(p) =>
+                val probed = live.filter(p).select(col(ridName).cast("long"))
+                  .take(maxFilterAllowIds + 1)
+                if (probed.length > maxFilterAllowIds) None
+                else Some(Some(probed.map(_.getLong(0)).toSet))
+              case None => Some(None)
+            }
+            allow.map { allowIds =>
+              val hits = gateBatchLoop(k, metric)(d =>
+                tailMergeBatchWith(d, metric, deny) { td =>
+                  val spark = corpus.sparkSession
+                  import spark.implicits._
+                  val qDf = queries.toDF("_qid", "_qb")
+                  val filtered = pred.map(td.filter).getOrElse(td)
+                  filtered
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col(vc.field).as("_c"))
+                    .crossJoin(broadcast(qDf))
+                    .select(col("_qid"),
+                      i8Score(col("_c"), col("_qb")).as("_score"),
+                      col("vec_id"))
+                    .filter(col("_score").isNotNull)
+                } { kb =>
+                  graft.operators.VamanaIndex.searchBatch(segments, walkQs,
+                    kb, math.max(l, kb), bw, metric, deny = deny,
+                    allowIds = allowIds)
+                })
+              finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+            }
+          }
+        }
       // INT8 value_type rides the IVF route (the reference serves INT8
       // through every family, index_model.h:19): the coarse quantizer
       // probes with the FLOAT query (centroids live in the de-quantized

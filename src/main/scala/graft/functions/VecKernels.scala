@@ -510,6 +510,20 @@ object VecKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** int8 code → the RAW code values widened to float (no 1/127 scale).
+    * Every value is a small integer, so float dot/L2 accumulation in a
+    * Double accumulator over these is EXACT — the graph walks built over
+    * this domain rank and report bit-identically to the integer kernels
+    * ([[i8Dot]]/[[i8L2]]), which is what makes the routed int8 graph
+    * serving oracle-exact rather than merely order-approximate.
+    */
+  def i8ToFloat(a: Array[Byte]): ArrayData = {
+    val out = new Array[Float](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Inner product over int8-encoded vectors (integer accumulate). */
   def i8Dot(a: Array[Byte], b: Array[Byte]): Double = {
     val n = math.min(a.length, b.length)

@@ -300,6 +300,21 @@ case class DequantI8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** int8 code → the raw code values as floats (×127 of [[DequantI8]]'s
+  * grid). Graph index builds over INT8 fields store THIS domain: small
+  * integers are exact in float, so walk distances (Double accumulator)
+  * equal the integer kernels bit-for-bit.
+  */
+case class I8ToFloat(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_i8_to_float"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.i8ToFloat(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.i8ToFloat($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Inner product over int8-encoded vectors (integer accumulate — the
   * reference's INT8 distance path).
   */

@@ -635,6 +635,47 @@ object IndexStore {
     spacePath
   }
 
+  /** INT8 space under a READY HNSW generation: the graph stores the raw
+    * code values as floats ([[graft.api.IndexLifecycle.rebuildHnswInt8]])
+    * so walk scores equal the integer kernels exactly — the routed int8
+    * graph serving fixture (reference: INT8 across every index family,
+    * index_model.h:19).
+    */
+  def int8HnswSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apii8hnsw")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(col("embedding")).as("iv"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildHnswInt8("_id", "iv",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+          numShards = 4))
+      markReady(dir)
+    }
+    spacePath
+  }
+
+  /** INT8 space under a READY Vamana (DISKANN_STATIC) generation — same
+    * raw-code float domain as [[int8HnswSpace]].
+    */
+  def int8VamanaSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apii8vamana")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(col("embedding")).as("iv"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath).rebuildVamanaInt8("_id", "iv",
+        graft.operators.VamanaIndex.Params(r = 32, l = 100, metric = "ip",
+          numShards = 4))
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** MIXED-family multi-vector SPACE fixture: v1 under a READY HNSW
     * generation, v2 under a READY IVFFLAT generation — the reference
     * intersects per-field results for ANY family combination

@@ -627,6 +627,151 @@ class SearchApiSpec extends SparkSpec {
       rowsB(SearchApi.search(stored, isp, reqB)))
   }
 
+  test("searchAuto: INT8 space routes through the HNSW generation (integer-exact walk)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_hnsw_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(col("embedding")).as("iv"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    // efSearch ≥ corpus ⇒ the walk is provably exact; the graph stores
+    // the RAW code values as floats, so walk scores are the integer
+    // kernels' scores bit-for-bit (no rescore step, no rounding slack)
+    val isp = Space.fromJson(
+      """{"name":"i8_hnsw","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,
+                              "efSearch":1000000,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val req = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":9}"""
+    // no generation yet → FLAT int8 fallback
+    assert(SearchApi.searchAuto(stored, isp, req, lc).count() == 9)
+
+    lc.rebuildHnswInt8("_id", "iv",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    // routed ≡ the brute int8 scan (self ranks first under int8 IP)
+    val got = rows(SearchApi.searchAuto(stored, isp, req, lc))
+    assert(got == rows(SearchApi.search(stored, isp, req)))
+    assert(got.head._1 == 0L)
+
+    // scalar filter rides the walk's allow-functor; parity holds
+    val filtered = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[2,4]}]},"limit":6}"""
+    assert(rows(SearchApi.searchAuto(stored, isp, filtered, lc)) ==
+      rows(SearchApi.search(stored, isp, filtered)))
+
+    // SELECTIVE gate through the driver-bounded gate loop: max_score at
+    // the ~300th-LOWEST integer score admits no one near the top, so the
+    // first depth-64 probe has zero gated survivors and the loop MUST
+    // depth-double; result ≡ the FLAT path's gate-before-select
+    val n = stored.count().toInt
+    val all = SearchApi.search(stored, isp,
+      s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":$n}""")
+      .select($"_score").collect().map(_.getDouble(0)) // best-first
+    val hi = all(all.length - 300)
+    val gated = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)},
+         "max_score":$hi}],"limit":9}"""
+    val gr = rows(SearchApi.searchAuto(stored, isp, gated, lc))
+    assert(gr.length == 9 && gr.forall(_._2 <= hi))
+    assert(gr == rows(SearchApi.search(stored, isp, gated)))
+
+    // EXHAUSTION: fewer than k admissible docs corpus-wide — the loop
+    // doubles until the candidate count proves every candidate was seen
+    val lo2 = all(4) // only the top-5 integer scores are admissible
+    val exhausted = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)},
+         "min_score":$lo2}],"limit":10}"""
+    val exRows = rows(SearchApi.searchAuto(stored, isp, exhausted, lc))
+    assert(exRows.nonEmpty && exRows.length < 10 && exRows.forall(_._2 >= lo2))
+    assert(exRows == rows(SearchApi.search(stored, isp, exhausted)))
+
+    // batched int8 graph route: per-qid parity with the FLAT int8 batch
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"iv","feature":${fjson(q0 ++ q1)}}],"limit":4}"""
+    // the FLAT batch path has no global row order (blocks land in task
+    // order) — compare as (qid, score desc, id)-sorted sets
+    def rowsB(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(r => (r._1, -r._3, r._2))
+    assert(rowsB(SearchApi.searchAuto(stored, isp, reqB, lc)) ==
+      rowsB(SearchApi.search(stored, isp, reqB)))
+    // gated batch shares the per-qid gate loop
+    val reqBG = s"""{"vectors":[{"field":"iv","feature":${fjson(q0 ++ q1)},
+         "max_score":$hi}],"limit":4}"""
+    val gotBG = rowsB(SearchApi.searchAuto(stored, isp, reqBG, lc))
+    assert(gotBG.nonEmpty && gotBG.forall(_._3 <= hi))
+    assert(gotBG == rowsB(SearchApi.search(stored, isp, reqBG)))
+  }
+
+  test("searchAuto: INT8 space routes through the Vamana generation (DISKANN_STATIC)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_vamana_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(col("embedding")).as("iv"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val isp = Space.fromJson(
+      """{"name":"i8_vam","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":{"type":"DISKANN_STATIC",
+                    "params":{"R":32,"L":1000000,"beam_width":4,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val req = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":9}"""
+    // no generation yet → FLAT int8 fallback
+    assert(SearchApi.searchAuto(stored, isp, req, lc).count() == 9)
+
+    lc.rebuildVamanaInt8("_id", "iv",
+      graft.operators.VamanaIndex.Params(r = 32, l = 100, metric = "ip",
+        numShards = 3))
+    // L ≥ |shard| ⇒ routed ≡ the brute int8 scan, scores bit-identical
+    val got = rows(SearchApi.searchAuto(stored, isp, req, lc))
+    assert(got == rows(SearchApi.search(stored, isp, req)))
+    assert(got.head._1 == 0L)
+
+    // scalar filter + gate ride the beam walk / gate loop; parity holds
+    val filtered = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[2,4]}]},"limit":6}"""
+    assert(rows(SearchApi.searchAuto(stored, isp, filtered, lc)) ==
+      rows(SearchApi.search(stored, isp, filtered)))
+    val n = stored.count().toInt
+    val all = SearchApi.search(stored, isp,
+      s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":$n}""")
+      .select($"_score").collect().map(_.getDouble(0))
+    val hi = all(all.length - 300) // selective: gate loop must iterate
+    val gated = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)},
+         "max_score":$hi}],"limit":9}"""
+    val gr = rows(SearchApi.searchAuto(stored, isp, gated, lc))
+    assert(gr.length == 9 && gr.forall(_._2 <= hi))
+    assert(gr == rows(SearchApi.search(stored, isp, gated)))
+
+    // batched parity (FLAT batch rows have no global order — sort both)
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"iv","feature":${fjson(q0 ++ q1)}}],"limit":4}"""
+    def rowsB(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(r => (r._1, -r._3, r._2))
+    assert(rowsB(SearchApi.searchAuto(stored, isp, reqB, lc)) ==
+      rowsB(SearchApi.search(stored, isp, reqB)))
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
