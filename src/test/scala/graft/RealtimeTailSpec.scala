@@ -209,6 +209,64 @@ class RealtimeTailSpec extends SparkSpec {
       !gotG.map(_._1).contains(900000L))
   }
 
+  test("realtime tail rides the INT8 routed arms (integer-kernel tail legs, all 3 families)") {
+    val tmp = Files.createTempDirectory("rtail_i8").toString
+    val basePath = s"$tmp/space"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".cast("long").as("_id"), $"label",
+        graft.Graft.F.quantizeI8($"embedding").as("iv"))
+      .write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val qf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val qCode = graft.functions.VecKernels.quantizeI8(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qf.toArray))
+    val lc = new graft.api.IndexLifecycle(spark, basePath)
+    lc.rebuildInt8("iv", 8)
+    lc.rebuildHnswInt8("_id", "iv",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    lc.rebuildVamanaInt8("_id", "iv",
+      graft.operators.VamanaIndex.Params(r = 32, l = 100, metric = "ip",
+        numShards = 3))
+    // buffer a doc carrying the QUERY's own int8 code (id 900000): every
+    // routed family's tail leg must surface it (it ties id 0's score and
+    // tie-breaks second)
+    val tail = new RealtimeTail(spark, basePath, tailPath, ckpt, "_id")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Array[Byte])]
+    val ingest = tail.startIngest(
+      mem.toDF().toDF("_id", "label", "iv"), intervalMs = 100L)
+    mem.addData((900000L, 1, qCode))
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    def spFor(index: String): graft.schema.Space = graft.schema.Space.fromJson(
+      s"""{"name":"rt_i8","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":$index}]}""")
+    val spaces = Seq(
+      spFor("""{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8,
+               "metric_type":"InnerProduct"}}"""),
+      spFor("""{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,
+               "efSearch":1000000,"metric_type":"InnerProduct"}}"""),
+      spFor("""{"type":"DISKANN_STATIC","params":{"R":32,"L":1000000,
+               "beam_width":4,"metric_type":"InnerProduct"}}"""))
+    val req = s"""{"vectors":[{"field":"iv","feature":${qf.mkString("[", ",", "]")}}],"limit":5}"""
+    val live = tail.snapshot(base.schema)
+    for (sp <- spaces) {
+      val got = graft.api.SearchApi.searchAuto(base, sp, req, lc, tail = Some(tail))
+        .select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // ≡ the exact FLAT int8 scan over the live (base ∪ tail) view
+      val want = graft.api.SearchApi.search(live, sp, req)
+        .select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"int8 tail parity failed for ${sp.vectorFields.head.vector.get}")
+      assert(got.map(_._1).contains(900000L)) // the buffered write is served
+    }
+  }
+
   test("realtime HNSW search: graph base ∪ brute tail, updated docs never stale") {
     val tmp = Files.createTempDirectory("rtail_hnsw").toString
     val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
