@@ -1487,6 +1487,46 @@ object SparkEntry {
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
 
+    // ── INT8 through the COMPRESSED family (IVFPQ): ADC shortlist over
+    //    raw-code-domain codebooks, recallNum exact rerank with the
+    //    INTEGER kernels; full probe + recall_num ≥ corpus ⇒ exact ──
+    "q_api_search_ivfpq_int8" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8IvfPqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_ivfpq","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "recall_num":1000000,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
+    "q_api_search_ivfpq_int8_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8IvfPqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_ivfpq_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "recall_num":1000000,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── INT8 through the DISKANN_STATIC (Vamana) route — the third
     //    family int8 rides (IVF probe scan, HNSW walk, Vamana beam
     //    walk); L ≥ corpus ⇒ exact, oracled like the others ──
@@ -3792,6 +3832,33 @@ object SparkEntry {
          FROM c, q
          ORDER BY _score DESC, c.vec_id LIMIT 10""",
     "q_api_search_hnsw_int8_batch" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
+         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
+               FROM c, qs),
+         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
+                 ORDER BY _score DESC, _id) AS rn FROM h)
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    // the IVFPQ int8 route (full probe, corpus-deep recall_num,
+    // integer-kernel rerank) serves the same exact quantized-IP top-k
+    "q_api_search_ivfpq_int8" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id AS _id, c.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
+         FROM c, q
+         ORDER BY _score DESC, c.vec_id LIMIT 10""",
+    "q_api_search_ivfpq_int8_batch" ->
       """WITH c AS (SELECT vec_id, label,
                [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
                 FOR x IN embedding::DOUBLE[]] AS iv

@@ -740,6 +740,44 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     }
   }
 
+  /** [[rebuildIvfPq]] for an INT8 vector field: the coarse quantizer and
+    * residual codebooks train in the raw-code float domain
+    * ([[graft.functions.I8ToFloat]] — same domain as the int8 graph
+    * builds), the layout keeps the compact int8 codes (the float view is
+    * dropped before write: it would duplicate `vecCol` at 4×), and
+    * serving reranks the recallNum shortlist with the integer kernels —
+    * full probe + deep recall stays exact (reference: INT8 across every
+    * family, index_model.h:19).
+    */
+  def rebuildIvfPqInt8(vecCol: String, ncentroids: Int, m: Int,
+      ksub: Int = 256): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(pqStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+        .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
+      val trainedDocs = corpus.count()
+      val dim = corpus.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("_i8f"))).head().getInt(0)
+      val ivf = IvfIndex.train(corpus, "_i8f", ncentroids)
+      val assigned = IvfIndex.assign(corpus, "_i8f", ivf)
+      val pq = graft.operators.PqIndex.trainResidual(assigned, "_i8f", dim, m,
+        ivf, ksub = ksub, maxTrainRows = 200000L, maxIter = 8)
+      graft.operators.PqIndex.encodeResidual(assigned, "_i8f", ivf, pq)
+        .drop("_i8f")
+        .write.mode("overwrite").partitionBy("list_id").parquet(pqPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${pqPath(gen)}.ivf.txt", ivf)
+      graft.sources.IndexStore.writePqModel(s"${pqPath(gen)}.pq.txt", pq)
+      writeStateAt(pqStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(pqStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
   /** Incremental add into the READY IVFPQ generation — the reference's
     * background loop folds new vectors into every index without
     * retraining (engine.cc:1084-1137): the delta encodes through the

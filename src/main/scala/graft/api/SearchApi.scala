@@ -1816,6 +1816,90 @@ object SearchApi {
             }
           }
         }
+      // INT8 over the compressed family ([[IndexLifecycle.rebuildIvfPqInt8]]):
+      // codebooks live in the raw-code float domain, the ADC shortlist
+      // probes/scores with the quantized query's code values as floats,
+      // and the recallNum exact rerank runs the INTEGER kernels over the
+      // stored int8 column — full probe + deep recall stays exact. Gates
+      // apply at the rerank heap (in-scan, gamma_common_data.h:94-96);
+      // tail legs brute-score the buffer with the integer kernels.
+      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT")
+          if routable && vopts.exists(_.valueType == "int8") &&
+            Set("ip", "l2", "l2sq")
+              .contains(metricOf(space, req.vectors.head.field)) =>
+        val metric = metricOf(space, req.vectors.head.field)
+        lifecycle.readyIvfPq(metric).map { case (table, ivf, pq) =>
+          val vc = req.vectors.head
+          val k = req.limit + req.offset
+          val recallNum = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(k), k)
+          val deny = lifecycle.readyPqGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny, ridName)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          def qb(q: Seq[Float]): Array[Byte] =
+            graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          if (vc.queries.size == 1) {
+            val qBytes = qb(vc.queries.head)
+            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
+            if (!tailOn)
+              finish(graft.operators.PqIndex.searchIvfResidual(served,
+                col(vc.field), ivf, pq, qWalk, k, nprobeOf(ivf), recallNum,
+                idCol = col("_id"), minScore = gMin, maxScore = gMax,
+                rerankInt8 = Some(qBytes)), metric)
+            else {
+              val hits = tailMergeWith(k, metric, deny) { td =>
+                Knn.searchInt8(td, col(vc.field), qBytes, k, metric,
+                  filter = pred, minScore = gMin, maxScore = gMax,
+                  tieBreak = Some(col("_id")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              } { kb =>
+                graft.operators.PqIndex.searchIvfResidual(served,
+                  col(vc.field), ivf, pq, qWalk, kb, nprobeOf(ivf),
+                  math.max(recallNum, kb), idCol = col("_id"),
+                  minScore = gMin, maxScore = gMax, rerankInt8 = Some(qBytes))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              }
+              finish(joinBack(hits), metric)
+            }
+          } else {
+            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, qb(q)) }
+            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
+              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
+            def i8Score(vec: Column, qc: Column): Column = metric match {
+              case "ip"   => graft.Graft.F.i8Dot(vec, qc)
+              case "l2"   => graft.Graft.F.i8L2(vec, qc)
+              case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
+              case other  =>
+                throw new IllegalArgumentException(s"unknown int8 metric: $other")
+            }
+            val hits = tailMergeBatchWith(k, metric, deny) { td =>
+              val spark = corpus.sparkSession
+              import spark.implicits._
+              val qDf = queries.toDF("_qid", "_qb")
+              val filtered = pred.map(td.filter).getOrElse(td)
+              Knn.scoreGate(filtered
+                .select(col(ridName).cast("long").as("vec_id"),
+                  col(vc.field).as("_c"))
+                .crossJoin(broadcast(qDf))
+                .select(col("_qid"), i8Score(col("_c"), col("_qb")).as("_score"),
+                  col("vec_id"))
+                .filter(col("_score").isNotNull), gMin, gMax)
+            } { kb =>
+              graft.operators.PqIndex.searchBatchIvfResidual(served,
+                col(vc.field), ivf, pq, walkQs, kb, nprobeOf(ivf),
+                math.max(recallNum, kb), idCol = col(ridName),
+                minScore = gMin, maxScore = gMax, rerankInt8 = Some(queries))
+                .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                  col("_score"))
+            }
+            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          }
+        }
       // INT8 value_type rides the IVF route (the reference serves INT8
       // through every family, index_model.h:19): the coarse quantizer
       // probes with the FLOAT query (centroids live in the de-quantized

@@ -501,7 +501,13 @@ object PqIndex {
       idCol: Column,
       minScore: Option[Double] = None,
       maxScore: Option[Double] = None,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      // INT8 spaces (index_model.h:19): the ADC shortlist runs over
+      // codebooks trained in the raw-code float domain (`q` must be the
+      // quantized query's code values as floats), and the exact rerank
+      // scores the stored int8 column with the integer kernels against
+      // THIS code — full probe + recallNum ≥ corpus stays exact.
+      rerankInt8: Option[Array[Byte]] = None): DataFrame = {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -539,8 +545,14 @@ object PqIndex {
     // score gate at the EXACT-rerank stage — the reference's heap
     // admission point (gamma_common_data.h:94-96); a deeper `recall_num`
     // widens the gated pool exactly like it widens recall
-    Knn.search(rerank, vecCol, q, k, pq.metric, minScore = minScore,
-      maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
+    rerankInt8 match {
+      case Some(qb) =>
+        Knn.searchInt8(rerank, vecCol, qb, k, pq.metric, minScore = minScore,
+          maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
+      case None =>
+        Knn.search(rerank, vecCol, q, k, pq.metric, minScore = minScore,
+          maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
+    }
   }
 
   /** Batched IVFPQ over RESIDUAL codes: stage-1 LUTs are built per
@@ -562,7 +574,10 @@ object PqIndex {
       recallNum: Int,
       idCol: Column,
       minScore: Option[Double] = None,
-      maxScore: Option[Double] = None): DataFrame = {
+      maxScore: Option[Double] = None,
+      // INT8 batches: per-qid quantized query codes for the integer-
+      // kernel rerank (see [[searchIvfResidual]]'s rerankInt8)
+      rerankInt8: Option[Seq[(Long, Array[Byte])]] = None): DataFrame = {
     require(recallNum >= k, "recall_num must be >= topk (doc_query semantics)")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -597,17 +612,33 @@ object PqIndex {
           .as("_adc"),
         col("_sid"))
       .filter(col("_adc").isNotNull)
-    val qvDf = queries.toDF("_qid", "_qv")
-      .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+    // the per-qid query the rerank scores against: float vectors for the
+    // metric kernels, or the quantized codes for the integer kernels
+    val (qJoinDf, scoreExpr): (DataFrame, Column) = rerankInt8 match {
+      case Some(qbs) =>
+        val qbDf = qbs.toDF("_qid", "_qq")
+        val fn = pq.metric match {
+          case "ip"   => graft.Graft.F.i8Dot _
+          case "l2"   => graft.Graft.F.i8L2 _
+          case "l2sq" => graft.Graft.F.i8L2Sq _
+          case other  =>
+            throw new IllegalArgumentException(s"unknown int8 metric: $other")
+        }
+        (qbDf, fn(vecCol, col("_qq")))
+      case None =>
+        (queries.toDF("_qid", "_qq")
+          .select(col("_qid"), col("_qq").cast("array<float>").as("_qq")),
+          Knn.score(pq.metric, vecCol, col("_qq")))
+    }
     val short = adc.groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_adc"), struct(col("_sid")), recallNum,
         asc = true).as("_tk"))
       .select(col("_qid"), explode(col("_tk")).as("_e"))
       .select(col("_qid"), col("_e.item._sid").as("_sid"))
-      .join(broadcast(qvDf), Seq("_qid"))
+      .join(broadcast(qJoinDf), Seq("_qid"))
     val rerank0 = corpus.join(broadcast(short), idCol === col("_sid"))
       .select(col("_qid"),
-        Knn.score(pq.metric, vecCol, col("_qv")).as("_score"),
+        scoreExpr.as("_score"),
         struct(idCol.as("id")).as("_item"))
       .filter(col("_score").isNotNull)
     // in-scan score gate at the exact-rerank stage (see searchIvfResidual)

@@ -657,6 +657,25 @@ object IndexStore {
     spacePath
   }
 
+  /** INT8 space under a READY IVFPQ generation — codebooks in the
+    * raw-code float domain, integer-kernel rerank
+    * ([[graft.api.IndexLifecycle.rebuildIvfPqInt8]]).
+    */
+  def int8IvfPqSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apii8ivfpq")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(col("embedding")).as("iv"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildIvfPqInt8("iv", ncentroids = 8, m = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** INT8 space under a READY Vamana (DISKANN_STATIC) generation — same
     * raw-code float domain as [[int8HnswSpace]].
     */

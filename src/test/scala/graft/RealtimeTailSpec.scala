@@ -209,7 +209,7 @@ class RealtimeTailSpec extends SparkSpec {
       !gotG.map(_._1).contains(900000L))
   }
 
-  test("realtime tail rides the INT8 routed arms (integer-kernel tail legs, all 3 families)") {
+  test("realtime tail rides the INT8 routed arms (integer-kernel tail legs, all 4 families)") {
     val tmp = Files.createTempDirectory("rtail_i8").toString
     val basePath = s"$tmp/space"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
     spark.read.parquet(s"$sf/embeddings.parquet")
@@ -228,6 +228,7 @@ class RealtimeTailSpec extends SparkSpec {
     lc.rebuildVamanaInt8("_id", "iv",
       graft.operators.VamanaIndex.Params(r = 32, l = 100, metric = "ip",
         numShards = 3))
+    lc.rebuildIvfPqInt8("iv", ncentroids = 8, m = 8)
     // buffer a doc carrying the QUERY's own int8 code (id 900000): every
     // routed family's tail leg must surface it (it ties id 0's score and
     // tie-breaks second)
@@ -251,7 +252,9 @@ class RealtimeTailSpec extends SparkSpec {
       spFor("""{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,
                "efSearch":1000000,"metric_type":"InnerProduct"}}"""),
       spFor("""{"type":"DISKANN_STATIC","params":{"R":32,"L":1000000,
-               "beam_width":4,"metric_type":"InnerProduct"}}"""))
+               "beam_width":4,"metric_type":"InnerProduct"}}"""),
+      spFor("""{"type":"IVFPQ","params":{"ncentroids":8,"nprobe":8,
+               "recall_num":1000000,"metric_type":"InnerProduct"}}"""))
     val req = s"""{"vectors":[{"field":"iv","feature":${qf.mkString("[", ",", "]")}}],"limit":5}"""
     val live = tail.snapshot(base.schema)
     for (sp <- spaces) {

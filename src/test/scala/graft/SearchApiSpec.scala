@@ -772,6 +772,75 @@ class SearchApiSpec extends SparkSpec {
       rowsB(SearchApi.search(stored, isp, reqB)))
   }
 
+  test("searchAuto: INT8 space routes through the IVFPQ generation (integer-kernel rerank)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_ivfpq_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(col("embedding")).as("iv"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    // full probe + corpus-deep recall_num ⇒ the ADC shortlist passes
+    // everything and the integer-kernel rerank IS the brute int8 scan
+    val isp = Space.fromJson(
+      """{"name":"i8_pq","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":{"type":"IVFPQ",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "recall_num":1000000,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val req = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":9}"""
+    // no generation yet → FLAT int8 fallback
+    assert(SearchApi.searchAuto(stored, isp, req, lc).count() == 9)
+
+    lc.rebuildIvfPqInt8("iv", ncentroids = 8, m = 8)
+    val got = rows(SearchApi.searchAuto(stored, isp, req, lc))
+    assert(got == rows(SearchApi.search(stored, isp, req)))
+    assert(got.head._1 == 0L)
+
+    // scalar filter composes into the scan both stages run over
+    val filtered = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],
+         "filters":{"operator":"AND","conditions":[
+           {"operator":"IN","field":"label","value":[2,4]}]},"limit":6}"""
+    assert(rows(SearchApi.searchAuto(stored, isp, filtered, lc)) ==
+      rows(SearchApi.search(stored, isp, filtered)))
+
+    // score gate at the exact-rerank heap (in-scan, no loop)
+    val n = stored.count().toInt
+    val all = SearchApi.search(stored, isp,
+      s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":$n}""")
+      .select($"_score").collect().map(_.getDouble(0))
+    val hi = all(all.length - 300)
+    val gated = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)},
+         "max_score":$hi}],"limit":9}"""
+    val gr = rows(SearchApi.searchAuto(stored, isp, gated, lc))
+    assert(gr.length == 9 && gr.forall(_._2 <= hi))
+    assert(gr == rows(SearchApi.search(stored, isp, gated)))
+
+    // a TIGHT shortlist really shortlists: recall_num=32 at nprobe=8
+    // returns ranked rows drawn from the ADC survivors (rows-only shape)
+    val tight = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],
+         "index_params":{"recall_num":32},"limit":9}"""
+    val tr = rows(SearchApi.searchAuto(stored, isp, tight, lc))
+    assert(tr.length == 9 && tr.map(_._2) == tr.map(_._2).sorted.reverse)
+
+    // batched parity (FLAT batch rows have no global order — sort both)
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"iv","feature":${fjson(q0 ++ q1)}}],"limit":4}"""
+    def rowsB(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(r => (r._1, -r._3, r._2))
+    assert(rowsB(SearchApi.searchAuto(stored, isp, reqB, lc)) ==
+      rowsB(SearchApi.search(stored, isp, reqB)))
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
