@@ -1527,6 +1527,45 @@ object SparkEntry {
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
 
+    // ── INT8 through IVFRABITQ (residual sign codes in the raw-code
+    //    domain, integer-kernel rerank); deep recall_num ⇒ exact —
+    //    with this, INT8 rides EVERY non-binary index family ──
+    "q_api_search_rabitq_int8" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8RabitqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_rb","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"IVFRABITQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
+    // ── INT8 through SCANN (anisotropic codebooks in the raw-code
+    //    domain, integer-kernel rerank); deep recall_num ⇒ exact ──
+    "q_api_search_scann_int8" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.int8ScannSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"i8_scann","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+             "index":{"type":"SCANN",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── INT8 through the DISKANN_STATIC (Vamana) route — the third
     //    family int8 rides (IVF probe scan, HNSW walk, Vamana beam
     //    walk); L ≥ corpus ⇒ exact, oracled like the others ──
@@ -3845,8 +3884,31 @@ object SparkEntry {
                  ORDER BY _score DESC, _id) AS rn FROM h)
          SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
          ORDER BY _qid, rn""",
-    // the IVFPQ int8 route (full probe, corpus-deep recall_num,
-    // integer-kernel rerank) serves the same exact quantized-IP top-k
+    // the IVFPQ/SCANN/IVFRABITQ int8 routes (full probe, corpus-deep
+    // recall_num, integer-kernel rerank) serve the same exact
+    // quantized-IP top-k
+    "q_api_search_rabitq_int8" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id AS _id, c.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
+         FROM c, q
+         ORDER BY _score DESC, c.vec_id LIMIT 10""",
+    "q_api_search_scann_int8" ->
+      """WITH c AS (SELECT vec_id, label,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN embedding::DOUBLE[]] AS iv
+             FROM embeddings),
+         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
+         SELECT c.vec_id AS _id, c.label,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
+         FROM c, q
+         ORDER BY _score DESC, c.vec_id LIMIT 10""",
     "q_api_search_ivfpq_int8" ->
       """WITH c AS (SELECT vec_id, label,
                [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)

@@ -866,6 +866,43 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     }
   }
 
+  /** [[rebuildScann]] for an INT8 vector field — anisotropic codebooks
+    * in the raw-code float domain (the score-aware loss is
+    * scale-covariant, so the ×127 domain trains identically up to
+    * scale), compact int8 codes kept, integer-kernel rerank at serve
+    * time (see [[rebuildIvfPqInt8]]).
+    */
+  def rebuildScannInt8(vecCol: String, ncentroids: Int, m: Int,
+      ksub: Int = 256, eta: Double = 0.0): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(scannStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+        .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
+      val trainedDocs = corpus.count()
+      val dim = corpus.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("_i8f"))).head().getInt(0)
+      val ivf = IvfIndex.train(corpus, "_i8f", ncentroids)
+      val assigned = IvfIndex.assign(corpus, "_i8f", ivf)
+      val pq = graft.operators.PqIndex.trainResidualAnisotropic(assigned,
+        "_i8f", dim, m, ivf, ksub = ksub, eta = eta,
+        maxTrainRows = 200000L, maxIter = 8)
+      graft.operators.PqIndex.encodeResidualAnisotropic(assigned, "_i8f",
+          ivf, pq, eta = eta)
+        .drop("_i8f")
+        .write.mode("overwrite").partitionBy("list_id").parquet(scannPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${scannPath(gen)}.ivf.txt", ivf)
+      graft.sources.IndexStore.writePqModel(s"${scannPath(gen)}.pq.txt", pq)
+      writeStateAt(scannStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(scannStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
   /** The READY SCANN layout + its models, or None. */
   def readyScann(metric: String = "ip")
       : Option[(DataFrame, IvfIndex.Model, graft.operators.PqIndex.Model)] =
@@ -901,6 +938,34 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
       graft.operators.BinaryIndex.encodeResidual(
           IvfIndex.assign(corpus, vecCol, ivf), vecCol, ivf)
+        .write.mode("overwrite").partitionBy("list_id").parquet(rbPath(gen))
+      graft.sources.IndexStore.writeIvfModel(s"${rbPath(gen)}.ivf.txt", ivf)
+      writeStateAt(rbStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
+      pruneLedgers()
+      Ready(gen, ncentroids, trainedDocs)
+    } catch {
+      case e: Exception =>
+        writeStateAt(rbStatePath, s"FAILED:$gen:${e.getMessage}")
+        throw e
+    }
+  }
+
+  /** [[rebuildIvfRabitq]] for an INT8 vector field — quantizer and
+    * residual sign codes in the raw-code float domain, compact int8
+    * codes kept, integer-kernel rerank at serve time (see
+    * [[rebuildIvfPqInt8]]).
+    */
+  def rebuildIvfRabitqInt8(vecCol: String, ncentroids: Int): Ready = {
+    val gen = System.currentTimeMillis()
+    writeStateAt(rbStatePath, s"BUILDING:$gen:")
+    try {
+      val corpus = spark.read.parquet(spacePath)
+        .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
+      val trainedDocs = corpus.count()
+      val ivf = IvfIndex.train(corpus, "_i8f", ncentroids)
+      graft.operators.BinaryIndex.encodeResidual(
+          IvfIndex.assign(corpus, "_i8f", ivf), "_i8f", ivf)
+        .drop("_i8f")
         .write.mode("overwrite").partitionBy("list_id").parquet(rbPath(gen))
       graft.sources.IndexStore.writeIvfModel(s"${rbPath(gen)}.ivf.txt", ivf)
       writeStateAt(rbStatePath, s"READY:$gen:$ncentroids:$trainedDocs")

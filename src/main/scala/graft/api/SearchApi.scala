@@ -1816,27 +1816,124 @@ object SearchApi {
             }
           }
         }
-      // INT8 over the compressed family ([[IndexLifecycle.rebuildIvfPqInt8]]):
-      // codebooks live in the raw-code float domain, the ADC shortlist
-      // probes/scores with the quantized query's code values as floats,
-      // and the recallNum exact rerank runs the INTEGER kernels over the
-      // stored int8 column — full probe + deep recall stays exact. Gates
-      // apply at the rerank heap (in-scan, gamma_common_data.h:94-96);
-      // tail legs brute-score the buffer with the integer kernels.
-      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT")
+      // INT8 over the RaBitQ class ([[IndexLifecycle.rebuildIvfRabitqInt8]]):
+      // quantizer + residual sign codes in the raw-code float domain,
+      // estimator shortlist with the quantized query's code values as
+      // floats, recall_num exact rerank with the INTEGER kernels — full
+      // probe + corpus-deep shortlist stays exact. Gates at the rerank
+      // heap; int8 tail legs.
+      case Some("IVFRABITQ")
           if routable && vopts.exists(_.valueType == "int8") &&
             Set("ip", "l2", "l2sq")
               .contains(metricOf(space, req.vectors.head.field)) =>
         val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyIvfPq(metric).map { case (table, ivf, pq) =>
+        lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
+          val vc = req.vectors.head
+          val k = req.limit + req.offset
+          val shortlist = math.max(
+            req.indexParams.get("recall_num").filter(_ > 0)
+              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+              .getOrElse(math.max(10 * k, 100)), k)
+          val qbBits = req.indexParams.get("qb")
+            .orElse(vopts.get.indexParams.get("qb"))
+            .filter(v => v >= 0 && v <= 8).getOrElse(4)
+          val deny = lifecycle.readyRbGen()
+            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+          val served0 = applyDeny(table, deny, ridName)
+          val served = pred.map(served0.filter).getOrElse(served0)
+          def qb(q: Seq[Float]): Array[Byte] =
+            graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+          if (vc.queries.size == 1) {
+            val qBytes = qb(vc.queries.head)
+            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
+            if (!tailOn)
+              finish(graft.operators.BinaryIndex.searchIvfResidual(served,
+                col(vc.field), ivf, qWalk, k, nprobeOf(ivf), shortlist,
+                idCol = col("_id"), metric = metric, qb = qbBits,
+                minScore = gMin, maxScore = gMax,
+                rerankInt8 = Some(qBytes)), metric)
+            else {
+              val hits = tailMergeWith(k, metric, deny) { td =>
+                Knn.searchInt8(td, col(vc.field), qBytes, k, metric,
+                  filter = pred, minScore = gMin, maxScore = gMax,
+                  tieBreak = Some(col("_id")))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              } { kb =>
+                graft.operators.BinaryIndex.searchIvfResidual(served,
+                  col(vc.field), ivf, qWalk, kb, nprobeOf(ivf),
+                  math.max(shortlist, kb), idCol = col("_id"),
+                  metric = metric, qb = qbBits, minScore = gMin,
+                  maxScore = gMax, rerankInt8 = Some(qBytes))
+                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+              }
+              finish(joinBack(hits), metric)
+            }
+          } else {
+            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+              (i.toLong, qb(q)) }
+            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
+              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
+            def i8Score(vec: Column, qc: Column): Column = metric match {
+              case "ip"   => graft.Graft.F.i8Dot(vec, qc)
+              case "l2"   => graft.Graft.F.i8L2(vec, qc)
+              case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
+              case other  =>
+                throw new IllegalArgumentException(s"unknown int8 metric: $other")
+            }
+            val hits = tailMergeBatchWith(k, metric, deny) { td =>
+              val spark = corpus.sparkSession
+              import spark.implicits._
+              val qDf = queries.toDF("_qid", "_qb")
+              val filtered = pred.map(td.filter).getOrElse(td)
+              Knn.scoreGate(filtered
+                .select(col(ridName).cast("long").as("vec_id"),
+                  col(vc.field).as("_c"))
+                .crossJoin(broadcast(qDf))
+                .select(col("_qid"), i8Score(col("_c"), col("_qb")).as("_score"),
+                  col("vec_id"))
+                .filter(col("_score").isNotNull), gMin, gMax)
+            } { kb =>
+              graft.operators.BinaryIndex.searchBatchIvfResidual(served,
+                col(vc.field), ivf, walkQs, kb, nprobeOf(ivf),
+                math.max(shortlist, kb), idCol = col(ridName),
+                metric = metric, qb = qbBits, minScore = gMin,
+                maxScore = gMax, rerankInt8 = Some(queries))
+                .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                  col("_score"))
+            }
+            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          }
+        }
+      // INT8 over the compressed families
+      // ([[IndexLifecycle.rebuildIvfPqInt8]] / [[IndexLifecycle.rebuildScannInt8]]
+      // — SCANN shares the serving composition, only its codebook
+      // training loss and recall default differ): codebooks live in the
+      // raw-code float domain, the ADC shortlist probes/scores with the
+      // quantized query's code values as floats, and the recallNum exact
+      // rerank runs the INTEGER kernels over the stored int8 column —
+      // full probe + deep recall stays exact. Gates apply at the rerank
+      // heap (in-scan, gamma_common_data.h:94-96); tail legs brute-score
+      // the buffer with the integer kernels.
+      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN")
+          if routable && vopts.exists(_.valueType == "int8") &&
+            Set("ip", "l2", "l2sq")
+              .contains(metricOf(space, req.vectors.head.field)) =>
+        val metric = metricOf(space, req.vectors.head.field)
+        val isScann = vopts.exists(_.indexType == "SCANN")
+        val ready =
+          if (isScann) lifecycle.readyScann(metric)
+          else lifecycle.readyIvfPq(metric)
+        ready.map { case (table, ivf, pq) =>
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val recallNum = math.max(
             req.indexParams.get("recall_num").filter(_ > 0)
               .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
-              .getOrElse(k), k)
-          val deny = lifecycle.readyPqGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
+              .getOrElse(if (isScann) math.max(10 * k, 100) else k), k)
+          val deny =
+            (if (isScann) lifecycle.readyScannGen() else lifecycle.readyPqGen())
+              .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
           val served0 = applyDeny(table, deny, ridName)
           val served = pred.map(served0.filter).getOrElse(served0)
           def qb(q: Seq[Float]): Array[Byte] =

@@ -56,7 +56,12 @@ object BinaryIndex {
       qb: Int = 4,
       minScore: Option[Double] = None,
       maxScore: Option[Double] = None,
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      // INT8 spaces: codes + centroids live in the raw-code float domain
+      // (`q` must be the quantized query's code values as floats) and the
+      // exact rerank scores the stored int8 column with the integer
+      // kernels — full probe + corpus-deep shortlist stays exact.
+      rerankInt8: Option[Array[Byte]] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -83,8 +88,14 @@ object BinaryIndex {
     // score gate applies at the EXACT-rerank stage — the reference's heap
     // admission point (gamma_common_data.h:94-96); a deeper `shortlist`
     // widens the gated pool exactly like it widens recall
-    Knn.search(rerank, vecCol, q, k, metric, minScore = minScore,
-      maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
+    rerankInt8 match {
+      case Some(qbytes) =>
+        Knn.searchInt8(rerank, vecCol, qbytes, k, metric, minScore = minScore,
+          maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
+      case None =>
+        Knn.search(rerank, vecCol, q, k, metric, minScore = minScore,
+          maxScore = maxScore, tieBreak = Some(idCol), roundTo = roundTo)
+    }
   }
 
   /** Batched IVFRABITQ (vearch `req_num`, doc_query.go:296-318 flattens
@@ -108,7 +119,10 @@ object BinaryIndex {
       codeCol: String = "rbcode",
       qb: Int = 4,
       minScore: Option[Double] = None,
-      maxScore: Option[Double] = None): DataFrame = {
+      maxScore: Option[Double] = None,
+      // INT8 batches: per-qid quantized query codes for the integer-
+      // kernel rerank (see [[searchIvfResidual]]'s rerankInt8)
+      rerankInt8: Option[Seq[(Long, Array[Byte])]] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -132,18 +146,34 @@ object BinaryIndex {
       .select(col("_qid"), F.signAdot(col(codeCol), col("_qres")).as("_est"),
         col("_sid"))
       .filter(col("_est").isNotNull)
-    val qvDf = queries.toDF("_qid", "_qv")
-      .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+    // the per-qid query the rerank scores against: float vectors for the
+    // metric kernels, or the quantized codes for the integer kernels
+    val (qJoinDf, scoreExpr): (DataFrame, Column) = rerankInt8 match {
+      case Some(qbs) =>
+        val qbDf = qbs.toDF("_qid", "_qq")
+        val fn = metric match {
+          case "ip"   => F.i8Dot _
+          case "l2"   => F.i8L2 _
+          case "l2sq" => F.i8L2Sq _
+          case other  =>
+            throw new IllegalArgumentException(s"unknown int8 metric: $other")
+        }
+        (qbDf, fn(vecCol, col("_qq")))
+      case None =>
+        (queries.toDF("_qid", "_qq")
+          .select(col("_qid"), col("_qq").cast("array<float>").as("_qq")),
+          Knn.score(metric, vecCol, col("_qq")))
+    }
     // larger sign-dot = closer (descending, same as the single path)
     val short = est.groupBy(col("_qid"))
       .agg(graft.Graft.F.topK(col("_est"), struct(col("_sid")), shortlist,
         asc = false).as("_tk"))
       .select(col("_qid"), explode(col("_tk")).as("_e"))
       .select(col("_qid"), col("_e.item._sid").as("_sid"))
-      .join(broadcast(qvDf), Seq("_qid"))
+      .join(broadcast(qJoinDf), Seq("_qid"))
     val rerank0 = corpus.join(broadcast(short), idCol === col("_sid"))
       .select(col("_qid"),
-        Knn.score(metric, vecCol, col("_qv")).as("_score"),
+        scoreExpr.as("_score"),
         struct(idCol.as("id")).as("_item"))
       .filter(col("_score").isNotNull)
     // in-scan score gate at the exact-rerank stage (see searchIvfResidual)

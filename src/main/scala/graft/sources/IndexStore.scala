@@ -822,6 +822,42 @@ object IndexStore {
     spacePath
   }
 
+  /** INT8 space under a READY SCANN generation (anisotropic codebooks
+    * trained in the raw-code float domain, integer-kernel rerank).
+    */
+  def int8ScannSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apii8scann")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(col("embedding")).as("iv"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildScannInt8("iv", ncentroids = 8, m = 8, ksub = 16)
+      markReady(dir)
+    }
+    spacePath
+  }
+
+  /** INT8 space under a READY IVFRABITQ generation (quantizer + residual
+    * sign codes in the raw-code float domain, integer-kernel rerank).
+    */
+  def int8RabitqSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apii8rb")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(col("embedding")).as("iv"))
+        .write.mode("overwrite").parquet(spacePath)
+      new graft.api.IndexLifecycle(spark, spacePath)
+        .rebuildIvfRabitqInt8("iv", ncentroids = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** Routed-API IVFRABITQ fixture: a SPACE with a READY residual
     * sign-code generation built through the lifecycle.
     */

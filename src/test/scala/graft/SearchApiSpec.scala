@@ -841,6 +841,67 @@ class SearchApiSpec extends SparkSpec {
       rowsB(SearchApi.search(stored, isp, reqB)))
   }
 
+  test("searchAuto: INT8 rides SCANN and IVFRABITQ (integer-kernel rerank)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_sc_rb_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(col("embedding")).as("iv"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    def spFor(index: String): Space = Space.fromJson(
+      s"""{"name":"i8_scrb","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":$index}]}""")
+    val scannSp = spFor(
+      """{"type":"SCANN","params":{"ncentroids":8,"nprobe":8,
+         "recall_num":1000000,"metric_type":"InnerProduct"}}""")
+    val rbSp = spFor(
+      """{"type":"IVFRABITQ","params":{"ncentroids":8,"nprobe":8,
+         "recall_num":1000000,"metric_type":"InnerProduct"}}""")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val req = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":9}"""
+    // no generations yet → FLAT int8 fallback for both declarations
+    assert(SearchApi.searchAuto(stored, scannSp, req, lc).count() == 9)
+    assert(SearchApi.searchAuto(stored, rbSp, req, lc).count() == 9)
+
+    lc.rebuildScannInt8("iv", ncentroids = 8, m = 8, ksub = 16)
+    lc.rebuildIvfRabitqInt8("iv", ncentroids = 8)
+    val want = rows(SearchApi.search(stored, scannSp, req))
+    for (sp <- Seq(scannSp, rbSp)) {
+      val got = rows(SearchApi.searchAuto(stored, sp, req, lc))
+      assert(got == want, s"int8 parity failed for ${sp.vectorFields.head.vector.get.indexType}")
+      assert(got.head._1 == 0L)
+    }
+
+    // gated single at the rerank heap + batched per-qid parity (RaBitQ)
+    val n = stored.count().toInt
+    val all = SearchApi.search(stored, rbSp,
+      s"""{"vectors":[{"field":"iv","feature":${fjson(q0)}}],"limit":$n}""")
+      .select($"_score").collect().map(_.getDouble(0))
+    val hi = all(all.length - 300)
+    val gated = s"""{"vectors":[{"field":"iv","feature":${fjson(q0)},
+         "max_score":$hi}],"limit":9}"""
+    val gr = rows(SearchApi.searchAuto(stored, rbSp, gated, lc))
+    assert(gr.length == 9 && gr.forall(_._2 <= hi))
+    assert(gr == rows(SearchApi.search(stored, rbSp, gated)))
+
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"iv","feature":${fjson(q0 ++ q1)}}],"limit":4}"""
+    def rowsB(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_qid", $"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(r => (r._1, -r._3, r._2))
+    for (sp <- Seq(scannSp, rbSp))
+      assert(rowsB(SearchApi.searchAuto(stored, sp, reqB, lc)) ==
+        rowsB(SearchApi.search(stored, sp, reqB)))
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
