@@ -1174,6 +1174,13 @@ object IndexStore {
       m(a.toDF()); m(b.toDF()) }
     multiFieldSpace(spark, sfDir)
     multiFieldRealtimeSpace(spark, sfDir)
+    multiFieldMixedSpace(spark, sfDir)
+    int8IvfSpace(spark, sfDir)
+    int8HnswSpace(spark, sfDir)
+    int8VamanaSpace(spark, sfDir)
+    int8IvfPqSpace(spark, sfDir)
+    int8ScannSpace(spark, sfDir)
+    int8RabitqSpace(spark, sfDir)
     m(media(spark, sfDir))
     ()
   }
