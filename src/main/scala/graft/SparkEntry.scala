@@ -383,6 +383,32 @@ object SparkEntry {
           round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
     }),
 
+    // ── §2.4 conjunction over MIXED VALUE TYPES (float v1 ∧ int8 iv2,
+    //    index_model.h:19): each condition scores through its field's
+    //    own distance path — float metric kernels for v1, symmetric
+    //    quantization + integer kernels for iv2 — then the usual docid
+    //    intersection + WeightedRanker; request-surface (SearchApi) ──
+    "q_knn_multivec_int8" -> ((s, dir) => {
+      init(s)
+      val emb = t(s, dir, "embeddings")
+      val two = emb.select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        graft.Graft.F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"))
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_i8","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
+            {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
+             "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"iv2","feature":${q.drop(32).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.search(two, sp, req)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 multi-field conjunctive over INDEXES: each field routes
     //    through its OWN graph generation (over-fetched per-field top-k),
     //    results intersect on docid, weighted-sum re-rank — the
@@ -3884,6 +3910,28 @@ object SparkEntry {
                  ORDER BY _score DESC, _id) AS rn FROM h)
          SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
          ORDER BY _qid, rn""",
+    // mixed float∧int8 conjunction: per-field top-200 (tie-broken on
+    // vec_id like the engine's per-field k-boundary) → intersection →
+    // 0.5/0.5 WeightedRanker; the int8 leg recomputes the engine's
+    // symmetric quantization + integer dot in SQL
+    "q_knn_multivec_int8" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN (embedding::DOUBLE[])[33:64]] AS iv2
+               FROM embeddings),
+         qq AS (SELECT [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN (SELECT v[33:64] FROM q)] AS qv2),
+         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+                FROM b ORDER BY s0 DESC, vec_id LIMIT 200),
+         f1 AS (SELECT b.vec_id,
+                       CAST(list_sum(list_transform(range(1, 33),
+                         i -> b.iv2[i] * qq.qv2[i])) AS DOUBLE) AS s1
+                FROM b, qq ORDER BY s1 DESC, vec_id LIMIT 200),
+         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id AS _id, round(sc, 4) AS _score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
     // the IVFPQ/SCANN/IVFRABITQ int8 routes (full probe, corpus-deep
     // recall_num, integer-kernel rerank) serve the same exact
     // quantized-IP top-k

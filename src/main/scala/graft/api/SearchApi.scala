@@ -266,9 +266,35 @@ object SearchApi {
       require(req.vectors.forall(_.queries.size == 1),
         "all vector conditions must carry the same req_num")
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
-      val fields = req.vectors.map(vc =>
-        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head),
-          metricOf(space, vc.field)))
+      // each condition scores through its FIELD's value-type path
+      // (index_model.h:19): float → metric kernels; int8 → quantized
+      // query + integer kernels; binary → sign code + Hamming (ascending,
+      // so the field's direction entry is l2). maybeNormalize is a no-op
+      // for non-float fields (normalization validates float-only).
+      val fields = req.vectors.map { vc =>
+        val m = valueTypeOf(space, vc.field) match {
+          case "binary" => "l2"
+          case _        => metricOf(space, vc.field)
+        }
+        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head), m)
+      }
+      val scoreFns: Seq[Option[Column => Column]] = req.vectors.map { vc =>
+        valueTypeOf(space, vc.field) match {
+          case "int8" =>
+            val qBytes = graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                vc.queries.head.toArray))
+            Some((c: Column) =>
+              Knn.scoreInt8(metricOf(space, vc.field), c, lit(qBytes)))
+          case "binary" =>
+            val qCode = graft.functions.VecKernels.signBits(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                vc.queries.head.toArray))
+            Some((c: Column) =>
+              graft.Graft.F.hamming(c, lit(qCode)).cast("double"))
+          case _ => None
+        }
+      }
       // perFieldK scales with limit like the engine's per-index topn;
       // per-condition min/max gates apply in-scan before each field's
       // bounded top-k (gamma_common_data.h:94-96), matching the batched
@@ -276,7 +302,8 @@ object SearchApi {
       val ranked = Knn.multiVectorSearchMetrics(filtered, "_id", fields,
         perFieldK = math.max(req.limit * 10, 200), k = req.limit + req.offset,
         weights = req.weights,
-        gates = req.vectors.map(vc => (vc.minScore, vc.maxScore)))
+        gates = req.vectors.map(vc => (vc.minScore, vc.maxScore)),
+        scoreFns = scoreFns)
       val sliced = if (req.offset > 0) ranked.offset(req.offset) else ranked
       val projected = sliced.select(col("_id"), col("_score"))
       if (req.sort.nonEmpty) applySort(projected, req.sort)
@@ -295,20 +322,57 @@ object SearchApi {
       val w = req.weights.getOrElse(Seq.fill(nf)(1.0 / nf))
       require(w.size == nf, "weights arity must match vector conditions")
       val perFieldK = math.max(req.limit * 10, 200)
+      // per-condition value-type dispatch like the single-query
+      // conjunction (index_model.h:19): int8 legs quantize each query
+      // and score with the integer kernels, binary legs sign-binarize
+      // and rank by Hamming (ascending ⇒ direction entry l2)
+      def legDir(vc: graft.api.SearchApi.VecCond): String =
+        valueTypeOf(space, vc.field) match {
+          case "binary" => "l2"
+          case _        => metricOf(space, vc.field)
+        }
       val perField = req.vectors.zipWithIndex.map { case (vc, i) =>
-        val m = metricOf(space, vc.field)
-        val queries = vc.queries.zipWithIndex
-          .map { case (q, qi) => (qi.toLong, maybeNormalize(space, vc.field, q)) }
-          .toDF("_qid", "_qv")
-          .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+        val m = legDir(vc)
+        val (queries, scoreFn):
+            (org.apache.spark.sql.DataFrame, Option[(Column, Column) => Column]) =
+          valueTypeOf(space, vc.field) match {
+            case "int8" =>
+              val qd = vc.queries.zipWithIndex.map { case (q, qi) =>
+                (qi.toLong, graft.functions.VecKernels.quantizeI8(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
+              }.toDF("_qid", "_qv")
+              val mm = metricOf(space, vc.field)
+              val fn = mm match {
+                case "ip"   => graft.Graft.F.i8Dot _
+                case "l2"   => graft.Graft.F.i8L2 _
+                case "l2sq" => graft.Graft.F.i8L2Sq _
+                case other  =>
+                  throw new IllegalArgumentException(s"unknown int8 metric: $other")
+              }
+              (qd, Some(fn))
+            case "binary" =>
+              val qd = vc.queries.zipWithIndex.map { case (q, qi) =>
+                (qi.toLong, graft.functions.VecKernels.signBits(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+                  .asInstanceOf[Array[Byte]])
+              }.toDF("_qid", "_qv")
+              (qd, Some((v: Column, qc: Column) =>
+                graft.Graft.F.hamming(v, qc).cast("double")))
+            case _ =>
+              (vc.queries.zipWithIndex
+                .map { case (q, qi) => (qi.toLong, maybeNormalize(space, vc.field, q)) }
+                .toDF("_qid", "_qv")
+                .select(col("_qid"), col("_qv").cast("array<float>").as("_qv")),
+                None)
+          }
         Knn.searchBatch(filtered, col(vc.field), struct(col("_id")), queries,
           "_qid", "_qv", perFieldK, m,
-          minScore = vc.minScore, maxScore = vc.maxScore)
+          minScore = vc.minScore, maxScore = vc.maxScore, scoreFn = scoreFn)
           .select(col("_qid"), col("_item._id").as("_id"), col("_score").as(s"_s$i"))
       }
       val joined = perField.reduceLeft((a, b) => a.join(b, Seq("_qid", "_id")))
       val combined = (0 until nf).map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
-      val headAsc = Knn.ascending(metricOf(space, req.vectors.head.field))
+      val headAsc = Knn.ascending(legDir(req.vectors.head))
       val agged = joined.withColumn("_score", combined)
         .groupBy(col("_qid"))
         .agg(graft.Graft.F.topK(col("_score"), struct(col("_id")),

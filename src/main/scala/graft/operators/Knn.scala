@@ -231,14 +231,25 @@ object Knn {
       // the reference gates EACH condition's results before the docid
       // intersection): applied in-scan, before that field's bounded
       // top-k, same placement as the single-condition scan gate
-      gates: Seq[(Option[Double], Option[Double])] = Seq.empty): DataFrame = {
+      gates: Seq[(Option[Double], Option[Double])] = Seq.empty,
+      // per-condition score override for non-float value types
+      // (index_model.h:19 — a conjunction may mix float, int8 and binary
+      // fields; the reference scores each condition with its field's own
+      // distance path): Some(col => scoreCol) replaces the float metric
+      // kernel for that condition; its query is already bound inside
+      scoreFns: Seq[Option[Column => Column]] = Seq.empty): DataFrame = {
     require(fields.nonEmpty)
     require(gates.isEmpty || gates.size == fields.size,
       "gates arity must match vector conditions")
+    require(scoreFns.isEmpty || scoreFns.size == fields.size,
+      "scoreFns arity must match vector conditions")
     val w = weights.getOrElse(Seq.fill(fields.size)(1.0 / fields.size))
     require(w.size == fields.size)
     val perField = fields.zipWithIndex.map { case ((vc, qv, m), i) =>
-      val scored = df.select(col(idCol), score(m, vc, queryLit(qv)).as(s"_s$i"))
+      val scoreCol =
+        scoreFns.lift(i).flatten.map(fn => fn(vc))
+          .getOrElse(score(m, vc, queryLit(qv)))
+      val scored = df.select(col(idCol), scoreCol.as(s"_s$i"))
         .filter(col(s"_s$i").isNotNull) // null vectors must not head asc order
       val (gLo, gHi) =
         if (gates.isEmpty) (None, None) else gates(i)

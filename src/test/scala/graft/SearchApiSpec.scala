@@ -902,6 +902,56 @@ class SearchApiSpec extends SparkSpec {
         rowsB(SearchApi.search(stored, sp, reqB)))
   }
 
+  test("conjunctions over mixed value types: int8 and binary legs score through their own path") {
+    import graft.Graft.F
+    val two = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"),
+        F.signBits(slice(col("embedding"), 33, 32)).as("bv2"))
+    def spFor(second: String): Space = Space.fromJson(
+      s"""{"name":"mv_mixed","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
+          $second]}""")
+    val i8Sp = spFor(
+      """{"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
+         "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}""")
+    val binSp = spFor(
+      """{"name":"bv2","type":"vector","dimension":32,"value_type":"binary",
+         "index":{"type":"FLAT"}}""")
+    val qa = q0.take(32); val qb = q0.drop(32)
+    def single(sp: Space, f2: String) = SearchApi.search(two, sp,
+      s"""{"vectors":[{"field":"v1","feature":${fjson(qa)}},
+           {"field":"$f2","feature":${fjson(qb)}}],"limit":8}""")
+      .select($"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // float∧int8: both legs non-empty, conjunction returns ranked rows
+    val i8Rows = single(i8Sp, "iv2")
+    assert(i8Rows.nonEmpty)
+    // float∧binary: Hamming leg ascends, intersection still serves
+    val binRows = single(binSp, "bv2")
+    assert(binRows.nonEmpty)
+
+    // BATCHED conjunction: per-qid blocks are independent, so qid 0 of a
+    // req_num=2 request must equal the single-query result exactly
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    def batched(sp: Space, f2: String) = SearchApi.search(two, sp,
+      s"""{"vectors":[{"field":"v1","feature":${fjson(qa ++ q1.take(32))}},
+           {"field":"$f2","feature":${fjson(qb ++ q1.drop(32))}}],"limit":8}""")
+      .select($"_qid", $"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for ((sp, f2, want) <- Seq((i8Sp, "iv2", i8Rows), (binSp, "bv2", binRows))) {
+      val got = batched(sp, f2)
+      assert(got.map(_._1).distinct.sorted == Seq(0L, 1L))
+      val qid0 = got.filter(_._1 == 0L).map(r => (r._2, r._3))
+        .sortBy(r => (-r._2, r._1))
+      assert(qid0 == want.sortBy(r => (-r._2, r._1)),
+        s"batched qid-0 block diverges from the single-query conjunction for $f2")
+    }
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
