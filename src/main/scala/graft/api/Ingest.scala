@@ -111,12 +111,24 @@ object Ingest {
       path: String,
       space: Space): (DataFrame, DataFrame) = {
     val schema = space.toStructType
+    // the WIRE carries every vector as a JSON number array whatever the
+    // value_type (doc_parse.go:56-128 parses the feature array once; the
+    // engine converts per value type) — so int8/binary fields read as
+    // float arrays here and pack AFTER the parse: int8 through the
+    // symmetric quantizer, binary through sign-binarization, the same
+    // conversions the query side applies to request features
+    val packedVecs = space.vectorFields
+      .filter(_.vector.exists(v => v.valueType == "int8" || v.valueType == "binary"))
+    val wireType = ArrayType(FloatType)
+    val wireSchema = org.apache.spark.sql.types.StructType(schema.fields.map(sf =>
+      if (packedVecs.exists(_.name == sf.name)) sf.copy(dataType = wireType)
+      else sf))
     // PERMISSIVE + a corrupt-record column: a malformed line must become a
     // rejected ROW (the reference returns a per-item error), not an
     // exception killing the batch
     val corrupt = "_graft_corrupt"
     val withCorrupt = org.apache.spark.sql.types.StructType(
-      schema.fields :+ org.apache.spark.sql.types.StructField(
+      wireSchema.fields :+ org.apache.spark.sql.types.StructField(
         corrupt, org.apache.spark.sql.types.StringType, nullable = true))
     // materialize the parse before splitting: Spark refuses corrupt-column-
     // only queries over a raw JSON source (and the gate + returned rows
@@ -129,8 +141,37 @@ object Ingest {
       .localCheckpoint(eager = true)
     val bad = raw.filter(col(corrupt).isNotNull).drop(corrupt)
     val good = raw.filter(col(corrupt).isNull).drop(corrupt)
-    val (ok, rejected) = conformSplit(good, space)
-    (ok, rejected.unionByName(bad.select(rejected.columns.map(col).toIndexedSeq: _*)))
+    // wire-size check BEFORE packing (conformSplit sees packed bytes and
+    // would check the packed length — a wrong-size or null-element float
+    // array must reject here, never silently mis-pack)
+    val badWire = packedVecs.map { f =>
+      val dim = f.vector.get.dimension
+      col(f.name).isNotNull &&
+        (size(col(f.name)) =!= dim || exists(col(f.name), x => x.isNull))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val goodWire = good.filter(!badWire)
+    val packed = packedVecs.foldLeft(goodWire) { (df, f) =>
+      val c = col(f.name)
+      val packedCol = f.vector.get.valueType match {
+        case "int8" => when(c.isNotNull, F.quantizeI8(c))
+        case _      => when(c.isNotNull, F.signBits(c))
+      }
+      df.withColumn(f.name, packedCol)
+    }
+    val (ok, rejected) = conformSplit(packed, space)
+    // rejected rows surface in the STORAGE schema (per-item diagnostics
+    // key on _id, not the unparseable payload): un-packable wire vectors
+    // null out, corrupt lines stay all-null
+    def toStorage(df: DataFrame): DataFrame =
+      df.select(rejected.columns.map { n =>
+        if (packedVecs.exists(_.name == n) &&
+            df.schema(n).dataType != org.apache.spark.sql.types.BinaryType)
+          lit(null).cast(org.apache.spark.sql.types.BinaryType).as(n)
+        else col(n)
+      }.toIndexedSeq: _*)
+    (ok, rejected
+      .unionByName(toStorage(good.filter(badWire)))
+      .unionByName(toStorage(bad)))
   }
 
   /** Dense-id sidecar for string-PK spaces — the reference maps every

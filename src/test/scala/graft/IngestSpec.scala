@@ -59,6 +59,39 @@ class IngestSpec extends SparkSpec {
     assert(bad.filter($"_id" === "short").count() == 1)
   }
 
+  test("fromJsonl: int8/binary vector fields arrive as WIRE number arrays and pack at ingest") {
+    // the reference's wire carries every feature as a JSON number array
+    // whatever the value_type (doc_parse.go:56-128); the engine converts
+    // — int8 through the symmetric quantizer, binary through
+    // sign-binarization, the same conversions the query side applies
+    val isp = graft.schema.Space.fromJson(
+      """{"name":"wire_i8","fields":[
+          {"name":"n","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":4,"value_type":"int8",
+           "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
+          {"name":"bv","type":"vector","dimension":8,"value_type":"binary",
+           "index":{"type":"FLAT"}}]}""")
+    val dir = Files.createTempDirectory("jsonl_i8")
+    val f = dir.resolve("batch.jsonl")
+    Files.writeString(f,
+      """{"_id":"a","n":1,"iv":[1.0,-1.0,0.5,0.0],"bv":[1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0]}
+        |{"_id":"short","n":2,"iv":[1.0,2.0],"bv":[1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0]}
+        |{"_id":"nullelem","n":3,"iv":[1.0,null,0.5,0.0],"bv":[1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0]}
+        |""".stripMargin)
+    val (ok, bad) = Ingest.fromJsonl(spark, f.toString, isp)
+    val okRows = ok.collect()
+    assert(okRows.length == 1)
+    val iv = okRows(0).getAs[Array[Byte]]("iv")
+    assert(iv.toSeq == Seq[Byte](127, -127, 64, 0)) // quantizeI8 grid
+    val bv = okRows(0).getAs[Array[Byte]]("bv")
+    assert(bv.length == 1) // 8 dims → 1 packed sign byte
+    // wrong-size and null-element wire arrays reject per item, in the
+    // STORAGE schema (vector columns nulled, id preserved)
+    val badIds = bad.select($"_id").collect().map(_.getString(0)).toSet
+    assert(badIds == Set("short", "nullelem"))
+    assert(bad.schema("iv").dataType == org.apache.spark.sql.types.BinaryType)
+  }
+
   test("conform releases its cache pin (no CacheManager growth per batch)") {
     // ADVICE r3: repeated ingest batches must not accumulate pinned
     // entries for the session lifetime
