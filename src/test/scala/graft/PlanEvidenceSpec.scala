@@ -243,6 +243,44 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(ng <= 2 * probes + 1, s"gate loop ran $ng jobs for $probes probes — extra per-probe actions")
   }
 
+  test("int8 routed serving keeps the action pin: 0 eager jobs at plan construction") {
+    // the int8 arms share the float arms' laziness contract: query
+    // quantization, LUT building and centroid routing are driver-side
+    // arithmetic, never Spark actions
+    val root = java.nio.file.Files.createTempDirectory("pe_i8_actions").toString
+    val spacePath = s"$root/space"
+    emb.select($"vec_id".cast("long").as("_id"), $"label",
+        graft.Graft.F.quantizeI8($"embedding").as("iv"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    def spFor(index: String) = graft.schema.Space.fromJson(
+      s"""{"name":"i8_act","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
+           "index":$index}]}""")
+    val hnswSp = spFor(
+      """{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,
+         "efSearch":600,"metric_type":"InnerProduct"}}""")
+    val pqSp = spFor(
+      """{"type":"IVFPQ","params":{"ncentroids":8,"nprobe":8,
+         "recall_num":100,"metric_type":"InnerProduct"}}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnswInt8("_id", "iv",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    lc.rebuildIvfPqInt8("iv", ncentroids = 8, m = 8)
+    val qv = q0
+    def req = s"""{"vectors":[{"field":"iv","feature":${qv.mkString("[", ",", "]")}}],"limit":9}"""
+    // warm one-time costs (layout open, ledger reads)
+    graft.api.SearchApi.searchAuto(stored, hnswSp, req, lc).collect()
+    graft.api.SearchApi.searchAuto(stored, pqSp, req, lc).collect()
+    assert(jobsDuring {
+      graft.api.SearchApi.searchAuto(stored, hnswSp, req, lc)
+    } == 0, "int8 HNSW routed plan construction must be lazy")
+    assert(jobsDuring {
+      graft.api.SearchApi.searchAuto(stored, pqSp, req, lc)
+    } == 0, "int8 IVFPQ routed plan construction must be lazy")
+  }
+
   test("docid-lookup prune reaches partition pruning (_bucket IN touched buckets)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.util.QueryExecutionListener
