@@ -1815,6 +1815,36 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 INT8 conjunction through the ROUTED path (late r16): both
+    //    legs are int8 fields with their OWN generations — iv1 walks its
+    //    raw-code-domain HNSW graph, iv2 probes its de-quantized-domain
+    //    IVF lists and scores in-scan with the integer kernels — then
+    //    the usual docid intersection + WeightedRanker. ef ≥ corpus and
+    //    nprobe = ncentroids ⇒ both legs exact, whole route oracled ──
+    "q_knn_multivec_int8_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldInt8Space(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_i8r","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"iv1","type":"vector","dimension":32,"value_type":"int8",
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"iv1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"iv2","feature":${q.drop(32).mkString("[", ",", "]")}}],
+        "index_params":{"efSearch":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+    }),
+
     // ── §2.3+§2.4 SCALAR-FILTERED mixed-family conjunction through the
     //    routed path (r16): the filter rides EACH leg — in-scan inside
     //    the IVF leg's probed lists, allow-functor into the HNSW leg's
@@ -3910,6 +3940,28 @@ object SparkEntry {
                  ORDER BY _score DESC, _id) AS rn FROM h)
          SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
          ORDER BY _qid, rn""",
+    // ROUTED int8∧int8 conjunction (per-field generations, exact
+    // operating points): both legs recompute the quantized integer dot
+    "q_knn_multivec_int8_routed_exact" ->
+      """WITH b AS (SELECT vec_id,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN (embedding::DOUBLE[])[1:32]] AS iv1,
+               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
+                FOR x IN (embedding::DOUBLE[])[33:64]] AS iv2
+               FROM embeddings),
+         q AS (SELECT iv1 AS q1, iv2 AS q2 FROM b WHERE vec_id = 0),
+         f0 AS (SELECT b.vec_id,
+                       CAST(list_sum(list_transform(range(1, 33),
+                         i -> b.iv1[i] * q.q1[i])) AS DOUBLE) AS s0
+                FROM b, q ORDER BY s0 DESC, vec_id LIMIT 200),
+         f1 AS (SELECT b.vec_id,
+                       CAST(list_sum(list_transform(range(1, 33),
+                         i -> b.iv2[i] * q.q2[i])) AS DOUBLE) AS s1
+                FROM b, q ORDER BY s1 DESC, vec_id LIMIT 200),
+         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+               FROM f0 JOIN f1 USING (vec_id))
+         SELECT vec_id AS _id, sc AS _score
+         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
     // mixed float∧int8 conjunction: per-field top-200 (tie-broken on
     // vec_id like the engine's per-field k-boundary) → intersection →
     // 0.5/0.5 WeightedRanker; the int8 leg recomputes the engine's

@@ -806,8 +806,15 @@ object SearchApi {
       if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
           req.vectors.forall(_.queries.size == 1) &&
           rid.isDefined &&
+          // float legs route for every family; INT8 legs route too (the
+          // reference intersects per-field results whatever each field's
+          // value type, index_model.h:19) when the field's metric has an
+          // integer kernel; binary fields keep the FLAT conjunction (the
+          // Hamming leg is already a bounded scan there)
           req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector).exists(_.valueType == "float"))) {
+            .flatMap(_.vector).exists(v => v.valueType == "float" ||
+              (v.valueType == "int8" &&
+                Set("ip", "l2", "l2sq").contains(metricOf(space, vc.field)))))) {
         val perFieldK = math.max(req.limit * 10, 200)
         // scalar-FILTERED conjunctions route too (the reference's hybrid
         // path applies the filter bitmap inside EACH field's search,
@@ -840,6 +847,17 @@ object SearchApi {
             .flatMap(_.vector).get
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val metric = metricOf(space, vc.field)
+          // INT8 legs (index_model.h:19): the quantized query's code
+          // values walk the raw-code-domain graph generations and the
+          // integer kernels score the tail; the IVF leg probes with the
+          // FLOAT query (centroids live in the de-quantized domain,
+          // rebuildInt8) and scores in-scan with the integer kernels
+          val isI8 = fOpts.valueType == "int8"
+          val qBytes: Array[Byte] =
+            if (isI8) graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+            else Array.emptyByteArray
+          val qWalk: Seq[Float] = if (isI8) qBytes.toSeq.map(_.toFloat) else q
           // this field's buffer-over-index union BEFORE the docid
           // intersection — fresh writes compete in every leg. The scalar
           // filter and this CONDITION's score gate apply to the tail leg
@@ -850,9 +868,14 @@ object SearchApi {
               base: Int => DataFrame): DataFrame =
             if (!tailOn) base(kArg)
             else tail.get.mergeTail(corpus.schema, kArg, metric, deny) { td =>
-              Knn.search(td, col(vc.field), q, kArg, metric,
-                filter = pred, minScore = vc.minScore,
-                maxScore = vc.maxScore, tieBreak = Some(col("_id")))
+              (if (isI8)
+                Knn.searchInt8(td, col(vc.field), qBytes, kArg, metric,
+                  filter = pred, minScore = vc.minScore,
+                  maxScore = vc.maxScore, tieBreak = Some(col("_id")))
+              else
+                Knn.search(td, col(vc.field), q, kArg, metric,
+                  filter = pred, minScore = vc.minScore,
+                  maxScore = vc.maxScore, tieBreak = Some(col("_id"))))
                 .select(col(ridName).cast("long").as("vec_id"), col("_score"))
             }(base)
           fOpts.indexType match {
@@ -872,9 +895,9 @@ object SearchApi {
                   d => withTail(deny, d)(kb => allowBc match {
                     case Some(bc) =>
                       graft.operators.HnswIndex.searchFilteredBc(
-                        segs, q, kb, math.max(ef, kb), metric, bc)
+                        segs, qWalk, kb, math.max(ef, kb), metric, bc)
                     case None =>
-                      graft.operators.HnswIndex.search(segs, q, kb,
+                      graft.operators.HnswIndex.search(segs, qWalk, kb,
                         math.max(ef, kb), metric, deny = deny)
                   }))
               }
@@ -893,9 +916,15 @@ object SearchApi {
                   // apply IN-SCAN inside the probed lists — zero
                   // over-fetch, no gate loop needed
                   withTail(deny, perFieldK)(kb =>
-                    IvfIndex.search(served, col(vc.field), model, q, kb,
-                      nprobe, filter = pred, minScore = vc.minScore,
-                      maxScore = vc.maxScore, tieBreak = Some(col("_id")))
+                    (if (isI8)
+                      IvfIndex.searchInt8(served, col(vc.field), model, q,
+                        qBytes, kb, nprobe, filter = pred,
+                        minScore = vc.minScore, maxScore = vc.maxScore,
+                        tieBreak = Some(col("_id")))
+                    else
+                      IvfIndex.search(served, col(vc.field), model, q, kb,
+                        nprobe, filter = pred, minScore = vc.minScore,
+                        maxScore = vc.maxScore, tieBreak = Some(col("_id"))))
                       .select(col(ridName).cast("long").as("vec_id"),
                         col("_score")))
                 }
@@ -916,9 +945,9 @@ object SearchApi {
                   d => withTail(deny, d)(kb => allowBc match {
                     case Some(bc) =>
                       graft.operators.VamanaIndex.searchFilteredBc(
-                        segs, q, kb, math.max(l, kb), bw, metric, bc)
+                        segs, qWalk, kb, math.max(l, kb), bw, metric, bc)
                     case None =>
-                      graft.operators.VamanaIndex.search(segs, q, kb,
+                      graft.operators.VamanaIndex.search(segs, qWalk, kb,
                         math.max(l, kb), bw, metric, deny = deny)
                   }))
               }

@@ -720,6 +720,31 @@ object IndexStore {
     spacePath
   }
 
+  /** INT8 multi-vector SPACE fixture: iv1 under a READY int8 HNSW
+    * generation (raw-code float domain), iv2 under a READY int8 IVFFLAT
+    * generation (de-quantized centroid domain) — the conjunctive route
+    * intersects per-field legs whatever the value type
+    * (index_model.h:19, vector_manager.cc:1024-1087).
+    */
+  def multiFieldInt8Space(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apimvint8")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          graft.Graft.F.quantizeI8(slice(col("embedding"), 1, 32)).as("iv1"),
+          graft.Graft.F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.scoped("iv1").rebuildHnswInt8("_id", "iv1",
+        HnswIndex.Params(m = 16, efConstruction = 100, metric = "ip",
+          numShards = 4))
+      lc.scoped("iv2").rebuildInt8("iv2", ncentroids = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** [[multiFieldSpace]] with a realtime TAIL (vec_id < 10, including
     * the query vector): per-field READY generations over the BASE split
     * — the shape the tail-aware conjunctive route serves.

@@ -952,6 +952,52 @@ class SearchApiSpec extends SparkSpec {
     }
   }
 
+  test("searchAuto: INT8 conjunctions route per-field (graph + IVF legs, integer kernels)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_mv_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(slice(col("embedding"), 1, 32)).as("iv1"),
+        F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val sp = Space.fromJson(
+      """{"name":"i8_mv","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv1","type":"vector","dimension":32,"value_type":"int8",
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,
+                              "efSearch":1000000,"metric_type":"InnerProduct"}}},
+          {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
+           "index":{"type":"IVFFLAT",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val qa = q0.take(32); val qb = q0.drop(32)
+    def reqOf(extra: String = "") = s"""{"vectors":[
+        {"field":"iv1","feature":${fjson(qa)}$extra},
+        {"field":"iv2","feature":${fjson(qb)}$extra}],"limit":8}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // only iv1's generation READY → whole request degrades to the FLAT
+    // conjunction (which scores int8 legs natively since late r16)
+    lc.scoped("iv1").rebuildHnswInt8("_id", "iv1",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    val flat = rows(SearchApi.search(stored, sp, reqOf()))
+    assert(rows(SearchApi.searchAuto(stored, sp, reqOf(), lc)) == flat)
+
+    // both generations READY → routed intersection ≡ FLAT conjunction
+    lc.scoped("iv2").rebuildInt8("iv2", ncentroids = 8)
+    assert(rows(SearchApi.searchAuto(stored, sp, reqOf(), lc)) == flat)
+
+    // per-condition gate applies per int8 leg before the intersection
+    val gated = reqOf(""","min_score":100""")
+    val gr = rows(SearchApi.searchAuto(stored, sp, gated, lc))
+    assert(gr == rows(SearchApi.search(stored, sp, gated)))
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
