@@ -149,6 +149,88 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       else false
   }
 
+  /** Build the generation the SPACE DECLARATION asks for — the builder
+    * resolves from the field's index type AND value_type, so callers
+    * never pick between the float and INT8 variants by hand (the
+    * reference's Indexing loop builds whatever the space declares,
+    * engine.cc:759-769; INT8 across families, index_model.h:19).
+    * Parameter defaults follow the reference's space defaults
+    * (ncentroids 2048, nsubvector 64, nlinks 32, efConstruction 40,
+    * Vamana R 64 / L 100); `numShards` is an engine-level layout choice
+    * with no reference analog. Returns None for declarations that serve
+    * without a built generation (FLAT / SCALAR). Multi-field spaces
+    * build each field under its own [[scoped]] lifecycle.
+    */
+  def rebuildDeclared(space: graft.schema.Space, field: String,
+      idCol: String = "_id", numShards: Int = 8): Option[Ready] = {
+    val vo = space.vectorFields.find(_.name == field).flatMap(_.vector)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no vector field '$field' in space '${space.name}'"))
+    val p = vo.indexParams
+    def param(n: String, dflt: Int) = p.get(n).filter(_ > 0).getOrElse(dflt)
+    val nc = param("ncentroids", 2048)
+    val i8 = vo.valueType == "int8"
+    vo.indexType match {
+      case "FLAT" | "SCALAR" => None
+      case "IVFFLAT" | "GPU_IVFFLAT" =>
+        Some(if (i8) rebuildInt8(field, nc) else rebuild(field, nc))
+      case "HNSW" =>
+        val params = graft.operators.HnswIndex.Params(
+          m = param("nlinks", 32), efConstruction = param("efConstruction", 40),
+          metric = vo.metric, numShards = numShards)
+        Some(if (i8) rebuildHnswInt8(idCol, field, params)
+        else rebuildHnsw(idCol, field, params))
+      case "DISKANN_STATIC" | "SSG" =>
+        val params = graft.operators.VamanaIndex.Params(
+          r = param("R", 64), l = param("L", 100), metric = vo.metric,
+          numShards = numShards)
+        Some(if (i8) rebuildVamanaInt8(idCol, field, params)
+        else rebuildVamana(idCol, field, params))
+      case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" =>
+        val m = param("nsubvector", 64)
+        Some(if (i8) rebuildIvfPqInt8(field, nc, m)
+        else rebuildIvfPq(field, nc, m))
+      case "SCANN" =>
+        val m = param("nsubvector", 64)
+        Some(if (i8) rebuildScannInt8(field, nc, m)
+        else rebuildScann(field, nc, m))
+      case "IVFRABITQ" =>
+        Some(if (i8) rebuildIvfRabitqInt8(field, nc)
+        else rebuildIvfRabitq(field, nc))
+      case "BINARYIVF" =>
+        Some(rebuildBinaryIvf(field, nc))
+      case other =>
+        throw new IllegalArgumentException(
+          s"no declared-build path for index type '$other'")
+    }
+  }
+
+  /** [[maybeAutoBuild]] generalized over the declared family: triggers
+    * [[rebuildDeclared]] when the corpus reaches `trainingThreshold` and
+    * the DECLARED family's generation is missing/failed.
+    */
+  def maybeAutoBuildDeclared(space: graft.schema.Space, field: String,
+      trainingThreshold: Long, idCol: String = "_id",
+      numShards: Int = 8): Boolean = {
+    val vo = space.vectorFields.find(_.name == field).flatMap(_.vector)
+    val st = vo.map(_.indexType).getOrElse("FLAT") match {
+      case "HNSW"                                  => hnswState
+      case "DISKANN_STATIC" | "SSG"                => vamanaState
+      case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" => pqState
+      case "SCANN"                                 => scannState
+      case "IVFRABITQ"                             => rbState
+      case _                                       => state
+    }
+    st match {
+      case _: Ready | _: Building => false
+      case _ =>
+        val n = spark.read.parquet(spacePath).count()
+        if (n >= trainingThreshold)
+          rebuildDeclared(space, field, idCol, numShards).isDefined
+        else false
+    }
+  }
+
   /** Incremental maintenance: assign list_ids for a delta batch with the
     * CURRENT model and append it to the READY generation — the reference's
     * background Indexing loop (engine.cc:1084-1137 folds new vectors into

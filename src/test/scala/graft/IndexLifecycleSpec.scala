@@ -9,6 +9,52 @@ import graft.operators.{IvfIndex, Knn}
 class IndexLifecycleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rebuildDeclared picks the builder from index type AND value_type") {
+    import graft.Graft.F
+    val root = Files.createTempDirectory("lc_declared").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        col("embedding"), F.quantizeI8(col("embedding")).as("iv"))
+      .write.parquet(spacePath)
+    def spFor(name: String, vt: String, index: String) =
+      graft.schema.Space.fromJson(
+        s"""{"name":"decl","fields":[
+            {"name":"$name","type":"vector","dimension":64$vt,
+             "index":$index}]}""")
+    val lc = new IndexLifecycle(spark, spacePath)
+    // FLAT needs no generation
+    assert(lc.rebuildDeclared(spFor("embedding", "",
+      """{"type":"FLAT"}"""), "embedding").isEmpty)
+    // float HNSW → graph sidecar READY
+    assert(lc.rebuildDeclared(spFor("embedding", "",
+      """{"type":"HNSW","params":{"nlinks":16,"efConstruction":60}}"""),
+      "embedding", numShards = 3).isDefined)
+    assert(lc.hnswState.isInstanceOf[lc.Ready])
+    // int8 IVFFLAT → the int8 builder (de-quantized centroid domain),
+    // scan sidecar READY and the routed int8 arm serves it
+    assert(lc.rebuildDeclared(spFor("iv", ""","value_type":"int8"""",
+      """{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8,
+         "metric_type":"InnerProduct"}}"""), "iv").isDefined)
+    assert(lc.state.isInstanceOf[lc.Ready] && lc.loadModel().isDefined)
+    // int8 IVFRABITQ → the int8 residual-sign builder, rb sidecar READY
+    assert(lc.rebuildDeclared(spFor("iv", ""","value_type":"int8"""",
+      """{"type":"IVFRABITQ","params":{"ncentroids":8,
+         "metric_type":"InnerProduct"}}"""), "iv").isDefined)
+    assert(lc.rbState.isInstanceOf[lc.Ready])
+    // auto-build: below threshold no-op, at threshold builds the
+    // DECLARED family (Vamana sidecar here), READY short-circuits
+    val vamSp = spFor("iv", ""","value_type":"int8"""",
+      """{"type":"DISKANN_STATIC","params":{"R":16,"L":32,
+         "metric_type":"InnerProduct"}}""")
+    assert(!lc.maybeAutoBuildDeclared(vamSp, "iv", trainingThreshold = Long.MaxValue))
+    assert(lc.vamanaState == lc.Missing)
+    assert(lc.maybeAutoBuildDeclared(vamSp, "iv", trainingThreshold = 1,
+      numShards = 3))
+    assert(lc.vamanaState.isInstanceOf[lc.Ready])
+    assert(!lc.maybeAutoBuildDeclared(vamSp, "iv", trainingThreshold = 1))
+  }
+
   test("rebuild: BUILDING -> READY, searchable generation, force-merge, drop") {
     val root = Files.createTempDirectory("lifecycle").toString
     val spacePath = s"$root/space"
