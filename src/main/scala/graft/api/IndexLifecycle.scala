@@ -213,21 +213,28 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       trainingThreshold: Long, idCol: String = "_id",
       numShards: Int = 8): Boolean = {
     val vo = space.vectorFields.find(_.name == field).flatMap(_.vector)
-    val st = vo.map(_.indexType).getOrElse("FLAT") match {
-      case "HNSW"                                  => hnswState
-      case "DISKANN_STATIC" | "SSG"                => vamanaState
-      case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" => pqState
-      case "SCANN"                                 => scannState
-      case "IVFRABITQ"                             => rbState
-      case _                                       => state
-    }
-    st match {
-      case _: Ready | _: Building => false
-      case _ =>
-        val n = spark.read.parquet(spacePath).count()
-        if (n >= trainingThreshold)
-          rebuildDeclared(space, field, idCol, numShards).isDefined
-        else false
+    vo.map(_.indexType).getOrElse("FLAT") match {
+      // no generation to build — return before the corpus count so a
+      // periodic auto-build loop over a FLAT space never pays a scan
+      case "FLAT" | "SCALAR" => false
+      case t =>
+        val st = t match {
+          case "HNSW"                                   => hnswState
+          case "DISKANN_STATIC" | "SSG"                 => vamanaState
+          case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" => pqState
+          case "SCANN"                                  => scannState
+          case "IVFRABITQ"                              => rbState
+          case "BINARYIVF"                              => bivfState
+          case _                                        => state
+        }
+        st match {
+          case _: Ready | _: Building => false
+          case _ =>
+            val n = spark.read.parquet(spacePath).count()
+            if (n >= trainingThreshold)
+              rebuildDeclared(space, field, idCol, numShards).isDefined
+            else false
+        }
     }
   }
 

@@ -342,14 +342,7 @@ object SearchApi {
                   new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
               }.toDF("_qid", "_qv")
               val mm = metricOf(space, vc.field)
-              val fn = mm match {
-                case "ip"   => graft.Graft.F.i8Dot _
-                case "l2"   => graft.Graft.F.i8L2 _
-                case "l2sq" => graft.Graft.F.i8L2Sq _
-                case other  =>
-                  throw new IllegalArgumentException(s"unknown int8 metric: $other")
-              }
-              (qd, Some(fn))
+              (qd, Some((a: Column, b: Column) => Knn.scoreInt8(mm, a, b)))
             case "binary" =>
               val qd = vc.queries.zipWithIndex.map { case (q, qi) =>
                 (qi.toLong, graft.functions.VecKernels.signBits(
@@ -402,14 +395,8 @@ object SearchApi {
               (i.toLong, graft.functions.VecKernels.quantizeI8(
                 new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
             }.toDF("_qid", "_qv")
-            val fn = metric match {
-              case "ip"   => graft.Graft.F.i8Dot _
-              case "l2"   => graft.Graft.F.i8L2 _
-              case "l2sq" => graft.Graft.F.i8L2Sq _
-              case other  =>
-                throw new IllegalArgumentException(s"unknown int8 metric: $other")
-            }
-            (qd, metric, Some(fn))
+            (qd, metric,
+              Some((a: Column, b: Column) => Knn.scoreInt8(metric, a, b)))
           case "binary" =>
             val qd = vc.queries.zipWithIndex.map { case (q, i) =>
               (i.toLong, graft.functions.VecKernels.signBits(
@@ -783,6 +770,88 @@ object SearchApi {
         .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
         .getOrElse(80),
       model.ncentroids)
+    // shared scaffold of the INT8 GRAPH arms (HNSW and Vamana differ
+    // only in walk operators and depth params): quantize the request
+    // ONCE, walk as the code values (the generations store the raw code
+    // values widened to float, so walk distances equal the integer
+    // kernels bit-for-bit — [[IndexLifecycle.rebuildHnswInt8]]), tail
+    // legs in integer kernels, scalar filters through the one-take
+    // selectivity switch, score gates through the driver-bounded loops.
+    def i8GraphServe(deny: Set[Long])(
+        walk: (Seq[Float], Int) => DataFrame)(
+        walkBc: (Seq[Float], Int,
+          org.apache.spark.broadcast.Broadcast[Set[Long]]) => DataFrame)(
+        walkBatch: (Seq[(Long, Seq[Float])], Int,
+          Option[Set[Long]]) => DataFrame): Option[DataFrame] = {
+      val vc = req.vectors.head
+      val metric = metricOf(space, vc.field)
+      val k = req.limit + req.offset
+      def qb(q: Seq[Float]): Array[Byte] =
+        graft.functions.VecKernels.quantizeI8(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+      if (vc.queries.size == 1) {
+        val qBytes = qb(vc.queries.head)
+        val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
+        // int8 tail leg: integer kernels over the buffer, same quantized
+        // query; ungated — the graph arms gate post-merge in the loop
+        def tailLeg(d: Int)(td: DataFrame): DataFrame =
+          Knn.searchInt8(td, col(vc.field), qBytes, d, metric,
+            filter = pred, tieBreak = Some(col("_id")))
+            .select(col(ridName).cast("long").as("vec_id"), col("_score"))
+        val hits: Option[DataFrame] = pred match {
+          case Some(p) =>
+            // one bounded take() = selectivity probe + allow-set
+            // collect; broad filters keep the filter-first FLAT
+            // fallback (the planner switch, engine.cc:355-373)
+            val probed = live.filter(p).select(col(ridName).cast("long"))
+              .take(maxFilterAllowIds + 1)
+            if (probed.length > maxFilterAllowIds) None
+            else {
+              val allowBc = corpus.sparkSession.sparkContext
+                .broadcast(probed.map(_.getLong(0)).toSet -- deny)
+              Some(gateLoop(k, metric)(d =>
+                tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
+                  walkBc(qWalk, kb, allowBc))))
+            }
+          case None =>
+            Some(gateLoop(k, metric)(d =>
+              tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
+                walk(qWalk, kb))))
+        }
+        hits.map(h => finish(joinBack(h), metric))
+      } else {
+        val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+          (i.toLong, qb(q)) }
+        val walkQs: Seq[(Long, Seq[Float])] = queries.map {
+          case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
+        val allow: Option[Option[Set[Long]]] = pred match {
+          case Some(p) =>
+            val probed = live.filter(p).select(col(ridName).cast("long"))
+              .take(maxFilterAllowIds + 1)
+            if (probed.length > maxFilterAllowIds) None
+            else Some(Some(probed.map(_.getLong(0)).toSet))
+          case None => Some(None)
+        }
+        allow.map { allowIds =>
+          val hits = gateBatchLoop(k, metric)(d =>
+            tailMergeBatchWith(d, metric, deny) { td =>
+              val spark = corpus.sparkSession
+              import spark.implicits._
+              val qDf = queries.toDF("_qid", "_qb")
+              val filtered = pred.map(td.filter).getOrElse(td)
+              filtered
+                .select(col(ridName).cast("long").as("vec_id"),
+                  col(vc.field).as("_c"))
+                .crossJoin(broadcast(qDf))
+                .select(col("_qid"),
+                  Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
+                  col("vec_id"))
+                .filter(col("_score").isNotNull)
+            } { kb => walkBatch(walkQs, kb, allowIds) })
+          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+        }
+      }
+    }
 
     // ── multi-field conjunctive ROUTING (the reference searches each
     // field's OWN index and intersects docids, vector_manager.cc:859,
@@ -1728,87 +1797,18 @@ object SearchApi {
             Set("ip", "l2", "l2sq")
               .contains(metricOf(space, req.vectors.head.field)) =>
         lifecycle.readyHnswSegments().flatMap { segments =>
-          val vc = req.vectors.head
-          val metric = metricOf(space, vc.field)
-          val k = req.limit + req.offset
-          def qb(q: Seq[Float]): Array[Byte] =
-            graft.functions.VecKernels.quantizeI8(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-          def i8Score(vec: Column, qc: Column): Column = metric match {
-            case "ip"   => graft.Graft.F.i8Dot(vec, qc)
-            case "l2"   => graft.Graft.F.i8L2(vec, qc)
-            case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
-            case other  =>
-              throw new IllegalArgumentException(s"unknown int8 metric: $other")
-          }
-          if (vc.queries.size == 1) {
-            val qBytes = qb(vc.queries.head)
-            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
-            // int8 tail leg: integer kernels over the buffer, same
-            // quantized query; ungated — the graph arms gate post-merge
-            // inside the gate loop (the float arms' contract)
-            def tailLeg(d: Int)(td: DataFrame): DataFrame =
-              Knn.searchInt8(td, col(vc.field), qBytes, d, metric,
-                filter = pred, tieBreak = Some(col("_id")))
-                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-            val hits: Option[DataFrame] = pred match {
-              case Some(p) =>
-                // one bounded take() = selectivity probe + allow-set
-                // collect; broad filters keep the filter-first FLAT
-                // fallback (the planner switch, engine.cc:355-373)
-                val probed = live.filter(p).select(col(ridName).cast("long"))
-                  .take(maxFilterAllowIds + 1)
-                if (probed.length > maxFilterAllowIds) None
-                else {
-                  val allowBc = corpus.sparkSession.sparkContext
-                    .broadcast(probed.map(_.getLong(0)).toSet -- hnswDeny)
-                  Some(gateLoop(k, metric)(d =>
-                    tailMergeWith(d, metric, hnswDeny)(tailLeg(d))(kb =>
-                      graft.operators.HnswIndex.searchFilteredBc(
-                        segments, qWalk, kb, efOf(kb), metric, allowBc))))
-                }
-              case None =>
-                Some(gateLoop(k, metric)(d =>
-                  tailMergeWith(d, metric, hnswDeny)(tailLeg(d))(kb =>
-                    graft.operators.HnswIndex.search(segments, qWalk, kb,
-                      efOf(kb), metric, deny = hnswDeny))))
-            }
-            hits.map(h => finish(joinBack(h), metric))
-          } else {
-            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, qb(q)) }
-            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
-              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-            val allow: Option[Option[Set[Long]]] = pred match {
-              case Some(p) =>
-                val probed = live.filter(p).select(col(ridName).cast("long"))
-                  .take(maxFilterAllowIds + 1)
-                if (probed.length > maxFilterAllowIds) None
-                else Some(Some(probed.map(_.getLong(0)).toSet))
-              case None => Some(None)
-            }
-            allow.map { allowIds =>
-              val hits = gateBatchLoop(k, metric)(d =>
-                tailMergeBatchWith(d, metric, hnswDeny) { td =>
-                  val spark = corpus.sparkSession
-                  import spark.implicits._
-                  val qDf = queries.toDF("_qid", "_qb")
-                  val filtered = pred.map(td.filter).getOrElse(td)
-                  filtered
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col(vc.field).as("_c"))
-                    .crossJoin(broadcast(qDf))
-                    .select(col("_qid"),
-                      i8Score(col("_c"), col("_qb")).as("_score"),
-                      col("vec_id"))
-                    .filter(col("_score").isNotNull)
-                } { kb =>
-                  graft.operators.HnswIndex.searchBatch(segments, walkQs,
-                    kb, efOf(kb), metric, deny = hnswDeny,
-                    allowIds = allowIds)
-                })
-              finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-            }
+          val metric = metricOf(space, req.vectors.head.field)
+          val deny = hnswDeny
+          i8GraphServe(deny) {
+            (qw, kb) => graft.operators.HnswIndex.search(segments, qw, kb,
+              efOf(kb), metric, deny = deny)
+          } {
+            (qw, kb, bc) => graft.operators.HnswIndex.searchFilteredBc(
+              segments, qw, kb, efOf(kb), metric, bc)
+          } {
+            (qs, kb, allowIds) => graft.operators.HnswIndex.searchBatch(
+              segments, qs, kb, efOf(kb), metric, deny = deny,
+              allowIds = allowIds)
           }
         }
       // INT8 over the DiskANN-static family — same raw-code float
@@ -1823,8 +1823,8 @@ object SearchApi {
             Set("ip", "l2", "l2sq")
               .contains(metricOf(space, req.vectors.head.field)) =>
         lifecycle.readyVamanaSegments().flatMap { segments =>
-          val vc = req.vectors.head
-          val metric = metricOf(space, vc.field)
+          val vc0 = req.vectors.head
+          val metric = metricOf(space, vc0.field)
           val k = req.limit + req.offset
           val l = math.max(
             req.indexParams.get("l_search").filter(_ > 0)
@@ -1835,78 +1835,16 @@ object SearchApi {
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          def qb(q: Seq[Float]): Array[Byte] =
-            graft.functions.VecKernels.quantizeI8(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-          def i8Score(vec: Column, qc: Column): Column = metric match {
-            case "ip"   => graft.Graft.F.i8Dot(vec, qc)
-            case "l2"   => graft.Graft.F.i8L2(vec, qc)
-            case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
-            case other  =>
-              throw new IllegalArgumentException(s"unknown int8 metric: $other")
-          }
-          if (vc.queries.size == 1) {
-            val qBytes = qb(vc.queries.head)
-            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
-            def tailLeg(d: Int)(td: DataFrame): DataFrame =
-              Knn.searchInt8(td, col(vc.field), qBytes, d, metric,
-                filter = pred, tieBreak = Some(col("_id")))
-                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-            val hits: Option[DataFrame] = pred match {
-              case Some(p) =>
-                val probed = live.filter(p).select(col(ridName).cast("long"))
-                  .take(maxFilterAllowIds + 1)
-                if (probed.length > maxFilterAllowIds) None
-                else {
-                  val allowBc = corpus.sparkSession.sparkContext
-                    .broadcast(probed.map(_.getLong(0)).toSet -- deny)
-                  Some(gateLoop(k, metric)(d =>
-                    tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
-                      graft.operators.VamanaIndex.searchFilteredBc(segments,
-                        qWalk, kb, math.max(l, kb), bw, metric, allowBc))))
-                }
-              case None =>
-                Some(gateLoop(k, metric)(d =>
-                  tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
-                    graft.operators.VamanaIndex.search(segments, qWalk, kb,
-                      math.max(l, kb), bw, metric, deny = deny))))
-            }
-            hits.map(h => finish(joinBack(h), metric))
-          } else {
-            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, qb(q)) }
-            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
-              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-            val allow: Option[Option[Set[Long]]] = pred match {
-              case Some(p) =>
-                val probed = live.filter(p).select(col(ridName).cast("long"))
-                  .take(maxFilterAllowIds + 1)
-                if (probed.length > maxFilterAllowIds) None
-                else Some(Some(probed.map(_.getLong(0)).toSet))
-              case None => Some(None)
-            }
-            allow.map { allowIds =>
-              val hits = gateBatchLoop(k, metric)(d =>
-                tailMergeBatchWith(d, metric, deny) { td =>
-                  val spark = corpus.sparkSession
-                  import spark.implicits._
-                  val qDf = queries.toDF("_qid", "_qb")
-                  val filtered = pred.map(td.filter).getOrElse(td)
-                  filtered
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col(vc.field).as("_c"))
-                    .crossJoin(broadcast(qDf))
-                    .select(col("_qid"),
-                      i8Score(col("_c"), col("_qb")).as("_score"),
-                      col("vec_id"))
-                    .filter(col("_score").isNotNull)
-                } { kb =>
-                  graft.operators.VamanaIndex.searchBatch(segments, walkQs,
-                    kb, math.max(l, kb), bw, metric, deny = deny,
-                    allowIds = allowIds)
-                })
-              finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-            }
+          i8GraphServe(deny) {
+            (qw, kb) => graft.operators.VamanaIndex.search(segments, qw, kb,
+              math.max(l, kb), bw, metric, deny = deny)
+          } {
+            (qw, kb, bc) => graft.operators.VamanaIndex.searchFilteredBc(
+              segments, qw, kb, math.max(l, kb), bw, metric, bc)
+          } {
+            (qs, kb, allowIds) => graft.operators.VamanaIndex.searchBatch(
+              segments, qs, kb, math.max(l, kb), bw, metric, deny = deny,
+              allowIds = allowIds)
           }
         }
       // INT8 over the RaBitQ class ([[IndexLifecycle.rebuildIvfRabitqInt8]]):
@@ -1967,13 +1905,6 @@ object SearchApi {
               (i.toLong, qb(q)) }
             val walkQs: Seq[(Long, Seq[Float])] = queries.map {
               case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-            def i8Score(vec: Column, qc: Column): Column = metric match {
-              case "ip"   => graft.Graft.F.i8Dot(vec, qc)
-              case "l2"   => graft.Graft.F.i8L2(vec, qc)
-              case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
-              case other  =>
-                throw new IllegalArgumentException(s"unknown int8 metric: $other")
-            }
             val hits = tailMergeBatchWith(k, metric, deny) { td =>
               val spark = corpus.sparkSession
               import spark.implicits._
@@ -1983,7 +1914,7 @@ object SearchApi {
                 .select(col(ridName).cast("long").as("vec_id"),
                   col(vc.field).as("_c"))
                 .crossJoin(broadcast(qDf))
-                .select(col("_qid"), i8Score(col("_c"), col("_qb")).as("_score"),
+                .select(col("_qid"), Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
                   col("vec_id"))
                 .filter(col("_score").isNotNull), gMin, gMax)
             } { kb =>
@@ -2060,13 +1991,6 @@ object SearchApi {
               (i.toLong, qb(q)) }
             val walkQs: Seq[(Long, Seq[Float])] = queries.map {
               case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-            def i8Score(vec: Column, qc: Column): Column = metric match {
-              case "ip"   => graft.Graft.F.i8Dot(vec, qc)
-              case "l2"   => graft.Graft.F.i8L2(vec, qc)
-              case "l2sq" => graft.Graft.F.i8L2Sq(vec, qc)
-              case other  =>
-                throw new IllegalArgumentException(s"unknown int8 metric: $other")
-            }
             val hits = tailMergeBatchWith(k, metric, deny) { td =>
               val spark = corpus.sparkSession
               import spark.implicits._
@@ -2076,7 +2000,7 @@ object SearchApi {
                 .select(col(ridName).cast("long").as("vec_id"),
                   col(vc.field).as("_c"))
                 .crossJoin(broadcast(qDf))
-                .select(col("_qid"), i8Score(col("_c"), col("_qb")).as("_score"),
+                .select(col("_qid"), Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
                   col("vec_id"))
                 .filter(col("_score").isNotNull), gMin, gMax)
             } { kb =>
@@ -2106,13 +2030,6 @@ object SearchApi {
             val vc = req.vectors.head
             val k = req.limit + req.offset
             val served = applyDeny(table, ivfDeny, ridName)
-            def i8Score(vec: Column, qb: Column): Column = metric match {
-              case "ip"   => graft.Graft.F.i8Dot(vec, qb)
-              case "l2"   => graft.Graft.F.i8L2(vec, qb)
-              case "l2sq" => graft.Graft.F.i8L2Sq(vec, qb)
-              case other  =>
-                throw new IllegalArgumentException(s"unknown int8 metric: $other")
-            }
             def qb(q: Seq[Float]): Array[Byte] =
               graft.functions.VecKernels.quantizeI8(
                 new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
@@ -2153,7 +2070,7 @@ object SearchApi {
                   .select(col(ridName).cast("long").as("vec_id"),
                     col(vc.field).as("_c"))
                   .crossJoin(broadcast(qDf))
-                  .select(col("_qid"), i8Score(col("_c"), col("_qb")).as("_score"),
+                  .select(col("_qid"), Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
                     col("vec_id"))
                   .filter(col("_score").isNotNull), gMin, gMax)
               } { kb =>

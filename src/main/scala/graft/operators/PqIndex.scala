@@ -617,14 +617,7 @@ object PqIndex {
     val (qJoinDf, scoreExpr): (DataFrame, Column) = rerankInt8 match {
       case Some(qbs) =>
         val qbDf = qbs.toDF("_qid", "_qq")
-        val fn = pq.metric match {
-          case "ip"   => graft.Graft.F.i8Dot _
-          case "l2"   => graft.Graft.F.i8L2 _
-          case "l2sq" => graft.Graft.F.i8L2Sq _
-          case other  =>
-            throw new IllegalArgumentException(s"unknown int8 metric: $other")
-        }
-        (qbDf, fn(vecCol, col("_qq")))
+        (qbDf, Knn.scoreInt8(pq.metric, vecCol, col("_qq")))
       case None =>
         (queries.toDF("_qid", "_qq")
           .select(col("_qid"), col("_qq").cast("array<float>").as("_qq")),

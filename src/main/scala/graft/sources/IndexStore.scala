@@ -1200,6 +1200,7 @@ object IndexStore {
     multiFieldSpace(spark, sfDir)
     multiFieldRealtimeSpace(spark, sfDir)
     multiFieldMixedSpace(spark, sfDir)
+    multiFieldInt8Space(spark, sfDir)
     int8IvfSpace(spark, sfDir)
     int8HnswSpace(spark, sfDir)
     int8VamanaSpace(spark, sfDir)

@@ -279,6 +279,20 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(jobsDuring {
       graft.api.SearchApi.searchAuto(stored, pqSp, req, lc)
     } == 0, "int8 IVFPQ routed plan construction must be lazy")
+
+    // ROUTE DISCRIMINATION: the served plan must read the GENERATION
+    // layout, not just the space parquet — a regressed arm guard that
+    // silently fell back to FLAT would pass every brute-parity test AND
+    // the 0-jobs pin (FLAT construction is equally lazy), so pin the
+    // scanned location itself
+    val hnswPlan = graft.api.SearchApi.searchAuto(stored, hnswSp, req, lc)
+      .queryExecution.executedPlan.toString
+    assert(hnswPlan.contains(".hnsw.g"),
+      "int8 HNSW request must serve from the graph generation layout")
+    val pqPlan = graft.api.SearchApi.searchAuto(stored, pqSp, req, lc)
+      .queryExecution.executedPlan.toString
+    assert(pqPlan.contains(".pq.g"),
+      "int8 IVFPQ request must serve from the code generation layout")
   }
 
   test("docid-lookup prune reaches partition pruning (_bucket IN touched buckets)") {
