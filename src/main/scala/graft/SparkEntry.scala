@@ -1815,6 +1815,37 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 conjunction over the COMPRESSED families through the
+    //    ROUTED path (late r16): v1 serves from its IVFPQ generation
+    //    (ADC shortlist ∘ exact rerank), v2 from its IVFRABITQ
+    //    generation (sign-code estimator ∘ exact rerank) — the docid
+    //    intersection is family-agnostic (vector_manager.cc:1024-1087).
+    //    Full probe + corpus-deep recall ⇒ both legs exact, oracled ──
+    "q_knn_multivec_pq_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldPqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_pq","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"IVFRABITQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val q = qvec(s, dir)
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
+          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 INT8 conjunction through the ROUTED path (late r16): both
     //    legs are int8 fields with their OWN generations — iv1 walks its
     //    raw-code-domain HNSW graph, iv2 probes its de-quantized-domain
@@ -3769,6 +3800,7 @@ object SparkEntry {
     // the realtime twin's live view ≡ the full table by construction
     "q_api_search_multivec_routed" -> apiMultivecExactSql,
     "q_knn_multivec_mixed_routed_exact" -> apiMultivecExactSql,
+    "q_knn_multivec_pq_routed_exact" -> apiMultivecExactSql,
     // filtered conjunction: the scalar filter applies BEFORE each
     // field's bounded top-k (the FLAT path filters the corpus first;
     // the routed legs evaluate it in-scan / via the allow functor)

@@ -875,13 +875,14 @@ object SearchApi {
       if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
           req.vectors.forall(_.queries.size == 1) &&
           rid.isDefined &&
-          // float legs route for every family; INT8 legs route too (the
-          // reference intersects per-field results whatever each field's
-          // value type, index_model.h:19) when the field's metric has an
-          // integer kernel; binary fields keep the FLAT conjunction (the
-          // Hamming leg is already a bounded scan there)
+          // the reference intersects per-field results whatever each
+          // field's value type AND family (index_model.h:19,
+          // vector_manager.cc:1024-1087): float and binary legs route for
+          // every family; INT8 legs route when the field's metric has an
+          // integer kernel
           req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
             .flatMap(_.vector).exists(v => v.valueType == "float" ||
+              v.valueType == "binary" ||
               (v.valueType == "int8" &&
                 Set("ip", "l2", "l2sq").contains(metricOf(space, vc.field)))))) {
         val perFieldK = math.max(req.limit * 10, 200)
@@ -915,7 +916,10 @@ object SearchApi {
           val fOpts = space.vectorFields.find(_.name == vc.field)
             .flatMap(_.vector).get
           val q = maybeNormalize(space, vc.field, vc.queries.head)
-          val metric = metricOf(space, vc.field)
+          // binary legs rank by Hamming (ascending ⇒ direction entry l2,
+          // like the FLAT conjunction's legDir)
+          val isBin = fOpts.valueType == "binary"
+          val metric = if (isBin) "l2" else metricOf(space, vc.field)
           // INT8 legs (index_model.h:19): the quantized query's code
           // values walk the raw-code-domain graph generations and the
           // integer kernels score the tail; the IVF leg probes with the
@@ -925,6 +929,11 @@ object SearchApi {
           val qBytes: Array[Byte] =
             if (isI8) graft.functions.VecKernels.quantizeI8(
               new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+            else Array.emptyByteArray
+          val qCode: Array[Byte] =
+            if (isBin) graft.functions.VecKernels.signBits(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+              .asInstanceOf[Array[Byte]]
             else Array.emptyByteArray
           val qWalk: Seq[Float] = if (isI8) qBytes.toSeq.map(_.toFloat) else q
           // this field's buffer-over-index union BEFORE the docid
@@ -937,7 +946,11 @@ object SearchApi {
               base: Int => DataFrame): DataFrame =
             if (!tailOn) base(kArg)
             else tail.get.mergeTail(corpus.schema, kArg, metric, deny) { td =>
-              (if (isI8)
+              (if (isBin)
+                Knn.searchBinary(td, col(vc.field), qCode, kArg,
+                  filter = pred, minScore = vc.minScore,
+                  maxScore = vc.maxScore, tieBreak = Some(col("_id")))
+              else if (isI8)
                 Knn.searchInt8(td, col(vc.field), qBytes, kArg, metric,
                   filter = pred, minScore = vc.minScore,
                   maxScore = vc.maxScore, tieBreak = Some(col("_id")))
@@ -1020,6 +1033,88 @@ object SearchApi {
                         math.max(l, kb), bw, metric, deny = deny)
                   }))
               }
+            // compressed scan legs (IVFPQ/SCANN): ADC shortlist inside
+            // the probed lists, recall_num exact rerank — the predicate
+            // and this condition's gate apply at the rerank heap, so no
+            // gate loop. INT8 legs shortlist in the raw-code domain and
+            // rerank with the integer kernels.
+            case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN" =>
+              val isScann = fOpts.indexType == "SCANN"
+              val ready =
+                if (isScann) lcF.readyScann(metric) else lcF.readyIvfPq(metric)
+              ready.map { case (table, ivf, pq) =>
+                val deny =
+                  (if (isScann) lcF.readyScannGen() else lcF.readyPqGen())
+                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                val nprobe = math.min(
+                  req.indexParams.get("nprobe").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    .getOrElse(80),
+                  ivf.ncentroids)
+                val recallNum = math.max(
+                  req.indexParams.get("recall_num").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                    .getOrElse(if (isScann) math.max(10 * perFieldK, 100)
+                    else perFieldK), perFieldK)
+                withTail(deny, perFieldK)(kb =>
+                  graft.operators.PqIndex.searchIvfResidual(served,
+                    col(vc.field), ivf, pq, qWalk, kb, nprobe,
+                    math.max(recallNum, kb), idCol = col("_id"),
+                    minScore = vc.minScore, maxScore = vc.maxScore,
+                    rerankInt8 = if (isI8) Some(qBytes) else None)
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col("_score")))
+              }
+            case "IVFRABITQ" =>
+              lcF.readyIvfRabitq(metric).map { case (table, ivf) =>
+                val deny = lcF.readyRbGen()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                val nprobe = math.min(
+                  req.indexParams.get("nprobe").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    .getOrElse(80),
+                  ivf.ncentroids)
+                val shortlist = math.max(
+                  req.indexParams.get("recall_num").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                    .getOrElse(math.max(10 * perFieldK, 100)), perFieldK)
+                val qbBits = req.indexParams.get("qb")
+                  .orElse(fOpts.indexParams.get("qb"))
+                  .filter(v => v >= 0 && v <= 8).getOrElse(4)
+                withTail(deny, perFieldK)(kb =>
+                  graft.operators.BinaryIndex.searchIvfResidual(served,
+                    col(vc.field), ivf, qWalk, kb, nprobe,
+                    math.max(shortlist, kb), idCol = col("_id"),
+                    metric = metric, qb = qbBits, minScore = vc.minScore,
+                    maxScore = vc.maxScore,
+                    rerankInt8 = if (isI8) Some(qBytes) else None)
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col("_score")))
+              }
+            // binary legs: probe the Hamming-nearest lists, rank by code
+            // Hamming — the score IS final, gates in-scan
+            case "BINARYIVF" if isBin =>
+              lcF.readyBinaryIvf().map { case (table, cents) =>
+                val deny = lcF.readyBivfGen()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val served = applyDeny(table, deny, ridName)
+                val nprobe = math.min(
+                  req.indexParams.get("nprobe").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    .getOrElse(80),
+                  cents.length)
+                withTail(deny, perFieldK)(kb =>
+                  graft.operators.BinaryIndex.searchBinaryIvf(served,
+                    vc.field, cents, qCode, kb, nprobe, filter = pred,
+                    minScore = vc.minScore, maxScore = vc.maxScore,
+                    tieBreak = Some(col("_id")))
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col("_score")))
+              }
             case _ => None // no per-field route for this family → FLAT
           }
         }
@@ -1032,7 +1127,12 @@ object SearchApi {
             .map { case (df, i) =>
               df.select(col("vec_id"), col("_score").as(s"_s$i")) }
             .reduceLeft((a, b) => a.join(b, "vec_id"))
-          val headMetric = metricOf(space, req.vectors.head.field)
+          // lead condition sets the response direction
+          // (doc_query.go:1526-1528); a binary lead ranks ascending
+          val headMetric =
+            if (space.vectorFields.find(_.name == req.vectors.head.field)
+                .flatMap(_.vector).exists(_.valueType == "binary")) "l2"
+            else metricOf(space, req.vectors.head.field)
           val combined = (0 until nf)
             .map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
           val primary = if (Knn.ascending(headMetric)) col("_score").asc

@@ -745,6 +745,28 @@ object IndexStore {
     spacePath
   }
 
+  /** COMPRESSED-family multi-vector SPACE fixture: v1 under a READY
+    * IVFPQ generation, v2 under a READY IVFRABITQ generation — the
+    * conjunctive route intersects per-field legs for the compressed
+    * families too (vector_manager.cc:1024-1087).
+    */
+  def multiFieldPqSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apimvpq")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(col("vec_id").cast("long").as("_id"), col("label"),
+          slice(col("embedding"), 1, 32).as("v1"),
+          slice(col("embedding"), 33, 32).as("v2"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.scoped("v1").rebuildIvfPq("v1", ncentroids = 8, m = 8, ksub = 16)
+      lc.scoped("v2").rebuildIvfRabitq("v2", ncentroids = 8)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** [[multiFieldSpace]] with a realtime TAIL (vec_id < 10, including
     * the query vector): per-field READY generations over the BASE split
     * — the shape the tail-aware conjunctive route serves.
@@ -1201,6 +1223,7 @@ object IndexStore {
     multiFieldRealtimeSpace(spark, sfDir)
     multiFieldMixedSpace(spark, sfDir)
     multiFieldInt8Space(spark, sfDir)
+    multiFieldPqSpace(spark, sfDir)
     int8IvfSpace(spark, sfDir)
     int8HnswSpace(spark, sfDir)
     int8VamanaSpace(spark, sfDir)

@@ -998,6 +998,53 @@ class SearchApiSpec extends SparkSpec {
     assert(gr == rows(SearchApi.search(stored, sp, gated)))
   }
 
+  test("searchAuto: conjunctions route compressed and binary legs (any family combination)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("mv_any_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        F.signBits(slice(col("embedding"), 33, 32)).as("bv2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    // float SCANN leg ∧ binary BINARYIVF leg — neither routed before
+    // late r16 (the conjunctive route demanded HNSW/IVF/Vamana float
+    // legs); the reference intersects ANY family combination
+    val sp = Space.fromJson(
+      """{"name":"mv_any","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"SCANN",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "recall_num":1000000,
+                              "metric_type":"InnerProduct"}}},
+          {"name":"bv2","type":"vector","dimension":32,"value_type":"binary",
+           "index":{"type":"BINARYIVF","params":{"ncentroids":4,"nprobe":4}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    val qa = q0.take(32); val qb = q0.drop(32)
+    val req = s"""{"vectors":[{"field":"v1","feature":${fjson(qa)}},
+         {"field":"bv2","feature":${fjson(qb)}}],"limit":8}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // no generations → FLAT conjunction serves (value-type-aware legs)
+    val flat = rows(SearchApi.search(stored, sp, req))
+    assert(rows(SearchApi.searchAuto(stored, sp, req, lc)) == flat)
+    // one READY leg is not enough — partial routing degrades whole
+    lc.scoped("v1").rebuildScann("v1", ncentroids = 8, m = 8, ksub = 16)
+    assert(rows(SearchApi.searchAuto(stored, sp, req, lc)) == flat)
+    // both READY → routed per-field intersection ≡ FLAT at exact points
+    lc.scoped("bv2").rebuildBinaryIvf("bv2", ncentroids = 4)
+    assert(rows(SearchApi.searchAuto(stored, sp, req, lc)) == flat)
+    // per-condition gates ride each leg in-scan (Hamming + IP scores)
+    val gated = s"""{"vectors":[{"field":"v1","feature":${fjson(qa)},
+         "min_score":0.0},
+         {"field":"bv2","feature":${fjson(qb)},"max_score":16}],"limit":8}"""
+    val gr = rows(SearchApi.searchAuto(stored, sp, gated, lc))
+    assert(gr == rows(SearchApi.search(stored, sp, gated)))
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
