@@ -1975,6 +1975,39 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── batched conjunction over the COMPRESSED families (late r16):
+    //    one ADC / estimator pass over each field's probed-list union
+    //    serves all req_num queries, then the per-qid docid
+    //    intersection; exact operating points ⇒ oracled per-qid blocks ──
+    "q_knn_multivec_pq_batch_routed_exact" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.multiFieldPqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"mv_pq_b","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}},
+            {"name":"v2","type":"vector","dimension":32,
+             "index":{"type":"IVFRABITQ",
+                      "params":{"ncentroids":8,"nprobe":8,
+                                "metric_type":"InnerProduct"}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val qrows = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0))
+      val f1 = qrows.flatMap(_.take(32))
+      val f2 = qrows.flatMap(_.drop(32))
+      val req = s"""{"vectors":[
+          {"field":"v1","feature":${f1.mkString("[", ",", "]")}},
+          {"field":"v2","feature":${f2.mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4+§2.8 multi-field conjunctive with a LIVE TAIL through the
     //    API: the buffer unions into EACH field's walk BEFORE the docid
     //    intersection (vector_manager.cc:1096-1176); the tail holds the
@@ -3243,6 +3276,30 @@ object SparkEntry {
        SELECT vec_id AS _id, round(sc, 4) AS _score
        FROM j ORDER BY sc DESC, vec_id LIMIT 10"""
 
+  private val apiMultivecBatchExactSql =
+    """WITH qs AS (SELECT vec_id AS _qid, (embedding::DOUBLE[])[1:32] AS q1,
+                          (embedding::DOUBLE[])[33:64] AS q2
+                   FROM embeddings WHERE vec_id < 3),
+       b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                    (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+       f0 AS (SELECT * FROM (
+                SELECT qs._qid, b.vec_id, list_dot_product(v1, q1) AS s0,
+                       row_number() OVER (PARTITION BY qs._qid
+                         ORDER BY list_dot_product(v1, q1) DESC, b.vec_id) AS rn0
+                FROM b, qs) WHERE rn0 <= 200),
+       f1 AS (SELECT * FROM (
+                SELECT qs._qid, b.vec_id, list_dot_product(v2, q2) AS s1,
+                       row_number() OVER (PARTITION BY qs._qid
+                         ORDER BY list_dot_product(v2, q2) DESC, b.vec_id) AS rn1
+                FROM b, qs) WHERE rn1 <= 200),
+       j AS (SELECT f0._qid, f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
+             FROM f0 JOIN f1 ON f0._qid = f1._qid AND f0.vec_id = f1.vec_id),
+       r AS (SELECT _qid, vec_id, sc,
+                    row_number() OVER (PARTITION BY _qid
+                      ORDER BY sc DESC, vec_id) AS rn FROM j)
+       SELECT _qid, vec_id AS _id, round(sc, 4) AS _score
+       FROM r WHERE rn <= 10 ORDER BY _qid, rn"""
+
   private val exactL2Top10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
@@ -3819,29 +3876,10 @@ object SparkEntry {
          FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
     // batched conjunction: per-field per-qid top-200, (qid, docid)
     // intersection, WeightedRanker, per-qid top-10
-    "q_knn_multivec_batch_routed_exact" ->
-      """WITH qs AS (SELECT vec_id AS _qid, (embedding::DOUBLE[])[1:32] AS q1,
-                            (embedding::DOUBLE[])[33:64] AS q2
-                     FROM embeddings WHERE vec_id < 3),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
-         f0 AS (SELECT * FROM (
-                  SELECT qs._qid, b.vec_id, list_dot_product(v1, q1) AS s0,
-                         row_number() OVER (PARTITION BY qs._qid
-                           ORDER BY list_dot_product(v1, q1) DESC, b.vec_id) AS rn0
-                  FROM b, qs) WHERE rn0 <= 200),
-         f1 AS (SELECT * FROM (
-                  SELECT qs._qid, b.vec_id, list_dot_product(v2, q2) AS s1,
-                         row_number() OVER (PARTITION BY qs._qid
-                           ORDER BY list_dot_product(v2, q2) DESC, b.vec_id) AS rn1
-                  FROM b, qs) WHERE rn1 <= 200),
-         j AS (SELECT f0._qid, f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 ON f0._qid = f1._qid AND f0.vec_id = f1.vec_id),
-         r AS (SELECT _qid, vec_id, sc,
-                      row_number() OVER (PARTITION BY _qid
-                        ORDER BY sc DESC, vec_id) AS rn FROM j)
-         SELECT _qid, vec_id AS _id, round(sc, 4) AS _score
-         FROM r WHERE rn <= 10 ORDER BY _qid, rn""",
+    "q_knn_multivec_batch_routed_exact" -> apiMultivecBatchExactSql,
+    // exact legs make the family irrelevant — the compressed-family
+    // batched conjunction serves the same per-qid blocks
+    "q_knn_multivec_pq_batch_routed_exact" -> apiMultivecBatchExactSql,
     // gated conjunction: each condition's min_score gates ITS field's
     // scores before that field's bounded top-k (pre-selection, the
     // reference's per-condition gate)

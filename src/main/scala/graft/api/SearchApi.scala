@@ -1165,8 +1165,12 @@ object SearchApi {
       if (req.isBruteSearch != 1 && req.vectors.size > 1 && reqNum > 1 &&
           req.vectors.forall(_.queries.size == reqNum) &&
           rid.isDefined &&
+          // float and binary legs route (binary through BINARYIVF);
+          // int8-field BATCHED conjunctions keep the FLAT degrade — the
+          // FLAT batch scores every value type natively since late r16
           req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector).exists(_.valueType == "float"))) {
+            .flatMap(_.vector).exists(v =>
+              v.valueType == "float" || v.valueType == "binary"))) {
         val perFieldK = math.max(req.limit * 10, 200)
         val graphLegs = req.vectors.exists(vc =>
           space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
@@ -1187,9 +1191,17 @@ object SearchApi {
           val lcF = lifecycle.scoped(vc.field)
           val fOpts = space.vectorFields.find(_.name == vc.field)
             .flatMap(_.vector).get
-          val metric = metricOf(space, vc.field)
+          val isBin = fOpts.valueType == "binary"
+          val metric = if (isBin) "l2" else metricOf(space, vc.field)
           val queries = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
+          // binary legs sign-binarize each request query once
+          val qCodes: Seq[(Long, Array[Byte])] =
+            if (isBin) queries.map { case (qid, q) =>
+              (qid, graft.functions.VecKernels.signBits(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+                .asInstanceOf[Array[Byte]])
+            } else Seq.empty
           // per-field buffer union before the (qid, docid) intersection;
           // tail leg applies the filter and this condition's gate in-scan
           def withTailB(deny: Set[Long], kArg: Int)(
@@ -1198,15 +1210,28 @@ object SearchApi {
             else tail.get.mergeTailBatch(corpus.schema, kArg, metric, deny) { td =>
               val spark = corpus.sparkSession
               import spark.implicits._
-              val qDf = queries.toDF("_qid", "_qv")
-                .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
               val filteredTd = pred.map(td.filter).getOrElse(td)
-              Knn.searchBatch(filteredTd, col(vc.field), struct(col(ridName)),
-                qDf, "_qid", "_qv", kArg, metric,
-                minScore = vc.minScore, maxScore = vc.maxScore)
-                .select(col("_qid"),
-                  col(s"_item.$ridName").cast("long").as("vec_id"),
-                  col("_score"))
+              if (isBin)
+                Knn.scoreGate(filteredTd
+                  .select(col(ridName).cast("long").as("vec_id"),
+                    col(vc.field).as("_c"))
+                  .crossJoin(broadcast(qCodes.toDF("_qid", "_qcode")))
+                  .select(col("_qid"),
+                    graft.Graft.F.hamming(col("_c"), col("_qcode"))
+                      .cast("double").as("_score"),
+                    col("vec_id"))
+                  .filter(col("_score").isNotNull),
+                  vc.minScore, vc.maxScore)
+              else {
+                val qDf = queries.toDF("_qid", "_qv")
+                  .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+                Knn.searchBatch(filteredTd, col(vc.field), struct(col(ridName)),
+                  qDf, "_qid", "_qv", kArg, metric,
+                  minScore = vc.minScore, maxScore = vc.maxScore)
+                  .select(col("_qid"),
+                    col(s"_item.$ridName").cast("long").as("vec_id"),
+                    col("_score"))
+              }
             }(base)
           fOpts.indexType match {
             case "HNSW" =>
@@ -1262,6 +1287,83 @@ object SearchApi {
                       kb, math.max(l, kb), bw, metric, deny = deny,
                       allowIds = allow)))
               }
+            // compressed batch legs: one ADC/estimator pass over the
+            // probed-list union serves every query, recall_num exact
+            // rerank; gates + predicate in-scan like the single legs
+            case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN" =>
+              val isScann = fOpts.indexType == "SCANN"
+              val ready =
+                if (isScann) lcF.readyScann(metric) else lcF.readyIvfPq(metric)
+              ready.map { case (table, ivf, pq) =>
+                val deny =
+                  (if (isScann) lcF.readyScannGen() else lcF.readyPqGen())
+                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                val nprobe = math.min(
+                  req.indexParams.get("nprobe").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    .getOrElse(80),
+                  ivf.ncentroids)
+                val recallNum = math.max(
+                  req.indexParams.get("recall_num").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                    .getOrElse(if (isScann) math.max(10 * perFieldK, 100)
+                    else perFieldK), perFieldK)
+                withTailB(deny, perFieldK)(kb =>
+                  graft.operators.PqIndex.searchBatchIvfResidual(served,
+                    col(vc.field), ivf, pq, queries, kb, nprobe,
+                    math.max(recallNum, kb), idCol = col(ridName),
+                    minScore = vc.minScore, maxScore = vc.maxScore)
+                    .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                      col("_score")))
+              }
+            case "IVFRABITQ" =>
+              lcF.readyIvfRabitq(metric).map { case (table, ivf) =>
+                val deny = lcF.readyRbGen()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                val nprobe = math.min(
+                  req.indexParams.get("nprobe").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    .getOrElse(80),
+                  ivf.ncentroids)
+                val shortlist = math.max(
+                  req.indexParams.get("recall_num").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                    .getOrElse(math.max(10 * perFieldK, 100)), perFieldK)
+                val qbBits = req.indexParams.get("qb")
+                  .orElse(fOpts.indexParams.get("qb"))
+                  .filter(v => v >= 0 && v <= 8).getOrElse(4)
+                withTailB(deny, perFieldK)(kb =>
+                  graft.operators.BinaryIndex.searchBatchIvfResidual(served,
+                    col(vc.field), ivf, queries, kb, nprobe,
+                    math.max(shortlist, kb), idCol = col(ridName),
+                    metric = metric, qb = qbBits, minScore = vc.minScore,
+                    maxScore = vc.maxScore)
+                    .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                      col("_score")))
+              }
+            case "BINARYIVF" if isBin =>
+              lcF.readyBinaryIvf().map { case (table, cents) =>
+                val deny = lcF.readyBivfGen()
+                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                val nprobe = math.min(
+                  req.indexParams.get("nprobe").filter(_ > 0)
+                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    .getOrElse(80),
+                  cents.length)
+                withTailB(deny, perFieldK)(kb =>
+                  graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
+                    vc.field, cents, qCodes, kb, nprobe,
+                    idCol = col(ridName), minScore = vc.minScore,
+                    maxScore = vc.maxScore)
+                    .select(col("_qid"), col("_id").cast("long").as("vec_id"),
+                      col("_score")))
+              }
             case _ => None // no per-field batch route for this family
           }
         }
@@ -1275,7 +1377,11 @@ object SearchApi {
               df.select(col("_qid"), col("vec_id"),
                 col("_score").as(s"_s$i")) }
             .reduceLeft((a, b) => a.join(b, Seq("_qid", "vec_id")))
-          val headAsc = Knn.ascending(metricOf(space, req.vectors.head.field))
+          // binary lead ⇒ ascending, like the FLAT twin's legDir
+          val headAsc = Knn.ascending(
+            if (space.vectorFields.find(_.name == req.vectors.head.field)
+                .flatMap(_.vector).exists(_.valueType == "binary")) "l2"
+            else metricOf(space, req.vectors.head.field))
           val combined = (0 until nf)
             .map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
           // per-qid bounded top-k + offset slice, the FLAT batched

@@ -1043,6 +1043,17 @@ class SearchApiSpec extends SparkSpec {
          {"field":"bv2","feature":${fjson(qb)},"max_score":16}],"limit":8}"""
     val gr = rows(SearchApi.searchAuto(stored, sp, gated, lc))
     assert(gr == rows(SearchApi.search(stored, sp, gated)))
+
+    // BATCHED (req_num=2): per-qid blocks are independent, so qid 0 of
+    // the routed batch must equal the routed single result exactly
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"v1","feature":${fjson(qa ++ q1.take(32))}},
+         {"field":"bv2","feature":${fjson(qb ++ q1.drop(32))}}],"limit":8}"""
+    val gotB = SearchApi.searchAuto(stored, sp, reqB, lc)
+      .select($"_qid", $"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotB.map(_._1).distinct.sorted == Seq(0L, 1L))
+    assert(gotB.filter(_._1 == 0L).map(r => (r._2, r._3)) == flat)
   }
 
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
