@@ -1165,12 +1165,14 @@ object SearchApi {
       if (req.isBruteSearch != 1 && req.vectors.size > 1 && reqNum > 1 &&
           req.vectors.forall(_.queries.size == reqNum) &&
           rid.isDefined &&
-          // float and binary legs route (binary through BINARYIVF);
-          // int8-field BATCHED conjunctions keep the FLAT degrade — the
-          // FLAT batch scores every value type natively since late r16
+          // every value type routes its batch legs: float for every
+          // family, binary through BINARYIVF, int8 when the field's
+          // metric has an integer kernel (index_model.h:19)
           req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
             .flatMap(_.vector).exists(v =>
-              v.valueType == "float" || v.valueType == "binary"))) {
+              v.valueType == "float" || v.valueType == "binary" ||
+                (v.valueType == "int8" && Set("ip", "l2", "l2sq")
+                  .contains(metricOf(space, vc.field)))))) {
         val perFieldK = math.max(req.limit * 10, 200)
         val graphLegs = req.vectors.exists(vc =>
           space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
@@ -1192,16 +1194,29 @@ object SearchApi {
           val fOpts = space.vectorFields.find(_.name == vc.field)
             .flatMap(_.vector).get
           val isBin = fOpts.valueType == "binary"
+          val isI8 = fOpts.valueType == "int8"
           val metric = if (isBin) "l2" else metricOf(space, vc.field)
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
+          val queries0 = vc.queries.zipWithIndex.map { case (q, i) =>
             (i.toLong, maybeNormalize(space, vc.field, q)) }
           // binary legs sign-binarize each request query once
           val qCodes: Seq[(Long, Array[Byte])] =
-            if (isBin) queries.map { case (qid, q) =>
+            if (isBin) queries0.map { case (qid, q) =>
               (qid, graft.functions.VecKernels.signBits(
                 new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
                 .asInstanceOf[Array[Byte]])
             } else Seq.empty
+          // int8 legs quantize once; graph/ADC legs walk the raw-code
+          // float domain, reranks/tails use the integer kernels
+          val qbCodes: Seq[(Long, Array[Byte])] =
+            if (isI8) queries0.map { case (qid, q) =>
+              (qid, graft.functions.VecKernels.quantizeI8(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
+            } else Seq.empty
+          // the per-leg walk/ADC queries: code values as floats for int8
+          val queries: Seq[(Long, Seq[Float])] =
+            if (isI8) qbCodes.map { case (qid, code) =>
+              (qid, code.toSeq.map(_.toFloat)) }
+            else queries0
           // per-field buffer union before the (qid, docid) intersection;
           // tail leg applies the filter and this condition's gate in-scan
           def withTailB(deny: Set[Long], kArg: Int)(
@@ -1219,6 +1234,16 @@ object SearchApi {
                   .select(col("_qid"),
                     graft.Graft.F.hamming(col("_c"), col("_qcode"))
                       .cast("double").as("_score"),
+                    col("vec_id"))
+                  .filter(col("_score").isNotNull),
+                  vc.minScore, vc.maxScore)
+              else if (isI8)
+                Knn.scoreGate(filteredTd
+                  .select(col(ridName).cast("long").as("vec_id"),
+                    col(vc.field).as("_c"))
+                  .crossJoin(broadcast(qbCodes.toDF("_qid", "_qb")))
+                  .select(col("_qid"),
+                    Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
                     col("vec_id"))
                   .filter(col("_score").isNotNull),
                   vc.minScore, vc.maxScore)
@@ -1263,9 +1288,19 @@ object SearchApi {
                       .getOrElse(80),
                     model.ncentroids)
                   withTailB(deny, perFieldK)(kb =>
-                    IvfIndex.searchBatch(served, col(vc.field),
-                      struct(col(ridName)), queries, model, kb, nprobe,
-                      minScore = vc.minScore, maxScore = vc.maxScore)
+                    (if (isI8)
+                      // probe with the FLOAT query (centroids live in the
+                      // de-quantized domain), score with integer kernels
+                      IvfIndex.searchBatchInt8(served, col(vc.field),
+                        struct(col(ridName)),
+                        queries0.zip(qbCodes).map { case ((qid, q), (_, code)) =>
+                          (qid, q, code) },
+                        model, kb, nprobe,
+                        minScore = vc.minScore, maxScore = vc.maxScore)
+                    else
+                      IvfIndex.searchBatch(served, col(vc.field),
+                        struct(col(ridName)), queries, model, kb, nprobe,
+                        minScore = vc.minScore, maxScore = vc.maxScore))
                       .select(col("_qid"),
                         col(s"_item.$ridName").cast("long").as("vec_id"),
                         col("_score")))
@@ -1314,7 +1349,8 @@ object SearchApi {
                   graft.operators.PqIndex.searchBatchIvfResidual(served,
                     col(vc.field), ivf, pq, queries, kb, nprobe,
                     math.max(recallNum, kb), idCol = col(ridName),
-                    minScore = vc.minScore, maxScore = vc.maxScore)
+                    minScore = vc.minScore, maxScore = vc.maxScore,
+                    rerankInt8 = if (isI8) Some(qbCodes) else None)
                     .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                       col("_score")))
               }
@@ -1341,7 +1377,8 @@ object SearchApi {
                     col(vc.field), ivf, queries, kb, nprobe,
                     math.max(shortlist, kb), idCol = col(ridName),
                     metric = metric, qb = qbBits, minScore = vc.minScore,
-                    maxScore = vc.maxScore)
+                    maxScore = vc.maxScore,
+                    rerankInt8 = if (isI8) Some(qbCodes) else None)
                     .select(col("_qid"), col("_id").cast("long").as("vec_id"),
                       col("_score")))
               }

@@ -996,6 +996,19 @@ class SearchApiSpec extends SparkSpec {
     val gated = reqOf(""","min_score":100""")
     val gr = rows(SearchApi.searchAuto(stored, sp, gated, lc))
     assert(gr == rows(SearchApi.search(stored, sp, gated)))
+
+    // BATCHED int8 conjunction routes too (late r16): per-qid blocks
+    // independent ⇒ qid 0 of the routed batch ≡ the routed single
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[
+        {"field":"iv1","feature":${fjson(qa ++ q1.take(32))}},
+        {"field":"iv2","feature":${fjson(qb ++ q1.drop(32))}}],"limit":8}"""
+    val gotB = SearchApi.searchAuto(stored, sp, reqB, lc)
+      .select($"_qid", $"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotB.map(_._1).distinct.sorted == Seq(0L, 1L))
+    assert(gotB.filter(_._1 == 0L).map(r => (r._2, r._3)) ==
+      rows(SearchApi.searchAuto(stored, sp, reqOf(), lc)))
   }
 
   test("searchAuto: conjunctions route compressed and binary legs (any family combination)") {
