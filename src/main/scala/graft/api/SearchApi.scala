@@ -1130,8 +1130,7 @@ object SearchApi {
           // lead condition sets the response direction
           // (doc_query.go:1526-1528); a binary lead ranks ascending
           val headMetric =
-            if (space.vectorFields.find(_.name == req.vectors.head.field)
-                .flatMap(_.vector).exists(_.valueType == "binary")) "l2"
+            if (valueTypeOf(space, req.vectors.head.field) == "binary") "l2"
             else metricOf(space, req.vectors.head.field)
           val combined = (0 until nf)
             .map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
@@ -1416,8 +1415,7 @@ object SearchApi {
             .reduceLeft((a, b) => a.join(b, Seq("_qid", "vec_id")))
           // binary lead ⇒ ascending, like the FLAT twin's legDir
           val headAsc = Knn.ascending(
-            if (space.vectorFields.find(_.name == req.vectors.head.field)
-                .flatMap(_.vector).exists(_.valueType == "binary")) "l2"
+            if (valueTypeOf(space, req.vectors.head.field) == "binary") "l2"
             else metricOf(space, req.vectors.head.field))
           val combined = (0 until nf)
             .map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)

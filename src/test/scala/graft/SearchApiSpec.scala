@@ -1069,6 +1069,107 @@ class SearchApiSpec extends SparkSpec {
     assert(gotB.filter(_._1 == 0L).map(r => (r._2, r._3)) == flat)
   }
 
+  test("searchAuto: INT8 conjunctions route COMPRESSED legs (rerankInt8 single + batched)") {
+    import graft.Graft.F
+    val root = java.nio.file.Files.createTempDirectory("i8_mv_pq_route").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(slice(col("embedding"), 1, 32)).as("iv1"),
+        F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    // int8 IVFPQ leg ∧ int8 IVFRABITQ leg — both shortlist in the
+    // raw-code domain and rerank with the integer kernels (rerankInt8);
+    // full probe + corpus-deep recall ⇒ exact ≡ FLAT int8 conjunction
+    val sp = Space.fromJson(
+      """{"name":"i8_mv_pq","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv1","type":"vector","dimension":32,"value_type":"int8",
+           "index":{"type":"IVFPQ",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "recall_num":1000000,
+                              "metric_type":"InnerProduct"}}},
+          {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
+           "index":{"type":"IVFRABITQ",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "recall_num":1000000,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.scoped("iv1").rebuildIvfPqInt8("iv1", ncentroids = 8, m = 8)
+    lc.scoped("iv2").rebuildIvfRabitqInt8("iv2", ncentroids = 8)
+    val qa = q0.take(32); val qb = q0.drop(32)
+    val req = s"""{"vectors":[{"field":"iv1","feature":${fjson(qa)}},
+         {"field":"iv2","feature":${fjson(qb)}}],"limit":8}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val flat = rows(SearchApi.search(stored, sp, req))
+    assert(rows(SearchApi.searchAuto(stored, sp, req, lc)) == flat)
+    // batched: qid-0 block ≡ single
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqB = s"""{"vectors":[{"field":"iv1","feature":${fjson(qa ++ q1.take(32))}},
+         {"field":"iv2","feature":${fjson(qb ++ q1.drop(32))}}],"limit":8}"""
+    val gotB = SearchApi.searchAuto(stored, sp, reqB, lc)
+      .select($"_qid", $"_id", $"_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotB.map(_._1).distinct.sorted == Seq(0L, 1L))
+    assert(gotB.filter(_._1 == 0L).map(r => (r._2, r._3)) == flat)
+  }
+
+  test("searchAuto: INT8 conjunction over a LIVE TAIL (integer-kernel tail legs per field)") {
+    import graft.Graft.F
+    val tmp = java.nio.file.Files.createTempDirectory("i8_mv_tail").toString
+    val basePath = s"$tmp/space"; val tailPath = s"$tmp/tail"; val ckpt = s"$tmp/ckpt"
+    // base EXCLUDES the query row: it arrives through the buffer, so a
+    // correct conjunction must surface it from BOTH fields' tail legs
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        F.quantizeI8(slice(col("embedding"), 1, 32)).as("iv1"),
+        F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"))
+      .write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val lc = new graft.api.IndexLifecycle(spark, basePath)
+    lc.scoped("iv1").rebuildHnswInt8("_id", "iv1",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    lc.scoped("iv2").rebuildInt8("iv2", ncentroids = 8)
+    val qc1 = graft.functions.VecKernels.quantizeI8(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q0.take(32).toArray))
+    val qc2 = graft.functions.VecKernels.quantizeI8(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q0.drop(32).toArray))
+    val tail = new graft.streaming.RealtimeTail(spark, basePath, tailPath, ckpt, "_id")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Array[Byte], Array[Byte])]
+    val ingest = tail.startIngest(
+      mem.toDF().toDF("_id", "label", "iv1", "iv2"), intervalMs = 100L)
+    mem.addData((900000L, 1, qc1, qc2))
+    ingest.processAllAvailable()
+    ingest.stop()
+    val sp = Space.fromJson(
+      """{"name":"i8_mv_rt","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"iv1","type":"vector","dimension":32,"value_type":"int8",
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,
+                              "efSearch":1000000,"metric_type":"InnerProduct"}}},
+          {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
+           "index":{"type":"IVFFLAT",
+                    "params":{"ncentroids":8,"nprobe":8,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val req = s"""{"vectors":[{"field":"iv1","feature":${fjson(q0.take(32))}},
+         {"field":"iv2","feature":${fjson(q0.drop(32))}}],"limit":5}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rows(SearchApi.searchAuto(base, sp, req, lc, tail = Some(tail)))
+    // ≡ the FLAT int8 conjunction over the live (base ∪ buffer) view
+    val want = rows(SearchApi.search(tail.snapshot(base.schema), sp, req))
+    assert(got == want)
+    assert(got.map(_._1).contains(900000L)) // the buffered write is served
+  }
+
   test("searchAuto: deletes gate routed serving — k live docs, no ghosts, no under-fill") {
     // the reference's deleted-bitmap contract (engine.cc:869-899,
     // gamma_common_data.h:94-105): after a delete, EVERY index search must
