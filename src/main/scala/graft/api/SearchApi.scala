@@ -762,12 +762,17 @@ object SearchApi {
     // request index_params override the space's at query time
     // (doc_query.go:1475-1522) — same resolution chain as nprobe
     def efOf(k: Int): Int = math.max(
-      req.indexParams.get("efSearch").filter(_ > 0)
-        .orElse(vopts.get.indexParams.get("efSearch").filter(_ > 0))
+      param("efSearch", vopts.get)
         .getOrElse(64), k)
+    // one precedence chain for every index param: request index_params
+    // override the field's space params (doc_query.go:1475-1522) — the
+    // callers supply the default (and any cap) at the use site
+    def param(name: String,
+        opts: graft.schema.VectorOptions): Option[Int] =
+      req.indexParams.get(name).filter(_ > 0)
+        .orElse(opts.indexParams.get(name).filter(_ > 0))
     def nprobeOf(model: IvfIndex.Model): Int = math.min(
-      req.indexParams.get("nprobe").filter(_ > 0)
-        .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+      param("nprobe", vopts.get)
         .getOrElse(80),
       model.ncentroids)
     // shared scaffold of the INT8 GRAPH arms (HNSW and Vamana differ
@@ -966,8 +971,7 @@ object SearchApi {
                 val deny = lcF.hnswDeleteBaseline()
                   .map(lcF.deletedSince).getOrElse(Set.empty[Long])
                 val ef = math.max(
-                  req.indexParams.get("efSearch").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
+                  param("efSearch", fOpts)
                     .getOrElse(64), perFieldK)
                 // ONE allow broadcast per leg, hoisted out of the gate
                 // loop's depth probes
@@ -990,8 +994,7 @@ object SearchApi {
                     .map(lcF.deletedSince).getOrElse(Set.empty[Long])
                   val served = applyDeny(table, deny, ridName)
                   val nprobe = math.min(
-                    req.indexParams.get("nprobe").filter(_ > 0)
-                      .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    param("nprobe", fOpts)
                       .getOrElse(80),
                     model.ncentroids)
                   // scan leg: the predicate AND this condition's gate
@@ -1018,8 +1021,7 @@ object SearchApi {
                   req.indexParams.get("l_search").filter(_ > 0)
                     .orElse(fOpts.indexParams.get("L").filter(_ > 0))
                     .getOrElse(100), perFieldK)
-                val bw = req.indexParams.get("beam_width").filter(_ > 0)
-                  .orElse(fOpts.indexParams.get("beam_width").filter(_ > 0))
+                val bw = param("beam_width", fOpts)
                   .getOrElse(4)
                 val allowBc = allow.map(a =>
                   corpus.sparkSession.sparkContext.broadcast(a -- deny))
@@ -1049,13 +1051,11 @@ object SearchApi {
                 val served0 = applyDeny(table, deny, ridName)
                 val served = pred.map(served0.filter).getOrElse(served0)
                 val nprobe = math.min(
-                  req.indexParams.get("nprobe").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                  param("nprobe", fOpts)
                     .getOrElse(80),
                   ivf.ncentroids)
                 val recallNum = math.max(
-                  req.indexParams.get("recall_num").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                  param("recall_num", fOpts)
                     .getOrElse(if (isScann) math.max(10 * perFieldK, 100)
                     else perFieldK), perFieldK)
                 withTail(deny, perFieldK)(kb =>
@@ -1074,13 +1074,11 @@ object SearchApi {
                 val served0 = applyDeny(table, deny, ridName)
                 val served = pred.map(served0.filter).getOrElse(served0)
                 val nprobe = math.min(
-                  req.indexParams.get("nprobe").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                  param("nprobe", fOpts)
                     .getOrElse(80),
                   ivf.ncentroids)
                 val shortlist = math.max(
-                  req.indexParams.get("recall_num").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                  param("recall_num", fOpts)
                     .getOrElse(math.max(10 * perFieldK, 100)), perFieldK)
                 val qbBits = req.indexParams.get("qb")
                   .orElse(fOpts.indexParams.get("qb"))
@@ -1103,8 +1101,7 @@ object SearchApi {
                   .map(lcF.deletedSince).getOrElse(Set.empty[Long])
                 val served = applyDeny(table, deny, ridName)
                 val nprobe = math.min(
-                  req.indexParams.get("nprobe").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                  param("nprobe", fOpts)
                     .getOrElse(80),
                   cents.length)
                 withTail(deny, perFieldK)(kb =>
@@ -1263,8 +1260,7 @@ object SearchApi {
                 val deny = lcF.hnswDeleteBaseline()
                   .map(lcF.deletedSince).getOrElse(Set.empty[Long])
                 val ef = math.max(
-                  req.indexParams.get("efSearch").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("efSearch").filter(_ > 0))
+                  param("efSearch", fOpts)
                     .getOrElse(64), perFieldK)
                 gateBatchLoopGates(perFieldK, metric, vc.minScore,
                   vc.maxScore)(d => withTailB(deny, d)(kb =>
@@ -1282,8 +1278,7 @@ object SearchApi {
                   // pass serves the whole batch
                   val served = pred.map(served0.filter).getOrElse(served0)
                   val nprobe = math.min(
-                    req.indexParams.get("nprobe").filter(_ > 0)
-                      .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                    param("nprobe", fOpts)
                       .getOrElse(80),
                     model.ncentroids)
                   withTailB(deny, perFieldK)(kb =>
@@ -1312,8 +1307,7 @@ object SearchApi {
                   req.indexParams.get("l_search").filter(_ > 0)
                     .orElse(fOpts.indexParams.get("L").filter(_ > 0))
                     .getOrElse(100), perFieldK)
-                val bw = req.indexParams.get("beam_width").filter(_ > 0)
-                  .orElse(fOpts.indexParams.get("beam_width").filter(_ > 0))
+                val bw = param("beam_width", fOpts)
                   .getOrElse(4)
                 gateBatchLoopGates(perFieldK, metric, vc.minScore,
                   vc.maxScore)(d => withTailB(deny, d)(kb =>
@@ -1335,13 +1329,11 @@ object SearchApi {
                 val served0 = applyDeny(table, deny, ridName)
                 val served = pred.map(served0.filter).getOrElse(served0)
                 val nprobe = math.min(
-                  req.indexParams.get("nprobe").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                  param("nprobe", fOpts)
                     .getOrElse(80),
                   ivf.ncentroids)
                 val recallNum = math.max(
-                  req.indexParams.get("recall_num").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                  param("recall_num", fOpts)
                     .getOrElse(if (isScann) math.max(10 * perFieldK, 100)
                     else perFieldK), perFieldK)
                 withTailB(deny, perFieldK)(kb =>
@@ -1360,13 +1352,11 @@ object SearchApi {
                 val served0 = applyDeny(table, deny, ridName)
                 val served = pred.map(served0.filter).getOrElse(served0)
                 val nprobe = math.min(
-                  req.indexParams.get("nprobe").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                  param("nprobe", fOpts)
                     .getOrElse(80),
                   ivf.ncentroids)
                 val shortlist = math.max(
-                  req.indexParams.get("recall_num").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("recall_num").filter(_ > 0))
+                  param("recall_num", fOpts)
                     .getOrElse(math.max(10 * perFieldK, 100)), perFieldK)
                 val qbBits = req.indexParams.get("qb")
                   .orElse(fOpts.indexParams.get("qb"))
@@ -1388,8 +1378,7 @@ object SearchApi {
                 val served0 = applyDeny(table, deny, ridName)
                 val served = pred.map(served0.filter).getOrElse(served0)
                 val nprobe = math.min(
-                  req.indexParams.get("nprobe").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("nprobe").filter(_ > 0))
+                  param("nprobe", fOpts)
                     .getOrElse(80),
                   cents.length)
                 withTailB(deny, perFieldK)(kb =>
@@ -1460,8 +1449,7 @@ object SearchApi {
           val segments = lifecycle.hnswRoutedModel(metric) match {
             case Some(model) =>
               val nprobe = math.min(
-                req.indexParams.get("nprobe").filter(_ > 0)
-                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                param("nprobe", vopts.get)
                   .getOrElse(model.ncentroids),
                 model.ncentroids)
               segments0.filter(col("shard_id")
@@ -1518,8 +1506,7 @@ object SearchApi {
           val segments = lifecycle.hnswRoutedModel(metric) match {
             case Some(model) =>
               val nprobe = math.min(
-                req.indexParams.get("nprobe").filter(_ > 0)
-                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                param("nprobe", vopts.get)
                   .getOrElse(model.ncentroids),
                 model.ncentroids)
               val lists = queries.flatMap(qq =>
@@ -1576,8 +1563,7 @@ object SearchApi {
           val segments = lifecycle.vamanaRoutedModel(metric) match {
             case Some(model) =>
               val nprobe = math.min(
-                req.indexParams.get("nprobe").filter(_ > 0)
-                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                param("nprobe", vopts.get)
                   .getOrElse(model.ncentroids),
                 model.ncentroids)
               segments0.filter(col("shard_id")
@@ -1588,8 +1574,7 @@ object SearchApi {
             req.indexParams.get("l_search").filter(_ > 0)
               .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
               .getOrElse(100), k)
-          val bw = req.indexParams.get("beam_width").filter(_ > 0)
-            .orElse(vopts.get.indexParams.get("beam_width").filter(_ > 0))
+          val bw = param("beam_width", vopts.get)
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -1640,8 +1625,7 @@ object SearchApi {
           val segments = lifecycle.vamanaRoutedModel(metric) match {
             case Some(model) =>
               val nprobe = math.min(
-                req.indexParams.get("nprobe").filter(_ > 0)
-                  .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+                param("nprobe", vopts.get)
                   .getOrElse(model.ncentroids),
                 model.ncentroids)
               val lists = queries.flatMap(qq =>
@@ -1653,8 +1637,7 @@ object SearchApi {
             req.indexParams.get("l_search").filter(_ > 0)
               .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
               .getOrElse(100), k)
-          val bw = req.indexParams.get("beam_width").filter(_ > 0)
-            .orElse(vopts.get.indexParams.get("beam_width").filter(_ > 0))
+          val bw = param("beam_width", vopts.get)
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -1721,8 +1704,7 @@ object SearchApi {
               vc.queries.head.toArray)).asInstanceOf[Array[Byte]]
           val k = req.limit + req.offset
           val nprobe = math.min(
-            req.indexParams.get("nprobe").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+            param("nprobe", vopts.get)
               .getOrElse(80),
             cents.length)
           val deny = lifecycle.readyBivfGen()
@@ -1764,8 +1746,7 @@ object SearchApi {
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val k = req.limit + req.offset
           val shortlist = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(math.max(10 * k, 100)), k)
           val qb = req.indexParams.get("qb")
             .orElse(vopts.get.indexParams.get("qb"))
@@ -1805,8 +1786,7 @@ object SearchApi {
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val k = req.limit + req.offset
           val recallNum = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(k), k)
           val deny = lifecycle.readyPqGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -1842,8 +1822,7 @@ object SearchApi {
           val q = maybeNormalize(space, vc.field, vc.queries.head)
           val k = req.limit + req.offset
           val recallNum = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(math.max(10 * k, 100)), k)
           val deny = lifecycle.readyScannGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -1871,8 +1850,7 @@ object SearchApi {
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val recallNum = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(math.max(10 * k, 100)), k)
           val deny = lifecycle.readyScannGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -1922,8 +1900,7 @@ object SearchApi {
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val recallNum = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(k), k)
           val deny = lifecycle.readyPqGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -1947,8 +1924,7 @@ object SearchApi {
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val shortlist = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(math.max(10 * k, 100)), k)
           val qb = req.indexParams.get("qb")
             .orElse(vopts.get.indexParams.get("qb"))
@@ -1979,8 +1955,7 @@ object SearchApi {
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val nprobe = math.min(
-            req.indexParams.get("nprobe").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("nprobe").filter(_ > 0))
+            param("nprobe", vopts.get)
               .getOrElse(80),
             cents.length)
           val deny = lifecycle.readyBivfGen()
@@ -2071,8 +2046,7 @@ object SearchApi {
             req.indexParams.get("l_search").filter(_ > 0)
               .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
               .getOrElse(100), k)
-          val bw = req.indexParams.get("beam_width").filter(_ > 0)
-            .orElse(vopts.get.indexParams.get("beam_width").filter(_ > 0))
+          val bw = param("beam_width", vopts.get)
             .getOrElse(4)
           val deny = lifecycle.readyVamanaGen()
             .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
@@ -2103,8 +2077,7 @@ object SearchApi {
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val shortlist = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(math.max(10 * k, 100)), k)
           val qbBits = req.indexParams.get("qb")
             .orElse(vopts.get.indexParams.get("qb"))
@@ -2193,8 +2166,7 @@ object SearchApi {
           val vc = req.vectors.head
           val k = req.limit + req.offset
           val recallNum = math.max(
-            req.indexParams.get("recall_num").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("recall_num").filter(_ > 0))
+            param("recall_num", vopts.get)
               .getOrElse(if (isScann) math.max(10 * k, 100) else k), k)
           val deny =
             (if (isScann) lifecycle.readyScannGen() else lifecycle.readyPqGen())
