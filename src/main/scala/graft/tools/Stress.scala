@@ -120,6 +120,24 @@ object Stress {
     }
     segs.unpersist()
 
+    // INT8 graph serving (late r16): the generation stores the RAW code
+    // values widened to float, so the walk's Double-accumulated
+    // distances equal the integer kernels bit-for-bit — same build/walk
+    // machinery, quantized query
+    val i8Corpus = hCorpus
+      .withColumn("_i8f", F.i8ToFloat(F.quantizeI8($"v")))
+    var i8Segs: org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment] = null
+    time(s"hnsw_int8_build_m16_efc40_s$hShards", n) {
+      i8Segs = graft.operators.HnswIndex.build(i8Corpus, "id", "_i8f", hp).cache()
+      i8Segs.count()
+    }
+    val qI8Walk: Seq[Float] =
+      graft.functions.VecKernels.quantizeI8(qArr).toSeq.map(_.toFloat)
+    time("hnsw_int8_single_ef64_top10_effective", n) {
+      graft.operators.HnswIndex.search(i8Segs, qI8Walk, 10, 64, "ip").collect()
+    }
+    i8Segs.unpersist()
+
     // clustered (SPANN-routed) variant over the same corpus: shards = the
     // 64 coarse lists (reusing the IVF quantizer above), skew-split at
     // 64k rows; a routed query reads nprobe/ncentroids of segment IO
