@@ -1014,6 +1014,50 @@ object SparkEntry {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── §2.4 the score filter's OTHER wire form ({"symbol":">=",
+    //    "value":…} per vector condition, doc_query.go:72-73, applied
+    //    :1220-1232): parses to the same min_score gate, so the routed
+    //    gate loop serves it identically — oracled against the same
+    //    selective-gate SQL as q_knn_score_range_routed ──
+    "q_api_search_symbol" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnsw_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
+        "symbol":">=","value":1.41}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 per-condition `index_type` override (doc_query.go:277-283):
+    //    "FLAT" on an INDEXED space forces the exact brute scan for this
+    //    request — the reference's per-request brute switch in its
+    //    index_type form (the decode switch :296-301). Exact ⇒ oracled
+    //    against the brute L2 top-k ──
+    "q_api_search_flat_override" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"hnsw_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
+        "index_type":"FLAT"}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── §2.4 score gate IN-SCAN on the IVF route (both bounds): the
     //    probed-list scan computes every candidate's score anyway, so the
     //    [min,max] band gates before the bounded top-k — zero over-fetch,
@@ -4136,6 +4180,23 @@ object SparkEntry {
                 round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
          FROM embeddings e, q
          WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    // the symbol wire form parses to the SAME min_score gate
+    "q_api_search_symbol" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    // index_type:"FLAT" on the indexed space = the exact brute top-k
+    "q_api_search_flat_override" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
          LIMIT 10""",
     "q_knn_score_range_batch" ->

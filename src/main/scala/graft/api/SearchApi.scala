@@ -35,7 +35,11 @@ object SearchApi {
       field: String,
       queries: Seq[Seq[Float]],
       minScore: Option[Double],
-      maxScore: Option[Double])
+      maxScore: Option[Double],
+      // per-condition `index_type` override (doc_query.go:277-283: the
+      // request's type wins over the space's declared one); "FLAT"
+      // forces the exact brute scan for THIS condition
+      indexType: Option[String] = None)
 
   final case class SearchRequest(
       vectors: Seq[VecCond],
@@ -107,8 +111,43 @@ object SearchApi {
         if (flat.isEmpty || flat.size % dim != 0)
           throw new IllegalArgumentException(
             s"feature length ${flat.size} not a multiple of dimension $dim")
-        VecCond(field, flat.grouped(dim).toSeq,
-          doubleOf(v \ "min_score"), doubleOf(v \ "max_score"))
+        // `symbol`+`value` is the score filter's other wire form
+        // (doc_query.go:72-73): ">"/">=" set min_score, "<"/"<=" set
+        // max_score (applied :1220-1232, overriding an explicit
+        // min_score/max_score on that side); any other symbol with a
+        // value is the reference's parse error (:1240). A `value`
+        // without a symbol falls into the same error (TrimSpace("") is
+        // not a known symbol).
+        var minS = doubleOf(v \ "min_score")
+        var maxS = doubleOf(v \ "max_score")
+        doubleOf(v \ "value").foreach { vv =>
+          ((v \ "symbol") match {
+            case JString(s) => s.trim; case _ => ""
+          }) match {
+            case ">" | ">=" => minS = Some(vv)
+            case "<" | "<=" => maxS = Some(vv)
+            case other => throw new IllegalArgumentException(
+              s"symbol value unknow:[$other]")
+          }
+        }
+        // per-condition index_type (doc_query.go:277-283): empty falls
+        // back to the declared type; "FLAT" is the per-condition brute
+        // override (the decode switch :296-301 treats it as a plain
+        // float request); anything else must name the field's declared
+        // index — this engine has no per-field side indexes beyond the
+        // declaration, so an unservable type fails loud, not silently
+        val idxType = (v \ "index_type") match {
+          case JString(s) if s.trim.nonEmpty => Some(s.trim)
+          case _ => None
+        }
+        idxType.foreach { t =>
+          val declared = space.vectorFields.find(_.name == field)
+            .flatMap(_.vector).map(_.indexType)
+          require(t == "FLAT" || declared.contains(t),
+            s"index_type [$t] does not match field [$field] declared " +
+              s"index type [${declared.getOrElse("")}]")
+        }
+        VecCond(field, flat.grouped(dim).toSeq, minS, maxS, idxType)
       }
       case _ => Seq.empty
     }
@@ -530,34 +569,11 @@ object SearchApi {
       s"realtime tail routes on '${tail.get.routingCol}' but the space " +
         s"routes on '$ridName' — construct the RealtimeTail with " +
         s"ridCol = Some(\"$ridName\")")
-    // routable = single-condition search; the batched (req_num > 1)
-    // variant routes too — the reference flattens req_num queries into
-    // one index request (doc_query.go:296-318), and brute-forcing the
-    // batch is the shape that falls over first at scale. Score gates
-    // (min_score/max_score) ride every routed arm, single AND batched:
-    // scan-shaped families (IVF/BinaryIVF/RaBitQ/PQ/SCANN) apply them
-    // IN-SCAN before their bounded top-k — the reference's exact shape
-    // (gamma_common_data.h:94-96) — and the beam-limited graph families
-    // (HNSW/Vamana) over-fetch through the driver-bounded gate loops
-    // below.
-    val routable = req.isBruteSearch != 1 && req.vectors.size == 1
-    val gatesEmpty = req.vectors.forall(v =>
-      v.minScore.isEmpty && v.maxScore.isEmpty)
-    // the single-condition request's score gate, threaded into every
-    // scan-family search and brute tail leg (None for multi-field
-    // requests — gated conjunctions keep the FLAT fallback)
-    val (gMin, gMax): (Option[Double], Option[Double]) =
-      if (req.vectors.size == 1)
-        (req.vectors.head.minScore, req.vectors.head.maxScore)
-      else (None, None)
-    val vopts = if (req.vectors.size == 1)
-      space.vectorFields.find(_.name == req.vectors.head.field).flatMap(_.vector)
-    else None
-    val floatField = vopts.exists(_.valueType == "float")
-    val single = routable && floatField && req.vectors.head.queries.size == 1
-    val batched = routable && floatField &&
-      req.vectors.head.queries.size > 1
-
+    // routable shapes: single-condition requests (single query or the
+    // req_num batch the reference flattens into one index request,
+    // doc_query.go:296-318) and multi-field conjunctions route through
+    // [[legFor]]; is_brute_search=1 forces the exact FLAT scan
+    // (engine.cc:280-308).
     def pred = req.filter.map(
       VearchFilters.parse(_, arrayFields(space), dateFields(space)))
     def finish(hits: DataFrame, metric: String): DataFrame = {
@@ -569,7 +585,7 @@ object SearchApi {
       if (req.sort.nonEmpty) applySort(projected, req.sort) else projected
     }
     // per-qid finish for the batched routes: offset slices WITHIN each
-    // query's block (row_number over ≤ req_num·(k+offset) hit rows — tiny)
+    // query's block (row_number over <= req_num*(k+offset) hit rows - tiny)
     def finishBatch(hits: DataFrame, metric: String): DataFrame = {
       val primary =
         if (Knn.ascending(metric)) col("_score").asc else col("_score").desc
@@ -588,27 +604,21 @@ object SearchApi {
     }
     // score-gated GRAPH serving (min_score/max_score per vector
     // condition, doc_query.go:67-78): the beam-limited walk families
-    // (HNSW/Vamana) can't gate exactly in-walk — instead the arm
+    // (HNSW/Vamana) can't gate exactly in-walk - instead the leg
     // over-fetches (depth doubling from 4k) and gates DISTRIBUTEDLY: each
     // probe runs ONE action aggregating (total candidate count, gated
     // top-k) through the bounded TopKAgg heap, so the driver receives one
-    // count plus ≤ k (vec_id, _score) pairs per probe — never a
+    // count plus <= k (vec_id, _score) pairs per probe - never a
     // depth-or-corpus-sized collect, whatever the gate's selectivity.
     // Exactness: k gated survivors inside the ungated top-depth dominate
     // every candidate beyond it; a candidate count SHORTER than depth
-    // proves every admissible candidate was already seen — either way the
+    // proves every admissible candidate was already seen - either way the
     // gated top-k equals the FLAT path's gate-before-select. Ungated
     // requests bypass the loop entirely (hitsAt(k), zero extra actions).
     // Scan-shaped families never come here: they gate IN-SCAN
-    // (gamma_common_data.h:94-96) inside their operators.
-    def gateLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
-      val vc = req.vectors.head
-      gateLoopGates(k, metric, vc.minScore, vc.maxScore)(hitsAt)
-    }
-    // gate-parameterized core: the single-condition arm passes the
-    // request's gate; the multi-field conjunctive legs pass EACH
-    // CONDITION's own gate (the reference gates per condition before the
-    // docid intersection, gamma_common_data.h:94-96)
+    // (gamma_common_data.h:94-96) inside their operators. The
+    // multi-field conjunctive legs pass EACH CONDITION's own gate (the
+    // reference gates per condition before the docid intersection).
     def gateLoopGates(k: Int, metric: String, minScore: Option[Double],
         maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
       if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
@@ -638,20 +648,14 @@ object SearchApi {
       }
       result.get.toDF("vec_id", "_score")
     }
-    // batched variant (req_num queries share the condition's gate —
+    // batched variant (req_num queries share the condition's gate -
     // doc_query.go:296-318 flattens them into one request): hitsAt(d)
     // returns per-qid top-d (_qid, vec_id, _score); each probe's single
-    // action aggregates per-qid (count, gated top-k) — ≤ req_num rows of
-    // ≤ k entries on the driver. The loop continues until EVERY query
+    // action aggregates per-qid (count, gated top-k) - <= req_num rows of
+    // <= k entries on the driver. The loop continues until EVERY query
     // has k gated survivors or is exhausted; queries already satisfied
     // at a lower depth stay exact at higher depths (more candidates
     // never change the gated top-k once it dominates).
-    def gateBatchLoop(k: Int, metric: String)(hitsAt: Int => DataFrame): DataFrame = {
-      val vc = req.vectors.head
-      gateBatchLoopGates(k, metric, vc.minScore, vc.maxScore)(hitsAt)
-    }
-    // gate-parameterized core (see [[gateLoopGates]]): the batched
-    // multi-field conjunctive legs pass each CONDITION's own gate
     def gateBatchLoopGates(k: Int, metric: String, minScore: Option[Double],
         maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
       if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
@@ -686,435 +690,445 @@ object SearchApi {
       result.get.toDF("_qid", "vec_id", "_score")
     }
     // the walk returns (id, score); scalar payloads come from ONE
-    // broadcast join of the ≤req_num·k hits back onto the LIVE view (a
+    // broadcast join of the <= req_num*k hits back onto the LIVE view (a
     // tail hit's payload lives in the buffer, not the base table). The
-    // join keys on the ROUTING column — for a string-PK space that is
+    // join keys on the ROUTING column - for a string-PK space that is
     // the `_docid` sidecar, and the joined row carries the string `_id`
-    // the projection serves (the reference's docid→PK bridge).
+    // the projection serves (the reference's docid->PK bridge).
     def joinBack(hits: DataFrame, extra: Seq[Column] = Seq.empty): DataFrame = {
       val idT = corpus.schema(ridName).dataType
       live.join(broadcast(hits.select(
         Seq(col("vec_id").cast(idT).as(ridName), col("_score")) ++ extra: _*)),
         ridName)
     }
-    // realtime union for a routed single-query arm: `baseSearch(kBase)`
-    // must return (vec_id, _score) hits from the index at the
-    // over-fetched depth; `tailSearch` brute-scores the deduped,
-    // delete-gated tail. No tail ⇒ the plain index route, unchanged.
-    def tailMergeWith(k: Int, metric: String, deny: Set[Long])(
-        tailSearch: DataFrame => DataFrame)(
-        baseSearch: Int => DataFrame): DataFrame =
-      if (!tailOn) baseSearch(k)
-      else tail.get.mergeTail(corpus.schema, k, metric, deny)(tailSearch)(baseSearch)
-    // float-vector tail leg: exact metric scoring of the buffer (the
-    // reference's memory-buffer FLAT scan), scalar pre-filter included.
-    // `gated = true` (the scan-family arms) applies the request's score
-    // gate in the tail scan too, so both legs feed the merge pre-gated
-    // and the merged top-k IS the gated top-k; the graph arms pass
-    // `gated = false` and gate post-merge inside the gate loops.
-    def tailMerge(k: Int, metric: String, field: String, q: Seq[Float],
-        deny: Set[Long], gated: Boolean = false)(
-        baseSearch: Int => DataFrame): DataFrame =
-      tailMergeWith(k, metric, deny) { td =>
-        Knn.search(td, col(field), q, k, metric, filter = pred,
-          minScore = if (gated) gMin else None,
-          maxScore = if (gated) gMax else None,
-          tieBreak = Some(col("_id")))
-          .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-      }(baseSearch)
-    // batched (req_num) realtime union: per-qid merge through
-    // RealtimeTail.mergeTailBatch; baseSearch must return
-    // (_qid, vec_id, _score)
-    def tailMergeBatchWith(k: Int, metric: String, deny: Set[Long])(
-        tailSearch: DataFrame => DataFrame)(
-        baseSearch: Int => DataFrame): DataFrame =
-      if (!tailOn) baseSearch(k)
-      else tail.get.mergeTailBatch(corpus.schema, k, metric, deny)(tailSearch)(baseSearch)
-    // float tail leg for batches: ONE Knn.searchBatch pass over the
-    // (bounded) buffer serves every query; `gated` as in [[tailMerge]]
-    def tailMergeBatch(k: Int, metric: String, field: String,
-        queries: Seq[(Long, Seq[Float])], deny: Set[Long],
-        gated: Boolean = false)(
-        baseSearch: Int => DataFrame): DataFrame =
-      tailMergeBatchWith(k, metric, deny) { td =>
-        val spark = corpus.sparkSession
-        import spark.implicits._
-        val qDf = queries.toDF("_qid", "_qv")
-          .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
-        val filtered = pred.map(td.filter).getOrElse(td)
-        Knn.searchBatch(filtered, col(field), struct(col(ridName)), qDf,
-          "_qid", "_qv", k, metric,
-          minScore = if (gated) gMin else None,
-          maxScore = if (gated) gMax else None)
-          .select(col("_qid"),
-            col(s"_item.$ridName").cast("long").as("vec_id"), col("_score"))
-      }(baseSearch)
-    // delete gate (the reference's deleted-bitmap check, engine.cc:869-899,
-    // IsValid = candidate ∧ ¬deleted — gamma_common_data.h:94-105): ids
-    // deleted SINCE the serving generation was built may still sit in its
-    // layout — the ledger becomes the HNSW walk's allow-functor / the IVF
-    // scan's anti-filter, so responses carry k LIVE docs: no ghosts, no
-    // under-filled top-k
-    def hnswDeny = lifecycle.hnswDeleteBaseline()
-      .map(lifecycle.deletedSince).getOrElse(Set.empty)
-    def ivfDeny = lifecycle.readyGen()
-      .map(lifecycle.deletedSince).getOrElse(Set.empty)
-    // request index_params override the space's at query time
-    // (doc_query.go:1475-1522) — same resolution chain as nprobe
-    def efOf(k: Int): Int = math.max(
-      param("efSearch", vopts.get)
-        .getOrElse(64), k)
+    // shared scalar-filter functor for the GRAPH families: ONE bounded
+    // take() both probes the selectivity and collects the allow-set (the
+    // reference's planner switch, engine.cc:355-373) - a broad filter's
+    // ids never reach the driver past the cap, and the probe runs over
+    // the LIVE view so fresh tail rows that match the filter are
+    // admitted too. Lazy: evaluated only when a graph leg actually needs
+    // it, and at most once per request (multi-field conjunctions share
+    // it across every graph leg). Some(None) = no filter; None = broad
+    // filter -> the whole request degrades to filter-first brute FLAT.
+    lazy val allowProbe: Option[Option[Set[Long]]] = pred match {
+      case Some(p) =>
+        val probed = live.filter(p).select(col(ridName).cast("long"))
+          .take(maxFilterAllowIds + 1)
+        if (probed.length > maxFilterAllowIds) None
+        else Some(Some(probed.map(_.getLong(0)).toSet))
+      case None => Some(None)
+    }
     // one precedence chain for every index param: request index_params
-    // override the field's space params (doc_query.go:1475-1522) — the
+    // override the field's space params (doc_query.go:1475-1522) - the
     // callers supply the default (and any cap) at the use site
     def param(name: String,
         opts: graft.schema.VectorOptions): Option[Int] =
       req.indexParams.get(name).filter(_ > 0)
         .orElse(opts.indexParams.get(name).filter(_ > 0))
-    def nprobeOf(model: IvfIndex.Model): Int = math.min(
-      param("nprobe", vopts.get)
-        .getOrElse(80),
-      model.ncentroids)
-    // shared scaffold of the INT8 GRAPH arms (HNSW and Vamana differ
-    // only in walk operators and depth params): quantize the request
-    // ONCE, walk as the code values (the generations store the raw code
-    // values widened to float, so walk distances equal the integer
-    // kernels bit-for-bit — [[IndexLifecycle.rebuildHnswInt8]]), tail
-    // legs in integer kernels, scalar filters through the one-take
-    // selectivity switch, score gates through the driver-bounded loops.
-    def i8GraphServe(deny: Set[Long])(
-        walk: (Seq[Float], Int) => DataFrame)(
-        walkBc: (Seq[Float], Int,
-          org.apache.spark.broadcast.Broadcast[Set[Long]]) => DataFrame)(
-        walkBatch: (Seq[(Long, Seq[Float])], Int,
-          Option[Set[Long]]) => DataFrame): Option[DataFrame] = {
-      val vc = req.vectors.head
-      val metric = metricOf(space, vc.field)
-      val k = req.limit + req.offset
-      def qb(q: Seq[Float]): Array[Byte] =
-        graft.functions.VecKernels.quantizeI8(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-      if (vc.queries.size == 1) {
-        val qBytes = qb(vc.queries.head)
-        val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
-        // int8 tail leg: integer kernels over the buffer, same quantized
-        // query; ungated — the graph arms gate post-merge in the loop
-        def tailLeg(d: Int)(td: DataFrame): DataFrame =
-          Knn.searchInt8(td, col(vc.field), qBytes, d, metric,
-            filter = pred, tieBreak = Some(col("_id")))
+
+    // ------ ONE SERVING RECIPE PER FAMILY ------------------------------
+    // legFor builds the index-served hits for ONE vector condition - the
+    // same builder backs the single-condition arms, the multi-field
+    // conjunction legs and their batched (req_num > 1) twins, so each
+    // family's filter/gate/tail plumbing exists exactly once.
+    //
+    // Shape: (vec_id, _score) hits for a single-query condition,
+    // (_qid, vec_id, _score) for a batched one; None = no READY
+    // generation or no route for this family x value-type (the caller
+    // degrades to the exact FLAT path - the reference's
+    // below-training-threshold fallback, engine.cc:280-308), or a broad
+    // scalar filter on a graph family (the planner switch,
+    // engine.cc:355-373).
+    //
+    // The recipe per family (vector_manager.cc:941-1176 with the
+    // admission gates of gamma_common_data.h:94-105):
+    //  - the field's value type picks the distance domain
+    //    (index_model.h:19): float -> metric kernels; int8 -> the request
+    //    quantizes ONCE with the ingest quantizer, graph walks and ADC
+    //    shortlists run in the raw-code float domain (small integers are
+    //    exact in float, so walk distances equal the integer kernels
+    //    bit-for-bit) while tails and exact reranks use the integer
+    //    kernels; binary -> sign codes, Hamming ascending.
+    //  - scalar filters: scan families evaluate the predicate IN-SCAN
+    //    inside their probed lists; graph families take the shared
+    //    [[allowProbe]] allow-set functor, broadcast ONCE per leg -
+    //    never re-shipped across gate-loop retries.
+    //  - score gates (doc_query.go:67-78): scan families gate IN-SCAN at
+    //    heap admission; the beam-limited graph families over-fetch
+    //    through the driver-bounded gate loops above.
+    //  - realtime tail: every family merges the buffered writes through
+    //    mergeTail/mergeTailBatch (vector_manager.cc:941-1012,1096-1176);
+    //    the tail leg brute-scores the buffer in the condition's value
+    //    domain with the filter and THIS condition's gate in-scan (the
+    //    gate is on the final score, so pre-gating the tail stays exact
+    //    for the graph loops too - they re-gate the merged stream).
+    def legFor(vc: VecCond, lc: IndexLifecycle, k: Int): Option[DataFrame] = {
+      val fOptsO = space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
+      if (rid.isEmpty || fOptsO.isEmpty) None
+      else {
+        val fOpts = fOptsO.get
+        val isBin = fOpts.valueType == "binary"
+        val isI8 = fOpts.valueType == "int8"
+        val fieldMetric = metricOf(space, vc.field)
+        // the integer kernels are ip/l2 (matching [[Knn.searchInt8]]) -
+        // other int8 metrics keep the FLAT fallback
+        val i8Metric = Set("ip", "l2", "l2sq").contains(fieldMetric)
+        // binary ranks by code Hamming, ascending => direction entry l2
+        val metric = if (isBin) "l2" else fieldMetric
+        val batched = vc.queries.size > 1
+        // per-query encodings, computed ONCE (normalization is declared
+        // float-only - a no-op on int8/binary fields)
+        val qsN: Seq[(Long, Seq[Float])] = vc.queries.zipWithIndex.map {
+          case (q, i) => (i.toLong, maybeNormalize(space, vc.field, q)) }
+        lazy val qI8: Seq[(Long, Array[Byte])] = qsN.map { case (qid, q) =>
+          (qid, graft.functions.VecKernels.quantizeI8(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))) }
+        lazy val qCodes: Seq[(Long, Array[Byte])] = qsN.map { case (qid, q) =>
+          (qid, graft.functions.VecKernels.signBits(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+            .asInstanceOf[Array[Byte]]) }
+        // graph walks and ADC shortlists run on these: raw code values
+        // as floats for int8 legs, the (normalized) request floats else
+        def walkQs: Seq[(Long, Seq[Float])] =
+          if (isI8) qI8.map { case (qid, c) => (qid, c.toSeq.map(_.toFloat)) }
+          else qsN
+        // tail leg, single query: value-typed brute scan of the buffer
+        def tailScan(d: Int)(td: DataFrame): DataFrame =
+          (if (isBin)
+            Knn.searchBinary(td, col(vc.field), qCodes.head._2, d,
+              filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
+              tieBreak = Some(col("_id")))
+          else if (isI8)
+            Knn.searchInt8(td, col(vc.field), qI8.head._2, d, metric,
+              filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
+              tieBreak = Some(col("_id")))
+          else
+            Knn.search(td, col(vc.field), qsN.head._2, d, metric,
+              filter = pred, minScore = vc.minScore, maxScore = vc.maxScore,
+              tieBreak = Some(col("_id"))))
             .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-        val hits: Option[DataFrame] = pred match {
-          case Some(p) =>
-            // one bounded take() = selectivity probe + allow-set
-            // collect; broad filters keep the filter-first FLAT
-            // fallback (the planner switch, engine.cc:355-373)
-            val probed = live.filter(p).select(col(ridName).cast("long"))
-              .take(maxFilterAllowIds + 1)
-            if (probed.length > maxFilterAllowIds) None
-            else {
-              val allowBc = corpus.sparkSession.sparkContext
-                .broadcast(probed.map(_.getLong(0)).toSet -- deny)
-              Some(gateLoop(k, metric)(d =>
-                tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
-                  walkBc(qWalk, kb, allowBc))))
+        def withTail(deny: Set[Long], d: Int)(base: Int => DataFrame): DataFrame =
+          if (!tailOn) base(d)
+          else tail.get.mergeTail(corpus.schema, d, metric, deny)(tailScan(d))(base)
+        // tail leg, batched: ONE pass over the (bounded) buffer serves
+        // every query; int8/binary score via a broadcast query cross join
+        def tailScanB(d: Int)(td: DataFrame): DataFrame = {
+          val spark = corpus.sparkSession
+          import spark.implicits._
+          val filteredTd = pred.map(td.filter).getOrElse(td)
+          if (isBin)
+            Knn.scoreGate(filteredTd
+              .select(col(ridName).cast("long").as("vec_id"),
+                col(vc.field).as("_c"))
+              .crossJoin(broadcast(qCodes.toDF("_qid", "_qcode")))
+              .select(col("_qid"),
+                graft.Graft.F.hamming(col("_c"), col("_qcode"))
+                  .cast("double").as("_score"),
+                col("vec_id"))
+              .filter(col("_score").isNotNull), vc.minScore, vc.maxScore)
+          else if (isI8)
+            Knn.scoreGate(filteredTd
+              .select(col(ridName).cast("long").as("vec_id"),
+                col(vc.field).as("_c"))
+              .crossJoin(broadcast(qI8.toDF("_qid", "_qb")))
+              .select(col("_qid"),
+                Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
+                col("vec_id"))
+              .filter(col("_score").isNotNull), vc.minScore, vc.maxScore)
+          else {
+            val qDf = qsN.toDF("_qid", "_qv")
+              .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
+            Knn.searchBatch(filteredTd, col(vc.field), struct(col(ridName)),
+              qDf, "_qid", "_qv", d, metric,
+              minScore = vc.minScore, maxScore = vc.maxScore)
+              .select(col("_qid"),
+                col(s"_item.$ridName").cast("long").as("vec_id"),
+                col("_score"))
+          }
+        }
+        def withTailB(deny: Set[Long], d: Int)(base: Int => DataFrame): DataFrame =
+          if (!tailOn) base(d)
+          else tail.get.mergeTailBatch(corpus.schema, d, metric, deny)(tailScanB(d))(base)
+        // graph-family core (HNSW and Vamana differ only in their walk
+        // operators): allow-functor filtering with the broad-filter FLAT
+        // switch, ONE allow broadcast per leg hoisted out of the gate
+        // loop's depth retries, value-typed tail merge
+        def graphLeg(deny: Set[Long])(
+            walk: (Seq[Float], Int) => DataFrame)(
+            walkBc: (Seq[Float], Int,
+              org.apache.spark.broadcast.Broadcast[Set[Long]]) => DataFrame)(
+            walkBatch: (Seq[(Long, Seq[Float])], Int,
+              Option[Set[Long]]) => DataFrame): Option[DataFrame] =
+          allowProbe.map { allow =>
+            if (!batched) {
+              val base: Int => DataFrame = allow match {
+                case Some(a) =>
+                  val bc = corpus.sparkSession.sparkContext.broadcast(a -- deny)
+                  kb => walkBc(walkQs.head._2, kb, bc)
+                case None => kb => walk(walkQs.head._2, kb)
+              }
+              gateLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
+                withTail(deny, d)(base))
+            } else
+              gateBatchLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
+                withTailB(deny, d)(kb => walkBatch(walkQs, kb, allow)))
+          }
+        // clustered generations (SPANN layout): prune to the union of
+        // every query's nprobe route - the shard_id filter is parquet
+        // PARTITION PRUNING over the partitionBy(shard_id) layout, so
+        // the pruned segments' IO never happens. Default nprobe =
+        // ncentroids (exact serving); requests/spaces narrow it via
+        // index_params. Extra shards in a batch's union only add
+        // candidates to the per-qid merge - correctness unchanged.
+        def pruneShards[S](segments0: org.apache.spark.sql.Dataset[S],
+            model: Option[IvfIndex.Model]): org.apache.spark.sql.Dataset[S] =
+          model match {
+            case Some(m) =>
+              val nprobe = math.min(
+                param("nprobe", fOpts).getOrElse(m.ncentroids), m.ncentroids)
+              val lists = walkQs
+                .flatMap(q => m.nearestCentroids(q._2, nprobe)).distinct
+              segments0.filter(col("shard_id").isin(lists: _*))
+            case None => segments0
+          }
+        // the request's per-condition index_type wins over the declared
+        // one (doc_query.go:277-283); parseSearch validated it, so the
+        // only divergent value here is the "FLAT" brute override — no
+        // route, the caller serves this condition exactly
+        vc.indexType.getOrElse(fOpts.indexType) match {
+          case "HNSW" if !isBin && (!isI8 || i8Metric) =>
+            lc.readyHnswSegments().flatMap { segments0 =>
+              val deny = lc.hnswDeleteBaseline()
+                .map(lc.deletedSince).getOrElse(Set.empty[Long])
+              val segments = pruneShards(segments0, lc.hnswRoutedModel(metric))
+              val ef = math.max(param("efSearch", fOpts).getOrElse(64), k)
+              graphLeg(deny)(
+                (q, kb) => graft.operators.HnswIndex.search(segments, q, kb,
+                  math.max(ef, kb), metric, deny = deny))(
+                (q, kb, bc) => graft.operators.HnswIndex.searchFilteredBc(
+                  segments, q, kb, math.max(ef, kb), metric, bc))(
+                (qs, kb, allow) => graft.operators.HnswIndex.searchBatch(
+                  segments, qs, kb, math.max(ef, kb), metric, deny = deny,
+                  allowIds = allow))
             }
-          case None =>
-            Some(gateLoop(k, metric)(d =>
-              tailMergeWith(d, metric, deny)(tailLeg(d))(kb =>
-                walk(qWalk, kb))))
-        }
-        hits.map(h => finish(joinBack(h), metric))
-      } else {
-        val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-          (i.toLong, qb(q)) }
-        val walkQs: Seq[(Long, Seq[Float])] = queries.map {
-          case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-        val allow: Option[Option[Set[Long]]] = pred match {
-          case Some(p) =>
-            val probed = live.filter(p).select(col(ridName).cast("long"))
-              .take(maxFilterAllowIds + 1)
-            if (probed.length > maxFilterAllowIds) None
-            else Some(Some(probed.map(_.getLong(0)).toSet))
-          case None => Some(None)
-        }
-        allow.map { allowIds =>
-          val hits = gateBatchLoop(k, metric)(d =>
-            tailMergeBatchWith(d, metric, deny) { td =>
-              val spark = corpus.sparkSession
-              import spark.implicits._
-              val qDf = queries.toDF("_qid", "_qb")
-              val filtered = pred.map(td.filter).getOrElse(td)
-              filtered
-                .select(col(ridName).cast("long").as("vec_id"),
-                  col(vc.field).as("_c"))
-                .crossJoin(broadcast(qDf))
-                .select(col("_qid"),
-                  Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
-                  col("vec_id"))
-                .filter(col("_score").isNotNull)
-            } { kb => walkBatch(walkQs, kb, allowIds) })
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
+          // the reference's DiskANN-static class
+          // (gamma_index_diskann_static.cc): `l_search`/`beam_width`
+          // resolve over the space's `L`/`beam_width`
+          // (diskann_static_params.h:27-38). SSG - the other flat-graph
+          // RNG-family index (wrapped third-party, impl/ssg/) - aliases
+          // to the Vamana generation the way GPU_* alias to CPU layouts.
+          case "DISKANN_STATIC" | "SSG" if !isBin && (!isI8 || i8Metric) =>
+            lc.readyVamanaSegments().flatMap { segments0 =>
+              val deny = lc.readyVamanaGen()
+                .map(lc.deletedSince).getOrElse(Set.empty[Long])
+              val segments = pruneShards(segments0, lc.vamanaRoutedModel(metric))
+              val l = math.max(
+                req.indexParams.get("l_search").filter(_ > 0)
+                  .orElse(fOpts.indexParams.get("L").filter(_ > 0))
+                  .getOrElse(100), k)
+              val bw = param("beam_width", fOpts).getOrElse(4)
+              graphLeg(deny)(
+                (q, kb) => graft.operators.VamanaIndex.search(segments, q, kb,
+                  math.max(l, kb), bw, metric, deny = deny))(
+                (q, kb, bc) => graft.operators.VamanaIndex.searchFilteredBc(
+                  segments, q, kb, math.max(l, kb), bw, metric, bc))(
+                (qs, kb, allow) => graft.operators.VamanaIndex.searchBatch(
+                  segments, qs, kb, math.max(l, kb), bw, metric, deny = deny,
+                  allowIds = allow))
+            }
+          // GPU_* spaces execute on CUDA in the reference; here they
+          // serve from the equivalent CPU layout - same semantics.
+          // `nprobe` resolves request index_params -> space params ->
+          // the model default 80 (gamma_index_ivfflat.cc:52-54), capped
+          // at ncentroids. INT8 probes with the FLOAT query (centroids
+          // live in the de-quantized domain, rebuildInt8) and scores
+          // in-scan with the integer kernels.
+          case "IVFFLAT" | "GPU_IVFFLAT" if !isBin && (!isI8 || i8Metric) =>
+            for (table <- lc.readyIndex(); model <- lc.loadModel(metric)) yield {
+              val deny = lc.readyGen()
+                .map(lc.deletedSince).getOrElse(Set.empty[Long])
+              val served = applyDeny(table, deny, ridName)
+              val nprobe = math.min(
+                param("nprobe", fOpts).getOrElse(80), model.ncentroids)
+              if (!batched)
+                // predicate + gate IN-SCAN inside the probed lists -
+                // zero over-fetch, no gate loop
+                withTail(deny, k)(kb =>
+                  (if (isI8)
+                    IvfIndex.searchInt8(served, col(vc.field), model,
+                      qsN.head._2, qI8.head._2, kb, nprobe, filter = pred,
+                      minScore = vc.minScore, maxScore = vc.maxScore,
+                      tieBreak = Some(col("_id")))
+                  else
+                    IvfIndex.search(served, col(vc.field), model,
+                      qsN.head._2, kb, nprobe, filter = pred,
+                      minScore = vc.minScore, maxScore = vc.maxScore,
+                      tieBreak = Some(col("_id"))))
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col("_score")))
+              else {
+                // one probe-union pass serves the whole batch
+                val servedF = pred.map(served.filter).getOrElse(served)
+                withTailB(deny, k)(kb =>
+                  (if (isI8)
+                    IvfIndex.searchBatchInt8(servedF, col(vc.field),
+                      struct(col(ridName)),
+                      qsN.zip(qI8).map { case ((qid, q), (_, code)) =>
+                        (qid, q, code) },
+                      model, kb, nprobe,
+                      minScore = vc.minScore, maxScore = vc.maxScore)
+                  else
+                    IvfIndex.searchBatch(servedF, col(vc.field),
+                      struct(col(ridName)), qsN, model, kb, nprobe,
+                      minScore = vc.minScore, maxScore = vc.maxScore))
+                    .select(col("_qid"),
+                      col(s"_item.$ridName").cast("long").as("vec_id"),
+                      col("_score")))
+              }
+            }
+          // the compressed families: ADC over residual codes inside
+          // nprobe lists, then a `recall_num`-deep exact rerank
+          // (gamma_index_ivfpq.cc:765-768 - recall_num caps at
+          // max(recall_num, k), absent = k). Predicate + delete gate
+          // pre-compose into the scan both stages run over; score gates
+          // apply at the exact-rerank heap - the stage the final score
+          // exists at. SCANN (anisotropic quantization, Guo et al. ICML
+          // 2020) shares the serving composition - only its codebook
+          // training loss and recall default (10k) differ. INT8 legs
+          // shortlist in the raw-code domain, rerank with the integer
+          // kernels.
+          case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN"
+              if !isBin && (!isI8 || i8Metric) =>
+            val isScann = fOpts.indexType == "SCANN"
+            (if (isScann) lc.readyScann(metric) else lc.readyIvfPq(metric))
+              .map { case (table, ivf, pq) =>
+                val deny =
+                  (if (isScann) lc.readyScannGen() else lc.readyPqGen())
+                    .map(lc.deletedSince).getOrElse(Set.empty[Long])
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                val nprobe = math.min(
+                  param("nprobe", fOpts).getOrElse(80), ivf.ncentroids)
+                val recallNum = math.max(
+                  param("recall_num", fOpts)
+                    .getOrElse(if (isScann) math.max(10 * k, 100) else k), k)
+                if (!batched)
+                  withTail(deny, k)(kb =>
+                    graft.operators.PqIndex.searchIvfResidual(served,
+                      col(vc.field), ivf, pq, walkQs.head._2, kb, nprobe,
+                      math.max(recallNum, kb), idCol = col("_id"),
+                      minScore = vc.minScore, maxScore = vc.maxScore,
+                      rerankInt8 = if (isI8) Some(qI8.head._2) else None)
+                      .select(col(ridName).cast("long").as("vec_id"),
+                        col("_score")))
+                else
+                  withTailB(deny, k)(kb =>
+                    graft.operators.PqIndex.searchBatchIvfResidual(served,
+                      col(vc.field), ivf, pq, walkQs, kb, nprobe,
+                      math.max(recallNum, kb), idCol = col(ridName),
+                      minScore = vc.minScore, maxScore = vc.maxScore,
+                      rerankInt8 = if (isI8) Some(qI8) else None)
+                      .select(col("_qid"),
+                        col("_id").cast("long").as("vec_id"),
+                        col("_score")))
+              }
+          // RaBitQ class: coarse probe, residual sign-code estimator
+          // (qb in [0,8]), `recall_num`-deep exact rerank
+          // (gamma_index_ivfrabitq.cc:105,214-223)
+          case "IVFRABITQ" if !isBin && (!isI8 || i8Metric) =>
+            lc.readyIvfRabitq(metric).map { case (table, ivf) =>
+              val deny = lc.readyRbGen()
+                .map(lc.deletedSince).getOrElse(Set.empty[Long])
+              val served0 = applyDeny(table, deny, ridName)
+              val served = pred.map(served0.filter).getOrElse(served0)
+              val nprobe = math.min(
+                param("nprobe", fOpts).getOrElse(80), ivf.ncentroids)
+              val shortlist = math.max(
+                param("recall_num", fOpts)
+                  .getOrElse(math.max(10 * k, 100)), k)
+              val qbBits = req.indexParams.get("qb")
+                .orElse(fOpts.indexParams.get("qb"))
+                .filter(v => v >= 0 && v <= 8).getOrElse(4)
+              if (!batched)
+                withTail(deny, k)(kb =>
+                  graft.operators.BinaryIndex.searchIvfResidual(served,
+                    col(vc.field), ivf, walkQs.head._2, kb, nprobe,
+                    math.max(shortlist, kb), idCol = col("_id"),
+                    metric = metric, qb = qbBits, minScore = vc.minScore,
+                    maxScore = vc.maxScore,
+                    rerankInt8 = if (isI8) Some(qI8.head._2) else None)
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col("_score")))
+              else
+                withTailB(deny, k)(kb =>
+                  graft.operators.BinaryIndex.searchBatchIvfResidual(served,
+                    col(vc.field), ivf, walkQs, kb, nprobe,
+                    math.max(shortlist, kb), idCol = col(ridName),
+                    metric = metric, qb = qbBits, minScore = vc.minScore,
+                    maxScore = vc.maxScore,
+                    rerankInt8 = if (isI8) Some(qI8) else None)
+                    .select(col("_qid"),
+                      col("_id").cast("long").as("vec_id"),
+                      col("_score")))
+            }
+          // binary value_type: the stored column IS the packed code; the
+          // request's float features sign-binarize like the FLAT binary
+          // path, then route = probe nprobe Hamming-nearest lists
+          // (partition pruning), rank by code Hamming - the reference's
+          // IndexBinaryIVF semantics (gamma_index_binary_ivf.cc).
+          // Hamming IS the final score, so gates apply in-scan.
+          case "BINARYIVF" if isBin =>
+            lc.readyBinaryIvf().map { case (table, cents) =>
+              val deny = lc.readyBivfGen()
+                .map(lc.deletedSince).getOrElse(Set.empty[Long])
+              val nprobe = math.min(
+                param("nprobe", fOpts).getOrElse(80), cents.length)
+              if (!batched) {
+                val served = applyDeny(table, deny, ridName)
+                withTail(deny, k)(kb =>
+                  graft.operators.BinaryIndex.searchBinaryIvf(served,
+                    vc.field, cents, qCodes.head._2, kb, nprobe,
+                    filter = pred, minScore = vc.minScore,
+                    maxScore = vc.maxScore, tieBreak = Some(col("_id")))
+                    .select(col(ridName).cast("long").as("vec_id"),
+                      col("_score")))
+              } else {
+                val served0 = applyDeny(table, deny, ridName)
+                val served = pred.map(served0.filter).getOrElse(served0)
+                withTailB(deny, k)(kb =>
+                  graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
+                    vc.field, cents, qCodes, kb, nprobe,
+                    idCol = col(ridName), minScore = vc.minScore,
+                    maxScore = vc.maxScore)
+                    .select(col("_qid"),
+                      col("_id").cast("long").as("vec_id"),
+                      col("_score")))
+              }
+            }
+          case _ => None // no route for this family x value type -> FLAT
         }
       }
     }
 
-    // ── multi-field conjunctive ROUTING (the reference searches each
-    // field's OWN index and intersects docids, vector_manager.cc:859,
-    // 1024-1087; with a live buffer it merges the buffer into the
-    // PER-FIELD searches before the intersection, :1096-1176): routable
-    // when every condition is a single-query float field. Scalar filters
-    // ride each leg (in-scan for scan families, allow-functor for graph
-    // families — the reference's hybrid path) and per-condition
-    // min/max-score gates apply per leg before the intersection
-    // (in-scan / gate loop, gamma_common_data.h:94-96). Each leg serves
-    // through its field's OWN READY generation KIND — the
-    // (vec_id, _score) intersection join is family-agnostic, so mixed
-    // HNSW + IVF + Vamana conjunctions route too (the reference
-    // intersects per-field results for any family combination). Per-field
-    // generations live under the lifecycle's field scope
-    // ([[IndexLifecycle.scoped]]); any field without a READY generation
-    // (or with a family that has no per-field route) degrades the WHOLE
-    // request to FLAT (a partial intersection of one indexed and one
-    // brute leg would be no cheaper and harder to bound).
+    // ------ multi-field conjunctive ROUTING (the reference searches
+    // each field's OWN index and intersects docids,
+    // vector_manager.cc:859,1024-1087; with a live buffer it merges the
+    // buffer into the PER-FIELD searches before the intersection,
+    // :1096-1176). Each leg serves through its field's OWN READY
+    // generation KIND under the lifecycle's field scope
+    // ([[IndexLifecycle.scoped]]) - the (vec_id, _score) intersection
+    // join is family-agnostic, so mixed HNSW + IVF + Vamana conjunctions
+    // route too. Any field without a READY generation (or a family x
+    // value-type with no route) degrades the WHOLE request to FLAT (a
+    // partial intersection of one indexed and one brute leg would be no
+    // cheaper and harder to bound).
     val multiRouted: Option[DataFrame] =
       if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
-          req.vectors.forall(_.queries.size == 1) &&
-          rid.isDefined &&
-          // the reference intersects per-field results whatever each
-          // field's value type AND family (index_model.h:19,
-          // vector_manager.cc:1024-1087): float and binary legs route for
-          // every family; INT8 legs route when the field's metric has an
-          // integer kernel
-          req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector).exists(v => v.valueType == "float" ||
-              v.valueType == "binary" ||
-              (v.valueType == "int8" &&
-                Set("ip", "l2", "l2sq").contains(metricOf(space, vc.field)))))) {
+          req.vectors.forall(_.queries.size == 1) && rid.isDefined) {
+        // perFieldK scales with limit like the engine's per-index topn
         val perFieldK = math.max(req.limit * 10, 200)
-        // scalar-FILTERED conjunctions route too (the reference's hybrid
-        // path applies the filter bitmap inside EACH field's search,
-        // vector_manager.cc:1024-1087 composed with the broad-filter
-        // planner switch, engine.cc:355-373): scan-shaped legs (IVFFLAT)
-        // evaluate the predicate IN-SCAN inside their probed lists; graph
-        // legs (HNSW/Vamana) take it as an allow-functor, so ONE bounded
-        // take probes selectivity AND collects the allow-set — shared by
-        // every graph leg of the request. A broad filter
-        // (> maxFilterAllowIds survivors) degrades the whole request to
-        // filter-first brute FLAT, the same switch as the
-        // single-condition arms. Probed from the LIVE view so fresh tail
-        // rows matching the filter are admitted in every leg.
-        val graphLegs = req.vectors.exists(vc =>
-          space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
-            .map(_.indexType)
-            .exists(t => t == "HNSW" || t == "DISKANN_STATIC" || t == "SSG"))
-        val allowForGraph: Option[Option[Set[Long]]] = pred match {
-          case Some(p) if graphLegs =>
-            val probed = live.filter(p).select(col(ridName).cast("long"))
-              .take(maxFilterAllowIds + 1)
-            if (probed.length > maxFilterAllowIds) None
-            else Some(Some(probed.map(_.getLong(0)).toSet))
-          case _ => Some(None)
-        }
-        allowForGraph.flatMap { allow =>
-        val legs: Seq[Option[DataFrame]] = req.vectors.map { vc =>
-          val lcF = lifecycle.scoped(vc.field)
-          val fOpts = space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector).get
-          val q = maybeNormalize(space, vc.field, vc.queries.head)
-          // binary legs rank by Hamming (ascending ⇒ direction entry l2,
-          // like the FLAT conjunction's legDir)
-          val isBin = fOpts.valueType == "binary"
-          val metric = if (isBin) "l2" else metricOf(space, vc.field)
-          // INT8 legs (index_model.h:19): the quantized query's code
-          // values walk the raw-code-domain graph generations and the
-          // integer kernels score the tail; the IVF leg probes with the
-          // FLOAT query (centroids live in the de-quantized domain,
-          // rebuildInt8) and scores in-scan with the integer kernels
-          val isI8 = fOpts.valueType == "int8"
-          val qBytes: Array[Byte] =
-            if (isI8) graft.functions.VecKernels.quantizeI8(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-            else Array.emptyByteArray
-          val qCode: Array[Byte] =
-            if (isBin) graft.functions.VecKernels.signBits(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-              .asInstanceOf[Array[Byte]]
-            else Array.emptyByteArray
-          val qWalk: Seq[Float] = if (isI8) qBytes.toSeq.map(_.toFloat) else q
-          // this field's buffer-over-index union BEFORE the docid
-          // intersection — fresh writes compete in every leg. The scalar
-          // filter and this CONDITION's score gate apply to the tail leg
-          // in-scan; the graph legs' gate loop re-gates the merged
-          // stream, a no-op for already-gated tail rows. `kArg` lets the
-          // gate loop deepen the whole merged stream, not just the base.
-          def withTail(deny: Set[Long], kArg: Int)(
-              base: Int => DataFrame): DataFrame =
-            if (!tailOn) base(kArg)
-            else tail.get.mergeTail(corpus.schema, kArg, metric, deny) { td =>
-              (if (isBin)
-                Knn.searchBinary(td, col(vc.field), qCode, kArg,
-                  filter = pred, minScore = vc.minScore,
-                  maxScore = vc.maxScore, tieBreak = Some(col("_id")))
-              else if (isI8)
-                Knn.searchInt8(td, col(vc.field), qBytes, kArg, metric,
-                  filter = pred, minScore = vc.minScore,
-                  maxScore = vc.maxScore, tieBreak = Some(col("_id")))
-              else
-                Knn.search(td, col(vc.field), q, kArg, metric,
-                  filter = pred, minScore = vc.minScore,
-                  maxScore = vc.maxScore, tieBreak = Some(col("_id"))))
-                .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-            }(base)
-          fOpts.indexType match {
-            case "HNSW" =>
-              lcF.readyHnswSegments().map { segs =>
-                val deny = lcF.hnswDeleteBaseline()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val ef = math.max(
-                  param("efSearch", fOpts)
-                    .getOrElse(64), perFieldK)
-                // ONE allow broadcast per leg, hoisted out of the gate
-                // loop's depth probes
-                val allowBc = allow.map(a =>
-                  corpus.sparkSession.sparkContext.broadcast(a -- deny))
-                gateLoopGates(perFieldK, metric, vc.minScore, vc.maxScore)(
-                  d => withTail(deny, d)(kb => allowBc match {
-                    case Some(bc) =>
-                      graft.operators.HnswIndex.searchFilteredBc(
-                        segs, qWalk, kb, math.max(ef, kb), metric, bc)
-                    case None =>
-                      graft.operators.HnswIndex.search(segs, qWalk, kb,
-                        math.max(ef, kb), metric, deny = deny)
-                  }))
-              }
-            case "IVFFLAT" | "GPU_IVFFLAT" =>
-              for (table <- lcF.readyIndex(); model <- lcF.loadModel(metric))
-                yield {
-                  val deny = lcF.readyGen()
-                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                  val served = applyDeny(table, deny, ridName)
-                  val nprobe = math.min(
-                    param("nprobe", fOpts)
-                      .getOrElse(80),
-                    model.ncentroids)
-                  // scan leg: the predicate AND this condition's gate
-                  // apply IN-SCAN inside the probed lists — zero
-                  // over-fetch, no gate loop needed
-                  withTail(deny, perFieldK)(kb =>
-                    (if (isI8)
-                      IvfIndex.searchInt8(served, col(vc.field), model, q,
-                        qBytes, kb, nprobe, filter = pred,
-                        minScore = vc.minScore, maxScore = vc.maxScore,
-                        tieBreak = Some(col("_id")))
-                    else
-                      IvfIndex.search(served, col(vc.field), model, q, kb,
-                        nprobe, filter = pred, minScore = vc.minScore,
-                        maxScore = vc.maxScore, tieBreak = Some(col("_id"))))
-                      .select(col(ridName).cast("long").as("vec_id"),
-                        col("_score")))
-                }
-            case "DISKANN_STATIC" | "SSG" =>
-              lcF.readyVamanaSegments().map { segs =>
-                val deny = lcF.readyVamanaGen()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val l = math.max(
-                  req.indexParams.get("l_search").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("L").filter(_ > 0))
-                    .getOrElse(100), perFieldK)
-                val bw = param("beam_width", fOpts)
-                  .getOrElse(4)
-                val allowBc = allow.map(a =>
-                  corpus.sparkSession.sparkContext.broadcast(a -- deny))
-                gateLoopGates(perFieldK, metric, vc.minScore, vc.maxScore)(
-                  d => withTail(deny, d)(kb => allowBc match {
-                    case Some(bc) =>
-                      graft.operators.VamanaIndex.searchFilteredBc(
-                        segs, qWalk, kb, math.max(l, kb), bw, metric, bc)
-                    case None =>
-                      graft.operators.VamanaIndex.search(segs, qWalk, kb,
-                        math.max(l, kb), bw, metric, deny = deny)
-                  }))
-              }
-            // compressed scan legs (IVFPQ/SCANN): ADC shortlist inside
-            // the probed lists, recall_num exact rerank — the predicate
-            // and this condition's gate apply at the rerank heap, so no
-            // gate loop. INT8 legs shortlist in the raw-code domain and
-            // rerank with the integer kernels.
-            case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN" =>
-              val isScann = fOpts.indexType == "SCANN"
-              val ready =
-                if (isScann) lcF.readyScann(metric) else lcF.readyIvfPq(metric)
-              ready.map { case (table, ivf, pq) =>
-                val deny =
-                  (if (isScann) lcF.readyScannGen() else lcF.readyPqGen())
-                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val served0 = applyDeny(table, deny, ridName)
-                val served = pred.map(served0.filter).getOrElse(served0)
-                val nprobe = math.min(
-                  param("nprobe", fOpts)
-                    .getOrElse(80),
-                  ivf.ncentroids)
-                val recallNum = math.max(
-                  param("recall_num", fOpts)
-                    .getOrElse(if (isScann) math.max(10 * perFieldK, 100)
-                    else perFieldK), perFieldK)
-                withTail(deny, perFieldK)(kb =>
-                  graft.operators.PqIndex.searchIvfResidual(served,
-                    col(vc.field), ivf, pq, qWalk, kb, nprobe,
-                    math.max(recallNum, kb), idCol = col("_id"),
-                    minScore = vc.minScore, maxScore = vc.maxScore,
-                    rerankInt8 = if (isI8) Some(qBytes) else None)
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col("_score")))
-              }
-            case "IVFRABITQ" =>
-              lcF.readyIvfRabitq(metric).map { case (table, ivf) =>
-                val deny = lcF.readyRbGen()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val served0 = applyDeny(table, deny, ridName)
-                val served = pred.map(served0.filter).getOrElse(served0)
-                val nprobe = math.min(
-                  param("nprobe", fOpts)
-                    .getOrElse(80),
-                  ivf.ncentroids)
-                val shortlist = math.max(
-                  param("recall_num", fOpts)
-                    .getOrElse(math.max(10 * perFieldK, 100)), perFieldK)
-                val qbBits = req.indexParams.get("qb")
-                  .orElse(fOpts.indexParams.get("qb"))
-                  .filter(v => v >= 0 && v <= 8).getOrElse(4)
-                withTail(deny, perFieldK)(kb =>
-                  graft.operators.BinaryIndex.searchIvfResidual(served,
-                    col(vc.field), ivf, qWalk, kb, nprobe,
-                    math.max(shortlist, kb), idCol = col("_id"),
-                    metric = metric, qb = qbBits, minScore = vc.minScore,
-                    maxScore = vc.maxScore,
-                    rerankInt8 = if (isI8) Some(qBytes) else None)
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col("_score")))
-              }
-            // binary legs: probe the Hamming-nearest lists, rank by code
-            // Hamming — the score IS final, gates in-scan
-            case "BINARYIVF" if isBin =>
-              lcF.readyBinaryIvf().map { case (table, cents) =>
-                val deny = lcF.readyBivfGen()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val served = applyDeny(table, deny, ridName)
-                val nprobe = math.min(
-                  param("nprobe", fOpts)
-                    .getOrElse(80),
-                  cents.length)
-                withTail(deny, perFieldK)(kb =>
-                  graft.operators.BinaryIndex.searchBinaryIvf(served,
-                    vc.field, cents, qCode, kb, nprobe, filter = pred,
-                    minScore = vc.minScore, maxScore = vc.maxScore,
-                    tieBreak = Some(col("_id")))
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col("_score")))
-              }
-            case _ => None // no per-field route for this family → FLAT
-          }
-        }
+        val legs: Seq[Option[DataFrame]] = req.vectors.map(vc =>
+          legFor(vc, lifecycle.scoped(vc.field), perFieldK))
         if (legs.exists(_.isEmpty)) None
         else {
           val nf = legs.size
@@ -1143,255 +1157,24 @@ object SearchApi {
           Some(if (req.sort.nonEmpty) applySort(projected, req.sort)
             else projected)
         }
-        } // allowForGraph.flatMap
       } else None
     if (multiRouted.isDefined) return multiRouted.get
 
-    // ── BATCHED multi-field conjunctive ROUTING (req_num > 1 on every
-    // condition): the reference flattens req_num into one request per
-    // field and intersects per (query, docid) (doc_query.go:296-318 ∘
-    // vector_manager.cc:1024-1087). Each field's batch serves through
-    // its OWN READY generation in ONE pass (the per-family batch
-    // operators amortize segment reads / probe scans across the whole
-    // batch); filters and per-condition gates ride each leg exactly as
-    // in the single-query conjunction above. Unroutable shapes keep the
-    // FLAT per-field batch fallback.
+    // ------ BATCHED multi-field conjunctive ROUTING (req_num > 1 on
+    // every condition): the reference flattens req_num into one request
+    // per field and intersects per (query, docid) (doc_query.go:296-318
+    // composed with vector_manager.cc:1024-1087). Each field's batch
+    // serves through its OWN READY generation in ONE pass (the
+    // per-family batch operators amortize segment reads / probe scans
+    // across the whole batch); unroutable shapes keep the FLAT per-field
+    // batch fallback.
     val multiBatchRouted: Option[DataFrame] = {
       val reqNum = req.vectors.headOption.map(_.queries.size).getOrElse(0)
       if (req.isBruteSearch != 1 && req.vectors.size > 1 && reqNum > 1 &&
-          req.vectors.forall(_.queries.size == reqNum) &&
-          rid.isDefined &&
-          // every value type routes its batch legs: float for every
-          // family, binary through BINARYIVF, int8 when the field's
-          // metric has an integer kernel (index_model.h:19)
-          req.vectors.forall(vc => space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector).exists(v =>
-              v.valueType == "float" || v.valueType == "binary" ||
-                (v.valueType == "int8" && Set("ip", "l2", "l2sq")
-                  .contains(metricOf(space, vc.field)))))) {
+          req.vectors.forall(_.queries.size == reqNum) && rid.isDefined) {
         val perFieldK = math.max(req.limit * 10, 200)
-        val graphLegs = req.vectors.exists(vc =>
-          space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
-            .map(_.indexType)
-            .exists(t => t == "HNSW" || t == "DISKANN_STATIC" || t == "SSG"))
-        // one bounded take probes + collects the graph legs' allow-set,
-        // shared across the batch AND across fields (engine.cc:355-373)
-        val allowForGraph: Option[Option[Set[Long]]] = pred match {
-          case Some(p) if graphLegs =>
-            val probed = live.filter(p).select(col(ridName).cast("long"))
-              .take(maxFilterAllowIds + 1)
-            if (probed.length > maxFilterAllowIds) None
-            else Some(Some(probed.map(_.getLong(0)).toSet))
-          case _ => Some(None)
-        }
-        allowForGraph.flatMap { allow =>
-        val legs: Seq[Option[DataFrame]] = req.vectors.map { vc =>
-          val lcF = lifecycle.scoped(vc.field)
-          val fOpts = space.vectorFields.find(_.name == vc.field)
-            .flatMap(_.vector).get
-          val isBin = fOpts.valueType == "binary"
-          val isI8 = fOpts.valueType == "int8"
-          val metric = if (isBin) "l2" else metricOf(space, vc.field)
-          val queries0 = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, maybeNormalize(space, vc.field, q)) }
-          // binary legs sign-binarize each request query once
-          val qCodes: Seq[(Long, Array[Byte])] =
-            if (isBin) queries0.map { case (qid, q) =>
-              (qid, graft.functions.VecKernels.signBits(
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-                .asInstanceOf[Array[Byte]])
-            } else Seq.empty
-          // int8 legs quantize once; graph/ADC legs walk the raw-code
-          // float domain, reranks/tails use the integer kernels
-          val qbCodes: Seq[(Long, Array[Byte])] =
-            if (isI8) queries0.map { case (qid, q) =>
-              (qid, graft.functions.VecKernels.quantizeI8(
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
-            } else Seq.empty
-          // the per-leg walk/ADC queries: code values as floats for int8
-          val queries: Seq[(Long, Seq[Float])] =
-            if (isI8) qbCodes.map { case (qid, code) =>
-              (qid, code.toSeq.map(_.toFloat)) }
-            else queries0
-          // per-field buffer union before the (qid, docid) intersection;
-          // tail leg applies the filter and this condition's gate in-scan
-          def withTailB(deny: Set[Long], kArg: Int)(
-              base: Int => DataFrame): DataFrame =
-            if (!tailOn) base(kArg)
-            else tail.get.mergeTailBatch(corpus.schema, kArg, metric, deny) { td =>
-              val spark = corpus.sparkSession
-              import spark.implicits._
-              val filteredTd = pred.map(td.filter).getOrElse(td)
-              if (isBin)
-                Knn.scoreGate(filteredTd
-                  .select(col(ridName).cast("long").as("vec_id"),
-                    col(vc.field).as("_c"))
-                  .crossJoin(broadcast(qCodes.toDF("_qid", "_qcode")))
-                  .select(col("_qid"),
-                    graft.Graft.F.hamming(col("_c"), col("_qcode"))
-                      .cast("double").as("_score"),
-                    col("vec_id"))
-                  .filter(col("_score").isNotNull),
-                  vc.minScore, vc.maxScore)
-              else if (isI8)
-                Knn.scoreGate(filteredTd
-                  .select(col(ridName).cast("long").as("vec_id"),
-                    col(vc.field).as("_c"))
-                  .crossJoin(broadcast(qbCodes.toDF("_qid", "_qb")))
-                  .select(col("_qid"),
-                    Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
-                    col("vec_id"))
-                  .filter(col("_score").isNotNull),
-                  vc.minScore, vc.maxScore)
-              else {
-                val qDf = queries.toDF("_qid", "_qv")
-                  .select(col("_qid"), col("_qv").cast("array<float>").as("_qv"))
-                Knn.searchBatch(filteredTd, col(vc.field), struct(col(ridName)),
-                  qDf, "_qid", "_qv", kArg, metric,
-                  minScore = vc.minScore, maxScore = vc.maxScore)
-                  .select(col("_qid"),
-                    col(s"_item.$ridName").cast("long").as("vec_id"),
-                    col("_score"))
-              }
-            }(base)
-          fOpts.indexType match {
-            case "HNSW" =>
-              lcF.readyHnswSegments().map { segs =>
-                val deny = lcF.hnswDeleteBaseline()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val ef = math.max(
-                  param("efSearch", fOpts)
-                    .getOrElse(64), perFieldK)
-                gateBatchLoopGates(perFieldK, metric, vc.minScore,
-                  vc.maxScore)(d => withTailB(deny, d)(kb =>
-                    graft.operators.HnswIndex.searchBatch(segs, queries, kb,
-                      math.max(ef, kb), metric, deny = deny,
-                      allowIds = allow)))
-              }
-            case "IVFFLAT" | "GPU_IVFFLAT" =>
-              for (table <- lcF.readyIndex(); model <- lcF.loadModel(metric))
-                yield {
-                  val deny = lcF.readyGen()
-                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                  val served0 = applyDeny(table, deny, ridName)
-                  // scan leg: predicate + gate in-scan, one probe-union
-                  // pass serves the whole batch
-                  val served = pred.map(served0.filter).getOrElse(served0)
-                  val nprobe = math.min(
-                    param("nprobe", fOpts)
-                      .getOrElse(80),
-                    model.ncentroids)
-                  withTailB(deny, perFieldK)(kb =>
-                    (if (isI8)
-                      // probe with the FLOAT query (centroids live in the
-                      // de-quantized domain), score with integer kernels
-                      IvfIndex.searchBatchInt8(served, col(vc.field),
-                        struct(col(ridName)),
-                        queries0.zip(qbCodes).map { case ((qid, q), (_, code)) =>
-                          (qid, q, code) },
-                        model, kb, nprobe,
-                        minScore = vc.minScore, maxScore = vc.maxScore)
-                    else
-                      IvfIndex.searchBatch(served, col(vc.field),
-                        struct(col(ridName)), queries, model, kb, nprobe,
-                        minScore = vc.minScore, maxScore = vc.maxScore))
-                      .select(col("_qid"),
-                        col(s"_item.$ridName").cast("long").as("vec_id"),
-                        col("_score")))
-                }
-            case "DISKANN_STATIC" | "SSG" =>
-              lcF.readyVamanaSegments().map { segs =>
-                val deny = lcF.readyVamanaGen()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val l = math.max(
-                  req.indexParams.get("l_search").filter(_ > 0)
-                    .orElse(fOpts.indexParams.get("L").filter(_ > 0))
-                    .getOrElse(100), perFieldK)
-                val bw = param("beam_width", fOpts)
-                  .getOrElse(4)
-                gateBatchLoopGates(perFieldK, metric, vc.minScore,
-                  vc.maxScore)(d => withTailB(deny, d)(kb =>
-                    graft.operators.VamanaIndex.searchBatch(segs, queries,
-                      kb, math.max(l, kb), bw, metric, deny = deny,
-                      allowIds = allow)))
-              }
-            // compressed batch legs: one ADC/estimator pass over the
-            // probed-list union serves every query, recall_num exact
-            // rerank; gates + predicate in-scan like the single legs
-            case "IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN" =>
-              val isScann = fOpts.indexType == "SCANN"
-              val ready =
-                if (isScann) lcF.readyScann(metric) else lcF.readyIvfPq(metric)
-              ready.map { case (table, ivf, pq) =>
-                val deny =
-                  (if (isScann) lcF.readyScannGen() else lcF.readyPqGen())
-                    .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val served0 = applyDeny(table, deny, ridName)
-                val served = pred.map(served0.filter).getOrElse(served0)
-                val nprobe = math.min(
-                  param("nprobe", fOpts)
-                    .getOrElse(80),
-                  ivf.ncentroids)
-                val recallNum = math.max(
-                  param("recall_num", fOpts)
-                    .getOrElse(if (isScann) math.max(10 * perFieldK, 100)
-                    else perFieldK), perFieldK)
-                withTailB(deny, perFieldK)(kb =>
-                  graft.operators.PqIndex.searchBatchIvfResidual(served,
-                    col(vc.field), ivf, pq, queries, kb, nprobe,
-                    math.max(recallNum, kb), idCol = col(ridName),
-                    minScore = vc.minScore, maxScore = vc.maxScore,
-                    rerankInt8 = if (isI8) Some(qbCodes) else None)
-                    .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                      col("_score")))
-              }
-            case "IVFRABITQ" =>
-              lcF.readyIvfRabitq(metric).map { case (table, ivf) =>
-                val deny = lcF.readyRbGen()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val served0 = applyDeny(table, deny, ridName)
-                val served = pred.map(served0.filter).getOrElse(served0)
-                val nprobe = math.min(
-                  param("nprobe", fOpts)
-                    .getOrElse(80),
-                  ivf.ncentroids)
-                val shortlist = math.max(
-                  param("recall_num", fOpts)
-                    .getOrElse(math.max(10 * perFieldK, 100)), perFieldK)
-                val qbBits = req.indexParams.get("qb")
-                  .orElse(fOpts.indexParams.get("qb"))
-                  .filter(v => v >= 0 && v <= 8).getOrElse(4)
-                withTailB(deny, perFieldK)(kb =>
-                  graft.operators.BinaryIndex.searchBatchIvfResidual(served,
-                    col(vc.field), ivf, queries, kb, nprobe,
-                    math.max(shortlist, kb), idCol = col(ridName),
-                    metric = metric, qb = qbBits, minScore = vc.minScore,
-                    maxScore = vc.maxScore,
-                    rerankInt8 = if (isI8) Some(qbCodes) else None)
-                    .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                      col("_score")))
-              }
-            case "BINARYIVF" if isBin =>
-              lcF.readyBinaryIvf().map { case (table, cents) =>
-                val deny = lcF.readyBivfGen()
-                  .map(lcF.deletedSince).getOrElse(Set.empty[Long])
-                val served0 = applyDeny(table, deny, ridName)
-                val served = pred.map(served0.filter).getOrElse(served0)
-                val nprobe = math.min(
-                  param("nprobe", fOpts)
-                    .getOrElse(80),
-                  cents.length)
-                withTailB(deny, perFieldK)(kb =>
-                  graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
-                    vc.field, cents, qCodes, kb, nprobe,
-                    idCol = col(ridName), minScore = vc.minScore,
-                    maxScore = vc.maxScore)
-                    .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                      col("_score")))
-              }
-            case _ => None // no per-field batch route for this family
-          }
-        }
+        val legs: Seq[Option[DataFrame]] = req.vectors.map(vc =>
+          legFor(vc, lifecycle.scoped(vc.field), perFieldK))
         if (legs.exists(_.isEmpty)) None
         else {
           val nf = legs.size
@@ -1402,7 +1185,7 @@ object SearchApi {
               df.select(col("_qid"), col("vec_id"),
                 col("_score").as(s"_s$i")) }
             .reduceLeft((a, b) => a.join(b, Seq("_qid", "vec_id")))
-          // binary lead ⇒ ascending, like the FLAT twin's legDir
+          // binary lead => ascending, like the FLAT twin's legDir
           val headAsc = Knn.ascending(
             if (valueTypeOf(space, req.vectors.head.field) == "binary") "l2"
             else metricOf(space, req.vectors.head.field))
@@ -1429,877 +1212,24 @@ object SearchApi {
             applySort(out, req.sort, qid = Some(col("_qid")))
           else out)
         }
-        } // allowForGraph.flatMap
       } else None
     }
     if (multiBatchRouted.isDefined) return multiBatchRouted.get
 
-    val routed: Option[DataFrame] = vopts.map(_.indexType) match {
-      case Some("HNSW") if single && rid.isDefined =>
-        lifecycle.readyHnswSegments().flatMap { segments0 =>
-          val vc = req.vectors.head
-          val q = maybeNormalize(space, vc.field, vc.queries.head)
-          val metric = metricOf(space, vc.field)
-          val k = req.limit + req.offset
-          // SPANN-clustered generation: route to nprobe shards — the
-          // shard_id filter is parquet PARTITION PRUNING over the
-          // partitionBy(shard_id) layout, so the pruned segments' IO
-          // never happens. Default nprobe = ncentroids (exact serving);
-          // requests/spaces narrow it via index_params.
-          val segments = lifecycle.hnswRoutedModel(metric) match {
-            case Some(model) =>
-              val nprobe = math.min(
-                param("nprobe", vopts.get)
-                  .getOrElse(model.ncentroids),
-                model.ncentroids)
-              segments0.filter(col("shard_id")
-                .isin(model.nearestCentroids(q, nprobe): _*))
-            case None => segments0
-          }
-          val hits: Option[DataFrame] = pred match {
-            case Some(p) =>
-              // selectivity guard (the reference's planner switch,
-              // engine.cc:355-373): ONE bounded take() both probes the
-              // selectivity and collects the allow-set — a broad
-              // filter's ids never reach the driver past the cap, and a
-              // selective filter pays a single action, not a count plus
-              // a re-collect. The allow-set comes from the LIVE view so
-              // fresh tail rows that match the filter are admitted too.
-              val probed = live.filter(p).select(col(ridName).cast("long"))
-                .take(maxFilterAllowIds + 1)
-              if (probed.length > maxFilterAllowIds) None
-              else {
-                // ONE broadcast for the whole request — the gate loop's
-                // depth-doubling retries reuse it instead of re-shipping
-                // the allow-set every probe
-                val allowBc = corpus.sparkSession.sparkContext
-                  .broadcast(probed.map(_.getLong(0)).toSet -- hnswDeny)
-                Some(gateLoop(k, metric)(d =>
-                  tailMerge(d, metric, vc.field, q, hnswDeny)(kb =>
-                    graft.operators.HnswIndex.searchFilteredBc(
-                      segments, q, kb, efOf(kb), metric, allowBc))))
-              }
-            case None =>
-              Some(gateLoop(k, metric)(d =>
-                tailMerge(d, metric, vc.field, q, hnswDeny)(kb =>
-                  graft.operators.HnswIndex.search(segments, q, kb, efOf(kb),
-                    metric, deny = hnswDeny))))
-          }
-          hits.map(h => finish(joinBack(h), metric))
+    // ------ single-condition routing: one [[legFor]] leg, payload
+    // joined back onto the LIVE view, finished per shape. No route =>
+    // the exact FLAT path over the live view (fresh writes are never
+    // invisible, whatever the route).
+    val routed: Option[DataFrame] =
+      if (req.isBruteSearch != 1 && req.vectors.size == 1) {
+        val vc = req.vectors.head
+        val m = if (valueTypeOf(space, vc.field) == "binary") "l2"
+          else metricOf(space, vc.field)
+        legFor(vc, lifecycle, req.limit + req.offset).map { hits =>
+          if (vc.queries.size == 1) finish(joinBack(hits), m)
+          else finishBatch(joinBack(hits, Seq(col("_qid"))), m)
         }
-      case Some("HNSW") if batched && rid.isDefined =>
-        // batch route: ONE pass over each segment serves all req_num
-        // queries (HnswIndex.searchBatch amortizes the deserialization);
-        // a scalar filter's allow-set is collected ONCE (selectivity
-        // guard first) and broadcast into every query's walk — the
-        // collect amortizes across the batch like the segment read
-        lifecycle.readyHnswSegments().flatMap { segments0 =>
-          val vc = req.vectors.head
-          val metric = metricOf(space, vc.field)
-          val k = req.limit + req.offset
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, maybeNormalize(space, vc.field, q)) }
-          // clustered generation: prune to the UNION of every query's
-          // nprobe route (still partition pruning; each query's walk
-          // over a not-its-own shard just returns its per-shard top-k
-          // into the per-qid merge — correctness unchanged)
-          val segments = lifecycle.hnswRoutedModel(metric) match {
-            case Some(model) =>
-              val nprobe = math.min(
-                param("nprobe", vopts.get)
-                  .getOrElse(model.ncentroids),
-                model.ncentroids)
-              val lists = queries.flatMap(qq =>
-                model.nearestCentroids(qq._2, nprobe)).distinct
-              segments0.filter(col("shard_id").isin(lists: _*))
-            case None => segments0
-          }
-          val allow: Option[Option[Set[Long]]] = pred match {
-            case Some(p) =>
-              // one take() = probe + collect (see the single-query arm)
-              val probed = live.filter(p).select(col(ridName).cast("long"))
-                .take(maxFilterAllowIds + 1)
-              if (probed.length > maxFilterAllowIds)
-                None // broad filter → brute fallback (planner switch)
-              else Some(Some(probed.map(_.getLong(0)).toSet))
-            case None => Some(None)
-          }
-          allow.map { allowIds =>
-            val hits = gateBatchLoop(k, metric)(d =>
-              tailMergeBatch(d, metric, vc.field, queries, hnswDeny)(
-                kb => graft.operators.HnswIndex.searchBatch(
-                  segments, queries, kb, efOf(kb), metric, deny = hnswDeny,
-                  allowIds = allowIds)))
-            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-          }
-        }
-      case Some("DISKANN_STATIC" | "SSG") if single && rid.isDefined =>
-        // Vamana route (the reference's DiskANN-static class,
-        // gamma_index_diskann_static.cc): search params resolve request
-        // `l_search`/`beam_width` over the space's `L`/`beam_width`
-        // (diskann_static_params.h:27-38); the delete ledger rides the
-        // walk's allow-functor. A scalar filter rides the SAME functor —
-        // the reference gates every index family through one
-        // filter-bitmap (gamma_common_data.h:94-105, wired
-        // engine.cc:355-373), the DiskANN class included: the one-take
-        // selectivity probe collects the allow-set, and a broad filter
-        // (> maxFilterAllowIds survivors) falls back to filter-first
-        // brute FLAT, the same planner switch as the HNSW arm.
-        // SSG — the reference's other flat-graph RNG-family index
-        // (wrapped third-party, impl/ssg/) — aliases to the Vamana
-        // generation the way GPU_* alias to the CPU layouts: same
-        // capability class, served from a real graph rather than the
-        // FLAT fallback.
-        lifecycle.readyVamanaSegments().flatMap { segments0 =>
-          val vc = req.vectors.head
-          val q = maybeNormalize(space, vc.field, vc.queries.head)
-          val metric = metricOf(space, vc.field)
-          val k = req.limit + req.offset
-          // CLUSTERED generation: route to nprobe shards — the shard_id
-          // filter is parquet PARTITION PRUNING over the
-          // partitionBy(shard_id) layout (the storage-resident family is
-          // the one that needs pruned IO most). Default nprobe =
-          // ncentroids (exact serving); requests/spaces narrow it.
-          val segments = lifecycle.vamanaRoutedModel(metric) match {
-            case Some(model) =>
-              val nprobe = math.min(
-                param("nprobe", vopts.get)
-                  .getOrElse(model.ncentroids),
-                model.ncentroids)
-              segments0.filter(col("shard_id")
-                .isin(model.nearestCentroids(q, nprobe): _*))
-            case None => segments0
-          }
-          val l = math.max(
-            req.indexParams.get("l_search").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
-              .getOrElse(100), k)
-          val bw = param("beam_width", vopts.get)
-            .getOrElse(4)
-          val deny = lifecycle.readyVamanaGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val hits: Option[DataFrame] = pred match {
-            case Some(p) =>
-              // one bounded take() = selectivity probe + allow-set
-              // collect (the planner switch, engine.cc:355-373) — same
-              // contract as the HNSW arm; the probe runs over the LIVE
-              // view so filter-matching tail rows are admitted too
-              val probed = live.filter(p).select(col(ridName).cast("long"))
-                .take(maxFilterAllowIds + 1)
-              if (probed.length > maxFilterAllowIds) None
-              else {
-                // one broadcast per request, reused across gate-loop
-                // retries (see the HNSW arm)
-                val allowBc = corpus.sparkSession.sparkContext
-                  .broadcast(probed.map(_.getLong(0)).toSet -- deny)
-                Some(gateLoop(k, metric)(d =>
-                  tailMerge(d, metric, vc.field, q, deny)(kb =>
-                    graft.operators.VamanaIndex.searchFilteredBc(segments, q,
-                      kb, math.max(l, kb), bw, metric, allowBc))))
-              }
-            case None =>
-              Some(gateLoop(k, metric)(d =>
-                tailMerge(d, metric, vc.field, q, deny)(kb =>
-                  graft.operators.VamanaIndex.search(segments, q, kb,
-                    math.max(l, kb), bw, metric, deny = deny))))
-          }
-          hits.map(h => finish(joinBack(h), metric))
-        }
-      case Some("DISKANN_STATIC" | "SSG") if batched && rid.isDefined =>
-        // batched graph route (the reference flattens req_num into ONE
-        // index request for every type, doc_query.go:296-318): every
-        // query walks each Vamana segment in the same task pass — one
-        // segment deserialization amortized across the batch — instead
-        // of degrading to per-query brute FLAT. A clustered generation
-        // prunes to the UNION of every query's nprobe route (still
-        // partition pruning; extra shards only add candidates to the
-        // per-qid merge — correctness unchanged). A scalar filter's
-        // allow-set is collected ONCE and broadcast into every query's
-        // walk, like the batched HNSW arm.
-        lifecycle.readyVamanaSegments().flatMap { segments0 =>
-          val vc = req.vectors.head
-          val metric = metricOf(space, vc.field)
-          val k = req.limit + req.offset
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val segments = lifecycle.vamanaRoutedModel(metric) match {
-            case Some(model) =>
-              val nprobe = math.min(
-                param("nprobe", vopts.get)
-                  .getOrElse(model.ncentroids),
-                model.ncentroids)
-              val lists = queries.flatMap(qq =>
-                model.nearestCentroids(qq._2, nprobe)).distinct
-              segments0.filter(col("shard_id").isin(lists: _*))
-            case None => segments0
-          }
-          val l = math.max(
-            req.indexParams.get("l_search").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
-              .getOrElse(100), k)
-          val bw = param("beam_width", vopts.get)
-            .getOrElse(4)
-          val deny = lifecycle.readyVamanaGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val allow: Option[Option[Set[Long]]] = pred match {
-            case Some(p) =>
-              val probed = live.filter(p).select(col(ridName).cast("long"))
-                .take(maxFilterAllowIds + 1)
-              if (probed.length > maxFilterAllowIds)
-                None // broad filter → brute fallback (planner switch)
-              else Some(Some(probed.map(_.getLong(0)).toSet))
-            case None => Some(None)
-          }
-          allow.map { allowIds =>
-            val hits = gateBatchLoop(k, metric)(d =>
-              tailMergeBatch(d, metric, vc.field, queries, deny)(kb =>
-                graft.operators.VamanaIndex.searchBatch(segments, queries, kb,
-                  math.max(l, kb), bw, metric, deny = deny,
-                  allowIds = allowIds)))
-            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-          }
-        }
-      // GPU_* spaces execute on CUDA in the reference; here they serve
-      // from the equivalent CPU layout — same semantics, a space JSON
-      // written for the GPU classes keeps index-serving after a switch
-      case Some("IVFFLAT" | "GPU_IVFFLAT") if single =>
-        val metric = metricOf(space, req.vectors.head.field)
-        for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
-          yield {
-            val vc = req.vectors.head
-            val q = maybeNormalize(space, vc.field, vc.queries.head)
-            val k = req.limit + req.offset
-            val served = applyDeny(table, ivfDeny, ridName)
-            // score gates ride IN-SCAN (gamma_common_data.h:94-96): the
-            // probed-list scan computes every candidate's score anyway, so
-            // gating before the bounded top-k is exact-within-probe with
-            // zero over-fetch — no loop, no extra actions
-            if (!tailOn)
-              finish(IvfIndex.search(served, col(vc.field), model, q, k,
-                nprobeOf(model), filter = pred, minScore = gMin,
-                maxScore = gMax, tieBreak = Some(col("_id"))),
-                metric)
-            else {
-              val hits = tailMerge(k, metric, vc.field, q, ivfDeny,
-                gated = true)(kb =>
-                IvfIndex.search(served, col(vc.field), model, q, kb,
-                  nprobeOf(model), filter = pred, minScore = gMin,
-                  maxScore = gMax, tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score")))
-              finish(joinBack(hits), metric)
-            }
-          }
-      case Some("BINARYIVF")
-          if routable && req.vectors.head.queries.size == 1 &&
-            vopts.exists(_.valueType == "binary") =>
-        // binary value_type: the stored column IS the packed code; the
-        // request's float features sign-binarize exactly like the FLAT
-        // binary path, then route = probe nprobe Hamming-nearest lists
-        // (partition pruning), rank by code Hamming — the reference's
-        // IndexBinaryIVF semantics (gamma_index_binary_ivf.cc)
-        lifecycle.readyBinaryIvf().map { case (table, cents) =>
-          val vc = req.vectors.head
-          val qCode = graft.functions.VecKernels.signBits(
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(
-              vc.queries.head.toArray)).asInstanceOf[Array[Byte]]
-          val k = req.limit + req.offset
-          val nprobe = math.min(
-            param("nprobe", vopts.get)
-              .getOrElse(80),
-            cents.length)
-          val deny = lifecycle.readyBivfGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served = applyDeny(table, deny, ridName)
-          // score gates apply IN-SCAN: Hamming IS the final score for the
-          // binary family, so both the probed lists and the tail scan
-          // gate before their bounded top-k (gamma_common_data.h:94-96)
-          if (!tailOn)
-            finish(graft.operators.BinaryIndex.searchBinaryIvf(served,
-              vc.field, cents, qCode, k, nprobe, filter = pred,
-              minScore = gMin, maxScore = gMax,
-              tieBreak = Some(col("_id"))), metric = "l2") // hamming ⇒ asc
-          else {
-            // tail leg: the buffered column IS the packed code — the
-            // brute scan ranks by code Hamming, same as the base lists
-            val hits = tailMergeWith(k, "l2", deny) { td =>
-                Knn.searchBinary(td, col(vc.field), qCode, k, filter = pred,
-                  minScore = gMin, maxScore = gMax,
-                  tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              } { kb =>
-                graft.operators.BinaryIndex.searchBinaryIvf(served, vc.field,
-                  cents, qCode, kb, nprobe, filter = pred,
-                  minScore = gMin, maxScore = gMax,
-                  tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              }
-            finish(joinBack(hits), metric = "l2")
-          }
-        }
-      case Some("IVFRABITQ") if single =>
-        // RaBitQ class: coarse probe ∘ residual sign-code estimator
-        // (qb ∈ [0,8]) ∘ `recall_num`-deep exact rerank
-        // (gamma_index_ivfrabitq.cc:105,214-223)
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
-          val vc = req.vectors.head
-          val q = maybeNormalize(space, vc.field, vc.queries.head)
-          val k = req.limit + req.offset
-          val shortlist = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(math.max(10 * k, 100)), k)
-          val qb = req.indexParams.get("qb")
-            .orElse(vopts.get.indexParams.get("qb"))
-            .filter(v => v >= 0 && v <= 8).getOrElse(4)
-          val deny = lifecycle.readyRbGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          // score gates apply at the exact-rerank heap (in-scan for the
-          // stage the final score exists at — gamma_common_data.h:94-96);
-          // recall_num deepens the gated pool like it deepens recall
-          if (!tailOn)
-            finish(graft.operators.BinaryIndex.searchIvfResidual(served,
-              col(vc.field), ivf, q, k, nprobeOf(ivf), shortlist,
-              idCol = col("_id"), metric = metric, qb = qb,
-              minScore = gMin, maxScore = gMax), metric)
-          else {
-            val hits = tailMerge(k, metric, vc.field, q, deny,
-              gated = true)(kb =>
-              graft.operators.BinaryIndex.searchIvfResidual(served,
-                col(vc.field), ivf, q, kb, nprobeOf(ivf),
-                math.max(shortlist, kb), idCol = col("_id"), metric = metric,
-                qb = qb, minScore = gMin, maxScore = gMax)
-                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
-            finish(joinBack(hits), metric)
-          }
-        }
-      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if single =>
-        // the reference's default compressed index: ADC over residual
-        // codes inside nprobe lists, then a `recall_num`-deep exact
-        // rerank (gamma_index_ivfpq.cc:765-768 — recall_num caps at
-        // max(recall_num, k), absent = k). Scalar filter + delete gate
-        // pre-compose into the scan both stages run over.
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyIvfPq(metric).map { case (table, ivf, pq) =>
-          val vc = req.vectors.head
-          val q = maybeNormalize(space, vc.field, vc.queries.head)
-          val k = req.limit + req.offset
-          val recallNum = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(k), k)
-          val deny = lifecycle.readyPqGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          // score gates apply at the exact-rerank heap — the reference's
-          // in-scan admission point (gamma_common_data.h:94-96)
-          if (!tailOn)
-            finish(graft.operators.PqIndex.searchIvfResidual(served,
-              col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
-              idCol = col("_id"), minScore = gMin, maxScore = gMax), metric)
-          else {
-            val hits = tailMerge(k, metric, vc.field, q, deny,
-              gated = true)(kb =>
-              graft.operators.PqIndex.searchIvfResidual(served,
-                col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
-                math.max(recallNum, kb), idCol = col("_id"),
-                minScore = gMin, maxScore = gMax)
-                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
-            finish(joinBack(hits), metric)
-          }
-        }
-      case Some("SCANN") if single =>
-        // native SCANN class (anisotropic / score-aware quantization,
-        // Guo et al. ICML 2020 — the algorithm the reference wraps as
-        // third-party, impl/scann/): same serving composition as IVFPQ
-        // (coarse probe ∘ ADC shortlist ∘ recall_num exact rerank), over
-        // codebooks trained and codes assigned under the anisotropic
-        // loss. No READY generation → exact FLAT fallback, as before.
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyScann(metric).map { case (table, ivf, pq) =>
-          val vc = req.vectors.head
-          val q = maybeNormalize(space, vc.field, vc.queries.head)
-          val k = req.limit + req.offset
-          val recallNum = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(math.max(10 * k, 100)), k)
-          val deny = lifecycle.readyScannGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          // score gates at the exact-rerank heap, like the IVFPQ arm
-          if (!tailOn)
-            finish(graft.operators.PqIndex.searchIvfResidual(served,
-              col(vc.field), ivf, pq, q, k, nprobeOf(ivf), recallNum,
-              idCol = col("_id"), minScore = gMin, maxScore = gMax), metric)
-          else {
-            val hits = tailMerge(k, metric, vc.field, q, deny,
-              gated = true)(kb =>
-              graft.operators.PqIndex.searchIvfResidual(served,
-                col(vc.field), ivf, pq, q, kb, nprobeOf(ivf),
-                math.max(recallNum, kb), idCol = col("_id"),
-                minScore = gMin, maxScore = gMax)
-                .select(col(ridName).cast("long").as("vec_id"), col("_score")))
-            finish(joinBack(hits), metric)
-          }
-        }
-      case Some("SCANN") if batched =>
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyScann(metric).map { case (table, ivf, pq) =>
-          val vc = req.vectors.head
-          val k = req.limit + req.offset
-          val recallNum = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(math.max(10 * k, 100)), k)
-          val deny = lifecycle.readyScannGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny,
-            gated = true)(
-            kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
-              col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
-              math.max(recallNum, kb), idCol = col(ridName),
-              minScore = gMin, maxScore = gMax)
-              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                col("_score")))
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-        }
-      case Some("IVFFLAT" | "GPU_IVFFLAT") if batched =>
-        val metric = metricOf(space, req.vectors.head.field)
-        for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
-          yield {
-            val vc = req.vectors.head
-            val k = req.limit + req.offset
-            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, maybeNormalize(space, vc.field, q)) }
-            // scalar pre-filter + delete gate compose into the scan the
-            // probe join runs over (both evaluate inside probed lists)
-            val served0 = applyDeny(table, ivfDeny, ridName)
-            val served = pred.map(served0.filter).getOrElse(served0)
-            val hits = tailMergeBatch(k, metric, vc.field, queries, ivfDeny,
-              gated = true)(
-              kb => IvfIndex.searchBatch(served, col(vc.field),
-                struct(col(ridName)), queries, model, kb, nprobeOf(model),
-                minScore = gMin, maxScore = gMax)
-                .select(col("_qid"),
-                  col(s"_item.$ridName").cast("long").as("vec_id"),
-                  col("_score")))
-            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-          }
-      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT") if batched =>
-        // batched compressed route (the reference flattens req_num into
-        // ONE index request for every type, doc_query.go:296-318): one
-        // scan of the union of probed lists scores every query's ADC LUT,
-        // then one shared rerank — no per-query degrade to brute FLAT
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyIvfPq(metric).map { case (table, ivf, pq) =>
-          val vc = req.vectors.head
-          val k = req.limit + req.offset
-          val recallNum = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(k), k)
-          val deny = lifecycle.readyPqGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny,
-            gated = true)(
-            kb => graft.operators.PqIndex.searchBatchIvfResidual(served,
-              col(vc.field), ivf, pq, queries, kb, nprobeOf(ivf),
-              math.max(recallNum, kb), idCol = col(ridName),
-              minScore = gMin, maxScore = gMax)
-              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                col("_score")))
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-        }
-      case Some("IVFRABITQ") if batched =>
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
-          val vc = req.vectors.head
-          val k = req.limit + req.offset
-          val shortlist = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(math.max(10 * k, 100)), k)
-          val qb = req.indexParams.get("qb")
-            .orElse(vopts.get.indexParams.get("qb"))
-            .filter(v => v >= 0 && v <= 8).getOrElse(4)
-          val deny = lifecycle.readyRbGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, maybeNormalize(space, vc.field, q)) }
-          val hits = tailMergeBatch(k, metric, vc.field, queries, deny,
-            gated = true)(
-            kb => graft.operators.BinaryIndex.searchBatchIvfResidual(served,
-              col(vc.field), ivf, queries, kb, nprobeOf(ivf),
-              math.max(shortlist, kb), idCol = col(ridName), metric = metric,
-              qb = qb, minScore = gMin, maxScore = gMax)
-              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                col("_score")))
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-        }
-      case Some("BINARYIVF")
-          if routable && req.vectors.head.queries.size > 1 &&
-            vopts.exists(_.valueType == "binary") =>
-        // batched Hamming route: each query's float features
-        // sign-binarize, per-query probe routes join on list_id equality,
-        // one scan of the probed-list union ranks by code Hamming
-        lifecycle.readyBinaryIvf().map { case (table, cents) =>
-          val vc = req.vectors.head
-          val k = req.limit + req.offset
-          val nprobe = math.min(
-            param("nprobe", vopts.get)
-              .getOrElse(80),
-            cents.length)
-          val deny = lifecycle.readyBivfGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-            (i.toLong, graft.functions.VecKernels.signBits(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                q.toArray)).asInstanceOf[Array[Byte]]) }
-          // tail leg: every buffered code scores against every query's
-          // code (the buffer is bounded — one refresh interval); the
-          // per-qid merge in mergeTailBatch bounds the output. Score
-          // gates apply in-scan on BOTH legs (Hamming IS the final
-          // score), so the merged per-qid top-k is the gated top-k.
-          val hits = tailMergeBatchWith(k, "l2", deny) { td =>
-            val spark = corpus.sparkSession
-            import spark.implicits._
-            val qDf = queries.toDF("_qid", "_qcode")
-            val filtered = pred.map(td.filter).getOrElse(td)
-            Knn.scoreGate(filtered
-              .select(col(ridName).cast("long").as("vec_id"),
-                col(vc.field).as("_c"))
-              .crossJoin(broadcast(qDf))
-              .select(col("_qid"),
-                graft.Graft.F.hamming(col("_c"), col("_qcode"))
-                  .cast("double").as("_score"),
-                col("vec_id"))
-              .filter(col("_score").isNotNull), gMin, gMax)
-          } { kb =>
-            graft.operators.BinaryIndex.searchBatchBinaryIvf(served,
-              vc.field, cents, queries, kb, nprobe, idCol = col(ridName),
-              minScore = gMin, maxScore = gMax)
-              .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                col("_score"))
-          }
-          finishBatch(joinBack(hits, Seq(col("_qid"))), metric = "l2")
-        }
-      // INT8 value_type rides the GRAPH route too (the reference builds
-      // every index family over INT8, index_model.h:19): the generation
-      // stores the RAW code values widened to float
-      // ([[IndexLifecycle.rebuildHnswInt8]]) — small integers are exact
-      // in float, so the walk's Double-accumulated distances equal the
-      // integer kernels bit-for-bit and the route stays oracle-exact at
-      // ef ≥ |shard| like the float arm. The query quantizes ONCE (the
-      // same symmetric quantizer as ingest) and walks as its code
-      // values; the realtime tail leg brute-scores the buffer with the
-      // integer kernels; score gates ride the driver-bounded gate loops
-      // and scalar filters the walk's allow-functor, both exactly as the
-      // float graph arms. Cosine int8 spaces keep the FLAT fallback (the
-      // integer kernels are ip/l2 — matching [[Knn.searchInt8]]).
-      case Some("HNSW")
-          if routable && rid.isDefined &&
-            vopts.exists(_.valueType == "int8") &&
-            Set("ip", "l2", "l2sq")
-              .contains(metricOf(space, req.vectors.head.field)) =>
-        lifecycle.readyHnswSegments().flatMap { segments =>
-          val metric = metricOf(space, req.vectors.head.field)
-          val deny = hnswDeny
-          i8GraphServe(deny) {
-            (qw, kb) => graft.operators.HnswIndex.search(segments, qw, kb,
-              efOf(kb), metric, deny = deny)
-          } {
-            (qw, kb, bc) => graft.operators.HnswIndex.searchFilteredBc(
-              segments, qw, kb, efOf(kb), metric, bc)
-          } {
-            (qs, kb, allowIds) => graft.operators.HnswIndex.searchBatch(
-              segments, qs, kb, efOf(kb), metric, deny = deny,
-              allowIds = allowIds)
-          }
-        }
-      // INT8 over the DiskANN-static family — same raw-code float
-      // domain as the HNSW arm above ([[IndexLifecycle.rebuildVamanaInt8]]):
-      // the beam walk's Double-accumulated distances equal the integer
-      // kernels bit-for-bit, so the route is oracle-exact at
-      // l ≥ |shard|. SSG aliases to the Vamana generation as in the
-      // float arm.
-      case Some("DISKANN_STATIC" | "SSG")
-          if routable && rid.isDefined &&
-            vopts.exists(_.valueType == "int8") &&
-            Set("ip", "l2", "l2sq")
-              .contains(metricOf(space, req.vectors.head.field)) =>
-        lifecycle.readyVamanaSegments().flatMap { segments =>
-          val vc0 = req.vectors.head
-          val metric = metricOf(space, vc0.field)
-          val k = req.limit + req.offset
-          val l = math.max(
-            req.indexParams.get("l_search").filter(_ > 0)
-              .orElse(vopts.get.indexParams.get("L").filter(_ > 0))
-              .getOrElse(100), k)
-          val bw = param("beam_width", vopts.get)
-            .getOrElse(4)
-          val deny = lifecycle.readyVamanaGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          i8GraphServe(deny) {
-            (qw, kb) => graft.operators.VamanaIndex.search(segments, qw, kb,
-              math.max(l, kb), bw, metric, deny = deny)
-          } {
-            (qw, kb, bc) => graft.operators.VamanaIndex.searchFilteredBc(
-              segments, qw, kb, math.max(l, kb), bw, metric, bc)
-          } {
-            (qs, kb, allowIds) => graft.operators.VamanaIndex.searchBatch(
-              segments, qs, kb, math.max(l, kb), bw, metric, deny = deny,
-              allowIds = allowIds)
-          }
-        }
-      // INT8 over the RaBitQ class ([[IndexLifecycle.rebuildIvfRabitqInt8]]):
-      // quantizer + residual sign codes in the raw-code float domain,
-      // estimator shortlist with the quantized query's code values as
-      // floats, recall_num exact rerank with the INTEGER kernels — full
-      // probe + corpus-deep shortlist stays exact. Gates at the rerank
-      // heap; int8 tail legs.
-      case Some("IVFRABITQ")
-          if routable && vopts.exists(_.valueType == "int8") &&
-            Set("ip", "l2", "l2sq")
-              .contains(metricOf(space, req.vectors.head.field)) =>
-        val metric = metricOf(space, req.vectors.head.field)
-        lifecycle.readyIvfRabitq(metric).map { case (table, ivf) =>
-          val vc = req.vectors.head
-          val k = req.limit + req.offset
-          val shortlist = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(math.max(10 * k, 100)), k)
-          val qbBits = req.indexParams.get("qb")
-            .orElse(vopts.get.indexParams.get("qb"))
-            .filter(v => v >= 0 && v <= 8).getOrElse(4)
-          val deny = lifecycle.readyRbGen()
-            .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          def qb(q: Seq[Float]): Array[Byte] =
-            graft.functions.VecKernels.quantizeI8(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-          if (vc.queries.size == 1) {
-            val qBytes = qb(vc.queries.head)
-            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
-            if (!tailOn)
-              finish(graft.operators.BinaryIndex.searchIvfResidual(served,
-                col(vc.field), ivf, qWalk, k, nprobeOf(ivf), shortlist,
-                idCol = col("_id"), metric = metric, qb = qbBits,
-                minScore = gMin, maxScore = gMax,
-                rerankInt8 = Some(qBytes)), metric)
-            else {
-              val hits = tailMergeWith(k, metric, deny) { td =>
-                Knn.searchInt8(td, col(vc.field), qBytes, k, metric,
-                  filter = pred, minScore = gMin, maxScore = gMax,
-                  tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              } { kb =>
-                graft.operators.BinaryIndex.searchIvfResidual(served,
-                  col(vc.field), ivf, qWalk, kb, nprobeOf(ivf),
-                  math.max(shortlist, kb), idCol = col("_id"),
-                  metric = metric, qb = qbBits, minScore = gMin,
-                  maxScore = gMax, rerankInt8 = Some(qBytes))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              }
-              finish(joinBack(hits), metric)
-            }
-          } else {
-            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, qb(q)) }
-            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
-              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-            val hits = tailMergeBatchWith(k, metric, deny) { td =>
-              val spark = corpus.sparkSession
-              import spark.implicits._
-              val qDf = queries.toDF("_qid", "_qb")
-              val filtered = pred.map(td.filter).getOrElse(td)
-              Knn.scoreGate(filtered
-                .select(col(ridName).cast("long").as("vec_id"),
-                  col(vc.field).as("_c"))
-                .crossJoin(broadcast(qDf))
-                .select(col("_qid"), Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
-                  col("vec_id"))
-                .filter(col("_score").isNotNull), gMin, gMax)
-            } { kb =>
-              graft.operators.BinaryIndex.searchBatchIvfResidual(served,
-                col(vc.field), ivf, walkQs, kb, nprobeOf(ivf),
-                math.max(shortlist, kb), idCol = col(ridName),
-                metric = metric, qb = qbBits, minScore = gMin,
-                maxScore = gMax, rerankInt8 = Some(queries))
-                .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                  col("_score"))
-            }
-            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-          }
-        }
-      // INT8 over the compressed families
-      // ([[IndexLifecycle.rebuildIvfPqInt8]] / [[IndexLifecycle.rebuildScannInt8]]
-      // — SCANN shares the serving composition, only its codebook
-      // training loss and recall default differ): codebooks live in the
-      // raw-code float domain, the ADC shortlist probes/scores with the
-      // quantized query's code values as floats, and the recallNum exact
-      // rerank runs the INTEGER kernels over the stored int8 column —
-      // full probe + deep recall stays exact. Gates apply at the rerank
-      // heap (in-scan, gamma_common_data.h:94-96); tail legs brute-score
-      // the buffer with the integer kernels.
-      case Some("IVFPQ" | "GPU_IVFPQ" | "IVFPQ_RELAYOUT" | "SCANN")
-          if routable && vopts.exists(_.valueType == "int8") &&
-            Set("ip", "l2", "l2sq")
-              .contains(metricOf(space, req.vectors.head.field)) =>
-        val metric = metricOf(space, req.vectors.head.field)
-        val isScann = vopts.exists(_.indexType == "SCANN")
-        val ready =
-          if (isScann) lifecycle.readyScann(metric)
-          else lifecycle.readyIvfPq(metric)
-        ready.map { case (table, ivf, pq) =>
-          val vc = req.vectors.head
-          val k = req.limit + req.offset
-          val recallNum = math.max(
-            param("recall_num", vopts.get)
-              .getOrElse(if (isScann) math.max(10 * k, 100) else k), k)
-          val deny =
-            (if (isScann) lifecycle.readyScannGen() else lifecycle.readyPqGen())
-              .map(lifecycle.deletedSince).getOrElse(Set.empty[Long])
-          val served0 = applyDeny(table, deny, ridName)
-          val served = pred.map(served0.filter).getOrElse(served0)
-          def qb(q: Seq[Float]): Array[Byte] =
-            graft.functions.VecKernels.quantizeI8(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-          if (vc.queries.size == 1) {
-            val qBytes = qb(vc.queries.head)
-            val qWalk: Seq[Float] = qBytes.toSeq.map(_.toFloat)
-            if (!tailOn)
-              finish(graft.operators.PqIndex.searchIvfResidual(served,
-                col(vc.field), ivf, pq, qWalk, k, nprobeOf(ivf), recallNum,
-                idCol = col("_id"), minScore = gMin, maxScore = gMax,
-                rerankInt8 = Some(qBytes)), metric)
-            else {
-              val hits = tailMergeWith(k, metric, deny) { td =>
-                Knn.searchInt8(td, col(vc.field), qBytes, k, metric,
-                  filter = pred, minScore = gMin, maxScore = gMax,
-                  tieBreak = Some(col("_id")))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              } { kb =>
-                graft.operators.PqIndex.searchIvfResidual(served,
-                  col(vc.field), ivf, pq, qWalk, kb, nprobeOf(ivf),
-                  math.max(recallNum, kb), idCol = col("_id"),
-                  minScore = gMin, maxScore = gMax, rerankInt8 = Some(qBytes))
-                  .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-              }
-              finish(joinBack(hits), metric)
-            }
-          } else {
-            val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, qb(q)) }
-            val walkQs: Seq[(Long, Seq[Float])] = queries.map {
-              case (qid, code) => (qid, code.toSeq.map(_.toFloat)) }
-            val hits = tailMergeBatchWith(k, metric, deny) { td =>
-              val spark = corpus.sparkSession
-              import spark.implicits._
-              val qDf = queries.toDF("_qid", "_qb")
-              val filtered = pred.map(td.filter).getOrElse(td)
-              Knn.scoreGate(filtered
-                .select(col(ridName).cast("long").as("vec_id"),
-                  col(vc.field).as("_c"))
-                .crossJoin(broadcast(qDf))
-                .select(col("_qid"), Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
-                  col("vec_id"))
-                .filter(col("_score").isNotNull), gMin, gMax)
-            } { kb =>
-              graft.operators.PqIndex.searchBatchIvfResidual(served,
-                col(vc.field), ivf, pq, walkQs, kb, nprobeOf(ivf),
-                math.max(recallNum, kb), idCol = col(ridName),
-                minScore = gMin, maxScore = gMax, rerankInt8 = Some(queries))
-                .select(col("_qid"), col("_id").cast("long").as("vec_id"),
-                  col("_score"))
-            }
-            finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-          }
-        }
-      // INT8 value_type rides the IVF route (the reference serves INT8
-      // through every family, index_model.h:19): the coarse quantizer
-      // probes with the FLOAT query (centroids live in the de-quantized
-      // b/127 domain, [[IndexLifecycle.rebuildInt8]]), probed lists score
-      // with the integer-accumulate kernels against the symmetric-
-      // quantized query — same quantizer as ingest, so routed ≡ the
-      // brute INT8 scan within the probe. Single and batched; gates
-      // in-scan like the float arm.
-      case Some("IVFFLAT" | "GPU_IVFFLAT")
-          if routable && vopts.exists(_.valueType == "int8") =>
-        val metric = metricOf(space, req.vectors.head.field)
-        for (table <- lifecycle.readyIndex(); model <- lifecycle.loadModel(metric))
-          yield {
-            val vc = req.vectors.head
-            val k = req.limit + req.offset
-            val served = applyDeny(table, ivfDeny, ridName)
-            def qb(q: Seq[Float]): Array[Byte] =
-              graft.functions.VecKernels.quantizeI8(
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-            if (vc.queries.size == 1) {
-              val qf = vc.queries.head
-              val qBytes = qb(qf)
-              if (!tailOn)
-                finish(IvfIndex.searchInt8(served, col(vc.field), model, qf,
-                  qBytes, k, nprobeOf(model), filter = pred, minScore = gMin,
-                  maxScore = gMax, tieBreak = Some(col("_id"))), metric)
-              else {
-                // int8 tail leg: integer kernels over the buffer, same
-                // quantized query — both legs gate in-scan
-                val hits = tailMergeWith(k, metric, ivfDeny) { td =>
-                  Knn.searchInt8(td, col(vc.field), qBytes, k, metric,
-                    filter = pred, minScore = gMin, maxScore = gMax,
-                    tieBreak = Some(col("_id")))
-                    .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-                } { kb =>
-                  IvfIndex.searchInt8(served, col(vc.field), model, qf,
-                    qBytes, kb, nprobeOf(model), filter = pred,
-                    minScore = gMin, maxScore = gMax,
-                    tieBreak = Some(col("_id")))
-                    .select(col(ridName).cast("long").as("vec_id"), col("_score"))
-                }
-                finish(joinBack(hits), metric)
-              }
-            } else {
-              val queries = vc.queries.zipWithIndex.map { case (q, i) =>
-                (i.toLong, q, qb(q)) }
-              val hits = tailMergeBatchWith(k, metric, ivfDeny) { td =>
-                val spark = corpus.sparkSession
-                import spark.implicits._
-                val qDf = queries.map { case (qid, _, code) => (qid, code) }
-                  .toDF("_qid", "_qb")
-                val filtered = pred.map(td.filter).getOrElse(td)
-                Knn.scoreGate(filtered
-                  .select(col(ridName).cast("long").as("vec_id"),
-                    col(vc.field).as("_c"))
-                  .crossJoin(broadcast(qDf))
-                  .select(col("_qid"), Knn.scoreInt8(metric, col("_c"), col("_qb")).as("_score"),
-                    col("vec_id"))
-                  .filter(col("_score").isNotNull), gMin, gMax)
-              } { kb =>
-                val servedF = pred.map(served.filter).getOrElse(served)
-                IvfIndex.searchBatchInt8(servedF, col(vc.field),
-                  struct(col(ridName)), queries, model, kb, nprobeOf(model),
-                  minScore = gMin, maxScore = gMax)
-                  .select(col("_qid"),
-                    col(s"_item.$ridName").cast("long").as("vec_id"),
-                    col("_score"))
-              }
-              finishBatch(joinBack(hits, Seq(col("_qid"))), metric)
-            }
-          }
-      case _ => None
-    }
+      } else None
     routed.getOrElse(search(live, space, requestJson))
   }
 

@@ -56,6 +56,94 @@ class SearchApiSpec extends SparkSpec {
     assert(r.count() == 50)
   }
 
+  test("symbol+value score-filter wire form (doc_query.go:72-73,1220-1242)") {
+    // the four known symbols alias onto min/max_score at parse time
+    def gates(cond: String): (Option[Double], Option[Double]) = {
+      val r = SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},$cond}]}""",
+        space)
+      (r.vectors.head.minScore, r.vectors.head.maxScore)
+    }
+    assert(gates(""""symbol":">=","value":0.8""") == (Some(0.8), None))
+    assert(gates(""""symbol":">","value":0.8""") == (Some(0.8), None))
+    assert(gates(""""symbol":"<=","value":0.8""") == (None, Some(0.8)))
+    assert(gates(""""symbol":"<","value":0.8""") == (None, Some(0.8)))
+    // the symbol form overrides an explicit bound on ITS side only
+    // (the reference assigns over the already-parsed min/max,
+    // doc_query.go:1229-1238)
+    assert(gates(""""min_score":0.1,"max_score":0.9,"symbol":">=","value":0.5""") ==
+      (Some(0.5), Some(0.9)))
+    // a value with an unknown (or missing) symbol is the reference's
+    // parse error (doc_query.go:1240)
+    val err = intercept[IllegalArgumentException] {
+      gates(""""symbol":"!=","value":0.8""")
+    }
+    assert(err.getMessage.contains("symbol value unknow"))
+    intercept[IllegalArgumentException] { gates(""""value":0.8""") }
+    // a symbol WITHOUT a value is ignored, like the reference (the
+    // assignment is guarded on query.Value != nil)
+    assert(gates(""""symbol":">="""") == (None, None))
+    // end-to-end: the symbol form gates identically to min_score
+    val viaSymbol = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "symbol":">=","value":0.99}],"limit":50}""").collect()
+    val viaMin = SearchApi.search(corpus, space,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "min_score":0.99}],"limit":50}""").collect()
+    assert(viaSymbol.nonEmpty && viaSymbol.toSeq == viaMin.toSeq)
+  }
+
+  test("per-condition index_type override (doc_query.go:277-283): FLAT forces brute, mismatch fails loud") {
+    // unknown/mismatched index_type is rejected against the declaration
+    val err = intercept[IllegalArgumentException] {
+      SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+             "index_type":"IVFPQ"}]}""", space)
+    }
+    assert(err.getMessage.contains("index_type"))
+    // the declared type and FLAT both parse
+    assert(SearchApi.parseSearch(
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "index_type":"FLAT"}]}""", space).vectors.head.indexType ==
+      Some("FLAT"))
+
+    // on an INDEXED space with a READY generation, index_type:"FLAT"
+    // skips the route (the per-condition brute switch): same rows as
+    // the brute path AND the plan must NOT touch the graph generation —
+    // route discrimination in reverse
+    val root = java.nio.file.Files.createTempDirectory("idx_type").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":600}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val overridden = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "index_type":"FLAT"}],"limit":9}"""
+    val plain = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}"""
+    val df = SearchApi.searchAuto(stored, hspace, overridden, lc)
+    assert(!df.queryExecution.executedPlan.toString.contains(".hnsw.g"),
+      "index_type:FLAT must not serve from the graph generation")
+    assert(rows(df) == rows(SearchApi.search(stored, hspace, plain)))
+    // the declared type still routes (sanity: generation serves)
+    val routedDf = SearchApi.searchAuto(stored, hspace,
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "index_type":"HNSW"}],"limit":9}""", lc)
+    assert(routedDf.queryExecution.executedPlan.toString.contains(".hnsw.g"))
+    assert(rows(routedDf) == rows(SearchApi.search(stored, hspace, plain)))
+  }
+
   test("min_score gate") {
     val r = SearchApi.search(corpus, space,
       s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
