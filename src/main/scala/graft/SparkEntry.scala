@@ -2913,17 +2913,24 @@ object SparkEntry {
 
     // ── pipeline: SemDeDup — cluster the embedding space, connect
     //    within-cluster near-dups, keep the least-centroid-similar
-    //    member per component. ROWS-ONLY: KMeans centroids aren't
-    //    SQL-re-derivable; the candidate machinery is q_embed_neardup_knn's
-    //    (oracle-checked at nprobe=ncentroids), DedupSpec pins the
-    //    keep-one-least-central policy ──
+    //    member per component. DETERMINISTIC centroid seed (the
+    //    oracle-able operating point): the first 16 embeddings ARE the
+    //    centroids and assignment is IvfIndex.assign's argmin-L2
+    //    quantizer — closed-form in SQL, so the whole survivor rule
+    //    (within-list cosine pairs → components → least-centroid-sim
+    //    keep) is hash-checked end-to-end. The KMeans-trained twin of
+    //    the same semanticDedupPrebuilt path rides DedupSpec and the
+    //    q_embed_neardup family ──
     "q_semantic_dedup" -> ((s, dir) => {
       init(s)
-      // shares the build-once cosine nc=16 layout with q_embed_neardup_knn
-      // (identical model config) — the query never pays the KMeans fit
-      val (sdTable, sdModel) = graft.sources.IndexStore.neardupIvf(s, dir, ncentroids = 16)
-      Dedup.semanticDedupPrebuilt(t(s, dir, "embeddings"), sdTable, sdModel,
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val model = IvfIndex.Model(cents, "cosine")
+      Dedup.semanticDedupPrebuilt(emb,
+          IvfIndex.assign(emb, "embedding", model), model,
           "vec_id", "embedding", threshold = 0.4)
+        .withColumn("centroid_sim", round(col("centroid_sim"), 4))
         .orderBy(col("id"))
     }),
 
@@ -2940,10 +2947,12 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // ── pipeline: the learned merge list itself (30 rounds). ROWS-ONLY:
-    //    iterative argmax isn't SQL-expressible; rank 0 must equal
-    //    q_bpe_pairs' top row (oracle-checked twin), BpeSpec pins the
-    //    greedy fold + segmentation round-trip ──
+    // ── pipeline: the learned merge list itself (30 rounds). The
+    //    iterative argmax IS oracle-checked: a DuckDB recursive CTE
+    //    carries the whole vocab as one list-typed row (words encoded
+    //    with symbol markers so string replace() is exactly the greedy
+    //    leftmost non-overlapping merge fold) and replays every round's
+    //    (max count, lexicographic tie-break) pick ──
     "q_bpe_merges" -> ((s, dir) => {
       init(s)
       val (merges, vocab) = graft.operators.Bpe.train(
@@ -3484,6 +3493,100 @@ object SparkEntry {
                FROM e)
          SELECT a, b, sum(freq)::BIGINT AS cnt FROM p GROUP BY a, b
          ORDER BY cnt DESC, a, b LIMIT 20""",
+
+    // the 30-round greedy merge loop replayed in SQL: state is ONE row
+    // carrying the vocab as a list of (encoded word, freq) structs —
+    // each symbol wrapped in chr(31)/chr(30) markers, so replace() of
+    // the marked pair is exactly Bpe.train's leftmost non-overlapping
+    // merge fold — plus the accumulated merge list. Each round's argmax
+    // (max weighted count, ties to the lexicographically smallest pair,
+    // minFreq 2) comes from a scalar subquery grouping the unnested
+    // adjacent pairs. Terminates on numMerges or no eligible pair, like
+    // the trainer.
+    "q_bpe_merges" ->
+      """WITH RECURSIVE
+         v0 AS (SELECT w, count(*)::BIGINT AS freq
+                FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                      FROM documents)
+                WHERE len(w) >= 1 GROUP BY w),
+         it AS (
+           SELECT 0 AS r,
+                  (SELECT list({'e': regexp_replace(w, '(.)',
+                                  chr(31) || '\1' || chr(30), 'g'),
+                                'f': freq}) FROM v0) AS words,
+                  []::STRUCT(a VARCHAR, b VARCHAR)[] AS merges
+           UNION ALL
+           SELECT r + 1,
+                  list_transform(words, w -> {
+                    'e': replace(w['e'],
+                           chr(31) || best['a'] || chr(30) ||
+                             chr(31) || best['b'] || chr(30),
+                           chr(31) || best['a'] || best['b'] || chr(30)),
+                    'f': w['f']}),
+                  list_append(merges, best)
+           FROM (
+             SELECT r, words, merges,
+               (SELECT {'a': a, 'b': b} FROM (
+                  SELECT p['a'] AS a, p['b'] AS b, sum(p['f']) AS cnt
+                  FROM (SELECT unnest(flatten(list_transform(words, w ->
+                          list_transform(
+                            range(1, len(string_split(
+                              trim(w['e'], chr(31) || chr(30)),
+                              chr(30) || chr(31)))),
+                            i -> {'a': string_split(
+                                    trim(w['e'], chr(31) || chr(30)),
+                                    chr(30) || chr(31))[i],
+                                  'b': string_split(
+                                    trim(w['e'], chr(31) || chr(30)),
+                                    chr(30) || chr(31))[i+1],
+                                  'f': w['f']})))) AS p)
+                  GROUP BY 1, 2 HAVING sum(p['f']) >= 2
+                  ORDER BY cnt DESC, a, b LIMIT 1)) AS best
+             FROM it) t
+           WHERE r < 30 AND best IS NOT NULL
+         )
+         SELECT (i - 1)::BIGINT AS rank, m[i]['a'] AS a, m[i]['b'] AS b,
+                m[i]['a'] || m[i]['b'] AS merged
+         FROM (SELECT m, unnest(generate_series(1, len(m))) AS i
+               FROM (SELECT merges AS m FROM it ORDER BY r DESC LIMIT 1))
+         ORDER BY rank""",
+
+    // deterministic-seed SemDeDup: centroids = embeddings of vec_id<16,
+    // assignment = argmin L2 (the IvfAssign quantizer), within-list
+    // cosine pairs at >= 0.4, components via the reachability closure,
+    // keep = least (centroid_sim, id) per cluster
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE
+         cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT id, v, cid AS list_id FROM (
+                   SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                     c.cid) AS rn
+                   FROM embeddings e, cent c)
+                 WHERE rn = 1),
+         sim AS (SELECT a.id, a.v, a.list_id,
+                        list_cosine_similarity(a.v, c.cv) AS centroid_sim
+                 FROM asg a JOIN cent c ON c.cid = a.list_id),
+         p AS (SELECT x.id AS id_a, y.id AS id_b
+               FROM asg x JOIN asg y
+                 ON x.list_id = y.list_id AND x.id < y.id
+               WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+         edges AS (SELECT id_a AS u, id_b AS v FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         lbl AS (SELECT u AS id, least(u, min(v)) AS cl FROM reach GROUP BY u),
+         cl AS (SELECT s.id, s.list_id, coalesce(l.cl, s.id) AS cluster_id,
+                       s.centroid_sim
+                FROM sim s LEFT JOIN lbl l ON l.id = s.id),
+         k AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY centroid_sim, id) AS rn FROM cl)
+         SELECT id, list_id::INT AS list_id, cluster_id,
+                round(centroid_sim, 4) AS centroid_sim,
+                (rn = 1) AS is_kept
+         FROM k ORDER BY id""",
 
     // same exponentiated-share rate derivation; the N^α factors cancel in
     // p_g = n^α/Σn^α, and membership is the shared md5 uniform
