@@ -545,6 +545,13 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
   //    per-index-kind in the reference too (engine.cc:1013-1083).
 
   private def hnswStatePath = s"$spacePath$sfx.hnsw_state.json"
+  // Graph layouts (HNSW/Vamana segment tables) write ONE ROW PER FILE
+  // (`maxRecordsPerFile` 1): a segment row carries a whole serialized
+  // shard (tens of MB at ~64k nodes), and a parquet row group holding
+  // several of them makes the vectorized reader's per-batch column
+  // vectors row-group-sized — at 2M vectors that OOMs the executors
+  // (measured). One row per file caps a read task's transient memory at
+  // one segment, the same bound the walk itself needs.
   private def hnswPath(gen: Long) = s"$spacePath$sfx.hnsw.g$gen"
 
   def hnswState: State = readStateAt(hnswStatePath)
@@ -561,7 +568,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val corpus = spark.read.parquet(spacePath)
       val trainedDocs = corpus.count()
       graft.operators.HnswIndex.build(corpus, idCol, vecCol, params)
-        .write.mode("overwrite").parquet(hnswPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("overwrite").parquet(hnswPath(gen))
       writeStateAt(hnswStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
       pruneLedgers()
       Ready(gen, params.numShards, trainedDocs)
@@ -591,7 +598,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
         .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
       val trainedDocs = corpus.count()
       graft.operators.HnswIndex.build(corpus, idCol, "_i8f", params)
-        .write.mode("overwrite").parquet(hnswPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("overwrite").parquet(hnswPath(gen))
       writeStateAt(hnswStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
       pruneLedgers()
       Ready(gen, params.numShards, trainedDocs)
@@ -646,7 +653,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
           .as[graft.operators.HnswIndex.Segment]
         val deltaN = delta.count()
         graft.operators.HnswIndex.append(old, delta, idCol, vecCol, params)
-          .write.mode("overwrite").parquet(hnswPath(gen))
+          .write.option("maxRecordsPerFile", 1).mode("overwrite").parquet(hnswPath(gen))
         SidecarIO.writeString(hnswBasePath(gen), base.toString)
         writeStateAt(hnswStatePath,
           s"READY:$gen:${params.numShards}:${trained + deltaN}")
@@ -703,7 +710,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
       graft.operators.HnswIndex.buildClustered(corpus, idCol, vecCol,
           params.copy(numShards = ncentroids), ivf, maxShardRows)
-        .write.mode("overwrite").partitionBy("shard_id").parquet(hnswPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("overwrite").partitionBy("shard_id").parquet(hnswPath(gen))
       graft.sources.IndexStore.writeIvfModel(s"${hnswPath(gen)}.ivf.txt", ivf)
       writeStateAt(hnswStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
       pruneLedgers()
@@ -733,7 +740,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val deltaN = delta.count()
       graft.operators.HnswIndex.appendClustered(delta, idCol, vecCol,
           params.copy(numShards = ivf.ncentroids), ivf)
-        .write.mode("append").partitionBy("shard_id").parquet(hnswPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("append").partitionBy("shard_id").parquet(hnswPath(gen))
       layoutCache.remove(hnswPath(gen)) // cached plan pre-dates the new files
       writeStateAt(hnswStatePath, s"READY:$gen:$shards:${trained + deltaN}")
     case other =>
@@ -1182,7 +1189,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val corpus = spark.read.parquet(spacePath)
       val trainedDocs = corpus.count()
       graft.operators.VamanaIndex.build(corpus, idCol, vecCol, params)
-        .write.mode("overwrite").parquet(vamanaPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("overwrite").parquet(vamanaPath(gen))
       writeStateAt(vamanaStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
       pruneLedgers()
       Ready(gen, params.numShards, trainedDocs)
@@ -1208,7 +1215,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
         .withColumn("_i8f", graft.Graft.F.i8ToFloat(col(vecCol)))
       val trainedDocs = corpus.count()
       graft.operators.VamanaIndex.build(corpus, idCol, "_i8f", params)
-        .write.mode("overwrite").parquet(vamanaPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("overwrite").parquet(vamanaPath(gen))
       writeStateAt(vamanaStatePath, s"READY:$gen:${params.numShards}:$trainedDocs")
       pruneLedgers()
       Ready(gen, params.numShards, trainedDocs)
@@ -1240,7 +1247,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       val ivf = IvfIndex.train(corpus, vecCol, ncentroids)
       graft.operators.VamanaIndex.buildClustered(corpus, idCol, vecCol,
           params.copy(numShards = ncentroids), ivf, maxShardRows)
-        .write.mode("overwrite").partitionBy("shard_id").parquet(vamanaPath(gen))
+        .write.option("maxRecordsPerFile", 1).mode("overwrite").partitionBy("shard_id").parquet(vamanaPath(gen))
       graft.sources.IndexStore.writeIvfModel(s"${vamanaPath(gen)}.ivf.txt", ivf)
       writeStateAt(vamanaStatePath, s"READY:$gen:$ncentroids:$trainedDocs")
       pruneLedgers()

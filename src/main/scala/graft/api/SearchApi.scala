@@ -147,6 +147,20 @@ object SearchApi {
             s"index_type [$t] does not match field [$field] declared " +
               s"index type [${declared.getOrElse("")}]")
         }
+        // per-condition `format` is VALIDATE-ONLY in the reference
+        // (doc_query.go:321-327, skipped for BINARYIVF): the known
+        // names pass through — normalization itself rides the SPACE
+        // declaration (client.go:603-665) — and an unknown name is the
+        // reference's parse error
+        val effType = idxType.orElse(space.vectorFields.find(_.name == field)
+          .flatMap(_.vector).map(_.indexType)).getOrElse("")
+        (v \ "format") match {
+          case JString(f) if f.nonEmpty && effType != "BINARYIVF" &&
+              !Set("normalization", "normal", "no").contains(f) =>
+            throw new IllegalArgumentException(
+              s"unknow vector process format:[$f]")
+          case _ => ()
+        }
         VecCond(field, flat.grouped(dim).toSeq, minS, maxS, idxType)
       }
       case _ => Seq.empty
@@ -167,6 +181,14 @@ object SearchApi {
     val offset = ((j \ "page_size"), (j \ "page_num")) match {
       case (JInt(ps), JInt(pn)) if pn.toInt > 0 => ps.toInt * (pn.toInt - 1)
       case _ => (j \ "offset") match { case JInt(o) => o.toInt; case _ => 0 }
+    }
+    // only WeightedRanker exists (doc_query.go:44,208-209): a ranker
+    // object naming any other type is the reference's parse error
+    (j \ "ranker" \ "type") match {
+      case JString(t) if t != "WeightedRanker" =>
+        throw new IllegalArgumentException(
+          s"unsupport ranker type: $t, now only support WeightedRanker")
+      case _ => ()
     }
     val weights = (j \ "ranker" \ "params" \ "weights") match {
       case JArray(ws) => Some(ws.flatMap(doubleOf))
@@ -1217,18 +1239,25 @@ object SearchApi {
     if (multiBatchRouted.isDefined) return multiBatchRouted.get
 
     // ------ single-condition routing: one [[legFor]] leg, payload
-    // joined back onto the LIVE view, finished per shape. No route =>
-    // the exact FLAT path over the live view (fresh writes are never
+    // joined back onto the LIVE view, finished per shape. Generations
+    // resolve unscoped first (the single-vector-field convention), then
+    // under the field's scope — a single-condition request against a
+    // MULTI-field space serves from that field's own generation instead
+    // of degrading to FLAT (the reference searches the field's index
+    // whatever the request shape, vector_manager.cc:941-1012). No route
+    // => the exact FLAT path over the live view (fresh writes are never
     // invisible, whatever the route).
     val routed: Option[DataFrame] =
       if (req.isBruteSearch != 1 && req.vectors.size == 1) {
         val vc = req.vectors.head
         val m = if (valueTypeOf(space, vc.field) == "binary") "l2"
           else metricOf(space, vc.field)
-        legFor(vc, lifecycle, req.limit + req.offset).map { hits =>
-          if (vc.queries.size == 1) finish(joinBack(hits), m)
-          else finishBatch(joinBack(hits, Seq(col("_qid"))), m)
-        }
+        legFor(vc, lifecycle, req.limit + req.offset)
+          .orElse(legFor(vc, lifecycle.scoped(vc.field), req.limit + req.offset))
+          .map { hits =>
+            if (vc.queries.size == 1) finish(joinBack(hits), m)
+            else finishBatch(joinBack(hits, Seq(col("_qid"))), m)
+          }
       } else None
     routed.getOrElse(search(live, space, requestJson))
   }

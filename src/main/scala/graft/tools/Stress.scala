@@ -35,14 +35,19 @@ object Stress {
       println(f"""{"stress":"$what","n":$n,"dim":$dim,"sec":$sec%.2f,"vec_per_sec":${(vectors / sec).toLong}}""")
     }
 
-    time("knn_single_top10", n) {
+    // SPARK_GRAFT_STRESS_ONLY_SPACE=1 runs just the searchAuto serving
+    // section (plus the corpus/IVF layout it needs) - the other numbers
+    // are stable round to round and cost ~10 min at 2M
+    val full = !sys.env.contains("SPARK_GRAFT_STRESS_ONLY_SPACE")
+
+    if (full) time("knn_single_top10", n) {
       Knn.search(corpus, $"v", q, 10, "ip", tieBreak = Some($"id")).collect()
     }
-    time("knn_single_l2_top100", n) {
+    if (full) time("knn_single_l2_top100", n) {
       Knn.search(corpus, $"v", q, 100, "l2", tieBreak = Some($"id")).collect()
     }
     val queries = corpus.filter($"id" < 16).select($"id".as("qid"), $"v".as("qv"))
-    time("knn_batch16_top10", n * 16) {
+    if (full) time("knn_batch16_top10", n * 16) {
       Knn.searchBatch(corpus, $"v", struct($"id"), queries, "qid", "qv", 10, "ip").collect()
     }
 
@@ -51,20 +56,22 @@ object Stress {
     // correspondingly faster once IO-bound (in-memory they show the
     // kernel-cost floor)
     val qArr = new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)
-    val i8 = corpus.select($"id", F.quantizeI8($"v").as("iv")).cache()
-    i8.count()
-    val qI8 = graft.functions.VecKernels.quantizeI8(qArr)
-    time("int8_ip_top10", n) {
-      Knn.searchInt8(i8, $"iv", qI8, 10, "ip", tieBreak = Some($"id")).collect()
+    if (full) {
+      val i8 = corpus.select($"id", F.quantizeI8($"v").as("iv")).cache()
+      i8.count()
+      val qI8 = graft.functions.VecKernels.quantizeI8(qArr)
+      time("int8_ip_top10", n) {
+        Knn.searchInt8(i8, $"iv", qI8, 10, "ip", tieBreak = Some($"id")).collect()
+      }
+      i8.unpersist()
+      val bin = corpus.select($"id", F.signBits($"v").as("b")).cache()
+      bin.count()
+      val qCode = graft.functions.VecKernels.signBits(qArr)
+      time("binary_hamming_top10", n) {
+        Knn.searchBinary(bin, $"b", qCode, 10, tieBreak = Some($"id")).collect()
+      }
+      bin.unpersist()
     }
-    i8.unpersist()
-    val bin = corpus.select($"id", F.signBits($"v").as("b")).cache()
-    bin.count()
-    val qCode = graft.functions.VecKernels.signBits(qArr)
-    time("binary_hamming_top10", n) {
-      Knn.searchBinary(bin, $"b", qCode, 10, tieBreak = Some($"id")).collect()
-    }
-    bin.unpersist()
 
     // IVF over its REAL deployment shape — a partitionBy(list_id) parquet
     // table — so the probe's partition pruning actually skips IO. (Over a
@@ -76,11 +83,11 @@ object Stress {
     graft.operators.IvfIndex.buildTable(corpus, "v", ivf, dir)
     corpus.unpersist()
     val table = spark.read.parquet(dir)
-    time("ivf_parquet_np8of64_top100", n / 8) { // ~n/8 vectors scanned
+    if (full) time("ivf_parquet_np8of64_top100", n / 8) { // ~n/8 vectors scanned
       graft.operators.IvfIndex.search(table, $"v", ivf, q, 100, nprobe = 8,
         tieBreak = Some($"id")).collect()
     }
-    time("ivf_parquet_full_scan_top100", n) {
+    if (full) time("ivf_parquet_full_scan_top100", n) {
       graft.operators.IvfIndex.search(table, $"v", ivf, q, 100, nprobe = 64,
         tieBreak = Some($"id")).collect()
     }
@@ -90,7 +97,7 @@ object Stress {
     // Q·(nprobe/ncentroids)·n query·vector scores, zero driver collect
     val qn = sys.env.getOrElse("SPARK_GRAFT_STRESS_QJOIN", "2000").toLong
     val qTab = spark.range(0, qn).select($"id", vecExpr.cast("array<float>").as("v"))
-    time(s"knn_join_q${qn}_np8of64_top10", qn * (n / 8)) {
+    if (full) time(s"knn_join_q${qn}_np8of64_top10", qn * (n / 8)) {
       graft.operators.KnnJoin.ivf(qTab, "id", "v", table, $"v",
         struct(col("id")), ivf, k = 10, nprobe = 8).count()
     }
@@ -105,6 +112,7 @@ object Stress {
     val hp = graft.operators.HnswIndex.Params(m = 16, efConstruction = 40,
       metric = "ip", numShards = hShards)
     val hCorpus = table.select($"id", $"v")
+    if (full) {
     var segs: org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment] = null
     time(s"hnsw_build_m16_efc40_s$hShards", n) {
       segs = graft.operators.HnswIndex.build(hCorpus, "id", "v", hp).cache()
@@ -158,12 +166,83 @@ object Stress {
         nprobe = 64).collect()
     }
     csegs.unpersist()
+    }
+
+    // ── searchAuto serving shapes at corpus scale (post-r17, all legs
+    // through the one legFor recipe): a REAL space dir with per-field
+    // READY generations — v under a scoped HNSW generation, v2 (= -v)
+    // under a scoped IVFFLAT generation — then
+    //  (a) the driver-bounded score-gate loop under a SELECTIVE gate
+    //      (min_score = the 200th-neighbor distance, so the depth-64
+    //      and depth-128 probes both under-fill and the loop MUST
+    //      double twice: 3 probes, one bounded aggregate action each);
+    //  (b) a two-field MIXED-family conjunction (HNSW leg + IVF leg →
+    //      family-agnostic docid intersection).
+    // The probe count is PINNED via a job listener — the scale claim is
+    // that gate selectivity costs O(log(depth)) bounded actions, never
+    // a corpus-sized collect.
+    locally {
+      val sDir = java.nio.file.Files
+        .createTempDirectory("stress_space").toString + "/space"
+      table.select($"id".as("_id"), $"v",
+          transform($"v", x => lit(0f) - x).cast("array<float>").as("v2"))
+        .write.mode("overwrite").parquet(sDir)
+      val stored = spark.read.parquet(sDir)
+      val lc = new graft.api.IndexLifecycle(spark, sDir)
+      time(s"space_hnsw_gen_build_s$hShards", n) {
+        lc.scoped("v").rebuildHnsw("_id", "v",
+          graft.operators.HnswIndex.Params(m = 16, efConstruction = 40,
+            metric = "l2", numShards = hShards))
+      }
+      time("space_ivf_gen_build_nc64", n) {
+        lc.scoped("v2").rebuild("v2", ncentroids = 64)
+      }
+      val sp = graft.schema.Space.fromJson(
+        s"""{"name":"stress_space","fields":[
+            {"name":"v","type":"vector","dimension":$dim,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":40,"efSearch":64}}},
+            {"name":"v2","type":"vector","dimension":$dim,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":64,"nprobe":8}}}]}""")
+      // gate threshold from the brute neighborhood: min_score = d(200)
+      // excludes the 200 nearest, so k=10 gated survivors need depth
+      // ≥ ~210 — probes 64, 128, 256
+      val near = Knn.search(stored, $"v", q, 1000, "l2", tieBreak = Some($"_id"))
+        .select("_score").collect().map(_.getDouble(0))
+      val gate = near(199)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      val gatedReq = s"""{"vectors":[{"field":"v",
+          "feature":${q.mkString("[", ",", "]")},"min_score":$gate}],"limit":10}"""
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val gatedRows = graft.api.SearchApi.searchAuto(stored, sp, gatedReq, lc)
+        .count()
+      val gatedSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"""{"stress":"gate_loop_selective_min_d200","n":$n,"rows":$gatedRows,"jobs":${jobs.get()},"sec":$gatedSec%.2f}""")
+      val mvReq = s"""{"vectors":[
+          {"field":"v","feature":${q.mkString("[", ",", "]")}},
+          {"field":"v2","feature":${q.map(x => -x).mkString("[", ",", "]")}}],
+        "limit":10}"""
+      time("conjunction_hnsw_ivf_2leg_top10", n + n / 8) {
+        graft.api.SearchApi.searchAuto(stored, sp, mvReq, lc).count()
+      }
+    }
 
     // exact jaccard near-dup at corpus scale: template-structured docs
     // (10 docs share a template, ~2 of 80 words perturbed per doc →
     // within-template jaccard ≈ 0.86) — exercises the prefix-filtered
     // candidate join where shared shingles are DENSE, the regime the
     // naive inverted index goes quadratic in
+    if (full) {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "100000").toLong
     val words = transform(sequence(lit(0), lit(79)), i =>
       when(pmod(xxhash64($"id", i, lit("perturb")), lit(40)) === 0,
@@ -242,6 +321,7 @@ object Stress {
     time(s"range_join_P${nEv}_I${nEv / 10}", nEv) {
       graft.operators.RangeJoin.pointInInterval(rjP, rjI, Seq("k"),
         "t", "s", "e", bucketWidth = 3600000L, intervalPrefix = "i_").count()
+    }
     }
     spark.stop()
   }

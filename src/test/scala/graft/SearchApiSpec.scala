@@ -144,6 +144,34 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(routedDf) == rows(SearchApi.search(stored, hspace, plain)))
   }
 
+  test("format and ranker-type validation match the reference's parse errors") {
+    // known format names pass through (normalization itself rides the
+    // SPACE declaration — the request field is validate-only,
+    // doc_query.go:321-327)
+    for (f <- Seq("normalization", "normal", "no"))
+      assert(SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+             "format":"$f"}]}""", space).vectors.nonEmpty)
+    val fErr = intercept[IllegalArgumentException] {
+      SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+             "format":"l2"}]}""", space)
+    }
+    assert(fErr.getMessage.contains("unknow vector process format"))
+    // only WeightedRanker exists (doc_query.go:208-209)
+    val rErr = intercept[IllegalArgumentException] {
+      SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+             "ranker":{"type":"RRFRanker","params":{"weights":[0.5,0.5]}}}""",
+        space)
+    }
+    assert(rErr.getMessage.contains("unsupport ranker type"))
+    assert(SearchApi.parseSearch(
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "ranker":{"type":"WeightedRanker","params":{"weights":[0.7,0.3]}}}""",
+      space).weights == Some(Seq(0.7, 0.3)))
+  }
+
   test("min_score gate") {
     val r = SearchApi.search(corpus, space,
       s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
@@ -268,6 +296,52 @@ class SearchApiSpec extends SparkSpec {
     val routed = ids(SearchApi.searchAuto(stored, sp, req, lc))
     assert(routed == ids(SearchApi.search(stored, sp, req)))
     assert(routed.head == 0L) // self wins the intersection
+  }
+
+  test("searchAuto: single-condition requests serve from a MULTI-field space's scoped generations") {
+    // multi-field spaces keep per-field generations under the
+    // lifecycle's field scope; a single-condition request must still
+    // serve from that field's OWN index (the reference searches the
+    // field's index whatever the request shape,
+    // vector_manager.cc:941-1012) instead of degrading to FLAT because
+    // the unscoped lifecycle is empty
+    val root = java.nio.file.Files.createTempDirectory("mv_single").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val sp = Space.fromJson(
+      """{"name":"mv_single","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,
+                              "efSearch":1048576,
+                              "metric_type":"InnerProduct"}}},
+          {"name":"v2","type":"vector","dimension":32,
+           "index":{"type":"IVFFLAT",
+                    "params":{"ncentroids":4,"nprobe":4,
+                              "metric_type":"InnerProduct"}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.scoped("v1").rebuildHnsw("_id", "v1",
+      graft.operators.HnswIndex.Params(16, 60, "ip", numShards = 3))
+    lc.scoped("v2").rebuild("v2", ncentroids = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // v1 routes through its scoped graph generation (plan-discriminated)
+    val req1 = s"""{"vectors":[{"field":"v1","feature":${fjson(q0.take(32))}}],"limit":5}"""
+    val df1 = SearchApi.searchAuto(stored, sp, req1, lc)
+    assert(df1.queryExecution.executedPlan.toString.contains(".hnsw.g"),
+      "single-condition request must serve from the scoped graph generation")
+    assert(rows(df1) == rows(SearchApi.search(stored, sp, req1)))
+    // v2 routes through its scoped IVF generation; full probe ⇒ exact
+    val req2 = s"""{"vectors":[{"field":"v2","feature":${fjson(q0.drop(32))}}],"limit":5}"""
+    assert(rows(SearchApi.searchAuto(stored, sp, req2, lc)) ==
+      rows(SearchApi.search(stored, sp, req2)))
   }
 
   test("searchAuto: FILTERED and GATED conjunctions route per-field; broad filter falls back") {
