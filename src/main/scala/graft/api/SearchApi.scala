@@ -874,26 +874,37 @@ object SearchApi {
         // graph-family core (HNSW and Vamana differ only in their walk
         // operators): allow-functor filtering with the broad-filter FLAT
         // switch, ONE allow broadcast per leg hoisted out of the gate
-        // loop's depth retries, value-typed tail merge
-        def graphLeg(deny: Set[Long])(
+        // loop's depth retries, value-typed tail merge. A GATED leg
+        // pins the (pruned) segment table in executor storage for the
+        // loop's lifetime: every depth probe re-executes the walk, and
+        // without the pin each probe re-pays the full segment IO
+        // (measured 3x at 2M); the loops materialize driver-side rows
+        // before returning, so the pin releases deterministically.
+        def graphLeg(deny: Set[Long],
+            segments: org.apache.spark.sql.Dataset[_])(
             walk: (Seq[Float], Int) => DataFrame)(
             walkBc: (Seq[Float], Int,
               org.apache.spark.broadcast.Broadcast[Set[Long]]) => DataFrame)(
             walkBatch: (Seq[(Long, Seq[Float])], Int,
               Option[Set[Long]]) => DataFrame): Option[DataFrame] =
           allowProbe.map { allow =>
-            if (!batched) {
-              val base: Int => DataFrame = allow match {
-                case Some(a) =>
-                  val bc = corpus.sparkSession.sparkContext.broadcast(a -- deny)
-                  kb => walkBc(walkQs.head._2, kb, bc)
-                case None => kb => walk(walkQs.head._2, kb)
-              }
-              gateLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
-                withTail(deny, d)(base))
-            } else
-              gateBatchLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
-                withTailB(deny, d)(kb => walkBatch(walkQs, kb, allow)))
+            val gated = vc.minScore.isDefined || vc.maxScore.isDefined
+            if (gated) segments.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (!batched) {
+                val base: Int => DataFrame = allow match {
+                  case Some(a) =>
+                    val bc = corpus.sparkSession.sparkContext.broadcast(a -- deny)
+                    kb => walkBc(walkQs.head._2, kb, bc)
+                  case None => kb => walk(walkQs.head._2, kb)
+                }
+                gateLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
+                  withTail(deny, d)(base))
+              } else
+                gateBatchLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
+                  withTailB(deny, d)(kb => walkBatch(walkQs, kb, allow)))
+            } finally if (gated) { segments.unpersist(blocking = false); () }
           }
         // clustered generations (SPANN layout): prune to the union of
         // every query's nprobe route - the shard_id filter is parquet
@@ -924,7 +935,7 @@ object SearchApi {
                 .map(lc.deletedSince).getOrElse(Set.empty[Long])
               val segments = pruneShards(segments0, lc.hnswRoutedModel(metric))
               val ef = math.max(param("efSearch", fOpts).getOrElse(64), k)
-              graphLeg(deny)(
+              graphLeg(deny, segments)(
                 (q, kb) => graft.operators.HnswIndex.search(segments, q, kb,
                   math.max(ef, kb), metric, deny = deny))(
                 (q, kb, bc) => graft.operators.HnswIndex.searchFilteredBc(
@@ -949,7 +960,7 @@ object SearchApi {
                   .orElse(fOpts.indexParams.get("L").filter(_ > 0))
                   .getOrElse(100), k)
               val bw = param("beam_width", fOpts).getOrElse(4)
-              graphLeg(deny)(
+              graphLeg(deny, segments)(
                 (q, kb) => graft.operators.VamanaIndex.search(segments, q, kb,
                   math.max(l, kb), bw, metric, deny = deny))(
                 (q, kb, bc) => graft.operators.VamanaIndex.searchFilteredBc(
