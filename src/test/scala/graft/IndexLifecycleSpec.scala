@@ -200,6 +200,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(lc.readyIndex().isEmpty)
   }
 
+  test("graph layouts write one segment row per parquet file") {
+    // a row group holding several tens-of-MB segment rows makes the
+    // vectorized reader's batch allocation row-group-sized — OOMed at
+    // 2M vectors (measured in the Stress tool). The write contract is
+    // one segment row per file; this pins it against regression.
+    val root = Files.createTempDirectory("lifecycle_onefile").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet").write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("vec_id", "embedding",
+      graft.operators.HnswIndex.Params(8, 40, "l2", numShards = 3))
+    val gen = lc.hnswState.asInstanceOf[lc.Ready].gen
+    val layout = new java.io.File(s"$spacePath.hnsw.g$gen")
+    val parts = layout.listFiles().count(_.getName.endsWith(".parquet"))
+    val segRows = spark.read.parquet(layout.toString).count()
+    assert(segRows == 3L)
+    assert(parts >= 3, s"expected one file per segment row, got $parts files")
+    // every file holds at most one segment row
+    val maxPerFile = spark.read.parquet(layout.toString)
+      .select(org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .groupBy("f").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(maxPerFile == 1L, s"a layout file holds $maxPerFile segment rows")
+  }
+
   test("HNSW generation: staleness tracks space growth, drift triggers rebuild") {
     val root = Files.createTempDirectory("lifecycle_hnsw").toString
     val spacePath = s"$root/space"
