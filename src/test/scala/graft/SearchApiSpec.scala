@@ -144,6 +144,46 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(routedDf) == rows(SearchApi.search(stored, hspace, plain)))
   }
 
+  test("gated routed serving leaves no residual persisted RDDs (segment pin released)") {
+    // a gated graph leg pins the segment table across the gate loop's
+    // depth probes; the pin must release when the loop's driver-side
+    // rows exist — a leak here grows executor storage per gated query
+    val root = java.nio.file.Files.createTempDirectory("gate_pin").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val hspace = Space.fromJson(
+      """{"name":"hnsw_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":600}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // selective gate: the loop iterates (depth-doubles), exercising the
+    // pin across retries; combined with a scalar filter and the symbol
+    // wire form so the full flag surface rides one request
+    val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "symbol":">=","value":1.41}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":">=","field":"label","value":0}]},"limit":9}"""
+    val rows = SearchApi.searchAuto(stored, hspace, req, lc).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("_score") >= 1.41))
+    assert(rows.toSeq == SearchApi.search(stored, hspace, req).collect().toSeq)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "gated routed search must unpersist its segment pin")
+    // index_type FLAT composes with the gate: brute twin, same rows
+    val flatReq = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "symbol":">=","value":1.41,"index_type":"FLAT"}],"limit":9}"""
+    assert(SearchApi.searchAuto(stored, hspace, flatReq, lc).collect().toSeq ==
+      rows.toSeq)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("format and ranker-type validation match the reference's parse errors") {
     // known format names pass through (normalization itself rides the
     // SPACE declaration — the request field is validate-only,
