@@ -278,6 +278,70 @@ object SearchApi {
     (base ++ extra).map(col)
   }
 
+  // ---- FLAT-path value-type dispatch (index_model.h:19), shared by
+  // every brute shape — the brute twins of searchAuto's legFor dispatch:
+  // int8 conditions quantize each query with the ingest quantizer and
+  // score with the integer kernels; binary conditions sign-binarize and
+  // rank by code Hamming (ascending ⇒ direction entry l2); float keeps
+  // the metric kernels over the (possibly normalized) request floats.
+
+  /** Ranking direction entry for a condition's field. */
+  private def flatDir(space: Space, field: String): String =
+    if (valueTypeOf(space, field) == "binary") "l2" else metricOf(space, field)
+
+  /** Batch queries table (_qid, _qv) in the condition's value domain,
+    * plus the matching (vector, query) score column — None = the shared
+    * metric kernels of [[Knn.searchBatch]].
+    */
+  private def flatBatchQueries(space: Space, vc: VecCond,
+      spark: org.apache.spark.sql.SparkSession)
+      : (DataFrame, Option[(Column, Column) => Column]) = {
+    import spark.implicits._
+    valueTypeOf(space, vc.field) match {
+      case "int8" =>
+        val m = metricOf(space, vc.field)
+        (vc.queries.zipWithIndex.map { case (q, i) =>
+          (i.toLong, graft.functions.VecKernels.quantizeI8(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
+        }.toDF("_qid", "_qv"),
+          Some((a: Column, b: Column) => Knn.scoreInt8(m, a, b)))
+      case "binary" =>
+        (vc.queries.zipWithIndex.map { case (q, i) =>
+          (i.toLong, graft.functions.VecKernels.signBits(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
+            .asInstanceOf[Array[Byte]])
+        }.toDF("_qid", "_qv"),
+          Some((v: Column, qc: Column) =>
+            graft.Graft.F.hamming(v, qc).cast("double")))
+      case _ =>
+        (vc.queries.zipWithIndex
+          .map { case (q, i) => (i.toLong, maybeNormalize(space, vc.field, q)) }
+          .toDF("_qid", "_qv")
+          .select(col("_qid"), col("_qv").cast("array<float>").as("_qv")),
+          None)
+    }
+  }
+
+  /** Single-query score column for a condition (the conjunction's
+    * per-field scorer) — None = the metric kernels.
+    */
+  private def flatScoreFn(space: Space, vc: VecCond): Option[Column => Column] =
+    valueTypeOf(space, vc.field) match {
+      case "int8" =>
+        val qBytes = graft.functions.VecKernels.quantizeI8(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            vc.queries.head.toArray))
+        Some((c: Column) =>
+          Knn.scoreInt8(metricOf(space, vc.field), c, lit(qBytes)))
+      case "binary" =>
+        val qCode = graft.functions.VecKernels.signBits(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            vc.queries.head.toArray))
+        Some((c: Column) =>
+          graft.Graft.F.hamming(c, lit(qCode)).cast("double"))
+      case _ => None
+    }
+
   /** `POST /document/search` → DataFrame. Output carries `_score` (and
     * `_qid` for batched requests).
     */
@@ -333,29 +397,11 @@ object SearchApi {
       // so the field's direction entry is l2). maybeNormalize is a no-op
       // for non-float fields (normalization validates float-only).
       val fields = req.vectors.map { vc =>
-        val m = valueTypeOf(space, vc.field) match {
-          case "binary" => "l2"
-          case _        => metricOf(space, vc.field)
-        }
-        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head), m)
+        (col(vc.field), maybeNormalize(space, vc.field, vc.queries.head),
+          flatDir(space, vc.field))
       }
-      val scoreFns: Seq[Option[Column => Column]] = req.vectors.map { vc =>
-        valueTypeOf(space, vc.field) match {
-          case "int8" =>
-            val qBytes = graft.functions.VecKernels.quantizeI8(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                vc.queries.head.toArray))
-            Some((c: Column) =>
-              Knn.scoreInt8(metricOf(space, vc.field), c, lit(qBytes)))
-          case "binary" =>
-            val qCode = graft.functions.VecKernels.signBits(
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                vc.queries.head.toArray))
-            Some((c: Column) =>
-              graft.Graft.F.hamming(c, lit(qCode)).cast("double"))
-          case _ => None
-        }
-      }
+      val scoreFns: Seq[Option[Column => Column]] =
+        req.vectors.map(flatScoreFn(space, _))
       // perFieldK scales with limit like the engine's per-index topn;
       // per-condition min/max gates apply in-scan before each field's
       // bounded top-k (gamma_common_data.h:94-96), matching the batched
@@ -383,50 +429,18 @@ object SearchApi {
       val w = req.weights.getOrElse(Seq.fill(nf)(1.0 / nf))
       require(w.size == nf, "weights arity must match vector conditions")
       val perFieldK = math.max(req.limit * 10, 200)
-      // per-condition value-type dispatch like the single-query
-      // conjunction (index_model.h:19): int8 legs quantize each query
-      // and score with the integer kernels, binary legs sign-binarize
-      // and rank by Hamming (ascending ⇒ direction entry l2)
-      def legDir(vc: graft.api.SearchApi.VecCond): String =
-        valueTypeOf(space, vc.field) match {
-          case "binary" => "l2"
-          case _        => metricOf(space, vc.field)
-        }
+      // per-condition value-type dispatch shared with the single-query
+      // conjunction ([[flatBatchQueries]])
       val perField = req.vectors.zipWithIndex.map { case (vc, i) =>
-        val m = legDir(vc)
-        val (queries, scoreFn):
-            (org.apache.spark.sql.DataFrame, Option[(Column, Column) => Column]) =
-          valueTypeOf(space, vc.field) match {
-            case "int8" =>
-              val qd = vc.queries.zipWithIndex.map { case (q, qi) =>
-                (qi.toLong, graft.functions.VecKernels.quantizeI8(
-                  new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
-              }.toDF("_qid", "_qv")
-              val mm = metricOf(space, vc.field)
-              (qd, Some((a: Column, b: Column) => Knn.scoreInt8(mm, a, b)))
-            case "binary" =>
-              val qd = vc.queries.zipWithIndex.map { case (q, qi) =>
-                (qi.toLong, graft.functions.VecKernels.signBits(
-                  new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-                  .asInstanceOf[Array[Byte]])
-              }.toDF("_qid", "_qv")
-              (qd, Some((v: Column, qc: Column) =>
-                graft.Graft.F.hamming(v, qc).cast("double")))
-            case _ =>
-              (vc.queries.zipWithIndex
-                .map { case (q, qi) => (qi.toLong, maybeNormalize(space, vc.field, q)) }
-                .toDF("_qid", "_qv")
-                .select(col("_qid"), col("_qv").cast("array<float>").as("_qv")),
-                None)
-          }
+        val (queries, scoreFn) = flatBatchQueries(space, vc, spark)
         Knn.searchBatch(filtered, col(vc.field), struct(col("_id")), queries,
-          "_qid", "_qv", perFieldK, m,
+          "_qid", "_qv", perFieldK, flatDir(space, vc.field),
           minScore = vc.minScore, maxScore = vc.maxScore, scoreFn = scoreFn)
           .select(col("_qid"), col("_item._id").as("_id"), col("_score").as(s"_s$i"))
       }
       val joined = perField.reduceLeft((a, b) => a.join(b, Seq("_qid", "_id")))
       val combined = (0 until nf).map(i => col(s"_s$i") * lit(w(i))).reduceLeft(_ + _)
-      val headAsc = Knn.ascending(legDir(req.vectors.head))
+      val headAsc = Knn.ascending(flatDir(space, req.vectors.head.field))
       val agged = joined.withColumn("_score", combined)
         .groupBy(col("_qid"))
         .agg(graft.Graft.F.topK(col("_score"), struct(col("_id")),
@@ -440,40 +454,12 @@ object SearchApi {
       if (req.sort.nonEmpty) applySort(out, req.sort, qid = Some(col("_qid")))
       else out
     } else {
-      // one field, req_num > 1 → batch: one result block per query id
+      // one field, req_num > 1 → batch: one result block per query id;
+      // value-type dispatch through [[flatBatchQueries]]
       val vc = req.vectors.head
-      val metric = metricOf(space, vc.field)
       val spark = corpus.sparkSession
-      import spark.implicits._
-      // value_type dispatch, like the single-query path: int8 queries
-      // quantize with the ingest quantizer and score with the integer
-      // kernels; binary queries sign-binarize and rank by Hamming
-      val (queries, m, scoreFn):
-          (DataFrame, String, Option[(Column, Column) => Column]) =
-        valueTypeOf(space, vc.field) match {
-          case "int8" =>
-            val qd = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, graft.functions.VecKernels.quantizeI8(
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray)))
-            }.toDF("_qid", "_qv")
-            (qd, metric,
-              Some((a: Column, b: Column) => Knn.scoreInt8(metric, a, b)))
-          case "binary" =>
-            val qd = vc.queries.zipWithIndex.map { case (q, i) =>
-              (i.toLong, graft.functions.VecKernels.signBits(
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(q.toArray))
-                .asInstanceOf[Array[Byte]])
-            }.toDF("_qid", "_qv")
-            ((qd, "l2", // hamming ⇒ asc
-              Some((v: Column, qc: Column) =>
-                graft.Graft.F.hamming(v, qc).cast("double"))))
-          case _ =>
-            (vc.queries.zipWithIndex
-              .map { case (q, i) => (i.toLong, maybeNormalize(space, vc.field, q)) }
-              .toDF("_qid", "_qv")
-              .select(col("_qid"), col("_qv").cast("array<float>").as("_qv")),
-              metric, None)
-        }
+      val (queries, scoreFn) = flatBatchQueries(space, vc, spark)
+      val m = flatDir(space, vc.field)
       val filtered = pred.map(corpus.filter).getOrElse(corpus)
       val payload = struct(corpus.columns.map(col).toIndexedSeq: _*)
       // gates + pagination inside the batch operator (pre-selection gate,
