@@ -37,6 +37,11 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
   def scoped(field: String): IndexLifecycle =
     new IndexLifecycle(spark, spacePath, Some(field))
 
+  /** The space directory this lifecycle manages — the serving path reads
+    * space-level sidecars (e.g. the `_graft_buckets` layout mark) from it.
+    */
+  private[graft] def path: String = spacePath
+
   private def statePath = s"$spacePath$sfx.index_state.json"
   private def indexPath(gen: Long) = s"$spacePath$sfx.index.g$gen"
 

@@ -521,6 +521,22 @@ object SearchApi {
       table.join(broadcast(denyDf), col(ridName) === col("_deny_id"), "left_anti")
     }
 
+  /** Driver-side twin of the catalog layout's `_bucket = pmod(hash(_id),
+    * nb)` (SpaceCatalog.withBucket): Spark's `hash()` is Murmur3 with
+    * seed 42 over the column's NATIVE type, so an IntegerType PK must
+    * hash as Int — evaluating the same Catalyst expression on the
+    * literal keeps the two derivations identical by construction.
+    */
+  private def bucketOfId(id: Long, nb: Int,
+      idT: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val l =
+      if (idT == org.apache.spark.sql.types.IntegerType) Literal(id.toInt)
+      else Literal(id)
+    val h = new Murmur3Hash(Seq(l)).eval(null).asInstanceOf[Int]
+    ((h % nb) + nb) % nb
+  }
+
   /** `tail` is the space's realtime buffer (`enable_realtime` — the
     * reference merges the memory buffer into EVERY index type's search,
     * vector_manager.cc:941-1012,1096-1176): when present and non-empty,
@@ -533,11 +549,30 @@ object SearchApi {
     * the exact FLAT path over the live view — fresh writes are never
     * invisible, whatever the route.
     */
-  def searchAuto(corpus: DataFrame, space: Space, requestJson: String,
+  def searchAuto(corpus0: DataFrame, space: Space, requestJson: String,
       lifecycle: IndexLifecycle,
       tail: Option[graft.streaming.RealtimeTail] = None): DataFrame = {
     val req = parseSearch(requestJson, space)
     import org.apache.spark.sql.types.{IntegerType, LongType}
+    // a corpus still carrying the catalog's physical `_bucket` partition
+    // column (the id-hash layout, `_bucket = pmod(hash(_id), nb)`) keeps
+    // it INTERNAL — dropped before any serving logic sees the frame —
+    // but the bucketed original stays available so the payload fetch in
+    // [[joinBack]] can PARTITION-PRUNE to the hit ids' buckets, the
+    // Spark shape of the reference's O(k) docid point reads
+    // (engine.cc:902-911). `_graft_buckets` (the layout's bucket count)
+    // rides the space dir; without it the id-IN pushdown still prunes
+    // row groups on any plain-parquet space.
+    val bucketedCorpus: Option[DataFrame] =
+      if (corpus0.columns.contains("_bucket")) Some(corpus0) else None
+    val corpus = bucketedCorpus.map(_.drop("_bucket")).getOrElse(corpus0)
+    lazy val bucketNb: Option[Int] = bucketedCorpus.flatMap { _ =>
+      val p = s"${lifecycle.path}/_graft_buckets"
+      if (graft.sources.SidecarIO.exists(p))
+        scala.util.Try(graft.sources.SidecarIO.readString(p).trim.toInt)
+          .toOption.filter(_ > 0)
+      else None
+    }
     val idIntegral = corpus.schema.fields.find(_.name == "_id").exists(f =>
       f.dataType == LongType || f.dataType == IntegerType)
     // ROUTING id — the long column index hits, delete-ledger entries and
@@ -698,14 +733,50 @@ object SearchApi {
       result.get.toDF("_qid", "vec_id", "_score")
     }
     // the walk returns (id, score); scalar payloads come from ONE
-    // broadcast join of the <= req_num*k hits back onto the LIVE view (a
-    // tail hit's payload lives in the buffer, not the base table). The
-    // join keys on the ROUTING column - for a string-PK space that is
-    // the `_docid` sidecar, and the joined row carries the string `_id`
-    // the projection serves (the reference's docid->PK bridge).
+    // broadcast join of the <= req_num*(k+offset) hits back onto a
+    // PRUNED slice of the LIVE view (a tail hit's payload lives in the
+    // buffer, not the base table). The hits are bounded, so ONE tiny
+    // action materializes them (free for the gate loops - their hits are
+    // already local rows) and their ids push INTO the payload scan:
+    // `rid IN (ids)` always (parquet row-group skipping), plus
+    // `_bucket IN (pmod(hash(id), nb))` partition pruning on a
+    // catalog-bucketed space - the reference's O(k) docid point reads
+    // (engine.cc:902-911), never a full corpus read per query. The join
+    // keys on the ROUTING column - for a string-PK space that is the
+    // `_docid` sidecar (bucket derivation needs the PK hash, so those
+    // spaces prune by id-IN only), and the joined row carries the string
+    // `_id` the projection serves (the reference's docid->PK bridge).
     def joinBack(hits: DataFrame, extra: Seq[Column] = Seq.empty): DataFrame = {
       val idT = corpus.schema(ridName).dataType
-      live.join(broadcast(hits.select(
+      val sel = hits.select(
+        Seq(col("vec_id").cast("long").as("vec_id"),
+          col("_score").cast("double").as("_score")) ++ extra: _*)
+      val rows = sel.collect()
+      val spark = corpus.sparkSession
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), sel.schema)
+      val ids = rows.map(_.getLong(0)).distinct.toSeq
+      val idVals: Seq[Any] =
+        if (idT == IntegerType) ids.map(_.toInt) else ids
+      val idFilter =
+        if (idVals.isEmpty) lit(false) else col(ridName).isin(idVals: _*)
+      // exactness of pruning BEFORE the tail upsert: it only applies
+      // when the routing column IS the PK (`_id`), so every version of
+      // a document shares its routing id - a superseded base row and
+      // its buffered update filter identically
+      val pruned = (bucketedCorpus, bucketNb) match {
+        case (Some(b), Some(nb)) if ridName == "_id" && ids.nonEmpty =>
+          val bks = ids.map(bucketOfId(_, nb, idT)).distinct
+          val baseP =
+            b.filter(col("_bucket").isin(bks: _*) && idFilter).drop("_bucket")
+          if (tailOn)
+            graft.operators.Documents.upsert(baseP,
+              tail.get.buffered(corpus.schema, lifecycle.allDeletes())
+                .filter(idFilter), "_id")
+          else baseP
+        case _ => live.filter(idFilter)
+      }
+      pruned.join(broadcast(local.select(
         Seq(col("vec_id").cast(idT).as(ridName), col("_score")) ++ extra: _*)),
         ridName)
     }

@@ -397,8 +397,8 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     val tail =
       if (space.config.enableRealtime) Some(realtimeTail(db, spaceName))
       else None
-    graft.api.SearchApi.searchAuto(read(db, spaceName), space, requestJson,
-      lc, tail)
+    graft.api.SearchApi.searchAuto(readPathRaw(dir(db, spaceName)), space,
+      requestJson, lc, tail)
   }
 
   /** Declaration-driven `/document/query` (point lookups / filtered
@@ -423,12 +423,21 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
   }
 
   private def readPath(path: String): DataFrame = {
+    val df = readPathRaw(path)
+    if (df.columns.contains("_bucket")) df.drop("_bucket") else df
+  }
+
+  /** [[readPath]] WITHOUT dropping the physical `_bucket` partition
+    * column — [[search]] hands this to the serving path so payload
+    * fetches can partition-prune on the id-hash layout; `searchAuto`
+    * keeps the column internal (never projected into results).
+    */
+  private def readPathRaw(path: String): DataFrame = {
     // readers only touch aside dirs old enough that no LIVE swap can own
     // them — a reader acting on an in-flight writer's aside would
     // resurrect just-deleted rows or make the writer's move-in collide
     recover(path, minAgeMs = ReadRecoveryGraceMs)
-    val df = spark.read.parquet(path)
-    if (df.columns.contains("_bucket")) df.drop("_bucket") else df
+    spark.read.parquet(path)
   }
 
   /** A live replaceBucket/replace completes its swap in well under this;

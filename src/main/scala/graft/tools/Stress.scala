@@ -184,9 +184,16 @@ object Stress {
     locally {
       val sDir = java.nio.file.Files
         .createTempDirectory("stress_space").toString + "/space"
+      // the catalog's id-hash bucket layout (+ `_graft_buckets` sidecar):
+      // at corpus scale the payload join-back partition-prunes to the hit
+      // ids' buckets — the O(k) point-read path measured below
+      val nbS = 32
       table.select($"id".as("_id"), $"v",
           transform($"v", x => lit(0f) - x).cast("array<float>").as("v2"))
-        .write.mode("overwrite").parquet(sDir)
+        .withColumn("_bucket", pmod(hash($"_id"), lit(nbS)))
+        .repartition(nbS, $"_bucket")
+        .write.mode("overwrite").partitionBy("_bucket").parquet(sDir)
+      graft.sources.SidecarIO.writeString(s"$sDir/_graft_buckets", nbS.toString)
       val stored = spark.read.parquet(sDir)
       val lc = new graft.api.IndexLifecycle(spark, sDir)
       time(s"space_hnsw_gen_build_s$hShards", n) {
@@ -234,6 +241,52 @@ object Stress {
         "limit":10}"""
       time("conjunction_hnsw_ivf_2leg_top10", n + n / 8) {
         graft.api.SearchApi.searchAuto(stored, sp, mvReq, lc).count()
+      }
+
+      // ── payload fetch before/after (the r17 `weak`): the pruned path
+      // partition-prunes the bucketed layout to the ≤k hit ids' buckets
+      // and pushes id-IN (O(k) point reads, engine.cc:902-911); the
+      // before-shape broadcast-joined the same hits against the UNPRUNED
+      // corpus — a full 2M-row read per query to fetch 10 payload rows
+      val plainReq = s"""{"vectors":[{"field":"v",
+          "feature":${q.mkString("[", ",", "]")}}],"limit":10}"""
+      time("routed_payload_pruned_top10", 10) {
+        graft.api.SearchApi.searchAuto(stored, sp, plainReq, lc).count()
+      }
+      locally {
+        val hitsDf = (0 until 10)
+          .map(i => ((i * 997L) % n, i.toDouble)).toDF("_id", "_score")
+        time("routed_payload_unpruned_join_r17_shape", n) {
+          stored.drop("_bucket").join(broadcast(hitsDf), "_id").count()
+        }
+      }
+
+      // ── BATCHED (req_num=5) two-field conjunction at corpus scale:
+      // each field's 5 queries ride ONE amortized pass through its own
+      // generation, per-(qid, docid) intersection, per-qid top-k
+      val qs5 = stored.filter($"_id" < 5).orderBy($"_id")
+        .select("v").collect().map(_.getSeq[Float](0))
+      val mvbReq = s"""{"vectors":[
+          {"field":"v","feature":${qs5.flatten.mkString("[", ",", "]")}},
+          {"field":"v2","feature":${qs5.flatten.map(x => -x).mkString("[", ",", "]")}}],
+        "limit":10}"""
+      time("conjunction_batch5_hnsw_ivf_top10", 5L * (n + n / 8)) {
+        graft.api.SearchApi.searchAuto(stored, sp, mvbReq, lc).count()
+      }
+
+      // ── realtime-tail merge at corpus scale: 2M indexed base ∪ 100k
+      // buffered fresh writes — every leg serves base-index ∪ brute-tail,
+      // and the payload fetch prunes BOTH sides by the hit ids
+      val tailPath = s"$sDir.tail"
+      spark.range(n, n + 100000)
+        .select($"id".as("_id"), vecExpr.cast("array<float>").as("v"))
+        .withColumn("v2", transform($"v", x => lit(0f) - x).cast("array<float>"))
+        .write.mode("overwrite").parquet(tailPath)
+      val rt = new graft.streaming.RealtimeTail(spark, sDir, tailPath,
+        s"$sDir.ckpt", "_id", ridCol = Some("_id"))
+      time("realtime_merge_2M_base_100k_tail_top10", n + 100000) {
+        graft.api.SearchApi.searchAuto(stored, sp, plainReq, lc,
+          tail = Some(rt)).count()
       }
     }
 

@@ -132,15 +132,19 @@ class SearchApiSpec extends SparkSpec {
     val overridden = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
          "index_type":"FLAT"}],"limit":9}"""
     val plain = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}"""
-    val df = SearchApi.searchAuto(stored, hspace, overridden, lc)
-    assert(!df.queryExecution.executedPlan.toString.contains(".hnsw.g"),
+    val (df, flatPlans) = plansDuring(
+      SearchApi.searchAuto(stored, hspace, overridden, lc))
+    assert(!flatPlans.contains(".hnsw.g"),
       "index_type:FLAT must not serve from the graph generation")
     assert(rows(df) == rows(SearchApi.search(stored, hspace, plain)))
-    // the declared type still routes (sanity: generation serves)
-    val routedDf = SearchApi.searchAuto(stored, hspace,
+    // the declared type still routes (sanity: generation serves — the
+    // walk runs as the construction-time hits action, so the route shows
+    // in the captured action plans, not the returned payload join)
+    val (routedDf, routedPlans) = plansDuring(SearchApi.searchAuto(stored,
+      hspace,
       s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
-           "index_type":"HNSW"}],"limit":9}""", lc)
-    assert(routedDf.queryExecution.executedPlan.toString.contains(".hnsw.g"))
+           "index_type":"HNSW"}],"limit":9}""", lc))
+    assert(routedPlans.contains(".hnsw.g"))
     assert(rows(routedDf) == rows(SearchApi.search(stored, hspace, plain)))
   }
 
@@ -372,10 +376,11 @@ class SearchApiSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select($"_id", $"_score").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // v1 routes through its scoped graph generation (plan-discriminated)
+    // v1 routes through its scoped graph generation (plan-discriminated
+    // via the construction-time hits action's plan)
     val req1 = s"""{"vectors":[{"field":"v1","feature":${fjson(q0.take(32))}}],"limit":5}"""
-    val df1 = SearchApi.searchAuto(stored, sp, req1, lc)
-    assert(df1.queryExecution.executedPlan.toString.contains(".hnsw.g"),
+    val (df1, plans1) = plansDuring(SearchApi.searchAuto(stored, sp, req1, lc))
+    assert(plans1.contains(".hnsw.g"),
       "single-condition request must serve from the scoped graph generation")
     assert(rows(df1) == rows(SearchApi.search(stored, sp, req1)))
     // v2 routes through its scoped IVF generation; full probe ⇒ exact
@@ -1517,10 +1522,11 @@ class SearchApiSpec extends SparkSpec {
          "index_params":{"nprobe":1},"limit":8}"""
     val got = rows(SearchApi.searchAuto(stored, hspace, pruned, lc))
     assert(got.nonEmpty && got.head._1 == 0L)
-    // the plan prunes partitions: only the routed shard's files scan
-    val plan = SearchApi.searchAuto(stored, hspace, pruned, lc)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("shard_id"), "expected a shard_id partition filter in the plan")
+    // the plan prunes partitions: only the routed shard's files scan —
+    // the walk runs as the construction-time hits action, so the pruning
+    // shows in the captured action plans
+    val (_, planTxt) = plansDuring(SearchApi.searchAuto(stored, hspace, pruned, lc))
+    assert(planTxt.contains("shard_id"), "expected a shard_id partition filter in the plan")
     // batched request routes through the union of per-query lists
     val q7 = stored.filter($"_id" === 7L).select("embedding").head().getSeq[Float](0)
     val breq = s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q7).mkString("[", ",", "]")}}],"limit":5}"""
