@@ -537,6 +537,102 @@ object SearchApi {
     ((h % nb) + nb) % nb
   }
 
+  /** Score-gated GRAPH serving (min_score/max_score per vector
+    * condition, doc_query.go:67-78), the driver-bounded depth loop: each
+    * probe runs ONE action aggregating (candidate count, gated top-k)
+    * through the bounded TopKAgg heap, so the driver receives one count
+    * plus <= k (vec_id, _score) pairs per probe - never a depth-or-
+    * corpus-sized collect, whatever the gate's selectivity. Exactness: k
+    * gated survivors inside the returned top-depth dominate every
+    * candidate beyond it; a candidate count SHORTER than depth proves
+    * every admissible candidate was already seen - either way the gated
+    * top-k equals the FLAT path's gate-before-select. Ungated requests
+    * bypass the loop entirely (hitsAt(k), zero extra actions).
+    *
+    * The graph walks now thread the band into their RESULT heaps
+    * ([[graft.operators.HnswIndex.searchSegment]]'s band contract), so
+    * hitsAt(d) returns the GATED ranking's own prefix and the first
+    * probe converges (gated.size >= k, or n < depth at exhaustion) - one
+    * walk instead of re-paying segment IO per doubling. The doubling
+    * loop remains as the exactness backstop for any hitsAt that does not
+    * gate in-walk. Scan-shaped families never come here: they gate
+    * IN-SCAN (gamma_common_data.h:94-96) inside their operators. The
+    * multi-field conjunctive legs pass EACH CONDITION's own gate (the
+    * reference gates per condition before the docid intersection).
+    */
+  private[graft] def gateLoop(spark: org.apache.spark.sql.SparkSession,
+      k: Int, metric: String, minScore: Option[Double],
+      maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
+    if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
+    import spark.implicits._
+    val lo = minScore.getOrElse(Double.NegativeInfinity)
+    val hi = maxScore.getOrElse(Double.PositiveInfinity)
+    val asc = Knn.ascending(metric)
+    var depth = math.max(4 * k, 64)
+    var result: Option[Seq[(Long, Double)]] = None
+    while (result.isEmpty) {
+      // ONE bounded action: TopKAgg skips null scores, so the `when`
+      // drops out-of-gate candidates before the k-bounded heap
+      val row = hitsAt(depth)
+        .select(col("vec_id").cast("long").as("vec_id"), col("_score"))
+        .agg(count(lit(1)).as("_n"),
+          graft.Graft.F.topK(
+            when(col("_score").between(lo, hi), col("_score")),
+            col("vec_id"), k, asc).as("_tk"))
+        .head()
+      val n = row.getLong(0)
+      val gated = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(1), e.getDouble(0)))
+      if (gated.size >= k || n < depth || depth >= Int.MaxValue / 2)
+        result = Some(gated)
+      else depth *= 2
+    }
+    result.get.toDF("vec_id", "_score")
+  }
+
+  /** Batched [[gateLoop]] (req_num queries share the condition's gate -
+    * doc_query.go:296-318 flattens them into one request): hitsAt(d)
+    * returns per-qid top-d (_qid, vec_id, _score); each probe's single
+    * action aggregates per-qid (count, gated top-k) - <= req_num rows of
+    * <= k entries on the driver. The loop continues until EVERY query
+    * has k gated survivors or is exhausted; queries already satisfied
+    * at a lower depth stay exact at higher depths (more candidates
+    * never change the gated top-k once it dominates).
+    */
+  private[graft] def gateBatchLoop(spark: org.apache.spark.sql.SparkSession,
+      k: Int, metric: String, minScore: Option[Double],
+      maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
+    if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
+    import spark.implicits._
+    val lo = minScore.getOrElse(Double.NegativeInfinity)
+    val hi = maxScore.getOrElse(Double.PositiveInfinity)
+    val asc = Knn.ascending(metric)
+    var depth = math.max(4 * k, 64)
+    var result: Option[Seq[(Long, Long, Double)]] = None
+    while (result.isEmpty) {
+      val rows = hitsAt(depth)
+        .select(col("_qid").cast("long").as("_qid"),
+          col("vec_id").cast("long").as("vec_id"), col("_score"))
+        .groupBy(col("_qid"))
+        .agg(count(lit(1)).as("_n"),
+          graft.Graft.F.topK(
+            when(col("_score").between(lo, hi), col("_score")),
+            col("vec_id"), k, asc).as("_tk"))
+        .collect()
+      val done = rows.forall { r =>
+        r.getSeq[org.apache.spark.sql.Row](2).size >= k || r.getLong(1) < depth
+      } || depth >= Int.MaxValue / 2
+      if (done)
+        result = Some(rows.toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(e => (qid, e.getLong(1), e.getDouble(0)))
+        })
+      else depth *= 2
+    }
+    result.get.toDF("_qid", "vec_id", "_score")
+  }
+
   /** `tail` is the space's realtime buffer (`enable_realtime` — the
     * reference merges the memory buffer into EVERY index type's search,
     * vector_manager.cc:941-1012,1096-1176): when present and non-empty,
@@ -645,93 +741,11 @@ object SearchApi {
       if (req.sort.nonEmpty) applySort(projected, req.sort, qid = Some(col("_qid")))
       else projected
     }
-    // score-gated GRAPH serving (min_score/max_score per vector
-    // condition, doc_query.go:67-78): the beam-limited walk families
-    // (HNSW/Vamana) can't gate exactly in-walk - instead the leg
-    // over-fetches (depth doubling from 4k) and gates DISTRIBUTEDLY: each
-    // probe runs ONE action aggregating (total candidate count, gated
-    // top-k) through the bounded TopKAgg heap, so the driver receives one
-    // count plus <= k (vec_id, _score) pairs per probe - never a
-    // depth-or-corpus-sized collect, whatever the gate's selectivity.
-    // Exactness: k gated survivors inside the ungated top-depth dominate
-    // every candidate beyond it; a candidate count SHORTER than depth
-    // proves every admissible candidate was already seen - either way the
-    // gated top-k equals the FLAT path's gate-before-select. Ungated
-    // requests bypass the loop entirely (hitsAt(k), zero extra actions).
-    // Scan-shaped families never come here: they gate IN-SCAN
-    // (gamma_common_data.h:94-96) inside their operators. The
-    // multi-field conjunctive legs pass EACH CONDITION's own gate (the
-    // reference gates per condition before the docid intersection).
-    def gateLoopGates(k: Int, metric: String, minScore: Option[Double],
-        maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
-      if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      val lo = minScore.getOrElse(Double.NegativeInfinity)
-      val hi = maxScore.getOrElse(Double.PositiveInfinity)
-      val asc = Knn.ascending(metric)
-      var depth = math.max(4 * k, 64)
-      var result: Option[Seq[(Long, Double)]] = None
-      while (result.isEmpty) {
-        // ONE bounded action: TopKAgg skips null scores, so the `when`
-        // drops out-of-gate candidates before the k-bounded heap
-        val row = hitsAt(depth)
-          .select(col("vec_id").cast("long").as("vec_id"), col("_score"))
-          .agg(count(lit(1)).as("_n"),
-            graft.Graft.F.topK(
-              when(col("_score").between(lo, hi), col("_score")),
-              col("vec_id"), k, asc).as("_tk"))
-          .head()
-        val n = row.getLong(0)
-        val gated = row.getSeq[org.apache.spark.sql.Row](1)
-          .map(e => (e.getLong(1), e.getDouble(0)))
-        if (gated.size >= k || n < depth || depth >= Int.MaxValue / 2)
-          result = Some(gated)
-        else depth *= 2
-      }
-      result.get.toDF("vec_id", "_score")
-    }
-    // batched variant (req_num queries share the condition's gate -
-    // doc_query.go:296-318 flattens them into one request): hitsAt(d)
-    // returns per-qid top-d (_qid, vec_id, _score); each probe's single
-    // action aggregates per-qid (count, gated top-k) - <= req_num rows of
-    // <= k entries on the driver. The loop continues until EVERY query
-    // has k gated survivors or is exhausted; queries already satisfied
-    // at a lower depth stay exact at higher depths (more candidates
-    // never change the gated top-k once it dominates).
-    def gateBatchLoopGates(k: Int, metric: String, minScore: Option[Double],
-        maxScore: Option[Double])(hitsAt: Int => DataFrame): DataFrame = {
-      if (minScore.isEmpty && maxScore.isEmpty) return hitsAt(k)
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      val lo = minScore.getOrElse(Double.NegativeInfinity)
-      val hi = maxScore.getOrElse(Double.PositiveInfinity)
-      val asc = Knn.ascending(metric)
-      var depth = math.max(4 * k, 64)
-      var result: Option[Seq[(Long, Long, Double)]] = None
-      while (result.isEmpty) {
-        val rows = hitsAt(depth)
-          .select(col("_qid").cast("long").as("_qid"),
-            col("vec_id").cast("long").as("vec_id"), col("_score"))
-          .groupBy(col("_qid"))
-          .agg(count(lit(1)).as("_n"),
-            graft.Graft.F.topK(
-              when(col("_score").between(lo, hi), col("_score")),
-              col("vec_id"), k, asc).as("_tk"))
-          .collect()
-        val done = rows.forall { r =>
-          r.getSeq[org.apache.spark.sql.Row](2).size >= k || r.getLong(1) < depth
-        } || depth >= Int.MaxValue / 2
-        if (done)
-          result = Some(rows.toSeq.flatMap { r =>
-            val qid = r.getLong(0)
-            r.getSeq[org.apache.spark.sql.Row](2)
-              .map(e => (qid, e.getLong(1), e.getDouble(0)))
-          })
-        else depth *= 2
-      }
-      result.get.toDF("_qid", "vec_id", "_score")
-    }
+    // score-gated GRAPH serving: see [[gateLoop]]/[[gateBatchLoop]] on
+    // the object — the walks thread the band into their RESULT heaps, so
+    // the loop's first probe already returns the gated ranking's prefix
+    // and convergence is immediate; the loop stays as the exactness
+    // backstop for any hitsAt that does NOT gate in-walk.
     // the walk returns (id, score); scalar payloads come from ONE
     // broadcast join of the <= req_num*(k+offset) hits back onto a
     // PRUNED slice of the LIVE view (a tail hit's payload lives in the
@@ -871,6 +885,17 @@ object SearchApi {
         def walkQs: Seq[(Long, Seq[Float])] =
           if (isI8) qI8.map { case (qid, c) => (qid, c.toSeq.map(_.toFloat)) }
           else qsN
+        // this condition's score gate as the graph walks' result-heap
+        // band ([lo, hi] on the reported score): the walk returns the
+        // gated ranking's own prefix, so the gate loop converges on its
+        // first probe. Exact in the same sense as the ungated walk: with
+        // ef >= |shard| the walk is exhaustive, and int8 legs' raw-code
+        // float domain reports scores identical to the integer kernels.
+        val band: Option[(Double, Double)] =
+          if (vc.minScore.isDefined || vc.maxScore.isDefined)
+            Some((vc.minScore.getOrElse(Double.NegativeInfinity),
+              vc.maxScore.getOrElse(Double.PositiveInfinity)))
+          else None
         // tail leg, single query: value-typed brute scan of the buffer
         def tailScan(d: Int)(td: DataFrame): DataFrame =
           (if (isBin)
@@ -930,38 +955,33 @@ object SearchApi {
           else tail.get.mergeTailBatch(corpus.schema, d, metric, deny)(tailScanB(d))(base)
         // graph-family core (HNSW and Vamana differ only in their walk
         // operators): allow-functor filtering with the broad-filter FLAT
-        // switch, ONE allow broadcast per leg hoisted out of the gate
-        // loop's depth retries, value-typed tail merge. A GATED leg
-        // pins the (pruned) segment table in executor storage for the
-        // loop's lifetime: every depth probe re-executes the walk, and
-        // without the pin each probe re-pays the full segment IO
-        // (measured 3x at 2M); the loops materialize driver-side rows
-        // before returning, so the pin releases deterministically.
-        def graphLeg(deny: Set[Long],
-            segments: org.apache.spark.sql.Dataset[_])(
+        // switch, ONE allow broadcast per leg, value-typed tail merge.
+        // Score gates ride INTO the walk's result heap (the `band`
+        // threaded at the case sites below), so a gated leg's first
+        // gate-loop probe already returns the gated ranking's prefix and
+        // the walk runs ONCE — no depth-doubling segment-IO re-pay, no
+        // persist pin needed (the r17 pin existed for the multi-probe
+        // loop this replaces).
+        def graphLeg(deny: Set[Long])(
             walk: (Seq[Float], Int) => DataFrame)(
             walkBc: (Seq[Float], Int,
               org.apache.spark.broadcast.Broadcast[Set[Long]]) => DataFrame)(
             walkBatch: (Seq[(Long, Seq[Float])], Int,
               Option[Set[Long]]) => DataFrame): Option[DataFrame] =
           allowProbe.map { allow =>
-            val gated = vc.minScore.isDefined || vc.maxScore.isDefined
-            if (gated) segments.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              if (!batched) {
-                val base: Int => DataFrame = allow match {
-                  case Some(a) =>
-                    val bc = corpus.sparkSession.sparkContext.broadcast(a -- deny)
-                    kb => walkBc(walkQs.head._2, kb, bc)
-                  case None => kb => walk(walkQs.head._2, kb)
-                }
-                gateLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
-                  withTail(deny, d)(base))
-              } else
-                gateBatchLoopGates(k, metric, vc.minScore, vc.maxScore)(d =>
-                  withTailB(deny, d)(kb => walkBatch(walkQs, kb, allow)))
-            } finally if (gated) { segments.unpersist(blocking = false); () }
+            if (!batched) {
+              val base: Int => DataFrame = allow match {
+                case Some(a) =>
+                  val bc = corpus.sparkSession.sparkContext.broadcast(a -- deny)
+                  kb => walkBc(walkQs.head._2, kb, bc)
+                case None => kb => walk(walkQs.head._2, kb)
+              }
+              gateLoop(corpus.sparkSession, k, metric, vc.minScore,
+                vc.maxScore)(d => withTail(deny, d)(base))
+            } else
+              gateBatchLoop(corpus.sparkSession, k, metric, vc.minScore,
+                vc.maxScore)(d =>
+                withTailB(deny, d)(kb => walkBatch(walkQs, kb, allow)))
           }
         // clustered generations (SPANN layout): prune to the union of
         // every query's nprobe route - the shard_id filter is parquet
@@ -992,14 +1012,14 @@ object SearchApi {
                 .map(lc.deletedSince).getOrElse(Set.empty[Long])
               val segments = pruneShards(segments0, lc.hnswRoutedModel(metric))
               val ef = math.max(param("efSearch", fOpts).getOrElse(64), k)
-              graphLeg(deny, segments)(
+              graphLeg(deny)(
                 (q, kb) => graft.operators.HnswIndex.search(segments, q, kb,
-                  math.max(ef, kb), metric, deny = deny))(
+                  math.max(ef, kb), metric, deny = deny, band = band))(
                 (q, kb, bc) => graft.operators.HnswIndex.searchFilteredBc(
-                  segments, q, kb, math.max(ef, kb), metric, bc))(
+                  segments, q, kb, math.max(ef, kb), metric, bc, band = band))(
                 (qs, kb, allow) => graft.operators.HnswIndex.searchBatch(
                   segments, qs, kb, math.max(ef, kb), metric, deny = deny,
-                  allowIds = allow))
+                  allowIds = allow, band = band))
             }
           // the reference's DiskANN-static class
           // (gamma_index_diskann_static.cc): `l_search`/`beam_width`
@@ -1017,14 +1037,15 @@ object SearchApi {
                   .orElse(fOpts.indexParams.get("L").filter(_ > 0))
                   .getOrElse(100), k)
               val bw = param("beam_width", fOpts).getOrElse(4)
-              graphLeg(deny, segments)(
+              graphLeg(deny)(
                 (q, kb) => graft.operators.VamanaIndex.search(segments, q, kb,
-                  math.max(l, kb), bw, metric, deny = deny))(
+                  math.max(l, kb), bw, metric, deny = deny, band = band))(
                 (q, kb, bc) => graft.operators.VamanaIndex.searchFilteredBc(
-                  segments, q, kb, math.max(l, kb), bw, metric, bc))(
+                  segments, q, kb, math.max(l, kb), bw, metric, bc,
+                  band = band))(
                 (qs, kb, allow) => graft.operators.VamanaIndex.searchBatch(
                   segments, qs, kb, math.max(l, kb), bw, metric, deny = deny,
-                  allowIds = allow))
+                  allowIds = allow, band = band))
             }
           // GPU_* spaces execute on CUDA in the reference; here they
           // serve from the equivalent CPU layout - same semantics.

@@ -404,13 +404,31 @@ object HnswIndex {
     * carry the graph's connectivity) but never admitted to the result
     * set — so the exhaustive-walk exactness argument survives filtering
     * unchanged.
+    *
+    * `band` is the score gate ([lo, hi] on the REPORTED score,
+    * doc_query.go:67-78) threaded into the RESULT heap the same way:
+    * out-of-band nodes are traversed but never admitted, so the walk's
+    * termination bound becomes the worst IN-BAND result and the beam
+    * naturally extends past a selective gate's excluded head — the
+    * returned rows are the gated ranking's own prefix, and the caller's
+    * depth-doubling gate loop converges on its first probe instead of
+    * re-paying the walk per doubling.
     */
   private[graft] def searchSegment(
       seg: Segment, q: Array[Float], k: Int, ef: Int, metric: String,
-      allow: Long => Boolean = _ => true): Array[(Long, Double)] = {
+      allow: Long => Boolean = _ => true,
+      band: Option[(Double, Double)] = None): Array[(Long, Double)] = {
     val n = seg.nodes.length
     if (n == 0) return Array.empty
     val dist = rankDist(metric) _
+    // admission gate in the rank-distance domain via the reported score
+    // (monotone per metric), evaluated only when a band is set
+    val admit: (Long, Double) => Boolean = band match {
+      case Some((lo, hi)) => (id, d) => {
+        val s = reportScore(metric, d); allow(id) && s >= lo && s <= hi
+      }
+      case None => (id, _) => allow(id)
+    }
     val vecs = seg.nodes.map(_.vec)
     implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
 
@@ -439,7 +457,7 @@ object HnswIndex {
     val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
     visited.set(ep)
     cand.enqueue((dEp, ep))
-    if (allow(seg.nodes(ep).id)) res.enqueue((dEp, ep))
+    if (admit(seg.nodes(ep).id, dEp)) res.enqueue((dEp, ep))
     while (cand.nonEmpty) {
       val (dc, c) = cand.dequeue()
       if (res.size >= effEf && dc > res.head._1) cand.clear()
@@ -451,13 +469,14 @@ object HnswIndex {
           if (!visited.get(e)) {
             visited.set(e)
             val d = dist(q, vecs(e))
-            // traversal admission: until the ALLOWED result set fills,
-            // every unvisited node stays explorable (disallowed nodes
-            // carry connectivity); once full, only improving nodes do
+            // traversal admission: until the ADMITTED result set fills,
+            // every unvisited node stays explorable (disallowed and
+            // out-of-band nodes carry connectivity); once full, only
+            // improving nodes do
             if (res.size < effEf || d < res.head._1 ||
                 (d == res.head._1 && e < res.head._2)) {
               cand.enqueue((d, e))
-              if (allow(seg.nodes(e).id)) {
+              if (admit(seg.nodes(e).id, d)) {
                 res.enqueue((d, e))
                 if (res.size > effEf) res.dequeue()
               }
@@ -586,18 +605,21 @@ object HnswIndex {
     */
   def search(segments: Dataset[Segment], q: Seq[Float], k: Int, ef: Int,
       metric: String, roundTo: Option[Int] = None,
-      deny: Set[Long] = Set.empty): DataFrame = {
+      deny: Set[Long] = Set.empty,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qa = q.toArray
     val hits =
       if (deny.isEmpty)
-        segments.flatMap(seg => searchSegment(seg, qa, k, ef, metric))
+        segments.flatMap(seg => searchSegment(seg, qa, k, ef, metric,
+            band = band))
           .toDF("vec_id", "_score")
       else {
         val bc = spark.sparkContext.broadcast(deny)
         segments.flatMap(seg =>
-            searchSegment(seg, qa, k, ef, metric, id => !bc.value.contains(id)))
+            searchSegment(seg, qa, k, ef, metric,
+              id => !bc.value.contains(id), band = band))
           .toDF("vec_id", "_score")
       }
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
@@ -646,12 +668,14 @@ object HnswIndex {
   def searchFilteredBc(segments: Dataset[Segment], q: Seq[Float], k: Int,
       ef: Int, metric: String,
       allowBc: org.apache.spark.broadcast.Broadcast[Set[Long]],
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qa = q.toArray
     val hits = segments
-      .flatMap(seg => searchSegment(seg, qa, k, ef, metric, allowBc.value.contains _))
+      .flatMap(seg => searchSegment(seg, qa, k, ef, metric,
+        allowBc.value.contains _, band = band))
       .toDF("vec_id", "_score")
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
     val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
@@ -669,7 +693,8 @@ object HnswIndex {
       // filtered batch (the reference's flattened req_num WITH a scalar
       // filter): one allow-set broadcast serves every query in the
       // batch — the collect amortizes exactly like the segment read
-      allowIds: Option[Set[Long]] = None): DataFrame = {
+      allowIds: Option[Set[Long]] = None,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
@@ -682,7 +707,7 @@ object HnswIndex {
         case None => id => !denyBc.value.contains(id)
       }
       qs.iterator.flatMap { case (qid, qa) =>
-        searchSegment(seg, qa, k, ef, metric, allow).iterator
+        searchSegment(seg, qa, k, ef, metric, allow, band = band).iterator
           .map { case (id, s) => (qid, id, s) }
       }
     }.toDF("_qid", "vec_id", "_score")

@@ -286,10 +286,20 @@ object VamanaIndex {
     */
   private[graft] def searchSegment(
       seg: Segment, q: Array[Float], k: Int, l: Int, beamWidth: Int,
-      metric: String, allow: Long => Boolean = _ => true): Array[(Long, Double)] = {
+      metric: String, allow: Long => Boolean = _ => true,
+      band: Option[(Double, Double)] = None): Array[(Long, Double)] = {
     val n = seg.nodes.length
     if (n == 0) return Array.empty
     val dist = HnswIndex.rankDist(metric) _
+    // score-gate admission into the RESULT list only (see
+    // [[HnswIndex.searchSegment]]'s band contract): out-of-band nodes
+    // keep carrying connectivity, the beam extends past the gate
+    val admit: (Long, Double) => Boolean = band match {
+      case Some((lo, hi)) => (id, d) => {
+        val s = HnswIndex.reportScore(metric, d); allow(id) && s >= lo && s <= hi
+      }
+      case None => (id, _) => allow(id)
+    }
     val vecs = seg.nodes.map(_.vec)
     implicit val ord: Ordering[(Double, Int)] =
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
@@ -301,7 +311,7 @@ object VamanaIndex {
     val d0 = dist(q, vecs(seg.medoid))
     visited.set(seg.medoid)
     cand.enqueue((d0, seg.medoid))
-    if (allow(seg.nodes(seg.medoid).id)) res.enqueue((d0, seg.medoid))
+    if (admit(seg.nodes(seg.medoid).id, d0)) res.enqueue((d0, seg.medoid))
     val beam = new Array[Int](w)
     while (cand.nonEmpty) {
       // expand up to beamWidth closest frontier nodes as one batch
@@ -327,7 +337,7 @@ object VamanaIndex {
             if (res.size < effL || d < res.head._1 ||
                 (d == res.head._1 && e < res.head._2)) {
               cand.enqueue((d, e))
-              if (allow(seg.nodes(e).id)) {
+              if (admit(seg.nodes(e).id, d)) {
                 res.enqueue((d, e))
                 if (res.size > effL) res.dequeue()
               }
@@ -349,18 +359,20 @@ object VamanaIndex {
     */
   def search(segments: Dataset[Segment], q: Seq[Float], k: Int, l: Int,
       beamWidth: Int = 4, metric: String = "l2", roundTo: Option[Int] = None,
-      deny: Set[Long] = Set.empty): DataFrame = {
+      deny: Set[Long] = Set.empty,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qa = q.toArray
     val hits =
       if (deny.isEmpty)
-        segments.flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric))
+        segments.flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric,
+            band = band))
           .toDF("vec_id", "_score")
       else {
         val bc = spark.sparkContext.broadcast(deny)
         segments.flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric,
-            id => !bc.value.contains(id)))
+            id => !bc.value.contains(id), band = band))
           .toDF("vec_id", "_score")
       }
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
@@ -394,13 +406,14 @@ object VamanaIndex {
   def searchFilteredBc(segments: Dataset[Segment], q: Seq[Float], k: Int,
       l: Int, beamWidth: Int, metric: String,
       allowBc: org.apache.spark.broadcast.Broadcast[Set[Long]],
-      roundTo: Option[Int] = None): DataFrame = {
+      roundTo: Option[Int] = None,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qa = q.toArray
     val hits = segments
       .flatMap(seg => searchSegment(seg, qa, k, l, beamWidth, metric,
-        allowBc.value.contains _))
+        allowBc.value.contains _, band = band))
       .toDF("vec_id", "_score")
     val primary = if (ascending(metric)) col("_score").asc else col("_score").desc
     val top = hits.orderBy(primary, col("vec_id").asc).limit(k)
@@ -418,7 +431,8 @@ object VamanaIndex {
   def searchBatch(segments: Dataset[Segment], queries: Seq[(Long, Seq[Float])],
       k: Int, l: Int, beamWidth: Int = 4, metric: String = "l2",
       deny: Set[Long] = Set.empty,
-      allowIds: Option[Set[Long]] = None): DataFrame = {
+      allowIds: Option[Set[Long]] = None,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val spark = segments.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toArray) }.toArray
@@ -431,8 +445,8 @@ object VamanaIndex {
         case None => id => !denyBc.value.contains(id)
       }
       qs.iterator.flatMap { case (qid, qa) =>
-        searchSegment(seg, qa, k, l, beamWidth, metric, allow).iterator
-          .map { case (id, s) => (qid, id, s) }
+        searchSegment(seg, qa, k, l, beamWidth, metric, allow, band = band)
+          .iterator.map { case (id, s) => (qid, id, s) }
       }
     }.toDF("_qid", "vec_id", "_score")
     hits.groupBy(col("_qid"))

@@ -172,15 +172,16 @@ object Stress {
     // through the one legFor recipe): a REAL space dir with per-field
     // READY generations — v under a scoped HNSW generation, v2 (= -v)
     // under a scoped IVFFLAT generation — then
-    //  (a) the driver-bounded score-gate loop under a SELECTIVE gate
-    //      (min_score = the 200th-neighbor distance, so the depth-64
-    //      and depth-128 probes both under-fill and the loop MUST
-    //      double twice: 3 probes, one bounded aggregate action each);
+    //  (a) the score-gate path under a SELECTIVE gate (min_score = the
+    //      200th-neighbor distance). Since r18 the walk threads the band
+    //      into its result heap, so the FIRST gate-loop probe already
+    //      returns the gated ranking's prefix — ONE walk (r17's loop
+    //      re-paid it per depth doubling: 3 probes / 8 jobs at 2M);
     //  (b) a two-field MIXED-family conjunction (HNSW leg + IVF leg →
     //      family-agnostic docid intersection).
-    // The probe count is PINNED via a job listener — the scale claim is
-    // that gate selectivity costs O(log(depth)) bounded actions, never
-    // a corpus-sized collect.
+    // The job count is printed via a listener — the scale claim is that
+    // gate selectivity costs ONE bounded walk + aggregate action, never
+    // a corpus-sized collect or a per-doubling segment re-read.
     locally {
       val sDir = java.nio.file.Files
         .createTempDirectory("stress_space").toString + "/space"

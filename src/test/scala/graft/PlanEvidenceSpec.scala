@@ -235,21 +235,53 @@ class PlanEvidenceSpec extends SparkSpec {
     }
     assert(nf <= 5, s"filtered routed plan construction ran $nf jobs (take ≤2 + hits ≤3)")
 
-    // 3) SELECTIVE gate (min_score ≈ median): the loop doubles
-    // 64→128→256→512 before exhaustion on the 500-doc fixture — exactly
-    // `probes` bounded aggregate actions, each at most 2 scheduler jobs
-    // (partial + final agg under AQE). A per-probe collect+count pair or
-    // a depth-sized collect would blow this bound.
-    val n = stored.count().toInt
-    var probes = 1; var depth = math.max(4 * 9, 64)
-    while (depth <= n) { probes += 1; depth *= 2 }
+    // 3) SELECTIVE gate (min_score ≈ median): the walk threads the band
+    // into its result heap, so hitsAt(depth) returns the GATED ranking's
+    // prefix and the loop converges on its FIRST probe — one bounded
+    // aggregate action (≤2 scheduler jobs) + the payload prune's local
+    // hits scan (≤1). The r17 shape re-paid the walk per depth doubling
+    // (4 probes on this fixture); ≥5 jobs would mean the doubling is
+    // back.
     val ng = jobsDuring {
       graft.api.SearchApi.searchAuto(stored, sp, req(""","min_score":1.41"""), lc)
     }
-    assert(ng >= probes, s"gate loop ran $ng jobs — expected ≥ $probes probes (loop must iterate)")
-    // +2: the loop's hits are already local rows, so the payload prune's
-    // hits action costs at most a 1-task local-scan job
-    assert(ng <= 2 * probes + 2, s"gate loop ran $ng jobs for $probes probes — extra per-probe actions")
+    assert(ng >= 1, s"gate loop ran $ng jobs — the gated probe must run")
+    assert(ng <= 4, s"gate loop ran $ng jobs — in-walk band admission " +
+      "should converge on the first probe (one bounded aggregate action)")
+  }
+
+  test("gate loop backstop still depth-doubles when hits are NOT gated in-walk") {
+    // the exactness backstop for any hitsAt that does not thread the
+    // band: an artificially tight first depth (ungated top-d prefixes)
+    // must double until the gated top-k dominates, and the result must
+    // equal gate-before-select
+    import spark.implicits._
+    val n = 2000
+    val all = (1 to n).map(i => (i.toLong, i.toDouble))
+    var probes = 0
+    val out = graft.api.SearchApi.gateLoop(spark, 5, "l2",
+      minScore = Some(1000.0), maxScore = None) { depth =>
+      probes += 1
+      all.take(depth).toDF("vec_id", "_score") // ungated top-depth prefix
+    }.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+    // gated top-5 of the full ranking = scores 1000..1004
+    assert(out.toSeq == (1000 to 1004).map(i => (i.toLong, i.toDouble)))
+    // depth starts at max(4k, 64) = 64 and must double past 1000:
+    // 64→128→256→512→1024 = 5 probes
+    assert(probes == 5, s"expected 5 doubling probes, got $probes")
+    // batched variant: two queries, one exhausts early (short stream)
+    var bprobes = 0
+    val bout = graft.api.SearchApi.gateBatchLoop(spark, 5, "l2",
+      minScore = Some(1000.0), maxScore = None) { depth =>
+      bprobes += 1
+      (all.take(depth).map { case (id, s) => (0L, id, s) } ++
+        all.take(math.min(depth, 200)).map { case (id, s) => (1L, id, s) })
+        .toDF("_qid", "vec_id", "_score")
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // qid 0 finds 1000..1004; qid 1's stream exhausts at 200 rows with
+    // zero gated survivors — exhaustion, not an infinite loop
+    assert(bout == (1000L to 1004L).map(i => (0L, i)))
+    assert(bprobes == 5, s"expected 5 batched probes, got $bprobes")
   }
 
   test("int8 routed serving keeps the action pin: one bounded hits action at plan construction") {

@@ -148,10 +148,10 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(routedDf) == rows(SearchApi.search(stored, hspace, plain)))
   }
 
-  test("gated routed serving leaves no residual persisted RDDs (segment pin released)") {
-    // a gated graph leg pins the segment table across the gate loop's
-    // depth probes; the pin must release when the loop's driver-side
-    // rows exist — a leak here grows executor storage per gated query
+  test("gated routed serving leaves no residual persisted RDDs") {
+    // gated graph legs thread the band into the walk's result heap (one
+    // probe, no segment pin since r18) — pin that NOTHING stays persisted
+    // after a gated query, whatever the serving internals do
     val root = java.nio.file.Files.createTempDirectory("gate_pin").toString
     val spacePath = s"$root/space"
     spark.read.parquet(s"$sf/embeddings.parquet")
@@ -168,9 +168,9 @@ class SearchApiSpec extends SparkSpec {
     lc.rebuildHnsw("_id", "embedding",
       graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
     val before = spark.sparkContext.getPersistentRDDs.size
-    // selective gate: the loop iterates (depth-doubles), exercising the
-    // pin across retries; combined with a scalar filter and the symbol
-    // wire form so the full flag surface rides one request
+    // selective gate combined with a scalar filter and the symbol wire
+    // form so the full flag surface rides one request; efSearch ≥ corpus
+    // makes the banded walk exhaustive ⇒ exact parity with brute FLAT
     val req = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
          "symbol":">=","value":1.41}],
         "filters":{"operator":"AND","conditions":[
@@ -179,7 +179,7 @@ class SearchApiSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[Double]("_score") >= 1.41))
     assert(rows.toSeq == SearchApi.search(stored, hspace, req).collect().toSeq)
     assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "gated routed search must unpersist its segment pin")
+      "gated routed search must leave no persisted RDDs")
     // index_type FLAT composes with the gate: brute twin, same rows
     val flatReq = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
          "symbol":">=","value":1.41,"index_type":"FLAT"}],"limit":9}"""
