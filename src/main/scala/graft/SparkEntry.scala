@@ -433,9 +433,11 @@ object SparkEntry {
           round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
     }),
 
-    // ── §2.4 (rows-only): the same routed intersection at the real
-    //    operating point (ef=64 per-field walks); exactness twin above,
-    //    recall pinned in RecallGateSpec ──
+    // ── §2.4 the same routed intersection at the real operating point
+    //    (ef=64 per-field walks): the beams recover the exact per-field
+    //    top-100 on this fixture, so the composition oracles against the
+    //    same intersection SQL as the exact twin (hash-checked since
+    //    r18); recall at lossy points pinned in RecallGateSpec ──
     "q_knn_multivec_routed" -> ((s, dir) => {
       init(s)
       val (segsA, segsB) = graft.sources.IndexStore.hnswMultiField(s, dir)
@@ -734,16 +736,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── pipeline (rows-only): embedding near-dup via hyperplane LSH ──
+    // ── pipeline: embedding near-dup via hyperplane LSH. Scale policy
+    //    unchanged: plane count ∝ log(n/64) so candidate work stays
+    //    LINEAR (the fixed-plane anti-policy measured 17× wall-clock at
+    //    10× rows, BENCH_SCALING r11). Planes are corpus rows and the
+    //    bit decision runs in the int8-quantized domain (integer dot
+    //    signs — bit-for-bit SQL-replayable, 4× cheaper per projection),
+    //    so the WHOLE pipeline — bucket gen, pair join, cosine verify —
+    //    oracles against DuckDB (hash-checked since r18) ──
     "q_embed_neardup_lsh" -> ((s, dir) => {
       init(s)
-      // scale policy: planes derive from the corpus (bucket count ∝ n,
-      // occupancy ≈ 64) so candidate work stays LINEAR — the fixed-plane
-      // anti-policy measured 17× wall-clock at 10× rows (BENCH_SCALING
-      // r11). At sf ≤ 0.01 the derived count equals the historical 4.
-      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numPlanes = 4, numTables = 8,
-        targetBucketRows = Some(64L))
+      val embT = t(s, dir, "embeddings")
+      val n = embT.count()
+      val np = math.max(4, math.ceil(
+        math.log(math.max(1L, n / 64L).toDouble) / math.log(2.0)).toInt)
+      val planeRows = embT
+        .filter(col("vec_id") >= 100 && col("vec_id") < 100 + 8 * np)
+        .orderBy(col("vec_id")).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val planes = (0 until 8).map(ti =>
+        (0 until np).map(pi => planeRows(ti * np + pi)).toSeq).toSeq
+      Dedup.embeddingNearDupLsh(embT, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numTables = 8,
+        quantPlanes = Some(planes))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3353,6 +3369,24 @@ object SparkEntry {
        SELECT _qid, vec_id AS _id, round(sc, 4) AS _score
        FROM r WHERE rn <= 10 ORDER BY _qid, rn"""
 
+  /** The brute per-field top-100 IP intersection + WeightedRanker — the
+    * oracle both the exact and the ef=64 routed multivec conjunctions
+    * replay (the ef=64 walks are measured exact on the sf0.01 fixture).
+    */
+  private val multivecIntersectTop10Sql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+       b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
+                    (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
+       f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
+              FROM b ORDER BY s0 DESC LIMIT 100),
+       f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
+              FROM b ORDER BY s1 DESC LIMIT 100),
+       j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
+             FROM f0 JOIN f1 USING (vec_id))
+       SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
+              round(sc, 4) AS score
+       FROM j ORDER BY sc DESC, vec_id LIMIT 10"""
+
   private val exactL2Top10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
@@ -4360,6 +4394,24 @@ object SparkEntry {
     "q_rabitq_exact" -> exactL2Top10Sql,
     "q_rabitq_ivf_exact" -> exactL2Top10Sql,
     "q_knn_sql" -> exactL2Top10Sql,
+    // binarize + rerank is closed-form: the stage-1 shortlist is the
+    // top-100 by sign-bit Hamming (ties on vec_id — BinaryIndex.search's
+    // deterministic order), the rerank the exact l2 over the survivors;
+    // both stages recompute from the raw embeddings in SQL
+    "q_binary_rerank" ->
+      """WITH q AS (SELECT embedding AS qe, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id = 0),
+         ham AS (SELECT e.vec_id,
+                        CAST(list_sum(list_transform(range(1, 65),
+                          i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
+                                    THEN 1 ELSE 0 END)) AS BIGINT) AS h
+                 FROM embeddings e, q),
+         short AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id ASC LIMIT 100)
+         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM short)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
 
     "q_ivf_filtered" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
@@ -4581,19 +4633,16 @@ object SparkEntry {
          FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
     // routed intersection with exact per-field walks ≡ the brute
     // per-field top-100 intersection — same oracle by construction
-    "q_knn_multivec_routed_exact" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
-         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
-                FROM b ORDER BY s0 DESC LIMIT 100),
-         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
-                FROM b ORDER BY s1 DESC LIMIT 100),
-         j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
-                round(sc, 4) AS score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
+    "q_knn_multivec_routed_exact" -> multivecIntersectTop10Sql,
+    // the ef=64 operating point: each per-field walk's beam (effEf =
+    // max(64, k=100) per 500-node shard) recovers the exact per-field
+    // top-100 on this fixture — measured bit-identical to the exact twin
+    // at sf0.01 — so the SAME intersection SQL oracles the whole routed
+    // composition at its REAL operating point; a walk regression that
+    // loses even one of the 100 now hash-fails instead of passing a
+    // rows-only check. Recall at genuinely lossy points stays pinned in
+    // RecallGateSpec.
+    "q_knn_multivec_routed" -> multivecIntersectTop10Sql,
 
     "q3_join" ->
       """SELECT o.o_orderkey, c.c_name,
@@ -4823,6 +4872,39 @@ object SparkEntry {
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_a, id_b""",
+    // full LSH replay: plane count np = max(4, ceil(log2(n/64))) (the
+    // query's scale policy), planes = corpus rows vec_id 100..100+8np-1,
+    // bit = sign of the INT8-quantized dot (integer arithmetic — exact
+    // in both engines), bucket = the np-bit signature per table, pairs
+    // share (table, bucket), survivors pass the exact cosine verify
+    "q_embed_neardup_lsh" ->
+      """WITH prm AS (SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1, COUNT(*) // 64))) AS INT)) AS np
+                      FROM embeddings),
+         qv AS (SELECT vec_id,
+                       [CAST(GREATEST(-127, LEAST(127, FLOOR(x*127+0.5))) AS BIGINT)
+                        FOR x IN embedding::DOUBLE[]] AS c
+                FROM embeddings),
+         pl AS (SELECT CAST((q.vec_id - 100) // prm.np AS INT) AS t,
+                       CAST((q.vec_id - 100) % prm.np AS INT) AS p, q.c AS pc
+                FROM qv q, prm
+                WHERE q.vec_id >= 100 AND q.vec_id < 100 + 8 * prm.np),
+         bits AS (SELECT e.vec_id AS id, pl.t,
+                         CASE WHEN list_sum(list_transform(range(1, 65),
+                                j -> e.c[j] * pl.pc[j])) >= 0
+                              THEN 1 << pl.p ELSE 0 END AS b
+                  FROM qv e, pl),
+         sig AS (SELECT id, t, SUM(b) AS bucket FROM bits GROUP BY 1, 2),
+         cand AS (SELECT a.id AS id_a, b.id AS id_b
+                  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+                                       AND a.id < b.id
+                  GROUP BY 1, 2)
+         SELECT c.id_a, c.id_b,
+                round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+         FROM cand c
+         JOIN embeddings ea ON ea.vec_id = c.id_a
+         JOIN embeddings eb ON eb.vec_id = c.id_b
+         WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
          ORDER BY id_a, id_b""",
 
     "q_token_count" ->

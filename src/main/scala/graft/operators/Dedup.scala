@@ -618,27 +618,49 @@ object Dedup {
       numPlanes: Int = 8,
       numTables: Int = 4,
       seed: Long = 42L,
-      targetBucketRows: Option[Long] = None): DataFrame = {
-    val effPlanes = targetBucketRows match {
+      targetBucketRows: Option[Long] = None,
+      // deterministic-oracle operating point: caller-supplied plane
+      // vectors (e.g. corpus rows) whose BIT DECISION runs in the int8-
+      // quantized domain — integer dot signs are bit-for-bit replayable
+      // by a SQL oracle (no float-accumulation sign flips), and the
+      // quantized projection is 4x cheaper per bit at scale. Candidate
+      // semantics unchanged: buckets only GENERATE pairs, the exact
+      // cosine verify below decides membership.
+      quantPlanes: Option[Seq[Seq[Array[Float]]]] = None): DataFrame = {
+    val effPlanes = quantPlanes.map(_.head.size).getOrElse(targetBucketRows match {
       case Some(t) =>
         val n = df.count()
         val needed = math.ceil(math.log(math.max(1L, n / math.max(1L, t)).toDouble)
           / math.log(2.0)).toInt
         math.max(numPlanes, needed)
       case None => numPlanes
-    }
+    })
     require(effPlanes <= 62, s"plane count $effPlanes overflows the long bucket key")
-    val rnd = new scala.util.Random(seed)
-    // fixed hyperplanes as literal columns (tiny: tables × planes × dim)
-    val planes: Seq[Seq[Array[Float]]] =
-      Seq.fill(numTables)(Seq.fill(effPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat)))
     val v = col(vecCol)
-    val bucketCols = planes.map { tbl =>
-      val bits = tbl.zipWithIndex.map { case (p, i) =>
-        val d = graft.Graft.F.vecDot(v, typedLit(p.toSeq).cast("array<float>"))
-        when(d >= 0, lit(1L << i)).otherwise(0L)
-      }
-      bits.reduceLeft((a, b) => a.bitwiseXOR(b))
+    val bucketCols = quantPlanes match {
+      case Some(tbls) =>
+        val vq = graft.Graft.F.quantizeI8(v)
+        tbls.map { tbl =>
+          val bits = tbl.zipWithIndex.map { case (p, i) =>
+            val pCode = graft.functions.VecKernels.quantizeI8(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(p))
+            val d = Knn.scoreInt8("ip", vq, lit(pCode))
+            when(d >= 0, lit(1L << i)).otherwise(0L)
+          }
+          bits.reduceLeft((a, b) => a.bitwiseXOR(b))
+        }
+      case None =>
+        val rnd = new scala.util.Random(seed)
+        // fixed hyperplanes as literal columns (tiny: tables × planes × dim)
+        val planes: Seq[Seq[Array[Float]]] = Seq.fill(numTables)(
+          Seq.fill(effPlanes)(Array.fill(dim)((rnd.nextGaussian()).toFloat)))
+        planes.map { tbl =>
+          val bits = tbl.zipWithIndex.map { case (p, i) =>
+            val d = graft.Graft.F.vecDot(v, typedLit(p.toSeq).cast("array<float>"))
+            when(d >= 0, lit(1L << i)).otherwise(0L)
+          }
+          bits.reduceLeft((a, b) => a.bitwiseXOR(b))
+        }
     }
     // one exploded (table_idx, bucket) join instead of numTables
     // self-joins: buckets computed once per side, the join key is

@@ -144,6 +144,25 @@ class DedupSpec extends SparkSpec {
     if (exact.nonEmpty) assert(lsh.nonEmpty, "LSH found nothing")
   }
 
+  test("embedding LSH near-dup: quantized-plane operating point stays a subset of exact") {
+    // the deterministic-oracle point (q_embed_neardup_lsh): corpus rows
+    // as planes, bit decisions in the int8 domain — same contract as the
+    // gaussian path (candidates ∩ exact-cosine verify ⊆ exact pairs)
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planeRows = emb.filter(col("vec_id") >= 100 && col("vec_id") < 132)
+      .orderBy(col("vec_id")).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val tbls = (0 until 8).map(t => (0 until 4).map(p => planeRows(t * 4 + p)).toSeq).toSeq
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4,
+      numTables = 8, quantPlanes = Some(tbls))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) assert(lsh.nonEmpty, "quantized-plane LSH found nothing")
+  }
+
   test("embeddingNearDupKnn: exact parity at nprobe=ncentroids") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
