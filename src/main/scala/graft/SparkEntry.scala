@@ -25,10 +25,10 @@ object SparkEntry {
     * (pushdown/pruning visible).
     */
   @volatile var cacheTables: Boolean = false
-  private val tableCache =
+  private[graft] val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (!cacheTables) s.read.parquet(s"$dir/$name.parquet")
     else tableCache.getOrElseUpdate((s, s"$dir/$name"),
       s.read.parquet(s"$dir/$name.parquet").cache())
@@ -47,7 +47,7 @@ object SparkEntry {
     * micros directly, and the NTZ branch is a naive MICROSECOND diff from
     * the naive epoch — neither reinterprets through the session timezone.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
@@ -64,11 +64,11 @@ object SparkEntry {
   }
 
   /** Query vector = the embedding of vec_id 0 (deterministic fixture). */
-  private def qvec(s: SparkSession, dir: String): Seq[Float] =
+  private[graft] def qvec(s: SparkSession, dir: String): Seq[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
 
-  private def init(s: SparkSession): SparkSession = { Graft.registerFunctions(s); s }
+  private[graft] def init(s: SparkSession): SparkSession = { Graft.registerFunctions(s); s }
 
   /** Shared body of q_asof_join / q_asof_skew: each click picks the
     * user's most recent prior purchase. Timestamps are truncated to µs
@@ -76,7 +76,7 @@ object SparkEntry {
     * full-ns values could disagree with the oracle near boundaries when
     * two events share a µs (they only differ in path, not contract).
     */
-  private val asofOracle =
+  private[graft] val asofOracle =
     """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
                   FROM events WHERE event_type = 'click'),
        p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -95,7 +95,7 @@ object SparkEntry {
               coalesce(p_value, -1.0) AS p_value
        FROM j WHERE rn = 1 ORDER BY event_id"""
 
-  private def asofClicksToPurchases(
+  private[graft] def asofClicksToPurchases(
       s: SparkSession, dir: String, skewBuckets: Int,
       tolerance: Option[Long] = None,
       skewAutoThreshold: Option[Long] = None,
@@ -119,13 +119,13 @@ object SparkEntry {
   }
 
   /** The F1-style space over the embeddings fixture for API-level queries. */
-  private val embSpace = Space.fromJson(
+  private[graft] val embSpace = Space.fromJson(
     """{"name":"emb_space","fields":[
         {"name":"label","type":"integer","index":{"type":"SCALAR"}},
         {"name":"embedding","type":"vector","dimension":64,
          "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
 
-  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
       col("vec_id").cast("string").as("_id"), col("label"), col("embedding"))
 
@@ -144,3134 +144,15 @@ object SparkEntry {
            "limit":10}""")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ── §2.5 count: the only aggregation in the reference ──
-    "q_count" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "embeddings").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ── §2.1 get-by-ids (point lookup, request set) ──
-    "q_get_by_ids" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "embeddings")
-        .filter(col("vec_id").isin(1L, 5L, 9L, 42L, 99L))
-        .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // ── §2.3 range filters, AND-merged intervals ──
-    "q_filter_range" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "embeddings")
-        .filter(col("label") >= 3 && col("label") < 7 && col("vec_id") < 200)
-        .select(col("vec_id"), col("label"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // ── §2.3 OR across fields + != ──
-    "q_filter_or" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .filter((col("event_type") === "error" || col("value") > 95.0) &&
-          col("user_id") =!= 7)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value"), 2).as("value"))
-        .orderBy(col("event_id"))
-    }),
-
-    // ── §2.1 delete by ids (engine.cc:869-899 bitmap ≡ anti-filter;
-    //    null-safe: a null id deletes nothing) ──
-    "q_delete_by_ids" -> ((s, dir) => {
-      init(s)
-      Documents.deleteByIds(t(s, dir, "documents"), "doc_id",
-          Seq(1L, 2L, 3L, 10L, 25L, 100L, 250L, 499L))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── §2.3 date-value coercion on a datetime field (doc_query.go:
-    //    1033-1045): the filter DSL's string dates parse to UnixNano and
-    //    compare against the ns-normalized `ts`; oracle compares the same
-    //    instants as native µs timestamps ──
-    "q_filter_date" -> ((s, dir) => {
-      init(s)
-      val pred = VearchFilters.parse(
-        """{"operator":"AND","conditions":[
-             {"operator":">=","field":"ts","value":"2024-01-05 00:00:00"},
-             {"operator":"<","field":"ts","value":"2024-01-07 00:00:00"},
-             {"operator":"IN","field":"event_type","value":["click","purchase"]}]}""",
-        dateFields = Set("ts"))
-      events(s, dir).filter(pred)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy(col("event_id"))
-    }),
-
-    // ── §2.5 filtered scan with default limit 50 (doc_query.go:43) ──
-    "q_scan_limit" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"))
-        .orderBy(col("event_id"))
-        .limit(50)
-    }),
-
-    // ── §2.6 pagination: page_size=20, page_num=3 → offset 40 ──
-    "q_scan_page" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"))
-        .orderBy(col("event_id"))
-        .offset(40).limit(20)
-    }),
-
-    // ── SQL dialect surface: the same KNN expressed in pure spark.sql
-    //    over a registered view + the registered graft functions ──
-    "q_knn_sql" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("emb_sql_v")
-      val q = qvec(s, dir).mkString("array(", ",", ")")
-      s.sql(
-        s"""SELECT vec_id,
-                   round(vec_l2(embedding, CAST($q AS array<float>)), 4) AS score
-            FROM emb_sql_v
-            WHERE vec_l2(embedding, CAST($q AS array<float>)) IS NOT NULL
-            ORDER BY vec_l2(embedding, CAST($q AS array<float>)) ASC, vec_id
-            LIMIT 10""")
-    }),
-
-    // ── §2.4 KNN brute-force, InnerProduct (desc) ──
-    "q_knn_ip" -> ((s, dir) => {
-      init(s)
-      Knn.search(t(s, dir, "embeddings"), col("embedding"), qvec(s, dir),
-        k = 10, metric = "ip", tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 KNN brute-force, L2 (asc, sqrt'd — l2_sqrt semantics) ──
-    "q_knn_l2" -> ((s, dir) => {
-      init(s)
-      Knn.search(t(s, dir, "embeddings"), col("embedding"), qvec(s, dir),
-        k = 10, metric = "l2", tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 KNN cosine ──
-    "q_knn_cosine" -> ((s, dir) => {
-      init(s)
-      Knn.search(t(s, dir, "embeddings"), col("embedding"), qvec(s, dir),
-        k = 10, metric = "cosine", tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 hybrid: scalar pre-filter + KNN (the flagship shape) ──
-    "q_knn_filtered" -> ((s, dir) => {
-      init(s)
-      Knn.search(t(s, dir, "embeddings"), col("embedding"), qvec(s, dir),
-        k = 10, metric = "ip",
-        filter = Some(col("label").isin(1, 3, 5) && col("vec_id") =!= 0),
-        tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("label"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 score-range gate (min_score) ──
-    "q_knn_score_range" -> ((s, dir) => {
-      init(s)
-      Knn.search(t(s, dir, "embeddings"), col("embedding"), qvec(s, dir),
-        k = 100, metric = "cosine", minScore = Some(0.2),
-        tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── beyond-reference: TPC-H Q1-style aggregation ──
-    "q1_agg" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("cnt"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }),
-
-    // ── §2.1 upsert: insert-or-replace by id (MERGE semantics) ──
-    "q_upsert" -> ((s, dir) => {
-      init(s)
-      val base = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-      val updates = base.filter(col("vec_id") < 10)
-        .select(col("vec_id"), (col("label") + 100).as("label"))
-        .unionByName(base.filter(col("vec_id") < 5)
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("label")))
-      Documents.upsert(base, updates, "vec_id").orderBy(col("vec_id"))
-    }),
-
-    // ── §2.1 delete-by-query ──
-    "q_delete_by_query" -> ((s, dir) => {
-      init(s)
-      Documents.deleteByQuery(
-        t(s, dir, "embeddings").select(col("vec_id"), col("label")),
-        col("label") === 3 || col("vec_id") >= 400)
-        .orderBy(col("vec_id"))
-    }),
-
-    // ── §2.1/§2.5 get-by-ids preserving request order ──
-    "q_get_by_ids_ordered" -> ((s, dir) => {
-      init(s)
-      Documents.getByIds(t(s, dir, "embeddings"), "vec_id", Seq(42L, 7L, 99L, 3L))
-        .select(col("_ord").as("ord"), col("vec_id"), col("label"))
-    }),
-
-    // ── §2.3 vearch filter-JSON DSL compiled to a Catalyst predicate ──
-    "q_filter_json" -> ((s, dir) => {
-      init(s)
-      val pred = VearchFilters.parse(
-        """{"operator":"AND","conditions":[
-             {"operator":">=","field":"value","value":10},
-             {"operator":"<","field":"value","value":20},
-             {"operator":"IN","field":"event_type","value":["click","view"]}]}""")
-      events(s, dir).filter(pred)
-        .select(col("event_id"), col("event_type"))
-        .orderBy(col("event_id"))
-    }),
-
-    // ── §2.3 stringArray term-match (IN = any element matches) ──
-    "q_term_filter" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents").withColumn("words", split(col("text"), " "))
-      val pred = VearchFilters.parse(
-        """{"operator":"AND","conditions":[
-             {"operator":"IN","field":"words","value":["vector","spark"]},
-             {"operator":"=","field":"lang","value":"en"}]}""",
-        arrayFields = Set("words"))
-      docs.filter(pred).select(col("doc_id")).orderBy(col("doc_id"))
-    }),
-
-    // ── §2.4 batched KNN: req_num query vectors, per-qid top-k ──
-    "q_knn_batch" -> ((s, dir) => {
-      init(s)
-      val emb = t(s, dir, "embeddings")
-      // query vectors are a REQUEST batch (req_num-bounded collect, the
-      // doc_query wire shape) — a local relation, so the brute-force
-      // broadcast build side is provably corpus-independent
-      import s.implicits._
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-        .toDF("qid", "qv")
-      Knn.searchBatch(emb, col("embedding"), struct(col("vec_id")), queries,
-        "qid", "qv", k = 5, metric = "l2")
-        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
-          round(col("_score"), 4).as("score"))
-        .orderBy(col("qid"), col("score"), col("vec_id"))
-    }),
-
-    // ── §2.4 multi-vector conjunctive search + WeightedRanker ──
-    "q_knn_multivec" -> ((s, dir) => {
-      init(s)
-      val emb = t(s, dir, "embeddings")
-      val two = emb.select(col("vec_id"),
-        slice(col("embedding"), 1, 32).as("v1"),
-        slice(col("embedding"), 33, 32).as("v2"))
-      val q = qvec(s, dir)
-      Knn.multiVectorSearch(two, "vec_id",
-        Seq((col("v1"), q.take(32)), (col("v2"), q.drop(32))),
-        perFieldK = 100, k = 10, metric = "ip")
-        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
-          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
-    }),
-
-    // ── §2.4 conjunction over MIXED VALUE TYPES (float v1 ∧ int8 iv2,
-    //    index_model.h:19): each condition scores through its field's
-    //    own distance path — float metric kernels for v1, symmetric
-    //    quantization + integer kernels for iv2 — then the usual docid
-    //    intersection + WeightedRanker; request-surface (SearchApi) ──
-    "q_knn_multivec_int8" -> ((s, dir) => {
-      init(s)
-      val emb = t(s, dir, "embeddings")
-      val two = emb.select(col("vec_id").cast("long").as("_id"), col("label"),
-        slice(col("embedding"), 1, 32).as("v1"),
-        graft.Graft.F.quantizeI8(slice(col("embedding"), 33, 32)).as("iv2"))
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_i8","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}},
-            {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
-             "index":{"type":"FLAT","params":{"metric_type":"InnerProduct"}}}]}""")
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"iv2","feature":${q.drop(32).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.search(two, sp, req)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 multi-field conjunctive over INDEXES: each field routes
-    //    through its OWN graph generation (over-fetched per-field top-k),
-    //    results intersect on docid, weighted-sum re-rank — the
-    //    reference's per-field index intersection
-    //    (vector_manager.cc:1024-1087) instead of the brute per-field
-    //    scans of q_knn_multivec. ef ≥ |shard| ⇒ each per-field list is
-    //    exact, so the whole composition is oracle-checked against the
-    //    SAME SQL as the brute twin ──
-    "q_knn_multivec_routed_exact" -> ((s, dir) => {
-      init(s)
-      val (segsA, segsB) = graft.sources.IndexStore.hnswMultiField(s, dir)
-      val q = qvec(s, dir)
-      val f0 = HnswIndex.search(segsA, q.take(32), k = 100, ef = 1 << 30,
-        metric = "ip").select(col("vec_id"), col("_score").as("_s0"))
-      val f1 = HnswIndex.search(segsB, q.drop(32), k = 100, ef = 1 << 30,
-        metric = "ip").select(col("vec_id"), col("_score").as("_s1"))
-      f0.join(f1, "vec_id")
-        .withColumn("_score", col("_s0") * 0.5 + col("_s1") * 0.5)
-        .orderBy(col("_score").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
-          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
-    }),
-
-    // ── §2.4 the same routed intersection at the real operating point
-    //    (ef=64 per-field walks): the beams recover the exact per-field
-    //    top-100 on this fixture, so the composition oracles against the
-    //    same intersection SQL as the exact twin (hash-checked since
-    //    r18); recall at lossy points pinned in RecallGateSpec ──
-    "q_knn_multivec_routed" -> ((s, dir) => {
-      init(s)
-      val (segsA, segsB) = graft.sources.IndexStore.hnswMultiField(s, dir)
-      val q = qvec(s, dir)
-      val f0 = HnswIndex.search(segsA, q.take(32), k = 100, ef = 64,
-        metric = "ip").select(col("vec_id"), col("_score").as("_s0"))
-      val f1 = HnswIndex.search(segsB, q.drop(32), k = 100, ef = 64,
-        metric = "ip").select(col("vec_id"), col("_score").as("_s1"))
-      f0.join(f1, "vec_id")
-        .withColumn("_score", col("_s0") * 0.5 + col("_s1") * 0.5)
-        .orderBy(col("_score").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
-          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
-    }),
-
-    // ── §2.4+§2.8 TAIL-AWARE multi-field conjunctive (round-12 gap:
-    //    with a realtime tail the multi-vector shape fell back to exact
-    //    FLAT): each field's graph search merges the buffered tail into
-    //    its OWN per-field top-k (RealtimeTail.searchHnsw = mergeTail
-    //    over the walk), THEN the docid intersection + WeightedRanker —
-    //    the reference merges the buffer into the per-field searches
-    //    themselves (vector_manager.cc:1024-1176). The tail holds the
-    //    query vector, so both per-field top-1s are buffered docs; exact
-    //    params ⇒ the composition oracles against the same brute
-    //    intersection as q_knn_multivec over the live view ≡ full table ──
-    "q_knn_multivec_realtime" -> ((s, dir) => {
-      init(s)
-      val (basePath, tailPath, segsA, segsB) =
-        graft.sources.IndexStore.realtimeMultiField(s, dir)
-      val rt = new graft.streaming.RealtimeTail(s, basePath, tailPath,
-        s"$tailPath.ckpt", "vec_id")
-      val schema = s.read.parquet(basePath).schema
-      val q = qvec(s, dir)
-      val f0 = rt.searchHnsw(segsA, schema, "v1", q.take(32), k = 100,
-        ef = 1 << 30, metric = "ip")
-        .select(col("vec_id"), col("_score").as("_s0"))
-      val f1 = rt.searchHnsw(segsB, schema, "v2", q.drop(32), k = 100,
-        ef = 1 << 30, metric = "ip")
-        .select(col("vec_id"), col("_score").as("_s1"))
-      f0.join(f1, "vec_id")
-        .withColumn("_score", col("_s0") * 0.5 + col("_s1") * 0.5)
-        .orderBy(col("_score").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("_s0"), 4).as("score0"),
-          round(col("_s1"), 4).as("score1"), round(col("_score"), 4).as("score"))
-    }),
-
-    // ── beyond-reference: 3-table join (broadcast dim, shuffled fact) ──
-    "q3_join" -> ((s, dir) => {
-      init(s)
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("c_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-    }),
-
-    // ── beyond-reference: window top-N per group ──
-    "q_window_topn" -> ((s, dir) => {
-      init(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
-    }),
-
-    // ── beyond-reference: event-time tumbling-window aggregation ──
-    "q_events_hourly" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy(col("event_type"), col("hr"))
-    }),
-
-    // ── beyond-reference: exact distinct aggregation ──
-    "q_distinct" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("cnt"))
-        .orderBy(col("event_type"))
-    }),
-
-    // ── pipeline: exact dedup by content hash ──
-    "q_dedup_exact" -> ((s, dir) => {
-      init(s)
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("content_hash"))
-    }),
-
-    // ── pipeline: EXACT-SUBSTRING duplication signals (Lee et al.
-    //    ACL'22, shuffle-native): w-token sliding windows, corpus-wide
-    //    occurrence count, per-doc duplicated-window count + token
-    //    coverage — catches a boilerplate paragraph shared by otherwise
-    //    unrelated docs, which whole-doc jaccard misses ──
-    "q_window_dedup" -> ((s, dir) => {
-      init(s)
-      Dedup.windowDupSignals(t(s, dir, "documents"), "doc_id", "text", w = 10)
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: substring-dedup REMOVAL (keep global first occurrence,
-    //    cut every later duplicated-window placement, rebuild the text) ──
-    "q_dedup_strip" -> ((s, dir) => {
-      init(s)
-      Dedup.stripDupWindows(t(s, dir, "documents"), "doc_id", "text", w = 10)
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: training-sequence packing (concat-and-chunk) via a
-    //    DISTRIBUTED prefix sum — range partition → local cumsum →
-    //    per-partition totals (≤ numParts rows) broadcast back; the
-    //    oracle's single ORDER BY window proves the multi-partition
-    //    (numParts = 8) path exact ──
-    "q_pack_sequences" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      Packing.packAssignments(docs, "doc_id", "n_tokens",
-          seqLen = 512, numParts = 8)
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: the loader-ready packing MANIFEST — each doc's span
-    //    cut at sequence boundaries, one row per (sequence, doc) slice ──
-    "q_pack_manifest" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      Packing.packManifest(docs, "doc_id", "n_tokens",
-          seqLen = 512, numParts = 8)
-        .orderBy(col("seq_id"), col("doc_id"))
-    }),
-
-    // ── pipeline CAPSTONE (oracle-checked end to end): the TRAINING-DATA
-    //    flow COMPOSED — token-count quality gate → exact dedup (keep
-    //    min-id copy) → temperature rebalance across langs → sequence
-    //    packing (q_pipeline_e2e is the SEARCH-side twin: quality →
-    //    dedup → embedding join → KNN). Every stage is the real
-    //    operator; the oracle re-derives all four stages in one SQL
-    //    query, so the COMPOSITION is verified, not just each stage ──
-    "q_pipeline_train" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val gated = docs.filter(col("n_tokens") >= 20)
-      val keep = Dedup.exact(gated, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val deduped = gated.join(keep, "doc_id")
-      val sampled = Sampling.temperatureSample(deduped, col("lang"),
-          col("doc_id"), alpha = 0.5, targetFrac = 0.5)
-        .localCheckpoint() // two consumers (pack + lang re-join) must see
-                           // ONE sample; also fixes range bounds for pack
-      Packing.packAssignments(sampled.select("doc_id", "n_tokens"),
-          "doc_id", "n_tokens", seqLen = 256, numParts = 8)
-        .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("start_offset"), col("seq_id"), col("end_seq"), col("n_seqs"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: EXACT n-gram Jaccard similarity join (inverted index) ──
-    "q_dedup_jaccard" -> ((s, dir) => {
-      init(s)
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // ── pipeline: PII detection + redaction — the fixture has no natural
-    //    PII, so deterministic synthetic spans (email/phone/IP derived
-    //    from doc_id) are injected into every 10th doc IDENTICALLY here
-    //    and in the oracle, then detected and redacted; pure map-side
-    //    regex expressions ──
-    "q_pii" -> ((s, dir) => {
-      init(s)
-      val injected = when(pmod(col("doc_id"), lit(10)) === 0,
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
-          lit(" or call 555-01"),
-          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
-          lit(" from 192.168."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
-        .otherwise(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.piiSignals(injected).as("_p"),
-          TextOps.redactPii(injected).as("redacted"))
-        .select(col("doc_id"),
-          col("_p.n_emails").cast("long").as("n_emails"),
-          col("_p.n_ips").cast("long").as("n_ips"),
-          col("_p.n_phones").cast("long").as("n_phones"),
-          col("redacted"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: near-CONTAINMENT pairs (overlap/min ≥ t) — doc-inside-
-    //    doc near-dup that symmetric jaccard misses; smaller-prefix ×
-    //    full-relation equi-join, exact verify ──
-    "q_dedup_containment" -> ((s, dir) => {
-      init(s)
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8)
-        .select(col("id_a"), col("id_b"),
-          round(col("containment"), 4).as("containment"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // NOTE: the quadratic all-pairs baseline (Dedup.embeddingNearDupExact,
-    // a data-by-data BroadcastNestedLoopJoin by construction) is
-    // intentionally NOT a declared query — the declared surface contains
-    // no corpus-by-corpus nested-loop plan (PlanEvidenceSpec asserts
-    // this). DedupSpec keeps it as the brute-force check;
-    // q_embed_neardup_knn carries the same oracle.
-
-    // ── pipeline: scale-safe exact embedding near-dup — IVF list_id
-    //    equi-join at nprobe=ncentroids reproduces the all-pairs result
-    //    without a BroadcastNestedLoopJoin ──
-    "q_embed_neardup_knn" -> ((s, dir) => {
-      init(s)
-      // build-once layout (reference build-vs-search split): the query
-      // times probe-join + exact verify, never the KMeans fit
-      val (ndTable, ndModel) = graft.sources.IndexStore.neardupIvf(s, dir, ncentroids = 16)
-      Dedup.embeddingNearDupKnnPrebuilt(ndTable, ndModel, "vec_id", "embedding",
-        threshold = 0.4, nprobe = 16)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // ── pipeline: token counting ──
-    "q_token_count" -> ((s, dir) => {
-      init(s)
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("len_chars"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: quality scoring ──
-    "q_text_quality" -> ((s, dir) => {
-      init(s)
-      val q = TextOps.qualityFeatures(col("text"), TextOps.EnStopwords)
-      t(s, dir, "documents")
-        .select(col("doc_id"), q.as("q"))
-        .select(col("doc_id"),
-          col("q.n_tokens").cast("long").as("n_tokens"),
-          round(col("q.avg_token_len"), 4).as("avg_token_len"),
-          round(col("q.stopword_ratio"), 4).as("stopword_ratio"),
-          round(col("q.punct_ratio"), 4).as("punct_ratio"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: language distribution ──
-    "q_lang_count" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "documents").groupBy(col("lang"))
-        .agg(count(lit(1)).as("cnt")).orderBy(col("lang"))
-    }),
-
-    // ── pipeline: n-gram-heuristic language ID per document ──
-    "q_lang_id" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: MinHash-LSH near-dup, exact-verified. At 8 bands × 2
-    //    rows, P(miss | j=0.8) = (1-0.8²)⁸ ≈ 3e-4 and the banding is
-    //    seeded/deterministic, so the output equals the exact jaccard
-    //    pairs and shares their oracle ──
-    "q_minhash_lsh" -> ((s, dir) => {
-      init(s)
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // ── pipeline: SimHash near-dup (hamming ≤ 3), portable md5 hashing so
-    //    the DuckDB oracle recomputes the identical fingerprint ──
-    "q_simhash_pairs" -> ((s, dir) => {
-      init(s)
-      Dedup.simhashPairsPortable(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // ── pipeline: embedding near-dup via hyperplane LSH. Scale policy
-    //    unchanged: plane count ∝ log(n/64) so candidate work stays
-    //    LINEAR (the fixed-plane anti-policy measured 17× wall-clock at
-    //    10× rows, BENCH_SCALING r11). Planes are corpus rows and the
-    //    bit decision runs in the int8-quantized domain (integer dot
-    //    signs — bit-for-bit SQL-replayable, 4× cheaper per projection),
-    //    so the WHOLE pipeline — bucket gen, pair join, cosine verify —
-    //    oracles against DuckDB (hash-checked since r18) ──
-    "q_embed_neardup_lsh" -> ((s, dir) => {
-      init(s)
-      val embT = t(s, dir, "embeddings")
-      val n = embT.count()
-      val np = math.max(4, math.ceil(
-        math.log(math.max(1L, n / 64L).toDouble) / math.log(2.0)).toInt)
-      val planeRows = embT
-        .filter(col("vec_id") >= 100 && col("vec_id") < 100 + 8 * np)
-        .orderBy(col("vec_id")).select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray)
-      val planes = (0 until 8).map(ti =>
-        (0 until np).map(pi => planeRows(ti * np + pi)).toSeq).toSeq
-      Dedup.embeddingNearDupLsh(embT, "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numTables = 8,
-        quantPlanes = Some(planes))
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-
-    // ── §2.4 (rows-only): IVF nprobe-pruned search over the prebuilt
-    //    list_id-partitioned layout (probe = partition pruning) ──
-    "q_ivf_search" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
-        k = 10, nprobe = 4, tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 batched IVF (req_num queries, one probe-join pass) with
-    //    nprobe = ncentroids ≡ exact batch KNN (oracle-checked) ──
-    "q_ivf_batch" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      IvfIndex.searchBatch(table, col("embedding"), struct(col("vec_id")),
-        queries, model, k = 5, nprobe = model.ncentroids)
-        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
-          round(col("_score"), 4).as("score"))
-        .orderBy(col("qid"), col("score"), col("vec_id"))
-    }),
-
-    // ── §2.4 hybrid filtered ANN over the index: scalar pre-filter
-    //    evaluated INSIDE the probed partitions (filter + probe both reach
-    //    the scan); exactness params ≡ filtered exact KNN (oracle) ──
-    "q_ivf_filtered" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
-        k = 10, nprobe = model.ncentroids,
-        filter = Some(col("label").isin(1, 3, 5) && col("vec_id") =!= 0),
-        tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("label"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 IVF with nprobe = ncentroids ≡ exact KNN (oracle-checked:
-    //    proves the probe→score path end-to-end) ──
-    "q_ivf_exact" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
-        k = 10, nprobe = model.ncentroids,
-        tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 HNSW graph-ANN with ef ≥ |shard| ≡ exact (oracle-checked:
-    //    the segment graph is connected by construction, so the bounded
-    //    walk degenerates to an exhaustive one — proves the build + walk +
-    //    fan-out merge end-to-end, the q_ivf_exact pattern) ──
-    "q_hnsw_exact" -> ((s, dir) => {
-      init(s)
-      val segs = graft.sources.IndexStore.hnsw(s, dir)
-      HnswIndex.search(segs, qvec(s, dir), k = 10, ef = 1 << 30,
-        metric = "l2", roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): HNSW at a real operating point (efSearch=64,
-    //    hnswalg.h ef_ default) — per-shard graph walk + router merge;
-    //    RecallGateSpec pins recall against the exact twin ──
-    "q_hnsw_search" -> ((s, dir) => {
-      init(s)
-      val segs = graft.sources.IndexStore.hnsw(s, dir)
-      HnswIndex.search(segs, qvec(s, dir), k = 10, ef = 64,
-        metric = "l2", roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 SPANN-style ROUTED HNSW (clustered shards = coarse-quantizer
-    //    lists, query routes to nprobe shards = parquet partition pruning)
-    //    with exactness params ≡ exact KNN — the oracle proves the
-    //    clustered build + route + walk + merge end-to-end ──
-    "q_hnsw_routed_exact" -> ((s, dir) => {
-      init(s)
-      val (segs, ivf) = graft.sources.IndexStore.hnswClustered(s, dir)
-      HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 1 << 30,
-        metric = "l2", nprobe = ivf.ncentroids, roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): routed HNSW at the real operating point —
-    //    nprobe=4 of 16 prunes 3/4 of the segment IO before the ef=64
-    //    walks; exactness twin above, recall pinned in HnswIndexSpec ──
-    "q_hnsw_routed" -> ((s, dir) => {
-      init(s)
-      val (segs, ivf) = graft.sources.IndexStore.hnswClustered(s, dir)
-      HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 64,
-        metric = "l2", nprobe = 4, roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 hybrid filtered HNSW: the scalar predicate's surviving ids
-    //    broadcast into the graph walk (= the reference's filter-bitmap
-    //    functor); disallowed nodes traversed, never returned — so the
-    //    exactness params stay provably exact (oracle ≡ filtered KNN) ──
-    "q_hnsw_filtered" -> ((s, dir) => {
-      init(s)
-      val segs = graft.sources.IndexStore.hnsw(s, dir)
-      val allowed = t(s, dir, "embeddings")
-        .filter(col("label").isin(1, 3, 5) && col("vec_id") =!= 0)
-        .select(col("vec_id"))
-      HnswIndex.searchFiltered(segs, qvec(s, dir), k = 10, ef = 1 << 30,
-        metric = "l2", allowedIds = allowed)
-        .join(t(s, dir, "embeddings").select(col("vec_id"), col("label")), Seq("vec_id"))
-        .orderBy(col("_score"), col("vec_id")) // raw-score order, like the oracle
-        .select(col("vec_id"), col("label"), round(col("_score"), 4).as("score"))
-    }),
-
-    // ── §2.4 batched HNSW (req_num): every query walks each segment in
-    //    the same task pass (one deserialization per shard per batch);
-    //    exactness params ≡ exact batch KNN (oracle-checked) ──
-    "q_hnsw_batch" -> ((s, dir) => {
-      init(s)
-      val segs = graft.sources.IndexStore.hnsw(s, dir)
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      HnswIndex.searchBatch(segs, queries, k = 5, ef = 1 << 30, metric = "l2")
-        .select(col("_qid").as("qid"), col("vec_id"),
-          round(col("_score"), 4).as("score"))
-        .orderBy(col("qid"), col("score"), col("vec_id"))
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over an HNSW space — the full REST
-    //    path (space JSON → searchAuto planner switch → READY graph
-    //    generation → filter-bitmap walk → projection); efSearch ≥ corpus
-    //    ⇒ exact, so the whole routing stack is oracle-checked ──
-    "q_api_search_hnsw" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnsw_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "filters":{"operator":"AND","conditions":[
-          {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.1+§2.4 DELETE VISIBILITY through the routed HNSW path: ids
-    //    0–4 deleted AFTER the graph generation was built (they still sit
-    //    in the stored segments — vec_id 0 is the query vector itself, so
-    //    an ungated walk returns it as top-1 ghost). The delete ledger
-    //    rides the walk as the allow-functor (traverse-but-never-admit),
-    //    so the response is exactly k LIVE docs — the reference's
-    //    deleted-bitmap gate (engine.cc:869-899) ──
-    "q_hnsw_after_delete" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.apiDeleteSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"del_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.1+§2.4 DELETE VISIBILITY through the routed IVF path: same
-    //    contract, scan side — the ledger anti-filters the READY layout
-    //    inside the probed lists BEFORE top-k selection (no over-fetch
-    //    needed, no under-fill); nprobe = ncentroids ⇒ exact, so the
-    //    gate is oracle-checked end-to-end ──
-    "q_ivf_after_delete" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.apiDeleteSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"del_space_ivf","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 BATCHED requests through the index planner: req_num=3
-    //    queries ride ONE flat feature array (doc_query.go:296-318) and
-    //    route to the graph generation — one segment pass serves the
-    //    whole batch (HnswIndex.searchBatch) instead of degrading to
-    //    per-query brute force; efSearch ≥ corpus ⇒ exact, oracle-checked
-    //    per-qid against DuckDB ──
-    "q_api_search_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnsw_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 SCORE-GATED ROUTED serving (min_score, doc_query.go:67-78):
-    //    the gate (distance ≥ median) excludes EVERY near neighbor, so
-    //    the graph arm's driver-bounded gate loop MUST depth-double to
-    //    corpus exhaustion before it can prove the gated top-k — the
-    //    selective-gate shape that used to fall back to FLAT. efSearch ≥
-    //    corpus ⇒ each probe is exact ⇒ the final gated top-k is
-    //    oracle-exact (gate-before-select) ──
-    "q_knn_score_range_routed" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnsw_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
-        "min_score":1.41}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 SCORE-GATED BATCH (req_num=3 share the condition's gate —
-    //    doc_query.go:296-318 flattens them; the reference applies gates
-    //    in-scan for any req_num, gamma_common_data.h:94-96): the batched
-    //    gate loop iterates until EVERY query has k gated survivors or
-    //    exhausts — per-qid oracle-exact ──
-    "q_knn_score_range_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnsw_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")},
-        "min_score":1.41}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 the score filter's OTHER wire form ({"symbol":">=",
-    //    "value":…} per vector condition, doc_query.go:72-73, applied
-    //    :1220-1232): parses to the same min_score gate, so the routed
-    //    gate loop serves it identically — oracled against the same
-    //    selective-gate SQL as q_knn_score_range_routed ──
-    "q_api_search_symbol" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnsw_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
-        "symbol":">=","value":1.41}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 per-condition `index_type` override (doc_query.go:277-283):
-    //    "FLAT" on an INDEXED space forces the exact brute scan for this
-    //    request — the reference's per-request brute switch in its
-    //    index_type form (the decode switch :296-301). Exact ⇒ oracled
-    //    against the brute L2 top-k ──
-    "q_api_search_flat_override" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnsw_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
-        "index_type":"FLAT"}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 score gate IN-SCAN on the IVF route (both bounds): the
-    //    probed-list scan computes every candidate's score anyway, so the
-    //    [min,max] band gates before the bounded top-k — zero over-fetch,
-    //    no loop; nprobe = ncentroids ⇒ oracle-exact ──
-    "q_ivf_score_range" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
-        k = 10, nprobe = model.ncentroids,
-        minScore = Some(1.35), maxScore = Some(1.45),
-        tieBreak = Some(col("vec_id")), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 score gate at the EXACT-RERANK heap on the compressed
-    //    route (the reference's admission point for IVFPQ,
-    //    gamma_common_data.h:94-96): full probe + full-depth rerank ⇒
-    //    the gate sees every candidate's exact score ⇒ oracle-exact ──
-    "q_ivfpq_score_range" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"pq_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
-        "min_score":1.41}],"index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 BATCHED requests through the COMPRESSED index planner
-    //    (round-11 gap: batched IVFPQ/IVFRABITQ/BINARYIVF fell back to
-    //    brute FLAT): req_num=3 queries ride one flat feature array and
-    //    route to the residual-PQ generation — one probed-list scan
-    //    scores every query's ADC LUT, one shared rerank; full probe +
-    //    full rerank ⇒ exact per-qid, oracle-checked ──
-    "q_api_search_ivfpq_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"pq_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_api_search_rabitq_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.rbSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rb_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFRABITQ",
-                      "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // batched Hamming: per-query sign-binarized codes, full probe ⇒
-    // exact per-qid Hamming top-k, re-derived bit-by-bit in DuckDB
-    "q_api_search_binaryivf_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.binarySpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"bivf_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── §2.4 DiskANN-static (Vamana) with l ≥ |shard| ≡ exact
-    //    (oracle-checked: the flat α-RNG graph is connected by the
-    //    re-asserted chain, so the bounded beam walk degenerates to an
-    //    exhaustive one — proves build + beam walk + merge end-to-end) ──
-    "q_diskann_exact" -> ((s, dir) => {
-      init(s)
-      val segs = graft.sources.IndexStore.vamana(s, dir)
-      graft.operators.VamanaIndex.search(segs, qvec(s, dir), k = 10,
-        l = 1 << 30, beamWidth = 4, metric = "l2", roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): Vamana at the reference's operating point
-    //    (l_search=100, beam_width=4 — diskann_static_params.h:27-38);
-    //    exactness twin above, recall pinned in VamanaIndexSpec ──
-    "q_diskann_search" -> ((s, dir) => {
-      init(s)
-      val segs = graft.sources.IndexStore.vamana(s, dir)
-      graft.operators.VamanaIndex.search(segs, qvec(s, dir), k = 10,
-        l = 100, beamWidth = 4, metric = "l2", roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over a SPANN-CLUSTERED HNSW space:
-    //    space JSON → searchAuto → READY clustered generation → centroid
-    //    route = parquet PARTITION PRUNING of segment IO → walk → merge.
-    //    Default nprobe = ncentroids + efSearch ≥ corpus ⇒ exact, so the
-    //    clustered lifecycle + routing stack is oracle-checked ──
-    "q_api_search_hnsw_routed" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswRoutedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnswr_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over an IVFPQ space — the
-    //    reference's default compressed index served from a space
-    //    declaration (searchAuto → READY residual-PQ generation → ADC
-    //    shortlist inside probed lists → recall_num exact rerank);
-    //    nprobe = ncentroids + recall_num ≥ corpus ⇒ exact, oracled ──
-    "q_api_search_ivfpq" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"pq_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over an IVFRABITQ space: coarse
-    //    probe ∘ residual sign-code qb-estimator shortlist ∘ recall_num
-    //    exact rerank, all from the space declaration; full probe + full
-    //    rerank ⇒ exact, oracled ──
-    "q_api_search_rabitq" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.rbSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rb_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFRABITQ",
-                      "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over a BINARYIVF space: the stored
-    //    column IS the packed sign code; request floats binarize, the
-    //    Hamming coarse quantizer probes nprobe lists (partition
-    //    pruning), candidates rank by code Hamming; full probe ⇒ exact
-    //    Hamming top-k, re-derived bit-by-bit in DuckDB ──
-    "q_api_search_binaryivf" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.binarySpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"bivf_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over a DISKANN_STATIC space — the
-    //    full REST path (space JSON → searchAuto → READY Vamana
-    //    generation → beam walk → projection); request l_search ≥ corpus
-    //    ⇒ exact, so the routing stack is oracle-checked ──
-    "q_api_search_diskann" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"vam_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.2+§2.4 ROUTED API search over a SPANN-CLUSTERED Vamana
-    //    space: space JSON → searchAuto → READY clustered DiskANN-static
-    //    generation → centroid route = parquet PARTITION PRUNING of
-    //    segment IO → beam walk → merge. Default nprobe = ncentroids +
-    //    l_search ≥ corpus ⇒ exact, so the clustered lifecycle + routing
-    //    stack is oracle-checked — the storage-resident family gets the
-    //    pruned-IO layout it needs most at scale ──
-    "q_api_search_diskann_routed" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaRoutedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"vamr_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 BATCHED requests through the GRAPH index planner (round-12
-    //    gap: batched DISKANN_STATIC/SSG fell back to brute FLAT):
-    //    req_num=3 queries ride one flat feature array
-    //    (doc_query.go:296-318) and route to the Vamana generation — one
-    //    segment pass walks every query's beam (VamanaIndex.searchBatch)
-    //    instead of degrading per-query; l_search ≥ corpus ⇒ exact
-    //    per-qid blocks, oracle-checked ──
-    "q_api_search_diskann_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"vam_space_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 BATCHED requests over the SPANN-CLUSTERED Vamana layout:
-    //    the batch prunes segment IO to the UNION of every query's
-    //    nprobe route (parquet partition pruning), then one pass walks
-    //    all beams; default nprobe = ncentroids + l_search ≥ corpus ⇒
-    //    exact per-qid, oracled ──
-    "q_api_search_diskann_routed_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaRoutedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"vamr_space_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.3+§2.4 FILTERED Vamana route (round-15 gap closed: any
-    //    scalar filter on a DISKANN_STATIC/SSG space used to full-scan
-    //    brute FLAT): the filter's allow-set rides the beam walk's
-    //    functor exactly like the HNSW arm — the reference gates EVERY
-    //    index family through one filter bitmap
-    //    (gamma_common_data.h:94-105, engine.cc:355-373). Disallowed
-    //    nodes traversed, never admitted ⇒ l_search ≥ corpus stays
-    //    provably exact under the filter, oracle ≡ filtered exact KNN ──
-    "q_diskann_filtered" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"vam_space_f","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "filters":{"operator":"AND","conditions":[
-          {"operator":"IN","field":"label","value":[1,3,5]}]},
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.3+§2.4 FILTERED batched Vamana route: the batch's shared
-    //    allow-set is collected once and broadcast into every query's
-    //    walk (amortized like the segment read); per-qid exact blocks at
-    //    full depth, oracled ──
-    "q_diskann_filtered_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"vam_space_fb","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "filters":{"operator":"AND","conditions":[
-          {"operator":"IN","field":"label","value":[1,3,5]}]},
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 BATCHED requests over the SPANN-CLUSTERED HNSW layout:
-    //    same union-of-routes partition pruning, one segment pass per
-    //    batch (HnswIndex.searchBatch); efSearch ≥ corpus ⇒ exact
-    //    per-qid, oracled ──
-    "q_api_search_hnsw_routed_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.hnswRoutedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"hnswr_space_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.1+§2.4 STRING-PK spaces ride the routed indexes (round-12
-    //    gap: every routed arm required an integral _id, so a string-PK
-    //    corpus — the reference's PRIMARY id model, auto-generated UUIDs
-    //    client.go:1197-1221 — always served brute FLAT). The `_docid`
-    //    sidecar (Ingest.assignDocids; the reference maps every string
-    //    _id to an int docid at ingest, engine.cc:730-745) routes the
-    //    walk and bridges hits back to the string _id in joinBack.
-    //    HNSW route WITH a scalar filter (allow-set collected in docid
-    //    space); efSearch ≥ corpus + full probe ⇒ exact, oracled ──
-    "q_api_search_hnsw_string" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_hnsw","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "filters":{"operator":"AND","conditions":[
-          {"operator":"IN","field":"label","value":[1,3,5]}]},
-        "limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 INT8 value_type through the ROUTED IVF planner (round-16:
-    //    the float-only guard is gone — the reference serves INT8 across
-    //    families, index_model.h:19): the coarse quantizer probes with
-    //    the float query (centroids trained de-quantized), probed lists
-    //    score with integer-accumulate kernels against the
-    //    symmetric-quantized query; nprobe = ncentroids ⇒ exact, so the
-    //    whole INT8 route is oracle-checked ──
-    "q_api_search_ivf_int8" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8IvfSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_ivf","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── §2.4 INT8 BATCHED route: req_num=3 float queries quantize once,
-    //    per-query probe routes join on list_id equality, one scan of
-    //    the probed-list union scores every query with the integer
-    //    kernels; full probe ⇒ exact per-qid blocks ──
-    "q_api_search_ivf_int8_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8IvfSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_ivf_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── §2.4 INT8 through the ROUTED GRAPH planner (round-16 sweep: the
-    //    reference builds every index family over INT8, index_model.h:19
-    //    — the graph families included): the HNSW generation stores the
-    //    RAW code values widened to float, so the walk's
-    //    Double-accumulated distances equal the integer kernels
-    //    bit-for-bit; efSearch ≥ corpus ⇒ exact, whole route oracled ──
-    "q_api_search_hnsw_int8" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8HnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_hnsw","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "efSearch":1000000,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── INT8 BATCHED graph route: req_num=3 queries quantize once and
-    //    walk every segment in the same task pass (one deserialization
-    //    amortized across the batch); per-qid exact blocks oracled ──
-    "q_api_search_hnsw_int8_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8HnswSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_hnsw_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "efSearch":1000000,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── INT8 through the COMPRESSED family (IVFPQ): ADC shortlist over
-    //    raw-code-domain codebooks, recallNum exact rerank with the
-    //    INTEGER kernels; full probe + recall_num ≥ corpus ⇒ exact ──
-    "q_api_search_ivfpq_int8" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8IvfPqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_ivfpq","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "recall_num":1000000,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    "q_api_search_ivfpq_int8_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8IvfPqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_ivfpq_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "recall_num":1000000,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── INT8 through IVFRABITQ (residual sign codes in the raw-code
-    //    domain, integer-kernel rerank); deep recall_num ⇒ exact —
-    //    with this, INT8 rides EVERY non-binary index family ──
-    "q_api_search_rabitq_int8" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8RabitqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_rb","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"IVFRABITQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── INT8 through SCANN (anisotropic codebooks in the raw-code
-    //    domain, integer-kernel rerank); deep recall_num ⇒ exact ──
-    "q_api_search_scann_int8" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8ScannSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_scann","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"SCANN",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── INT8 through the DISKANN_STATIC (Vamana) route — the third
-    //    family int8 rides (IVF probe scan, HNSW walk, Vamana beam
-    //    walk); L ≥ corpus ⇒ exact, oracled like the others ──
-    "q_api_search_diskann_int8" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8VamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_diskann","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":1000000,"beam_width":4,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    "q_api_search_diskann_int8_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.int8VamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"i8_diskann_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv","type":"vector","dimension":64,"value_type":"int8",
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":1000000,"beam_width":4,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"iv","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── string-PK BATCHED graph route: req_num=3 through the batched
-    //    HNSW arm over the docid sidecar, per-qid hits bridged back to
-    //    the string _id in one broadcast join; efSearch ≥ corpus ⇒ exact
-    //    per-qid blocks, oracled ──
-    "q_api_search_hnsw_string_batch" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_hnsw_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── string-PK through the IVF scan route: the layout carries the
-    //    string _id, the deny gate keys on _docid; full probe ⇒ exact ──
-    "q_api_search_ivf_string" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_ivf","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── string-PK through the Vamana (DISKANN_STATIC) route ──
-    "q_api_search_diskann_string" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.stringIdSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_vam","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.8 string-PK REALTIME: base ∪ buffered tail through the HNSW
-    //    route, tail merge keyed on the _docid BOTH legs carry (the tail
-    //    holds the query vector — a route that skips the buffer or the
-    //    bridge misses its top-1); exact params ⇒ oracled over the live
-    //    view ≡ the full table ──
-    "q_hnsw_string_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) =
-        graft.sources.IndexStore.stringIdRealtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id", ridCol = Some("_docid"))
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_rt","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.1 string-PK DELETE visibility: doc-0…doc-4 deleted via
-    //    deleteByPk (ledger records their DOCIDs); the routed walks gate
-    //    on the docid ledger — doc-0 is the query vector, so an ungated
-    //    (or _id-gated) route returns it as a top-1 ghost ──
-    "q_hnsw_string_after_delete" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.stringIdDeleteSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_del_h","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_ivf_string_after_delete" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.stringIdDeleteSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"str_del_i","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 MULTI-FIELD conjunctive ROUTING through the API (round-13:
-    //    previously every multi-vector request served exact FLAT even
-    //    with indexes declared): each field's HNSW generation lives
-    //    under the lifecycle's FIELD SCOPE, searchAuto walks both and
-    //    intersects docids with the WeightedRanker — the reference's
-    //    one-index-per-vector-field composition
-    //    (vector_manager.cc:1024-1087). efSearch ≥ corpus ⇒ each
-    //    per-field top-200 is exact ⇒ the whole composition oracles
-    //    against the brute weighted intersection ──
-    "q_api_search_multivec_routed" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 MIXED-family conjunctive routing (round-16: the all-HNSW
-    //    guard is gone): v1 serves through its HNSW generation, v2
-    //    through its IVFFLAT generation — the (docid, score)
-    //    intersection is family-agnostic, as in the reference
-    //    (vector_manager.cc:1024-1087 intersects per-field results for
-    //    any family combination). ef ≥ corpus and nprobe = ncentroids ⇒
-    //    each leg exact ⇒ the composition shares the brute oracle ──
-    "q_knn_multivec_mixed_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_mixed","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 conjunction over the COMPRESSED families through the
-    //    ROUTED path (late r16): v1 serves from its IVFPQ generation
-    //    (ADC shortlist ∘ exact rerank), v2 from its IVFRABITQ
-    //    generation (sign-code estimator ∘ exact rerank) — the docid
-    //    intersection is family-agnostic (vector_manager.cc:1024-1087).
-    //    Full probe + corpus-deep recall ⇒ both legs exact, oracled ──
-    "q_knn_multivec_pq_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldPqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_pq","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"IVFRABITQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 INT8 conjunction through the ROUTED path (late r16): both
-    //    legs are int8 fields with their OWN generations — iv1 walks its
-    //    raw-code-domain HNSW graph, iv2 probes its de-quantized-domain
-    //    IVF lists and scores in-scan with the integer kernels — then
-    //    the usual docid intersection + WeightedRanker. ef ≥ corpus and
-    //    nprobe = ncentroids ⇒ both legs exact, whole route oracled ──
-    "q_knn_multivec_int8_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldInt8Space(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_i8r","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"iv1","type":"vector","dimension":32,"value_type":"int8",
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"iv2","type":"vector","dimension":32,"value_type":"int8",
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"iv1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"iv2","feature":${q.drop(32).mkString("[", ",", "]")}}],
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-    }),
-
-    // ── §2.3+§2.4 SCALAR-FILTERED mixed-family conjunction through the
-    //    routed path (r16): the filter rides EACH leg — in-scan inside
-    //    the IVF leg's probed lists, allow-functor into the HNSW leg's
-    //    walk (vector_manager.cc:1024-1087 ∘ engine.cc:355-373); exact
-    //    params ⇒ equals the filtered brute conjunction, oracled ──
-    "q_knn_multivec_filtered_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_mixed_f","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
-        "filters":{"operator":"AND","conditions":[
-          {"operator":"IN","field":"label","value":[1,3,5]}]},
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 per-condition SCORE GATES on a routed conjunction (r16):
-    //    each condition's min_score gates ITS leg before the docid
-    //    intersection (gamma_common_data.h:94-96 per condition) — the
-    //    IVF leg in-scan, the HNSW leg through the distributed gate
-    //    loop; exact params ⇒ equals the gated brute conjunction ──
-    "q_knn_multivec_gated_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_mixed_g","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")},
-           "min_score":0.05},
-          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")},
-           "min_score":0.05}],
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 BATCHED (req_num=3) mixed-family conjunction through the
-    //    routed path (r16): each field's batch serves its READY
-    //    generation in ONE pass (graph batch walk / IVF probe-union
-    //    scan), then the (qid, docid) intersection + WeightedRanker
-    //    (doc_query.go:296-318 ∘ vector_manager.cc:1024-1087); exact
-    //    params ⇒ equals the per-qid brute conjunction, oracled ──
-    "q_knn_multivec_batch_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldMixedSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_mixed_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val qrows = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0))
-      val f1 = qrows.flatMap(_.take(32))
-      val f2 = qrows.flatMap(_.drop(32))
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${f1.mkString("[", ",", "]")}},
-          {"field":"v2","feature":${f2.mkString("[", ",", "]")}}],
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── batched conjunction over the COMPRESSED families (late r16):
-    //    one ADC / estimator pass over each field's probed-list union
-    //    serves all req_num queries, then the per-qid docid
-    //    intersection; exact operating points ⇒ oracled per-qid blocks ──
-    "q_knn_multivec_pq_batch_routed_exact" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.multiFieldPqSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_pq_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"IVFRABITQ",
-                      "params":{"ncentroids":8,"nprobe":8,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val qrows = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0))
-      val f1 = qrows.flatMap(_.take(32))
-      val f2 = qrows.flatMap(_.drop(32))
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${f1.mkString("[", ",", "]")}},
-          {"field":"v2","feature":${f2.mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4+§2.8 multi-field conjunctive with a LIVE TAIL through the
-    //    API: the buffer unions into EACH field's walk BEFORE the docid
-    //    intersection (vector_manager.cc:1096-1176); the tail holds the
-    //    query vector, so the intersection's top-1 is a buffered doc ──
-    "q_api_search_multivec_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) =
-        graft.sources.IndexStore.multiFieldRealtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"mv_rt","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"v1","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}},
-            {"name":"v2","type":"vector","dimension":32,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,
-                                "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val q = qvec(s, dir)
-      val req = s"""{"vectors":[
-          {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
-          {"field":"v2","feature":${q.drop(32).mkString("[", ",", "]")}}],
-        "index_params":{"efSearch":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 SSG declarations serve from the Vamana generation (both
-    //    flat-graph RNG-family indexes — the alias GPU_* classes get to
-    //    the CPU layouts): a space JSON written for SSG keeps real
-    //    index-serving instead of the FLAT fallback; l_search ≥ corpus ⇒
-    //    exact, oracled ──
-    "q_api_search_ssg" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"ssg_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"SSG"}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 ROUTED API search over a SCANN space — the reference wraps
-    //    Google ScaNN as third-party (impl/scann/); here the class is
-    //    NATIVE: codebooks trained and codes assigned under the
-    //    ANISOTROPIC (score-aware) loss of Guo et al. ICML 2020, served
-    //    by the coarse-probe ∘ ADC ∘ recall_num-rerank composition. Full
-    //    probe + full-depth rerank ⇒ exact, oracle-checked ──
-    "q_api_search_scann" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.scannSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"scann_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.4 (rows-only): SCANN at a pruned operating point (nprobe=4,
-    //    recall_num=100) — exactness twin above ──
-    "q_scann_search" -> ((s, dir) => {
-      init(s)
-      val spacePath = graft.sources.IndexStore.scannSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"scann_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":100},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.8 REALTIME serving (`enable_realtime`, SURVEY §2.8): each
-    //    family's routed search unions the streaming TAIL (fresh writes
-    //    not yet folded by the compaction loop) into the READY base
-    //    generation — the reference's buffer-over-index merge
-    //    (vector_manager.cc:941-1012,1096-1176 scans the memory buffer
-    //    into EVERY index type's search). The fixture's tail holds
-    //    vec_id 0-9 — including the query vector itself (distance 0) —
-    //    so a route that skips the buffer is missing its TOP-1, and the
-    //    live view ≡ the full embeddings table, so exact params
-    //    hash-oracle against plain exact top-k in DuckDB ──
-    "q_ivf_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_ivf","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.8 realtime with a STREAM-PRODUCED tail: the fixture's buffer
-    //    comes from an actual startIngest run (readStream → checkpointed
-    //    parquet sink → stop), so the oracle covers the streaming
-    //    plumbing end-to-end, not just a pre-split parquet pair ──
-    "q_ivf_realtime_stream" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) =
-        graft.sources.IndexStore.realtimeStreamSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_ivf_s","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_ivfpq_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_pq","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_hnsw_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_hnsw","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_rabitq_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_rb","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFRABITQ",
-                      "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.8 BATCHED realtime: req_num=3 queries through the routed IVF
-    //    planner with a live tail — per-qid base ∪ tail merge
-    //    (mergeTailBatch); all three query vectors live in the TAIL, so
-    //    every qid's top-1 is a buffered doc; full probe ⇒ exact per-qid
-    //    blocks over the live view ≡ the full table, oracle-checked ──
-    "q_ivf_batch_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_ivf_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFFLAT",
-                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_ivfpq_batch_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_pq_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"IVFPQ",
-                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── §2.8 BATCHED realtime through the GRAPH families: req_num=3
-    //    with a live tail — the per-qid base ∪ tail merge
-    //    (mergeTailBatch) over one segment pass that walks every
-    //    query's beam; every query vector is a TAIL doc, so each qid's
-    //    top-1 is a buffered write; exact params ⇒ per-qid exact blocks
-    //    over the live view ≡ the full table, oracle-checked ──
-    "q_hnsw_batch_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_hnsw_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"HNSW",
-                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    "q_diskann_batch_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_vam_b","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .orderBy(col("vec_id")).select(col("embedding")).collect()
-        .flatMap(_.getSeq[Float](0))
-      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // binary family: the tail rows carry packed codes — the brute tail
-    // leg ranks by code Hamming exactly like the probed base lists
-    "q_binaryivf_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeBinarySpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_bivf","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-    }),
-
-    "q_diskann_realtime" -> ((s, dir) => {
-      init(s)
-      val (spacePath, tailPath) = graft.sources.IndexStore.realtimeSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val rt = new graft.streaming.RealtimeTail(s, spacePath, tailPath,
-        s"$tailPath.ckpt", "_id")
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"rt_vam","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"DISKANN_STATIC",
-                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"l_search":1048576},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
-        .withColumn("_score", round(col("_score"), 4))
-    }),
-
-    // ── pipeline: full text profile (tokens, subwords, lang-id,
-    //    fingerprint) — every column portable, fully oracle-checked ──
-    "q_text_profile" -> ((s, dir) => {
-      init(s)
-      TextOps.profile(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          col("n_subwords").cast("long").as("n_subwords"),
-          col("lang_pred"), col("fingerprint"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── §2.4 (rows-only): PQ/ADC two-stage search with recall_num rerank,
-    //    over the prebuilt layout (stage 1 scans stored pq_code only) ──
-    "q_pq_search" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
-      PqIndex.search(table, col("embedding"), model, qvec(s, dir),
-        k = 10, recallNum = 50, idCol = col("vec_id"), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 PQ with recall_num ≥ N ≡ exact KNN (oracle-checked: proves
-    //    ADC shortlist → semi-join rerank end-to-end) ──
-    "q_pq_exact" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
-      PqIndex.search(table, col("embedding"), model, qvec(s, dir),
-        k = 10, recallNum = 1 << 30, idCol = col("vec_id"), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): binary codes + Hamming top-k (BINARYIVF class) ──
-    "q_knn_hamming" -> ((s, dir) => {
-      init(s)
-      val emb = t(s, dir, "embeddings")
-      val coded = emb.withColumn("code", F.signBits(col("embedding")))
-      val qCode = coded.filter(col("vec_id") === 0).select("code").head().getAs[Array[Byte]](0)
-      coded.withColumn("hamming", F.hamming(col("code"), lit(qCode)))
-        .orderBy(col("hamming").asc, col("vec_id").asc)
-        .limit(10)
-        .select(col("vec_id"), col("hamming"))
-    }),
-
-    // ── beyond-reference: 5-table star join, dims broadcast ──
-    "q5_join" -> ((s, dir) => {
-      init(s)
-      val dims = t(s, dir, "region").filter(col("r_name") === "ASIA")
-        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
-        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("n_name"))
-    }),
-
-    // ── beyond-reference: semi join (EXISTS) ──
-    "q_semi_join" -> ((s, dir) => {
-      init(s)
-      val withP = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
-        .select(col("o_custkey").as("c_custkey"))
-      t(s, dir, "customer").join(withP, Seq("c_custkey"), "left_semi")
-        .agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ── beyond-reference: anti join (NOT EXISTS) ──
-    "q_anti_join" -> ((s, dir) => {
-      init(s)
-      val withP = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
-        .select(col("o_custkey").as("c_custkey"))
-      t(s, dir, "customer").join(withP, Seq("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ── beyond-reference: HAVING + conditional aggregation ──
-    "q_having_case" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(when(col("o_totalprice") > 150000.0, 1).otherwise(0)).as("big_orders"))
-        .filter(col("cnt") >= 100)
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    // ── beyond-reference: gap-based sessionization (lag + cumsum window) ──
-    "q_sessionize" -> ((s, dir) => {
-      init(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"))
-      events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
-            .otherwise(0))
-        .withColumn("sess_id", sum(col("new_sess")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"))
-        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
-        .orderBy(col("user_id"))
-    }),
-
-    // ── beyond-reference: ROLLUP hierarchy aggregation ──
-    "q_rollup" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("sum_qty"), col("cnt"))
-        .orderBy(col("rf"), col("ls"))
-    }),
-
-    // ── beyond-reference: UNION + DISTINCT set semantics ──
-    "q_union_distinct" -> ((s, dir) => {
-      init(s)
-      val e = events(s, dir)
-      e.filter(col("event_type") === "click").select(col("user_id"))
-        .union(e.filter(col("value") > 90.0).select(col("user_id")))
-        .distinct()
-        .orderBy(col("user_id"))
-    }),
-
-    // ── beyond-reference: explode + re-aggregate (word frequencies) ──
-    "q_explode_words" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "part")
-        .select(explode(split(col("p_name"), " ")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("word"))
-    }),
-
-    // ── beyond-reference: correlated-average filter (window form) ──
-    "q_above_avg" -> ((s, dir) => {
-      init(s)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
-      t(s, dir, "orders")
-        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
-        .filter(col("o_totalprice") > col("cust_avg") * 1.5)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // ── beyond-reference: scalar string functions ──
-    "q_string_funcs" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "part")
-        .select(col("p_partkey"),
-          upper(col("p_name")).as("uname"),
-          substring(col("p_type"), 1, 5).as("t5"),
-          regexp_replace(col("p_brand"), "#", "-").as("brand2"),
-          length(col("p_name")).cast("long").as("ln"))
-        .orderBy(col("p_partkey"))
-    }),
-
-    // ── beyond-reference: NULL-semantics expressions (nullif/coalesce) ──
-    "q_null_semantics" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("d"))
-        // (orderkey, linenumber) is NOT unique in this fixture — order by
-        // every output column so the sort is total over row content
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("d"))
-        .limit(500)
-    }),
-
-    // ── beyond-reference: date-part extraction + aggregation ──
-    "q_date_parts" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "lineitem")
-        .groupBy(year(col("l_shipdate")).cast("long").as("y"),
-          month(col("l_shipdate")).cast("long").as("m"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("y"), col("m"))
-    }),
-
-    // ── beyond-reference: semi-structured JSON extraction ──
-    "q_json_extract" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          round(avg(col("k")), 4).as("avg_k"),
-          max(col("k")).as("max_k"))
-        .orderBy(col("event_type"))
-    }),
-
-    // ── pipeline showcase: quality-filter → dedup-survivors → embedding
-    //    join → KNN, one composed DataFrame flow (fully oracle-checked) ──
-    "q_pipeline_e2e" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val quality = TextOps.qualityFeatures(col("text"), TextOps.EnStopwords)
-      val good = docs.withColumn("q", quality)
-        .filter(col("q.n_tokens") >= 20 && col("q.stopword_ratio") < 0.5)
-        .select(col("doc_id"), col("text"))
-      val survivors = Dedup.exact(good, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val corpus = good.join(survivors, "doc_id")
-        .join(emb, col("doc_id") === col("vec_id"))
-      Knn.search(corpus, col("embedding"), qvec(s, dir), 10, "cosine",
-        tieBreak = Some(col("doc_id")), roundTo = Some(4))
-        .select(col("doc_id"), col("_score").as("score"))
-    }),
-
-    // ── §3.1 the full REST request surface: search verb end-to-end ──
-    "q_api_search" -> ((s, dir) => {
-      init(s)
-      val q = qvec(s, dir).mkString("[", ",", "]")
-      SearchApi.search(embCorpus(s, dir), embSpace,
-        s"""{"vectors":[{"field":"embedding","feature":$q}],
-             "filters":{"operator":"AND","conditions":[
-               {"operator":"IN","field":"label","value":[1,3,5]}]},
-             "limit":12}""")
-        .select(col("_id"), col("label"), round(col("_score"), 4).as("score"))
-    }),
-
-    // ── §3.2 the query verb: document_ids path, request order ──
-    "q_api_query_ids" -> ((s, dir) => {
-      init(s)
-      SearchApi.query(embCorpus(s, dir), embSpace,
-        """{"document_ids":["42","7","99"],"limit":50}""")
-    }),
-
-    // ── §2.6 sort spec (sortorder/parse.go:24-36): filtered scan ordered
-    //    by a user sort, not the default _id order ──
-    "q_api_sort" -> ((s, dir) => {
-      init(s)
-      SearchApi.query(embCorpus(s, dir), embSpace,
-        """{"filters":{"operator":"AND","conditions":[
-             {"operator":">=","field":"label","value":5}]},
-           "sort":[{"label":{"order":"desc"}},{"_id":{"order":"asc"}}],
-           "limit":30}""")
-    }),
-
-    // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank over the
-    //    prebuilt list_id-partitioned + pq_code layout ──
-    "q_ivfpq_search" -> ((s, dir) => {
-      init(s)
-      // residual-trained codebooks (adopted after winning the
-      // RecallGateSpec head-to-head at the pruned-probe operating point)
-      val (table, ivf, pq) = graft.sources.IndexStore
-        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
-      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
-        k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 batched IVFPQ (req_num queries, ADC LUTs as broadcast data)
-    //    at exactness params ≡ exact batch KNN (oracle-checked) ──
-    "q_ivfpq_batch" -> ((s, dir) => {
-      init(s)
-      val (table, ivf, pq) = graft.sources.IndexStore
-        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      PqIndex.searchBatchIvfResidual(table, col("embedding"), ivf, pq, queries,
-        k = 5, nprobe = ivf.ncentroids, recallNum = 1 << 30, idCol = col("vec_id"))
-        .select(col("_qid").as("qid"), col("_id").as("vec_id"),
-          round(col("_score"), 4).as("score"))
-        .orderBy(col("qid"), col("score"), col("vec_id"))
-    }),
-
-    // ── §2.4 IVFPQ with nprobe = ncentroids & recall_num ≥ N ≡ exact KNN
-    //    (oracle-checked) ──
-    "q_ivfpq_exact" -> ((s, dir) => {
-      init(s)
-      val (table, ivf, pq) = graft.sources.IndexStore
-        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
-      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
-        k = 10, nprobe = ivf.ncentroids, recallNum = 1 << 30,
-        idCol = col("vec_id"), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): 1-bit quantization shortlist + exact rerank over
-    //    the prebuilt bcode layout (stage 1 reads dim/8 bytes per row) ──
-    "q_binary_rerank" -> ((s, dir) => {
-      init(s)
-      val coded = graft.sources.IndexStore.binary(s, dir)
-      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
-        k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 int8 value type (index_model.h:19): quantize → integer-
-    //    accumulate IP search, oracle-checked against the same floor-based
-    //    quantizer in SQL ──
-    "q_knn_int8" -> ((s, dir) => {
-      init(s)
-      val coded = t(s, dir, "embeddings")
-        .withColumn("iv", F.quantizeI8(col("embedding")))
-      val q = coded.filter(col("vec_id") === 0)
-        .select("iv").head().getAs[Array[Byte]](0)
-      Knn.searchInt8(coded, col("iv"), q, k = 10, metric = "ip",
-        tieBreak = Some(col("vec_id")))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 binary with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
-    "q_binary_exact" -> ((s, dir) => {
-      init(s)
-      val coded = graft.sources.IndexStore.binary(s, dir)
-      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
-        k = 10, shortlist = 1 << 30, idCol = col("vec_id"), roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): RaBitQ-class qb=4 — asymmetric quantized-query
-    //    estimator over 1-bit corpus codes, exact rerank ──
-    "q_rabitq_search" -> ((s, dir) => {
-      init(s)
-      val coded = graft.sources.IndexStore.binary(s, dir)
-      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
-        k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4), qb = 4)
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 RaBitQ qb=4 with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
-    "q_rabitq_exact" -> ((s, dir) => {
-      init(s)
-      val coded = graft.sources.IndexStore.binary(s, dir)
-      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
-        k = 10, shortlist = 1 << 30, idCol = col("vec_id"), roundTo = Some(4), qb = 4)
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 (rows-only): full IVFRABITQ — coarse probe (partition
-    //    pruning) ∘ per-list residual-code estimator ∘ exact rerank ──
-    "q_rabitq_ivf" -> ((s, dir) => {
-      init(s)
-      val (table, ivf) = graft.sources.IndexStore.binaryIvf(s, dir, ncentroids = 16)
-      graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
-        qvec(s, dir), k = 10, nprobe = 4, shortlist = 100,
-        idCol = col("vec_id"), qb = 4, roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── §2.4 IVFRABITQ at exactness params ≡ exact KNN (oracle-checked) ──
-    "q_rabitq_ivf_exact" -> ((s, dir) => {
-      init(s)
-      val (table, ivf) = graft.sources.IndexStore.binaryIvf(s, dir, ncentroids = 16)
-      graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
-        qvec(s, dir), k = 10, nprobe = ivf.ncentroids, shortlist = 1 << 30,
-        idCol = col("vec_id"), qb = 4, roundTo = Some(4))
-        .select(col("vec_id"), col("_score").as("score"))
-    }),
-
-    // ── multimodal (oracle-checked): REAL decode of the stored media
-    //    corpus → typed metadata. The synthesizer's parameters are pure
-    //    functions of media_id, so DuckDB re-derives every decoded value
-    //    analytically — decode correctness gets a true oracle ──
-    "q_media_metadata" -> ((s, dir) => {
-      init(s)
-      val media = graft.sources.IndexStore.media(s, dir)
-      val imgs = Multimodal.decodeImages(media).toDF()
-        .select(col("media_id"), col("width"), col("height"), col("channels"))
-      val auds = Multimodal.decodeAudio(media).toDF()
-        .select(col("media_id"), col("sample_rate"),
-          col("n_frames").cast("long").as("n_frames"))
-      media.select(col("media_id"), col("media_type"))
-        .join(imgs, Seq("media_id"))
-        .join(auds, Seq("media_id"))
-        .select(col("media_id"), col("media_type"), col("width"),
-          col("height"), col("channels"), col("sample_rate"), col("n_frames"))
-        .orderBy(col("media_id"))
-    }),
-
-    // ── multimodal (rows-only): stored media corpus → real decode →
-    //    color-histogram features → KNN. Reads the build-once fixture, so
-    //    the timed work is decode+features+search, not PNG encoding ──
-    "q_media_pipeline" -> ((s, dir) => {
-      init(s)
-      val media = graft.sources.IndexStore.media(s, dir)
-      // REAL decode: the fixture holds true PNG/WAV payloads, so image rows
-      // carry genuine dims + decoded-pixel checksums and audio rows genuine
-      // rates — the fallback fingerprint only covers the declared video stub
-      val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
-        .select(col("media_id"), col("feature").cast("array<float>").as("feature"))
-      // the query feature is computed DRIVER-side from the request payload
-      // (the real API shape: a query image arrives as bytes with the
-      // request) — the only Spark work before the scan is a one-row
-      // pushdown fetch of those bytes
-      val qBytes = media.filter(col("media_id") === 0)
-        .select(col("payload")).head().getAs[Array[Byte]](0)
-      val q = Multimodal.featureOf(qBytes, 16).toSeq
-      // k-bounded collect (k = 10, the request's topk — same contract as
-      // the req_num query pickups): one full-corpus decode+topk pass, and
-      // checksum-decode touches ONLY the k survivors, as an id filter
-      // pushed down to the payload table's parquet scan. Re-using the
-      // lazy top-k frame on both sides of the join would recompute the
-      // corpus decode twice.
-      import s.implicits._
-      val top = Knn.search(feats, col("feature"), q, 10, "cosine",
-        tieBreak = Some(col("media_id")), roundTo = Some(4))
-        .select(col("media_id"), col("_score").as("score")).collect()
-      val topDf = top.map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        .toDF("media_id", "score")
-      val surv = media.filter(col("media_id").isin(top.map(_.getLong(0)): _*))
-      val imgs = Multimodal.decodeImages(surv).toDF()
-        .select(col("media_id"), col("width"), col("height"), col("pixel_checksum"))
-      val auds = Multimodal.decodeAudio(surv).toDF()
-        .select(col("media_id"), col("sample_rate"), col("n_frames"))
-      topDf.join(imgs, Seq("media_id"))
-        .join(auds, Seq("media_id"))
-        .select(col("media_id"), col("score"),
-          col("width"), col("height"), col("pixel_checksum"),
-          col("sample_rate"), col("n_frames"))
-        .orderBy(col("score").desc, col("media_id"))
-    }),
-
-    // ── pipeline: distributed k-NN JOIN at exactness params (nprobe =
-    //    ncentroids ≡ exact): the query side stays a TABLE — per-row
-    //    quantizer expression computes probe lists, equi-join on list_id,
-    //    bounded-heap top-k per query. No driver collect of either side ──
-    "q_knn_join" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding"))
-      KnnJoin.ivf(queries, "vec_id", "embedding",
-        table, col("embedding"), struct(col("vec_id")), model,
-        k = 5, nprobe = model.ncentroids)
-        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
-          round(col("_score"), 4).as("score"))
-        .orderBy(col("qid"), col("score"), col("vec_id"))
-    }),
-
-    // ── pipeline (rows-only): the same k-NN join with pruned probes
-    //    (nprobe = 4 of 16) — the 100 TB ANN-join shape; exact twin
-    //    q_knn_join shares its oracle ──
-    "q_knn_join_ann" -> ((s, dir) => {
-      init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding"))
-      KnnJoin.ivf(queries, "vec_id", "embedding",
-        table, col("embedding"), struct(col("vec_id")), model,
-        k = 5, nprobe = 4)
-        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
-          round(col("_score"), 4).as("score"))
-        .orderBy(col("qid"), col("score"), col("vec_id"))
-    }),
-
-    // ── pipeline: near-dup CLUSTERING — exact jaccard pairs → connected
-    //    components (min-label propagation) → canonical survivor flag.
-    //    Answers "which copies form one group" when duplicates chain
-    //    A~B~C without A~C qualifying directly ──
-    "q_dedup_clusters" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
-      val cl = Dedup.clusters(docs, "doc_id", pairs)
-      // clusters' own checkpoint has materialized by now and truncates
-      // lineage, so the final-frame free can't reach the pairs blocks —
-      // release them here (consume-then-free contract, as in Stress)
-      graft.operators.Checkpoints.free(pairs)
-      cl.select(col("id").as("doc_id"), col("cluster_id"),
-          col("is_canonical").cast("int").as("is_canonical"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: deterministic hash sample — content-keyed membership,
-    //    map-side only (re-runs and stage retries pick identical rows) ──
-    // ── pipeline: keep-best dedup — the canonical flow (near-dup
-    //    clusters → one surviving representative per cluster, here the
-    //    LONGEST doc, ties by min id) composed from jaccardPairs +
-    //    clusters + a per-cluster window ──
-    "q_dedup_keep_best" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
-      val cl = Dedup.clusters(docs, "doc_id", pairs)
-      // same consume-then-free as q_dedup_clusters: clusters has already
-      // materialized its checkpoint, pairs blocks are otherwise orphaned
-      graft.operators.Checkpoints.free(pairs)
-      // keep pick = min(struct(-len, id)) inside a cluster-keyed aggregate
-      // (longest doc, ties to min id) — map-side combinable, shuffles one
-      // row per cluster per task where a row_number window shuffles and
-      // sorts the whole labeled corpus (semanticDedup's keep uses the
-      // same shape)
-      cl.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
-        .groupBy(col("cluster_id"))
-        .agg(min(struct((-col("n_chars")).as("_neg"), col("id").as("_id"))).as("_k"))
-        .select(col("cluster_id"), col("_k._id").as("keep_id"),
-          (-col("_k._neg")).as("n_chars"))
-        .orderBy(col("cluster_id"))
-    }),
-
-    "q_sample_hash" -> ((s, dir) => {
-      init(s)
-      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 0.3)
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: stratified cap — every lang stratum capped at 20 rows
-    //    chosen by key hash (the class-balancing step of a data recipe) ──
-    "q_sample_stratified" -> ((s, dir) => {
-      init(s)
-      Sampling.stratifiedCap(t(s, dir, "documents"), col("lang"), col("doc_id"),
-        cap = 20)
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: temperature (α=0.5) re-sampling across languages —
-    //    mT5-style exponentiated-share rebalancing; per-group rate
-    //    derived from corpus counts, membership the same portable
-    //    md5-uniform the oracle re-derives ──
-    "q_sample_temperature" -> ((s, dir) => {
-      init(s)
-      Sampling.temperatureSample(t(s, dir, "documents"), col("lang"),
-          col("doc_id"), alpha = 0.5, targetFrac = 0.3)
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: SemDeDup — cluster the embedding space, connect
-    //    within-cluster near-dups, keep the least-centroid-similar
-    //    member per component. DETERMINISTIC centroid seed (the
-    //    oracle-able operating point): the first 16 embeddings ARE the
-    //    centroids and assignment is IvfIndex.assign's argmin-L2
-    //    quantizer — closed-form in SQL, so the whole survivor rule
-    //    (within-list cosine pairs → components → least-centroid-sim
-    //    keep) is hash-checked end-to-end. The KMeans-trained twin of
-    //    the same semanticDedupPrebuilt path rides DedupSpec and the
-    //    q_embed_neardup family ──
-    "q_semantic_dedup" -> ((s, dir) => {
-      init(s)
-      val emb = t(s, dir, "embeddings")
-      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val model = IvfIndex.Model(cents, "cosine")
-      Dedup.semanticDedupPrebuilt(emb,
-          IvfIndex.assign(emb, "embedding", model), model,
-          "vec_id", "embedding", threshold = 0.4)
-        .withColumn("centroid_sim", round(col("centroid_sim"), 4))
-        .orderBy(col("id"))
-    }),
-
-    // ── pipeline: BPE trainer stage 1 — weighted adjacent char-pair
-    //    counts over the DISTINCT-word relation (the corpus-sized pass
-    //    happens once; merge rounds run on vocab-sized data). ASCII
-    //    fixture text keeps Spark's code-unit chars == DuckDB's
-    //    codepoint substr ──
-    "q_bpe_pairs" -> ((s, dir) => {
-      init(s)
-      graft.operators.Bpe.pairCounts(
-          graft.operators.Bpe.vocab(t(s, dir, "documents"), "text"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(20)
-    }),
-
-    // ── pipeline: the learned merge list itself (30 rounds). The
-    //    iterative argmax IS oracle-checked: a DuckDB recursive CTE
-    //    carries the whole vocab as one list-typed row (words encoded
-    //    with symbol markers so string replace() is exactly the greedy
-    //    leftmost non-overlapping merge fold) and replays every round's
-    //    (max count, lexicographic tie-break) pick ──
-    "q_bpe_merges" -> ((s, dir) => {
-      init(s)
-      val (merges, vocab) = graft.operators.Bpe.train(
-        t(s, dir, "documents"), "text", numMerges = 30, minFreq = 2)
-      graft.operators.Checkpoints.free(vocab)
-      import s.implicits._
-      merges.zipWithIndex
-        .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
-        .toDF("rank", "a", "b", "merged")
-        .orderBy(col("rank"))
-    }),
-
-    // ── pipeline: model-based quality filter (CCNet bootstrap: weak
-    //    labels from the heuristic tails → hashed-BoW logistic model →
-    //    score the corpus). ROWS-ONLY: L-BFGS coefficients aren't
-    //    DuckDB-re-derivable; the heuristic feature space itself is
-    //    oracle-checked by q_text_quality, and QualityModelSpec pins
-    //    separation + the map-side scoring plan ──
-    "q_quality_model" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      val lab = graft.operators.QualityModel.weakLabels(docs, "text")
-      val model = graft.operators.QualityModel.train(lab, "text", "label",
-        logFeatures = 12)
-      graft.operators.QualityModel.score(docs, model, "text")
-        .groupBy(floor(col("quality_prob") * 10).cast("int").as("band"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("band"))
-    }),
-
-    // ── pipeline: per-language quality quantiles (threshold picking for a
-    //    filtering recipe); exact percentile shares DuckDB quantile_cont's
-    //    p·(n−1) linear interpolation, so values oracle-check ──
-    "q_quality_quantiles" -> ((s, dir) => {
-      init(s)
-      TextOps.qualityQuantiles(t(s, dir, "documents"), col("lang"),
-        length(col("text")), Seq(0.5, 0.9, 0.99))
-        .orderBy(col("lang"))
-    }),
-
-    // ── pipeline: Gopher-style repetition filters — per-row expressions
-    //    only (most-frequent unigram/bigram fraction, distinct-token
-    //    fraction), embarrassingly parallel at any scale ──
-    "q_rep_signals" -> ((s, dir) => {
-      init(s)
-      val r = TextOps.repetitionSignals(col("text"))
-      t(s, dir, "documents").select(col("doc_id"), r.as("r"))
-        .select(col("doc_id"),
-          col("r.n_tokens").cast("long").as("n_tokens"),
-          round(col("r.distinct_frac"), 4).as("distinct_frac"),
-          round(col("r.top_unigram_frac"), 4).as("top_unigram_frac"),
-          round(col("r.top_bigram_frac"), 4).as("top_bigram_frac"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: cross-document shingle novelty (boilerplate /
-    //    contamination fraction) — explode → df-count → re-join, both
-    //    shuffles keyed on the shingle ──
-    "q_shingle_novelty" -> ((s, dir) => {
-      init(s)
-      TextOps.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
-        .select(col("id").as("doc_id"),
-          col("n_shingles"), col("n_shared"),
-          round(col("shared_frac"), 4).as("shared_frac"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── beyond-reference: as-of join — each click picks the user's most
-    //    recent prior purchase via union + one running-window pass (one
-    //    shuffle, no time-range candidate explosion) ──
-    "q_asof_join" -> ((s, dir) => {
-      init(s)
-      asofClicksToPurchases(s, dir, skewBuckets = 1)
-    }),
-
-    // ── same as-of semantics through the skew-safe two-pass bucketed
-    //    carry (hot keys split across time buckets) — shares
-    //    q_asof_join's oracle, proving path equivalence ──
-    "q_asof_skew" -> ((s, dir) => {
-      init(s)
-      asofClicksToPurchases(s, dir, skewBuckets = 8)
-    }),
-
-    // ── same semantics with the AUTO skew trigger live: the max-per-key
-    //    probe measures ~30-45 events/user on every fixture, so a
-    //    threshold of 20 actually FIRES the ceil(max/20)-bucket path —
-    //    trigger + bucketed carry compose under q_asof_join's oracle ──
-    "q_asof_auto_skew" -> ((s, dir) => {
-      init(s)
-      asofClicksToPurchases(s, dir, skewBuckets = 1,
-        skewAutoThreshold = Some(20L))
-    }),
-
-    // ── as-of with a 1-hour max-lookback tolerance (merge_asof
-    //    semantics): a latest-prior purchase older than the bound drops
-    //    to the no-match sentinel ──
-    "q_asof_tolerance" -> ((s, dir) => {
-      init(s)
-      asofClicksToPurchases(s, dir, skewBuckets = 1,
-        tolerance = Some(3600000000L))
-    }),
-
-    // ── FORWARD as-of: earliest purchase at-or-after each click (the
-    //    "next event" lookup) — negated-time reuse of the backward
-    //    machinery, tolerance bounds the lookahead ──
-    "q_asof_forward" -> ((s, dir) => {
-      init(s)
-      asofClicksToPurchases(s, dir, skewBuckets = 1, direction = "forward")
-    }),
-
-    // ── NEAREST as-of: the closer of the prior and next purchase, ties
-    //    to the prior — both carries ride one shuffle ──
-    "q_asof_nearest" -> ((s, dir) => {
-      init(s)
-      asofClicksToPurchases(s, dir, skewBuckets = 1, direction = "nearest")
-    }),
-
-    // ── beyond-reference: grouped top-k through the custom bounded-heap
-    //    aggregate (graft_topk) — direct oracle check of the
-    //    TypedImperativeAggregate against SQL row_number ──
-    "q_group_topk" -> ((s, dir) => {
-      init(s)
-      events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(F.topK(col("value"), struct(col("event_id")), k = 3,
-          asc = false).as("_tk"))
-        .select(col("event_type"), explode(col("_tk")).as("_e"))
-        .select(col("event_type"),
-          col("_e.item.event_id").as("event_id"),
-          round(col("_e.score"), 2).as("value"))
-        .orderBy(col("event_type"), col("value").desc, col("event_id"))
-    }),
-
-    // ── beyond-reference: INTERSECT — users who both clicked and
-    //    purchased ──
-    "q_intersect" -> ((s, dir) => {
-      init(s)
-      val ev = events(s, dir)
-      ev.filter(col("event_type") === "click").select(col("user_id"))
-        .intersect(
-          ev.filter(col("event_type") === "purchase").select(col("user_id")))
-        .orderBy(col("user_id"))
-    }),
-
-    // ── beyond-reference: EXCEPT — users who clicked but never
-    //    purchased ──
-    "q_except" -> ((s, dir) => {
-      init(s)
-      val ev = events(s, dir)
-      ev.filter(col("event_type") === "click").select(col("user_id"))
-        .except(
-          ev.filter(col("event_type") === "purchase").select(col("user_id")))
-        .orderBy(col("user_id"))
-    }),
-
-    // ── beyond-reference: range (point-in-interval) join — each click
-    //    matched to the purchase windows containing it via bucketed
-    //    equi-join (the naive key-only join materializes every per-key
-    //    pair before the range filter) ──
-    "q_range_join" -> ((s, dir) => {
-      init(s)
-      // µs-truncated BEFORE the join — matches the oracle's epoch_us
-      // precision so boundary comparisons can't disagree on ns residues
-      val hourUs = 3600000000L
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
-      val windows = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("w_id"),
-          expr("ts div 1000").as("w_start_us"),
-          expr("ts div 1000 + 3600000000").as("w_end_us"))
-      graft.operators.RangeJoin.pointInInterval(clicks, windows,
-        Seq("user_id"), "ts_us", "w_start_us", "w_end_us", bucketWidth = hourUs)
-        .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("w_id"), col("w_start_us"))
-        .orderBy(col("event_id"), col("w_id"))
-    }),
-
-    // ── beyond-reference: PIVOT — lang × source count matrix with an
-    //    explicit value list (no extra pass to discover columns; absent
-    //    cells are true zeros) ──
-    "q_pivot" -> ((s, dir) => {
-      init(s)
-      val srcs = (0 until 20).map(i => s"src$i")
-      t(s, dir, "documents").groupBy(col("lang"))
-        .pivot("source", srcs).count()
-        .na.fill(0L, srcs)
-        .orderBy(col("lang"))
-    }),
-
-    // ── beyond-reference: statistical aggregates (corr / stddev / covar —
-    //    one-pass partial-mergeable moments, map-side combined) ──
-    "q_stats" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("cnt"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-          round(corr(col("l_extendedprice"), col("l_discount")), 4).as("corr_pd"),
-          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // ── pipeline: benchmark decontamination — corpus docs sharing any
-    //    3-gram with a (deterministic) held-out benchmark subset; the
-    //    benchmark's distinct shingle hashes broadcast, corpus probe is
-    //    map-side ──
-    "q_decontaminate" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      TextOps.decontaminate(
-        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
-        .select(col("id").as("doc_id"), col("n_shingles"),
-          col("n_contaminated"), col("is_contaminated"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: global top-k n-grams — corpus boilerplate discovery
-    //    (explode → count → top-k, map-side partial aggregation) ──
-    "q_top_ngrams" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      // projection boundary: tokenize once per row, THEN shingle — the
-      // one-select formulation re-tokenizes inside the transform lambda
-      docs.select(TextOps.tokens(col("text")).as("_toks"))
-        .select(explode(Dedup.shinglesFromTokens(col("_toks"), 2)).as("ngram"))
-        .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
-        .orderBy(col("doc_freq").desc, col("ngram"))
-        .limit(20)
-    }),
-
-    // ── pipeline: unicode normalization (NFC + accent strip + lowercase
-    //    + whitespace collapse) — custom codegen'd expression, DuckDB
-    //    recomputes the identical string ──
-    "q_text_normalize" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.normalize(col("text")).as("norm_text"),
-          length(TextOps.normalize(col("text"))).cast("long").as("norm_len"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: per-doc top-3 TF-IDF keywords (salient-term
-    //    extraction; tf and df shuffles keyed on the term) ──
-    "q_tfidf" -> ((s, dir) => {
-      init(s)
-      TextOps.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .select(col("id").as("doc_id"), col("rank"), col("term"),
-          col("tf"), round(col("tfidf"), 4).as("tfidf"))
-        .orderBy(col("doc_id"), col("rank"))
-    }),
-
-    // ── pipeline: unigram-LM quality score — corpus-trained token
-    //    distribution, per-doc avg log probability (perplexity proxy) ──
-    "q_lm_score" -> ((s, dir) => {
-      init(s)
-      TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("n_tokens"),
-          round(col("avg_logp"), 4).as("avg_logp"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── pipeline: weighted data mix — per-source deterministic hash
-    //    sampling, map-side membership only ──
-    "q_sample_mix" -> ((s, dir) => {
-      init(s)
-      val docs = t(s, dir, "documents")
-      Sampling.mix(Seq(
-        (docs.filter(col("lang") === "en"), 0.4),
-        (docs.filter(col("lang") =!= "en"), 0.1)), "doc_id")
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ── beyond-reference: salted two-phase aggregation — the hot-GROUP-BY
-    //    shape AQE can't split; oracle-checked against the plain GROUP BY,
-    //    proving the salt is semantics-preserving ──
-    "q_salted_agg" -> ((s, dir) => {
-      init(s)
-      Skew.saltedAgg(
-        events(s, dir).select(col("event_type"), col("value")),
-        Seq(col("event_type")), salts = 8)(
-        Seq(sum(col("value")).as("_s"), count(lit(1)).as("_c")),
-        Seq(round(sum(col("_s")), 2).as("sum_value"), sum(col("_c")).as("cnt")))
-        .orderBy(col("event_type"))
-    }),
-
-    // ── beyond-reference: CUBE aggregation (all grouping-set combinations
-    //    in one shuffle) ──
-    "q_cube" -> ((s, dir) => {
-      init(s)
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          count(lit(1)).as("cnt"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("sum_qty"), col("cnt"))
-        .orderBy(col("rf"), col("ls"))
-    }),
-  )
+  /** The declared query surface — split per family under `graft.entry`
+    * (round 18); this concatenation IS the driver contract.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.entry.RelationalEntries.queries ++
+    graft.entry.KnnEntries.queries ++
+    graft.entry.IndexEntries.queries ++
+    graft.entry.ApiEntries.queries ++
+    graft.entry.PipelineEntries.queries
 
   /** Exact L2 top-10 — also the oracle for every ANN query run with
     * exactness parameters (nprobe = ncentroids / recall_num ≥ N /
@@ -3281,7 +162,7 @@ object SparkEntry {
     * (qid = position in the flat feature array = vec_id 0..2 by
     * construction) — shared by every batched family at exact params.
     */
-  private val apiBatchExactSql =
+  private[graft] val apiBatchExactSql =
     """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
                    FROM embeddings WHERE vec_id < 3),
        r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
@@ -3298,7 +179,7 @@ object SparkEntry {
     * exact params, including the realtime routes (their live view =
     * base ∪ tail ≡ the whole table by fixture construction).
     */
-  private val apiExactTop10Sql =
+  private[graft] val apiExactTop10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id AS _id, e.label,
               round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
@@ -3310,7 +191,7 @@ object SparkEntry {
     * 'doc-' || vec_id, so the oracle re-derives the docid→PK bridge the
     * routed arms perform (ties break on the STRING id, matching finish()).
     */
-  private val apiStrExactTop10Sql =
+  private[graft] val apiStrExactTop10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
               round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
@@ -3319,7 +200,7 @@ object SparkEntry {
        LIMIT 10"""
 
   /** [[apiStrExactTop10Sql]] minus the deleted PKs (vec_id 0–4). */
-  private val apiStrAfterDeleteSql =
+  private[graft] val apiStrAfterDeleteSql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
               round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
@@ -3332,7 +213,7 @@ object SparkEntry {
     * (_id, _score) — the oracle of the multi-field conjunctive routes at
     * exact per-field walks (perFieldK = max(limit·10, 200) = 200).
     */
-  private val apiMultivecExactSql =
+  private[graft] val apiMultivecExactSql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
        b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
                     (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
@@ -3345,7 +226,7 @@ object SparkEntry {
        SELECT vec_id AS _id, round(sc, 4) AS _score
        FROM j ORDER BY sc DESC, vec_id LIMIT 10"""
 
-  private val apiMultivecBatchExactSql =
+  private[graft] val apiMultivecBatchExactSql =
     """WITH qs AS (SELECT vec_id AS _qid, (embedding::DOUBLE[])[1:32] AS q1,
                           (embedding::DOUBLE[])[33:64] AS q2
                    FROM embeddings WHERE vec_id < 3),
@@ -3373,7 +254,7 @@ object SparkEntry {
     * oracle both the exact and the ef=64 routed multivec conjunctions
     * replay (the ef=64 walks are measured exact on the sf0.01 fixture).
     */
-  private val multivecIntersectTop10Sql =
+  private[graft] val multivecIntersectTop10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
        b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
                     (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
@@ -3387,7 +268,7 @@ object SparkEntry {
               round(sc, 4) AS score
        FROM j ORDER BY sc DESC, vec_id LIMIT 10"""
 
-  private val exactL2Top10Sql =
+  private[graft] val exactL2Top10Sql =
     """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
               round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
@@ -3398,7 +279,7 @@ object SparkEntry {
   /** Shared CTE chain deriving exact 3-gram jaccard candidates: reused by
     * the pairs oracle and the clustering oracle.
     */
-  private val jaccardCtes =
+  private[graft] val jaccardCtes =
     """t AS (SELECT doc_id,
               -- canonical tokenizer twin (TextOps.tokens): trim +
               -- \s+ split, empty text = ZERO tokens — DuckDB's
@@ -3423,7 +304,7 @@ object SparkEntry {
     * exact join and the MinHash-LSH variant (recall ≈ 1 − 3e-4 per pair at
     * 8×2 banding, deterministic seeds).
     */
-  private val jaccardPairsSql =
+  private[graft] val jaccardPairsSql =
     s"""WITH $jaccardCtes
        SELECT id_a, id_b,
               round(common::DOUBLE / (za.sz + zb.sz - common), 4) AS jaccard
@@ -3435,7 +316,7 @@ object SparkEntry {
     * (recursive CTE) → min reachable id per vertex; unpaired docs are their
     * own singleton cluster.
     */
-  private val clusterCtes =
+  private[graft] val clusterCtes =
     s"""$jaccardCtes,
        p AS (SELECT id_a, id_b
              FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
@@ -3446,7 +327,7 @@ object SparkEntry {
                  UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
        lbl AS (SELECT u AS id, least(u, min(v)) AS cl FROM reach GROUP BY u)"""
 
-  private val dedupClustersSql =
+  private[graft] val dedupClustersSql =
     s"""WITH RECURSIVE $clusterCtes
        SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id,
               CAST(coalesce(l.cl, d.doc_id) = d.doc_id AS INT) AS is_canonical
@@ -3456,7 +337,7 @@ object SparkEntry {
   /** Keep-best dedup oracle: same cluster labels, survivor = the longest
     * doc per cluster (ties → smallest id).
     */
-  private val dedupKeepBestSql =
+  private[graft] val dedupKeepBestSql =
     s"""WITH RECURSIVE $clusterCtes,
        cl AS (SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id, d.n_chars
               FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
@@ -3471,7 +352,7 @@ object SparkEntry {
     * from the md5 hex digits — bit-identical to the Spark column in
     * [[graft.operators.Sampling.portableUniform]].
     */
-  private def portableUniformSql(keyExpr: String): String =
+  private[graft] def portableUniformSql(keyExpr: String): String =
     s"""(list_sum([(strpos('0123456789abcdef',
             substr(md5($keyExpr), i + 1, 1)) - 1)::BIGINT
             * (1::BIGINT << (4 * (14 - i))) FOR i IN range(15)])::DOUBLE
@@ -3480,7 +361,7 @@ object SparkEntry {
   /** Exact batch L2 top-5 for queries vec_id<5 — the oracle for batched
     * index searches run at exactness parameters.
     */
-  private val exactBatchL2Sql =
+  private[graft] val exactBatchL2Sql =
     """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
                   FROM embeddings WHERE vec_id < 5),
        s AS (SELECT q.qid, e.vec_id,
@@ -3493,1622 +374,11 @@ object SparkEntry {
        FROM r WHERE rn <= 5
        ORDER BY qid, round(d, 4), vec_id"""
 
-  def oracleSql: Map[String, String] = Map(
-    "q_knn_join" -> exactBatchL2Sql,
-
-    "q_dedup_clusters" -> dedupClustersSql,
-    "q_dedup_keep_best" -> dedupKeepBestSql,
-
-    "q_sample_hash" ->
-      s"""SELECT doc_id, lang FROM documents
-         WHERE ${portableUniformSql("doc_id::VARCHAR")} < 0.3
-         ORDER BY doc_id""",
-
-    "q_sample_stratified" ->
-      s"""WITH h AS (SELECT doc_id, lang,
-                ${portableUniformSql("doc_id::VARCHAR")} AS u
-              FROM documents),
-         r AS (SELECT doc_id, lang,
-                row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
-              FROM h)
-         SELECT doc_id, lang FROM r WHERE rn <= 20
-         ORDER BY doc_id""",
-
-    // char pairs weighted by word frequency; ASCII fixture makes
-    // code-unit and codepoint segmentation coincide
-    "q_bpe_pairs" ->
-      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-                    FROM documents),
-         f AS (SELECT w, count(*) AS freq FROM t
-               WHERE len(w) >= 2 GROUP BY w),
-         e AS (SELECT w, freq, unnest(range(1, len(w))) AS i FROM f),
-         p AS (SELECT substr(w, i::INT, 1) AS a, substr(w, (i+1)::INT, 1) AS b,
-                      freq
-               FROM e)
-         SELECT a, b, sum(freq)::BIGINT AS cnt FROM p GROUP BY a, b
-         ORDER BY cnt DESC, a, b LIMIT 20""",
-
-    // the 30-round greedy merge loop replayed in SQL: state is ONE row
-    // carrying the vocab as a list of (encoded word, freq) structs —
-    // each symbol wrapped in chr(31)/chr(30) markers, so replace() of
-    // the marked pair is exactly Bpe.train's leftmost non-overlapping
-    // merge fold — plus the accumulated merge list. Each round's argmax
-    // (max weighted count, ties to the lexicographically smallest pair,
-    // minFreq 2) comes from a scalar subquery grouping the unnested
-    // adjacent pairs. Terminates on numMerges or no eligible pair, like
-    // the trainer.
-    "q_bpe_merges" ->
-      """WITH RECURSIVE
-         v0 AS (SELECT w, count(*)::BIGINT AS freq
-                FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-                      FROM documents)
-                WHERE len(w) >= 1 GROUP BY w),
-         it AS (
-           SELECT 0 AS r,
-                  (SELECT list({'e': regexp_replace(w, '(.)',
-                                  chr(31) || '\1' || chr(30), 'g'),
-                                'f': freq}) FROM v0) AS words,
-                  []::STRUCT(a VARCHAR, b VARCHAR)[] AS merges
-           UNION ALL
-           SELECT r + 1,
-                  list_transform(words, w -> {
-                    'e': replace(w['e'],
-                           chr(31) || best['a'] || chr(30) ||
-                             chr(31) || best['b'] || chr(30),
-                           chr(31) || best['a'] || best['b'] || chr(30)),
-                    'f': w['f']}),
-                  list_append(merges, best)
-           FROM (
-             SELECT r, words, merges,
-               (SELECT {'a': a, 'b': b} FROM (
-                  SELECT p['a'] AS a, p['b'] AS b, sum(p['f']) AS cnt
-                  FROM (SELECT unnest(flatten(list_transform(words, w ->
-                          list_transform(
-                            range(1, len(string_split(
-                              trim(w['e'], chr(31) || chr(30)),
-                              chr(30) || chr(31)))),
-                            i -> {'a': string_split(
-                                    trim(w['e'], chr(31) || chr(30)),
-                                    chr(30) || chr(31))[i],
-                                  'b': string_split(
-                                    trim(w['e'], chr(31) || chr(30)),
-                                    chr(30) || chr(31))[i+1],
-                                  'f': w['f']})))) AS p)
-                  GROUP BY 1, 2 HAVING sum(p['f']) >= 2
-                  ORDER BY cnt DESC, a, b LIMIT 1)) AS best
-             FROM it) t
-           WHERE r < 30 AND best IS NOT NULL
-         )
-         SELECT (i - 1)::BIGINT AS rank, m[i]['a'] AS a, m[i]['b'] AS b,
-                m[i]['a'] || m[i]['b'] AS merged
-         FROM (SELECT m, unnest(generate_series(1, len(m))) AS i
-               FROM (SELECT merges AS m FROM it ORDER BY r DESC LIMIT 1))
-         ORDER BY rank""",
-
-    // deterministic-seed SemDeDup: centroids = embeddings of vec_id<16,
-    // assignment = argmin L2 (the IvfAssign quantizer), within-list
-    // cosine pairs at >= 0.4, components via the reachability closure,
-    // keep = least (centroid_sim, id) per cluster
-    "q_semantic_dedup" ->
-      """WITH RECURSIVE
-         cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-                  FROM embeddings WHERE vec_id < 16),
-         asg AS (SELECT id, v, cid AS list_id FROM (
-                   SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, c.cid,
-                          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
-                                     c.cid) AS rn
-                   FROM embeddings e, cent c)
-                 WHERE rn = 1),
-         sim AS (SELECT a.id, a.v, a.list_id,
-                        list_cosine_similarity(a.v, c.cv) AS centroid_sim
-                 FROM asg a JOIN cent c ON c.cid = a.list_id),
-         p AS (SELECT x.id AS id_a, y.id AS id_b
-               FROM asg x JOIN asg y
-                 ON x.list_id = y.list_id AND x.id < y.id
-               WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
-         edges AS (SELECT id_a AS u, id_b AS v FROM p
-                   UNION SELECT id_b, id_a FROM p),
-         reach AS (SELECT u, v FROM edges
-                   UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
-         lbl AS (SELECT u AS id, least(u, min(v)) AS cl FROM reach GROUP BY u),
-         cl AS (SELECT s.id, s.list_id, coalesce(l.cl, s.id) AS cluster_id,
-                       s.centroid_sim
-                FROM sim s LEFT JOIN lbl l ON l.id = s.id),
-         k AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-                 ORDER BY centroid_sim, id) AS rn FROM cl)
-         SELECT id, list_id::INT AS list_id, cluster_id,
-                round(centroid_sim, 4) AS centroid_sim,
-                (rn = 1) AS is_kept
-         FROM k ORDER BY id""",
-
-    // same exponentiated-share rate derivation; the N^α factors cancel in
-    // p_g = n^α/Σn^α, and membership is the shared md5 uniform
-    "q_sample_temperature" ->
-      s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
-         r AS (SELECT lang,
-                      least(1.0, 0.3 * (SELECT sum(n) FROM c)
-                                 * (pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM c))
-                                 / n) AS rate
-               FROM c)
-         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-         WHERE ${portableUniformSql("d.doc_id::VARCHAR")} < r.rate
-         ORDER BY d.doc_id""",
-
-    "q_quality_quantiles" ->
-      """WITH t AS (SELECT lang, length(text) AS n FROM documents)
-         SELECT lang, count(*) AS cnt,
-                round(quantile_cont(n::DOUBLE, 0.5), 4) AS p50,
-                round(quantile_cont(n::DOUBLE, 0.9), 4) AS p90,
-                round(quantile_cont(n::DOUBLE, 0.99), 4) AS p99
-         FROM t GROUP BY lang ORDER BY lang""",
-
-    // most-frequent unigram/bigram via group-by counts — same numbers as
-    // the Spark side's sorted-run-length per-row formulation
-    "q_rep_signals" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                    FROM documents),
-         uni AS (SELECT doc_id, max(c) AS top FROM (
-                   SELECT doc_id, tok, count(*) AS c FROM (
-                     SELECT doc_id, unnest(w) AS tok FROM t)
-                   GROUP BY doc_id, tok)
-                 GROUP BY doc_id),
-         bg AS (SELECT doc_id,
-                       [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS b
-                FROM t),
-         bi AS (SELECT doc_id, max(c) AS top FROM (
-                  SELECT doc_id, g, count(*) AS c FROM (
-                    SELECT doc_id, unnest(b) AS g FROM bg)
-                  GROUP BY doc_id, g)
-                GROUP BY doc_id)
-         SELECT t.doc_id, len(w) AS n_tokens,
-                round(len(list_distinct(w))::DOUBLE / len(w), 4) AS distinct_frac,
-                round(uni.top::DOUBLE / len(w), 4) AS top_unigram_frac,
-                round(bi.top::DOUBLE / (len(w) - 1), 4) AS top_bigram_frac
-         FROM t JOIN uni USING (doc_id) JOIN bi USING (doc_id)
-         ORDER BY t.doc_id""",
-
-    "q_shingle_novelty" ->
-      """WITH t AS (SELECT doc_id,
-              -- canonical tokenizer twin (TextOps.tokens): trim +
-              -- \s+ split, empty text = ZERO tokens — DuckDB's
-              -- split would mint phantom ''-tokens on empty text,
-              -- doubled spaces, or tabs
-              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                   ELSE string_split_regex(trim(text), '\s+') END AS w
-       FROM documents),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(w) >= 3
-                            THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                                FOR i IN range(1, len(w) - 1)])
-                            ELSE [array_to_string(w, ' ')] END AS s
-                FROM t),
-         e AS (SELECT doc_id, unnest(s) AS sh1 FROM sh),
-         d AS (SELECT sh1, count(*) AS df FROM e GROUP BY sh1)
-         SELECT e.doc_id, count(*) AS n_shingles,
-                count(*) FILTER (WHERE d.df >= 2) AS n_shared,
-                round(count(*) FILTER (WHERE d.df >= 2)::DOUBLE / count(*), 4)
-                  AS shared_frac
-         FROM e JOIN d USING (sh1)
-         GROUP BY e.doc_id ORDER BY e.doc_id""",
-
-    // portable as-of formulation: left join on key + time bound, keep the
-    // latest right row (ties by greatest event_id — the Spark side's
-    // rightTieBreak). Unmatched clicks keep -1 sentinels, matching the
-    // Spark coalesce (avoids NULL-int → float dtype drift in the compare).
-    "q_asof_join" -> asofOracle,
-    // identical oracle: the skew-safe bucketed path must produce the
-    // exact same rows as the single-window path
-    "q_asof_skew" -> asofOracle,
-    // identical oracle again with the AUTO trigger active (threshold 20 <
-    // max per-key count on every fixture): trigger detection + bucketed
-    // path must be invisible in the result
-    "q_asof_auto_skew" -> asofOracle,
-    // tolerance bound folds into the join predicate: the latest prior row
-    // is also the nearest, so filter-then-latest ≡ latest-then-check
-    "q_asof_tolerance" ->
-      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-                    FROM events WHERE event_type = 'click'),
-         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                      round(value, 2) AS value
-               FROM events WHERE event_type = 'purchase'),
-         j AS (SELECT c.event_id, c.user_id, c.ts_us,
-                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
-                      p.value AS p_value,
-                      row_number() OVER (PARTITION BY c.event_id
-                        ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
-               FROM c LEFT JOIN p
-                 ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
-                    AND c.ts_us - p.ts_us <= 3600000000)
-         SELECT event_id, user_id, ts_us,
-                coalesce(p_event_id, -1) AS p_event_id,
-                coalesce(p_ts_us, -1) AS p_ts_us,
-                coalesce(p_value, -1.0) AS p_value
-         FROM j WHERE rn = 1 ORDER BY event_id""",
-
-    // forward: earliest purchase at-or-after, greatest event_id at ties
-    "q_asof_forward" ->
-      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-                    FROM events WHERE event_type = 'click'),
-         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                      round(value, 2) AS value
-               FROM events WHERE event_type = 'purchase'),
-         j AS (SELECT c.event_id, c.user_id, c.ts_us,
-                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
-                      p.value AS p_value,
-                      row_number() OVER (PARTITION BY c.event_id
-                        ORDER BY p.ts_us ASC, p.event_id DESC) AS rn
-               FROM c LEFT JOIN p
-                 ON c.user_id = p.user_id AND p.ts_us >= c.ts_us)
-         SELECT event_id, user_id, ts_us,
-                coalesce(p_event_id, -1) AS p_event_id,
-                coalesce(p_ts_us, -1) AS p_ts_us,
-                coalesce(p_value, -1.0) AS p_value
-         FROM j WHERE rn = 1 ORDER BY event_id""",
-
-    // nearest: min |Δt|, ties to the prior side, then greatest event_id —
-    // the same rule the two-carry window picks
-    "q_asof_nearest" ->
-      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-                    FROM events WHERE event_type = 'click'),
-         p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                      round(value, 2) AS value
-               FROM events WHERE event_type = 'purchase'),
-         j AS (SELECT c.event_id, c.user_id, c.ts_us,
-                      p.event_id AS p_event_id, p.ts_us AS p_ts_us,
-                      p.value AS p_value,
-                      row_number() OVER (PARTITION BY c.event_id
-                        ORDER BY abs(p.ts_us - c.ts_us) ASC,
-                                 (p.ts_us <= c.ts_us) DESC,
-                                 p.event_id DESC) AS rn
-               FROM c LEFT JOIN p ON c.user_id = p.user_id)
-         SELECT event_id, user_id, ts_us,
-                coalesce(p_event_id, -1) AS p_event_id,
-                coalesce(p_ts_us, -1) AS p_ts_us,
-                coalesce(p_value, -1.0) AS p_value
-         FROM j WHERE rn = 1 ORDER BY event_id""",
-
-    // same string-shingle derivation as the jaccard oracle; the Spark side
-    // joins on kernel hashes — counts agree modulo 64-bit collisions
-    "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-              -- canonical tokenizer twin (TextOps.tokens): trim +
-              -- \s+ split, empty text = ZERO tokens — DuckDB's
-              -- split would mint phantom ''-tokens on empty text,
-              -- doubled spaces, or tabs
-              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                   ELSE string_split_regex(trim(text), '\s+') END AS w
-       FROM documents),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(w) >= 3
-                            THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                                FOR i IN range(1, len(w) - 1)])
-                            ELSE [array_to_string(w, ' ')] END AS s
-                FROM t),
-         c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
-         b AS (SELECT DISTINCT g FROM
-                 (SELECT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0)),
-         hits AS (SELECT c.doc_id, count(*) AS n_contaminated
-                  FROM c JOIN b USING (g) GROUP BY c.doc_id),
-         tot AS (SELECT doc_id, len(s) AS n_shingles FROM sh
-                 WHERE doc_id % 20 <> 0)
-         SELECT tot.doc_id, tot.n_shingles,
-                coalesce(hits.n_contaminated, 0) AS n_contaminated,
-                CAST(coalesce(hits.n_contaminated, 0) > 0 AS INT)
-                  AS is_contaminated
-         FROM tot LEFT JOIN hits USING (doc_id) ORDER BY tot.doc_id""",
-
-    // distinct bigrams per doc (Dedup.shingles array_distinct semantics)
-    // → count = document frequency
-    "q_top_ngrams" ->
-      """WITH t AS (SELECT doc_id,
-              -- canonical tokenizer twin (TextOps.tokens): trim +
-              -- \s+ split, empty text = ZERO tokens — DuckDB's
-              -- split would mint phantom ''-tokens on empty text,
-              -- doubled spaces, or tabs
-              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                   ELSE string_split_regex(trim(text), '\s+') END AS w
-       FROM documents),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(w) >= 2
-                            THEN list_distinct([w[i] || ' ' || w[i+1]
-                                                FOR i IN range(1, len(w))])
-                            ELSE [array_to_string(w, ' ')] END AS s
-                FROM t),
-         e AS (SELECT unnest(s) AS ngram FROM sh)
-         SELECT ngram, count(*) AS doc_freq FROM e GROUP BY ngram
-         ORDER BY doc_freq DESC, ngram LIMIT 20""",
-
-    "q_text_normalize" ->
-      """WITH n AS (SELECT doc_id,
-                trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
-                     '\s+', ' ', 'g')) AS norm_text
-         FROM documents)
-         SELECT doc_id, norm_text, length(norm_text) AS norm_len
-         FROM n ORDER BY doc_id""",
-
-    // raw-score ranking (rounding only on output); ties resolve to the
-    // lexicographically smaller term on both sides
-    "q_tfidf" ->
-      """WITH u AS (SELECT doc_id,
-                           unnest(string_split_regex(trim(text), '\s+')) AS term
-                    FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
-         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM u GROUP BY term),
-         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
-         s AS (SELECT tf.doc_id, tf.term, tf.tf,
-                      tf.tf * ln(n.n_docs / df.df) AS tfidf,
-                      row_number() OVER (PARTITION BY tf.doc_id
-                        ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term)
-                        AS rank
-               FROM tf JOIN df USING (term), n)
-         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
-                round(tfidf, 4) AS tfidf
-         FROM s WHERE rank <= 3
-         ORDER BY doc_id, rank""",
-
-    "q_lm_score" ->
-      """WITH u AS (SELECT doc_id,
-                           unnest(string_split_regex(trim(text), '\s+')) AS tok
-                    FROM documents),
-         c AS (SELECT tok, count(*) AS cnt FROM u GROUP BY tok),
-         n AS (SELECT sum(cnt)::DOUBLE AS n_total FROM c)
-         SELECT u.doc_id, count(*) AS n_tokens,
-                round(avg(log10(c.cnt / n.n_total)), 4) AS avg_logp
-         FROM u JOIN c USING (tok), n
-         GROUP BY u.doc_id ORDER BY u.doc_id""",
-
-    // the two branches partition the table, so the mix is one filtered
-    // scan with a per-branch uniform threshold
-    "q_sample_mix" ->
-      s"""SELECT doc_id, lang FROM documents
-         WHERE (lang = 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.4)
-            OR (lang <> 'en' AND ${portableUniformSql("doc_id::VARCHAR")} < 0.1)
-         ORDER BY doc_id""",
-
-    "q_group_topk" ->
-      """WITH r AS (SELECT event_type, event_id, value,
-                row_number() OVER (PARTITION BY event_type
-                  ORDER BY value DESC, event_id) AS rn
-         FROM events)
-         SELECT event_type, event_id, round(value, 2) AS value
-         FROM r WHERE rn <= 3
-         ORDER BY event_type, round(value, 2) DESC, event_id""",
-
-    "q_intersect" ->
-      """SELECT user_id FROM events WHERE event_type = 'click'
-         INTERSECT
-         SELECT user_id FROM events WHERE event_type = 'purchase'
-         ORDER BY user_id""",
-
-    "q_except" ->
-      """SELECT user_id FROM events WHERE event_type = 'click'
-         EXCEPT
-         SELECT user_id FROM events WHERE event_type = 'purchase'
-         ORDER BY user_id""",
-
-    "q_range_join" ->
-      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-                    FROM events WHERE event_type = 'click'),
-         p AS (SELECT event_id AS w_id, user_id, epoch_us(ts) AS ws_us
-               FROM events WHERE event_type = 'purchase')
-         SELECT c.event_id, c.user_id, c.ts_us, p.w_id,
-                p.ws_us AS w_start_us
-         FROM c JOIN p ON c.user_id = p.user_id
-           AND p.ws_us <= c.ts_us AND c.ts_us < p.ws_us + 3600000000
-         ORDER BY c.event_id, p.w_id""",
-
-    "q_pivot" ->
-      ("""SELECT lang, """ +
-        (0 until 20).map(i =>
-          s"count(*) FILTER (WHERE source = 'src$i') AS src$i").mkString(", ") +
-        """ FROM documents GROUP BY lang ORDER BY lang"""),
-
-    "q_stats" ->
-      """SELECT l_returnflag, count(*) AS cnt,
-                round(avg(l_extendedprice), 2) AS avg_price,
-                round(stddev_samp(l_extendedprice), 2) AS sd_price,
-                round(corr(l_extendedprice, l_discount), 4) AS corr_pd,
-                round(covar_samp(l_quantity, l_discount), 4) AS cov_qd
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q_salted_agg" ->
-      """SELECT event_type, round(sum(value), 2) AS sum_value,
-                count(*) AS cnt
-         FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "q_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-                coalesce(l_linestatus, 'ALL') AS ls,
-                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
-         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY rf, ls""",
-
-    "q_ivf_exact" -> exactL2Top10Sql,
-    "q_hnsw_exact" -> exactL2Top10Sql,
-    "q_diskann_exact" -> exactL2Top10Sql,
-    "q_hnsw_routed_exact" -> exactL2Top10Sql,
-    "q_api_search_hnsw" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE e.label IN (1,3,5)
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_api_search_hnsw_routed" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_api_search_binaryivf" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
-                            THEN 1 ELSE 0 END)) AS DOUBLE) AS _score
-         FROM embeddings e, q
-         ORDER BY _score, e.vec_id LIMIT 10""",
-    "q_api_search_rabitq" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_api_search_ivfpq" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_api_search_diskann" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    // realtime routes: base (vec_id >= 10, indexed) ∪ tail (vec_id < 10,
-    // buffered) ≡ the FULL embeddings table — the oracle is the plain
-    // exact top-10 over it; vec_id 0 (the query, in the TAIL) must head
-    // the result, so a skipped buffer union is a missing top-1, not a
-    // tail-end diff
-    // clustered-Vamana route + SSG alias: exact at full probe/depth —
-    // same oracle as the other routed-API exact queries
-    "q_api_search_diskann_routed" -> apiExactTop10Sql,
-    // filtered Vamana route (r15 gap closed): the allow-set functor on
-    // the beam walk at full depth ≡ the filtered exact top-10
-    "q_diskann_filtered" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE e.label IN (1,3,5)
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_diskann_filtered_batch" ->
-      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
-                     FROM embeddings WHERE vec_id < 3),
-         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
-                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
-                      row_number() OVER (PARTITION BY qs._qid
-                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
-                                 e.vec_id) AS rn
-               FROM embeddings e, qs WHERE e.label IN (1,3,5))
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    // batched graph routes (r12 gap closed): per-qid exact blocks at
-    // full walk depth — plain, clustered-Vamana, clustered-HNSW
-    "q_api_search_diskann_batch" -> apiBatchExactSql,
-    "q_api_search_diskann_routed_batch" -> apiBatchExactSql,
-    "q_api_search_hnsw_routed_batch" -> apiBatchExactSql,
-    // string-PK routed serving (r12 gap closed): the _docid sidecar
-    // routes, joinBack bridges to the string _id the oracle re-derives
-    "q_api_search_hnsw_string" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE e.label IN (1,3,5)
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
-         LIMIT 10""",
-    "q_api_search_ivf_string" -> apiStrExactTop10Sql,
-    "q_api_search_hnsw_string_batch" ->
-      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
-                     FROM embeddings WHERE vec_id < 3),
-         r AS (SELECT qs._qid, 'doc-' || CAST(e.vec_id AS VARCHAR) AS _id, e.label,
-                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
-                      row_number() OVER (PARTITION BY qs._qid
-                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
-                                 'doc-' || CAST(e.vec_id AS VARCHAR)) AS rn
-               FROM embeddings e, qs)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    "q_api_search_diskann_string" -> apiStrExactTop10Sql,
-    "q_hnsw_string_realtime" -> apiStrExactTop10Sql,
-    "q_hnsw_string_after_delete" -> apiStrAfterDeleteSql,
-    "q_ivf_string_after_delete" -> apiStrAfterDeleteSql,
-    "q_api_search_ssg" -> apiExactTop10Sql,
-    // multi-field conjunctive routed through per-field generations at
-    // exact params ≡ the brute weighted per-field top-200 intersection;
-    // the realtime twin's live view ≡ the full table by construction
-    "q_api_search_multivec_routed" -> apiMultivecExactSql,
-    "q_knn_multivec_mixed_routed_exact" -> apiMultivecExactSql,
-    "q_knn_multivec_pq_routed_exact" -> apiMultivecExactSql,
-    // filtered conjunction: the scalar filter applies BEFORE each
-    // field's bounded top-k (the FLAT path filters the corpus first;
-    // the routed legs evaluate it in-scan / via the allow functor)
-    "q_knn_multivec_filtered_routed_exact" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-                      (embedding::DOUBLE[])[33:64] AS v2
-               FROM embeddings WHERE label IN (1,3,5)),
-         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
-                FROM b ORDER BY s0 DESC, vec_id LIMIT 200),
-         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
-                FROM b ORDER BY s1 DESC, vec_id LIMIT 200),
-         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id AS _id, round(sc, 4) AS _score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
-    // batched conjunction: per-field per-qid top-200, (qid, docid)
-    // intersection, WeightedRanker, per-qid top-10
-    "q_knn_multivec_batch_routed_exact" -> apiMultivecBatchExactSql,
-    // exact legs make the family irrelevant — the compressed-family
-    // batched conjunction serves the same per-qid blocks
-    "q_knn_multivec_pq_batch_routed_exact" -> apiMultivecBatchExactSql,
-    // gated conjunction: each condition's min_score gates ITS field's
-    // scores before that field's bounded top-k (pre-selection, the
-    // reference's per-condition gate)
-    "q_knn_multivec_gated_routed_exact" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
-         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
-                FROM b WHERE list_dot_product(v1, (SELECT v[1:32] FROM q)) >= 0.05
-                ORDER BY s0 DESC, vec_id LIMIT 200),
-         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
-                FROM b WHERE list_dot_product(v2, (SELECT v[33:64] FROM q)) >= 0.05
-                ORDER BY s1 DESC, vec_id LIMIT 200),
-         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id AS _id, round(sc, 4) AS _score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
-    "q_api_search_multivec_realtime" -> apiMultivecExactSql,
-    // native SCANN route at full probe + full-depth rerank ⇒ exact
-    "q_api_search_scann" -> apiExactTop10Sql,
-    "q_ivf_realtime" -> apiExactTop10Sql,
-    // stream-produced tail (startIngest → checkpointed sink → stop):
-    // same live view ≡ full table, same exact oracle
-    "q_ivf_realtime_stream" -> apiExactTop10Sql,
-    // batched realtime routes: per-qid exact blocks over the live view
-    // (≡ the full table; every query vector is a TAIL doc)
-    "q_ivf_batch_realtime" -> apiBatchExactSql,
-    "q_ivfpq_batch_realtime" -> apiBatchExactSql,
-    // batched GRAPH realtime (r13): per-qid exact blocks over base∪tail
-    "q_hnsw_batch_realtime" -> apiBatchExactSql,
-    "q_diskann_batch_realtime" -> apiBatchExactSql,
-    "q_ivfpq_realtime" -> apiExactTop10Sql,
-    "q_hnsw_realtime" -> apiExactTop10Sql,
-    "q_rabitq_realtime" -> apiExactTop10Sql,
-    "q_diskann_realtime" -> apiExactTop10Sql,
-    // binary realtime: exact Hamming over the full table (live view),
-    // re-derived bit-by-bit — same as the non-realtime binaryivf oracle
-    "q_binaryivf_realtime" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
-                            THEN 1 ELSE 0 END)) AS DOUBLE) AS _score
-         FROM embeddings e, q
-         ORDER BY _score, e.vec_id LIMIT 10""",
-    // routed search after delete: the oracle is the exact top-10 over the
-    // LIVE corpus (ids 0-4 deleted post-build; a ledger-gating failure
-    // surfaces vec_id 0 — the query vector itself — as a ghost top-1)
-    "q_hnsw_after_delete" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE e.vec_id NOT IN (0,1,2,3,4)
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_ivf_after_delete" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE e.vec_id NOT IN (0,1,2,3,4)
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    // batched route: per-qid exact top-10 blocks (qid = position in the
-    // flat feature array = vec_id 0..2 by construction)
-    "q_api_search_batch" ->
-      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
-                     FROM embeddings WHERE vec_id < 3),
-         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
-                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
-                      row_number() OVER (PARTITION BY qs._qid
-                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
-                                 e.vec_id) AS rn
-               FROM embeddings e, qs)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    "q_api_search_ivf_int8" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id AS _id, c.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
-         FROM c, q
-         ORDER BY _score DESC, c.vec_id LIMIT 10""",
-    "q_api_search_ivf_int8_batch" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
-         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
-                      CAST(list_sum(list_transform(range(1, 65),
-                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
-               FROM c, qs),
-         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
-                 ORDER BY _score DESC, _id) AS rn FROM h)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    // the int8 GRAPH route serves the same exact quantized-IP top-k as
-    // the int8 IVF route (both are exact at their fixture operating
-    // points) — the oracle recomputes the integer-domain scores
-    "q_api_search_hnsw_int8" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id AS _id, c.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
-         FROM c, q
-         ORDER BY _score DESC, c.vec_id LIMIT 10""",
-    "q_api_search_hnsw_int8_batch" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
-         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
-                      CAST(list_sum(list_transform(range(1, 65),
-                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
-               FROM c, qs),
-         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
-                 ORDER BY _score DESC, _id) AS rn FROM h)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    // ROUTED int8∧int8 conjunction (per-field generations, exact
-    // operating points): both legs recompute the quantized integer dot
-    "q_knn_multivec_int8_routed_exact" ->
-      """WITH b AS (SELECT vec_id,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN (embedding::DOUBLE[])[1:32]] AS iv1,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN (embedding::DOUBLE[])[33:64]] AS iv2
-               FROM embeddings),
-         q AS (SELECT iv1 AS q1, iv2 AS q2 FROM b WHERE vec_id = 0),
-         f0 AS (SELECT b.vec_id,
-                       CAST(list_sum(list_transform(range(1, 33),
-                         i -> b.iv1[i] * q.q1[i])) AS DOUBLE) AS s0
-                FROM b, q ORDER BY s0 DESC, vec_id LIMIT 200),
-         f1 AS (SELECT b.vec_id,
-                       CAST(list_sum(list_transform(range(1, 33),
-                         i -> b.iv2[i] * q.q2[i])) AS DOUBLE) AS s1
-                FROM b, q ORDER BY s1 DESC, vec_id LIMIT 200),
-         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id AS _id, sc AS _score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
-    // mixed float∧int8 conjunction: per-field top-200 (tie-broken on
-    // vec_id like the engine's per-field k-boundary) → intersection →
-    // 0.5/0.5 WeightedRanker; the int8 leg recomputes the engine's
-    // symmetric quantization + integer dot in SQL
-    "q_knn_multivec_int8" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN (embedding::DOUBLE[])[33:64]] AS iv2
-               FROM embeddings),
-         qq AS (SELECT [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN (SELECT v[33:64] FROM q)] AS qv2),
-         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
-                FROM b ORDER BY s0 DESC, vec_id LIMIT 200),
-         f1 AS (SELECT b.vec_id,
-                       CAST(list_sum(list_transform(range(1, 33),
-                         i -> b.iv2[i] * qq.qv2[i])) AS DOUBLE) AS s1
-                FROM b, qq ORDER BY s1 DESC, vec_id LIMIT 200),
-         j AS (SELECT f0.vec_id, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id AS _id, round(sc, 4) AS _score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
-    // the IVFPQ/SCANN/IVFRABITQ int8 routes (full probe, corpus-deep
-    // recall_num, integer-kernel rerank) serve the same exact
-    // quantized-IP top-k
-    "q_api_search_rabitq_int8" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id AS _id, c.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
-         FROM c, q
-         ORDER BY _score DESC, c.vec_id LIMIT 10""",
-    "q_api_search_scann_int8" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id AS _id, c.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
-         FROM c, q
-         ORDER BY _score DESC, c.vec_id LIMIT 10""",
-    "q_api_search_ivfpq_int8" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id AS _id, c.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
-         FROM c, q
-         ORDER BY _score DESC, c.vec_id LIMIT 10""",
-    "q_api_search_ivfpq_int8_batch" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
-         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
-                      CAST(list_sum(list_transform(range(1, 65),
-                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
-               FROM c, qs),
-         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
-                 ORDER BY _score DESC, _id) AS rn FROM h)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    // the Vamana int8 route serves the same exact quantized-IP top-k
-    "q_api_search_diskann_int8" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id AS _id, c.label,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS _score
-         FROM c, q
-         ORDER BY _score DESC, c.vec_id LIMIT 10""",
-    "q_api_search_diskann_int8_batch" ->
-      """WITH c AS (SELECT vec_id, label,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         qs AS (SELECT vec_id AS _qid, iv AS qv FROM c WHERE vec_id < 3),
-         h AS (SELECT qs._qid, c.vec_id AS _id, c.label,
-                      CAST(list_sum(list_transform(range(1, 65),
-                        i -> c.iv[i] * qs.qv[i])) AS DOUBLE) AS _score
-               FROM c, qs),
-         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
-                 ORDER BY _score DESC, _id) AS rn FROM h)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    "q_knn_score_range_routed" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    // the symbol wire form parses to the SAME min_score gate
-    "q_api_search_symbol" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    // index_type:"FLAT" on the indexed space = the exact brute top-k
-    "q_api_search_flat_override" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_knn_score_range_batch" ->
-      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
-                     FROM embeddings WHERE vec_id < 3),
-         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
-                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
-                      row_number() OVER (PARTITION BY qs._qid
-                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
-                                 e.vec_id) AS rn
-               FROM embeddings e, qs
-               WHERE list_distance(e.embedding::DOUBLE[], qs.v) >= 1.41)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    "q_ivf_score_range" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         WHERE list_distance(e.embedding::DOUBLE[], q.v) BETWEEN 1.35 AND 1.45
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_ivfpq_score_range" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id AS _id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
-         FROM embeddings e, q
-         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    // batched compressed routes: same per-qid exact blocks (full probe +
-    // full-depth rerank ⇒ exact)
-    "q_api_search_ivfpq_batch" -> apiBatchExactSql,
-    "q_api_search_rabitq_batch" -> apiBatchExactSql,
-    "q_api_search_binaryivf_batch" ->
-      """WITH qs AS (SELECT vec_id AS _qid, embedding AS qe
-                     FROM embeddings WHERE vec_id < 3),
-         h AS (SELECT qs._qid, e.vec_id AS _id, e.label,
-                      CAST(list_sum(list_transform(range(1, 65),
-                        i -> CASE WHEN (e.embedding[i] >= 0) <> (qs.qe[i] >= 0)
-                                  THEN 1 ELSE 0 END)) AS DOUBLE) AS _score
-               FROM embeddings e, qs),
-         r AS (SELECT *, row_number() OVER (PARTITION BY _qid
-                 ORDER BY _score, _id) AS rn FROM h)
-         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
-         ORDER BY _qid, rn""",
-    "q_hnsw_filtered" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_pq_exact" -> exactL2Top10Sql,
-    "q_ivfpq_exact" -> exactL2Top10Sql,
-    "q_binary_exact" -> exactL2Top10Sql,
-    "q_rabitq_exact" -> exactL2Top10Sql,
-    "q_rabitq_ivf_exact" -> exactL2Top10Sql,
-    "q_knn_sql" -> exactL2Top10Sql,
-    // binarize + rerank is closed-form: the stage-1 shortlist is the
-    // top-100 by sign-bit Hamming (ties on vec_id — BinaryIndex.search's
-    // deterministic order), the rerank the exact l2 over the survivors;
-    // both stages recompute from the raw embeddings in SQL
-    "q_binary_rerank" ->
-      """WITH q AS (SELECT embedding AS qe, embedding::DOUBLE[] AS v
-                    FROM embeddings WHERE vec_id = 0),
-         ham AS (SELECT e.vec_id,
-                        CAST(list_sum(list_transform(range(1, 65),
-                          i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
-                                    THEN 1 ELSE 0 END)) AS BIGINT) AS h
-                 FROM embeddings e, q),
-         short AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id ASC LIMIT 100)
-         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         WHERE e.vec_id IN (SELECT vec_id FROM short)
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-
-    "q_ivf_filtered" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id, e.label,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-    "q_minhash_lsh" -> jaccardPairsSql,
-
-    "q_knn_int8" ->
-      """WITH c AS (SELECT vec_id,
-               [CAST(greatest(-127, least(127, floor(x*127 + 0.5))) AS BIGINT)
-                FOR x IN embedding::DOUBLE[]] AS iv
-             FROM embeddings),
-         q AS (SELECT iv AS qv FROM c WHERE vec_id = 0)
-         SELECT c.vec_id,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> c.iv[i] * q.qv[i])) AS DOUBLE) AS score
-         FROM c, q
-         ORDER BY score DESC, c.vec_id LIMIT 10""",
-
-    "q_knn_hamming" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id,
-                CAST(list_sum(list_transform(range(1, 65),
-                  i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
-                            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-         FROM embeddings e, q
-         ORDER BY hamming, e.vec_id LIMIT 10""",
-
-    "q_simhash_pairs" ->
-      """WITH t AS (SELECT doc_id,
-             list_transform(list_filter(string_split_regex(text, '\s+'),
-                                        x -> length(x) > 0),
-                            x -> md5(x)) AS hs
-           FROM documents),
-         sig AS (SELECT doc_id,
-             [CASE WHEN coalesce(list_sum(
-                 [CASE WHEN ((strpos('0123456789abcdef',
-                                     substr(hx, 15 - (b//4), 1)) - 1)
-                             >> (b%4)) & 1 = 1
-                       THEN 1 ELSE -1 END FOR hx IN hs]), 0) > 0
-                   THEN 1 ELSE 0 END
-              FOR b IN range(60)] AS s
-           FROM t)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                CAST(len(list_filter(range(60), i -> a.s[i+1] <> b.s[i+1])) AS BIGINT) AS hamming
-         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE len(list_filter(range(60), i -> a.s[i+1] <> b.s[i+1])) <= 3
-         ORDER BY id_a, id_b""",
-
-    "q_count" ->
-      "SELECT count(*) AS cnt FROM embeddings",
-
-    "q_get_by_ids" ->
-      """SELECT vec_id, label FROM embeddings
-         WHERE vec_id IN (1,5,9,42,99) ORDER BY vec_id""",
-
-    "q_filter_range" ->
-      """SELECT vec_id, label FROM embeddings
-         WHERE label >= 3 AND label < 7 AND vec_id < 200 ORDER BY vec_id""",
-
-    "q_filter_or" ->
-      """SELECT event_id, user_id, event_type, round(value, 2) AS value
-         FROM events
-         WHERE (event_type = 'error' OR value > 95.0) AND user_id <> 7
-         ORDER BY event_id""",
-
-    "q_delete_by_ids" ->
-      """SELECT doc_id, lang, source FROM documents
-         WHERE doc_id NOT IN (1, 2, 3, 10, 25, 100, 250, 499)
-         ORDER BY doc_id""",
-
-    "q_filter_date" ->
-      """SELECT event_id, user_id, event_type FROM events
-         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
-           AND ts <  TIMESTAMP '2024-01-07 00:00:00'
-           AND event_type IN ('click', 'purchase')
-         ORDER BY event_id""",
-
-    "q_scan_limit" ->
-      """SELECT event_id, user_id FROM events WHERE event_type = 'click'
-         ORDER BY event_id LIMIT 50""",
-
-    "q_scan_page" ->
-      """SELECT event_id, user_id FROM events WHERE event_type = 'view'
-         ORDER BY event_id LIMIT 20 OFFSET 40""",
-
-    "q_knn_ip" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id,
-                round(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
-         LIMIT 10""",
-
-    "q_knn_l2" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id,
-                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
-         LIMIT 10""",
-
-    "q_knn_cosine" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id,
-                round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
-         LIMIT 10""",
-
-    "q_knn_filtered" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id, e.label,
-                round(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
-         ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
-         LIMIT 10""",
-
-    "q_knn_score_range" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id,
-                round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM embeddings e, q
-         WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.v) >= 0.2
-         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
-         LIMIT 100""",
-
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                count(*) AS cnt
-         FROM lineitem
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-
-    "q_upsert" ->
-      """WITH upd AS (
-           SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id < 10
-           UNION ALL
-           SELECT vec_id + 1000000 AS vec_id, label FROM embeddings WHERE vec_id < 5)
-         SELECT vec_id, label FROM (
-           SELECT vec_id, label FROM embeddings
-           WHERE vec_id NOT IN (SELECT vec_id FROM upd)
-           UNION ALL SELECT vec_id, label FROM upd)
-         ORDER BY vec_id""",
-
-    "q_delete_by_query" ->
-      """SELECT vec_id, label FROM embeddings
-         WHERE NOT (label = 3 OR vec_id >= 400) ORDER BY vec_id""",
-
-    "q_get_by_ids_ordered" ->
-      """SELECT t.ord, e.vec_id, e.label
-         FROM (VALUES (0, 42), (1, 7), (2, 99), (3, 3)) AS t(ord, id)
-         JOIN embeddings e ON e.vec_id = t.id
-         ORDER BY t.ord""",
-
-    "q_filter_json" ->
-      """SELECT event_id, event_type FROM events
-         WHERE value >= 10 AND value < 20 AND event_type IN ('click','view')
-         ORDER BY event_id""",
-
-    "q_term_filter" ->
-      """SELECT doc_id FROM documents
-         WHERE list_has_any(string_split(text, ' '), ['vector','spark'])
-           AND lang = 'en'
-         ORDER BY doc_id""",
-
-    "q_ivf_batch" -> exactBatchL2Sql,
-    "q_hnsw_batch" -> exactBatchL2Sql,
-    "q_ivfpq_batch" -> exactBatchL2Sql,
-
-    "q_knn_batch" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
-                    FROM embeddings WHERE vec_id < 5),
-         s AS (SELECT q.qid, e.vec_id,
-                      list_distance(e.embedding::DOUBLE[], q.v) AS d
-               FROM embeddings e CROSS JOIN q),
-         r AS (SELECT qid, vec_id, d,
-                      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
-               FROM s)
-         SELECT qid, vec_id, round(d, 4) AS score
-         FROM r WHERE rn <= 5
-         ORDER BY qid, round(d, 4), vec_id""",
-
-    "q_knn_multivec" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
-         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
-                FROM b ORDER BY s0 DESC LIMIT 100),
-         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
-                FROM b ORDER BY s1 DESC LIMIT 100),
-         j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
-                round(sc, 4) AS score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
-    // tail-aware per-field merges at exact params ≡ the brute per-field
-    // top-100 intersection over the live view (≡ the full table by
-    // fixture construction) — same oracle as the brute twin
-    "q_knn_multivec_realtime" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         b AS (SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v1,
-                      (embedding::DOUBLE[])[33:64] AS v2 FROM embeddings),
-         f0 AS (SELECT vec_id, list_dot_product(v1, (SELECT v[1:32] FROM q)) AS s0
-                FROM b ORDER BY s0 DESC LIMIT 100),
-         f1 AS (SELECT vec_id, list_dot_product(v2, (SELECT v[33:64] FROM q)) AS s1
-                FROM b ORDER BY s1 DESC LIMIT 100),
-         j AS (SELECT f0.vec_id, s0, s1, s0 * 0.5 + s1 * 0.5 AS sc
-               FROM f0 JOIN f1 USING (vec_id))
-         SELECT vec_id, round(s0, 4) AS score0, round(s1, 4) AS score1,
-                round(sc, 4) AS score
-         FROM j ORDER BY sc DESC, vec_id LIMIT 10""",
-    // routed intersection with exact per-field walks ≡ the brute
-    // per-field top-100 intersection — same oracle by construction
-    "q_knn_multivec_routed_exact" -> multivecIntersectTop10Sql,
-    // the ef=64 operating point: each per-field walk's beam (effEf =
-    // max(64, k=100) per 500-node shard) recovers the exact per-field
-    // top-100 on this fixture — measured bit-identical to the exact twin
-    // at sf0.01 — so the SAME intersection SQL oracles the whole routed
-    // composition at its REAL operating point; a walk regression that
-    // loses even one of the 100 now hash-fails instead of passing a
-    // rows-only check. Recall at genuinely lossy points stays pinned in
-    // RecallGateSpec.
-    "q_knn_multivec_routed" -> multivecIntersectTop10Sql,
-
-    "q3_join" ->
-      """SELECT o.o_orderkey, c.c_name,
-                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-         FROM lineitem l
-         JOIN orders o ON l.l_orderkey = o.o_orderkey
-         JOIN customer c ON o.o_custkey = c.c_custkey
-         GROUP BY o.o_orderkey, c.c_name
-         ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
-
-    "q_window_topn" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
-           FROM orders) WHERE rn <= 3
-         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
-
-    "q_events_hourly" ->
-      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
-                count(*) AS cnt, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY event_type, hr ORDER BY event_type, hr""",
-
-    "q_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt
-         FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-                count(*) AS dup_cnt
-         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
-
-    "q_dedup_jaccard" -> jaccardPairsSql,
-
-    // same window derivation content-wise: the Spark side keys windows by
-    // the 64-bit positional hash kernel, the oracle by the raw window
-    // string — counts agree absent a 64-bit collision (~1e-11 at this
-    // corpus). Parallel unnests zip positionally in DuckDB, pairing each
-    // window with its 1-based start.
-    "q_window_dedup" ->
-      """WITH t AS (SELECT doc_id,
-              -- canonical tokenizer twin (TextOps.tokens): trim +
-              -- \s+ split, empty text = ZERO tokens — DuckDB's
-              -- split would mint phantom ''-tokens on empty text,
-              -- doubled spaces, or tabs
-              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                   ELSE string_split_regex(trim(text), '\s+') END AS w
-       FROM documents),
-         b AS (SELECT doc_id, len(w) AS n, greatest(len(w) - 9, 1) AS nw,
-                      CASE WHEN len(w) >= 10
-                           THEN [array_to_string(w[i:i+9], ' ')
-                                 FOR i IN range(1, len(w) - 8)]
-                           ELSE [array_to_string(w, ' ')] END AS wins
-               FROM t),
-         e AS (SELECT doc_id, n, unnest(wins) AS win,
-                      unnest(range(1, nw + 1)) AS st
-               FROM b),
-         occ AS (SELECT win, count(*) AS occ FROM e GROUP BY win),
-         dup AS (SELECT e.doc_id, e.n, e.st
-                 FROM e JOIN occ USING (win) WHERE occ.occ >= 2),
-         dupc AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY doc_id),
-         cov AS (SELECT doc_id, count(DISTINCT p) AS dup_tokens
-                 FROM (SELECT doc_id, unnest(range(st, least(st + 10, n + 1))) AS p
-                       FROM dup)
-                 GROUP BY doc_id)
-         SELECT b.doc_id, b.n AS n_tokens, b.nw AS n_windows,
-                coalesce(dupc.dup_windows, 0) AS dup_windows,
-                coalesce(cov.dup_tokens, 0) AS dup_tokens
-         FROM b LEFT JOIN dupc USING (doc_id) LEFT JOIN cov USING (doc_id)
-         ORDER BY b.doc_id""",
-
-    // same window derivation; canonical first occurrence = row_number 1
-    // over (doc_id, start) — matches Spark's min(struct(doc_id, start))
-    "q_dedup_strip" ->
-      """WITH t AS (SELECT doc_id,
-              -- canonical tokenizer twin (TextOps.tokens): trim +
-              -- \s+ split, empty text = ZERO tokens — DuckDB's
-              -- split would mint phantom ''-tokens on empty text,
-              -- doubled spaces, or tabs
-              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                   ELSE string_split_regex(trim(text), '\s+') END AS w
-       FROM documents),
-         b AS (SELECT doc_id, w, len(w) AS n, greatest(len(w) - 9, 1) AS nw,
-                      CASE WHEN len(w) >= 10
-                           THEN [array_to_string(w[i:i+9], ' ')
-                                 FOR i IN range(1, len(w) - 8)]
-                           ELSE [array_to_string(w, ' ')] END AS wins
-               FROM t),
-         e AS (SELECT doc_id, n, unnest(wins) AS win,
-                      unnest(range(1, nw + 1)) AS st
-               FROM b),
-         r AS (SELECT doc_id, n, st,
-                      count(*) OVER (PARTITION BY win) AS occ,
-                      row_number() OVER (PARTITION BY win
-                                         ORDER BY doc_id, st) AS rn
-               FROM e),
-         cut AS (SELECT doc_id, n, st FROM r WHERE occ >= 2 AND rn > 1),
-         cov AS (SELECT doc_id, list(DISTINCT p) AS cov
-                 FROM (SELECT doc_id, unnest(range(st, least(st + 10, n + 1))) AS p
-                       FROM cut WHERE n >= 1)
-                 GROUP BY doc_id)
-         SELECT b.doc_id, b.n AS n_tokens,
-                coalesce(len(cov.cov), 0)::BIGINT AS removed_tokens,
-                -- coalesce: a fully-wiped doc's empty list renders NULL in
-                -- DuckDB, '' in Spark's concat_ws
-                coalesce(array_to_string(
-                  [b.w[i] FOR i IN range(1, b.n + 1)
-                   IF cov.cov IS NULL OR NOT list_contains(cov.cov, i)],
-                  ' '), '') AS text_clean
-         FROM b LEFT JOIN cov USING (doc_id)
-         ORDER BY b.doc_id""",
-
-    // single ORDER BY window — the oracle for the distributed
-    // (range-partition + local cumsum + broadcast prefix) formulation
-    "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id,
-                           -- empty/whitespace text is 0 tokens (DuckDB's
-                           -- split of '' yields [''] = phantom token)
-                           CASE WHEN trim(text) = '' THEN 0
-                                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-                    FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-                      -- ::BIGINT: DuckDB widens window sums to HUGEINT
-                      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
-               FROM t)
-         SELECT doc_id, n_tokens, start_offset,
-                start_offset // 512 AS seq_id,
-                CASE WHEN n_tokens = 0 THEN start_offset // 512
-                     ELSE (start_offset + n_tokens - 1) // 512 END AS end_seq,
-                CASE WHEN n_tokens = 0 THEN 0
-                     ELSE (start_offset + n_tokens - 1) // 512
-                            - start_offset // 512 + 1 END AS n_seqs
-         FROM c ORDER BY doc_id""",
-
-    // the manifest explodes each doc over its sequence range with
-    // boundary-clipped spans — identical arithmetic to the Spark side
-    "q_pack_manifest" ->
-      """WITH t AS (SELECT doc_id,
-                           CASE WHEN trim(text) = '' THEN 0
-                                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-                    FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-                      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
-               FROM t),
-         m AS (SELECT doc_id, n_tokens, start_offset,
-                      unnest(range(start_offset // 512,
-                                   (start_offset + n_tokens - 1) // 512 + 1)) AS seq_id
-               FROM c WHERE n_tokens > 0)
-         SELECT seq_id, doc_id,
-                greatest(start_offset, seq_id * 512) - start_offset + 1 AS doc_from,
-                least(start_offset + n_tokens, (seq_id + 1) * 512) - start_offset AS doc_to,
-                greatest(start_offset, seq_id * 512) - seq_id * 512 + 1 AS seq_from,
-                least(start_offset + n_tokens, (seq_id + 1) * 512) - seq_id * 512 AS seq_to,
-                least(start_offset + n_tokens, (seq_id + 1) * 512)
-                  - greatest(start_offset, seq_id * 512) AS slice_tokens
-         FROM m ORDER BY seq_id, doc_id""",
-
-    // all four pipeline stages re-derived in one query: token gate,
-    // md5 keep-first dedup, exponentiated-share rates + the portable
-    // uniform, and the ORDER BY doc_id prefix-sum packing arithmetic
-    "q_pipeline_train" ->
-      s"""WITH toks AS (SELECT doc_id, lang, text,
-                           CASE WHEN trim(text) = '' THEN 0
-                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-                    FROM documents),
-         g AS (SELECT * FROM toks WHERE n_tokens >= 20),
-         k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
-         d AS (SELECT g.* FROM g JOIN k USING (doc_id)),
-         c AS (SELECT lang, count(*)::DOUBLE AS n FROM d GROUP BY lang),
-         r AS (SELECT lang, least(1.0, 0.5 * (SELECT sum(n) FROM c)
-                        * (pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM c))
-                        / n) AS rate
-               FROM c),
-         s AS (SELECT d.doc_id, d.lang, d.n_tokens
-               FROM d JOIN r USING (lang)
-               WHERE ${portableUniformSql("d.doc_id::VARCHAR")} < r.rate),
-         c2 AS (SELECT doc_id, lang, n_tokens,
-                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
-                FROM s)
-         SELECT doc_id, lang, n_tokens, start_offset,
-                start_offset // 256 AS seq_id,
-                CASE WHEN n_tokens = 0 THEN start_offset // 256
-                     ELSE (start_offset + n_tokens - 1) // 256 END AS end_seq,
-                CASE WHEN n_tokens = 0 THEN 0
-                     ELSE (start_offset + n_tokens - 1) // 256
-                            - start_offset // 256 + 1 END AS n_seqs
-         FROM c2 ORDER BY doc_id""",
-
-    // identical synthetic-PII injection, then RE2 equivalents of the Java
-    // patterns (restricted to the shared-dialect subset) in the same
-    // redaction order
-    "q_pii" ->
-      """WITH d AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 10 = 0
-                       THEN text || ' contact user' || doc_id || '@example.com' ||
-                            ' or call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') ||
-                            ' from 192.168.' || (doc_id % 256) || '.7'
-                       ELSE text END AS t2
-           FROM documents)
-         SELECT doc_id,
-                len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-                len(regexp_extract_all(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
-                len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
-                regexp_replace(regexp_replace(regexp_replace(t2,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-                  '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
-         FROM d ORDER BY doc_id""",
-
-    // same shingle derivation; containment = overlap / min set size
-    "q_dedup_containment" ->
-      s"""WITH $jaccardCtes
-         SELECT id_a, id_b,
-                round(common::DOUBLE / least(za.sz, zb.sz), 4) AS containment
-         FROM c JOIN z za ON za.doc_id = c.id_a JOIN z zb ON zb.doc_id = c.id_b
-         WHERE common::DOUBLE / least(za.sz, zb.sz) >= 0.8
-         ORDER BY id_a, id_b""",
-
-    // nprobe = ncentroids makes the IVF candidate join exhaustive, so the
-    // exact all-pairs SQL is a true oracle for the scale-safe operator
-    "q_embed_neardup_knn" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-         ORDER BY id_a, id_b""",
-    // full LSH replay: plane count np = max(4, ceil(log2(n/64))) (the
-    // query's scale policy), planes = corpus rows vec_id 100..100+8np-1,
-    // bit = sign of the INT8-quantized dot (integer arithmetic — exact
-    // in both engines), bucket = the np-bit signature per table, pairs
-    // share (table, bucket), survivors pass the exact cosine verify
-    "q_embed_neardup_lsh" ->
-      """WITH prm AS (SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1, COUNT(*) // 64))) AS INT)) AS np
-                      FROM embeddings),
-         qv AS (SELECT vec_id,
-                       [CAST(GREATEST(-127, LEAST(127, FLOOR(x*127+0.5))) AS BIGINT)
-                        FOR x IN embedding::DOUBLE[]] AS c
-                FROM embeddings),
-         pl AS (SELECT CAST((q.vec_id - 100) // prm.np AS INT) AS t,
-                       CAST((q.vec_id - 100) % prm.np AS INT) AS p, q.c AS pc
-                FROM qv q, prm
-                WHERE q.vec_id >= 100 AND q.vec_id < 100 + 8 * prm.np),
-         bits AS (SELECT e.vec_id AS id, pl.t,
-                         CASE WHEN list_sum(list_transform(range(1, 65),
-                                j -> e.c[j] * pl.pc[j])) >= 0
-                              THEN 1 << pl.p ELSE 0 END AS b
-                  FROM qv e, pl),
-         sig AS (SELECT id, t, SUM(b) AS bucket FROM bits GROUP BY 1, 2),
-         cand AS (SELECT a.id AS id_a, b.id AS id_b
-                  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
-                                       AND a.id < b.id
-                  GROUP BY 1, 2)
-         SELECT c.id_a, c.id_b,
-                round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
-         FROM cand c
-         JOIN embeddings ea ON ea.vec_id = c.id_a
-         JOIN embeddings eb ON eb.vec_id = c.id_b
-         WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
-         ORDER BY id_a, id_b""",
-
-    "q_token_count" ->
-      """SELECT doc_id,
-                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                length(text) AS len_chars
-         FROM documents ORDER BY doc_id""",
-
-    "q_text_quality" ->
-      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
-                    FROM documents)
-         SELECT doc_id,
-                len(w) AS n_tokens,
-                round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-                      / len(w), 4) AS avg_token_len,
-                round(CAST(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
-                      / len(w), 4) AS stopword_ratio,
-                round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-                      / length(text), 4) AS punct_ratio
-         FROM t ORDER BY doc_id""",
-
-    "q_lang_count" ->
-      """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang""",
-
-    "q_text_profile" ->
-      """WITH t AS (SELECT doc_id, text,
-             string_split_regex(trim(text), '\s+') AS w FROM documents),
-         s AS (SELECT doc_id, text, w,
-           len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
-           len(list_intersect(w, ['the','and','of','to','is','that','it','with','for','was'])) AS h_en,
-           len(list_intersect(w, ['el','la','los','y','es','una','por','para','que','no'])) AS h_es,
-           len(list_intersect(w, ['le','la','les','et','est','une','pour','dans','que','pas'])) AS h_fr
-           FROM t)
-         SELECT doc_id,
-           CAST(len(w) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
-              + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subwords,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                ELSE 'de' END AS lang_pred,
-           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
-         FROM s ORDER BY doc_id""",
-
-    // the synthesizer's outputs are pure functions of the id (media_id%3
-    // picks the modality; PNGs are 16x12 RGB, WAVs 400 frames @16kHz
-    // mono), so the oracle re-derives every DECODED value analytically —
-    // matching hashes prove javax.imageio/javax.sound read back exactly
-    // what the synthesizer declared
-    "q_media_metadata" ->
-      """SELECT vec_id AS media_id,
-                CASE vec_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                     ELSE 'video' END AS media_type,
-                CASE WHEN vec_id % 3 = 0 THEN 16 ELSE 0 END AS width,
-                CASE WHEN vec_id % 3 = 0 THEN 12 ELSE 0 END AS height,
-                CASE WHEN vec_id % 3 = 0 THEN 3 ELSE 0 END AS channels,
-                CASE WHEN vec_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
-                (CASE WHEN vec_id % 3 = 1 THEN 400 ELSE 0 END)::BIGINT AS n_frames
-         FROM embeddings
-         ORDER BY media_id""",
-
-    "q_pipeline_e2e" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         f AS (SELECT doc_id, text,
-                      string_split_regex(trim(text), '\s+') AS w FROM documents),
-         good AS (SELECT doc_id, text FROM f
-                  WHERE len(w) >= 20
-                    AND CAST(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
-                        / len(w) < 0.5),
-         surv AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text))
-         SELECT g.doc_id,
-                round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 4) AS score
-         FROM good g JOIN surv s ON g.doc_id = s.doc_id
-         JOIN embeddings e ON e.vec_id = g.doc_id, q
-         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, g.doc_id
-         LIMIT 10""",
-
-    // marker-overlap language heuristic; ties resolve to the
-    // lexicographically greatest language (Spark array_max struct order)
-    "q_lang_id" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                    FROM documents),
-         s AS (SELECT doc_id,
-           len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein','eine','zu'])) AS h_de,
-           len(list_intersect(w, ['the','and','of','to','is','that','it','with','for','was'])) AS h_en,
-           len(list_intersect(w, ['el','la','los','y','es','una','por','para','que','no'])) AS h_es,
-           len(list_intersect(w, ['le','la','les','et','est','une','pour','dans','que','pas'])) AS h_fr
-           FROM t)
-         SELECT doc_id,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                ELSE 'de' END AS lang_pred
-         FROM s ORDER BY doc_id""",
-
-    "q_string_funcs" ->
-      """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
-                replace(p_brand, '#', '-') AS brand2, length(p_name) AS ln
-         FROM part ORDER BY p_partkey""",
-
-    "q_null_semantics" ->
-      """SELECT l_orderkey, l_linenumber,
-                coalesce(nullif(l_discount, 0.0), -1.0) AS d
-         FROM lineitem ORDER BY l_orderkey, l_linenumber, d LIMIT 500""",
-
-    "q_date_parts" ->
-      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
-                CAST(month(l_shipdate) AS BIGINT) AS m, count(*) AS cnt
-         FROM lineitem GROUP BY y, m ORDER BY y, m""",
-
-    "q_json_extract" ->
-      """SELECT event_type, count(*) AS cnt,
-                round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
-                CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "q_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-                coalesce(l_linestatus, 'ALL') AS ls,
-                round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY rf, ls""",
-
-    "q_union_distinct" ->
-      """SELECT DISTINCT user_id FROM (
-           SELECT user_id FROM events WHERE event_type = 'click'
-           UNION ALL SELECT user_id FROM events WHERE value > 90.0)
-         ORDER BY user_id""",
-
-    "q_explode_words" ->
-      """SELECT word, count(*) AS cnt
-         FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
-         GROUP BY word ORDER BY word""",
-
-    "q_above_avg" ->
-      """WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
-                           avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
-                    FROM orders)
-         SELECT o_orderkey, o_custkey FROM w
-         WHERE o_totalprice > cust_avg * 1.5 ORDER BY o_orderkey""",
-
-    "q5_join" ->
-      """SELECT n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-         FROM region
-         JOIN nation ON n_regionkey = r_regionkey
-         JOIN customer ON c_nationkey = n_nationkey
-         JOIN orders ON o_custkey = c_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE r_name = 'ASIA'
-         GROUP BY n_name ORDER BY n_name""",
-
-    "q_semi_join" ->
-      """SELECT count(*) AS cnt FROM customer
-         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""",
-
-    "q_anti_join" ->
-      """SELECT count(*) AS cnt FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""",
-
-    "q_having_case" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-                CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders
-         FROM orders GROUP BY o_orderpriority
-         HAVING count(*) >= 100 ORDER BY o_orderpriority""",
-
-    "q_sessionize" ->
-      """WITH e AS (
-           SELECT user_id, epoch_ns(ts) AS tsn,
-                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-           FROM events),
-         f AS (
-           SELECT user_id, tsn,
-                  CASE WHEN prev_ts IS NULL OR tsn - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_sess
-           FROM e),
-         g AS (
-           SELECT user_id,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsn
-                                      ROWS UNBOUNDED PRECEDING) AS sess_id
-           FROM f)
-         SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
-                count(*) AS n_events
-         FROM g GROUP BY user_id ORDER BY user_id""",
-
-    "q_api_search" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
-         c AS (SELECT CAST(vec_id AS VARCHAR) AS _id, label, embedding FROM embeddings)
-         SELECT c._id, c.label,
-                round(list_dot_product(c.embedding::DOUBLE[], q.v), 4) AS score
-         FROM c, q WHERE c.label IN (1,3,5)
-         ORDER BY list_dot_product(c.embedding::DOUBLE[], q.v) DESC, c._id
-         LIMIT 12""",
-
-    "q_api_query_ids" ->
-      """SELECT CAST(e.vec_id AS VARCHAR) AS _id, e.label
-         FROM (VALUES ('42', 0), ('7', 1), ('99', 2)) AS t(id, ord)
-         JOIN embeddings e ON CAST(e.vec_id AS VARCHAR) = t.id
-         ORDER BY t.ord""",
-
-    "q_api_sort" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS _id, label FROM embeddings
-         WHERE label >= 5
-         ORDER BY label DESC, CAST(vec_id AS VARCHAR) ASC LIMIT 30""",
-  )
+  /** DuckDB oracle SQL per query — split alongside the entries. */
+  def oracleSql: Map[String, String] =
+    graft.entry.RelationalEntries.oracles ++
+    graft.entry.KnnEntries.oracles ++
+    graft.entry.IndexEntries.oracles ++
+    graft.entry.ApiEntries.oracles ++
+    graft.entry.PipelineEntries.oracles
 }

@@ -1,0 +1,588 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft.F
+import graft.SparkEntry._
+import graft.api.SearchApi
+import graft.operators.{Dedup, Documents, HnswIndex, IvfIndex, Knn, KnnJoin, Multimodal, Packing, PqIndex, Sampling, Skew, TextOps, VearchFilters}
+import graft.schema.Space
+
+/** operator-level index-family queries: IVF/PQ/HNSW/Vamana/RaBitQ/BinaryIVF layouts searched directly (exact twins + operating points).
+  *
+  * Split from SparkEntry (round 18) purely mechanically — same entries,
+  * same helper surface (imported from [[graft.SparkEntry]]), no behavior
+  * change. Declared-query docs and reference citations live on the
+  * entries themselves.
+  */
+private[graft] object IndexEntries {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── §2.4 (rows-only): IVF nprobe-pruned search over the prebuilt
+    //    list_id-partitioned layout (probe = partition pruning) ──
+    "q_ivf_search" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = 4, tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 batched IVF (req_num queries, one probe-join pass) with
+    //    nprobe = ncentroids ≡ exact batch KNN (oracle-checked) ──
+    "q_ivf_batch" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      IvfIndex.searchBatch(table, col("embedding"), struct(col("vec_id")),
+        queries, model, k = 5, nprobe = model.ncentroids)
+        .select(col("_qid").as("qid"), col("_item.vec_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
+    // ── §2.4 hybrid filtered ANN over the index: scalar pre-filter
+    //    evaluated INSIDE the probed partitions (filter + probe both reach
+    //    the scan); exactness params ≡ filtered exact KNN (oracle) ──
+    "q_ivf_filtered" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = model.ncentroids,
+        filter = Some(col("label").isin(1, 3, 5) && col("vec_id") =!= 0),
+        tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("label"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 IVF with nprobe = ncentroids ≡ exact KNN (oracle-checked:
+    //    proves the probe→score path end-to-end) ──
+    "q_ivf_exact" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = model.ncentroids,
+        tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 HNSW graph-ANN with ef ≥ |shard| ≡ exact (oracle-checked:
+    //    the segment graph is connected by construction, so the bounded
+    //    walk degenerates to an exhaustive one — proves the build + walk +
+    //    fan-out merge end-to-end, the q_ivf_exact pattern) ──
+    "q_hnsw_exact" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      HnswIndex.search(segs, qvec(s, dir), k = 10, ef = 1 << 30,
+        metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): HNSW at a real operating point (efSearch=64,
+    //    hnswalg.h ef_ default) — per-shard graph walk + router merge;
+    //    RecallGateSpec pins recall against the exact twin ──
+    "q_hnsw_search" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      HnswIndex.search(segs, qvec(s, dir), k = 10, ef = 64,
+        metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 SPANN-style ROUTED HNSW (clustered shards = coarse-quantizer
+    //    lists, query routes to nprobe shards = parquet partition pruning)
+    //    with exactness params ≡ exact KNN — the oracle proves the
+    //    clustered build + route + walk + merge end-to-end ──
+    "q_hnsw_routed_exact" -> ((s, dir) => {
+      init(s)
+      val (segs, ivf) = graft.sources.IndexStore.hnswClustered(s, dir)
+      HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 1 << 30,
+        metric = "l2", nprobe = ivf.ncentroids, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): routed HNSW at the real operating point —
+    //    nprobe=4 of 16 prunes 3/4 of the segment IO before the ef=64
+    //    walks; exactness twin above, recall pinned in HnswIndexSpec ──
+    "q_hnsw_routed" -> ((s, dir) => {
+      init(s)
+      val (segs, ivf) = graft.sources.IndexStore.hnswClustered(s, dir)
+      HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 64,
+        metric = "l2", nprobe = 4, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 hybrid filtered HNSW: the scalar predicate's surviving ids
+    //    broadcast into the graph walk (= the reference's filter-bitmap
+    //    functor); disallowed nodes traversed, never returned — so the
+    //    exactness params stay provably exact (oracle ≡ filtered KNN) ──
+    "q_hnsw_filtered" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      val allowed = t(s, dir, "embeddings")
+        .filter(col("label").isin(1, 3, 5) && col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      HnswIndex.searchFiltered(segs, qvec(s, dir), k = 10, ef = 1 << 30,
+        metric = "l2", allowedIds = allowed)
+        .join(t(s, dir, "embeddings").select(col("vec_id"), col("label")), Seq("vec_id"))
+        .orderBy(col("_score"), col("vec_id")) // raw-score order, like the oracle
+        .select(col("vec_id"), col("label"), round(col("_score"), 4).as("score"))
+    }),
+
+    // ── §2.4 batched HNSW (req_num): every query walks each segment in
+    //    the same task pass (one deserialization per shard per batch);
+    //    exactness params ≡ exact batch KNN (oracle-checked) ──
+    "q_hnsw_batch" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.hnsw(s, dir)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      HnswIndex.searchBatch(segs, queries, k = 5, ef = 1 << 30, metric = "l2")
+        .select(col("_qid").as("qid"), col("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
+    // ── §2.1+§2.4 DELETE VISIBILITY through the routed HNSW path: ids
+    //    0–4 deleted AFTER the graph generation was built (they still sit
+    //    in the stored segments — vec_id 0 is the query vector itself, so
+    //    an ungated walk returns it as top-1 ghost). The delete ledger
+    //    rides the walk as the allow-functor (traverse-but-never-admit),
+    //    so the response is exactly k LIVE docs — the reference's
+    //    deleted-bitmap gate (engine.cc:869-899) ──
+    "q_hnsw_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.apiDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"del_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.1+§2.4 DELETE VISIBILITY through the routed IVF path: same
+    //    contract, scan side — the ledger anti-filters the READY layout
+    //    inside the probed lists BEFORE top-k selection (no over-fetch
+    //    needed, no under-fill); nprobe = ncentroids ⇒ exact, so the
+    //    gate is oracle-checked end-to-end ──
+    "q_ivf_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.apiDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"del_space_ivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 score gate IN-SCAN on the IVF route (both bounds): the
+    //    probed-list scan computes every candidate's score anyway, so the
+    //    [min,max] band gates before the bounded top-k — zero over-fetch,
+    //    no loop; nprobe = ncentroids ⇒ oracle-exact ──
+    "q_ivf_score_range" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      IvfIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, nprobe = model.ncentroids,
+        minScore = Some(1.35), maxScore = Some(1.45),
+        tieBreak = Some(col("vec_id")), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 score gate at the EXACT-RERANK heap on the compressed
+    //    route (the reference's admission point for IVFPQ,
+    //    gamma_common_data.h:94-96): full probe + full-depth rerank ⇒
+    //    the gate sees every candidate's exact score ⇒ oracle-exact ──
+    "q_ivfpq_score_range" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.pqSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"pq_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFPQ",
+                      "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
+        "min_score":1.41}],"index_params":{"recall_num":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 DiskANN-static (Vamana) with l ≥ |shard| ≡ exact
+    //    (oracle-checked: the flat α-RNG graph is connected by the
+    //    re-asserted chain, so the bounded beam walk degenerates to an
+    //    exhaustive one — proves build + beam walk + merge end-to-end) ──
+    "q_diskann_exact" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.vamana(s, dir)
+      graft.operators.VamanaIndex.search(segs, qvec(s, dir), k = 10,
+        l = 1 << 30, beamWidth = 4, metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): Vamana at the reference's operating point
+    //    (l_search=100, beam_width=4 — diskann_static_params.h:27-38);
+    //    exactness twin above, recall pinned in VamanaIndexSpec ──
+    "q_diskann_search" -> ((s, dir) => {
+      init(s)
+      val segs = graft.sources.IndexStore.vamana(s, dir)
+      graft.operators.VamanaIndex.search(segs, qvec(s, dir), k = 10,
+        l = 100, beamWidth = 4, metric = "l2", roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.3+§2.4 FILTERED Vamana route (round-15 gap closed: any
+    //    scalar filter on a DISKANN_STATIC/SSG space used to full-scan
+    //    brute FLAT): the filter's allow-set rides the beam walk's
+    //    functor exactly like the HNSW arm — the reference gates EVERY
+    //    index family through one filter bitmap
+    //    (gamma_common_data.h:94-105, engine.cc:355-373). Disallowed
+    //    nodes traversed, never admitted ⇒ l_search ≥ corpus stays
+    //    provably exact under the filter, oracle ≡ filtered exact KNN ──
+    "q_diskann_filtered" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vam_space_f","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.3+§2.4 FILTERED batched Vamana route: the batch's shared
+    //    allow-set is collected once and broadcast into every query's
+    //    walk (amortized like the segment read); per-qid exact blocks at
+    //    full depth, oracled ──
+    "q_diskann_filtered_batch" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.vamanaSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"vam_space_fb","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"DISKANN_STATIC",
+                      "params":{"R":32,"L":64,"beam_width":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .flatMap(_.getSeq[Float](0))
+      val req = s"""{"vectors":[{"field":"embedding","feature":${flat.mkString("[", ",", "]")}}],
+        "filters":{"operator":"AND","conditions":[
+          {"operator":"IN","field":"label","value":[1,3,5]}]},
+        "index_params":{"l_search":1048576},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.1 string-PK DELETE visibility: doc-0…doc-4 deleted via
+    //    deleteByPk (ledger records their DOCIDs); the routed walks gate
+    //    on the docid ledger — doc-0 is the query vector, so an ungated
+    //    (or _id-gated) route returns it as a top-1 ghost ──
+    "q_hnsw_string_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_del_h","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"HNSW",
+                      "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    "q_ivf_string_after_delete" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.stringIdDeleteSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"str_del_i","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 (rows-only): SCANN at a pruned operating point (nprobe=4,
+    //    recall_num=100) — exactness twin above ──
+    "q_scann_search" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.scannSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"scann_space","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":4}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
+        "index_params":{"recall_num":100},"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
+    // ── §2.4 (rows-only): PQ/ADC two-stage search with recall_num rerank,
+    //    over the prebuilt layout (stage 1 scans stored pq_code only) ──
+    "q_pq_search" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
+      PqIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, recallNum = 50, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 PQ with recall_num ≥ N ≡ exact KNN (oracle-checked: proves
+    //    ADC shortlist → semi-join rerank end-to-end) ──
+    "q_pq_exact" -> ((s, dir) => {
+      init(s)
+      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
+      PqIndex.search(table, col("embedding"), model, qvec(s, dir),
+        k = 10, recallNum = 1 << 30, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank over the
+    //    prebuilt list_id-partitioned + pq_code layout ──
+    "q_ivfpq_search" -> ((s, dir) => {
+      init(s)
+      // residual-trained codebooks (adopted after winning the
+      // RecallGateSpec head-to-head at the pruned-probe operating point)
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
+        k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 batched IVFPQ (req_num queries, ADC LUTs as broadcast data)
+    //    at exactness params ≡ exact batch KNN (oracle-checked) ──
+    "q_ivfpq_batch" -> ((s, dir) => {
+      init(s)
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      PqIndex.searchBatchIvfResidual(table, col("embedding"), ivf, pq, queries,
+        k = 5, nprobe = ivf.ncentroids, recallNum = 1 << 30, idCol = col("vec_id"))
+        .select(col("_qid").as("qid"), col("_id").as("vec_id"),
+          round(col("_score"), 4).as("score"))
+        .orderBy(col("qid"), col("score"), col("vec_id"))
+    }),
+
+    // ── §2.4 IVFPQ with nprobe = ncentroids & recall_num ≥ N ≡ exact KNN
+    //    (oracle-checked) ──
+    "q_ivfpq_exact" -> ((s, dir) => {
+      init(s)
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
+        k = 10, nprobe = ivf.ncentroids, recallNum = 1 << 30,
+        idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): 1-bit quantization shortlist + exact rerank over
+    //    the prebuilt bcode layout (stage 1 reads dim/8 bytes per row) ──
+    "q_binary_rerank" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 binary with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
+    "q_binary_exact" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 1 << 30, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): RaBitQ-class qb=4 — asymmetric quantized-query
+    //    estimator over 1-bit corpus codes, exact rerank ──
+    "q_rabitq_search" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 100, idCol = col("vec_id"), roundTo = Some(4), qb = 4)
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 RaBitQ qb=4 with shortlist ≥ N ≡ exact KNN (oracle-checked) ──
+    "q_rabitq_exact" -> ((s, dir) => {
+      init(s)
+      val coded = graft.sources.IndexStore.binary(s, dir)
+      graft.operators.BinaryIndex.search(coded, col("embedding"), qvec(s, dir),
+        k = 10, shortlist = 1 << 30, idCol = col("vec_id"), roundTo = Some(4), qb = 4)
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 (rows-only): full IVFRABITQ — coarse probe (partition
+    //    pruning) ∘ per-list residual-code estimator ∘ exact rerank ──
+    "q_rabitq_ivf" -> ((s, dir) => {
+      init(s)
+      val (table, ivf) = graft.sources.IndexStore.binaryIvf(s, dir, ncentroids = 16)
+      graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
+        qvec(s, dir), k = 10, nprobe = 4, shortlist = 100,
+        idCol = col("vec_id"), qb = 4, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+
+    // ── §2.4 IVFRABITQ at exactness params ≡ exact KNN (oracle-checked) ──
+    "q_rabitq_ivf_exact" -> ((s, dir) => {
+      init(s)
+      val (table, ivf) = graft.sources.IndexStore.binaryIvf(s, dir, ncentroids = 16)
+      graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
+        qvec(s, dir), k = 10, nprobe = ivf.ncentroids, shortlist = 1 << 30,
+        idCol = col("vec_id"), qb = 4, roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q_ivf_exact" -> exactL2Top10Sql,
+    "q_hnsw_exact" -> exactL2Top10Sql,
+    "q_diskann_exact" -> exactL2Top10Sql,
+    "q_hnsw_routed_exact" -> exactL2Top10Sql,
+    // filtered Vamana route (r15 gap closed): the allow-set functor on
+    // the beam walk at full depth ≡ the filtered exact top-10
+    "q_diskann_filtered" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_diskann_filtered_batch" ->
+      """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 3),
+         r AS (SELECT qs._qid, e.vec_id AS _id, e.label,
+                      round(list_distance(e.embedding::DOUBLE[], qs.v), 4) AS _score,
+                      row_number() OVER (PARTITION BY qs._qid
+                        ORDER BY list_distance(e.embedding::DOUBLE[], qs.v) ASC,
+                                 e.vec_id) AS rn
+               FROM embeddings e, qs WHERE e.label IN (1,3,5))
+         SELECT _qid, _id, label, _score FROM r WHERE rn <= 10
+         ORDER BY _qid, rn""",
+    "q_hnsw_string_after_delete" -> apiStrAfterDeleteSql,
+    "q_ivf_string_after_delete" -> apiStrAfterDeleteSql,
+    // routed search after delete: the oracle is the exact top-10 over the
+    // LIVE corpus (ids 0-4 deleted post-build; a ledger-gating failure
+    // surfaces vec_id 0 — the query vector itself — as a ghost top-1)
+    "q_hnsw_after_delete" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.vec_id NOT IN (0,1,2,3,4)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_ivf_after_delete" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE e.vec_id NOT IN (0,1,2,3,4)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_ivf_score_range" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE list_distance(e.embedding::DOUBLE[], q.v) BETWEEN 1.35 AND 1.45
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_ivfpq_score_range" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS _id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS _score
+         FROM embeddings e, q
+         WHERE list_distance(e.embedding::DOUBLE[], q.v) >= 1.41
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_hnsw_filtered" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+    "q_pq_exact" -> exactL2Top10Sql,
+    "q_ivfpq_exact" -> exactL2Top10Sql,
+    "q_binary_exact" -> exactL2Top10Sql,
+    "q_rabitq_exact" -> exactL2Top10Sql,
+    "q_rabitq_ivf_exact" -> exactL2Top10Sql,
+    // binarize + rerank is closed-form: the stage-1 shortlist is the
+    // top-100 by sign-bit Hamming (ties on vec_id — BinaryIndex.search's
+    // deterministic order), the rerank the exact l2 over the survivors;
+    // both stages recompute from the raw embeddings in SQL
+    "q_binary_rerank" ->
+      """WITH q AS (SELECT embedding AS qe, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id = 0),
+         ham AS (SELECT e.vec_id,
+                        CAST(list_sum(list_transform(range(1, 65),
+                          i -> CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
+                                    THEN 1 ELSE 0 END)) AS BIGINT) AS h
+                 FROM embeddings e, q),
+         short AS (SELECT vec_id FROM ham ORDER BY h ASC, vec_id ASC LIMIT 100)
+         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE e.vec_id IN (SELECT vec_id FROM short)
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+
+    "q_ivf_filtered" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, e.label,
+                round(list_distance(e.embedding::DOUBLE[], q.v), 4) AS score
+         FROM embeddings e, q
+         WHERE e.label IN (1,3,5) AND e.vec_id <> 0
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, e.vec_id
+         LIMIT 10""",
+
+    "q_ivf_batch" -> exactBatchL2Sql,
+    "q_hnsw_batch" -> exactBatchL2Sql,
+    "q_ivfpq_batch" -> exactBatchL2Sql,
+  )
+}

@@ -244,21 +244,38 @@ object Stress {
         graft.api.SearchApi.searchAuto(stored, sp, mvReq, lc).count()
       }
 
-      // ── payload fetch before/after (the r17 `weak`): the pruned path
-      // partition-prunes the bucketed layout to the ≤k hit ids' buckets
-      // and pushes id-IN (O(k) point reads, engine.cc:902-911); the
-      // before-shape broadcast-joined the same hits against the UNPRUNED
-      // corpus — a full 2M-row read per query to fetch 10 payload rows
+      // ── payload fetch before/after (the r17 `weak`): cold + warm
+      // end-to-end first (walk + pruned fetch), then the ISOLATED
+      // payload-fetch pair — the r17 shape broadcast-joined the ≤k hits
+      // against the UNPRUNED corpus (a full 2M-row read per query for 10
+      // payload rows; at 100 TB, THE query cost), the r18 shape
+      // partition-prunes to the hit ids' buckets + pushes id-IN
+      // (O(k) point reads, engine.cc:902-911)
       val plainReq = s"""{"vectors":[{"field":"v",
           "feature":${q.mkString("[", ",", "]")}}],"limit":10}"""
-      time("routed_payload_pruned_top10", 10) {
+      time("routed_query_e2e_cold_top10", n) {
+        graft.api.SearchApi.searchAuto(stored, sp, plainReq, lc).count()
+      }
+      time("routed_query_e2e_warm_top10", n) {
         graft.api.SearchApi.searchAuto(stored, sp, plainReq, lc).count()
       }
       locally {
-        val hitsDf = (0 until 10)
-          .map(i => ((i * 997L) % n, i.toDouble)).toDF("_id", "_score")
-        time("routed_payload_unpruned_join_r17_shape", n) {
+        val ids = (0 until 10).map(i => (i * 997L) % n)
+        val hitsDf = ids.zipWithIndex
+          .map { case (id, i) => (id, i.toDouble) }.toDF("_id", "_score")
+        // driver twin of the layout's pmod(hash(_id), nb)
+        val bks = ids.map { id =>
+          val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal(id)))
+            .eval(null).asInstanceOf[Int]
+          ((h % nbS) + nbS) % nbS
+        }.distinct
+        time("payload_fetch_unpruned_r17_shape", n) {
           stored.drop("_bucket").join(broadcast(hitsDf), "_id").count()
+        }
+        time("payload_fetch_pruned_bucket_id_in", 10) {
+          stored.filter(col("_bucket").isin(bks: _*) && col("_id").isin(ids: _*))
+            .drop("_bucket").join(broadcast(hitsDf), "_id").count()
         }
       }
 
