@@ -120,6 +120,15 @@ object SearchApi {
         // not a known symbol).
         var minS = doubleOf(v \ "min_score")
         var maxS = doubleOf(v \ "max_score")
+        // a PRESENT but non-numeric `value` is the reference's JSON
+        // unmarshal error (doc_query.go:72 — float64 field): failing
+        // loud here keeps a client typo from silently running ungated
+        (v \ "value") match {
+          case JNothing | JNull => ()
+          case numeric if doubleOf(numeric).isDefined => ()
+          case other => throw new IllegalArgumentException(
+            s"score filter value must be numeric, got [$other]")
+        }
         doubleOf(v \ "value").foreach { vv =>
           ((v \ "symbol") match {
             case JString(s) => s.trim; case _ => ""
@@ -143,7 +152,18 @@ object SearchApi {
         idxType.foreach { t =>
           val declared = space.vectorFields.find(_.name == field)
             .flatMap(_.vector).map(_.indexType)
-          require(t == "FLAT" || declared.contains(t),
+          // aliases that serve from the identical layout are accepted
+          // both ways (GPU_* execute on CUDA in the reference, CPU
+          // layout here; SSG shares the Vamana generation) — rejecting
+          // e.g. index_type IVFFLAT against a declared GPU_IVFFLAT
+          // would fail a request the engine can serve exactly
+          def canon(x: String) = x match {
+            case "GPU_IVFFLAT" => "IVFFLAT"
+            case "GPU_IVFPQ" | "IVFPQ_RELAYOUT" => "IVFPQ"
+            case "SSG" => "DISKANN_STATIC"
+            case other => other
+          }
+          require(t == "FLAT" || declared.map(canon).contains(canon(t)),
             s"index_type [$t] does not match field [$field] declared " +
               s"index type [${declared.getOrElse("")}]")
         }

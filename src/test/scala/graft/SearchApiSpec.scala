@@ -214,6 +214,43 @@ class SearchApiSpec extends SparkSpec {
       s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
            "ranker":{"type":"WeightedRanker","params":{"weights":[0.7,0.3]}}}""",
       space).weights == Some(Seq(0.7, 0.3)))
+    // a present but NON-NUMERIC score-filter value is the reference's
+    // JSON unmarshal error (doc_query.go:72 float64 field) — a client
+    // typo like "value":"0.8" must not silently run ungated
+    val vErr = intercept[IllegalArgumentException] {
+      SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+             "symbol":">=","value":"0.8"}]}""", space)
+    }
+    assert(vErr.getMessage.contains("must be numeric"))
+  }
+
+  test("per-condition index_type accepts same-layout aliases, rejects foreign families") {
+    val gpuSpace = Space.fromJson(
+      """{"name":"gpu_space","fields":[
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"GPU_IVFFLAT","params":{"ncentroids":8}}}]}""")
+    // GPU_IVFFLAT serves from the identical CPU layout — requesting the
+    // CPU name (or vice versa) is servable, not a parse error
+    assert(SearchApi.parseSearch(
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "index_type":"IVFFLAT"}]}""", gpuSpace)
+      .vectors.head.indexType == Some("IVFFLAT"))
+    val err = intercept[IllegalArgumentException] {
+      SearchApi.parseSearch(
+        s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+             "index_type":"HNSW"}]}""", gpuSpace)
+    }
+    assert(err.getMessage.contains("does not match"))
+    // SSG <-> DISKANN_STATIC share the Vamana generation
+    val ssgSpace = Space.fromJson(
+      """{"name":"ssg_space","fields":[
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"SSG","params":{"nlinks":16,"efConstruction":40}}}]}""")
+    assert(SearchApi.parseSearch(
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "index_type":"DISKANN_STATIC"}]}""", ssgSpace)
+      .vectors.head.indexType == Some("DISKANN_STATIC"))
   }
 
   test("min_score gate") {
