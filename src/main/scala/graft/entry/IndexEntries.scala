@@ -482,6 +482,21 @@ private[graft] object IndexEntries {
     "q_hnsw_exact" -> exactL2Top10Sql,
     "q_diskann_exact" -> exactL2Top10Sql,
     "q_hnsw_routed_exact" -> exactL2Top10Sql,
+    // operating-point queries measured EXACT on the sf0.01 fixture
+    // (r18): the ef=64 walks, the nprobe=4/16 probes and the qb=4
+    // estimator + depth-100 rerank each recover the exact top-10 on
+    // this corpus, and every one is a deterministic function of
+    // (fixture, params) — so the exact oracle applies at the REAL
+    // operating point and a silent recall regression hash-fails. If a
+    // legitimately lossy change lands (different estimator, shard
+    // count, fixture), re-declare the affected query rows-only with a
+    // recall pin instead of weakening the operator.
+    "q_hnsw_search" -> exactL2Top10Sql,
+    "q_hnsw_routed" -> exactL2Top10Sql,
+    "q_diskann_search" -> exactL2Top10Sql,
+    "q_ivf_search" -> exactL2Top10Sql,
+    "q_rabitq_search" -> exactL2Top10Sql,
+    "q_rabitq_ivf" -> exactL2Top10Sql,
     // filtered Vamana route (r15 gap closed): the allow-set functor on
     // the beam walk at full depth ≡ the filtered exact top-10
     "q_diskann_filtered" ->
