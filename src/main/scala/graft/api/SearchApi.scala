@@ -548,12 +548,21 @@ object SearchApi {
     * literal keeps the two derivations identical by construction.
     */
   private def bucketOfId(id: Long, nb: Int,
+      idT: org.apache.spark.sql.types.DataType): Int =
+    bucketOfAny(
+      if (idT == org.apache.spark.sql.types.IntegerType) id.toInt else id,
+      nb, idT)
+
+  /** [[bucketOfId]] for ANY PK type (the canonical `_id` is a string):
+    * `Literal.create` runs the same Catalyst type conversion the column
+    * hash sees, so string ids hash as UTF8String exactly like the layout
+    * writer's `hash(col("_id"))`.
+    */
+  private def bucketOfAny(id: Any, nb: Int,
       idT: org.apache.spark.sql.types.DataType): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-    val l =
-      if (idT == org.apache.spark.sql.types.IntegerType) Literal(id.toInt)
-      else Literal(id)
-    val h = new Murmur3Hash(Seq(l)).eval(null).asInstanceOf[Int]
+    val h = new Murmur3Hash(Seq(Literal.create(id, idT)))
+      .eval(null).asInstanceOf[Int]
     ((h % nb) + nb) % nb
   }
 
@@ -1376,7 +1385,23 @@ object SearchApi {
     * order beyond the reference's (we sort by `_id` for determinism only
     * when neither ids nor filters demand an order).
     */
-  def query(corpus: DataFrame, space: Space, requestJson: String): DataFrame = {
+  def query(corpus0: DataFrame, space: Space, requestJson: String,
+      lifecycle: Option[IndexLifecycle] = None): DataFrame = {
+    // same internal `_bucket` contract as [[searchAuto]]: a corpus still
+    // carrying the catalog's id-hash partition column partition-prunes
+    // the document_ids point reads; the column never reaches results
+    val bucketedCorpus: Option[DataFrame] =
+      if (corpus0.columns.contains("_bucket")) Some(corpus0) else None
+    val corpus = bucketedCorpus.map(_.drop("_bucket")).getOrElse(corpus0)
+    lazy val bucketNb: Option[Int] = for {
+      _ <- bucketedCorpus
+      lc <- lifecycle
+      p = s"${lc.path}/_graft_buckets"
+      if graft.sources.SidecarIO.exists(p)
+      nb <- scala.util.Try(
+        graft.sources.SidecarIO.readString(p).trim.toInt).toOption
+      if nb > 0
+    } yield nb
     val j = JsonMethods.parse(requestJson)
     val req = parseSearch(
       JsonMethods.compact(JsonMethods.render(j removeField {
@@ -1387,7 +1412,19 @@ object SearchApi {
         val spark = corpus.sparkSession
         import spark.implicits._
         val reqDf = idSeq.zipWithIndex.map { case (id, i) => (i, id) }.toDF("_ord", "_id")
-        corpus.join(broadcast(reqDf), Seq("_id")).orderBy(col("_ord"))
+        // point reads prune like the routed payload fetch: id-IN into
+        // the scan always, plus `_bucket IN` partition pruning on a
+        // catalog layout (the reference's GetDocs = RocksDB point reads,
+        // engine.cc:869-911) — fetch IO tracks |ids|, not the corpus
+        val idT = corpus.schema("_id").dataType
+        val idFilter = col("_id").isin(idSeq: _*)
+        val base = (bucketedCorpus, bucketNb) match {
+          case (Some(b), Some(nb)) =>
+            val bks = idSeq.map(bucketOfAny(_, nb, idT)).distinct
+            b.filter(col("_bucket").isin(bks: _*) && idFilter).drop("_bucket")
+          case _ => corpus.filter(idFilter)
+        }
+        base.join(broadcast(reqDf), Seq("_id")).orderBy(col("_ord"))
           .limit(req.limit)
           .select(projection(space, req, Seq.empty): _*)
       case _ =>

@@ -78,7 +78,15 @@ object Documents {
         org.apache.spark.sql.types.StructField("_ord",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField(idCol, idType, nullable = true))))
-    df.join(broadcast(req), Seq(idCol), "inner").orderBy(col("_ord"))
+    // the join alone scans the whole table to return |ids| rows — push
+    // the id list INTO the scan too (parquet row-group skipping /
+    // dictionary filters), so a point lookup's IO tracks the request,
+    // not the corpus. Bounded: a pathological id list falls back to the
+    // bare join rather than bloating the plan with a giant IN.
+    val pruned =
+      if (ids.nonEmpty && ids.size <= 10000) df.filter(col(idCol).isin(ids: _*))
+      else df
+    pruned.join(broadcast(req), Seq(idCol), "inner").orderBy(col("_ord"))
   }
 
   /** Default missing ids (vearch generates a UUID when `_id` is absent,

@@ -410,16 +410,24 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
     */
   def query(db: String, spaceName: String, space: Space,
       requestJson: String): DataFrame = {
-    val corpus = read(db, spaceName)
+    val lc = new graft.api.IndexLifecycle(spark, dir(db, spaceName))
+    // hand the bucket-carrying frame through (the `_bucket` column stays
+    // internal to SearchApi.query) so document_ids point reads can
+    // partition-prune; a realtime space's live snapshot is unbucketed —
+    // there the id-IN pushdown still reaches the base scan through the
+    // snapshot union
+    val corpus = readPathRaw(dir(db, spaceName))
     val live =
       if (space.config.enableRealtime) {
         val rt = realtimeTail(db, spaceName)
         if (rt.hasTail) {
-          val lc = new graft.api.IndexLifecycle(spark, dir(db, spaceName))
-          rt.snapshot(corpus.schema, lc.allDeletes())
+          val dropped =
+            if (corpus.columns.contains("_bucket")) corpus.drop("_bucket")
+            else corpus
+          rt.snapshot(dropped.schema, lc.allDeletes())
         } else corpus
       } else corpus
-    graft.api.SearchApi.query(live, space, requestJson)
+    graft.api.SearchApi.query(live, space, requestJson, Some(lc))
   }
 
   private def readPath(path: String): DataFrame = {

@@ -464,4 +464,38 @@ class PlanEvidenceSpec extends SparkSpec {
     // `_bucket` stays internal: never projected into results
     assert(!dfB.columns.contains("_bucket"))
   }
+
+  test("document_ids point reads prune the scan: _bucket partition pruning + id-IN on a catalog layout") {
+    // /document/query by ids used to broadcast-join the id list against
+    // an UNPRUNED corpus scan — the read-side twin of the routed payload
+    // join-back. Pin the fix: the scan carries In(_id) PushedFilters and
+    // a `_bucket IN` partition filter derived from the STRING ids' hash
+    // (the reference's GetDocs = RocksDB point reads, engine.cc:869-911).
+    val root = java.nio.file.Files.createTempDirectory("pe_qids").toString
+    val cat = new graft.schema.SpaceCatalog(spark, root)
+    cat.createDb("d")
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"s","fields":[
+          {"name":"n","type":"long"},
+          {"name":"v","type":"vector","dimension":4,
+           "index":{"type":"FLAT"}}]}""")
+    cat.createSpace("d", sp)
+    val nbQ = 8
+    cat.upsert("d", "s",
+      (0 until 200).map(i => (s"id$i", i.toLong, Seq.fill(4)(i.toFloat)))
+        .toDF("_id", "n", "v")
+        .select($"_id", $"n", $"v".cast("array<float>").as("v")),
+      partitionNum = nbQ)
+    val df = cat.query("d", "s", sp,
+      """{"document_ids":["id7","id42","id99"],"limit":10}""")
+    val scans = scansOf(df).filter(_.output.exists(_.name == "n"))
+    assert(scans.nonEmpty, "no payload scan in the document_ids plan")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("_bucket"))),
+      "document_ids fetch on a bucketed layout must partition-prune on _bucket")
+    assert(scans.forall(_.metadata("PushedFilters").contains("In(_id")),
+      s"document_ids fetch must push the id list: ${scans.map(_.metadata("PushedFilters"))}")
+    // request-order parity: the string-id hash twin must not drop rows
+    assert(df.select("_id").collect().map(_.getString(0)).toSeq ==
+      Seq("id7", "id42", "id99"))
+  }
 }
