@@ -547,12 +547,16 @@ private[graft] object KnnEntries {
         .orderBy(col("qid"), col("score"), col("vec_id"))
     }),
 
-    // ── pipeline (rows-only): the same k-NN join with pruned probes
-    //    (nprobe = 4 of 16) — the 100 TB ANN-join shape; exact twin
-    //    q_knn_join shares its oracle ──
+    // ── pipeline: the same k-NN join with PRUNED probes (nprobe = 4 of
+    //    16) — the 100 TB ANN-join shape. Since r18 the layout uses the
+    //    deterministic centroid seed (corpus rows vec_id < 16, argmin-L2
+    //    assignment — the q_semantic_dedup device), so the probe route,
+    //    the candidate equi-join and the per-query top-k all replay in
+    //    SQL and the pruned operating point is hash-checked; the
+    //    kmeans-trained exact twin q_knn_join stays oracled above ──
     "q_knn_join_ann" -> ((s, dir) => {
       init(s)
-      val (table, model) = graft.sources.IndexStore.ivfFlat(s, dir, ncentroids = 16)
+      val (table, model) = graft.sources.IndexStore.ivfFixed(s, dir, nc = 16)
       val queries = t(s, dir, "embeddings").filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"))
       KnnJoin.ivf(queries, "vec_id", "embedding",
@@ -566,6 +570,35 @@ private[graft] object KnnEntries {
 
   def oracles: Map[String, String] = Map(
     "q_knn_join" -> exactBatchL2Sql,
+    // full replay of the pruned ANN join at its deterministic operating
+    // point: centroids = corpus rows vec_id < 16, row assignment =
+    // argmin-L2 (ties on centroid id — VecKernels.argminL2's first-min),
+    // probe route = each query's 4 nearest centroids, candidates = the
+    // (query, row) pairs sharing a probed list, per-query exact top-5
+    "q_knn_join_ann" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT vec_id, embedding, cid AS list FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.cid) AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5),
+         qp AS (SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+             FROM qs q CROSS JOIN cents c) WHERE rn <= 4),
+         s AS (SELECT q.qid, a.vec_id,
+                      list_distance(a.embedding::DOUBLE[], q.qv) AS d
+               FROM qs q JOIN qp ON qp.qid = q.qid JOIN asg a ON a.list = qp.cid),
+         r AS (SELECT qid, vec_id, d,
+                      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+               FROM s)
+         SELECT qid, vec_id, round(d, 4) AS score
+         FROM r WHERE rn <= 5
+         ORDER BY qid, round(d, 4), vec_id""",
     "q_knn_multivec_mixed_routed_exact" -> apiMultivecExactSql,
     "q_knn_multivec_pq_routed_exact" -> apiMultivecExactSql,
     // filtered conjunction: the scalar filter applies BEFORE each

@@ -350,6 +350,27 @@ object IndexStore {
     (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/model.txt"))
   }
 
+  /** Deterministic-oracle IVF layout for the k-NN join's PRUNED operating
+    * point: centroids are the corpus rows `vec_id < nc` (the
+    * q_semantic_dedup centroid-seed device), assignment argmin-L2 — the
+    * whole probe/assign/candidate pipeline replays in SQL while the
+    * layout keeps the `partitionBy(list_id)` pruning shape.
+    */
+  def ivfFixed(spark: SparkSession, sfDir: String,
+      nc: Int = 16): (DataFrame, IvfIndex.Model) = {
+    val dir = dirFor(sfDir, s"ivffix$nc")
+    buildOnce(dir) {
+      val e = emb(spark, sfDir)
+      val cents = e.filter(col("vec_id") < nc).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val model = IvfIndex.Model(cents, "l2")
+      IvfIndex.buildTable(e, "embedding", model, s"$dir/table")
+      writeIvfModel(s"$dir/model.txt", model)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/model.txt"))
+  }
+
   /** IVFPQ layout: `list_id`-partitioned table carrying `pq_code` + raw
     * vectors (the raw column is only read by the rerank stage's semi-join).
     */
