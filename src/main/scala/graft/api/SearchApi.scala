@@ -673,6 +673,15 @@ object SearchApi {
     * route (multi-field conjunctions, non-integral ids) falls back to
     * the exact FLAT path over the live view — fresh writes are never
     * invisible, whatever the route.
+    *
+    * EXECUTION CONTRACT (r18): a routed request runs its index legs as
+    * ONE bounded action at construction — the ≤ req_num·(k+offset) hits
+    * materialize so their ids can prune the payload scan (id-IN +
+    * `_bucket IN`, the reference's O(k) docid point reads) — and the
+    * returned frame is the pruned payload fetch over those local hits.
+    * A search request is meant to execute (the reference's handler does
+    * exactly this), so construction-time work IS request work; only the
+    * FLAT fallback stays a fully lazy plan.
     */
   def searchAuto(corpus0: DataFrame, space: Space, requestJson: String,
       lifecycle: IndexLifecycle,

@@ -182,7 +182,12 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
           .drop("_bucket")
         val merged = withBucket(
           graft.operators.Documents.upsert(baseTouched, batch2, "_id"), nb)
+        // id-SORTED within each bucket (the reference's RocksDB key
+        // order): row-group _id min/max stats become monotone, so the
+        // point-read paths' id-IN pushdown skips to ~one row group per
+        // id instead of scanning the whole bucket
         merged.repartition(math.max(touched.size, 1), col("_bucket"))
+          .sortWithinPartitions(col("_bucket"), col("_id"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         touched.foreach(b => replaceBucket(path, tmp, b))
         SidecarIO.delete(tmp)
@@ -191,6 +196,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
         val merged = withBucket(
           graft.operators.Documents.upsert(base, batch2, "_id"), partitionNum)
         merged.repartition(partitionNum, col("_bucket"))
+          .sortWithinPartitions(col("_bucket"), col("_id"))
           .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
         SidecarIO.writeString(s"$tmp/_graft_buckets", partitionNum.toString)
         replace(path, tmp)
@@ -279,6 +285,7 @@ final class SpaceCatalog(spark: SparkSession, root: String) {
             base.filter(col("_bucket").isin(touched: _*)).drop("_bucket"), pred)
           withBucket(remaining, nb)
             .repartition(math.max(touched.size, 1), col("_bucket"))
+            .sortWithinPartitions(col("_bucket"), col("_id"))
             .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(tmp)
           touched.foreach(b => replaceBucket(path, tmp, b))
           SidecarIO.delete(tmp)

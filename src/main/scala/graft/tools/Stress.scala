@@ -193,6 +193,7 @@ object Stress {
           transform($"v", x => lit(0f) - x).cast("array<float>").as("v2"))
         .withColumn("_bucket", pmod(hash($"_id"), lit(nbS)))
         .repartition(nbS, $"_bucket")
+        .sortWithinPartitions($"_bucket", $"_id") // id-sorted row groups: In(_id) skips inside the bucket
         .write.mode("overwrite").partitionBy("_bucket").parquet(sDir)
       graft.sources.SidecarIO.writeString(s"$sDir/_graft_buckets", nbS.toString)
       val stored = spark.read.parquet(sDir)

@@ -311,6 +311,19 @@ class SpaceSpec extends SparkSpec {
     assert(rows == Seq(("id7", 999L)))
     assert(cat.docCount("db1", "s2") == 200)
 
+    // id-SORTED within each bucket (r18, the RocksDB key-order analog):
+    // row groups / pages carry monotone `_id` stats, so the point-read
+    // paths' id-IN pushdown skips inside a bucket instead of scanning it
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = cat.read("db1", "s2")
+      .withColumn("_f", input_file_name())
+      .select("_f", "_id").collect()
+      .groupBy(_.getString(0)).values
+    assert(perFile.forall { rows =>
+      val ids = rows.map(_.getString(1)).toSeq
+      ids == ids.sorted
+    }, "bucket files must be _id-sorted for point-read page skipping")
+
     // bucket-pruned delete: only buckets holding matches rewritten
     val beforeDel = fileState()
     cat.deleteByQuery("db1", "s2", $"_id" === "id7")
