@@ -152,6 +152,7 @@ object SparkEntry {
     graft.entry.KnnEntries.queries ++
     graft.entry.IndexEntries.queries ++
     graft.entry.ApiEntries.queries ++
+    graft.entry.RealtimeEntries.queries ++
     graft.entry.PipelineEntries.queries
 
   /** Exact L2 top-10 — also the oracle for every ANN query run with
@@ -380,5 +381,6 @@ object SparkEntry {
     graft.entry.KnnEntries.oracles ++
     graft.entry.IndexEntries.oracles ++
     graft.entry.ApiEntries.oracles ++
+    graft.entry.RealtimeEntries.oracles ++
     graft.entry.PipelineEntries.oracles
 }
