@@ -1806,4 +1806,48 @@ class SearchApiSpec extends SparkSpec {
       assert(rows(SearchApi.searchAuto(stored, hspace, filtered, lc)) == expected)
     } finally SearchApi.maxFilterAllowIds = saved
   }
+
+  test("concurrent routed serving: parallel mixed-shape requests return sequential results") {
+    // multi-tenant serving safety: requests share the layouts, the
+    // lifecycle state files and the Spark session but no mutable
+    // per-request state — N concurrent searchAuto calls (gated,
+    // filtered, batched, plain) must equal their sequential runs.
+    // (The r17 gated segment pin had a cross-request eviction hazard
+    // the advisor flagged; the r18 one-walk banding removed the pin —
+    // this pins the property itself.)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = java.nio.file.Files.createTempDirectory("conc_serve").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val hspace = Space.fromJson(
+      """{"name":"conc_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":600}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val reqs = Seq(
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":7}""",
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "min_score":1.41}],"limit":7}""",
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "filters":{"operator":"AND","conditions":[
+             {"operator":"IN","field":"label","value":[1,3]}]},"limit":7}""",
+      s"""{"vectors":[{"field":"embedding","feature":${(q0 ++ q1).mkString("[", ",", "]")}}],"limit":5}""")
+    def run(r: String) = SearchApi.searchAuto(stored, hspace, r, lc)
+      .collect().map(_.toString).toSeq
+    val sequential = reqs.map(run)
+    val parallel = Await.result(
+      Future.sequence((reqs ++ reqs).map(r => Future(run(r)))), 5.minutes)
+    assert(parallel == sequential ++ sequential,
+      "concurrent serving must return the sequential results")
+  }
 }
