@@ -1420,16 +1420,38 @@ object SearchApi {
         val idSeq = ids.collect { case JString(s) => s }
         val spark = corpus.sparkSession
         import spark.implicits._
-        val reqDf = idSeq.zipWithIndex.map { case (id, i) => (i, id) }.toDF("_ord", "_id")
         // point reads prune like the routed payload fetch: id-IN into
         // the scan always, plus `_bucket IN` partition pruning on a
         // catalog layout (the reference's GetDocs = RocksDB point reads,
-        // engine.cc:869-911) — fetch IO tracks |ids|, not the corpus
+        // engine.cc:869-911) — fetch IO tracks |ids|, not the corpus.
+        // Wire ids are JSON strings whatever the PK type; an integral PK
+        // must coerce BEFORE hashing (`Literal.create(String, LongType)`
+        // throws) and before the id-IN/join (ANSI cast of a non-numeric
+        // string errors the whole request). A non-coercible id can never
+        // match an integral column, so it simply contributes no row —
+        // the coercible subset still bucket-prunes.
+        import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
         val idT = corpus.schema("_id").dataType
-        val idFilter = col("_id").isin(idSeq: _*)
+        def coerce(s: String): Option[Any] = idT match {
+          case LongType    => s.trim.toLongOption
+          case IntegerType => s.trim.toIntOption
+          case _           => Some(s)
+        }
+        val typed: Seq[(Int, Any)] = idSeq.zipWithIndex.flatMap {
+          case (s, i) => coerce(s).map(id => (i, id))
+        }
+        val reqDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            typed.map { case (i, id) => org.apache.spark.sql.Row(i, id) }, 1),
+          StructType(Seq(
+            StructField("_ord", IntegerType, nullable = false),
+            StructField("_id", idT, nullable = true))))
+        val tids = typed.map(_._2)
+        val idFilter =
+          if (tids.nonEmpty) col("_id").isin(tids: _*) else lit(false)
         val base = (bucketedCorpus, bucketNb) match {
-          case (Some(b), Some(nb)) =>
-            val bks = idSeq.map(bucketOfAny(_, nb, idT)).distinct
+          case (Some(b), Some(nb)) if tids.nonEmpty =>
+            val bks = tids.map(bucketOfAny(_, nb, idT)).distinct
             b.filter(col("_bucket").isin(bks: _*) && idFilter).drop("_bucket")
           case _ => corpus.filter(idFilter)
         }

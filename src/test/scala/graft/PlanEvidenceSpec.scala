@@ -498,4 +498,40 @@ class PlanEvidenceSpec extends SparkSpec {
     assert(df.select("_id").collect().map(_.getString(0)).toSeq ==
       Seq("id7", "id42", "id99"))
   }
+
+  test("document_ids on an INTEGRAL-PK bucketed layout: ids coerce before hashing; non-numeric ids drop out") {
+    // wire ids are JSON strings whatever the PK type — hashing the raw
+    // String against a LongType column threw in Literal.create (advisor
+    // r18). Pin the coercion: numeric strings bucket-prune exactly like
+    // native longs; a non-numeric id (can never match an integral PK,
+    // and would ERROR the whole request through an ANSI cast) just
+    // contributes no row while the coercible subset still prunes.
+    val root = java.nio.file.Files.createTempDirectory("pe_qids_int").toString
+    val cat = new graft.schema.SpaceCatalog(spark, root)
+    cat.createDb("d")
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"s","fields":[
+          {"name":"n","type":"long"},
+          {"name":"v","type":"vector","dimension":4,
+           "index":{"type":"FLAT"}}]}""")
+    cat.createSpace("d", sp)
+    cat.upsert("d", "s",
+      (0 until 200).map(i => (i.toLong, i.toLong, Seq.fill(4)(i.toFloat)))
+        .toDF("_id", "n", "v")
+        .select($"_id", $"n", $"v".cast("array<float>").as("v")),
+      partitionNum = 8)
+    val df = cat.query("d", "s", sp,
+      """{"document_ids":["7","42","99"],"limit":10}""")
+    val scans = scansOf(df).filter(_.output.exists(_.name == "n"))
+    assert(scans.nonEmpty, "no payload scan in the document_ids plan")
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("_bucket"))),
+      "coerced integral ids must partition-prune on _bucket")
+    assert(scans.forall(_.metadata("PushedFilters").contains("In(_id")),
+      s"coerced integral ids must push the id list: ${scans.map(_.metadata("PushedFilters"))}")
+    assert(df.select("_id").collect().map(_.getLong(0)).toSeq == Seq(7L, 42L, 99L))
+    // mixed numeric + non-numeric: serves the matchable ids, skips pruning
+    val mixed = cat.query("d", "s", sp,
+      """{"document_ids":["7","not-a-number","42"],"limit":10}""")
+    assert(mixed.select("_id").collect().map(_.getLong(0)).toSeq == Seq(7L, 42L))
+  }
 }
