@@ -1850,4 +1850,69 @@ class SearchApiSpec extends SparkSpec {
     assert(parallel == sequential ++ sequential,
       "concurrent serving must return the sequential results")
   }
+
+  test("concurrent GATED serving costs exactly 2x one request's jobs (no cross-request re-pay)") {
+    // the r17 gated path PINNED (persisted) segments across its gate-loop
+    // probes, and one request's finally-unpersist could evict another's
+    // pin mid-loop — correct results, re-paid segment IO. The r18 in-walk
+    // band admission removed the pin (the loop converges on probe 1), so
+    // there is no shared cache to evict: two parallel gated requests must
+    // fire exactly the sum of their sequential job counts. A re-pay (or a
+    // resurrected shared pin with an eviction hazard) shows up here as
+    // extra jobs.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = java.nio.file.Files.createTempDirectory("conc_gate").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val hspace = Space.fromJson(
+      """{"name":"conc_gate_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":16,"efConstruction":60,"efSearch":600}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuildHnsw("_id", "embedding",
+      graft.operators.HnswIndex.Params(16, 60, "l2", numShards = 3))
+    val gated = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "min_score":1.41}],"limit":7}"""
+    def run() = SearchApi.searchAuto(stored, hspace, gated, lc)
+      .collect().map(_.toString).toSeq
+    // job-group scoping is thread-local, so count globally — suites run
+    // sequentially in the forked test JVM, the window sees only `body`
+    def jobsGlobal(body: => Unit): Int = {
+      val count = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          count.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1; var tries = 0
+        while (count.get != prev && tries < 50) {
+          prev = count.get; Thread.sleep(100); tries += 1
+        }
+        count.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val expected = run() // warm: file listing, layout cold-start
+    val jSeq = jobsGlobal { run() }
+    val jPar = jobsGlobal {
+      val rs = Await.result(
+        Future.sequence(Seq(Future(run()), Future(run()))), 5.minutes)
+      assert(rs == Seq(expected, expected),
+        "parallel gated requests must return the sequential results")
+    }
+    assert(jSeq >= 1, s"gated request fired $jSeq jobs — the probe must run")
+    assert(jPar <= 2 * jSeq,
+      s"two parallel gated requests fired $jPar jobs vs $jSeq sequential — " +
+        "cross-request re-pay (or a shared-pin eviction) is back")
+  }
 }
