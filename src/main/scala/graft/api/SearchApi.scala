@@ -542,18 +542,9 @@ object SearchApi {
     }
 
   /** Driver-side twin of the catalog layout's `_bucket = pmod(hash(_id),
-    * nb)` (SpaceCatalog.withBucket): Spark's `hash()` is Murmur3 with
-    * seed 42 over the column's NATIVE type, so an IntegerType PK must
-    * hash as Int — evaluating the same Catalyst expression on the
-    * literal keeps the two derivations identical by construction.
-    */
-  private def bucketOfId(id: Long, nb: Int,
-      idT: org.apache.spark.sql.types.DataType): Int =
-    bucketOfAny(
-      if (idT == org.apache.spark.sql.types.IntegerType) id.toInt else id,
-      nb, idT)
-
-  /** [[bucketOfId]] for ANY PK type (the canonical `_id` is a string):
+    * nb)` (SpaceCatalog.withBucket) for ANY PK type (the canonical
+    * `_id` is a string): Spark's `hash()` is Murmur3 with seed 42 over
+    * the column's NATIVE type, so an IntegerType PK must hash as Int.
     * `Literal.create` runs the same Catalyst type conversion the column
     * hash sees, so string ids hash as UTF8String exactly like the layout
     * writer's `hash(col("_id"))`.
@@ -716,7 +707,9 @@ object SearchApi {
     // to a dense int docid at ingest so indexes never see strings,
     // engine.cc:730-745, and auto-generates string UUIDs when `_id` is
     // absent, client.go:1197-1221). A string-PK space WITHOUT the
-    // sidecar keeps the exact FLAT fallback.
+    // sidecar still serves the SCAN families (their layouts carry the
+    // PK, see [[legFor]]'s asVecId contract); graph families and the
+    // realtime tail need the long id space and keep the FLAT fallback.
     val rid: Option[String] =
       if (idIntegral) Some("_id")
       else corpus.schema.fields.find(_.name == "_docid")
@@ -800,16 +793,19 @@ object SearchApi {
     // `_id` the projection serves (the reference's docid->PK bridge).
     def joinBack(hits: DataFrame, extra: Seq[Column] = Seq.empty): DataFrame = {
       val idT = corpus.schema(ridName).dataType
+      // hits carry the routing id as `vec_id`: a LONG for every routed
+      // family, the PK itself (native type) on the rid-free scan serve —
+      // casting to the routing column's type at collect time keeps the
+      // local frame, the id-IN filter and the bucket hash all in the
+      // column's own domain (long→int narrows, string stays string)
       val sel = hits.select(
-        Seq(col("vec_id").cast("long").as("vec_id"),
+        Seq(col("vec_id").cast(idT).as("vec_id"),
           col("_score").cast("double").as("_score")) ++ extra: _*)
       val rows = sel.collect()
       val spark = corpus.sparkSession
       val local = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), sel.schema)
-      val ids = rows.map(_.getLong(0)).distinct.toSeq
-      val idVals: Seq[Any] =
-        if (idT == IntegerType) ids.map(_.toInt) else ids
+      val idVals: Seq[Any] = rows.map(_.get(0)).distinct.toSeq
       val idFilter =
         if (idVals.isEmpty) lit(false) else col(ridName).isin(idVals: _*)
       // exactness of pruning BEFORE the tail upsert: it only applies
@@ -817,8 +813,8 @@ object SearchApi {
       // a document shares its routing id - a superseded base row and
       // its buffered update filter identically
       val pruned = (bucketedCorpus, bucketNb) match {
-        case (Some(b), Some(nb)) if ridName == "_id" && ids.nonEmpty =>
-          val bks = ids.map(bucketOfId(_, nb, idT)).distinct
+        case (Some(b), Some(nb)) if ridName == "_id" && idVals.nonEmpty =>
+          val bks = idVals.map(bucketOfAny(_, nb, idT)).distinct
           val baseP =
             b.filter(col("_bucket").isin(bks: _*) && idFilter).drop("_bucket")
           if (tailOn)
@@ -829,7 +825,7 @@ object SearchApi {
         case _ => live.filter(idFilter)
       }
       pruned.join(broadcast(local.select(
-        Seq(col("vec_id").cast(idT).as(ridName), col("_score")) ++ extra: _*)),
+        Seq(col("vec_id").as(ridName), col("_score")) ++ extra: _*)),
         ridName)
     }
     // shared scalar-filter functor for the GRAPH families: ONE bounded
@@ -895,9 +891,19 @@ object SearchApi {
     //    for the graph loops too - they re-gate the merged stream).
     def legFor(vc: VecCond, lc: IndexLifecycle, k: Int): Option[DataFrame] = {
       val fOptsO = space.vectorFields.find(_.name == vc.field).flatMap(_.vector)
-      if (rid.isEmpty || fOptsO.isEmpty) None
+      if (fOptsO.isEmpty) None
       else {
         val fOpts = fOptsO.get
+        // hit-id contract: routed families report the LONG routing id as
+        // `vec_id`; a rid-FREE space (hand-rolled string PK, no `_docid`
+        // sidecar) has no long id space, so the SCAN families — whose
+        // layouts store full corpus rows, PK included — report the PK
+        // itself and [[joinBack]] bridges in the native type. Graph
+        // layouts store long vec_ids structurally, so those arms stay
+        // rid-gated (their case guards) and the request degrades to the
+        // exact FLAT scan instead.
+        def asVecId(c: Column): Column =
+          if (rid.isEmpty) c.as("vec_id") else c.cast("long").as("vec_id")
         val isBin = fOpts.valueType == "binary"
         val isI8 = fOpts.valueType == "int8"
         val fieldMetric = metricOf(space, vc.field)
@@ -1044,7 +1050,7 @@ object SearchApi {
         // only divergent value here is the "FLAT" brute override — no
         // route, the caller serves this condition exactly
         vc.indexType.getOrElse(fOpts.indexType) match {
-          case "HNSW" if !isBin && (!isI8 || i8Metric) =>
+          case "HNSW" if !isBin && (!isI8 || i8Metric) && rid.isDefined =>
             lc.readyHnswSegments().flatMap { segments0 =>
               val deny = lc.hnswDeleteBaseline()
                 .map(lc.deletedSince).getOrElse(Set.empty[Long])
@@ -1065,7 +1071,8 @@ object SearchApi {
           // (diskann_static_params.h:27-38). SSG - the other flat-graph
           // RNG-family index (wrapped third-party, impl/ssg/) - aliases
           // to the Vamana generation the way GPU_* alias to CPU layouts.
-          case "DISKANN_STATIC" | "SSG" if !isBin && (!isI8 || i8Metric) =>
+          case "DISKANN_STATIC" | "SSG"
+              if !isBin && (!isI8 || i8Metric) && rid.isDefined =>
             lc.readyVamanaSegments().flatMap { segments0 =>
               val deny = lc.readyVamanaGen()
                 .map(lc.deletedSince).getOrElse(Set.empty[Long])
@@ -1113,8 +1120,7 @@ object SearchApi {
                       qsN.head._2, kb, nprobe, filter = pred,
                       minScore = vc.minScore, maxScore = vc.maxScore,
                       tieBreak = Some(col("_id"))))
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col("_score")))
+                    .select(asVecId(col(ridName)), col("_score")))
               else {
                 // one probe-union pass serves the whole batch
                 val servedF = pred.map(served.filter).getOrElse(served)
@@ -1130,8 +1136,7 @@ object SearchApi {
                     IvfIndex.searchBatch(servedF, col(vc.field),
                       struct(col(ridName)), qsN, model, kb, nprobe,
                       minScore = vc.minScore, maxScore = vc.maxScore))
-                    .select(col("_qid"),
-                      col(s"_item.$ridName").cast("long").as("vec_id"),
+                    .select(col("_qid"), asVecId(col(s"_item.$ridName")),
                       col("_score")))
               }
             }
@@ -1168,8 +1173,7 @@ object SearchApi {
                       math.max(recallNum, kb), idCol = col("_id"),
                       minScore = vc.minScore, maxScore = vc.maxScore,
                       rerankInt8 = if (isI8) Some(qI8.head._2) else None)
-                      .select(col(ridName).cast("long").as("vec_id"),
-                        col("_score")))
+                      .select(asVecId(col(ridName)), col("_score")))
                 else
                   withTailB(deny, k)(kb =>
                     graft.operators.PqIndex.searchBatchIvfResidual(served,
@@ -1177,8 +1181,7 @@ object SearchApi {
                       math.max(recallNum, kb), idCol = col(ridName),
                       minScore = vc.minScore, maxScore = vc.maxScore,
                       rerankInt8 = if (isI8) Some(qI8) else None)
-                      .select(col("_qid"),
-                        col("_id").cast("long").as("vec_id"),
+                      .select(col("_qid"), asVecId(col("_id")),
                         col("_score")))
               }
           // RaBitQ class: coarse probe, residual sign-code estimator
@@ -1206,8 +1209,7 @@ object SearchApi {
                     metric = metric, qb = qbBits, minScore = vc.minScore,
                     maxScore = vc.maxScore,
                     rerankInt8 = if (isI8) Some(qI8.head._2) else None)
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col("_score")))
+                    .select(asVecId(col(ridName)), col("_score")))
               else
                 withTailB(deny, k)(kb =>
                   graft.operators.BinaryIndex.searchBatchIvfResidual(served,
@@ -1216,8 +1218,7 @@ object SearchApi {
                     metric = metric, qb = qbBits, minScore = vc.minScore,
                     maxScore = vc.maxScore,
                     rerankInt8 = if (isI8) Some(qI8) else None)
-                    .select(col("_qid"),
-                      col("_id").cast("long").as("vec_id"),
+                    .select(col("_qid"), asVecId(col("_id")),
                       col("_score")))
             }
           // binary value_type: the stored column IS the packed code; the
@@ -1239,8 +1240,7 @@ object SearchApi {
                     vc.field, cents, qCodes.head._2, kb, nprobe,
                     filter = pred, minScore = vc.minScore,
                     maxScore = vc.maxScore, tieBreak = Some(col("_id")))
-                    .select(col(ridName).cast("long").as("vec_id"),
-                      col("_score")))
+                    .select(asVecId(col(ridName)), col("_score")))
               } else {
                 val served0 = applyDeny(table, deny, ridName)
                 val served = pred.map(served0.filter).getOrElse(served0)
@@ -1249,8 +1249,7 @@ object SearchApi {
                     vc.field, cents, qCodes, kb, nprobe,
                     idCol = col(ridName), minScore = vc.minScore,
                     maxScore = vc.maxScore)
-                    .select(col("_qid"),
-                      col("_id").cast("long").as("vec_id"),
+                    .select(col("_qid"), asVecId(col("_id")),
                       col("_score")))
               }
             }
@@ -1273,7 +1272,7 @@ object SearchApi {
     // cheaper and harder to bound).
     val multiRouted: Option[DataFrame] =
       if (req.isBruteSearch != 1 && req.vectors.size > 1 &&
-          req.vectors.forall(_.queries.size == 1) && rid.isDefined) {
+          req.vectors.forall(_.queries.size == 1)) {
         // perFieldK scales with limit like the engine's per-index topn
         val perFieldK = math.max(req.limit * 10, 200)
         val legs: Seq[Option[DataFrame]] = req.vectors.map(vc =>
@@ -1320,7 +1319,7 @@ object SearchApi {
     val multiBatchRouted: Option[DataFrame] = {
       val reqNum = req.vectors.headOption.map(_.queries.size).getOrElse(0)
       if (req.isBruteSearch != 1 && req.vectors.size > 1 && reqNum > 1 &&
-          req.vectors.forall(_.queries.size == reqNum) && rid.isDefined) {
+          req.vectors.forall(_.queries.size == reqNum)) {
         val perFieldK = math.max(req.limit * 10, 200)
         val legs: Seq[Option[DataFrame]] = req.vectors.map(vc =>
           legFor(vc, lifecycle.scoped(vc.field), perFieldK))

@@ -148,6 +148,68 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(routedDf) == rows(SearchApi.search(stored, hspace, plain)))
   }
 
+  test("rid-free string-PK space: scan families serve from the generation, graph degrades to FLAT") {
+    // a hand-rolled string-PK space WITHOUT a `_docid` sidecar has no
+    // long routing-id space. Scan-family layouts carry the PK in every
+    // row, so they serve DIRECTLY (hits report the PK, joinBack bridges
+    // in the native type); graph layouts store long vec_ids structurally
+    // and keep the exact FLAT fallback. Route-discriminated both ways.
+    val root = java.nio.file.Files.createTempDirectory("ridfree").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(concat(lit("doc"), col("vec_id")).as("_id"),
+        col("label"), col("embedding"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    assert(!stored.columns.contains("_docid"))
+    val ivfSpace = Space.fromJson(
+      """{"name":"ridfree_space","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":8}}}]}""")
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.rebuild("embedding", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"_id", $"label", $"_score").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    // nprobe defaults to ncentroids here => exact serving, FLAT parity
+    val shapes = Seq(
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}""",
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+           "min_score":1.41}],"limit":9}""",
+      s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+           "filters":{"operator":"AND","conditions":[
+             {"operator":"IN","field":"label","value":[1,3]}]},"limit":9}""")
+    for (req <- shapes) {
+      val (df, plans) = plansDuring(SearchApi.searchAuto(stored, ivfSpace, req, lc))
+      assert(plans.contains(".index.g"),
+        s"rid-free scan serve must read the IVF generation, req=$req")
+      assert(rows(df) == rows(SearchApi.search(stored, ivfSpace, req)),
+        s"rid-free scan serve must match the FLAT scan, req=$req")
+    }
+    // batched twin rides the same leg
+    val q1 = corpus.filter($"_id" === "1").select("embedding").head().getSeq[Float](0)
+    val breq = s"""{"vectors":[{"field":"embedding",
+         "feature":${(q0 ++ q1).mkString("[", ",", "]")}}],"limit":5}"""
+    val (bdf, bplans) = plansDuring(SearchApi.searchAuto(stored, ivfSpace, breq, lc))
+    assert(bplans.contains(".index.g"))
+    assert(bdf.collect().map(_.toString).toSeq ==
+      SearchApi.search(stored, ivfSpace, breq).collect().map(_.toString).toSeq)
+    // graph family on the same rid-free corpus: no long id space, so the
+    // route must NOT engage — exact FLAT fallback instead
+    val hSpace = Space.fromJson(
+      """{"name":"ridfree_h","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"embedding","type":"vector","dimension":64,
+           "index":{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,
+                    "efSearch":600}}}]}""")
+    val (hdf, hplans) = plansDuring(
+      SearchApi.searchAuto(stored, hSpace, shapes.head, lc))
+    assert(!hplans.contains(".hnsw.g"),
+      "a rid-free space must not route a graph family")
+    assert(rows(hdf) == rows(SearchApi.search(stored, hSpace, shapes.head)))
+  }
+
   test("gated routed serving leaves no residual persisted RDDs") {
     // gated graph legs thread the band into the walk's result heap (one
     // probe, no segment pin since r18) — pin that NOTHING stays persisted
