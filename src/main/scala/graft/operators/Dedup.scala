@@ -627,6 +627,13 @@ object Dedup {
       // semantics unchanged: buckets only GENERATE pairs, the exact
       // cosine verify below decides membership.
       quantPlanes: Option[Seq[Seq[Array[Float]]]] = None): DataFrame = {
+    // caller-supplied tables must each be non-empty and fit the long
+    // bucket key — checking only the FIRST table would let a >62-plane
+    // table silently wrap `1L << i` into bogus bucket collisions
+    quantPlanes.foreach(tbls => require(
+      tbls.nonEmpty && tbls.forall(t => t.nonEmpty && t.size <= 62),
+      s"quantPlanes needs >=1 table of 1..62 planes each, " +
+        s"got sizes ${tbls.map(_.size).mkString("[", ",", "]")}"))
     val effPlanes = quantPlanes.map(_.head.size).getOrElse(targetBucketRows match {
       case Some(t) =>
         val n = df.count()

@@ -163,6 +163,22 @@ class DedupSpec extends SparkSpec {
     if (exact.nonEmpty) assert(lsh.nonEmpty, "quantized-plane LSH found nothing")
   }
 
+  test("embedding LSH quantPlanes: malformed tables fail loud, not wrap") {
+    // an empty tables list NPE'd on .head, and the 62-plane overflow
+    // guard only checked the FIRST table — a later >62-plane table
+    // silently wrapped `1L << i` into bogus bucket collisions
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(tbls: Seq[Seq[Array[Float]]]) =
+      Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4,
+        quantPlanes = Some(tbls))
+    intercept[IllegalArgumentException] { run(Seq.empty) }
+    intercept[IllegalArgumentException] { run(Seq(Seq.empty)) }
+    val plane = Array.fill(64)(1.0f)
+    intercept[IllegalArgumentException] {
+      run(Seq(Seq(plane), Seq.fill(63)(plane))) // 2nd table overflows
+    }
+  }
+
   test("embeddingNearDupKnn: exact parity at nprobe=ncentroids") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
