@@ -412,7 +412,10 @@ object HnswIndex {
     * naturally extends past a selective gate's excluded head — the
     * returned rows are the gated ranking's own prefix, and the caller's
     * depth-doubling gate loop converges on its first probe instead of
-    * re-paying the walk per doubling.
+    * re-paying the walk per doubling. Gate-driven beam extension is
+    * CAPPED (8×effEf visited): past it the segment brute
+    * gate-before-selects — same exact result, bounded cost under an
+    * adversarial never-fills gate.
     */
   private[graft] def searchSegment(
       seg: Segment, q: Array[Float], k: Int, ef: Int, metric: String,
@@ -452,42 +455,82 @@ object HnswIndex {
     }
 
     val effEf = math.max(ef, k)
+    // A band selective enough that the result heap never fills keeps
+    // every unvisited node explorable, so the walk degrades to an
+    // exhaustive traversal of the whole component — an adversarial (or
+    // typo'd) gate triggers that at will (advisor r18). Bound the
+    // gate-driven beam extension: past `visitCap` visited nodes the walk
+    // abandons the graph and brute gate-before-selects the SEGMENT —
+    // exact (it IS the segment's gated ranking, the per-segment contract
+    // the distributed merge and the gate loop's exhaustion test need)
+    // and strictly cheaper than finishing the exhaustive walk (one
+    // linear distance pass, no queue ops). Ungated walks are unaffected.
+    val visitCap = if (band.isDefined) math.max(64, 8 * effEf) else Int.MaxValue
+    var nVisited = 1
+    var capped = false
     val visited = new java.util.BitSet(n)
     val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
     val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
     visited.set(ep)
     cand.enqueue((dEp, ep))
     if (admit(seg.nodes(ep).id, dEp)) res.enqueue((dEp, ep))
-    while (cand.nonEmpty) {
-      val (dc, c) = cand.dequeue()
-      if (res.size >= effEf && dc > res.head._1) cand.clear()
+    while (cand.nonEmpty && !capped) {
+      if (nVisited > visitCap) capped = true
       else {
-        val nb = seg.nodes(c).nbrs(0)
-        var i = 0
-        while (i < nb.length) {
-          val e = nb(i)
-          if (!visited.get(e)) {
-            visited.set(e)
-            val d = dist(q, vecs(e))
-            // traversal admission: until the ADMITTED result set fills,
-            // every unvisited node stays explorable (disallowed and
-            // out-of-band nodes carry connectivity); once full, only
-            // improving nodes do
-            if (res.size < effEf || d < res.head._1 ||
-                (d == res.head._1 && e < res.head._2)) {
-              cand.enqueue((d, e))
-              if (admit(seg.nodes(e).id, d)) {
-                res.enqueue((d, e))
-                if (res.size > effEf) res.dequeue()
+        val (dc, c) = cand.dequeue()
+        if (res.size >= effEf && dc > res.head._1) cand.clear()
+        else {
+          val nb = seg.nodes(c).nbrs(0)
+          var i = 0
+          while (i < nb.length) {
+            val e = nb(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              nVisited += 1
+              val d = dist(q, vecs(e))
+              // traversal admission: until the ADMITTED result set fills,
+              // every unvisited node stays explorable (disallowed and
+              // out-of-band nodes carry connectivity); once full, only
+              // improving nodes do
+              if (res.size < effEf || d < res.head._1 ||
+                  (d == res.head._1 && e < res.head._2)) {
+                cand.enqueue((d, e))
+                if (admit(seg.nodes(e).id, d)) {
+                  res.enqueue((d, e))
+                  if (res.size > effEf) res.dequeue()
+                }
               }
             }
+            i += 1
           }
-          i += 1
         }
       }
     }
+    val top =
+      if (capped) bruteGated(q, vecs, k, dist, i => admit(seg.nodes(i).id, _))
+      else res.toArray.sorted.take(k)
+    top.map { case (d, idx) => (seg.nodes(idx).id, reportScore(metric, d)) }
+  }
+
+  /** Exact gate-before-select over one segment's node vectors: the
+    * fallback a cap-fired banded walk switches to. One linear distance
+    * pass + a k-bounded heap — the segment's true gated top-k.
+    */
+  private[graft] def bruteGated(q: Array[Float], vecs: Array[Array[Float]],
+      k: Int, dist: (Array[Float], Array[Float]) => Double,
+      admitAt: Int => Double => Boolean)(
+      implicit ord: Ordering[(Double, Int)]): Array[(Double, Int)] = {
+    val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+    var i = 0
+    while (i < vecs.length) {
+      val d = dist(q, vecs(i))
+      if (admitAt(i)(d)) {
+        res.enqueue((d, i))
+        if (res.size > k) res.dequeue()
+      }
+      i += 1
+    }
     res.toArray.sorted.take(k)
-      .map { case (d, idx) => (seg.nodes(idx).id, reportScore(metric, d)) }
   }
 
   /** Clustered sharding: shards are COARSE-QUANTIZER lists (the trained

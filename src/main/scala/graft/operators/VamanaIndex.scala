@@ -305,6 +305,13 @@ object VamanaIndex {
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
     val effL = math.max(l, k)
     val w = math.max(1, beamWidth)
+    // gate-driven beam-extension cap (see [[HnswIndex.searchSegment]]):
+    // a never-filling banded result list would walk the whole component;
+    // past the cap the segment brute gate-before-selects instead — exact
+    // and cheaper than the exhaustive traversal
+    val visitCap = if (band.isDefined) math.max(64, 8 * effL) else Int.MaxValue
+    var nVisited = 1
+    var capped = false
     val visited = new java.util.BitSet(n)
     val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
     val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
@@ -313,7 +320,9 @@ object VamanaIndex {
     cand.enqueue((d0, seg.medoid))
     if (admit(seg.nodes(seg.medoid).id, d0)) res.enqueue((d0, seg.medoid))
     val beam = new Array[Int](w)
-    while (cand.nonEmpty) {
+    while (cand.nonEmpty && !capped) {
+      if (nVisited > visitCap) { capped = true }
+      else {
       // expand up to beamWidth closest frontier nodes as one batch
       var bn = 0
       var stop = false
@@ -333,6 +342,7 @@ object VamanaIndex {
           val e = nb(k2)
           if (!visited.get(e)) {
             visited.set(e)
+            nVisited += 1
             val d = dist(q, vecs(e))
             if (res.size < effL || d < res.head._1 ||
                 (d == res.head._1 && e < res.head._2)) {
@@ -347,9 +357,13 @@ object VamanaIndex {
         }
         bi += 1
       }
+      }
     }
-    res.toArray.sorted.take(k)
-      .map { case (d, idx) => (seg.nodes(idx).id, HnswIndex.reportScore(metric, d)) }
+    val top =
+      if (capped)
+        HnswIndex.bruteGated(q, vecs, k, dist, i => admit(seg.nodes(i).id, _))
+      else res.toArray.sorted.take(k)
+    top.map { case (d, idx) => (seg.nodes(idx).id, HnswIndex.reportScore(metric, d)) }
   }
 
   /** Search over the segment table: per-shard beam walk via `flatMap`,

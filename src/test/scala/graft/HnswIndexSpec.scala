@@ -41,6 +41,38 @@ class HnswIndexSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("banded visit cap: a walk-defeating gate returns the segment's exact brute gated top-k") {
+    // a band admitting only the FARTHEST tail of the segment never fills
+    // the result heap, so the uncapped walk would traverse the whole
+    // component (advisor r18: an adversarial gate triggers it at will);
+    // with the cap (8*effEf visited << |segment|) the walk must switch
+    // to the brute fallback and still return the TRUE gated top-k
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val q = qv.toArray
+    segs.collect().foreach { seg =>
+      val ranked = seg.nodes.zipWithIndex
+        .map { case (n, i) => (l2(q, n.vec), i) }.sortBy(x => (x._1, x._2))
+      val m = math.max(6, ranked.length / 32)
+      // midpoint between two ranked scores: no boundary ambiguity from
+      // float rounding between the test's l2 and the walk's kernel
+      val lo = (ranked(ranked.length - m)._1 + ranked(ranked.length - m - 1)._1) / 2
+      val got = HnswIndex.searchSegment(seg, q, 5, 8, "l2",
+        band = Some((lo, Double.PositiveInfinity)))
+      val expected = ranked.filter(_._1 > lo).take(5)
+        .map { case (d, i) => (seg.nodes(i).id, d) }
+      assert(got.length == expected.length,
+        s"shard ${seg.shard_id}: got ${got.length} of ${expected.length}")
+      got.zip(expected).foreach { case ((gid, gs), (eid, es)) =>
+        assert(gid == eid, s"shard ${seg.shard_id}: id $gid != $eid")
+        assert(math.abs(gs - es) < 1e-6, s"shard ${seg.shard_id}: score $gs != $es")
+      }
+    }
+  }
+
   test("layer 0 of every segment is connected (the exactness-twin guarantee)") {
     segs.collect().foreach { s =>
       val n = s.nodes.length

@@ -31,6 +31,33 @@ class VamanaIndexSpec extends SparkSpec {
     s"${s.shard_id}#${s.medoid}#${nodes.mkString("~")}"
   }
 
+  test("banded visit cap: a walk-defeating gate returns the segment's exact brute gated top-k") {
+    // twin of the HnswIndexSpec cap test: far-tail band, cap fires,
+    // brute fallback must produce the true gated ranking
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val q = qv.toArray
+    segs.collect().foreach { seg =>
+      val ranked = seg.nodes.zipWithIndex
+        .map { case (n, i) => (l2(q, n.vec), i) }.sortBy(x => (x._1, x._2))
+      val m = math.max(6, ranked.length / 32)
+      val lo = (ranked(ranked.length - m)._1 + ranked(ranked.length - m - 1)._1) / 2
+      val got = VamanaIndex.searchSegment(seg, q, 5, 8, 4, "l2",
+        band = Some((lo, Double.PositiveInfinity)))
+      val expected = ranked.filter(_._1 > lo).take(5)
+        .map { case (d, i) => (seg.nodes(i).id, d) }
+      assert(got.length == expected.length,
+        s"shard ${seg.shard_id}: got ${got.length} of ${expected.length}")
+      got.zip(expected).foreach { case ((gid, gs), (eid, es)) =>
+        assert(gid == eid, s"shard ${seg.shard_id}: id $gid != $eid")
+        assert(math.abs(gs - es) < 1e-6, s"shard ${seg.shard_id}: score $gs != $es")
+      }
+    }
+  }
+
   test("build is deterministic and independent of upstream partitioning") {
     val a = segs.collect().sortBy(_.shard_id).map(canon)
     val b = VamanaIndex.build(emb.repartition(7), "vec_id", "embedding", params)
