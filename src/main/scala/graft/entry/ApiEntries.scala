@@ -789,6 +789,27 @@ private[graft] object ApiEntries {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
+    // ── rid-FREE string PK (r19): NO `_docid` sidecar at all — the
+    //    hand-rolled shape that bypasses the catalog. The IVF scan
+    //    family serves DIRECTLY (its layout carries the PK; hits report
+    //    it natively and the payload join-back bridges on the string
+    //    id); full probe ⇒ exact, same oracle as the sidecar twin ──
+    "q_api_search_ivf_nodocid" -> ((s, dir) => {
+      init(s)
+      val spacePath = graft.sources.IndexStore.ridFreeSpace(s, dir)
+      val lc = new graft.api.IndexLifecycle(s, spacePath)
+      val sp = graft.schema.Space.fromJson(
+        """{"name":"nodocid_ivf","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"embedding","type":"vector","dimension":64,
+             "index":{"type":"IVFFLAT",
+                      "params":{"ncentroids":16,"nprobe":16}}}]}""")
+      val stored = s.read.parquet(spacePath)
+      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
+      SearchApi.searchAuto(stored, sp, req, lc)
+        .withColumn("_score", round(col("_score"), 4))
+    }),
+
     // ── string-PK through the Vamana (DISKANN_STATIC) route ──
     "q_api_search_diskann_string" -> ((s, dir) => {
       init(s)
@@ -984,6 +1005,9 @@ private[graft] object ApiEntries {
          ORDER BY list_distance(e.embedding::DOUBLE[], q.v) ASC, _id
          LIMIT 10""",
     "q_api_search_ivf_string" -> apiStrExactTop10Sql,
+    // rid-free (no `_docid`) scan serve: same exact top-10, the route
+    // itself is plan-discriminated in SearchApiSpec
+    "q_api_search_ivf_nodocid" -> apiStrExactTop10Sql,
     "q_api_search_hnsw_string_batch" ->
       """WITH qs AS (SELECT vec_id AS _qid, embedding::DOUBLE[] AS v
                      FROM embeddings WHERE vec_id < 3),

@@ -1126,6 +1126,27 @@ object IndexStore {
     spacePath
   }
 
+  /** Rid-FREE string-PK fixture (r19): string `_id`, NO `_docid` sidecar
+    * — the hand-rolled-space shape that bypasses the catalog's docid
+    * minting. Scan families serve it directly (their layouts carry the
+    * PK); only an IVFFLAT generation is built because graph generations
+    * need a long id column this space deliberately lacks.
+    */
+  def ridFreeSpace(spark: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "apinodocid")
+    val spacePath = s"$dir/space"
+    buildOnce(dir) {
+      emb(spark, sfDir)
+        .select(concat(lit("doc-"), col("vec_id")).as("_id"),
+          col("label"), col("embedding"))
+        .write.mode("overwrite").parquet(spacePath)
+      val lc = new graft.api.IndexLifecycle(spark, spacePath)
+      lc.rebuild("embedding", ncentroids = 16)
+      markReady(dir)
+    }
+    spacePath
+  }
+
   /** String-PK realtime fixture: the [[realtimeSpace]] base/tail split
     * (tail = vec_id < 10, including the query vector) with string `_id`s
     * and the `_docid` sidecar carried by BOTH base and tail — the shape a

@@ -96,6 +96,10 @@ object ScaleFixture {
       .withColumn("n_chars", length($"text"))
     docs.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // `docsonly` skips the embeddings/events tables — the LLM-pipeline
+    // stress needs only documents, and events at mult=1600 would be 160M
+    // rows of dead weight
+    val docsOnly = args.contains("docsonly")
     val nEmb = 2000L * mult
     val emb = spark.range(nEmb).select(
       $"id".as("vec_id"),
@@ -103,7 +107,8 @@ object ScaleFixture {
         ((pmod(xxhash64($"id", j, lit(41)), lit(6000)).cast("double") / 10000.0)
           - 0.3).cast("float")).as("embedding"),
       pmod(xxhash64($"id", lit(43)), lit(10)).cast("int").as("label"))
-    emb.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (!docsOnly)
+      emb.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // events: matches the driver fixture's shape — 100k rows and 1.5k
     // users per sf0.1 (both scale with mult), 30 days of timestamps,
@@ -140,7 +145,8 @@ object ScaleFixture {
           expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       case _ => events
     }
-    eventsOut.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (!docsOnly)
+      eventsOut.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // TPC-H-ish tables at mult× the driver's sf0.1 row counts — same
     // columns/types/value domains (measured from /root/testdata/sf0.1),
