@@ -210,6 +210,44 @@ class SearchApiSpec extends SparkSpec {
     assert(rows(hdf) == rows(SearchApi.search(stored, hSpace, shapes.head)))
   }
 
+  test("rid-free ALL-SCAN conjunction routes per-field; string vec_ids intersect exactly") {
+    // a multi-field conjunction over a rid-free space routes when every
+    // leg is a scan family: legs report the string PK as vec_id, the
+    // intersection joins on it, joinBack bridges in the native type
+    val root = java.nio.file.Files.createTempDirectory("ridfree_mv").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(concat(lit("doc"), col("vec_id")).as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+      .write.parquet(spacePath)
+    val stored = spark.read.parquet(spacePath)
+    val lc = new graft.api.IndexLifecycle(spark, spacePath)
+    lc.scoped("v1").rebuild("v1", 8)
+    lc.scoped("v2").rebuild("v2", 8)
+    val sp = Space.fromJson(
+      """{"name":"ridfree_mv","fields":[
+          {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+          {"name":"v1","type":"vector","dimension":32,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":8}}},
+          {"name":"v2","type":"vector","dimension":32,
+           "index":{"type":"IVFFLAT","params":{"ncentroids":8}}}]}""")
+    val (q1, q2) = (q0.take(32), q0.drop(32))
+    val req = s"""{"vectors":[
+        {"field":"v1","feature":${fjson(q1)}},
+        {"field":"v2","feature":${fjson(q2)}}],
+      "ranker":{"type":"WeightedRanker","params":{"weights":[0.6,0.4]}},
+      "limit":7}"""
+    val (df, plans) = plansDuring(SearchApi.searchAuto(stored, sp, req, lc))
+    assert(plans.contains(".index.g"),
+      "rid-free all-scan conjunction must read the per-field generations")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"_id", $"_score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows(df) == rows(SearchApi.search(stored, sp, req)),
+      "routed rid-free conjunction must match the FLAT conjunction")
+  }
+
   test("gated routed serving leaves no residual persisted RDDs") {
     // gated graph legs thread the band into the walk's result heap (one
     // probe, no segment pin since r18) — pin that NOTHING stays persisted
