@@ -934,9 +934,75 @@ private[graft] object ApiEntries {
            "sort":[{"label":{"order":"desc"}},{"_id":{"order":"asc"}}],
            "limit":30}""")
     }),
+
+    // ── §2.10 RBAC: user/role CRUD + grant/revoke churn + the
+    //    middleware's permission decision, as an effective-permission
+    //    matrix (user_service.go / role_service.go / user.go:191-313).
+    //    The oracle is the hand-derived truth table — every row is a
+    //    (user × endpoint) decision after the privilege churn below ──
+    "q_rbac_matrix" -> ((s, dir) => {
+      init(s)
+      import graft.api.Rbac
+      val root = java.nio.file.Files.createTempDirectory("rbac_q").toString
+      val rbac = new Rbac(root)
+      rbac.ensureRoot("rootpw")
+      // analyst: granted doc-read, upgraded to doc-write-read, space
+      // grant later revoked — ends with exactly ResourceDocument=WriteRead
+      rbac.createRole(Rbac.Role("analyst", Map(
+        "ResourceDocument" -> "ReadOnly", "ResourceSpace" -> "ReadOnly")))
+      rbac.changeRolePrivilege(Rbac.Role("analyst",
+        Map("ResourceDocument" -> "WriteRead"), operator = Some(Rbac.OpGrant)))
+      rbac.changeRolePrivilege(Rbac.Role("analyst",
+        Map("ResourceSpace" -> "ReadOnly"), operator = Some(Rbac.OpRevoke)))
+      rbac.createUser(Rbac.User("alice", Some("pw"), roleName = Some("analyst")))
+      rbac.createUser(Rbac.User("bob", Some("pw"),
+        roleName = Some("defaultSpaceAdmin")))
+      val probes = Seq(
+        ("/document/search", "POST"), ("/document/upsert", "POST"),
+        ("/dbs/db1", "GET"), ("/dbs/db1/spaces/s1", "PUT"),
+        ("/alias/a1", "GET"), ("/users", "POST"))
+      val rows = for {
+        usr <- Seq("alice", "bob", "root")
+        (ep, m) <- probes
+      } yield {
+        val (resource, verb) = Rbac.parseResources(ep, m)
+        val allowed = rbac.queryUser(usr).role.hasPermission(ep, m)
+        (usr, ep, m, resource, verb, allowed)
+      }
+      import s.implicits._
+      rows.toDF("usr", "endpoint", "method", "resource", "verb", "allowed")
+        .orderBy(col("usr"), col("endpoint"), col("method"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // hand-derived truth table: analyst ends the grant/revoke churn with
+    // exactly ResourceDocument=WriteRead; defaultSpaceAdmin is the
+    // builtin (Space/Document/Index WriteRead + Alias ReadOnly); root
+    // bypasses the table (user.go:300-302)
+    "q_rbac_matrix" ->
+      """SELECT * FROM (VALUES
+           ('alice','/alias/a1','GET','ResourceAlias','ReadOnly',false),
+           ('alice','/dbs/db1','GET','ResourceDB','ReadOnly',false),
+           ('alice','/dbs/db1/spaces/s1','PUT','ResourceSpace','WriteOnly',false),
+           ('alice','/document/search','POST','ResourceDocument','ReadOnly',true),
+           ('alice','/document/upsert','POST','ResourceDocument','WriteOnly',true),
+           ('alice','/users','POST','ResourceUser','WriteOnly',false),
+           ('bob','/alias/a1','GET','ResourceAlias','ReadOnly',true),
+           ('bob','/dbs/db1','GET','ResourceDB','ReadOnly',false),
+           ('bob','/dbs/db1/spaces/s1','PUT','ResourceSpace','WriteOnly',true),
+           ('bob','/document/search','POST','ResourceDocument','ReadOnly',true),
+           ('bob','/document/upsert','POST','ResourceDocument','WriteOnly',true),
+           ('bob','/users','POST','ResourceUser','WriteOnly',false),
+           ('root','/alias/a1','GET','ResourceAlias','ReadOnly',true),
+           ('root','/dbs/db1','GET','ResourceDB','ReadOnly',true),
+           ('root','/dbs/db1/spaces/s1','PUT','ResourceSpace','WriteOnly',true),
+           ('root','/document/search','POST','ResourceDocument','ReadOnly',true),
+           ('root','/document/upsert','POST','ResourceDocument','WriteOnly',true),
+           ('root','/users','POST','ResourceUser','WriteOnly',true)
+         ) AS t(usr, endpoint, method, resource, verb, allowed)
+         ORDER BY usr, endpoint, method""",
+
     "q_api_search_hnsw" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS _id, e.label,
