@@ -259,6 +259,13 @@ final class Rbac(root: String) {
   /** The master bootstraps `root` from cluster config at startup
     * (config-password, root role). Idempotent: re-running with a new
     * password rotates it.
+    *
+    * Passwords are stored and compared as plaintext — exactly the
+    * reference's semantics (etcd-stored User JSON, string equality at
+    * cluster_api.go:141); hashing here would silently diverge the wire
+    * contract (clients send the config password verbatim). Callers who
+    * need at-rest protection should point the catalog root at an
+    * encrypted filesystem, the same posture as securing etcd.
     */
   def ensureRoot(password: String): Unit = synchronized {
     SidecarIO.writeString(userKey(RootName), userToJson(

@@ -111,6 +111,31 @@ class RbacSpec extends SparkSpec {
     intercept[NoSuchElementException] { rbac.queryUser("u1") }
   }
 
+  test("remaining badcases from the reference's test_module_user matrix") {
+    val rbac = fresh()
+    // create a user literally named root (checkRoot path, user.go:182-186)
+    intercept[IllegalArgumentException] {
+      rbac.createUser(User("root", Some("pw"), roleName = Some("defaultDocumentAdmin")))
+    }
+    // update a user that doesn't exist
+    intercept[NoSuchElementException] {
+      rbac.updateUser(User("ghost", Some("pw"), Some("old")), authUser = "ghost")
+    }
+    // update to a role that doesn't exist
+    rbac.createUser(User("u3", Some("pw"), roleName = Some("defaultDocumentAdmin")))
+    intercept[NoSuchElementException] {
+      rbac.updateUser(User("u3", roleName = Some("ghost_role")), authUser = "u3")
+    }
+    // root updating ITS OWN password still needs the old one
+    // (user_service.go:203 applies the root shortcut only to OTHER users)
+    rbac.ensureRoot("rootpw")
+    intercept[IllegalArgumentException] {
+      rbac.updateUser(User("root", Some("new")), authUser = "root")
+    }
+    rbac.updateUser(User("root", Some("new"), Some("rootpw")), authUser = "root")
+    assert(rbac.queryUserWithPassword("root").password.contains("new"))
+  }
+
   test("updateUser is role XOR password with old-password checks (user_service.go:176-246)") {
     val rbac = fresh()
     rbac.createUser(User("u2", Some("pw"), roleName = Some("defaultDocumentAdmin")))
