@@ -355,11 +355,17 @@ private[graft] object IndexEntries {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
-    // ── §2.4 (rows-only): PQ/ADC two-stage search with recall_num rerank,
-    //    over the prebuilt layout (stage 1 scans stored pq_code only) ──
+    // ── §2.4 PQ/ADC two-stage search with recall_num rerank, over the
+    //    prebuilt layout (stage 1 scans stored pq_code only). ORACLED
+    //    since r19 at the deterministic-codebook operating point
+    //    (IndexStore.pqFixed: sub-codebooks = the first-16 corpus rows'
+    //    subvectors) — the encode argmins, the ADC sums, the PRUNED
+    //    recall_num=50 shortlist boundary, and the rerank all replay in
+    //    SQL. The Lloyd-trained twin stays covered by q_pq_exact (same
+    //    search code at exactness params) + RecallGateSpec ──
     "q_pq_search" -> ((s, dir) => {
       init(s)
-      val (table, model) = graft.sources.IndexStore.pqFlat(s, dir, m = 8, ksub = 16)
+      val (table, model) = graft.sources.IndexStore.pqFixed(s, dir, m = 8, ksub = 16)
       PqIndex.search(table, col("embedding"), model, qvec(s, dir),
         k = 10, recallNum = 50, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
@@ -375,14 +381,18 @@ private[graft] object IndexEntries {
         .select(col("vec_id"), col("_score").as("score"))
     }),
 
-    // ── §2.4 (rows-only): full IVFPQ — probe ∘ ADC ∘ rerank over the
-    //    prebuilt list_id-partitioned + pq_code layout ──
+    // ── §2.4 full IVFPQ — probe ∘ ADC ∘ rerank over the prebuilt
+    //    list_id-partitioned + pq_code layout. ORACLED since r19 at the
+    //    deterministic operating point (IndexStore.ivfPqResidualFixed:
+    //    fixed coarse centroids AND fixed residual codebooks) — the
+    //    nprobe=4 probe set, the per-list residual-query LUTs, the
+    //    pruned recall_num=100 boundary, and the rerank all replay in
+    //    SQL; the Lloyd-trained twin stays covered by q_ivfpq_exact +
+    //    RecallGateSpec ──
     "q_ivfpq_search" -> ((s, dir) => {
       init(s)
-      // residual-trained codebooks (adopted after winning the
-      // RecallGateSpec head-to-head at the pruned-probe operating point)
       val (table, ivf, pq) = graft.sources.IndexStore
-        .ivfPqResidual(s, dir, ncentroids = 8, m = 8, ksub = 16)
+        .ivfPqResidualFixed(s, dir, ncentroids = 8, m = 8, ksub = 16)
       PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
         k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
         .select(col("vec_id"), col("_score").as("score"))
@@ -477,6 +487,116 @@ private[graft] object IndexEntries {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // closed-form PQ replay at the deterministic-codebook operating
+    // point (IndexStore.pqFixed: codebook c of subspace `sub` = that
+    // subvector of corpus row vec_id=c, c<16): `asn` recomputes every
+    // encode argmin (first-wins ties via ORDER BY dist, c), `lut` the
+    // query-side ADC table, `adc` the per-row sum IN SUBSPACE ORDER
+    // (list(… ORDER BY sub) — same double-addition order as the
+    // kernel), `short` the PRUNED recall_num=50 boundary (ADC asc, id
+    // tiebreak), and the outer SELECT the exact-L2 rerank. All arithmetic
+    // is float-widened-to-double on both sides, so the hash matches
+    // bit-for-bit — this pins the lossy shortlist boundary itself, which
+    // q_pq_exact (recall_num ≥ N) cannot see.
+    "q_pq_search" ->
+      """WITH cb AS (SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 16),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         subs AS (SELECT range AS sub FROM range(0, 8)),
+         asn AS (
+           SELECT vec_id, sub, c FROM (
+             SELECT e.vec_id, s.sub, cb.c,
+                    row_number() OVER (PARTITION BY e.vec_id, s.sub
+                      ORDER BY list_sum(list_transform(range(1, 9),
+                        i -> (e.embedding[s.sub*8 + i]::DOUBLE - cb.cv[s.sub*8 + i])
+                           * (e.embedding[s.sub*8 + i]::DOUBLE - cb.cv[s.sub*8 + i]))),
+                        cb.c) AS rn
+             FROM embeddings e, subs s, cb) WHERE rn = 1),
+         lut AS (
+           SELECT s.sub, cb.c,
+                  list_sum(list_transform(range(1, 9),
+                    i -> (q.qv[s.sub*8 + i] - cb.cv[s.sub*8 + i])
+                       * (q.qv[s.sub*8 + i] - cb.cv[s.sub*8 + i]))) AS d
+           FROM subs s, cb, q),
+         adc AS (SELECT a.vec_id, list_sum(list(l.d ORDER BY a.sub)) AS adcd
+                 FROM asn a JOIN lut l ON a.sub = l.sub AND a.c = l.c
+                 GROUP BY a.vec_id),
+         short AS (SELECT vec_id FROM adc ORDER BY adcd, vec_id LIMIT 50)
+         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS score
+         FROM embeddings e JOIN short USING (vec_id), q
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
+         LIMIT 10""",
+
+    // closed-form IVFPQ replay at the fixed operating point
+    // (IndexStore.ivfPqResidualFixed). Stage mapping, with the exact
+    // float/double domain of each kernel replayed by CAST placement:
+    // `probe` = Model.nearestCentroids (FLOAT subtract + FLOAT product,
+    // DOUBLE accumulate — DuckDB REAL arithmetic is true float);
+    // `asn` = VecKernels.argminL2 (all-DOUBLE, first-wins ties);
+    // `cb` = the fixed residual codebooks (double subtract, REAL-rounded
+    // storage); `codes` = pqEncodeResidual (double residual vs float
+    // codebook); `lut` = the per-probed-list residual-query LUT (FLOAT
+    // q−c, then double); `adc` = the in-subspace-order double sum;
+    // `short` = the pruned recall_num=100 boundary; outer = exact-L2
+    // rerank. Pins probe selection, every encode argmin, and the
+    // shortlist boundary bit-for-bit.
+    "q_ivfpq_search" ->
+      """WITH cents AS (SELECT vec_id AS l, embedding AS cf, embedding::DOUBLE[] AS cd
+                     FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT embedding AS qf, embedding::DOUBLE[] AS qd
+               FROM embeddings WHERE vec_id = 0),
+         probe AS (
+           SELECT l FROM (
+             SELECT cents.l, row_number() OVER (ORDER BY
+               list_sum(list_transform(range(1,65),
+                 i -> CAST((cents.cf[i] - q.qf[i]) * (cents.cf[i] - q.qf[i]) AS DOUBLE))),
+               cents.l) AS rn
+             FROM cents, q) WHERE rn <= 4),
+         asn AS (
+           SELECT vec_id, l AS list_id FROM (
+             SELECT e.vec_id, cents.l, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(1,65),
+                 i -> (e.embedding[i]::DOUBLE - cents.cd[i]) * (e.embedding[i]::DOUBLE - cents.cd[i]))),
+               cents.l) AS rn
+             FROM embeddings e, cents) WHERE rn = 1),
+         cb AS (
+           SELECT r.vec_id AS c,
+                  list_transform(range(1,65),
+                    j -> CAST(r.embedding[j]::DOUBLE - cents.cd[j] AS REAL)) AS rv
+           FROM embeddings r JOIN asn ON r.vec_id = asn.vec_id
+                JOIN cents ON cents.l = asn.list_id
+           WHERE r.vec_id < 16),
+         subs AS (SELECT range AS sub FROM range(0,8)),
+         rows_p AS (SELECT e.vec_id, e.embedding, asn.list_id
+                    FROM embeddings e JOIN asn USING (vec_id)
+                    JOIN probe ON probe.l = asn.list_id),
+         codes AS (
+           SELECT vec_id, list_id, sub, c FROM (
+             SELECT rp.vec_id, rp.list_id, s.sub, cb.c,
+               row_number() OVER (PARTITION BY rp.vec_id, s.sub ORDER BY
+                 list_sum(list_transform(range(1,9),
+                   i -> ((rp.embedding[s.sub*8+i]::DOUBLE - cents.cd[s.sub*8+i]) - cb.rv[s.sub*8+i]::DOUBLE)
+                      * ((rp.embedding[s.sub*8+i]::DOUBLE - cents.cd[s.sub*8+i]) - cb.rv[s.sub*8+i]::DOUBLE))),
+                 cb.c) AS rn
+             FROM rows_p rp JOIN cents ON cents.l = rp.list_id
+             CROSS JOIN subs s CROSS JOIN cb) WHERE rn = 1),
+         lut AS (
+           SELECT p.l AS list_id, s.sub, cb.c,
+             list_sum(list_transform(range(1,9),
+               i -> (CAST(q.qf[s.sub*8+i] - cents.cf[s.sub*8+i] AS DOUBLE) - cb.rv[s.sub*8+i]::DOUBLE)
+                  * (CAST(q.qf[s.sub*8+i] - cents.cf[s.sub*8+i] AS DOUBLE) - cb.rv[s.sub*8+i]::DOUBLE))) AS d
+           FROM probe p JOIN cents ON cents.l = p.l
+           CROSS JOIN subs s CROSS JOIN cb CROSS JOIN q),
+         adc AS (
+           SELECT co.vec_id, list_sum(list(l.d ORDER BY co.sub)) AS adcd
+           FROM codes co JOIN lut l ON l.list_id = co.list_id AND l.sub = co.sub AND l.c = co.c
+           GROUP BY co.vec_id),
+         short AS (SELECT vec_id FROM adc ORDER BY adcd, vec_id LIMIT 100)
+         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qd), 4) AS score
+         FROM embeddings e JOIN short USING (vec_id), q
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.qd), e.vec_id
+         LIMIT 10""",
 
     "q_ivf_exact" -> exactL2Top10Sql,
     "q_hnsw_exact" -> exactL2Top10Sql,

@@ -371,6 +371,37 @@ object IndexStore {
     (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/model.txt"))
   }
 
+  /** [[pqFlat]] at a DETERMINISTIC operating point: the m sub-codebooks
+    * are the corpus's own first-`ksub` rows' subvectors (vec_id < ksub,
+    * id order) instead of Lloyd-trained, so every encode argmin and ADC
+    * lookup replays in closed-form SQL — the pruned `recall_num`
+    * shortlist boundary becomes oracle-checkable (the [[ivfFixed]]
+    * precedent, applied to the PQ stage). Same search code, same layout
+    * shape; only the codebook source differs.
+    */
+  def pqFixed(spark: SparkSession, sfDir: String,
+      m: Int = 8, ksub: Int = 16): (DataFrame, PqIndex.Model) = {
+    val dir = dirFor(sfDir, s"pqfix${m}_$ksub")
+    buildOnce(dir) {
+      val e = emb(spark, sfDir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+      val dsub = dim / m
+      val rows = e.filter(col("vec_id") < ksub).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val codebooks = Array.tabulate(m) { sub =>
+        rows.map(v =>
+          java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      }
+      val pq = PqIndex.Model(m, rows.length, dsub, codebooks, "l2")
+      PqIndex.encode(e, "embedding", pq)
+        .write.mode("overwrite").parquet(s"$dir/table")
+      writePqModel(s"$dir/pq.txt", pq)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table"), readPqModel(s"$dir/pq.txt"))
+  }
+
   /** IVFPQ layout: `list_id`-partitioned table carrying `pq_code` + raw
     * vectors (the raw column is only read by the rerank stage's semi-join).
     */
@@ -413,6 +444,70 @@ object IndexStore {
       val pq = PqIndex.trainResidual(assigned, "embedding", dim, m, ivf,
         ksub = ksub, maxTrainRows = 200000L, maxIter = 8)
       PqIndex.encodeResidual(assigned, "embedding", ivf, pq)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      writePqModel(s"$dir/pq.txt", pq)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table"),
+      readIvfModel(s"$dir/ivf.txt"),
+      readPqModel(s"$dir/pq.txt"))
+  }
+
+  /** [[ivfPqResidual]] at a DETERMINISTIC operating point (the
+    * [[pqFixed]] / [[ivfFixed]] recipe applied to both stages): coarse
+    * centroids = rows vec_id < ncentroids, residual sub-codebooks = the
+    * float-rounded residuals of rows vec_id < ksub w.r.t. their OWN
+    * assigned fixed centroid. Every decision — the double-domain
+    * assignment argmin ([[graft.functions.VecKernels.argminL2]]), the
+    * float-product probe ranking (IvfIndex.Model.nearestCentroids), the
+    * double-domain residual encode, the float residual-query LUT, the
+    * in-order ADC sum, the recall_num boundary — replays in closed-form
+    * SQL, so the full probe∘ADC∘rerank composition is oracle-checkable
+    * at a PRUNED (lossy) operating point.
+    */
+  def ivfPqResidualFixed(spark: SparkSession, sfDir: String,
+      ncentroids: Int = 8, m: Int = 8, ksub: Int = 16)
+      : (DataFrame, IvfIndex.Model, PqIndex.Model) = {
+    val dir = dirFor(sfDir, s"ivfpqrfix${ncentroids}_${m}_$ksub")
+    buildOnce(dir) {
+      val e = emb(spark, sfDir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+      val dsub = dim / m
+      val cents = e.filter(col("vec_id") < ncentroids).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val ivf = IvfIndex.Model(cents, "l2")
+      val rows = e.filter(col("vec_id") < ksub).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      // residual of each codebook row w.r.t. its assigned fixed centroid,
+      // double-subtracted then float-rounded (the storage domain) — the
+      // same arithmetic the SQL oracle replays with CAST(… AS REAL)
+      def assignOf(v: Array[Float]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) {
+            val d = v(i).toDouble - cents(c)(i).toDouble
+            s += d * d; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+      val codebooks = Array.tabulate(m) { sub =>
+        rows.map { v =>
+          val cent = cents(assignOf(v))
+          Array.tabulate(dsub) { i =>
+            val j = sub * dsub + i
+            (v(j).toDouble - cent(j).toDouble).toFloat
+          }
+        }
+      }
+      val pq = PqIndex.Model(m, rows.length, dsub, codebooks, "l2")
+      PqIndex.encodeResidual(IvfIndex.assign(e, "embedding", ivf), "embedding", ivf, pq)
         .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
       writeIvfModel(s"$dir/ivf.txt", ivf)
       writePqModel(s"$dir/pq.txt", pq)
