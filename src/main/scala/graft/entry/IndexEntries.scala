@@ -337,22 +337,21 @@ private[graft] object IndexEntries {
         .withColumn("_score", round(col("_score"), 4))
     }),
 
-    // ── §2.4 (rows-only): SCANN at a pruned operating point (nprobe=4,
-    //    recall_num=100) — exactness twin above ──
+    // ── §2.4 SCANN at a pruned operating point (nprobe=4,
+    //    recall_num=100). ORACLED since r19 at the deterministic layout
+    //    (IndexStore.scannFixed: the ivfPqResidualFixed models with the
+    //    ANISOTROPIC encode at the trained-default η) — the score-aware
+    //    assignment objective, probe set, and pruned shortlist boundary
+    //    all replay in SQL. The anisotropic-TRAINED routed twin stays
+    //    covered by q_api_search_scann(_int8) (exactness, oracled) +
+    //    PqIndexSpec's objective tests ──
     "q_scann_search" -> ((s, dir) => {
       init(s)
-      val spacePath = graft.sources.IndexStore.scannSpace(s, dir)
-      val lc = new graft.api.IndexLifecycle(s, spacePath)
-      val sp = graft.schema.Space.fromJson(
-        """{"name":"scann_space","fields":[
-            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
-            {"name":"embedding","type":"vector","dimension":64,
-             "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
-      val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
-        "index_params":{"recall_num":100},"limit":10}"""
-      SearchApi.searchAuto(stored, sp, req, lc)
-        .withColumn("_score", round(col("_score"), 4))
+      val (table, ivf, pq) = graft.sources.IndexStore
+        .scannFixed(s, dir, ncentroids = 8, m = 8, ksub = 16)
+      PqIndex.searchIvfResidual(table, col("embedding"), ivf, pq, qvec(s, dir),
+        k = 10, nprobe = 4, recallNum = 100, idCol = col("vec_id"), roundTo = Some(4))
+        .select(col("vec_id"), col("_score").as("score"))
     }),
 
     // ── §2.4 PQ/ADC two-stage search with recall_num rerank, over the
@@ -526,6 +525,79 @@ private[graft] object IndexEntries {
          SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS score
          FROM embeddings e JOIN short USING (vec_id), q
          ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
+         LIMIT 10""",
+
+    // the SCANN twin of the q_ivfpq_search oracle: identical fixed
+    // models and search stages, with the `codes` stage replaced by the
+    // ANISOTROPIC assignment objective at the trained-default eta
+    // (etaForThreshold(0.2, 64) = 2.6250000000000004, embedded as a
+    // full-precision double literal): per codeword, l2 + (eta-1)*
+    // (par/nrm)^2 in the kernel's exact double op order
+    // (VecKernels.pqEncodeResidualAniso:400-443) with first-wins ties.
+    // 449/2000 fixture rows encode differently from the plain-L2 argmin,
+    // so the hash pins the score-aware objective itself.
+    "q_scann_search" ->
+      """WITH cents AS (SELECT vec_id AS l, embedding AS cf, embedding::DOUBLE[] AS cd
+                        FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT embedding AS qf, embedding::DOUBLE[] AS qd FROM embeddings WHERE vec_id = 0),
+         probe AS (
+           SELECT l FROM (
+             SELECT cents.l, row_number() OVER (ORDER BY
+               list_sum(list_transform(range(1,65),
+                 i -> CAST((cents.cf[i] - q.qf[i]) * (cents.cf[i] - q.qf[i]) AS DOUBLE))),
+               cents.l) AS rn
+             FROM cents, q) WHERE rn <= 4),
+         asn AS (
+           SELECT vec_id, l AS list_id FROM (
+             SELECT e.vec_id, cents.l, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(1,65),
+                 i -> (e.embedding[i]::DOUBLE - cents.cd[i]) * (e.embedding[i]::DOUBLE - cents.cd[i]))),
+               cents.l) AS rn
+             FROM embeddings e, cents) WHERE rn = 1),
+         cb AS (
+           SELECT r.vec_id AS c,
+                  list_transform(range(1,65),
+                    j -> CAST(r.embedding[j]::DOUBLE - cents.cd[j] AS REAL)) AS rv
+           FROM embeddings r JOIN asn ON r.vec_id = asn.vec_id
+                JOIN cents ON cents.l = asn.list_id
+           WHERE r.vec_id < 16),
+         subs AS (SELECT range AS sub FROM range(0,8)),
+         rows_p AS (SELECT e.vec_id, e.embedding, asn.list_id
+                    FROM embeddings e JOIN asn USING (vec_id)
+                    JOIN probe ON probe.l = asn.list_id),
+         cand AS (
+           SELECT rp.vec_id, rp.list_id, s.sub, cb.c,
+             list_sum(list_transform(range(1,9),
+               i -> ((rp.embedding[s.sub*8+i]::DOUBLE - cents.cd[s.sub*8+i]) - cb.rv[s.sub*8+i]::DOUBLE)
+                  * ((rp.embedding[s.sub*8+i]::DOUBLE - cents.cd[s.sub*8+i]) - cb.rv[s.sub*8+i]::DOUBLE))) AS l2,
+             list_sum(list_transform(range(1,9),
+               i -> ((rp.embedding[s.sub*8+i]::DOUBLE - cents.cd[s.sub*8+i]) - cb.rv[s.sub*8+i]::DOUBLE)
+                  * (rp.embedding[s.sub*8+i]::DOUBLE))) AS par,
+             sqrt(list_sum(list_transform(range(1,9),
+               i -> (rp.embedding[s.sub*8+i]::DOUBLE) * (rp.embedding[s.sub*8+i]::DOUBLE)))) AS nrm
+           FROM rows_p rp JOIN cents ON cents.l = rp.list_id
+           CROSS JOIN subs s CROSS JOIN cb),
+         codes AS (
+           SELECT vec_id, list_id, sub, c FROM (
+             SELECT vec_id, list_id, sub, c, row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+               CASE WHEN nrm = 0 THEN l2
+                    ELSE l2 + (CAST('2.6250000000000004' AS DOUBLE) - 1.0) * (par/nrm) * (par/nrm) END,
+               c) AS rn FROM cand) WHERE rn = 1),
+         lut AS (
+           SELECT p.l AS list_id, s.sub, cb.c,
+             list_sum(list_transform(range(1,9),
+               i -> (CAST(q.qf[s.sub*8+i] - cents.cf[s.sub*8+i] AS DOUBLE) - cb.rv[s.sub*8+i]::DOUBLE)
+                  * (CAST(q.qf[s.sub*8+i] - cents.cf[s.sub*8+i] AS DOUBLE) - cb.rv[s.sub*8+i]::DOUBLE))) AS d
+           FROM probe p JOIN cents ON cents.l = p.l
+           CROSS JOIN subs s CROSS JOIN cb CROSS JOIN q),
+         adc AS (
+           SELECT co.vec_id, list_sum(list(l.d ORDER BY co.sub)) AS adcd
+           FROM codes co JOIN lut l ON l.list_id = co.list_id AND l.sub = co.sub AND l.c = co.c
+           GROUP BY co.vec_id),
+         short AS (SELECT vec_id FROM adc ORDER BY adcd, vec_id LIMIT 100)
+         SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qd), 4) AS score
+         FROM embeddings e JOIN short USING (vec_id), q
+         ORDER BY list_distance(e.embedding::DOUBLE[], q.qd), e.vec_id
          LIMIT 10""",
 
     // closed-form IVFPQ replay at the fixed operating point

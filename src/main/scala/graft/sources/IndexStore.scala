@@ -518,6 +518,36 @@ object IndexStore {
       readPqModel(s"$dir/pq.txt"))
   }
 
+  /** [[ivfPqResidualFixed]] with the ScaNN ANISOTROPIC encode
+    * ([[PqIndex.encodeResidualAnisotropic]] at the trained-default
+    * η = etaForThreshold(0.2, dim)) instead of the plain-L2 argmin:
+    * fixed centroids and codebooks make the score-aware assignment
+    * objective itself — l2 + (η−1)·(⟨r−c, x⟩/‖x‖)², all-double,
+    * in-index-order ([[graft.functions.VecKernels.pqEncodeResidualAniso]])
+    * — SQL-replayable, so the SCANN operating point's every codeword
+    * choice and the pruned shortlist boundary hash-pin.
+    */
+  def scannFixed(spark: SparkSession, sfDir: String,
+      ncentroids: Int = 8, m: Int = 8, ksub: Int = 16)
+      : (DataFrame, IvfIndex.Model, PqIndex.Model) = {
+    val dir = dirFor(sfDir, s"scannfix${ncentroids}_${m}_$ksub")
+    buildOnce(dir) {
+      // identical fixed models to ivfPqResidualFixed — only the encode
+      // objective differs
+      val (_, ivf, pq) = ivfPqResidualFixed(spark, sfDir, ncentroids, m, ksub)
+      val e = emb(spark, sfDir)
+      PqIndex.encodeResidualAnisotropic(
+        IvfIndex.assign(e, "embedding", ivf), "embedding", ivf, pq)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      writePqModel(s"$dir/pq.txt", pq)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table"),
+      readIvfModel(s"$dir/ivf.txt"),
+      readPqModel(s"$dir/pq.txt"))
+  }
+
   /** Flat PQ layout: `pq_code` alongside raw vectors, no coarse partition. */
   def pqFlat(spark: SparkSession, sfDir: String,
       m: Int = 8, ksub: Int = 16): (DataFrame, PqIndex.Model) = {
