@@ -708,8 +708,10 @@ object SearchApi {
     // engine.cc:730-745, and auto-generates string UUIDs when `_id` is
     // absent, client.go:1197-1221). A string-PK space WITHOUT the
     // sidecar still serves the SCAN families (their layouts carry the
-    // PK, see [[legFor]]'s asVecId contract); graph families and the
-    // realtime tail need the long id space and keep the FLAT fallback.
+    // PK, see [[legFor]]'s asVecId contract); graph families need the
+    // long id space and FAIL LOUD (legFor's noDocidRoute — the exact
+    // FLAT escape stays explicit via index_type=FLAT/is_brute_search),
+    // and the realtime tail keeps the documented FLAT fallback below.
     val rid: Option[String] =
       if (idIntegral) Some("_id")
       else corpus.schema.fields.find(_.name == "_docid")
@@ -899,9 +901,24 @@ object SearchApi {
         // sidecar) has no long id space, so the SCAN families — whose
         // layouts store full corpus rows, PK included — report the PK
         // itself and [[joinBack]] bridges in the native type. Graph
-        // layouts store long vec_ids structurally, so those arms stay
-        // rid-gated (their case guards) and the request degrades to the
-        // exact FLAT scan instead.
+        // layouts store long vec_ids structurally, so a rid-free space
+        // CANNOT serve them — and silently degrading to the exact FLAT
+        // scan would hide an O(corpus)-per-query cliff behind a declared
+        // graph index, so those arms FAIL LOUD instead (the reference
+        // errors on unservable shapes rather than degrading — its ingest
+        // always mints docids, engine.cc:730-745, so this shape only
+        // exists when the catalog path was bypassed). The explicit brute
+        // escapes stay open: per-condition index_type=FLAT and
+        // is_brute_search=1 never enter these arms.
+        def noDocidRoute(family: String): Nothing =
+          throw new IllegalArgumentException(
+            s"space '${space.name}' has no docid mapping: graph index " +
+              s"family $family on field '${vc.field}' routes by long " +
+              "vec_id, but the corpus has neither an integral `_id` nor " +
+              "a `_docid` sidecar. Ingest through the catalog path " +
+              "(Ingest.assignDocids mints `_docid` for string-PK " +
+              "spaces), declare a scan family instead, or force the " +
+              "exact scan with index_type=FLAT / is_brute_search=1")
         def asVecId(c: Column): Column =
           if (rid.isEmpty) c.as("vec_id") else c.cast("long").as("vec_id")
         val isBin = fOpts.valueType == "binary"
@@ -1050,7 +1067,8 @@ object SearchApi {
         // only divergent value here is the "FLAT" brute override — no
         // route, the caller serves this condition exactly
         vc.indexType.getOrElse(fOpts.indexType) match {
-          case "HNSW" if !isBin && (!isI8 || i8Metric) && rid.isDefined =>
+          case "HNSW" if !isBin && (!isI8 || i8Metric) =>
+            if (rid.isEmpty) noDocidRoute("HNSW")
             lc.readyHnswSegments().flatMap { segments0 =>
               val deny = lc.hnswDeleteBaseline()
                 .map(lc.deletedSince).getOrElse(Set.empty[Long])
@@ -1071,8 +1089,9 @@ object SearchApi {
           // (diskann_static_params.h:27-38). SSG - the other flat-graph
           // RNG-family index (wrapped third-party, impl/ssg/) - aliases
           // to the Vamana generation the way GPU_* alias to CPU layouts.
-          case "DISKANN_STATIC" | "SSG"
-              if !isBin && (!isI8 || i8Metric) && rid.isDefined =>
+          case t @ ("DISKANN_STATIC" | "SSG")
+              if !isBin && (!isI8 || i8Metric) =>
+            if (rid.isEmpty) noDocidRoute(t)
             lc.readyVamanaSegments().flatMap { segments0 =>
               val deny = lc.readyVamanaGen()
                 .map(lc.deletedSince).getOrElse(Set.empty[Long])

@@ -183,7 +183,12 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
-  test("string-PK space WITHOUT a _docid sidecar keeps the exact FLAT fallback") {
+  test("string-PK space WITHOUT a _docid sidecar fails loud on graph families") {
+    // graph layouts route by long vec_id; a hand-rolled string-PK space
+    // without the `_docid` sidecar is structurally unservable by them —
+    // raise the docid-mapping error (never a silent O(corpus) brute
+    // scan behind the declared index); the explicit brute escapes
+    // (is_brute_search=1, the direct FLAT API) still serve exactly
     val tmp = java.nio.file.Files.createTempDirectory("str_nodocid").toString
     val spacePath = s"$tmp/space"
     (0 until 40).map(i => (s"u-$i",
@@ -200,7 +205,12 @@ class EdgeCaseSpec extends SparkSpec {
     val corpus = spark.read.parquet(spacePath)
     val q = (0 until 8).map(i => i + 0.5f)
     val req = s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],"limit":5}"""
-    val got = graft.api.SearchApi.searchAuto(corpus, sp, req, lc)
+    val e = intercept[IllegalArgumentException] {
+      graft.api.SearchApi.searchAuto(corpus, sp, req, lc).collect()
+    }
+    assert(e.getMessage.contains("no docid mapping"))
+    val bruteReq = s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],"is_brute_search":1,"limit":5}"""
+    val got = graft.api.SearchApi.searchAuto(corpus, sp, bruteReq, lc)
       .select($"_id").collect().map(_.getString(0)).toSeq
     val want = graft.api.SearchApi.search(corpus, sp, req)
       .select($"_id").collect().map(_.getString(0)).toSeq

@@ -196,18 +196,31 @@ class SearchApiSpec extends SparkSpec {
     assert(bdf.collect().map(_.toString).toSeq ==
       SearchApi.search(stored, ivfSpace, breq).collect().map(_.toString).toSeq)
     // graph family on the same rid-free corpus: no long id space, so the
-    // route must NOT engage — exact FLAT fallback instead
+    // request is structurally unservable by the declared layout — it
+    // must FAIL LOUD (not silently brute-FLAT an O(corpus) scan behind
+    // a declared graph index), pointing at the catalog path
     val hSpace = Space.fromJson(
       """{"name":"ridfree_h","fields":[
           {"name":"label","type":"integer","index":{"type":"SCALAR"}},
           {"name":"embedding","type":"vector","dimension":64,
            "index":{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,
                     "efSearch":600}}}]}""")
-    val (hdf, hplans) = plansDuring(
-      SearchApi.searchAuto(stored, hSpace, shapes.head, lc))
-    assert(!hplans.contains(".hnsw.g"),
-      "a rid-free space must not route a graph family")
-    assert(rows(hdf) == rows(SearchApi.search(stored, hSpace, shapes.head)))
+    val e = intercept[IllegalArgumentException] {
+      SearchApi.searchAuto(stored, hSpace, shapes.head, lc).collect()
+    }
+    assert(e.getMessage.contains("no docid mapping") &&
+      e.getMessage.contains("HNSW"),
+      s"rid-free graph request must raise the docid-mapping error, got: ${e.getMessage}")
+    // the explicit brute escapes stay open: per-condition
+    // index_type=FLAT and is_brute_search=1 serve exactly, no route
+    val fReq = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)},
+         "index_type":"FLAT"}],"limit":9}"""
+    assert(rows(SearchApi.searchAuto(stored, hSpace, fReq, lc)) ==
+      rows(SearchApi.search(stored, hSpace, shapes.head)))
+    val bReq = s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],
+         "is_brute_search":1,"limit":9}"""
+    assert(rows(SearchApi.searchAuto(stored, hSpace, bReq, lc)) ==
+      rows(SearchApi.search(stored, hSpace, shapes.head)))
   }
 
   test("rid-free ALL-SCAN conjunction routes per-field; string vec_ids intersect exactly") {
