@@ -256,21 +256,29 @@ final class Rbac(root: String) {
   private def userKey(name: String) = s"$root/_rbac/users/$name.json"
   private def roleKey(name: String) = s"$root/_rbac/roles/$name.json"
 
-  /** The master bootstraps `root` from cluster config at startup
-    * (config-password, root role). Idempotent: re-running with a new
-    * password rotates it.
+  /** The master bootstraps `root` from cluster config at startup —
+    * CREATE-IF-ABSENT, like the reference (server.go:160-181 only
+    * writes the root user when the store has none): a root password
+    * rotated through [[updateUser]] survives restarts; re-running
+    * `ensureRoot` never silently reverts it to the config value. Pass
+    * `rotate = true` to force the config password explicitly (the
+    * recover-a-lost-root path).
     *
-    * Passwords are stored and compared as plaintext — exactly the
-    * reference's semantics (etcd-stored User JSON, string equality at
-    * cluster_api.go:141); hashing here would silently diverge the wire
-    * contract (clients send the config password verbatim). Callers who
-    * need at-rest protection should point the catalog root at an
-    * encrypted filesystem, the same posture as securing etcd.
+    * Passwords are stored as plaintext — exactly the reference's
+    * semantics (etcd-stored User JSON, cluster_api.go:141); hashing
+    * here would silently diverge the wire contract (clients send the
+    * config password verbatim). Callers who need at-rest protection
+    * should point the catalog root at an encrypted filesystem, the
+    * same posture as securing etcd. Comparisons are constant-time
+    * ([[pwEquals]]), closing the timing channel the reference's `==`
+    * leaves open without changing any accept/reject outcome.
     */
-  def ensureRoot(password: String): Unit = synchronized {
-    SidecarIO.writeString(userKey(RootName), userToJson(
-      User(RootName, Some(password), roleName = Some(RootName))))
-  }
+  def ensureRoot(password: String, rotate: Boolean = false): Unit =
+    synchronized {
+      if (rotate || !SidecarIO.exists(userKey(RootName)))
+        SidecarIO.writeString(userKey(RootName), userToJson(
+          User(RootName, Some(password), roleName = Some(RootName))))
+    }
 
   // ── roles (role_service.go) ──
 
@@ -407,16 +415,16 @@ final class Rbac(root: String) {
         if (authUser == RootName && user.name != RootName) {
           val np = user.password.getOrElse(
             throw new IllegalArgumentException("empty password"))
-          if (old.password.contains(np)) throw new IllegalArgumentException(
+          if (pwEquals(old.password, np)) throw new IllegalArgumentException(
             "password is same with old password")
         } else {
           val np = user.password.getOrElse(
             throw new IllegalArgumentException("empty password or old password"))
           val op = user.oldPassword.getOrElse(
             throw new IllegalArgumentException("empty password or old password"))
-          if (old.password.contains(np)) throw new IllegalArgumentException(
+          if (pwEquals(old.password, np)) throw new IllegalArgumentException(
             "password is same with old password")
-          if (old.password.isDefined && !old.password.contains(op))
+          if (old.password.isDefined && !pwEquals(old.password, op))
             throw new IllegalArgumentException("old password is invalid")
         }
         user.copy(roleName = old.roleName, oldPassword = None)
@@ -436,7 +444,7 @@ final class Rbac(root: String) {
       case e: Exception =>
         throw new SecurityException(s"auth header user $name is invalid", e)
     }
-    if (!ur.password.contains(password))
+    if (!pwEquals(ur.password, password))
       throw new SecurityException("auth header password is invalid")
     if (!ur.role.hasPermission(endpoint, method))
       throw new SecurityException(
@@ -444,6 +452,15 @@ final class Rbac(root: String) {
           parseResources(endpoint, method)._1)
     ur
   }
+
+  /** Constant-time plaintext comparison (MessageDigest.isEqual): the
+    * same accept/reject surface as the reference's string `==`
+    * (cluster_api.go:141), minus the timing side channel.
+    */
+  private def pwEquals(stored: Option[String], supplied: String): Boolean =
+    stored.exists(s => java.security.MessageDigest.isEqual(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      supplied.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   private def storedUser(name: String): User = {
     if (!SidecarIO.exists(userKey(name)))

@@ -136,6 +136,20 @@ class RbacSpec extends SparkSpec {
     assert(rbac.queryUserWithPassword("root").password.contains("new"))
   }
 
+  test("ensureRoot is create-if-absent (server.go:160-181): rotated root password survives restart") {
+    val rbac = fresh()
+    rbac.ensureRoot("configpw")
+    // rotate through the API, then replay the startup bootstrap — the
+    // rotation must survive (the reference only writes root when absent)
+    rbac.updateUser(User("root", Some("rotated"), Some("configpw")), authUser = "root")
+    rbac.ensureRoot("configpw")
+    assert(rbac.queryUserWithPassword("root").password.contains("rotated"))
+    assert(rbac.authorize("root", "rotated", "/users", "POST").role.name == "root")
+    // the explicit rotate flag forces the config value (lost-root recovery)
+    rbac.ensureRoot("configpw", rotate = true)
+    assert(rbac.queryUserWithPassword("root").password.contains("configpw"))
+  }
+
   test("updateUser is role XOR password with old-password checks (user_service.go:176-246)") {
     val rbac = fresh()
     rbac.createUser(User("u2", Some("pw"), roleName = Some("defaultDocumentAdmin")))
