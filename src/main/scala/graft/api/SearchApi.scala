@@ -86,6 +86,20 @@ object SearchApi {
     case _ => None
   }
 
+  /** Integral wire slot (the reference's SearchDocumentRequest int32
+    * fields, search_doc.go:71-92): PRESENT but non-integer JSON is the
+    * reference's unmarshal PARAM_ERROR — never a silent default. The
+    * score-filter bug's siblings died here (r20).
+    */
+  private def intField(j: JValue, name: String): Option[Int] =
+    (j \ name) match {
+      case JNothing | JNull => None
+      case JInt(n) => Some(n.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unmarshal err: [$name] must be an integer, got " +
+          s"[${JsonMethods.compact(JsonMethods.render(other))}]")
+    }
+
   def parseSearch(json: String, space: Space): SearchRequest = {
     val j = JsonMethods.parse(json)
     val dims: Map[String, Int] = space.vectorFields
@@ -196,12 +210,19 @@ object SearchApi {
     val vectorValue = (j \ "vector_value") match {
       case JBool(b) => b; case _ => false
     }
-    val limit = (j \ "limit") match { case JInt(n) => n.toInt; case _ => 50 }
+    // limit 0 = absent = the reference's DefaultSize 50
+    // (doc_query.go:1412-1415); a negative topN has no defined serving
+    // order — fail loud, not a Spark limit() error three stages later
+    val limit = intField(j, "limit").filter(_ != 0).getOrElse(50)
+    if (limit < 0) throw new IllegalArgumentException(
+      s"limit should be a positive integer, got [$limit]")
     // page_size/page_num slicing (client.go:888-899) or plain offset
-    val offset = ((j \ "page_size"), (j \ "page_num")) match {
-      case (JInt(ps), JInt(pn)) if pn.toInt > 0 => ps.toInt * (pn.toInt - 1)
-      case _ => (j \ "offset") match { case JInt(o) => o.toInt; case _ => 0 }
+    val offset = (intField(j, "page_size"), intField(j, "page_num")) match {
+      case (Some(ps), Some(pn)) if pn > 0 => ps * (pn - 1)
+      case _ => intField(j, "offset").getOrElse(0)
     }
+    if (offset < 0) throw new IllegalArgumentException(
+      s"offset should not be negative, got [$offset]")
     // only WeightedRanker exists (doc_query.go:44,208-209): a ranker
     // object naming any other type is the reference's parse error
     (j \ "ranker" \ "type") match {
@@ -214,7 +235,7 @@ object SearchApi {
       case JArray(ws) => Some(ws.flatMap(doubleOf))
       case _ => None
     }
-    val brute = (j \ "is_brute_search") match { case JInt(b) => b.toInt; case _ => 2 }
+    val brute = intField(j, "is_brute_search").getOrElse(2)
     // sort spec (internal/ps/engine/sortorder/parse.go:24-36): an array of
     // bare field names (ascending) or {field: {order: asc|desc}} objects;
     // "_score" is addressable like a field
@@ -232,9 +253,39 @@ object SearchApi {
       }
       case _ => Seq.empty
     }
+    // index_params unmarshals into a typed struct in the reference
+    // (entity.IndexParams, space.go:76-85 + the engine-side keys): a
+    // known INT key with a non-integer value is the unmarshal
+    // PARAM_ERROR (doc_query.go:1475-1478), `metric_type` must name a
+    // supported metric (space.go:334-336 — validated here, the DECLARED
+    // metric still governs scoring), and unknown keys are ignored like
+    // Go's json.Unmarshal ignores unknown fields
+    val intParamKeys = Set("nprobe", "efSearch", "efConstruction",
+      "nlinks", "ncentroids", "nsubvector", "training_threshold",
+      "recall_num", "l_search", "L", "beam_width", "qb", "parallel_on_queries")
     val reqIndexParams: Map[String, Int] = (j \ "index_params") match {
-      case JObject(kvs) => kvs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
-      case _ => Map.empty
+      case JObject(kvs) =>
+        kvs.foreach {
+          case (k, v) if intParamKeys.contains(k) && !v.isInstanceOf[JInt] =>
+            throw new IllegalArgumentException(
+              s"unmarshal err: index_params [$k] must be an integer, got " +
+                s"[${JsonMethods.compact(JsonMethods.render(v))}]")
+          case ("metric_type", JString(m))
+              if m != "L2" && m != "InnerProduct" =>
+            throw new IllegalArgumentException(
+              s"index params metric_type not support: $m, should be L2 " +
+                "or InnerProduct")
+          case ("metric_type", v) if !v.isInstanceOf[JString] =>
+            throw new IllegalArgumentException(
+              "unmarshal err: index_params [metric_type] must be a string, " +
+                s"got [${JsonMethods.compact(JsonMethods.render(v))}]")
+          case _ => ()
+        }
+        kvs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+      case JNothing | JNull => Map.empty
+      case other => throw new IllegalArgumentException(
+        s"unmarshal err: index_params must be an object, got " +
+          s"[${JsonMethods.compact(JsonMethods.render(other))}]")
     }
     SearchRequest(vecs, filter, fields, vectorValue, limit, offset, weights,
       brute, sort, reqIndexParams)
@@ -1435,7 +1486,14 @@ object SearchApi {
         case ("document_ids", _) => true; case _ => false })), space)
     (j \ "document_ids") match {
       case JArray(ids) if ids.nonEmpty =>
-        val idSeq = ids.collect { case JString(s) => s }
+        // DocumentIds is *[]string in the reference (search_doc.go:84):
+        // a non-string element is the unmarshal error, never dropped
+        val idSeq = ids.map {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(
+            "unmarshal err: document_ids must be strings, got " +
+              s"[${JsonMethods.compact(JsonMethods.render(other))}]")
+        }
         val spark = corpus.sparkSession
         import spark.implicits._
         // point reads prune like the routed payload fetch: id-IN into

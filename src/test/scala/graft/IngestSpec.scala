@@ -45,6 +45,7 @@ class IngestSpec extends SparkSpec {
       """{"_id":"a","n":1,"v":[3.0,0.0,4.0,0.0]}
         |{"n":2,"v":[1.0,1.0,1.0,1.0]}
         |{"_id":"short","n":3,"v":[1.0,2.0]}
+        |{"_id":"notnum","n":4,"v":["a","b","c","d"]}
         |this line is not json at all
         |""".stripMargin)
     val (ok, bad) = Ingest.fromJsonl(spark, f.toString, space)
@@ -54,9 +55,12 @@ class IngestSpec extends SparkSpec {
     assert(!okRows(1).isNullAt(0))                 // missing id defaulted
     val v0 = okRows(0).getSeq[Float](2)
     assert(math.abs(v0.map(x => x * x).sum - 1f) < 1e-5) // normalized
-    // the wrong-dim row AND the malformed line both land in rejected
-    assert(bad.count() == 2)
+    // the wrong-dim row, the NON-NUMERIC payload row (doc_query.go's
+    // unmarshal reject class) and the malformed line all land in
+    // rejected — never a silently-nulled accepted row
+    assert(bad.count() == 3)
     assert(bad.filter($"_id" === "short").count() == 1)
+    assert(ok.filter($"_id" === "notnum").count() == 0)
   }
 
   test("fromJsonl: int8/binary vector fields arrive as WIRE number arrays and pack at ingest") {

@@ -397,6 +397,52 @@ class SearchApiSpec extends SparkSpec {
     }
   }
 
+  test("wire-parse negative paths fail loud, never a silent default (r20)") {
+    // the int32 wire slots (search_doc.go:71-92) and index_params
+    // (doc_query.go:1475-1478, space.go:334-336): a PRESENT but
+    // mistyped value is the reference's unmarshal PARAM_ERROR — the
+    // score-filter bug's siblings, table-driven
+    val okVec = s""""vectors":[{"field":"embedding","feature":${fjson(q0)}}]"""
+    val badReqs = Seq(
+      s"""{$okVec,"limit":"ten"}""",
+      s"""{$okVec,"limit":5.5}""",
+      s"""{$okVec,"limit":-3}""",
+      s"""{$okVec,"offset":"2"}""",
+      s"""{$okVec,"offset":-1}""",
+      s"""{$okVec,"page_size":3,"page_num":"2"}""",
+      s"""{$okVec,"page_size":"3","page_num":2}""",
+      s"""{$okVec,"is_brute_search":"1"}""",
+      s"""{$okVec,"index_params":{"nprobe":"8"}}""",
+      s"""{$okVec,"index_params":{"efSearch":2.5}}""",
+      s"""{$okVec,"index_params":{"recall_num":[100]}}""",
+      s"""{$okVec,"index_params":{"metric_type":"Cosine"}}""",
+      s"""{$okVec,"index_params":{"metric_type":7}}""",
+      s"""{$okVec,"index_params":3}""",
+      // non-numeric vector payload (wrong-dim is the test above)
+      """{"vectors":[{"field":"embedding","feature":["a","b"]}]}""")
+    for (r <- badReqs) withClue(r) {
+      assertThrows[IllegalArgumentException] {
+        SearchApi.search(corpus, space, r)
+      }
+    }
+    // the query verb shares the parse; document_ids is *[]string there
+    // (search_doc.go:84) — a non-string element is the unmarshal error
+    assertThrows[IllegalArgumentException] {
+      SearchApi.query(corpus, space, """{"document_ids":[42],"limit":5}""")
+    }
+    assertThrows[IllegalArgumentException] {
+      SearchApi.query(corpus, space, """{"limit":"ten"}""")
+    }
+    // the valid shapes stay accepted: limit 0 = DefaultSize 50
+    // (doc_query.go:1412-1415), known metric_type names validate and
+    // pass, unknown index_params keys are ignored like Go's unmarshal
+    assert(SearchApi.search(corpus, space,
+      s"""{$okVec,"limit":0}""").count() == 50)
+    assert(SearchApi.search(corpus, space,
+      s"""{$okVec,"limit":3,"index_params":{
+           "metric_type":"InnerProduct","not_a_param":"x"}}""").count() == 3)
+  }
+
   test("pagination via page_size/page_num matches offset slicing") {
     val all = SearchApi.search(corpus, space,
       s"""{"vectors":[{"field":"embedding","feature":${fjson(q0)}}],"limit":9}""")
