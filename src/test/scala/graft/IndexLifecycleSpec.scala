@@ -411,6 +411,95 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(live.count() == emb.count() - 1)
   }
 
+  test("crash drill deleteByIds: killed between the renames → recovery = no-op, ledger clean, serving intact") {
+    // the TRUE mid-crash state: the post-op table fully written to
+    // .delete.tmp, the pre-op table renamed aside, the second rename
+    // and the ledger write never happened
+    val root = Files.createTempDirectory("crash_ids").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.parquet(spacePath)
+    val n = emb.count()
+    val lc = new IndexLifecycle(spark, spacePath)
+    lc.rebuild("embedding", 4) // READY generation to serve through
+    val victims = Seq(0L, 1L, 2L)
+    graft.operators.Documents.deleteByIds(
+      spark.read.parquet(spacePath), "vec_id", victims)
+      .write.mode("overwrite").parquet(s"$spacePath.delete.tmp")
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$spacePath.old"))
+    assert(!fs.exists(p)) // the crash window
+    // recovery: the crashed op is a NO-OP — pre-op table back whole,
+    // ledger has no phantom deletes, the READY generation still serves
+    lc.recoverSwap()
+    val live = spark.read.parquet(spacePath)
+    assert(live.count() == n)
+    assert(live.filter($"vec_id" === 0L).count() == 1)
+    assert(lc.allDeletes().isEmpty,
+      "a crashed delete must not leave ledger entries (its rows still serve)")
+    assert(lc.readyGen().isDefined)
+    val (table, model) = (lc.readyIndex().get, lc.loadModel("l2").get)
+    assert(IvfIndex.search(table, col("embedding"),
+      model, emb.head.getSeq[Float](emb.columns.indexOf("embedding")),
+      5, model.ncentroids).count() == 5)
+    // the re-attempt completes over the orphaned .tmp: table AND ledger
+    lc.deleteByIds("vec_id", victims)
+    assert(spark.read.parquet(spacePath).count() == n - 3)
+    assert(lc.allDeletes() == victims.toSet)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$spacePath.old")))
+  }
+
+  test("crash drill deleteByPk: killed between the renames → docid ledger stays consistent with the table") {
+    val root = Files.createTempDirectory("crash_pk").toString
+    val spacePath = s"$root/space"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(concat(lit("d"), col("vec_id")).as("_id"),
+        col("vec_id").cast("long").as("_docid"), col("embedding"))
+    emb.write.parquet(spacePath)
+    val n = emb.count()
+    val lc = new IndexLifecycle(spark, spacePath)
+    // simulate the crash: post-op table staged, first rename done
+    spark.read.parquet(spacePath).filter(!$"_id".isin("d0", "d1"))
+      .write.mode("overwrite").parquet(s"$spacePath.delete.tmp")
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$spacePath.old"))
+    // the next mutator self-recovers THEN applies: end state ≡ one
+    // clean run — rows gone, THEIR docids (resolved pre-delete) ledgered
+    lc.deleteByPk("_id", Seq("d0", "d1"))
+    val live = spark.read.parquet(spacePath)
+    assert(live.count() == n - 2)
+    assert(live.filter($"_id".isin("d0", "d1")).count() == 0)
+    assert(lc.allDeletes() == Set(0L, 1L),
+      "ledger must record the ROUTING docids of exactly the deleted pks")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$spacePath.old")))
+  }
+
+  test("crash drill forceMerge: killed between the renames → table restored byte-identical, re-merge compacts") {
+    val root = Files.createTempDirectory("crash_merge").toString
+    val spacePath = s"$root/space"
+    spark.read.parquet(s"$sf/embeddings.parquet").repartition(8)
+      .write.parquet(spacePath)
+    val lc = new IndexLifecycle(spark, spacePath)
+    val before = spark.read.parquet(spacePath)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    spark.read.parquet(spacePath).coalesce(1)
+      .write.mode("overwrite").parquet(s"$spacePath.merge.tmp")
+    val p = new org.apache.hadoop.fs.Path(spacePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$spacePath.old"))
+    lc.recoverSwap()
+    assert(spark.read.parquet(spacePath)
+      .orderBy("vec_id").collect().map(_.toString).toSeq == before)
+    lc.forceMerge(targetFiles = 1)
+    val files = fs.listStatus(p).map(_.getPath.getName)
+      .count(_.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(spacePath)
+      .orderBy("vec_id").collect().map(_.toString).toSeq == before)
+  }
+
   test("hnswStaleness: churn term sees in-place updates and deletes (row count unchanged/shrinking)") {
     val root = Files.createTempDirectory("lifecycle_churn").toString
     val spacePath = s"$root/space"
