@@ -595,6 +595,53 @@ object IndexStore {
     (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/ivf.txt"))
   }
 
+  /** [[binaryIvf]] over the DETERMINISTIC coarse quantizer
+    * ([[ivfFixed]]'s centroid-seed device — centroids are the corpus
+    * rows `vec_id < nc`): the probe route replays in closed-form SQL,
+    * so the family's PRUNED nprobe operating point is hash-checkable at
+    * every fixture size (a kmeans-trained quantizer's probe set is only
+    * incidentally exact — r20 found it missing true neighbors at two of
+    * the three fixture seeds). The sign-estimator boundary keeps its
+    * own oracled operating points (`q_rabitq_search`, `q_binary_rerank`);
+    * this layout pins the ROUTE.
+    */
+  def binaryIvfFixed(spark: SparkSession, sfDir: String,
+      nc: Int = 16): (DataFrame, IvfIndex.Model) = {
+    val dir = dirFor(sfDir, s"rbivffix$nc")
+    buildOnce(dir) {
+      val e = emb(spark, sfDir)
+      val ivf = ivfFixed(spark, sfDir, nc)._2
+      BinaryIndex.encodeResidual(IvfIndex.assign(e, "embedding", ivf), "embedding", ivf)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/table")
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table"), readIvfModel(s"$dir/ivf.txt"))
+  }
+
+  /** [[hnswClustered]] over the DETERMINISTIC coarse quantizer — same
+    * rationale as [[binaryIvfFixed]]: the shard route replays in SQL,
+    * and with `ef ≥ |shard|` the in-shard walks are exhaustive, so the
+    * routed graph family's pruned operating point is exact-within-route
+    * by construction and hash-checkable at every fixture size.
+    */
+  def hnswClusteredFixed(spark: SparkSession, sfDir: String, nc: Int = 16,
+      m: Int = 16, efConstruction: Int = 100)
+      : (org.apache.spark.sql.Dataset[HnswIndex.Segment], IvfIndex.Model) = {
+    import spark.implicits._
+    val dir = dirFor(sfDir, s"hnswrfix${nc}_${m}_$efConstruction")
+    buildOnce(dir) {
+      val ivf = ivfFixed(spark, sfDir, nc)._2
+      HnswIndex.buildClustered(emb(spark, sfDir), "vec_id", "embedding",
+        HnswIndex.Params(m, efConstruction, "l2", nc), ivf)
+        .write.mode("overwrite").partitionBy("shard_id").parquet(s"$dir/table")
+      writeIvfModel(s"$dir/ivf.txt", ivf)
+      markReady(dir)
+    }
+    (readLayout(spark, s"$dir/table").as[HnswIndex.Segment],
+      readIvfModel(s"$dir/ivf.txt"))
+  }
+
   /** HNSW layout: the graph-segment table (one row per shard, each a
     * whole serialized graph — [[HnswIndex]] class doc). The build is
     * deterministic (hash levels, id-sorted insertion), so the stored
