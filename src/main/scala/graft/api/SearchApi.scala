@@ -86,6 +86,21 @@ object SearchApi {
     case _ => None
   }
 
+  /** The unservable-shape error for graph families over a space with no
+    * long routing-id space — shared by [[legFor]]'s noDocidRoute and the
+    * realtime-tail early return so the fail-loud contract is identical
+    * with and without a tail.
+    */
+  private def noDocidMsg(spaceName: String, field: String,
+      family: String): String =
+    s"space '$spaceName' has no docid mapping: graph index " +
+      s"family $family on field '$field' routes by long " +
+      "vec_id, but the corpus has neither an integral `_id` nor " +
+      "a `_docid` sidecar. Ingest through the catalog path " +
+      "(Ingest.assignDocids mints `_docid` for string-PK " +
+      "spaces), declare a scan family instead, or force the " +
+      "exact scan with index_type=FLAT / is_brute_search=1"
+
   /** Integral wire slot (the reference's SearchDocumentRequest int32
     * fields, search_doc.go:71-92): PRESENT but non-integer JSON is the
     * reference's unmarshal PARAM_ERROR — never a silent default. The
@@ -94,9 +109,11 @@ object SearchApi {
   private def intField(j: JValue, name: String): Option[Int] =
     (j \ name) match {
       case JNothing | JNull => None
-      case JInt(n) => Some(n.toInt)
+      // BigInt.toInt WRAPS silently — out-of-int32 is the reference's
+      // "out of range" unmarshal error, not a truncated value
+      case JInt(n) if n.isValidInt => Some(n.toInt)
       case other => throw new IllegalArgumentException(
-        s"unmarshal err: [$name] must be an integer, got " +
+        s"unmarshal err: [$name] must be an int32, got " +
           s"[${JsonMethods.compact(JsonMethods.render(other))}]")
     }
 
@@ -216,9 +233,15 @@ object SearchApi {
     val limit = intField(j, "limit").filter(_ != 0).getOrElse(50)
     if (limit < 0) throw new IllegalArgumentException(
       s"limit should be a positive integer, got [$limit]")
-    // page_size/page_num slicing (client.go:888-899) or plain offset
+    // page_size/page_num slicing (client.go:888-899) or plain offset;
+    // the product is computed in Long — Int math would wrap
+    // (65536 * 65537 → page 1 served silently)
     val offset = (intField(j, "page_size"), intField(j, "page_num")) match {
-      case (Some(ps), Some(pn)) if pn > 0 => ps * (pn - 1)
+      case (Some(ps), Some(pn)) if pn > 0 =>
+        val off = ps.toLong * (pn - 1)
+        if (off > Int.MaxValue) throw new IllegalArgumentException(
+          s"page_size*page_num out of range: $ps * $pn")
+        off.toInt
       case _ => intField(j, "offset").getOrElse(0)
     }
     if (offset < 0) throw new IllegalArgumentException(
@@ -266,10 +289,16 @@ object SearchApi {
     val reqIndexParams: Map[String, Int] = (j \ "index_params") match {
       case JObject(kvs) =>
         kvs.foreach {
-          case (k, v) if intParamKeys.contains(k) && !v.isInstanceOf[JInt] =>
+          // JSON null = "no value" in Go's unmarshal — accepted, ignored
+          case (_, JNull) => ()
+          case (k, v) if intParamKeys.contains(k) &&
+              !v.isInstanceOf[JInt] =>
             throw new IllegalArgumentException(
               s"unmarshal err: index_params [$k] must be an integer, got " +
                 s"[${JsonMethods.compact(JsonMethods.render(v))}]")
+          case (k, JInt(v)) if intParamKeys.contains(k) && !v.isValidInt =>
+            throw new IllegalArgumentException(
+              s"unmarshal err: index_params [$k] out of int32 range: $v")
           case ("metric_type", JString(m))
               if m != "L2" && m != "InnerProduct" =>
             throw new IllegalArgumentException(
@@ -281,7 +310,7 @@ object SearchApi {
                 s"got [${JsonMethods.compact(JsonMethods.render(v))}]")
           case _ => ()
         }
-        kvs.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+        kvs.collect { case (k, JInt(v)) if v.isValidInt => k -> v.toInt }.toMap
       case JNothing | JNull => Map.empty
       case other => throw new IllegalArgumentException(
         s"unmarshal err: index_params must be an object, got " +
@@ -779,8 +808,25 @@ object SearchApi {
       else corpus
     // routed tail merges bridge index hit ids (longs) back to the live
     // view; a space with neither an integral `_id` nor a `_docid`
-    // sidecar can't ride them — serve the live view exactly
-    if (tailOn && rid.isEmpty) return search(live, space, requestJson)
+    // sidecar can't ride them — SCAN families serve the live view
+    // exactly (the documented tail degradation), but a GRAPH family
+    // stays structurally unservable here too: the SAME fail-loud
+    // contract as [[legFor]]'s noDocidRoute, tail or no tail — a
+    // request must not silently change from error to O(corpus) brute
+    // because a RealtimeTail was attached (explicit index_type=FLAT
+    // and is_brute_search=1 escapes pass through, as everywhere)
+    if (tailOn && rid.isEmpty) {
+      if (req.isBruteSearch != 1)
+        req.vectors.foreach { vc =>
+          val eff = vc.indexType.orElse(space.vectorFields
+            .find(_.name == vc.field).flatMap(_.vector).map(_.indexType))
+            .getOrElse("")
+          if (eff == "HNSW" || eff == "DISKANN_STATIC" || eff == "SSG")
+            throw new IllegalArgumentException(
+              noDocidMsg(space.name, vc.field, eff))
+        }
+      return search(live, space, requestJson)
+    }
     // the routing column's name for the arms below; "_id" when no
     // routing column exists (those arms never bridge — and a space
     // without a routing column cannot have recorded deletes, so the
@@ -963,13 +1009,7 @@ object SearchApi {
         // is_brute_search=1 never enter these arms.
         def noDocidRoute(family: String): Nothing =
           throw new IllegalArgumentException(
-            s"space '${space.name}' has no docid mapping: graph index " +
-              s"family $family on field '${vc.field}' routes by long " +
-              "vec_id, but the corpus has neither an integral `_id` nor " +
-              "a `_docid` sidecar. Ingest through the catalog path " +
-              "(Ingest.assignDocids mints `_docid` for string-PK " +
-              "spaces), declare a scan family instead, or force the " +
-              "exact scan with index_type=FLAT / is_brute_search=1")
+            noDocidMsg(space.name, vc.field, family))
         def asVecId(c: Column): Column =
           if (rid.isEmpty) c.as("vec_id") else c.cast("long").as("vec_id")
         val isBin = fOpts.valueType == "binary"
@@ -1487,9 +1527,11 @@ object SearchApi {
     (j \ "document_ids") match {
       case JArray(ids) if ids.nonEmpty =>
         // DocumentIds is *[]string in the reference (search_doc.go:84):
-        // a non-string element is the unmarshal error, never dropped
+        // a non-string element is the unmarshal error, never dropped;
+        // a JSON null element unmarshals to "" in Go (matches no doc)
         val idSeq = ids.map {
           case JString(s) => s
+          case JNull => ""
           case other => throw new IllegalArgumentException(
             "unmarshal err: document_ids must be strings, got " +
               s"[${JsonMethods.compact(JsonMethods.render(other))}]")

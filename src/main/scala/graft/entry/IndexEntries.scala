@@ -117,6 +117,8 @@ private[graft] object IndexEntries {
       // deterministic shard route (r20, the q_ivf_search device) +
       // ef ≥ |shard| ⇒ exhaustive in-shard walks: the routed graph
       // family's pruned point is exact-within-route by construction
+      // (ef=4096 covers shard sizes through ~65k-row fixtures — see
+      // IndexStore.hnswClusteredFixed's validity bound)
       val (segs, ivf) = graft.sources.IndexStore.hnswClusteredFixed(s, dir)
       HnswIndex.searchRouted(segs, ivf, qvec(s, dir), k = 10, ef = 4096,
         metric = "l2", nprobe = 4, roundTo = Some(4))
@@ -482,8 +484,11 @@ private[graft] object IndexEntries {
       init(s)
       // deterministic probe route (r20) + all-probed-rows shortlist ⇒
       // the rerank is exact within the route and the whole pruned point
-      // replays in SQL; the sign-estimator shortlist BOUNDARY keeps its
-      // own oracled operating points (q_rabitq_search, q_binary_rerank)
+      // replays in SQL (shortlist 1<<20 covers the probed quarter of
+      // fixtures through ~4M rows; past that the oracle fails loud and
+      // the constant, not the operator, is the fix); the sign-estimator
+      // shortlist BOUNDARY keeps its own oracled operating points
+      // (q_rabitq_search, q_binary_rerank)
       val (table, ivf) = graft.sources.IndexStore.binaryIvfFixed(s, dir, nc = 16)
       graft.operators.BinaryIndex.searchIvfResidual(table, col("embedding"), ivf,
         qvec(s, dir), k = 10, nprobe = 4, shortlist = 1 << 20,

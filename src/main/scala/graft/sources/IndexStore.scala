@@ -623,7 +623,12 @@ object IndexStore {
     * rationale as [[binaryIvfFixed]]: the shard route replays in SQL,
     * and with `ef ≥ |shard|` the in-shard walks are exhaustive, so the
     * routed graph family's pruned operating point is exact-within-route
-    * by construction and hash-checkable at every fixture size.
+    * by construction. VALIDITY BOUND: the exhaustiveness premise is the
+    * CALLER's ef against this fixture's shard sizes (~rows/nc) — the
+    * entries' ef=4096 holds through ~65k embedding rows (fixture mult
+    * ≈ 33); past that the oracle fails LOUD and the fix is the ef
+    * constant (or derive it from the segment row count), not the
+    * operator.
     */
   def hnswClusteredFixed(spark: SparkSession, sfDir: String, nc: Int = 16,
       m: Int = 16, efConstruction: Int = 100)

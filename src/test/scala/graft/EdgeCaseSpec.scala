@@ -217,6 +217,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == want && got.size == 5) // exact, never a cast error
   }
 
+  test("rid-free graph space fails loud with a realtime tail attached too (same contract)") {
+    // attaching a RealtimeTail must not silently change a rid-free
+    // graph request from the docid-mapping error into an O(corpus)
+    // brute scan — the tail early-return enforces the same contract
+    val tmp = java.nio.file.Files.createTempDirectory("str_nodocid_tail").toString
+    val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"
+    def rows(lo: Int, hi: Int) = (lo until hi).map(i => (s"u-$i",
+        (0 until 8).map(j => ((i * 37 + j * 3) % 11 - 5).toFloat)))
+      .toDF("_id", "vec")
+      .select($"_id", $"vec".cast("array<float>").as("vec"))
+    rows(0, 30).write.parquet(basePath)
+    rows(30, 35).write.parquet(tailPath) // hasTail = true
+    val lc = new graft.api.IndexLifecycle(spark, basePath)
+    val rt = new graft.streaming.RealtimeTail(spark, basePath, tailPath,
+      s"$tmp/ckpt", "_id")
+    val sp = graft.schema.Space.fromJson(
+      """{"name":"sndt","fields":[
+          {"name":"vec","type":"vector","dimension":8,
+           "index":{"type":"HNSW",
+                    "params":{"nlinks":8,"efConstruction":32,"efSearch":4096}}}]}""")
+    val corpus = spark.read.parquet(basePath)
+    val q = (0 until 8).map(i => i + 0.5f)
+    val req = s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],"limit":5}"""
+    val e = intercept[IllegalArgumentException] {
+      graft.api.SearchApi.searchAuto(corpus, sp, req, lc, tail = Some(rt)).collect()
+    }
+    assert(e.getMessage.contains("no docid mapping"))
+    // the explicit brute escape serves the LIVE view (base ∪ tail)
+    val bruteReq = s"""{"vectors":[{"field":"vec","feature":${q.mkString("[", ",", "]")}}],"is_brute_search":1,"limit":40}"""
+    val got = graft.api.SearchApi.searchAuto(corpus, sp, bruteReq, lc, tail = Some(rt))
+    assert(got.count() == 35) // fresh tail writes visible, no error
+  }
+
   test("realtime tail with a mismatched routing column fails loud, not ghost-quietly") {
     val tmp = java.nio.file.Files.createTempDirectory("rid_mismatch").toString
     val basePath = s"$tmp/base"; val tailPath = s"$tmp/tail"

@@ -418,6 +418,13 @@ class SearchApiSpec extends SparkSpec {
       s"""{$okVec,"index_params":{"metric_type":"Cosine"}}""",
       s"""{$okVec,"index_params":{"metric_type":7}}""",
       s"""{$okVec,"index_params":3}""",
+      // out-of-int32 values WRAP under BigInt.toInt — they must be the
+      // reference's "out of range" unmarshal error, not a truncation
+      // (4294967346 wraps to exactly 50, the silent-default value)
+      s"""{$okVec,"limit":4294967346}""",
+      s"""{$okVec,"offset":4294967296}""",
+      s"""{$okVec,"page_size":65536,"page_num":65537}""",
+      s"""{$okVec,"index_params":{"nprobe":4294967304}}""",
       // non-numeric vector payload (wrong-dim is the test above)
       """{"vectors":[{"field":"embedding","feature":["a","b"]}]}""")
     for (r <- badReqs) withClue(r) {
@@ -435,12 +442,20 @@ class SearchApiSpec extends SparkSpec {
     }
     // the valid shapes stay accepted: limit 0 = DefaultSize 50
     // (doc_query.go:1412-1415), known metric_type names validate and
-    // pass, unknown index_params keys are ignored like Go's unmarshal
+    // pass, unknown index_params keys are ignored like Go's unmarshal,
+    // and JSON null = "no value" (Go unmarshal skips it; a null
+    // document_ids element unmarshals to "" and matches nothing)
     assert(SearchApi.search(corpus, space,
       s"""{$okVec,"limit":0}""").count() == 50)
     assert(SearchApi.search(corpus, space,
       s"""{$okVec,"limit":3,"index_params":{
            "metric_type":"InnerProduct","not_a_param":"x"}}""").count() == 3)
+    assert(SearchApi.search(corpus, space,
+      s"""{$okVec,"limit":3,"index_params":{"nprobe":null,"metric_type":null}}""")
+      .count() == 3)
+    assert(SearchApi.query(corpus, space,
+      """{"document_ids":["42",null,"7"],"limit":50}""")
+      .select("_id").as[String].collect().toSeq == Seq("42", "7"))
   }
 
   test("pagination via page_size/page_num matches offset slicing") {
