@@ -548,8 +548,13 @@ object SearchApi {
       val sliced =
         if (req.offset > 0) agged.withColumn("_tk", slice(col("_tk"), req.offset + 1, req.limit))
         else agged
+      // blocks in REQUEST order (the reference's response shape), rows
+      // by score within each block — the same contract as the routed
+      // finishBatch (the r20 parity sweep caught the unordered gap)
+      val primaryB = if (headAsc) col("_score").asc else col("_score").desc
       val out = sliced.select(col("_qid"), explode(col("_tk")).as("_e"))
         .select(col("_qid"), col("_e.item._id").as("_id"), col("_e.score").as("_score"))
+        .orderBy(col("_qid").asc, primaryB, col("_id").asc)
       // sort spec re-orders rows WITHIN each query's block
       if (req.sort.nonEmpty) applySort(out, req.sort, qid = Some(col("_qid")))
       else out
@@ -569,7 +574,13 @@ object SearchApi {
         minScore = vc.minScore, maxScore = vc.maxScore, offset = req.offset,
         scoreFn = scoreFn)
       val flat = res.select(col("_qid"), col("_score"), col("_item.*"))
-      val projected = flat.select(projection(space, req, Seq("_qid", "_score")): _*)
+      // blocks in REQUEST order, rows by score within each block — the
+      // routed finishBatch contract (r20 parity sweep caught the gap)
+      val primaryB =
+        if (Knn.ascending(m)) col("_score").asc else col("_score").desc
+      val projected = flat
+        .select(projection(space, req, Seq("_qid", "_score")): _*)
+        .orderBy(col("_qid").asc, primaryB, col("_id").asc)
       // sort spec re-orders rows WITHIN each query's block
       if (req.sort.nonEmpty) applySort(projected, req.sort, qid = Some(col("_qid")))
       else projected

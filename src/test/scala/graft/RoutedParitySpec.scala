@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.{IndexLifecycle, SearchApi}
+import graft.schema.Space
+
+/** Randomized DIFFERENTIAL parity: routed serving ≡ the brute FLAT scan
+  * for every float index family at its exactness parameters, across a
+  * seeded random sweep of request SHAPES — k, offset, scalar filters,
+  * score gates and req_num batches composed together, not enumerated.
+  * SearchApiSpec pins each family's shapes one by one; this spec covers
+  * the interaction space between them. Fixed seed ⇒ deterministic: the
+  * exactness params (ef/l_search ≥ |shard|, nprobe = ncentroids,
+  * recall_num ≥ N) make the routed ranking provably equal the brute
+  * ranking, so every draw must match bit-for-bit.
+  */
+class RoutedParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // per-family exactness params: walk/probe/rerank depths that cover
+  // the whole 500-row fixture, declared in the space so both the build
+  // and the serve resolve them
+  private val families: Seq[(String, String)] = Seq(
+    "HNSW" -> """{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,"efSearch":4096}}""",
+    "IVFFLAT" -> """{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8}}""",
+    "DISKANN_STATIC" -> """{"type":"DISKANN_STATIC","params":{"R":32,"L":128,"l_search":4096}}""",
+    "IVFPQ" -> """{"type":"IVFPQ","params":{"ncentroids":8,"nsubvector":8,"nprobe":8,"recall_num":1000000}}""",
+    "IVFRABITQ" -> """{"type":"IVFRABITQ","params":{"ncentroids":8,"nprobe":8,"recall_num":1000000}}""")
+
+  private def spaceFor(family: String, index: String) = Space.fromJson(
+    s"""{"name":"parity_${family.toLowerCase}","fields":[
+        {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+        {"name":"embedding","type":"vector","dimension":64,
+         "index":$index}]}""")
+
+  test("random request shapes: routed ≡ brute FLAT for every float family at exactness params") {
+    val rnd = new scala.util.Random(20260816L) // fixed seed — deterministic
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+    val queries: Seq[Seq[Float]] = base.filter($"_id" < 8)
+      .orderBy("_id").select("embedding").collect()
+      .map(_.getSeq[Float](0)).toSeq
+    // score quantiles per metric for NON-VACUOUS gates (l2 asc domain)
+    val l2s = base.select(Graft.F.vecL2(col("embedding"),
+        lit(queries.head.toArray)).as("d"))
+      .orderBy("d").as[Double].collect()
+    def pct(p: Double) = l2s(((l2s.length - 1) * p).toInt)
+
+    for ((family, index) <- families) {
+      val root = java.nio.file.Files.createTempDirectory(s"parity_$family").toString
+      val spacePath = s"$root/space"
+      base.write.parquet(spacePath)
+      val sp = spaceFor(family, index)
+      val lc = new IndexLifecycle(spark, spacePath)
+      lc.rebuildDeclared(sp, "embedding", numShards = 4)
+      val corpus = spark.read.parquet(spacePath)
+
+      for (draw <- 0 until 6) {
+        val k = 1 + rnd.nextInt(20)
+        val offset = rnd.nextInt(4)
+        val q = queries(rnd.nextInt(queries.size))
+        val filter =
+          if (rnd.nextBoolean()) ""
+          else {
+            val labels = (0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(10)).distinct
+            s""","filters":{"operator":"AND","conditions":[
+                 {"operator":"IN","field":"label","value":${labels.mkString("[", ",", "]")}}]}"""
+          }
+        val gate = rnd.nextInt(3) match {
+          case 0 => ""
+          case 1 => s""","min_score":${pct(0.05 + rnd.nextDouble() * 0.3)}"""
+          case _ => s""","max_score":${pct(0.5 + rnd.nextDouble() * 0.4)}"""
+        }
+        val batched = rnd.nextBoolean()
+        val feature =
+          if (!batched) q.mkString("[", ",", "]")
+          else (q ++ queries(rnd.nextInt(queries.size))).mkString("[", ",", "]")
+        val req = s"""{"vectors":[{"field":"embedding","feature":$feature$gate}]
+             $filter,"limit":$k,"offset":$offset}"""
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSeq
+        val routed = rows(SearchApi.searchAuto(corpus, sp, req, lc))
+        val brute = rows(SearchApi.search(corpus, sp, req))
+        assert(routed == brute,
+          s"family=$family draw=$draw k=$k offset=$offset batched=$batched " +
+            s"filter=${filter.nonEmpty} gate=${gate.nonEmpty}: " +
+            s"routed ${routed.take(3)} vs brute ${brute.take(3)}")
+      }
+    }
+  }
+}
