@@ -88,4 +88,81 @@ class RoutedParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("random MULTI-FIELD conjunctions: routed per-field legs ≡ brute conjunction") {
+    // two 32-dim fields, a random exactness-parameterized family PER
+    // FIELD, random weights/filters/gates, single and req_num-batched —
+    // the (vec_id, score) intersection glue exercised across the
+    // family-combination space instead of the enumerated pairs
+    val rnd = new scala.util.Random(8161820L)
+    val conjFams = Map(
+      "HNSW" -> """{"type":"HNSW","params":{"nlinks":16,"efConstruction":60,"efSearch":4096}}""",
+      "IVFFLAT" -> """{"type":"IVFFLAT","params":{"ncentroids":8,"nprobe":8}}""",
+      "DISKANN_STATIC" -> """{"type":"DISKANN_STATIC","params":{"R":32,"L":128,"l_search":4096}}""",
+      "IVFPQ" -> """{"type":"IVFPQ","params":{"ncentroids":8,"nsubvector":8,"nprobe":8,"recall_num":1000000}}""")
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"),
+        slice(col("embedding"), 1, 32).as("v1"),
+        slice(col("embedding"), 33, 32).as("v2"))
+    val queries: Seq[(Seq[Float], Seq[Float])] = base.filter($"_id" < 8)
+      .orderBy("_id").select("v1", "v2").collect()
+      .map(r => (r.getSeq[Float](0), r.getSeq[Float](1))).toSeq
+    def pctOf(field: String, q: Seq[Float], p: Double): Double = {
+      val ds = base.select(Graft.F.vecL2(col(field),
+          lit(q.toArray)).as("d")).orderBy("d").as[Double].collect()
+      ds(((ds.length - 1) * p).toInt)
+    }
+
+    for (draw <- 0 until 4) {
+      val (f1, f2) = (conjFams.keys.toSeq(rnd.nextInt(conjFams.size)),
+        conjFams.keys.toSeq(rnd.nextInt(conjFams.size)))
+      val sp = Space.fromJson(
+        s"""{"name":"parity_conj$draw","fields":[
+            {"name":"label","type":"integer","index":{"type":"SCALAR"}},
+            {"name":"v1","type":"vector","dimension":32,"index":${conjFams(f1)}},
+            {"name":"v2","type":"vector","dimension":32,"index":${conjFams(f2)}}]}""")
+      val root = java.nio.file.Files.createTempDirectory(s"parity_conj$draw").toString
+      val spacePath = s"$root/space"
+      base.write.parquet(spacePath)
+      val stored = spark.read.parquet(spacePath)
+      val lc = new IndexLifecycle(spark, spacePath)
+      lc.scoped("v1").rebuildDeclared(sp, "v1", numShards = 4)
+      lc.scoped("v2").rebuildDeclared(sp, "v2", numShards = 4)
+
+      for (sub <- 0 until 3) {
+        val k = 1 + rnd.nextInt(12)
+        val (q1, q2) = queries(rnd.nextInt(queries.size))
+        val batched = rnd.nextBoolean()
+        def feat(q: Seq[Float], other: Seq[Float]) =
+          (if (batched) q ++ other else q).mkString("[", ",", "]")
+        val (o1, o2) = queries(rnd.nextInt(queries.size))
+        val gate1 =
+          if (rnd.nextInt(3) == 0)
+            s""","max_score":${pctOf("v1", q1, 0.6 + rnd.nextDouble() * 0.3)}"""
+          else ""
+        val filter =
+          if (rnd.nextBoolean()) ""
+          else {
+            val labels = (0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(10)).distinct
+            s""","filters":{"operator":"AND","conditions":[
+                 {"operator":"IN","field":"label","value":${labels.mkString("[", ",", "]")}}]}"""
+          }
+        val w = 0.1 + rnd.nextDouble() * 0.8
+        val req = s"""{"vectors":[
+              {"field":"v1","feature":${feat(q1, o1)}$gate1},
+              {"field":"v2","feature":${feat(q2, o2)}}],
+            "ranker":{"type":"WeightedRanker","params":{
+              "weights":[$w,${1.0 - w}]}}
+            $filter,"limit":$k}"""
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSeq
+        val routed = rows(SearchApi.searchAuto(stored, sp, req, lc))
+        val brute = rows(SearchApi.search(stored, sp, req))
+        assert(routed == brute,
+          s"conj draw=$draw/$sub fams=$f1+$f2 k=$k batched=$batched " +
+            s"filter=${filter.nonEmpty} gate=${gate1.nonEmpty}: " +
+            s"routed ${routed.take(3)} vs brute ${brute.take(3)}")
+      }
+    }
+  }
 }
