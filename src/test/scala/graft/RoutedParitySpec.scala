@@ -165,4 +165,77 @@ class RoutedParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("random REALTIME-TAIL draws: routed base ∪ tail ≡ brute over the live view") {
+    // every family's tail merge under random buffered writes — fresh
+    // ids AND last-write-wins updates of base ids — composed with
+    // random k, filters, gates and req_num batches; the routed merge
+    // must equal the brute FLAT scan of the tail-wins snapshot
+    val rnd = new scala.util.Random(4242424242L)
+    val base0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+    val queries: Seq[Seq[Float]] = base0.filter($"_id" < 8)
+      .orderBy("_id").select("embedding").collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val l2s = base0.select(Graft.F.vecL2(col("embedding"),
+        lit(queries.head.toArray)).as("d"))
+      .orderBy("d").as[Double].collect()
+    def pct(p: Double) = l2s(((l2s.length - 1) * p).toInt)
+
+    for ((family, index) <- families) {
+      val root = java.nio.file.Files.createTempDirectory(s"parity_rt_$family").toString
+      val basePath = s"$root/space"; val tailPath = s"$root/tail"
+      base0.write.parquet(basePath)
+      val sp = spaceFor(family, index)
+      val lc = new IndexLifecycle(spark, basePath)
+      lc.rebuildDeclared(sp, "embedding", numShards = 4)
+      // random tail: a few fresh ids + a few UPDATES of existing base
+      // ids (distinct ids within the tail — no order column here)
+      val fresh = (0 until 1 + rnd.nextInt(4)).map { i =>
+        (900000L + i, rnd.nextInt(10),
+          queries(rnd.nextInt(queries.size)).map(_ + 0.002f * (i + 1)))
+      }
+      val updates = (0 until rnd.nextInt(3)).map { i =>
+        (rnd.nextInt(100).toLong, rnd.nextInt(10),
+          queries(rnd.nextInt(queries.size)).map(_ - 0.003f * (i + 1)))
+      }.distinctBy(_._1).filterNot(u => fresh.exists(_._1 == u._1))
+      (fresh ++ updates).toDF("_id", "label", "embedding")
+        .select($"_id", $"label", $"embedding".cast("array<float>"))
+        .write.parquet(tailPath)
+      val rt = new graft.streaming.RealtimeTail(spark, basePath, tailPath,
+        s"$root/ckpt", "_id")
+      val corpus = spark.read.parquet(basePath)
+      val live = rt.snapshot(corpus.schema)
+
+      for (draw <- 0 until 3) {
+        val k = 1 + rnd.nextInt(15)
+        val q = queries(rnd.nextInt(queries.size))
+        val batched = rnd.nextBoolean()
+        val feature =
+          if (!batched) q.mkString("[", ",", "]")
+          else (q ++ queries(rnd.nextInt(queries.size))).mkString("[", ",", "]")
+        val gate =
+          if (rnd.nextInt(3) == 0)
+            s""","max_score":${pct(0.5 + rnd.nextDouble() * 0.4)}"""
+          else ""
+        val filter =
+          if (rnd.nextInt(3) > 0) ""
+          else {
+            val labels = (0 until 2 + rnd.nextInt(3)).map(_ => rnd.nextInt(10)).distinct
+            s""","filters":{"operator":"AND","conditions":[
+                 {"operator":"IN","field":"label","value":${labels.mkString("[", ",", "]")}}]}"""
+          }
+        val req = s"""{"vectors":[{"field":"embedding","feature":$feature$gate}]
+             $filter,"limit":$k}"""
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSeq
+        val routed = rows(SearchApi.searchAuto(corpus, sp, req, lc, tail = Some(rt)))
+        val brute = rows(SearchApi.search(live, sp, req))
+        assert(routed == brute,
+          s"tail family=$family draw=$draw k=$k batched=$batched " +
+            s"tail=${fresh.size}+${updates.size} filter=${filter.nonEmpty} " +
+            s"gate=${gate.nonEmpty}: routed ${routed.take(3)} vs brute ${brute.take(3)}")
+      }
+    }
+  }
 }
