@@ -238,4 +238,66 @@ class RoutedParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("random DELETE draws composed with a tail: ledger gates every routed arm, no ghosts") {
+    // the deepest composition: base ∪ tail ∖ deletes — random deletes
+    // hit base ids, tail-updated ids, AND fresh tail-only ids (the
+    // deleted-while-buffered path), then random request shapes must
+    // match brute over the delete-gated live view, with zero ghosts
+    val rnd = new scala.util.Random(777000777L)
+    val base0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("_id"), col("label"), col("embedding"))
+    val queries: Seq[Seq[Float]] = base0.filter($"_id" < 8)
+      .orderBy("_id").select("embedding").collect()
+      .map(_.getSeq[Float](0)).toSeq
+
+    for ((family, index) <- families) {
+      val root = java.nio.file.Files.createTempDirectory(s"parity_del_$family").toString
+      val basePath = s"$root/space"; val tailPath = s"$root/tail"
+      base0.write.parquet(basePath)
+      val sp = spaceFor(family, index)
+      val lc = new IndexLifecycle(spark, basePath)
+      lc.rebuildDeclared(sp, "embedding", numShards = 4)
+      val freshIds = (0 until 3).map(i => 900000L + i)
+      val updId = rnd.nextInt(100).toLong
+      val tailRows = freshIds.zipWithIndex.map { case (id, i) =>
+        (id, rnd.nextInt(10),
+          queries(rnd.nextInt(queries.size)).map(_ + 0.002f * (i + 1)))
+      } :+ ((updId, rnd.nextInt(10),
+        queries(rnd.nextInt(queries.size)).map(_ - 0.004f)))
+      tailRows.toDF("_id", "label", "embedding")
+        .select($"_id", $"label", $"embedding".cast("array<float>"))
+        .write.parquet(tailPath)
+      val rt = new graft.streaming.RealtimeTail(spark, basePath, tailPath,
+        s"$root/ckpt", "_id")
+      // deletes: one plain base id, one tail-updated base id, one
+      // fresh tail-only id (deleted while buffered)
+      val delIds = Seq(rnd.nextInt(100) + 100L, updId, freshIds.head)
+      lc.deleteByIds("_id", delIds)
+      val corpus = spark.read.parquet(basePath)
+      val live = rt.snapshot(corpus.schema, lc.allDeletes())
+
+      for (draw <- 0 until 2) {
+        val k = 1 + rnd.nextInt(15)
+        val q = queries(rnd.nextInt(queries.size))
+        val batched = rnd.nextBoolean()
+        val feature =
+          if (!batched) q.mkString("[", ",", "]")
+          else (q ++ queries(rnd.nextInt(queries.size))).mkString("[", ",", "]")
+        val req = s"""{"vectors":[{"field":"embedding","feature":$feature}],"limit":$k}"""
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSeq
+        val routedDf = SearchApi.searchAuto(corpus, sp, req, lc, tail = Some(rt))
+        val routed = rows(routedDf)
+        val brute = rows(SearchApi.search(live, sp, req))
+        assert(routed == brute,
+          s"del family=$family draw=$draw k=$k batched=$batched " +
+            s"dels=$delIds: routed ${routed.take(3)} vs brute ${brute.take(3)}")
+        // no ghosts: a deleted id never appears, whatever the shape
+        val served = routedDf.select("_id").collect().map(_.getLong(0)).toSet
+        assert(delIds.forall(id => !served.contains(id)),
+          s"ghost: deleted $delIds intersects served $served")
+      }
+    }
+  }
 }
