@@ -1,20 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // the stated environment is local[32]; only honor an explicit override
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm up JVM/codegen/parquet paths so the first timed query doesn't
-    // absorb session startup (~5s) into its number
+
+  /** Untimed session warmup — JVM/codegen/parquet paths plus the declared
+    * resident-serving policy, so the first timed query doesn't absorb
+    * session startup (~5 s) into its number. Shared with the profiling
+    * tools so their measurements match bench conditions.
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit =
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -33,7 +26,50 @@ object Bench {
       // probe/ADC plan, never KMeans training — mirrors the reference,
       // where index BUILD is a separate lifecycle step from SEARCH
       graft.sources.IndexStore.warm(spark, sfDir)
+      // kernel JIT/codegen warmup (round 21, guide §1: time the
+      // computation, not JVM startup): first use of the dedup/text/ML
+      // kernels pays Janino compilation plus C2 JIT of the generated
+      // loops — measured at up to ~20 s absorbed into whichever dedup
+      // query happened to run first. Exercise the same kernels on
+      // 64-row slices here, untimed; every timed query still computes
+      // its full result from the parquet inputs.
+      locally {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.{Dedup, Knn, QualityModel, TextOps}
+        val wdocs = SparkEntry.table(spark, sfDir, "documents")
+          .limit(64).select(col("doc_id"), col("text"), col("n_chars"))
+        def burn(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.count(); graft.operators.Checkpoints.free(df)
+        }
+        burn(Dedup.jaccardPairs(wdocs, "doc_id", "text", n = 3, threshold = 0.8))
+        burn(Dedup.minhashLshPairs(wdocs, "doc_id", "text", n = 3,
+          numHashes = 16, bands = 8, threshold = 0.8))
+        burn(Dedup.simhashPairsPortable(wdocs, "doc_id", "text", maxHamming = 3))
+        burn(Dedup.windowDupSignals(wdocs, "doc_id", "text"))
+        burn(TextOps.profile(wdocs, "doc_id", "text"))
+        val wlab = QualityModel.weakLabels(wdocs, "text")
+        val wm = QualityModel.train(wlab, "text", "label", logFeatures = 12)
+        burn(QualityModel.score(wdocs, wm, "text"))
+        val wemb = SparkEntry.table(spark, sfDir, "embeddings").limit(256)
+        burn(Knn.search(wemb, col("embedding"),
+          SparkEntry.qvec(spark, sfDir), 10, "l2",
+          tieBreak = Some(col("vec_id"))))
+      }
     } catch { case _: Throwable => }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the stated environment is local[32]; only honor an explicit override
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    warmup(spark, sfDir)
     // a query that throws must surface as an ERROR, not a wall-clock
     // entry: round 8's fixture refresh broke nine queries at analysis
     // time and the old catch-all recorded their 5 ms throw time as a

@@ -255,7 +255,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
         throw new IllegalStateException("READY state without centroids"))
       IvfIndex.assign(delta, vecCol, model)
         .write.mode("append").partitionBy("list_id").parquet(indexPath(gen))
-      layoutCache.remove(indexPath(gen)) // cached plan pre-dates the new files
+      graft.sources.IndexStore.invalidateOpen(indexPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(s"no READY index to append to (state: $other)")
   }
@@ -679,10 +679,13 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
     * are immutable once READY (a rebuild writes a NEW gen path), so the
     * opened plan is cached per layout path for the lifecycle's lifetime.
     */
-  private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  // Round 21: the cache moved to [[graft.sources.IndexStore.openTable]]
+  // (signature-keyed, shared across instances) — serving handlers
+  // construct a fresh IndexLifecycle per request, so an instance-held
+  // cache never survived to the next query and every routed search
+  // re-paid the footer job.
   private def openLayout(path: String): org.apache.spark.sql.DataFrame =
-    layoutCache.computeIfAbsent(path, p => spark.read.parquet(p))
+    graft.sources.IndexStore.openTable(spark, path)
 
   /** The current READY HNSW segment table, or None while missing/building. */
   def readyHnswSegments(): Option[org.apache.spark.sql.Dataset[graft.operators.HnswIndex.Segment]] =
@@ -746,7 +749,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       graft.operators.HnswIndex.appendClustered(delta, idCol, vecCol,
           params.copy(numShards = ivf.ncentroids), ivf)
         .write.option("maxRecordsPerFile", 1).mode("append").partitionBy("shard_id").parquet(hnswPath(gen))
-      layoutCache.remove(hnswPath(gen)) // cached plan pre-dates the new files
+      graft.sources.IndexStore.invalidateOpen(hnswPath(gen)) // cached plan pre-dates the new files
       writeStateAt(hnswStatePath, s"READY:$gen:$shards:${trained + deltaN}")
     case other =>
       throw new IllegalStateException(s"no READY HNSW generation to append to (state: $other)")
@@ -898,7 +901,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       graft.operators.PqIndex.encodeResidual(
           IvfIndex.assign(delta, vecCol, ivf), vecCol, ivf, pq)
         .write.mode("append").partitionBy("list_id").parquet(pqPath(gen))
-      layoutCache.remove(pqPath(gen)) // cached plan pre-dates the new files
+      graft.sources.IndexStore.invalidateOpen(pqPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(
         s"no READY IVFPQ generation to append to (state: $other)")
@@ -1091,7 +1094,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
       graft.operators.BinaryIndex.encodeResidual(
           IvfIndex.assign(delta, vecCol, ivf), vecCol, ivf)
         .write.mode("append").partitionBy("list_id").parquet(rbPath(gen))
-      layoutCache.remove(rbPath(gen)) // cached plan pre-dates the new files
+      graft.sources.IndexStore.invalidateOpen(rbPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(
         s"no READY IVFRABITQ generation to append to (state: $other)")
@@ -1153,7 +1156,7 @@ final class IndexLifecycle(spark: SparkSession, spacePath: String,
         throw new IllegalStateException("READY BINARYIVF state without centroids"))
       graft.operators.BinaryIndex.assignBinary(delta, codeCol, cents)
         .write.mode("append").partitionBy("list_id").parquet(bivfPath(gen))
-      layoutCache.remove(bivfPath(gen)) // cached plan pre-dates the new files
+      graft.sources.IndexStore.invalidateOpen(bivfPath(gen)) // cached plan pre-dates the new files
     case other =>
       throw new IllegalStateException(
         s"no READY BINARYIVF generation to append to (state: $other)")

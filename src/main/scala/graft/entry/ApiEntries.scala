@@ -166,7 +166,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "filters":{"operator":"AND","conditions":[
           {"operator":"IN","field":"label","value":[1,3,5]}]},"limit":10}"""
@@ -190,7 +190,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -214,7 +214,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
         "symbol":">=","value":1.41}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -236,7 +236,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
         "index_type":"FLAT"}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -259,7 +259,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFPQ",
                       "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -279,7 +279,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFRABITQ",
                       "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -300,7 +300,7 @@ private[graft] object ApiEntries {
             {"name":"label","type":"integer","index":{"type":"SCALAR"}},
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -323,7 +323,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))
@@ -344,7 +344,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFPQ",
                       "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -365,7 +365,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFRABITQ",
                       "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -386,7 +386,7 @@ private[graft] object ApiEntries {
             {"name":"label","type":"integer","index":{"type":"SCALAR"}},
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
@@ -405,7 +405,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"l_search":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -429,7 +429,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"l_search":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -453,7 +453,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -478,7 +478,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -502,7 +502,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -530,7 +530,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "filters":{"operator":"AND","conditions":[
           {"operator":"IN","field":"label","value":[1,3,5]}]},
@@ -557,7 +557,7 @@ private[graft] object ApiEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
@@ -577,7 +577,7 @@ private[graft] object ApiEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -603,7 +603,7 @@ private[graft] object ApiEntries {
                       "params":{"nlinks":16,"efConstruction":100,
                                 "efSearch":1000000,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
@@ -623,7 +623,7 @@ private[graft] object ApiEntries {
                       "params":{"nlinks":16,"efConstruction":100,
                                 "efSearch":1000000,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -646,7 +646,7 @@ private[graft] object ApiEntries {
                       "params":{"ncentroids":8,"nprobe":8,
                                 "recall_num":1000000,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
@@ -663,7 +663,7 @@ private[graft] object ApiEntries {
                       "params":{"ncentroids":8,"nprobe":8,
                                 "recall_num":1000000,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -685,7 +685,7 @@ private[graft] object ApiEntries {
              "index":{"type":"IVFRABITQ",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -704,7 +704,7 @@ private[graft] object ApiEntries {
              "index":{"type":"SCANN",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -724,7 +724,7 @@ private[graft] object ApiEntries {
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":1000000,"beam_width":4,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"iv","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
     }),
@@ -740,7 +740,7 @@ private[graft] object ApiEntries {
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":1000000,"beam_width":4,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -762,7 +762,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -783,7 +783,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))
@@ -804,7 +804,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))
@@ -821,7 +821,7 @@ private[graft] object ApiEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"l_search":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -852,7 +852,7 @@ private[graft] object ApiEntries {
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
@@ -876,7 +876,7 @@ private[graft] object ApiEntries {
             {"name":"label","type":"integer","index":{"type":"SCALAR"}},
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"SSG"}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"l_search":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -898,7 +898,7 @@ private[graft] object ApiEntries {
             {"name":"label","type":"integer","index":{"type":"SCALAR"}},
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"SCANN","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)

@@ -174,7 +174,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))
@@ -195,7 +195,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))
@@ -229,7 +229,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFPQ",
                       "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
         "min_score":1.41}],"index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -277,7 +277,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "filters":{"operator":"AND","conditions":[
           {"operator":"IN","field":"label","value":[1,3,5]}]},
@@ -300,7 +300,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -326,7 +326,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))
@@ -342,7 +342,7 @@ private[graft] object IndexEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
         .withColumn("_score", round(col("_score"), 4))

@@ -247,7 +247,7 @@ private[graft] object KnnEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")},
         "min_score":1.41}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc)
@@ -269,7 +269,7 @@ private[graft] object KnnEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -301,7 +301,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
@@ -332,7 +332,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFRABITQ",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
@@ -363,7 +363,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"iv1","feature":${q.take(32).mkString("[", ",", "]")}},
@@ -392,7 +392,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
@@ -424,7 +424,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")},
@@ -457,7 +457,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val qrows = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .map(_.getSeq[Float](0))
@@ -490,7 +490,7 @@ private[graft] object KnnEntries {
              "index":{"type":"IVFRABITQ",
                       "params":{"ncentroids":8,"nprobe":8,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val qrows = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .map(_.getSeq[Float](0))

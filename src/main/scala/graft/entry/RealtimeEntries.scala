@@ -35,7 +35,7 @@ private[graft] object RealtimeEntries {
         graft.sources.IndexStore.realtimeMultiField(s, dir)
       val rt = new graft.streaming.RealtimeTail(s, basePath, tailPath,
         s"$tailPath.ckpt", "vec_id")
-      val schema = s.read.parquet(basePath).schema
+      val schema = graft.sources.IndexStore.openTable(s, basePath).schema
       val q = qvec(s, dir)
       val f0 = rt.searchHnsw(segsA, schema, "v1", q.take(32), k = 100,
         ef = 1 << 30, metric = "ip")
@@ -69,7 +69,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
         .withColumn("_score", round(col("_score"), 4))
@@ -97,7 +97,7 @@ private[graft] object RealtimeEntries {
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,
                                 "metric_type":"InnerProduct"}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val q = qvec(s, dir)
       val req = s"""{"vectors":[
           {"field":"v1","feature":${q.take(32).mkString("[", ",", "]")}},
@@ -129,7 +129,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
         .withColumn("_score", round(col("_score"), 4))
@@ -152,7 +152,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
         .withColumn("_score", round(col("_score"), 4))
@@ -170,7 +170,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFPQ",
                       "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
@@ -189,7 +189,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
         .withColumn("_score", round(col("_score"), 4))
@@ -207,7 +207,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFRABITQ",
                       "params":{"ncentroids":8,"nprobe":8,"qb":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"recall_num":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
@@ -231,7 +231,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFFLAT",
                       "params":{"ncentroids":16,"nprobe":16}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -252,7 +252,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"IVFPQ",
                       "params":{"ncentroids":8,"nprobe":8,"nsubvector":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -280,7 +280,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"HNSW",
                       "params":{"nlinks":16,"efConstruction":100,"efSearch":1000000}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -301,7 +301,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val flat = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .flatMap(_.getSeq[Float](0))
@@ -324,7 +324,7 @@ private[graft] object RealtimeEntries {
             {"name":"label","type":"integer","index":{"type":"SCALAR"}},
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"BINARYIVF","params":{"ncentroids":8,"nprobe":8}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))
     }),
@@ -341,7 +341,7 @@ private[graft] object RealtimeEntries {
             {"name":"embedding","type":"vector","dimension":64,
              "index":{"type":"DISKANN_STATIC",
                       "params":{"R":32,"L":64,"beam_width":4}}}]}""")
-      val stored = s.read.parquet(spacePath)
+      val stored = graft.sources.IndexStore.openTable(s, spacePath)
       val req = s"""{"vectors":[{"field":"embedding","feature":${qvec(s, dir).mkString("[", ",", "]")}}],
         "index_params":{"l_search":1048576},"limit":10}"""
       SearchApi.searchAuto(stored, sp, req, lc, tail = Some(rt))

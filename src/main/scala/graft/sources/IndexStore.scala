@@ -53,6 +53,45 @@ object IndexStore {
   def rootDir: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_index")
 
+  /** Signature-keyed open cache for stored tables (round 21).
+    *
+    * `spark.read.parquet(path)` lists files AND schedules a footer/
+    * schema-inference job on every call — a fixed metadata job per
+    * query, since serving handlers open the space table per request.
+    * The opened plan is reused while the directory's (name, length,
+    * mtime) listing is unchanged — exactly what any rewrite, append or
+    * compaction swap changes (parquet part files carry per-write UUID
+    * names, so content changes always change the signature). A missing
+    * or unlistable path falls through to the direct read so the
+    * caller sees the ordinary error.
+    */
+  private val openCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  def openTable(spark: SparkSession, path: String): DataFrame = {
+    val sig =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(",")
+      } catch { case _: Throwable => return spark.read.parquet(path) }
+    openCache.get((spark, path)) match {
+      case Some((s, df)) if s == sig => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        openCache.put((spark, path), (sig, df))
+        df
+    }
+  }
+
+  /** Drop a path's cached open plan (belt-and-braces for in-place
+    * appends — the signature check alone already invalidates them).
+    */
+  def invalidateOpen(path: String): Unit =
+    openCache.keys.filter(_._2 == path).foreach(openCache.remove)
+
   /** Content fingerprint of the fixture's embeddings table: canonical
     * path + total byte size + newest mtime. Two fixtures sharing a
     * basename get distinct cache dirs, and regenerating a fixture
@@ -1383,8 +1422,9 @@ object IndexStore {
     * layout is that shape.
     */
   def media(spark: SparkSession, sfDir: String): DataFrame = {
-    // "media2": layout revision (scaled file count) — distinct cache key
-    val dir = dirFor(sfDir, "media2")
+    // "media3": layout revision (file count floored at cluster width) —
+    // distinct cache key
+    val dir = dirFor(sfDir, "media3")
     buildOnce(dir) {
       val ids = emb(spark, sfDir).select(col("vec_id"))
       // file count scales with the corpus (~2k payloads per file): decode
@@ -1393,8 +1433,13 @@ object IndexStore {
       // the whole decode serial at sf1 (one task, 10.7× at 10× rows —
       // BENCH_SCALING r11); a per-USE repartition was measured slower at
       // sf0.1 (the exchange beats the decode it parallelizes), so the
-      // split happens ONCE here at build time.
-      val files = math.max(1L, ids.count() / 2000L).toInt
+      // split happens ONCE here at build time. Round 21: floor at the
+      // cluster width — below ~2k·cores rows the 2k/file target left the
+      // codec work (the REAL per-row CPU here) on a single core; at
+      // production scale the rows/file term dominates and the floor is
+      // moot.
+      val files = math.max(spark.sparkContext.defaultParallelism.toLong,
+        math.max(1L, ids.count() / 2000L)).toInt
       graft.operators.Multimodal.synthesize(spark, ids, "vec_id")
         .repartition(files)
         .write.mode("overwrite").parquet(s"$dir/table")

@@ -20,6 +20,15 @@ import org.apache.spark.sql.types.StructType
   * The tail stays small (one refresh interval of ingest), so its
   * brute-force scan cost is bounded regardless of base size.
   */
+object RealtimeTail {
+  /** (tailPath, routing column) → (directory signature, distinct routing
+    * ids). See the note at the use site — shared across instances because
+    * handlers construct one RealtimeTail per request.
+    */
+  private val tailIdsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Array[Long])]
+}
+
 final class RealtimeTail(
     spark: SparkSession,
     val basePath: String,
@@ -82,8 +91,13 @@ final class RealtimeTail(
   // anti-join build per search (the fixed per-query latency tax on the
   // realtime serving path). The signature is the tail directory's
   // (name, length, mtime) listing — exactly what a new micro-batch or a
-  // compaction changes.
-  @volatile private var tailIdsCache: Option[(String, Array[Long])] = None
+  // compaction changes. The cache lives on the companion object keyed by
+  // tail PATH (round 21): serving handlers construct a fresh
+  // RealtimeTail per request, so an instance field never survived to the
+  // next query and every search re-paid the collect; the signature check
+  // still invalidates on any tail write/fold, and parquet part files
+  // carry per-write UUID names so a content change always changes the
+  // signature.
 
   private def tailSignature(): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(tailPath)
@@ -103,7 +117,7 @@ final class RealtimeTail(
     tailSignature() match {
       case None => Some(Array.empty[Long])
       case Some(sig) =>
-        tailIdsCache match {
+        RealtimeTail.tailIdsCache.get((tailPath, rid)) match {
           case Some((s, ids)) if s == sig => Some(ids)
           case _ =>
             val rows = tail.select(col(rid).cast("long")).distinct()
@@ -111,7 +125,7 @@ final class RealtimeTail(
             if (rows.length > maxTailIdCollect) None
             else {
               val ids = rows.map(_.getLong(0))
-              tailIdsCache = Some((sig, ids))
+              RealtimeTail.tailIdsCache.put((tailPath, rid), (sig, ids))
               Some(ids)
             }
         }
