@@ -351,6 +351,27 @@ object SearchApi {
     space.vectorFields.find(_.name == field)
       .flatMap(_.vector).map(_.valueType).getOrElse("float")
 
+  /** The graph-family-servable predicate (round 21, shared contract with
+    * [[searchAuto]]'s legFor): Some(effective index type) when this
+    * condition would enter a graph arm — HNSW/DISKANN_STATIC/SSG under
+    * legFor's value-type guards (binary never routes to a graph; int8
+    * only with an ip/l2 metric — those shapes fall to the exact FLAT
+    * serve instead). The rid-free fail-loud gates must fire exactly for
+    * these shapes, tail or no tail; gating on the index type alone made
+    * a binary HNSW field error once a RealtimeTail was attached while
+    * serving fine without one.
+    */
+  private def graphRoute(space: Space, vc: VecCond): Option[String] = {
+    val eff = vc.indexType.orElse(space.vectorFields
+      .find(_.name == vc.field).flatMap(_.vector).map(_.indexType))
+      .getOrElse("")
+    val vt = valueTypeOf(space, vc.field)
+    val i8Metric = Set("ip", "l2", "l2sq").contains(metricOf(space, vc.field))
+    val isGraph = eff == "HNSW" || eff == "DISKANN_STATIC" || eff == "SSG"
+    if (isGraph && vt != "binary" && (vt != "int8" || i8Metric)) Some(eff)
+    else None
+  }
+
   private def maybeNormalize(space: Space, field: String, q: Seq[Float]): Seq[Float] = {
     val normalized = space.vectorFields.find(_.name == field)
       .flatMap(_.vector).exists(_.normalized)
@@ -829,12 +850,12 @@ object SearchApi {
     if (tailOn && rid.isEmpty) {
       if (req.isBruteSearch != 1)
         req.vectors.foreach { vc =>
-          val eff = vc.indexType.orElse(space.vectorFields
-            .find(_.name == vc.field).flatMap(_.vector).map(_.indexType))
-            .getOrElse("")
-          if (eff == "HNSW" || eff == "DISKANN_STATIC" || eff == "SSG")
+          // same servability predicate as legFor's noDocidRoute (shared
+          // helper): value types that never enter a graph arm must not
+          // fail-loud here either — tail and no-tail behavior agree
+          graphRoute(space, vc).foreach(eff =>
             throw new IllegalArgumentException(
-              noDocidMsg(space.name, vc.field, eff))
+              noDocidMsg(space.name, vc.field, eff)))
         }
       return search(live, space, requestJson)
     }

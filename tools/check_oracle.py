@@ -29,8 +29,14 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # spark-written table = directory of parts
+            # recursive glob: a partitionBy layout nests part files under
+            # key=value subdirectories, which a top-level glob would miss
+            # (silently creating an empty view); assert non-empty so any
+            # layout change fails loud instead
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/**/*.parquet')")
+            n = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+            assert n > 0, f"table view {t} over {p} is empty"
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
