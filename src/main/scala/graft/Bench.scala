@@ -64,6 +64,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalesce FLOOR (round 21, guide §2): the default 1 MB
+      // minPartitionSize is calibrated for scan-like stages; this
+      // engine's verify/rerank stages (array_intersect over shingle
+      // sets, ADC) carry ~1000x more CPU per byte, and the byte-based
+      // floor coalesced them to 1-2 tasks (measured: q_dedup_jaccard's
+      // candidate+verify job 2.5 s on 2 tasks; 64k floor -> 1.2 s).
+      // A floor, not a target: at scale stages far exceed it and the
+      // 64 MB advisory size governs, so the production impact is nil.
+      // Env-overridable to keep the scale knob explicit.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -102,4 +102,30 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(n.get() == 1)
     assert(!Files.exists(Paths.get(s"$dir.lock")))
   }
+
+  // round 21: openTable is the shared signature-keyed open cache behind
+  // IndexLifecycle.openLayout and the entry-level space opens — it must
+  // reuse the opened plan while the directory listing is unchanged (the
+  // per-query footer-job optimization) and MUST NOT serve stale plans
+  // after any rewrite (part-file names/sizes/mtimes change on every
+  // parquet write, so the signature always moves with the content).
+  test("openTable: cached while unchanged, invalidated by a rewrite") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val first = IndexStore.openTable(spark, dir)
+    assert(first.count() == 2)
+    // unchanged dir → the SAME DataFrame instance (no re-list, no footer job)
+    assert(IndexStore.openTable(spark, dir) eq first)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val second = IndexStore.openTable(spark, dir)
+    assert(!(second eq first), "rewrite must invalidate the cached open")
+    assert(second.count() == 3)
+    // explicit invalidation drops the entry too (the in-place append sites)
+    IndexStore.invalidateOpen(dir)
+    assert(!(IndexStore.openTable(spark, dir) eq second))
+  }
 }
