@@ -40,7 +40,8 @@ object Graft {
     // coincidentally named vec_dot) must still get the full current set
     def has(n: String) =
       reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-    if (has("vec_dot") && has("vec_sign_adot") && has("text_window_hashes")) return
+    if (has("vec_dot") && has("vec_sign_adot") && has("text_window_hashes") &&
+      has("arr_common_count")) return
     reg.createOrReplaceTempFunction("vec_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2sq", es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_l2", es => L2Dist(es(0), es(1)), "built-in")
@@ -66,6 +67,8 @@ object Graft {
       es => WindowHashes(es(0), lit2int(es(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("text_minhash_sig",
       es => MinHashSig(es(0), lit2int(es(1), "n"), lit2int(es(2), "numHashes")), "built-in")
+    reg.createOrReplaceTempFunction("arr_common_count",
+      es => SortedCommonCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       es => TopKAgg(es(0), es(1), lit2int(es(2), "k"), lit2bool(es(3), "asc")),
       "built-in")
@@ -111,6 +114,8 @@ object Graft {
     def minhashSig(tokens: Column, n: Int, numHashes: Int): Column =
       call_function("text_minhash_sig", tokens,
         org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(numHashes))
+    def commonCount(a: Column, b: Column): Column =
+      call_function("arr_common_count", a, b)
     def topK(score: Column, item: Column, k: Int, asc: Boolean): Column =
       call_function("graft_topk", score, item,
         org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(asc))

@@ -239,6 +239,30 @@ object VecKernels {
   def windowHashesData(tokens: ArrayData, n: Int): ArrayData =
     new GenericArrayData(windowHashes(tokens, n))
 
+  /** Count of common elements of two ascending-sorted distinct long
+    * arrays (the [[shingleHashes]] set representation) — equivalent to
+    * `size(array_intersect(a, b))` on such inputs, but one allocation-free
+    * merge scan instead of a per-row hash-set build plus output array.
+    * The dedup pair verifies run this over every candidate pair, so the
+    * constant matters (measured: the jaccard verify stage spent ~26 µs of
+    * executor time per pair in array_intersect at the 10× fixture).
+    */
+  def sortedCommonCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
     val out = windowHashes(tokens, n)
     val nsh = out.length

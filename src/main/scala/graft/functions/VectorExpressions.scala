@@ -111,6 +111,24 @@ case class IvfProbeLists(child: Expression, centroids: Array[Array[Float]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Common-element count of two ascending-sorted distinct long arrays (the
+  * shingle-hash set representation) — `size(array_intersect(a, b))` on
+  * such inputs as a single allocation-free merge scan. The dedup pair
+  * verifies evaluate this once per candidate pair.
+  */
+case class SortedCommonCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "arr_common_count"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.sortedCommonCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.sortedCommonCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Distinct sorted xxhash64 shingle hashes of a token array. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "text_shingle_hashes"

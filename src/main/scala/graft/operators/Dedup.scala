@@ -24,6 +24,20 @@ object Dedup {
     */
   private val MaxHotBroadcast = 4000000L
 
+  /** Parallelism floor for the CPU-dense fingerprint kernels (round 22,
+    * guide §2.5/§6: reader parallelism bounds compute parallelism): a
+    * narrow local fixture scans as few splits, and every kernel stage —
+    * tokenize+shingle, minhash signatures, simhash md5-per-token — plus
+    * the candidate-join map sides run at that width (measured: 8 tasks on
+    * 32 cores, the jaccard candidate-join map stage burning 38 s of
+    * executor time at 8-way). Widen to cluster width when narrower; at
+    * scale inputs arrive with ≥ cores splits and this is a no-op.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   /** Canonical tokenizer — non-empty whitespace tokens, shared with
     * [[TextOps.tokens]] so dedup fingerprints and profile metrics see the
     * same token stream (an untrimmed split leaks a "" token for text with
@@ -73,8 +87,9 @@ object Dedup {
     * prefixes were disjoint, the overlap would fit inside one suffix of
     * size ⌈t·|S|⌉ − 1 < ⌈t·|S|⌉ ≤ |a∩b|, a contradiction. So the
     * candidate equi-join explodes only prefixes (~(1−t)·|S| hashes per
-    * doc; candidate PAIRS shrink ~(1−t)²), and exact verification runs
-    * `array_intersect` over the full sorted sets for candidates only.
+    * doc; candidate PAIRS shrink ~(1−t)²), and exact verification runs an
+    * allocation-free sorted-merge count over the full sorted sets for
+    * candidates only.
     * Zero false negatives by the lemma; zero false positives by the
     * verify.
     *
@@ -124,8 +139,12 @@ object Dedup {
     // Materialized once: the hot-set count, the prefix explode and both
     // verify joins all read it — without the checkpoint each branch
     // re-runs the tokenize→shingle→hash kernel over the corpus.
-    val shingled = df.select(col(idCol).as("id"),
-      graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sharr"))
+    // [[widen]] before the kernel: the checkpoint's partition count is
+    // what every downstream map stage (prefix explode, verify joins) runs
+    // at, and the kernel itself is the hottest per-row work.
+    val src = widen(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+    val shingled = src.select(col("id"),
+      graft.Graft.F.shingleHashes(tokens(col("_t")), n).as("sharr"))
       .localCheckpoint(eager = true)
     var hotCp: Option[DataFrame] = None
     val sets = maxShingleDf match {
@@ -180,20 +199,44 @@ object Dedup {
     val withSz = sets.withColumn("sz", size(col("ss")))
     // prefix = first sz - ceil(t*sz) + 1 elements of the sorted set
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
-    val pre = withSz.select(col("id"),
-      explode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))).as("psh"))
+    val pre = withSz.select(col("id"), col("sz"),
+      posexplode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))))
+      .select(col("id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("psh"))
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08): candidate rows carry
+    // each side's set size and the shared hash's 1-based position in the
+    // sorted set; the overlap can only use elements at ≥ that position, so
+    // common ≤ ub = 1 + min(sz_a − p_a, sz_b − p_b). A qualifying pair's
+    // FIRST common element provably sits inside both prefixes (the prefix
+    // lemma above), and at that occurrence ub ≥ common — so filtering each
+    // occurrence with the verify's own inequality (same double arithmetic,
+    // monotone in the numerator: c ≤ ub ⇒ ub/(S−ub) ≥ c/(S−c)) keeps at
+    // least one occurrence of every true pair. Zero false negatives;
+    // measured at the 10× fixture: 21.45M candidate occurrences → 2.85M,
+    // verify stage 562 s of executor time → ~80 s, identical 1254 pairs.
+    val ub = lit(1) + least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))
     val cand = pre.as("a").join(pre.as("b"), Seq("psh"))
       .filter(col("a.id") < col("b.id"))
+      .filter(ub.cast("double") / (col("a.sz") + col("b.sz") - ub) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // a pair can surface once per shared prefix hash; dedup AFTER the
+    // verify (round 22): the pre-verify dropDuplicates was a hash
+    // aggregate over the full candidate set (measured ~4.6 s on 25M
+    // candidate rows at the 10× fixture) bought to avoid re-verifying
+    // duplicates — but the positional filter keeps ~1.02 occurrences per
+    // pair here, and the duplication is BOUNDED by the prefix length
+    // (~(1−t)·|S|+1 shared hashes can generate a pair), so the worst-case
+    // re-verify is a small constant factor while the saved aggregate is
+    // paid on every row. Post-verify rows of one pair are identical, so
+    // the output-sized dropDuplicates below returns the same set.
     val out = cand
       .join(withSz.select(col("id").as("id_a"), col("ss").as("ss_a"), col("sz").as("sz_a")), "id_a")
       .join(withSz.select(col("id").as("id_b"), col("ss").as("ss_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("ss_a"), col("ss_b"))))
+      .withColumn("common", graft.Graft.F.commonCount(col("ss_a"), col("ss_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
     (out, intermediates)
   }
 
@@ -210,7 +253,7 @@ object Dedup {
     * df(sh), bounded by the same `maxShingleDf` hot-shingle cap (which a
     * containment join needs even more than Jaccard does). Exact output:
     * zero false negatives by the lemma, zero false positives by the
-    * `array_intersect` verify over the full capped sets.
+    * sorted-merge-count verify over the full capped sets.
     */
   def containmentPairs(
       df: DataFrame,
@@ -241,26 +284,44 @@ object Dedup {
     val withSz = sets.withColumn("sz", size(col("ss")))
     val prefixLen = (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
     val pre = withSz.select(col("id"), col("sz"),
-      explode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))).as("psh"))
-    val inv = withSz.select(col("id"), col("sz"), explode(col("ss")).as("psh"))
+      posexplode(slice(col("ss"), lit(1), greatest(prefixLen, lit(0)))))
+      .select(col("id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("psh"))
+    val inv = withSz.select(col("id"), col("sz"), posexplode(col("ss")))
+      .select(col("id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("psh"))
     // the lemma only needs the SMALLER set's prefix, so restrict the
     // prefix side to the smaller of each pair (ids break size ties):
     // without the ordering every pair is generated from BOTH directions
-    // and the duplicate half is shuffled just to be dropDuplicates'd away
+    // and the duplicate half is shuffled just to be dropDuplicates'd away.
+    // POSITIONAL filter (same device as [[jaccardPairsPlan]]): the overlap
+    // only uses elements at ≥ the shared hash's position on each side, so
+    // common ≤ ub = 1 + min(sz_a − p_a, sz_b − p_b) at the pair's first
+    // common element (which the join provably generates: it lies in the
+    // smaller side's prefix by the lemma, and the full side explodes every
+    // position). Filtering with the verify's own inequality (double
+    // division by the same min-size denominator, monotone in the
+    // numerator) keeps that occurrence of every true pair — zero false
+    // negatives, and the dedup/verify shuffles shrink by the pruned bulk.
+    val ub = lit(1) + least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))
     val cand = pre.as("a").join(inv.as("b"), Seq("psh"))
       .filter(col("a.sz") < col("b.sz") ||
         (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
+      .filter(ub.cast("double") / least(col("a.sz"), col("b.sz")) >= threshold)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // dedup AFTER the verify (the [[jaccardPairsPlan]] argument): the
+    // candidate-scale hash aggregate cost more than the bounded re-verify
+    // of duplicate occurrences (≤ the smaller side's prefix length per
+    // pair); post-verify rows of one pair are identical, so the
+    // output-sized dropDuplicates below returns the same set.
     val out = cand
       .join(withSz.select(col("id").as("id_a"), col("ss").as("ss_a"), col("sz").as("sz_a")), "id_a")
       .join(withSz.select(col("id").as("id_b"), col("ss").as("ss_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("ss_a"), col("ss_b"))))
+      .withColumn("common", graft.Graft.F.commonCount(col("ss_a"), col("ss_b")))
       .withColumn("containment",
         col("common").cast("double") / least(col("sz_a"), col("sz_b")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
+      .dropDuplicates("id_a", "id_b")
     (out, intermediates)
   }
 
@@ -317,10 +378,13 @@ object Dedup {
     // one kernel call per doc computes the whole signature (and the
     // distinct shingle-hash set used for exact verification); materialized
     // once — banding and both verify joins read it (same argument as the
-    // localCheckpoint in jaccardPairs).
-    val shingled = df.select(col(idCol).as("id"),
-      graft.Graft.F.shingleHashes(tokens(col(textCol)), n).as("sh"),
-      graft.Graft.F.minhashSig(tokens(col(textCol)), n, numHashes).as("sig"))
+    // localCheckpoint in jaccardPairs). [[widen]] before the signature
+    // kernel (numHashes hashes per shingle): it and every downstream map
+    // stage run at the checkpoint's width.
+    val src = widen(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+    val shingled = src.select(col("id"),
+      graft.Graft.F.shingleHashes(tokens(col("_t")), n).as("sh"),
+      graft.Graft.F.minhashSig(tokens(col("_t")), n, numHashes).as("sig"))
       .localCheckpoint(eager = true)
     val sigCols: Seq[Column] = col("id") +:
       (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j"))
@@ -340,7 +404,7 @@ object Dedup {
     val out = cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", graft.Graft.F.commonCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -379,7 +443,8 @@ object Dedup {
       maxHamming: Int,
       hotBucketCap: Int = 10000): DataFrame = {
     val (out, sh) = simhashPairsImpl(
-      df.select(col(idCol).as("id"), simhashPortable(col(textCol)).as("sh")),
+      widen(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+        .select(col("id"), simhashPortable(col("_t")).as("sh")),
       chunkBits = 15, hammingAsLong = true, maxHamming, hotBucketCap)
     try out.localCheckpoint(eager = true) finally Checkpoints.free(sh)
   }
@@ -397,7 +462,8 @@ object Dedup {
       maxHamming: Int,
       hotBucketCap: Int = 10000): DataFrame = {
     val (out, sh) = simhashPairsImpl(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")),
+      widen(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+        .select(col("id"), simhash(col("_t")).as("sh")),
       chunkBits = 16, hammingAsLong = false, maxHamming, hotBucketCap)
     try out.localCheckpoint(eager = true) finally Checkpoints.free(sh)
   }
@@ -440,7 +506,8 @@ object Dedup {
     }
     // fingerprints are recomputed by several branches below — materialize
     // once (id+fingerprint = 16 bytes/row); the public wrappers free this
-    // checkpoint as soon as the output pair list materializes
+    // checkpoint as soon as the output pair list materializes (wrappers
+    // [[widen]] the input, so the md5/xxh64-per-token kernel runs wide)
     val sh = sh0.localCheckpoint(eager = true)
     val mask = (1L << chunkBits) - 1
     val fps = sh.select(col("sh")).distinct()

@@ -38,6 +38,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("sortedCommonCount == size(array_intersect) on sorted distinct arrays") {
+    val setGen = Gen.chooseNum(0, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)))
+      .map(_.distinct.sorted)
+    samples(Gen.zip(setGen, setGen), 40).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        F.commonCount($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).as("ref")).head()
+      assert(r.getInt(0) == r.getInt(1), s"a=$a b=$b")
+    }
+    // overlapping sets too (the independent gen rarely collides)
+    samples(Gen.zip(setGen, setGen), 40).foreach { case (a, b) =>
+      val merged = (a ++ b.take(b.size / 2)).distinct.sorted
+      val df = Seq((merged, b)).toDF("a", "b")
+      val r = df.select(
+        F.commonCount($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).as("ref")).head()
+      assert(r.getInt(0) == r.getInt(1), s"a=$merged b=$b")
+    }
+  }
+
   test("simhash64 kernel == HOF bit-vote formulation") {
     samples(Gen.listOfN(6, doc), 6).foreach { docs =>
       {
