@@ -130,6 +130,15 @@ object Graft {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesce FLOOR (round 21 bench finding, promoted to the
+      // engine's own session factory in round 22 so benched config ≡
+      // shipped config): the default 1 MB minPartitionSize is calibrated
+      // for scan-like stages; this engine's verify/rerank stages
+      // (shingle-set intersection counts, ADC) carry ~1000× more CPU per
+      // byte and were coalesced to 1-2 tasks. A floor, not a target — at
+      // scale stages far exceed it and the 64 MB advisory size governs.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has shipped both TIMESTAMP(NANOS) (ns fixtures; Spark
       // has no ns timestamp — this flag reads them as epoch-ns longs) and µs

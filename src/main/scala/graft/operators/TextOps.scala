@@ -249,18 +249,31 @@ object TextOps {
     val toksEx = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toksEx.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toksEx.select("id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derived FROM the tf aggregate (round 22, guide §2.2/§2.4): tf is
+    // already one row per distinct (doc, term), so counting its rows per
+    // term IS the document frequency — the former explode→distinct→count
+    // branch re-tokenized the corpus and paid two extra shuffles for a
+    // relation tf already materializes; the shared (id, term) exchange is
+    // reused across both consumers.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("tfidf").desc, col("term"))
+    // per-doc top-k via the bounded-heap aggregate (round 22, guide §2.3
+    // aggregate-before-shuffle): the former row_number window shuffled and
+    // SORTED every (doc, term) row; the heap's partial aggregation ships
+    // at most k rows per doc per map task and never materializes a
+    // per-doc sort. Tie semantics unchanged — TopKAgg breaks exact score
+    // ties by the payload struct's native SQL order, (term, tf) ascending,
+    // which is the window's `ORDER BY tfidf DESC, term`.
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"), col("term"), col("tf"), col("tfidf"))
+      .groupBy(col("id"))
+      .agg(graft.Graft.F.topK(col("tfidf"),
+        struct(col("term"), col("tf")), k, asc = false).as("_tk"))
+      .select(col("id"), posexplode(col("_tk")))
+      .select(col("id"), (col("pos") + 1).as("rank"),
+        col("col.item.term").as("term"), col("col.item.tf").as("tf"),
+        col("col.score").as("tfidf"))
   }
 
   /** Benchmark decontamination (the n-gram overlap check every serious
